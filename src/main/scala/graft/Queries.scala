@@ -1,0 +1,513 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** The t2 query inventory (SURVEY.md §2.C–K): every operator is a pure
+  * DataFrame declaration so Catalyst owns pushdown/pruning/join selection;
+  * every query ends in ORDER BY for a stable oracle hash; aggregates over
+  * doubles are rounded in BOTH engines (SURVEY §7 gotchas).
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** queries + matching DuckDB oracle, built side by side so names/aliases
+    * can't drift apart. */
+  private val registry = scala.collection.mutable.LinkedHashMap[String, (Q, Option[String])]()
+
+  private def q(name: String, oracle: String)(fn: Q): Unit =
+    registry(name) = (fn, Some(oracle))
+
+  private def qNoOracle(name: String)(fn: Q): Unit =
+    registry(name) = (fn, None)
+
+  // ------------------------------------------------------------ §2.C scans/filters
+
+  q("q_scan_all",
+    "SELECT * FROM region ORDER BY r_regionkey") { (s, d) =>
+    t(s, d, "region").orderBy("r_regionkey")
+  }
+
+  q("q_project",
+    """SELECT o_orderkey, o_totalprice, o_totalprice * 0.1 AS fee
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("o_totalprice") * 0.1).as("fee"))
+      .orderBy("o_orderkey")
+  }
+
+  q("q_filter",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_quantity").between(10, 20) && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  q("q_filter_compound",
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+      |WHERE (o_orderstatus = 'F' OR o_totalprice > 100000)
+      |  AND NOT o_orderpriority LIKE '1-%'
+      |  AND o_custkey IN (1,2,3,5,8,13,21)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    t(s, d, "orders")
+      .filter((col("o_orderstatus") === "F" || col("o_totalprice") > 100000)
+        && !col("o_orderpriority").like("1-%")
+        && col("o_custkey").isin(1, 2, 3, 5, 8, 13, 21))
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  // ------------------------------------------------------------ §2.D joins
+
+  q("q_join_inner",
+    """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+      |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |WHERE o.o_totalprice > 200000
+      |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").filter(col("o_totalprice") > 200000)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .select(c("c_custkey"), c("c_name"), o("o_orderkey"), o("o_totalprice"))
+      .orderBy("c_custkey", "o_orderkey")
+  }
+
+  q("q_join_left",
+    """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  q("q_join_right",
+    """SELECT n.n_name, s.s_suppkey FROM supplier s
+      |RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |ORDER BY n.n_name, s.s_suppkey""".stripMargin) { (s, d) =>
+    val sup = t(s, d, "supplier")
+    val n = t(s, d, "nation")
+    sup.join(n, sup("s_nationkey") === n("n_nationkey"), "right")
+      .select(n("n_name"), sup("s_suppkey"))
+      .orderBy(col("n_name"), col("s_suppkey"))
+  }
+
+  q("q_join_full",
+    """SELECT coalesce(a.k, b.k) AS k, a.cnt_c, b.cnt_s FROM
+      |  (SELECT c_nationkey AS k, count(*) AS cnt_c FROM customer GROUP BY 1) a
+      |FULL JOIN
+      |  (SELECT s_nationkey AS k, count(*) AS cnt_s FROM supplier GROUP BY 1) b
+      |ON a.k = b.k ORDER BY k""".stripMargin) { (s, d) =>
+    val a = t(s, d, "customer").groupBy(col("c_nationkey").as("k"))
+      .agg(count(lit(1)).as("cnt_c"))
+    val b = t(s, d, "supplier").groupBy(col("s_nationkey").as("k"))
+      .agg(count(lit(1)).as("cnt_s"))
+    a.join(b, a("k") === b("k"), "full")
+      .select(coalesce(a("k"), b("k")).as("k"), col("cnt_c"), col("cnt_s"))
+      .orderBy("k")
+  }
+
+  q("q_join_semi",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |              AND o.o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").filter(col("o_totalprice") > 300000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  q("q_join_anti",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  q("q_join_cross",
+    """SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+      |ORDER BY r.r_name, n.n_name""".stripMargin) { (s, d) =>
+    t(s, d, "region").crossJoin(t(s, d, "nation"))
+      .select("r_name", "n_name").orderBy("r_name", "n_name")
+  }
+
+  q("q_join_theta",
+    """SELECT p.p_partkey, p.p_size, b.band FROM part p
+      |JOIN (SELECT 1 AS band, 0 AS lo, 10 AS hi
+      |      UNION ALL SELECT 2, 10, 25 UNION ALL SELECT 3, 25, 51) b
+      |  ON p.p_size > b.lo AND p.p_size <= b.hi
+      |ORDER BY p.p_partkey, b.band""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val bands = Seq((1, 0, 10), (2, 10, 25), (3, 25, 51)).toDF("band", "lo", "hi")
+    // tiny build side → BroadcastNestedLoopJoin, no shuffle of `part`
+    t(s, d, "part").join(broadcast(bands),
+        col("p_size") > col("lo") && col("p_size") <= col("hi"))
+      .select("p_partkey", "p_size", "band")
+      .orderBy("p_partkey", "band")
+  }
+
+  q("q_join_multi",
+    """SELECT r.r_name, n.n_name, round(sum(c.c_acctbal), 2) AS total_bal
+      |FROM region r
+      |JOIN nation n ON n.n_regionkey = r.r_regionkey
+      |JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |GROUP BY r.r_name, n.n_name
+      |ORDER BY r.r_name, n.n_name""".stripMargin) { (s, d) =>
+    val r = t(s, d, "region")
+    val n = t(s, d, "nation")
+    val c = t(s, d, "customer")
+    // dims are tiny → broadcast both; the only shuffle is the final group
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name"), n("n_name"))
+      .agg(round(sum(c("c_acctbal")), 2).as("total_bal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // ------------------------------------------------------------ §2.E aggregations
+
+  q("q_agg_global",
+    """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+      |       round(avg(l_extendedprice), 2) AS avg_price,
+      |       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem").agg(
+      count(lit(1)).as("n"),
+      round(sum("l_quantity"), 2).as("sum_qty"),
+      round(avg("l_extendedprice"), 2).as("avg_price"),
+      min("l_shipdate").as("min_ship"),
+      max("l_shipdate").as("max_ship"))
+  }
+
+  q("q_agg_group",
+    // TPC-H Q1 shape (SURVEY §2.E)
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  q("q_agg_distinct",
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    t(s, d, "orders").groupBy("o_orderstatus")
+      .agg(countDistinct("o_custkey").as("n_cust"))
+      .orderBy("o_orderstatus")
+  }
+
+  q("q_agg_having",
+    """SELECT o_custkey, count(*) AS n FROM orders
+      |GROUP BY o_custkey HAVING count(*) >= 12 ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    t(s, d, "orders").groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 12)
+      .orderBy("o_custkey")
+  }
+
+  q("q_agg_rollup",
+    """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  q("q_agg_cube",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  q("q_agg_stats",
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem").groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"))
+      .orderBy("l_returnflag")
+  }
+
+  // ------------------------------------------------------------ §2.F windows/sort/set
+
+  q("q_win_rank",
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, d, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  q("q_win_agg",
+    // Cast the INPUT to decimal and keep the window aggregates in decimal:
+    // double accumulation order differs between engines (segment trees vs
+    // sequential) and round()/avg() ties then disagree; decimal sums are
+    // exact and associate freely. (DuckDB's avg-over-decimal returns DOUBLE,
+    // so the sliding metric is a 3-row sum, not an avg.)
+    """SELECT o_custkey, o_orderkey,
+      |  sum(cast(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+      |  sum(cast(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum3
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val dec = col("o_totalprice").cast("decimal(18,2)")
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec).over(
+          base.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("running_total"),
+        sum(dec).over(base.rowsBetween(-2, 0)).as("moving_sum3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  q("q_win_lead_lag",
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+      |  lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  q("q_topk",
+    """SELECT * FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+      |         rank() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rk
+      |  FROM lineitem) WHERE rk <= 2
+      |ORDER BY l_suppkey, rk, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(s, d, "lineitem")
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 2)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "rk")
+      .orderBy("l_suppkey", "rk", "l_orderkey", "l_linenumber")
+  }
+
+  q("q_sort",
+    """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+      |ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey""".stripMargin) { (s, d) =>
+    t(s, d, "customer")
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+      .orderBy(col("c_mktsegment").asc, col("c_acctbal").desc, col("c_custkey"))
+  }
+
+  q("q_limit",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin) { (s, d) =>
+    t(s, d, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  q("q_union_all",
+    """SELECT c_nationkey AS nk, 'customer' AS side FROM customer
+      |UNION ALL SELECT s_nationkey, 'supplier' FROM supplier
+      |ORDER BY nk, side""".stripMargin) { (s, d) =>
+    t(s, d, "customer").select(col("c_nationkey").as("nk"), lit("customer").as("side"))
+      .unionAll(t(s, d, "supplier").select(col("s_nationkey").as("nk"), lit("supplier").as("side")))
+      .orderBy("nk", "side")
+  }
+
+  q("q_union",
+    """SELECT c_nationkey AS nk FROM customer
+      |UNION SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin) { (s, d) =>
+    t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      .union(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+      .distinct()
+      .orderBy("nk")
+  }
+
+  q("q_intersect",
+    """SELECT c_nationkey AS nk FROM customer
+      |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin) { (s, d) =>
+    t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+  }
+
+  q("q_except",
+    """SELECT c_nationkey AS nk FROM customer
+      |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin) { (s, d) =>
+    t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      .except(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+  }
+
+  // ------------------------------------------------------------ §2.G scalar functions
+
+  q("q_fn_string",
+    """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_name) AS name_l,
+      |  length(p_name) AS name_len, substr(p_type, 1, 5) AS type5,
+      |  concat(p_brand, '#', cast(p_size AS VARCHAR)) AS brand_size,
+      |  replace(p_type, ' ', '_') AS type_u, trim(p_name) AS name_t
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    t(s, d, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      lower(col("p_name")).as("name_l"),
+      length(col("p_name")).as("name_len"),
+      substring(col("p_type"), 1, 5).as("type5"),
+      concat(col("p_brand"), lit("#"), col("p_size").cast("string")).as("brand_size"),
+      regexp_replace(col("p_type"), " ", "_").as("type_u"),
+      trim(col("p_name")).as("name_t"))
+      .orderBy("p_partkey")
+  }
+
+  q("q_fn_regex",
+    """SELECT p_partkey, p_type,
+      |  regexp_extract(p_type, '^(\w+)', 1) AS first_word,
+      |  CASE WHEN regexp_matches(p_type, 'BRUSHED|POLISHED') THEN 1 ELSE 0 END AS finished
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    t(s, d, "part").select(
+      col("p_partkey"), col("p_type"),
+      regexp_extract(col("p_type"), "^(\\w+)", 1).as("first_word"),
+      when(col("p_type").rlike("BRUSHED|POLISHED"), 1).otherwise(0).as("finished"))
+      .orderBy("p_partkey")
+  }
+
+  q("q_fn_date",
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS dom,
+      |  cast(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  date_diff('day', cast(o_orderdate AS DATE), DATE '2026-01-01') AS days_to_2026,
+      |  cast(o_orderdate AS DATE) + INTERVAL 30 DAY = cast(o_orderdate AS DATE) + INTERVAL 30 DAY AS check_true
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+      datediff(lit("2026-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2026"),
+      lit(true).as("check_true"))
+      .orderBy("o_orderkey")
+  }
+
+  q("q_fn_math",
+    """SELECT l_orderkey, l_linenumber,
+      |  round(l_extendedprice, 1) AS p_round, abs(l_discount - 0.05) AS d_abs,
+      |  ceil(l_quantity) AS q_ceil, floor(l_quantity) AS q_floor,
+      |  round(power(l_tax + 1, 2), 6) AS tax_sq,
+      |  round(ln(l_extendedprice), 6) AS p_ln,
+      |  cast(l_extendedprice AS DECIMAL(18,2)) AS p_dec
+      |FROM lineitem WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem").filter(col("l_orderkey") < 100).select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(col("l_extendedprice"), 1).as("p_round"),
+      abs(col("l_discount") - 0.05).as("d_abs"),
+      ceil(col("l_quantity")).as("q_ceil"),
+      floor(col("l_quantity")).as("q_floor"),
+      round(pow(col("l_tax") + 1, 2), 6).as("tax_sq"),
+      round(log(col("l_extendedprice")), 6).as("p_ln"),
+      col("l_extendedprice").cast("decimal(18,2)").as("p_dec"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  q("q_fn_cast",
+    """SELECT o_orderkey,
+      |  cast(floor(o_totalprice) AS BIGINT) AS price_long,
+      |  cast(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+      |  cast(cast(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+      |  cast(o_orderkey AS DOUBLE) AS key_dbl,
+      |  cast('42' AS INT) AS s2i
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      // floor first: DuckDB's double→bigint cast rounds, Spark's truncates
+      floor(col("o_totalprice")).cast("bigint").as("price_long"),
+      col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
+      col("o_orderdate").cast("date").cast("string").as("date_str"),
+      col("o_orderkey").cast("double").as("key_dbl"),
+      lit("42").cast("int").as("s2i"))
+      .orderBy("o_orderkey")
+  }
+
+  q("q_fn_cond",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 250000 THEN 'high'
+      |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_x
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      when(col("o_totalprice") > 250000, "high")
+        .when(col("o_totalprice") > 100000, "mid")
+        .otherwise("low").as("bucket"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_x"))
+      .orderBy("o_orderkey")
+  }
+
+  q("q_fn_json",
+    """SELECT event_id, cast(json_extract(props, '$.k') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    t(s, d, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .orderBy("event_id")
+  }
+
+  // --------------------------------------------------------------------------
+
+  lazy val all: Map[String, Q] = registry.map { case (k, (f, _)) => k -> f }.toMap
+
+  lazy val oracles: Map[String, String] = registry.collect {
+    case (k, (_, Some(sql))) => k -> sql
+  }.toMap
+}

@@ -1,0 +1,207 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import graft.meta.{ColumnMeta, DatabaseMeta, TableMeta}
+
+/** The Spark-native catalog surface: the reference's Glue create/update/
+  * delete-database lifecycle (`etl_manager/meta.py:755-844`) re-expressed
+  * over `spark.catalog` temp views + file-source readers.
+  *
+  * Scale notes: every reader below produces a plain declarative file-source
+  * scan, so Catalyst predicate pushdown / column pruning / partition
+  * discovery apply unchanged on a 1000-executor cluster; nothing here
+  * collects to the driver.
+  */
+object GraftCatalog {
+
+  /** View name convention `<db>_<table>` (SURVEY.md §3.1). */
+  def viewName(db: DatabaseMeta, table: TableMeta): String =
+    s"${db.name}_${table.name}"
+
+  // ---------------------------------------------------------------- readers
+
+  /** Build the DataFrame for one table per its declared data_format
+    * (SURVEY.md §2.A mapping of the serde spec templates in
+    * `etl_manager/specs/`). */
+  def readTable(spark: SparkSession, table: TableMeta, path: String): DataFrame = {
+    val hasParts = table.partitions.nonEmpty
+    // With directory partitions Spark discovers partition columns from the
+    // layout; passing the full schema pins their declared types too.
+    val schema = if (hasParts) table.fullSchema else table.dataSchema
+
+    def withBase(r: org.apache.spark.sql.DataFrameReader) =
+      if (hasParts) r.option("basePath", path) else r
+
+    table.dataFormat match {
+      case "csv" =>
+        // LazySimpleSerDe: comma-delimited, NO header, no quoting —
+        // metadata order IS physical order (README.md:30,116). A
+        // `skip.header.line.count=1` in glue_specific flips header on
+        // (example/meta_data/db1/pay.json:18-27).
+        val skipHeader = glueSpecificSkipHeader(table)
+        withBase(spark.read.schema(schema))
+          .option("header", skipHeader)
+          .option("sep", ",")
+          .option("quote", "") // LazySimpleSerDe has no quote handling
+          .csv(path)
+      case "csv_quoted_nodate" =>
+        // OpenCSVSerde semantics: quote `"`, escape `\`, every column
+        // deserialized as string THEN cast (Athena behavior, SURVEY §1.2).
+        val asStrings = org.apache.spark.sql.types.StructType(
+          schema.fields.map(_.copy(dataType = StringType)))
+        val raw = withBase(spark.read.schema(asStrings))
+          .option("header", glueSpecificSkipHeader(table))
+          .option("sep", ",").option("quote", "\"").option("escape", "\\")
+          .csv(path)
+        raw.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      case "json" =>
+        // JsonSerDe over newline-delimited JSON (CHANGELOG.md:199-202)
+        withBase(spark.read.schema(schema)).json(path)
+      case "parquet" =>
+        withBase(spark.read.schema(schema)).parquet(path)
+      case "orc" =>
+        withBase(spark.read.schema(schema)).orc(path)
+      case "avro" =>
+        withBase(spark.read.schema(schema)).format("avro").load(path)
+      case "regex" =>
+        // RegexSerDe: one capture group per column
+        // (specs/regex_specific.json:1-15). Extraction + cast are
+        // codegen'd expressions — stays in WholeStageCodegen.
+        val re = regexFor(table)
+        val cols = table.columns.filterNot(c => table.partitions.contains(c.name))
+        val extracted = spark.read.textFile(path).toDF("value").select(
+          cols.zipWithIndex.map { case (c, i) =>
+            regexp_extract(col("value"), re, i + 1).cast(c.toStructField.dataType).as(c.name)
+          }: _*)
+        extracted
+      case other =>
+        throw new IllegalArgumentException(s"unsupported data_format $other")
+    }
+  }
+
+  def readTable(spark: SparkSession, db: DatabaseMeta, tableName: String,
+      warehouseRoot: String): DataFrame =
+    readTable(spark, db.table(tableName), db.tablePath(warehouseRoot, tableName))
+
+  private def glueSpecificSkipHeader(table: TableMeta): Boolean = {
+    def dig(m: Any, path: List[String]): Option[Any] = (m, path) match {
+      case (v, Nil) => Some(v)
+      case (mm: scala.collection.Map[_, _], h :: t) =>
+        mm.asInstanceOf[scala.collection.Map[String, Any]].get(h).flatMap(dig(_, t))
+      case _ => None
+    }
+    dig(table.glueSpecific, List("StorageDescriptor", "Parameters", "skip.header.line.count"))
+      .orElse(dig(table.glueSpecific, List("Parameters", "skip.header.line.count")))
+      .contains("1")
+  }
+
+  private def regexFor(table: TableMeta): String = {
+    def dig(path: List[String]): Option[String] = {
+      def go(m: Any, p: List[String]): Option[Any] = (m, p) match {
+        case (v, Nil) => Some(v)
+        case (mm: scala.collection.Map[_, _], h :: t) =>
+          mm.asInstanceOf[scala.collection.Map[String, Any]].get(h).flatMap(go(_, t))
+        case _ => None
+      }
+      go(table.glueSpecific, path).map(String.valueOf)
+    }
+    dig(List("StorageDescriptor", "SerdeInfo", "Parameters", "input.regex"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"regex table ${table.name} needs glue_specific input.regex"))
+  }
+
+  // ----------------------------------------------------------- registration
+
+  /** create_glue_database analog (meta.py:793-810): register every table as
+    * a temp view `<db>_<table>`. `deleteIfExists` drops stale views first. */
+  def registerDatabase(spark: SparkSession, db: DatabaseMeta,
+      warehouseRoot: String, deleteIfExists: Boolean = false): Unit = {
+    if (deleteIfExists) unregisterDatabase(spark, db)
+    db.tables.foreach { t =>
+      readTable(spark, t, db.tablePath(warehouseRoot, t.name))
+        .createOrReplaceTempView(viewName(db, t))
+    }
+  }
+
+  /** update_glue_database analog (meta.py:812-844): upsert — register
+    * missing tables, refresh existing when `updateExisting`. */
+  def updateDatabase(spark: SparkSession, db: DatabaseMeta,
+      warehouseRoot: String, updateExisting: Boolean = true): Unit =
+    db.tables.foreach { t =>
+      val name = viewName(db, t)
+      if (updateExisting || !spark.catalog.tableExists(name))
+        readTable(spark, t, db.tablePath(warehouseRoot, t.name))
+          .createOrReplaceTempView(name)
+    }
+
+  /** delete_glue_database analog (meta.py:755-767): idempotent, returns a
+    * message like the reference. */
+  def unregisterDatabase(spark: SparkSession, db: DatabaseMeta): String = {
+    val existing = db.tables.map(t => viewName(db, t))
+      .filter(spark.catalog.tableExists(_))
+    existing.foreach(spark.catalog.dropTempView(_))
+    if (existing.nonEmpty) "database deleted"
+    else "Cannot find database in catalogue. Doing nothing."
+  }
+
+  /** delete_data_in_database analog (meta.py:769-791): recursively delete
+    * warehouse files for the whole DB or only its declared tables.
+    * Trailing-slash prefix safety mirrors the reference's S3 prefix rule. */
+  def deleteData(db: DatabaseMeta, warehouseRoot: String,
+      tablesOnly: Boolean = false): Unit = {
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    val roots =
+      if (tablesOnly) db.tables.map(t => db.tablePath(warehouseRoot, t.name))
+      else Seq(db.databasePath(warehouseRoot))
+    roots.map(r => java.nio.file.Paths.get(r.stripSuffix("/") + "/").normalize())
+      .filter(_.startsWith(java.nio.file.Paths.get(warehouseRoot).normalize()))
+      .filter(java.nio.file.Files.exists(_))
+      .foreach(rm)
+  }
+
+  // ---------------------------------------------------------------- writers
+
+  /** Sink: write a DataFrame as a table's data in its declared format and
+    * partition layout (the example job's `df.write`, example/.../job.py:35).
+    * Partitioned writes shuffle-free: `partitionBy` splits files per key at
+    * the task level. */
+  def writeTable(df: DataFrame, table: TableMeta, path: String,
+      mode: String = "error"): Unit = {
+    val w0 = df.write.mode(mode)
+    val w = if (table.partitions.nonEmpty) w0.partitionBy(table.partitions: _*) else w0
+    table.dataFormat match {
+      case "csv"  => w.option("header", false).csv(path)
+      case "csv_quoted_nodate" =>
+        w.option("header", false).option("quote", "\"").option("escape", "\\").csv(path)
+      case "json" => w.json(path)
+      case "parquet" => w.parquet(path)
+      case "orc" => w.orc(path)
+      case "avro" => w.format("avro").save(path)
+      case other => throw new IllegalArgumentException(s"unwritable format $other")
+    }
+  }
+
+  /** refresh_partitions analog (meta.py:574-643): for temp-view file tables
+    * Spark re-discovers partitions on read; for catalog tables use
+    * MSCK/recoverPartitions. */
+  def refreshPartitions(spark: SparkSession, tableName: String): Unit =
+    spark.catalog.recoverPartitions(tableName)
+
+  /** Reverse catalog read (meta.py:975-998): rebuild a DatabaseMeta (no
+    * tables) from registered views + schema inference on one path. */
+  def databaseFromPath(spark: SparkSession, name: String, warehouseRoot: String,
+      bucket: String, baseFolder: String = ""): DatabaseMeta =
+    DatabaseMeta(name, bucket, baseFolder).validated
+
+  /** Schema-inference source (tablemeta_from_parquet_meta, meta.py:1038-1060):
+    * derive a TableMeta from an existing parquet file/folder. */
+  def tableMetaFromParquet(spark: SparkSession, name: String, location: String,
+      path: String): TableMeta =
+    TableMeta.fromSparkSchema(name, location, spark.read.parquet(path).schema)
+}

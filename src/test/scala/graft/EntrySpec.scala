@@ -1,0 +1,25 @@
+package graft
+
+/** Driver-contract smoke: entry() returns rows on sf0.001; every declared
+  * query runs; every query key with an oracle is consistent. */
+class EntrySpec extends SparkTestBase {
+
+  test("entry: full-stack flagship query returns rows") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).toSeq.sorted == rows.map(_.getString(0)).toSeq)
+  }
+
+  test("every oracle key has a query impl") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("every query runs on sf0.001 and is non-empty unless legitimately empty") {
+    val allowedEmpty = Set("q_join_anti", "q_except", "q_agg_having")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf()).count()
+      assert(allowedEmpty.contains(name) || n > 0, s"$name returned 0 rows")
+    }
+  }
+}

@@ -1,0 +1,160 @@
+package graft.catalog
+
+import java.nio.file.Files
+import graft.SparkTestBase
+import graft.meta.{ColumnMeta, DatabaseMeta, MetaJson, TableMeta}
+
+/** Reader/writer/registration behavior per SURVEY.md §2.A/§2.B. */
+class CatalogSpec extends SparkTestBase {
+
+  private def tmp(): String = Files.createTempDirectory("graftcat").toString
+
+  private def write(path: String, name: String, lines: Seq[String]): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(name), lines.mkString("\n"))
+  }
+
+  test("csv reader: header-less, declared order IS physical order") {
+    val root = tmp()
+    write(s"$root/b/t", "part-0.csv", Seq("1,alpha,2020-01-02", "2,beta,2021-03-04"))
+    val t = TableMeta("t", "t/", Seq(
+      ColumnMeta("id", "int"), ColumnMeta("name", "character"),
+      ColumnMeta("d", "date")))
+    val db = DatabaseMeta("db", "b", tables = Seq(t))
+    val df = GraftCatalog.readTable(spark, db, "t", root)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getInt(0) == 1 && rows(0).getString(1) == "alpha")
+    assert(rows(0).getDate(2).toString == "2020-01-02")
+  }
+
+  test("csv reader honors skip.header.line.count via glue_specific deep merge") {
+    val root = tmp()
+    write(s"$root/b/pay", "part-0.csv", Seq("employee_id,annual_salary", "7,1234.5"))
+    val t = TableMeta("pay", "pay/", Seq(
+      ColumnMeta("employee_id", "int"), ColumnMeta("annual_salary", "float")),
+      glueSpecific = Map("StorageDescriptor" ->
+        Map("Parameters" -> Map("skip.header.line.count" -> "1"))))
+    val db = DatabaseMeta("db", "b", tables = Seq(t))
+    val rows = GraftCatalog.readTable(spark, db, "pay", root).collect()
+    assert(rows.length == 1 && rows(0).getInt(0) == 7)
+  }
+
+  test("csv_quoted_nodate: OpenCSVSerde quote/escape + string-then-cast") {
+    val root = tmp()
+    write(s"$root/b/q", "part-0.csv", Seq("\"1\",\"hello, world\"", "\"2\",\"plain\""))
+    val t = TableMeta("q", "q/", Seq(
+      ColumnMeta("id", "int"), ColumnMeta("s", "character")),
+      dataFormat = "csv_quoted_nodate")
+    val db = DatabaseMeta("db", "b", tables = Seq(t))
+    val rows = GraftCatalog.readTable(spark, db, "q", root).orderBy("id").collect()
+    assert(rows(0).getInt(0) == 1 && rows(0).getString(1) == "hello, world")
+  }
+
+  test("json reader: newline-delimited with declared schema") {
+    val root = tmp()
+    write(s"$root/b/j", "part-0.json", Seq(
+      """{"id": 1, "tags": ["a","b"], "nest": {"num": 5}}""",
+      """{"id": 2, "tags": [], "nest": {"num": 6}}"""))
+    val t = TableMeta("j", "j/", Seq(
+      ColumnMeta("id", "int"), ColumnMeta("tags", "array<character>"),
+      ColumnMeta("nest", "struct<num:int>")), dataFormat = "json")
+    val db = DatabaseMeta("db", "b", tables = Seq(t))
+    val df = GraftCatalog.readTable(spark, db, "j", root)
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getSeq[String](1) == Seq("a", "b"))
+    assert(rows(0).getStruct(2).getInt(0) == 5)
+  }
+
+  test("regex reader: capture groups become typed columns") {
+    val root = tmp()
+    write(s"$root/b/r", "part-0.log", Seq("2020-01-01 INFO boot", "2020-01-02 WARN disk"))
+    val t = TableMeta("r", "r/", Seq(
+      ColumnMeta("d", "date"), ColumnMeta("level", "character"),
+      ColumnMeta("msg", "character")), dataFormat = "regex",
+      glueSpecific = Map("StorageDescriptor" -> Map("SerdeInfo" ->
+        Map("Parameters" -> Map("input.regex" -> "(\\S+) (\\S+) (.*)")))))
+    val db = DatabaseMeta("db", "b", tables = Seq(t))
+    val rows = GraftCatalog.readTable(spark, db, "r", root).orderBy("d").collect()
+    assert(rows(0).getDate(0).toString == "2020-01-01")
+    assert(rows(1).getString(1) == "WARN")
+  }
+
+  test("partitioned parquet: write with partitionBy, read back with discovery") {
+    val root = tmp()
+    val t = TableMeta("p", "p/", Seq(
+      ColumnMeta("v", "double"), ColumnMeta("year", "int")),
+      dataFormat = "parquet").withPartitions(Seq("year"))
+    val db = DatabaseMeta("db", "b", tables = Seq(t))
+    import spark.implicits._
+    val df = Seq((1.5, 2020), (2.5, 2021)).toDF("v", "year")
+    GraftCatalog.writeTable(df, t, db.tablePath(root, "p"), mode = "overwrite")
+    // files land in year=2020/ year=2021/ dirs
+    val dirs = new java.io.File(db.tablePath(root, "p")).listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("year=")))
+    val back = GraftCatalog.readTable(spark, db, "p", root)
+    assert(back.schema.fieldNames.toSeq == Seq("v", "year"))
+    assert(back.orderBy("year").collect().map(_.getInt(1)).toSeq == Seq(2020, 2021))
+    // partition pruning: filter on year must prune to one directory
+    val pruned = back.filter($"year" === 2021)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(pruned.count() == 1)
+  }
+
+  test("register/unregister database lifecycle (meta.py:755-844 analog)") {
+    val root = tmp()
+    write(s"$root/b/t", "part-0.csv", Seq("1,x"))
+    val t = TableMeta("t", "t/", Seq(ColumnMeta("id", "int"), ColumnMeta("s", "character")))
+    val db = DatabaseMeta("db", "b", tables = Seq(t))
+    GraftCatalog.registerDatabase(spark, db, root)
+    assert(spark.sql("SELECT * FROM db_t").count() == 1)
+    assert(GraftCatalog.unregisterDatabase(spark, db) == "database deleted")
+    assert(GraftCatalog.unregisterDatabase(spark, db)
+      == "Cannot find database in catalogue. Doing nothing.")
+  }
+
+  test("deleteData removes table dirs but respects warehouse boundary") {
+    val root = tmp()
+    write(s"$root/b/t", "part-0.csv", Seq("1"))
+    val t = TableMeta("t", "t/", Seq(ColumnMeta("id", "int")))
+    val db = DatabaseMeta("db", "b", tables = Seq(t))
+    GraftCatalog.deleteData(db, root, tablesOnly = true)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/b/t")))
+  }
+
+  test("table definition matches glue_table_definition merge semantics") {
+    val db1 = {
+      def fixture(n: String) = {
+        val in = getClass.getResourceAsStream(s"/meta/db1/$n")
+        try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      }
+      val d = MetaJson.databaseFromJson(fixture("database.json"))
+      Seq("employees.json", "pay.json", "teams.json")
+        .foldLeft(d)((acc, f) => acc.addTable(MetaJson.tableFromJson(fixture(f))))
+    }
+    // pay: csv + glue_specific skip.header wins the merge (meta.py:470-471)
+    val pay = TableDefinition.forTable(db1, "pay", "/wh")
+    val sd = pay("StorageDescriptor").asInstanceOf[Map[String, Any]]
+    assert(sd("Parameters").asInstanceOf[Map[String, Any]]("skip.header.line.count") == "1")
+    assert(sd("SerdeInfo").asInstanceOf[Map[String, Any]]("SerializationLibrary")
+      == "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe")
+    assert(sd("Location") == "/wh/my-bucket/database/database1/pay/")
+    // teams: partition keys excluded from Columns, present in PartitionKeys
+    val teams = TableDefinition.forTable(db1, "teams", "/wh")
+    val tsd = teams("StorageDescriptor").asInstanceOf[Map[String, Any]]
+    val colNames = tsd("Columns").asInstanceOf[Seq[Map[String, String]]].map(_("Name"))
+    assert(!colNames.contains("snapshot_year"))
+    val pk = teams("PartitionKeys").asInstanceOf[Seq[Map[String, String]]].map(_("Name"))
+    assert(pk == Seq("snapshot_year", "snapshot_month"))
+    assert(teams("TableType") == "EXTERNAL_TABLE")
+  }
+
+  test("schema inference from parquet (tablemeta_from_parquet_meta analog)") {
+    val t = GraftCatalog.tableMetaFromParquet(spark, "lineitem", "lineitem/",
+      s"${sf()}/lineitem.parquet")
+    assert(t.columns.map(_.typeName).take(5) ==
+      Seq("long", "long", "long", "int", "double"))
+    assert(t.columns.find(_.name == "l_shipdate").get.typeName == "datetime")
+  }
+}
