@@ -267,7 +267,42 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  q("q_agg_gsets",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem").createOrReplaceTempView("gsets_lineitem")
+    s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
+             FROM gsets_lineitem
+             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  }
+
+  // HLL sketches differ across engines — no hash oracle, rows-only check.
+  qNoOracle("q_agg_approx_distinct") { (s, d) =>
+    t(s, d, "orders").groupBy("o_orderstatus")
+      .agg(approx_count_distinct("o_custkey").as("approx_cust"))
+      .orderBy("o_orderstatus")
+  }
+
   // ------------------------------------------------------------ §2.F windows/sort/set
+
+  q("q_win_range",
+    // RANGE frame over an integer ordering key; decimal sums stay exact
+    """SELECT o_custkey, o_orderkey,
+      |  sum(cast(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_orderstatus ORDER BY o_custkey
+      |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS near_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus").orderBy("o_custkey")
+      .rangeBetween(-5, Window.currentRow)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).as("near_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
 
   q("q_win_rank",
     """SELECT * FROM (
@@ -501,6 +536,193 @@ object Queries {
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("bigint").as("k"))
       .orderBy("event_id")
+  }
+
+  q("q_fn_array",
+    // split -> array ops -> explode; word histogram is fully deterministic
+    """SELECT w.word, count(*) AS n
+      |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part) w
+      |WHERE w.word <> ''
+      |GROUP BY w.word ORDER BY w.word""".stripMargin) { (s, d) =>
+    t(s, d, "part")
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy("word")
+  }
+
+  q("q_fn_array_ops",
+    """SELECT p_partkey,
+      |  len(string_split(p_name, ' ')) AS n_words,
+      |  list_contains(string_split(p_type, ' '), 'BRUSHED') AS has_brushed,
+      |  string_split(p_name, ' ')[1] AS first_word
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    t(s, d, "part").select(
+      col("p_partkey"),
+      size(split(col("p_name"), " ")).as("n_words"),
+      array_contains(split(col("p_type"), " "), "BRUSHED").as("has_brushed"),
+      element_at(split(col("p_name"), " "), 1).as("first_word"))
+      .orderBy("p_partkey")
+  }
+
+  q("q_fn_struct",
+    // build a nested struct, then access fields at two depths
+    """SELECT p_partkey,
+      |  {'num': p_size, 'inner': {'brand': p_brand}}.num AS num,
+      |  {'num': p_size, 'inner': {'brand': p_brand}}.inner.brand AS brand
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    t(s, d, "part")
+      .withColumn("s", struct(col("p_size").as("num"),
+        struct(col("p_brand").as("brand")).as("inner")))
+      .select(col("p_partkey"), col("s.num").as("num"),
+        col("s.inner.brand").as("brand"))
+      .orderBy("p_partkey")
+  }
+
+  q("q_project_reorder",
+    // reorder_columns analog (meta.py:290-298) as a projection
+    """SELECT n_name, n_regionkey, n_nationkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+    t(s, d, "nation").select("n_name", "n_regionkey", "n_nationkey")
+      .orderBy("n_nationkey")
+  }
+
+  // ------------------------------------------------------------ §2.J streaming (batch-mode windows)
+
+  q("q_stream_tumbling",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
+      |  sum(cast(value AS DECIMAL(18,2))) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy("window_start", "event_type")
+  }
+
+  q("q_stream_sliding",
+    // 1h windows sliding every 15min = union of 4 offset tumbling buckets
+    """WITH slid AS (
+      |  SELECT date_trunc('hour', ts - o.off * INTERVAL 1 MINUTE) + o.off * INTERVAL 1 MINUTE AS ws, value
+      |  FROM events CROSS JOIN (SELECT unnest([0, 15, 30, 45]) AS off) o)
+      |SELECT ws AS window_start, count(*) AS n
+      |FROM slid GROUP BY ws ORDER BY window_start""".stripMargin) { (s, d) =>
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+      .orderBy("window_start")
+  }
+
+  q("q_stream_session",
+    // session windows (30 min gap) per user; oracle = gaps-and-islands
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+      |FROM islands GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    t(s, d, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  q("q_dedup_watermark",
+    // duplicate-event drop, batch equivalent: keep first by event time
+    """SELECT user_id, event_type, min(event_id) AS first_event, count(*) AS dups
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    t(s, d, "events")
+      .groupBy("user_id", "event_type")
+      .agg(min("event_id").as("first_event"), count(lit(1)).as("dups"))
+      .orderBy("user_id", "event_type")
+  }
+
+  // ------------------------------------------------------------ §2.H validation
+
+  q("q_check_nullable",
+    """SELECT count(*) FILTER (WHERE o_custkey IS NULL) AS o_custkey_null,
+      |       count(*) FILTER (WHERE o_orderdate IS NULL) AS o_orderdate_null
+      |FROM orders""".stripMargin) { (s, d) =>
+    t(s, d, "orders").agg(
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("o_custkey_null"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("o_orderdate_null"))
+  }
+
+  q("q_check_enum",
+    // rows outside a declared enum (here a deliberately narrow one so the
+    // check yields real violations)
+    """SELECT l_returnflag, count(*) AS n_violations FROM lineitem
+      |WHERE l_returnflag NOT IN ('A', 'N')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .filter(!col("l_returnflag").isin("A", "N"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_violations"))
+      .orderBy("l_returnflag")
+  }
+
+  q("q_check_pattern",
+    """SELECT count(*) FILTER (WHERE NOT regexp_matches(p_brand, '^Brand#\d+$')) AS brand_bad,
+      |       count(*) FILTER (WHERE NOT regexp_matches(cast(p_size AS VARCHAR), '^\d+$')) AS size_bad
+      |FROM part""".stripMargin) { (s, d) =>
+    t(s, d, "part").agg(
+      sum(when(!col("p_brand").rlike("^Brand#\\d+$"), 1L).otherwise(0L)).as("brand_bad"),
+      sum(when(!col("p_size").cast("string").rlike("^\\d+$"), 1L).otherwise(0L)).as("size_bad"))
+  }
+
+  q("q_check_pk",
+    // duplicate primary-key groups (meta.py:178-191 declared; we enforce)
+    """SELECT l_orderkey, l_linenumber, count(*) AS n FROM lineitem
+      |GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    graft.validate.Validate.duplicatePkGroups(
+        t(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  q("q_redact",
+    // non-sensitive view: drop the redacted column, sha2-mask the sensitive
+    """SELECT c_custkey, sha256(c_name) AS c_name, c_mktsegment FROM customer
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import graft.meta.ColumnMeta
+    val meta = graft.meta.TableMeta("customer", "customer/", Seq(
+      ColumnMeta("c_custkey", "long"),
+      ColumnMeta("c_name", "character", sensitivity = Some("personal_data")),
+      ColumnMeta("c_nationkey", "int"),
+      ColumnMeta("c_acctbal", "double", redacted = Some(true)),
+      ColumnMeta("c_mktsegment", "character")))
+    graft.validate.Validate.redactedView(
+        t(s, d, "customer").select("c_custkey", "c_name", "c_nationkey",
+          "c_acctbal", "c_mktsegment"), meta)
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  // catalog-shape query: cross-table type alignment over inferred schemas —
+  // no SQL-visible input for DuckDB, rows-only check
+  qNoOracle("q_meta_type_align") { (s, d) =>
+    import s.implicits._
+    val occurrences = Tables.all.flatMap { name =>
+      Tables.load(s, d, name).schema.fields.map { f =>
+        (f.name, name, graft.types.AgnosticType.print(f.dataType))
+      }
+    }
+    occurrences.toDF("column_name", "table_name", "col_type")
+      .groupBy("column_name")
+      .agg(countDistinct("col_type").as("n_types"),
+        count(lit(1)).as("n_tables"))
+      .orderBy("column_name")
   }
 
   // --------------------------------------------------------------------------

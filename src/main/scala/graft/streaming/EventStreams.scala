@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming surface over the `events` table (SURVEY.md §2.J —
+  * EXTENSION; the reference has no streaming). Each operator is declared
+  * once as a transformation over an unbounded DataFrame, so the SAME code
+  * runs in batch (t2 oracle checks, Queries.scala) and incrementally here.
+  *
+  * Scale notes: file-source streaming with `maxFilesPerTrigger` gives
+  * bounded micro-batches; watermarks bound state; all aggregations below
+  * are keyed so state is partitioned across executors.
+  */
+object EventStreams {
+
+  /** The events stream from parquet files: the batch-identical source.
+    * `ts` arrives as TIMESTAMP(NANOS) parquet → long nanos → micros. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-stream sources discover files under a DIRECTORY; the fixture is
+    // a single file, so stage a symlink dir (no data copy)
+    val staged = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.createSymbolicLink(
+      staged.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour counts by event type, 2h watermark for late data. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Sliding 1-hour windows every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  /** Session windows: 30-minute inactivity gap per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+
+  /** Late/duplicate event drop: watermark + dropDuplicates on event_id
+    * (SURVEY §2.J q_dedup_watermark streaming form). State is bounded by
+    * the watermark horizon. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
+  /** Run any of the above to completion over the existing files and return
+    * the result table (Trigger.AvailableNow = drain-then-stop; the
+    * streaming execution path, not a batch rewrite). */
+  def runAvailableNow(spark: SparkSession, out: DataFrame, name: String,
+      outputMode: String = "complete"): DataFrame = {
+    val checkpoint = java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString
+    val query: StreamingQuery = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -16,7 +16,7 @@ class EntrySpec extends SparkTestBase {
   }
 
   test("every query runs on sf0.001 and is non-empty unless legitimately empty") {
-    val allowedEmpty = Set("q_join_anti", "q_except", "q_agg_having")
+    val allowedEmpty = Set("q_join_anti", "q_except", "q_agg_having", "q_check_pk")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf()).count()
       assert(allowedEmpty.contains(name) || n > 0, s"$name returned 0 rows")

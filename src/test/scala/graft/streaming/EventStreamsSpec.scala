@@ -1,0 +1,40 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Streaming == batch equivalence on the same files: the point of declaring
+  * operators once (SURVEY §2.J). Runs Trigger.AvailableNow to drain. */
+class EventStreamsSpec extends SparkTestBase {
+
+  private lazy val stream = EventStreams.readEvents(spark, sf())
+  private lazy val batch = Tables.load(spark, sf(), "events")
+
+  test("tumbling window streaming result equals batch result") {
+    val s = EventStreams.runAvailableNow(spark,
+      EventStreams.tumblingCounts(stream), "t_tumbling")
+    val b = batch.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
+  }
+
+  test("session window streaming result equals batch result") {
+    val s = EventStreams.runAvailableNow(spark,
+      EventStreams.sessionCounts(stream), "t_session")
+    val b = batch.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
+  }
+
+  test("watermark dedup drops duplicate event_ids in streaming mode") {
+    val s = EventStreams.runAvailableNow(spark,
+      EventStreams.dedupEvents(stream), "t_dedup", outputMode = "append")
+    // fixture event_ids are unique, so dedup must be a no-op w.r.t. count
+    assert(s.count() == batch.count())
+    assert(s.select("event_id").distinct().count() == s.count())
+  }
+}
