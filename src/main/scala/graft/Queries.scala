@@ -725,6 +725,184 @@ object Queries {
       .orderBy("column_name")
   }
 
+  // ------------------------------------------------------------ §2.K LLM-pipeline ops
+
+  q("q_dedup_exact",
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_docs
+      |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("content_hash")
+  }
+
+  q("q_dedup_ngram",
+    // exact 3-gram-shingle Jaccard near-dup pairs; the oracle mirrors the
+    // shingling (lowercase, distinct, word 3-grams) and the df>=2 block
+    """WITH words AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 1))])) AS s
+      |  FROM words),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |shared AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 1000),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM (SELECT * FROM sh WHERE s IN (SELECT s FROM shared)) a
+      |  JOIN (SELECT * FROM sh WHERE s IN (SELECT s FROM shared)) b USING (s)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON id_a = sa.doc_id
+      |JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.ngramJaccardPairs(
+        t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("id_a", "id_b")
+  }
+
+  // MinHash-LSH and SimHash use xxhash64 — not reproducible in DuckDB,
+  // rows-only checks; exactness is asserted against q_dedup_ngram in specs.
+  qNoOracle("q_dedup_minhash") { (s, d) =>
+    graft.operators.Dedup.minHashCandidates(
+        t(s, d, "documents"), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+  }
+
+  qNoOracle("q_dedup_simhash") { (s, d) =>
+    graft.operators.Dedup.simHashCandidates(
+        t(s, d, "documents"), "doc_id", "text", maxHamming = 6)
+      .orderBy("id_a", "id_b")
+  }
+
+  q("q_dedup_embed",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.Similarity.bruteNearDupPairs(
+        t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.45)
+      .orderBy("id_a", "id_b")
+  }
+
+  q("q_sim_topk",
+    """SELECT b.vec_id,
+      |  round(list_cosine_similarity(b.embedding::DOUBLE[],
+      |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS cos
+      |FROM embeddings b WHERE b.vec_id <> 0
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    val probe = broadcast(emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_vec")))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(probe)
+      .select(col("vec_id"),
+        round(graft.operators.Similarity.cosine(col("embedding"), col("probe_vec")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // IVF is approximate by construction (recall measured in specs) — rows-only
+  qNoOracle("q_sim_ivf") { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    graft.operators.Similarity.ivfTopK(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      centroids.toSeq, probe, k = 10, nprobe = 2)
+  }
+
+  q("q_text_stats",
+    """SELECT doc_id, length(text) AS n_chars,
+      |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens,
+      |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpeish,
+      |  round(list_sum([length(t) for t in list_filter(string_split_regex(text, '\s+'), t -> t <> '')]) * 1.0
+      |    / greatest(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), 1), 4) AS mean_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.textStats(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  q("q_text_langid",
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id,
+      |    len(list_intersect(w, ['the','and','of','to','in','is','that','it','for','was'])) AS hits_en,
+      |    len(list_intersect(w, ['el','la','de','que','y','en','un','por','con','los'])) AS hits_es,
+      |    len(list_intersect(w, ['le','la','de','et','les','des','un','une','du','est'])) AS hits_fr,
+      |    len(list_intersect(w, ['der','die','und','das','ist','von','mit','den','auf','ein'])) AS hits_de
+      |  FROM toks)
+      |SELECT doc_id, hits_en, hits_es, hits_fr, hits_de,
+      |  CASE
+      |    WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de AND hits_en > 0 THEN 'en'
+      |    WHEN hits_es >= hits_fr AND hits_es >= hits_de AND hits_es > 0 THEN 'es'
+      |    WHEN hits_fr >= hits_de AND hits_fr > 0 THEN 'fr'
+      |    WHEN hits_de > 0 THEN 'de'
+      |    ELSE 'und' END AS lang_pred
+      |FROM hits ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.languageId(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  q("q_text_quality",
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks,
+      |    length(text)::DOUBLE AS n_chars,
+      |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE AS punct
+      |  FROM documents)
+      |SELECT doc_id,
+      |  round((n_chars - punct * 2) / greatest(n_chars, 1.0), 4) AS punct_score,
+      |  round(least(len(list_intersect(
+      |      list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
+      |      ['the','and','of','to','in','is','that','it','for','was']))::DOUBLE
+      |    / greatest(len(toks), 1) * 5, 1.0), 4) AS stop_score,
+      |  round(least(len(toks) / 100.0, 1.0), 4) AS len_score,
+      |  round((round((n_chars - punct * 2) / greatest(n_chars, 1.0), 4)
+      |    + round(least(len(list_intersect(
+      |        list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
+      |        ['the','and','of','to','in','is','that','it','for','was']))::DOUBLE
+      |      / greatest(len(toks), 1) * 5, 1.0), 4)
+      |    + round(least(len(toks) / 100.0, 1.0), 4)) / 3, 4) AS quality
+      |FROM base ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.qualityScore(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  q("q_text_fingerprint",
+    """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  q("q_multimodal",
+    """SELECT d.doc_id, d.lang, e.label,
+      |  len(e.embedding) AS dim, round(e.embedding[1]::DOUBLE, 6) AS e0,
+      |  d.n_chars
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val emb = t(s, d, "embeddings")
+    docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(docs("doc_id"), docs("lang"), emb("label"),
+        size(emb("embedding")).as("dim"),
+        round(element_at(emb("embedding"), 1).cast("double"), 6).as("e0"),
+        docs("n_chars"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = registry.map { case (k, (f, _)) => k -> f }.toMap

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators (EXTENSION per repo:BASELINE.json
+  * north star; SURVEY.md §2.K). All distributed-by-construction: shuffles
+  * are keyed on content hashes / shingles / band buckets, never on whole
+  * documents, and every aggregation is partial+final.
+  *
+  * Scale notes (100 TB): exact dedup is one hash-shuffle of (hash, id);
+  * shingle/minhash ops explode to (feature, id) pairs whose skew is
+  * bounded by `maxShingleDf` (drop-stopword-shingles, the standard guard
+  * against quadratic bucket blowup on hot shingles).
+  */
+object Dedup {
+
+  /** Exact dedup on a content hash: deterministic — keeps the MIN id per
+    * duplicate group (dropDuplicates keeps an arbitrary row, which is not
+    * oracle-stable). One shuffle on the 128-bit md5. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Exact-dedup survivors: min-id row per distinct text. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val groups = exactGroups(docs, idCol, textCol)
+    docs.join(groups.select(col("keep_id")), col(idCol) === col("keep_id"), "left_semi")
+  }
+
+  /** Word n-gram shingles per doc, lowercased, distinct. */
+  def shingles(textCol: Column, n: Int): Column = {
+    val words = split(lower(textCol), "\\s+")
+    // sliding n-gram join: transform over the first size-n+1 positions
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => when(i + n <= size(words),
+          concat_ws(" ", slice(words, i + 1, lit(n))))),
+      x => x.isNotNull))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs: explode (shingle, id), self-join
+    * per shingle bucket, |∩| via count, |∪| via sizes. `maxShingleDf` drops
+    * shingles appearing in more than that many docs (skew guard — MUST be
+    * mirrored by any oracle).
+    *
+    * Scale: the only wide op is the groupBy on (id_a, id_b); hot shingles
+    * are removed before the pair explosion, bounding each bucket at
+    * maxShingleDf² pairs. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Long = 1000L): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf && col("df") >= 2)
+    val shRare = sh.join(rare.select("sh"), Seq("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+
+    val a = shRare.select(col("sh"), col("doc_id").as("id_a"))
+    val b = shRare.select(col("sh"), col("doc_id").as("id_b"))
+    val common = a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+
+    common
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "sz_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: k independent hash slots via xxhash64(seed, shingle)
+    * — fully deterministic, no fitted model. Returns (id, signature array). */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("sh"))
+    // per (doc, seed) min of xxhash64 — partial agg per seed, one shuffle
+    val mins = (0 until numHashes).map(seed =>
+      min(xxhash64(lit(seed), col("sh"))).as(s"h$seed"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature (bands × rowsPerBand),
+    * hash each band, bucket-join. Docs sharing ≥1 band bucket become
+    * candidates; refine with exact Jaccard on demand.
+    *
+    * Scale: candidates come from groupBy(band_hash) buckets, never a full
+    * cross join; band count tunes recall vs bucket size. */
+  def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(docs, idCol, textCol, n, numHashes)
+    val banded = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(lit("band"), b,
+          concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows)))))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** 64-bit SimHash from word hashes: per-bit majority vote of
+    * xxhash64(word). Implemented as a sum over signed bit contributions —
+    * one narrow agg, no UDF. */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(split(lower(col(textCol)), "\\s+"))).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("h", xxhash64(col("w")))
+    // per bit: +1 if set, -1 if not; sign of the sum is the simhash bit
+    val bitSums = (0 until 64).map(i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"b$i"))
+    words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs within a hamming radius, blocked by
+    * 16-bit chunks (a pair within distance 3 shares at least one of 4
+    * chunks — pigeonhole; avoids the quadratic all-pairs compare). */
+  def simHashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simHash(docs, idCol, textCol)
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        col("simhash").bitwiseAND(lit(0xFFFFL << (i * 16)))): _*)))
+      .select(col("doc_id"), col("simhash"), col("pos").as("chunk"), col("col").as("ckey"))
+    val a = chunked.select(col("chunk"), col("ckey"),
+      col("doc_id").as("id_a"), col("simhash").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("ckey"),
+      col("doc_id").as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(hamming(col("sig_a"), col("sig_b")) <= maxHamming)
+      .select("id_a", "id_b").distinct()
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data pipelines (EXTENSION,
+  * SURVEY.md §2.K q_text_*). Everything is built from codegen'd
+  * functions (split/regexp/aggregate) — no UDFs, so whole-stage codegen
+  * spans the full pipeline and the ops scale as plain projections.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** BPE-ish subword-ish token count: word pieces + punctuation as units
+    * (the standard `\w+|[^\w\s]` pre-tokenizer regex). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Per-doc length/structure statistics in one projection. */
+  def textStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    val toks = tokens(txt)
+    docs.select(
+      col(idCol),
+      length(txt).as("n_chars"),
+      size(toks).as("n_tokens"),
+      bpeishTokenCount(txt).as("n_bpeish"),
+      round(aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
+        greatest(size(toks), lit(1)), 4).as("mean_token_len"))
+  }
+
+  /** Tiny fixed stopword profiles per language — the n-gram-free heuristic
+    * language-ID: argmax of stopword-hit counts, 'und' (undetermined) when
+    * nothing matches. Deterministic, SQL-expressible, extensible. */
+  val stopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "auf", "ein"),
+  )
+
+  /** Language-ID scores + argmax. Ties broken by profile order (en first). */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val scores = stopwordProfiles.map { case (lang, words) =>
+      size(array_intersect(toks, typedLit(words))).as(s"hits_$lang")
+    }
+    val withScores = docs.select((col(idCol) +: scores): _*)
+    // argmax via the max of (hits, -order) structs
+    val ranked = array(stopwordProfiles.zipWithIndex.map { case ((lang, _), i) =>
+      struct(col(s"hits_$lang").as("hits"), lit(-i).as("nego"), lit(lang).as("lang"))
+    }: _*)
+    withScores.withColumn("best", array_max(ranked))
+      .withColumn("lang_pred",
+        when(col("best.hits") > 0, col("best.lang")).otherwise("und"))
+      .drop("best")
+  }
+
+  /** Quality score: a fixed linear blend of length band, punctuation ratio,
+    * stopword ratio and mean word length — the usual cheap pre-filter for
+    * training-corpus pruning (heuristic, deterministic). */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    val toks = tokens(txt)
+    val nTok = size(toks).cast("double")
+    val nChar = length(txt).cast("double")
+    val punct = (nChar - length(regexp_replace(txt, "[\\p{Punct}]", ""))).cast("double")
+    val stop = size(array_intersect(tokens(lower(txt)),
+      typedLit(stopwordProfiles.head._2))).cast("double")
+    docs.select(
+      col(idCol),
+      round((nChar - punct * 2) / greatest(nChar, lit(1.0)), 4).as("punct_score"),
+      round(least(stop / greatest(nTok, lit(1.0)) * 5, lit(1.0)), 4).as("stop_score"),
+      round(least(nTok / 100.0, lit(1.0)), 4).as("len_score"))
+      .withColumn("quality",
+        round((col("punct_score") + col("stop_score") + col("len_score")) / 3, 4))
+  }
+
+  /** Document fingerprint: md5 of the normalized text (case/whitespace/
+    * punctuation-insensitive) — the exact-after-normalization dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+
+  /** Rolling-hash (Rabin–Karp base-31 mod 2^61-1) fingerprint over tokens —
+    * order-sensitive unlike md5-of-sorted; expressed as an aggregate fold,
+    * still codegen'd. */
+  def rollingHash(text: Column): Column = {
+    // modulus < 2^63/31 so acc*31 + term never overflows a long (ANSI-safe)
+    val M = lit(288230376151711717L)
+    aggregate(tokens(lower(text)),
+      lit(0L),
+      (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), M), M))
+  }
+}

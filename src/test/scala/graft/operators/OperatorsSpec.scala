@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** §2.K operator properties that the DuckDB oracle cannot check:
+  * LSH recall vs the exact method, approximate-vs-exact containment,
+  * multimodal plumbing shapes. */
+class OperatorsSpec extends SparkTestBase {
+
+  private lazy val docs = Tables.load(spark, sf(), "documents")
+  private lazy val emb = Tables.load(spark, sf(), "embeddings")
+
+  test("exactDedup keeps one min-id row per distinct text") {
+    val dd = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(dd.count() == docs.select("text").distinct().count())
+  }
+
+  test("minhash LSH candidates recall the exact-Jaccard near-dup pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val cand = Dedup.minHashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(cand.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (missed ${exact -- cand})")
+    // precision sanity: candidates shouldn't explode to all pairs
+    val nDocs = docs.count()
+    assert(cand.size < nDocs * (nDocs - 1) / 4, "candidate set degenerated")
+  }
+
+  test("simhash: near-dup docs land within small hamming distance") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dists = exact.toSeq.map { case (a, b) =>
+      java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    }
+    // planted near-dups differ in a few words -> hamming far below random (~32)
+    assert(dists.nonEmpty && dists.forall(_ <= 16),
+      s"near-dup hamming distances too large: $dists")
+  }
+
+  test("ivf top-k recalls most of brute-force top-k, scanning fewer rows") {
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    val probe = emb.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val brute = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", probe, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        centroids, probe, 10, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.subsetOf(brute) || (ivf intersect brute).size >= 3,
+      s"ivf overlap with brute too low: ${(ivf intersect brute).size}")
+  }
+
+  test("assignCells is deterministic and total") {
+    val centroids = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    val cells = Similarity.assignCells(emb, "embedding", centroids)
+    assert(cells.count() == emb.count())
+    val distinctCells = cells.select("cell_id").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(distinctCells.forall(c => c >= 0 && c < 4))
+  }
+
+  test("rolling hash: deterministic, order-sensitive") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("id", "t")
+    val h = d.select(col("id"), TextAnalysis.rollingHash(col("t")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(3L))
+    assert(h(1L) != h(2L))
+  }
+
+  test("multimodal: batched feature extraction has the contract shape") {
+    val media = Multimodal.mediaFromDocuments(docs.limit(100))
+    assert(media.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeatures(media, batchSize = 16)
+    val rows = feats.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(_.getSeq[Float](1).length == Multimodal.featureDim))
+    // deterministic: same payload -> same features
+    val again = Multimodal.extractFeatures(media, batchSize = 7).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) == r.getSeq[Float](1)))
+  }
+
+  test("multimodal: frame sampling slices chunk-aligned frames") {
+    val media = Multimodal.mediaFromDocuments(docs.limit(10))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
+    val byDoc = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lens = media.select(col("media_id"), length(col("payload")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (id, n) =>
+      val expected = (0 until lens(id) / 16 by 2).size
+      assert(n == expected, s"doc $id: $n frames vs $expected")
+    }
+    assert(frames.select("frame").head().getAs[Array[Byte]](0).length == 16)
+  }
+}
