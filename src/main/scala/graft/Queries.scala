@@ -744,7 +744,7 @@ object Queries {
       |    [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 1))])) AS s
       |  FROM words),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |shared AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 1000),
+      |shared AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 100),
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
       |  FROM (SELECT * FROM sh WHERE s IN (SELECT s FROM shared)) a
@@ -758,7 +758,7 @@ object Queries {
       |WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     graft.operators.Dedup.ngramJaccardPairs(
-        t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+        t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8, maxShingleDf = 100L)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("id_a", "id_b")
   }
@@ -773,7 +773,7 @@ object Queries {
 
   qNoOracle("q_dedup_simhash") { (s, d) =>
     graft.operators.Dedup.simHashCandidates(
-        t(s, d, "documents"), "doc_id", "text", maxHamming = 6)
+        t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")
   }
 

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Codegen'd vector arithmetic over `array<float>` embedding columns
+  * (SURVEY.md §4 "potentially-custom pieces": the dot-product Expression
+  * that replaces the interpreted higher-order-function form once
+  * similarity ops are hot — Spark's lambda functions don't participate in
+  * whole-stage codegen, so `aggregate(zip_with(...))` costs a closure call
+  * per element; these compile to a tight primitive loop instead).
+  *
+  * Math contract: identical operation order to the HOF form (ascending
+  * index, double accumulate) so results are bit-identical and the DuckDB
+  * oracles keep matching.
+  *
+  * Null contract: null input array → null; elements are assumed non-null
+  * (embedding vectors), matching the HOF behavior on such data.
+  */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot needs two array<float> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of an array<float>, same double-accumulate order as the HOF
+  * form. */
+case class VectorNorm(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_norm needs array<float>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val v = x.getFloat(i).toDouble
+      acc += v * v
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+        int $n = $a.numElements();
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $v = (double) $a.getFloat($i);
+          $acc += $v * $v;
+        }
+        ${ev.value} = java.lang.Math.sqrt($acc);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VectorNorm =
+    copy(child = newChild)
+}
+
+object VectorFunctions {
+  /** Column API for the codegen'd expressions. */
+  def vecDot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(VectorDot(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def vecNorm(a: Column): Column =
+    GraftSqlBridge.column(VectorNorm(GraftSqlBridge.expression(a)))
+
+  /** cosine(a,b) = dot/(|a||b|) — same formula/order as Similarity.cosine. */
+  def vecCosine(a: Column, b: Column): Column =
+    vecDot(a, b) / (vecNorm(a) * vecNorm(b))
+}

@@ -28,16 +28,10 @@ object Dedup {
     docs.join(groups.select(col("keep_id")), col(idCol) === col("keep_id"), "left_semi")
   }
 
-  /** Word n-gram shingles per doc, lowercased, distinct. */
-  def shingles(textCol: Column, n: Int): Column = {
-    val words = split(lower(textCol), "\\s+")
-    // sliding n-gram join: transform over the first size-n+1 positions
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => when(i + n <= size(words),
-          concat_ws(" ", slice(words, i + 1, lit(n))))),
-      x => x.isNotNull))
-  }
+  /** Word n-gram shingles per doc, lowercased, distinct — a compiled
+    * per-row call (graft.functions.ShingleUtil), not per-element HOFs. */
+  def shingles(textCol: Column, n: Int): Column =
+    graft.functions.ShingleUtil.shingleCol(textCol, n)
 
   /** Exact n-gram Jaccard near-dup pairs: explode (shingle, id), self-join
     * per shingle bucket, |∩| via count, |∪| via sizes. `maxShingleDf` drops
@@ -50,8 +44,13 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Long = 1000L): DataFrame = {
+    // shingles shuffle as 8-byte xxhash64 keys, not strings: same pair
+    // counts (collisions are ~#shingles²/2^64), far cheaper to shuffle,
+    // hash-join and sort at scale
     val sh = docs
-      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("sh"))
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf && col("df") >= 2)
     val shRare = sh.join(rare.select("sh"), Seq("sh"))

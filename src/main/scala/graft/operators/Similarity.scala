@@ -15,14 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) over array<float/double> — zip_with + aggregate fold,
-    * sequential, codegen'd (higher-order functions, no UDF). */
+  /** dot/norm/cosine delegate to the codegen'd Catalyst expressions
+    * (graft.functions.VectorDot/VectorNorm): Spark's higher-order
+    * functions (`aggregate(zip_with(...))`) run interpreted — a closure
+    * call per element — while these compile to a primitive loop inside
+    * whole-stage codegen. Same double-accumulation order, so results are
+    * bit-identical to the HOF form. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    graft.functions.VectorFunctions.vecNorm(a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
@@ -92,10 +95,17 @@ object Similarity {
     * baseline; use [[embeddingNearDupPairs]] at scale. */
   def bruteNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    // precompute each row's norm ONCE (O(n·d)) so the quadratic pair stage
+    // is a single dot product per pair, not dot + two norms
+    val withNorm = embeddings.select(col(idCol), col(vecCol),
+      l2Norm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      col("nrm").as("nrm_a"))
+    val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      col("nrm").as("nrm_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .withColumn("cos",
+        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
@@ -108,11 +118,14 @@ object Similarity {
     val cent = typedLit(centroids.map(_.toSeq))
     val assigned = embeddings
       .withColumn("cell_id", cellIdExpr(col(vecCol), cent, centroids.size))
-    val a = assigned.select(col("cell_id"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = assigned.select(col("cell_id"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val a = assigned.select(col("cell_id"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"), l2Norm(col(vecCol)).as("nrm_a"))
+    val b = assigned.select(col("cell_id"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"), l2Norm(col(vecCol)).as("nrm_b"))
     a.join(b, Seq("cell_id"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .withColumn("cos",
+        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
