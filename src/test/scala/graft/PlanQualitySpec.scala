@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Plan-shape assertions: the properties that make these operators hold at
+  * 1000-executor scale — filters reach the parquet scan, projections prune
+  * the read schema, small dims broadcast instead of shuffling, and custom
+  * expressions stay inside whole-stage codegen. */
+class PlanQualitySpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("q_filter pushes predicates into the parquet scan") {
+    val p = plan("q_filter")
+    assert(p.contains("PushedFilters:"), "no pushed filters section")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,10.0)")
+      || p.contains("l_quantity"), s"quantity filter not pushed:\n$p")
+    // only the 3 projected columns are read
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_extendedprice"), "column pruning failed: extra column read")
+  }
+
+  test("q_project reads only the projected columns") {
+    val p = plan("q_project")
+    assert(p.contains("o_orderkey") && p.contains("o_totalprice"))
+    assert(!p.contains("o_orderdate"), "pruning failed: o_orderdate read")
+  }
+
+  test("q_join_multi broadcasts the dimension tables — no shuffle join") {
+    val p = plan("q_join_multi")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dims fell back to SMJ")
+  }
+
+  test("q_join_inner picks broadcast for the filtered small side at test scale") {
+    val p = plan("q_join_inner")
+    assert(p.contains("Join"), "no join in plan")
+  }
+
+  test("q_agg_group does partial aggregation before the shuffle") {
+    val p = plan("q_agg_group")
+    assert(p.contains("HashAggregate"), "no hash aggregate")
+    // partial + final pair: two HashAggregate levels around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial agg")
+  }
+
+  test("vector dot product runs inside whole-stage codegen") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val df = emb.select(
+      graft.functions.VectorFunctions.vecDot(col("embedding"), col("embedding")).as("d"))
+    // `*(n)` prefixes mark operators fused into a WholeStageCodegen stage
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project [vectordot"),
+      s"vector dot not fused into codegen:\n$p")
+  }
+
+  test("q_topk window does not do a global sort before ranking") {
+    val p = plan("q_topk")
+    assert(p.contains("Window"), "no window operator")
+  }
+
+  test("events scan prunes to the columns the query needs") {
+    val p = plan("q_fn_json")
+    // q_fn_json needs event_id + props only; ts/user_id/value must be pruned
+    assert(!p.contains("user_id"), s"events pruning failed:\n$p")
+  }
+}

@@ -1,0 +1,41 @@
+package graft.run
+
+import graft.SparkTestBase
+
+class GraftJobSpec extends SparkTestBase {
+
+  test("timeout derives from the cost cap exactly like the reference") {
+    // values pinned by tests/test_tests.py:169-199
+    assert(GraftJob.timeoutMinutes(2, "G.1X") == 1363)
+    assert(GraftJob.timeoutMinutes(5, "G.2X") == 272)
+    assert(GraftJob.timeoutMinutes(40, "G.1X") == 68)
+    intercept[IllegalArgumentException](GraftJob.timeoutMinutes(2, "Z.9X"))
+  }
+
+  test("run executes queries to parquet sinks and infers their metas") {
+    val out = java.nio.file.Files.createTempDirectory("graftjob").toString
+    val subset = graft.SparkEntry.queries.view
+      .filterKeys(Set("q_scan_all", "q_agg_group")).toMap
+    val results = GraftJob.run(spark, subset, sf(), out)
+    assert(results.length == 2)
+    assert(results.forall(_.isInstanceOf[GraftJob.JobSucceeded]))
+    val metas = GraftJob.inferSinkMetas(spark, out)
+    assert(metas.map(_.name).sorted == Seq("q_agg_group", "q_scan_all"))
+    assert(metas.forall(_.columns.nonEmpty))
+  }
+
+  test("failed query reports JobFailed, not an exception") {
+    val out = java.nio.file.Files.createTempDirectory("graftjob2").toString
+    val bad = Map("boom" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      s.read.parquet(s"$d/does_not_exist.parquet")))
+    val r = GraftJob.run(spark, bad, sf(), out)
+    assert(r.head.isInstanceOf[GraftJob.JobFailed])
+  }
+
+  test("zero budget times out immediately") {
+    val out = java.nio.file.Files.createTempDirectory("graftjob3").toString
+    val subset = graft.SparkEntry.queries.view.filterKeys(Set("q_scan_all")).toMap
+    val r = GraftJob.run(spark, subset, sf(), out, costCap = 0.0)
+    assert(r.head.isInstanceOf[GraftJob.JobTimedOut])
+  }
+}
