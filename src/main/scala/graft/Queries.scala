@@ -179,6 +179,25 @@ object Queries {
       .orderBy("r_name", "n_name")
   }
 
+  q("q_join_asof",
+    // backward as-of join: each purchase matched to the user's latest
+    // signup at-or-before it (DuckDB's native ASOF LEFT JOIN is the oracle)
+    """SELECT p.event_id, p.user_id, p.ts, s.event_id AS signup_event
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_event"))
+    graft.operators.AsOfJoin.asofBackward(
+        purchases, signups, "user_id", "ts", "ts",
+        Map("signup_event" -> "signup_event"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------ §2.E aggregations
 
   q("q_agg_global",

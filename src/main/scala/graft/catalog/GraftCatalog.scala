@@ -64,6 +64,11 @@ object GraftCatalog {
       case "orc" =>
         withBase(spark.read.schema(schema)).orc(path)
       case "avro" =>
+        // spark-avro is an external module; fail with an actionable message
+        // when it isn't on the classpath (it is not bundled in this image)
+        if (!avroAvailable) throw new IllegalStateException(
+          "data_format 'avro' needs the spark-avro module on the classpath " +
+            "(org.apache.spark:spark-avro)")
         withBase(spark.read.schema(schema)).format("avro").load(path)
       case "regex" =>
         // RegexSerDe: one capture group per column
@@ -84,6 +89,10 @@ object GraftCatalog {
   def readTable(spark: SparkSession, db: DatabaseMeta, tableName: String,
       warehouseRoot: String): DataFrame =
     readTable(spark, db.table(tableName), db.tablePath(warehouseRoot, tableName))
+
+  private lazy val avroAvailable: Boolean =
+    try { Class.forName("org.apache.spark.sql.avro.AvroFileFormat"); true }
+    catch { case _: ClassNotFoundException => false }
 
   private def glueSpecificSkipHeader(table: TableMeta): Boolean = {
     def dig(m: Any, path: List[String]): Option[Any] = (m, path) match {

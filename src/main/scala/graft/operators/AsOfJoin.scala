@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join — SURVEY.md §2.D EXT. For every left row, the
+  * latest right row whose time column is <= the left row's, per key.
+  *
+  * Implemented as union + per-key window carry-forward (`last(...,
+  * ignoreNulls)` over an unbounded-preceding frame), NOT a range join:
+  * one shuffle per side on the key, sort within partitions, no
+  * BroadcastNestedLoop / quadratic range explosion — the formulation that
+  * holds when both sides are 100 TB time series. */
+object AsOfJoin {
+
+  /** @param left       probe rows (kept 1:1 in the output)
+    * @param right      reference rows supplying carried-forward values
+    * @param key        equi-key column name present on both sides
+    * @param leftTs     left time column name
+    * @param rightTs    right time column name
+    * @param rightVals  right columns to carry (renamed as given) */
+  def asofBackward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      rightVals: Map[String, String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val carried = rightVals.toSeq.sortBy(_._1)
+
+    // unified shape: key, ts, side (right sorts before left on ts ties so
+    // "<=" is inclusive), left payload nulled on right rows and vice versa
+    val l = left.select(
+      (col(key).as("_k") +: col(leftTs).as("_ts") +: lit(1).as("_side") +:
+        leftCols.map(c => col(c)) ++:
+        carried.map { case (_, out) => lit(null).as(out) }): _*)
+    val r = right.select(
+      (col(key).as("_k") +: col(rightTs).as("_ts") +: lit(0).as("_side") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
+        carried.map { case (in, out) => col(in).as(out) }): _*)
+
+    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCarry = l.unionByName(r)
+      .select((col("_side") +: leftCols.map(col) ++:
+        carried.map { case (_, out) => last(col(out), ignoreNulls = true).over(w).as(out) }): _*)
+    withCarry.filter(col("_side") === 1).drop("_side")
+  }
+}

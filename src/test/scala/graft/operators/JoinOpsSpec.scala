@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class JoinOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("asofBackward: latest right value at-or-before each left row, per key") {
+    val trades = Seq((1L, "a", 10L), (2L, "a", 25L), (3L, "b", 5L), (4L, "a", 7L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("a", 8L, 100.0), ("a", 20L, 110.0), ("b", 9L, 50.0))
+      .toDF("sym", "t", "px")
+    val out = AsOfJoin.asofBackward(trades, quotes, "sym", "t", "t",
+        Map("px" -> "px"))
+      .orderBy("trade_id").collect()
+    assert(out.map(r => Option(r.get(3))).toSeq ==
+      Seq(Some(100.0), Some(110.0), None, None))
+    // left row count preserved exactly
+    assert(out.length == 4)
+  }
+
+  test("asofBackward: tie on timestamp is inclusive (right at equal ts wins)") {
+    val l = Seq((1L, "k", 10L)).toDF("id", "k", "t")
+    val r = Seq(("k", 10L, 7L)).toDF("k", "t", "v")
+    val out = AsOfJoin.asofBackward(l, r, "k", "t", "t", Map("v" -> "v")).collect()
+    assert(out(0).getLong(3) == 7L)
+  }
+
+  test("saltedInnerJoin equals the plain join, with salted partitioning") {
+    val skewed = (1 to 2000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "cold"), (30L, "cold")).toDF("k", "name")
+    val plain = skewed.join(dim, Seq("k")).select("k", "v", "name")
+    val salted = SkewJoin.saltedInnerJoin(skewed, dim, "k", saltFactor = 8)
+      .select("k", "v", "name")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("GraftExtensions: custom expressions callable from SQL") {
+    GraftExtensions.register(spark)
+    graft.sources.Tables.load(spark, sf(), "embeddings")
+      .createOrReplaceTempView("ext_emb")
+    val r = spark.sql(
+      """SELECT vec_dot(embedding, embedding) AS d, vec_norm(embedding) AS n
+        |FROM ext_emb WHERE vec_id = 0""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(1) * r.getDouble(1)) < 1e-9)
+  }
+
+  private def GraftExtensions = graft.GraftExtensions
+}
