@@ -122,6 +122,17 @@ final case class TableMeta(
 }
 
 object TableMeta {
+
+  /** tablemeta_from_parquet_meta port (meta.py:1038-1060): build a
+    * TableMeta from a Spark schema JSON string — either `df.schema.json()`
+    * or the `org.apache.spark.sql.parquet.row.metadata` key of a parquet
+    * footer. */
+  def fromSparkSchemaJson(name: String, location: String,
+      schemaJson: String): TableMeta =
+    fromSparkSchema(name, location,
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[StructType])
+
   /** Schema-inference source (meta.py:1038-1060): build a TableMeta from a
     * Spark schema, e.g. `spark.read.parquet(p).schema`. */
   def fromSparkSchema(
