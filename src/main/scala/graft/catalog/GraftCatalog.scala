@@ -202,11 +202,28 @@ object GraftCatalog {
   def refreshPartitions(spark: SparkSession, tableName: String): Unit =
     spark.catalog.recoverPartitions(tableName)
 
-  /** Reverse catalog read (meta.py:975-998): rebuild a DatabaseMeta (no
-    * tables) from registered views + schema inference on one path. */
-  def databaseFromPath(spark: SparkSession, name: String, warehouseRoot: String,
-      bucket: String, baseFolder: String = ""): DatabaseMeta =
-    DatabaseMeta(name, bucket, baseFolder).validated
+  /** Reverse catalog read (meta.py:975-998 builds a DatabaseMeta back from
+    * the live Glue catalog): rebuild one from a warehouse directory by
+    * schema-inferring every table folder (parquet). Table names derive
+    * from folder names the way the reference parses locations. */
+  def databaseFromWarehouse(spark: SparkSession, name: String, bucket: String,
+      warehouseRoot: String, baseFolder: String = ""): DatabaseMeta = {
+    val db = DatabaseMeta(name, bucket, baseFolder).validated
+    val root = java.nio.file.Paths.get(db.databasePath(warehouseRoot))
+    if (!java.nio.file.Files.isDirectory(root)) return db
+    val it = java.nio.file.Files.list(root).iterator()
+    var out = db
+    while (it.hasNext) {
+      val d = it.next()
+      if (java.nio.file.Files.isDirectory(d)) {
+        val tname = d.getFileName.toString.toLowerCase.replaceAll("[^a-z0-9_]", "_")
+        try out = out.addTable(
+          tableMetaFromParquet(spark, tname, s"${d.getFileName}/", d.toString))
+        catch { case _: Exception => () } // non-parquet dirs skipped
+      }
+    }
+    out
+  }
 
   /** Schema-inference source (tablemeta_from_parquet_meta, meta.py:1038-1060):
     * derive a TableMeta from an existing parquet file/folder. */

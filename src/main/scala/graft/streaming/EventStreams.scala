@@ -13,6 +13,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * bounded micro-batches; watermarks bound state; all aggregations below
   * are keyed so state is partitioned across executors.
   */
+/** Explicit state carried by [[EventStreams.userRunningTotals]]. */
+final case class UserTotals(n: Long, total: Double)
+
 object EventStreams {
 
   /** The events stream from parquet files: the batch-identical source.
@@ -65,6 +68,32 @@ object EventStreams {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
+
+  /** Custom keyed state (SURVEY §2.J / builder north star:
+    * `KeyValueGroupedDataset.mapGroupsWithState` for semantics window
+    * functions can't express). Per-user running totals carried in explicit
+    * state across micro-batches; state is partitioned by key across
+    * executors and checkpointed. */
+  def userRunningTotals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(
+      col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[UserTotals, (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { case (_, v) => n += 1; total += v }
+          state.update(UserTotals(n, total))
+          (user, n, math.rint(total * 100) / 100)
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
 
   /** Run any of the above to completion over the existing files and return
     * the result table (Trigger.AvailableNow = drain-then-stop; the

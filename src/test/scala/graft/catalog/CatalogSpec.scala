@@ -150,6 +150,19 @@ class CatalogSpec extends SparkTestBase {
     assert(teams("TableType") == "EXTERNAL_TABLE")
   }
 
+  test("reverse catalog read: rebuild DatabaseMeta from a warehouse dir") {
+    val root = tmp()
+    import spark.implicits._
+    val t = TableMeta("t", "t/", Seq(ColumnMeta("id", "long"), ColumnMeta("s", "character")),
+      dataFormat = "parquet")
+    val db = DatabaseMeta("db", "b", tables = Seq(t))
+    GraftCatalog.writeTable(Seq((1L, "x")).toDF("id", "s"), t,
+      db.tablePath(root, "t"), mode = "overwrite")
+    val back = GraftCatalog.databaseFromWarehouse(spark, "db", "b", root)
+    assert(back.tableNames == Seq("t"))
+    assert(back.table("t").columns.map(_.typeName) == Seq("long", "character"))
+  }
+
   test("schema inference from parquet (tablemeta_from_parquet_meta analog)") {
     val t = GraftCatalog.tableMetaFromParquet(spark, "lineitem", "lineitem/",
       s"${sf()}/lineitem.parquet")

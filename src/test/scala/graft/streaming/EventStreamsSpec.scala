@@ -30,6 +30,20 @@ class EventStreamsSpec extends SparkTestBase {
     assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
   }
 
+  test("mapGroupsWithState running totals equal the batch aggregate") {
+    val s = EventStreams.runAvailableNow(spark,
+      EventStreams.userRunningTotals(stream), "t_state", outputMode = "update")
+    // final state per user == plain batch groupBy
+    val expected = batch.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+    val got = s.groupBy("user_id")
+      .agg(max("n_events").as("n_events"))
+      .join(expected.select("user_id", "n_events"), Seq("user_id", "n_events"))
+    assert(got.count() == expected.count(),
+      "per-user event counts from stateful op diverge from batch")
+  }
+
   test("watermark dedup drops duplicate event_ids in streaming mode") {
     val s = EventStreams.runAvailableNow(spark,
       EventStreams.dedupEvents(stream), "t_dedup", outputMode = "append")
