@@ -150,6 +150,24 @@ class CatalogSpec extends SparkTestBase {
     assert(teams("TableType") == "EXTERNAL_TABLE")
   }
 
+  test("refreshPartitions: MSCK-style discovery of new partition dirs") {
+    import spark.implicits._
+    val root = tmp()
+    val loc = s"$root/msck_t"
+    Seq((1.0, 2020)).toDF("v", "year").write.partitionBy("year").parquet(loc)
+    spark.sql(s"""CREATE TABLE msck_t (v DOUBLE, year INT) USING parquet
+                  PARTITIONED BY (year) LOCATION '$loc'""")
+    GraftCatalog.refreshPartitions(spark, "msck_t")
+    assert(spark.table("msck_t").count() == 1)
+    // a new partition dir appears out-of-band (the reference's Athena
+    // MSCK REPAIR scenario, meta.py:574-643)
+    Seq((2.0, 2021)).toDF("v", "year").write.mode("append")
+      .partitionBy("year").parquet(loc)
+    GraftCatalog.refreshPartitions(spark, "msck_t")
+    assert(spark.table("msck_t").count() == 2)
+    spark.sql("DROP TABLE msck_t")
+  }
+
   test("reverse catalog read: rebuild DatabaseMeta from a warehouse dir") {
     val root = tmp()
     import spark.implicits._
