@@ -443,6 +443,65 @@ object Queries {
       .orderBy("nk")
   }
 
+  q("q_limit_offset",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 5""".stripMargin) { (s, d) =>
+    t(s, d, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(5).limit(20)
+  }
+
+  q("q_pivot",
+    // pivot = conditional aggregation (the portable formulation is the oracle)
+    """SELECT l_returnflag,
+      |  round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 2) AS qty_f,
+      |  round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0), 2) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum("l_quantity"))
+      .select(col("l_returnflag"),
+        round(coalesce(col("F"), lit(0)), 2).as("qty_f"),
+        round(coalesce(col("O"), lit(0)), 2).as("qty_o"))
+      .orderBy("l_returnflag")
+  }
+
+  q("q_unpivot",
+    """SELECT p_partkey, metric, val FROM (
+      |  SELECT p_partkey, p_size::DOUBLE AS size, p_retailprice AS price FROM part)
+      |UNPIVOT (val FOR metric IN (size, price))
+      |ORDER BY p_partkey, metric""".stripMargin) { (s, d) =>
+    t(s, d, "part")
+      .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("price"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("price")),
+        "metric", "val")
+      .orderBy("p_partkey", "metric")
+  }
+
+  q("q_subquery_scalar",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    t(s, d, "orders").createOrReplaceTempView("subq_orders")
+    s.sql("""SELECT o_orderkey, o_totalprice FROM subq_orders
+             WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM subq_orders)
+             ORDER BY o_orderkey""")
+  }
+
+  q("q_subquery_in",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    t(s, d, "customer").createOrReplaceTempView("subq_customer")
+    t(s, d, "nation").createOrReplaceTempView("subq_nation")
+    s.sql("""SELECT c_custkey, c_name FROM subq_customer
+             WHERE c_nationkey IN (SELECT n_nationkey FROM subq_nation WHERE n_regionkey = 0)
+             ORDER BY c_custkey""")
+  }
+
   // ------------------------------------------------------------ §2.G scalar functions
 
   q("q_fn_string",
@@ -480,7 +539,7 @@ object Queries {
       |  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS dom,
       |  cast(date_trunc('month', o_orderdate) AS DATE) AS month_start,
       |  date_diff('day', cast(o_orderdate AS DATE), DATE '2026-01-01') AS days_to_2026,
-      |  cast(o_orderdate AS DATE) + INTERVAL 30 DAY = cast(o_orderdate AS DATE) + INTERVAL 30 DAY AS check_true
+      |  cast(o_orderdate AS DATE) + 30 AS plus30
       |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     t(s, d, "orders").select(
       col("o_orderkey"),
@@ -489,7 +548,7 @@ object Queries {
       dayofmonth(col("o_orderdate")).as("dom"),
       date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
       datediff(lit("2026-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2026"),
-      lit(true).as("check_true"))
+      date_add(col("o_orderdate").cast("date"), 30).as("plus30"))
       .orderBy("o_orderkey")
   }
 
