@@ -9,6 +9,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // sketch TypedImperativeAggregates (MinHashAgg/SimHashAgg) keep
+      // small fixed-size buffers; let ObjectHashAggregate hold many groups
+      // before sort-based fallback
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 100000)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

