@@ -51,4 +51,20 @@ class EventStreamsSpec extends SparkTestBase {
     assert(s.count() == batch.count())
     assert(s.select("event_id").distinct().count() == s.count())
   }
+
+  test("watermark dedup drops real duplicates (two files with the same events)") {
+    // stage the same parquet twice -> two micro-batches of identical events
+    val staged = java.nio.file.Files.createTempDirectory("dup_events")
+    val src = java.nio.file.Paths.get(s"${sf()}/events.parquet")
+    java.nio.file.Files.copy(src, staged.resolve("a.parquet"))
+    java.nio.file.Files.copy(src, staged.resolve("b.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(staged.toString).schema
+    val dupStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val out = EventStreams.runAvailableNow(spark,
+      EventStreams.dedupEvents(dupStream), "t_dedup2", outputMode = "append")
+    assert(out.count() == batch.count(), "duplicates across micro-batches survived")
+  }
 }
