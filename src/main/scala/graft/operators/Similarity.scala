@@ -91,9 +91,69 @@ object Similarity {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** All-pairs cosine near-dups, exact (no blocking) — the oracle-checkable
-    * baseline; use [[embeddingNearDupPairs]] at scale. */
+  /** All-pairs cosine near-dups, exact, via broadcast-matrix blocking:
+    * the full (id, vec, norm) set rides to every task as a broadcast
+    * (n·d floats — gate on size), and each partition runs a tight
+    * primitive loop over its rows × the broadcast block emitting only
+    * id<id pairs above threshold. No 12.5M-row join materialization —
+    * the O(n²·d) flops happen in-register. For sets too big to
+    * broadcast, [[embeddingNearDupPairs]] is the cell-blocked path.
+    *
+    * Rounding matches the join form exactly: ascending-index double
+    * accumulation, dot/(|a||b|), then BigDecimal HALF_UP at 6 dp. */
   def bruteNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val spark = embeddings.sparkSession
+    val rows = embeddings.select(col(idCol).cast("long"), col(vecCol))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("id_b",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cos",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(schema)
+
+    val all: Array[(Long, Array[Float])] = rows.collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray)
+    }.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(all)
+
+    def norm(v: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { val x = v(i).toDouble; acc += x * x; i += 1 }
+      math.sqrt(acc)
+    }
+
+    rows.mapPartitions { it =>
+      val block = bc.value
+      val norms = block.map(p => norm(p._2))
+      it.flatMap { r =>
+        val idA = r.getLong(0)
+        val vecA = r.getSeq[Float](1).toArray
+        val nrmA = norm(vecA)
+        val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        var j = 0
+        while (j < block.length) {
+          val (idB, vecB) = block(j)
+          if (idA < idB) {
+            var dot = 0.0; var k = 0
+            while (k < vecA.length) { dot += vecA(k).toDouble * vecB(k).toDouble; k += 1 }
+            val cos = java.math.BigDecimal.valueOf(dot / (nrmA * norms(j)))
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (cos >= threshold)
+              out += org.apache.spark.sql.Row(idA, idB, cos)
+          }
+          j += 1
+        }
+        out.iterator
+      }
+    }(encoder)
+  }
+
+  /** The join-based brute formulation (kept as the reference
+    * implementation the broadcast form is verified against in specs). */
+  def bruteNearDupPairsJoin(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     // precompute each row's norm ONCE (O(n·d)) so the quadratic pair stage
     // is a single dot product per pair, not dot + two norms

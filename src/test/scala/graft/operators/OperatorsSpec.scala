@@ -97,6 +97,15 @@ class OperatorsSpec extends SparkTestBase {
     assert(simAgg == simColWise)
   }
 
+  test("broadcast brute pairs equal the join-based formulation exactly") {
+    val a = Similarity.bruteNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Similarity.bruteNearDupPairsJoin(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("rolling hash: deterministic, order-sensitive") {
     import spark.implicits._
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("id", "t")
