@@ -502,6 +502,38 @@ object Queries {
              ORDER BY c_custkey""")
   }
 
+  q("q_cte",
+    """WITH cust_orders AS (
+      |  SELECT o_custkey, count(*) AS n, max(o_totalprice) AS max_price
+      |  FROM orders GROUP BY o_custkey),
+      |ranked AS (
+      |  SELECT o_custkey, n, max_price,
+      |         rank() OVER (ORDER BY n DESC, o_custkey) AS rk
+      |  FROM cust_orders)
+      |SELECT o_custkey, n, max_price FROM ranked WHERE rk <= 20
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    t(s, d, "orders").createOrReplaceTempView("cte_orders")
+    s.sql("""WITH cust_orders AS (
+               SELECT o_custkey, count(*) AS n, max(o_totalprice) AS max_price
+               FROM cte_orders GROUP BY o_custkey),
+             ranked AS (
+               SELECT o_custkey, n, max_price,
+                      rank() OVER (ORDER BY n DESC, o_custkey) AS rk
+               FROM cust_orders)
+             SELECT o_custkey, n, max_price FROM ranked WHERE rk <= 20
+             ORDER BY o_custkey""")
+  }
+
+  q("q_cte_recursive",
+    // recursive CTE (Spark 4 WITH RECURSIVE): running date dimension
+    """WITH RECURSIVE nums(n) AS (
+      |  SELECT 1 UNION ALL SELECT n + 1 FROM nums WHERE n < 50)
+      |SELECT n, n * n AS sq FROM nums ORDER BY n""".stripMargin) { (s, d) =>
+    s.sql("""WITH RECURSIVE nums(n) AS (
+               SELECT 1 UNION ALL SELECT n + 1 FROM nums WHERE n < 50)
+             SELECT n, n * n AS sq FROM nums ORDER BY n""")
+  }
+
   // ------------------------------------------------------------ §2.G scalar functions
 
   q("q_fn_string",

@@ -150,6 +150,21 @@ class CatalogSpec extends SparkTestBase {
     assert(teams("TableType") == "EXTERNAL_TABLE")
   }
 
+  test("orc: write + read round-trip through the catalog") {
+    import spark.implicits._
+    val root = tmp()
+    val t = TableMeta("o", "o/", Seq(
+      ColumnMeta("id", "long"), ColumnMeta("d", "date"),
+      ColumnMeta("v", "decimal(10,2)")), dataFormat = "orc")
+    val db = DatabaseMeta("db", "b", tables = Seq(t))
+    val df = Seq((1L, java.sql.Date.valueOf("2020-01-01"), BigDecimal("12.34")))
+      .toDF("id", "d", "v").select($"id", $"d", $"v".cast("decimal(10,2)"))
+    GraftCatalog.writeTable(df, t, db.tablePath(root, "o"), mode = "overwrite")
+    val back = GraftCatalog.readTable(spark, db, "o", root).collect()
+    assert(back.length == 1 && back(0).getLong(0) == 1L)
+    assert(back(0).getDecimal(2).toPlainString == "12.34")
+  }
+
   test("refreshPartitions: MSCK-style discovery of new partition dirs") {
     import spark.implicits._
     val root = tmp()
