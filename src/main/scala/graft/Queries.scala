@@ -997,6 +997,41 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  q("q_text_tfidf",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |len AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    round(tf.tf * 1.0 / len.len * ln((SELECT count(*) FROM documents) * 1.0 / df.df), 6) AS tfidf
+      |  FROM tf JOIN len USING (doc_id) JOIN df USING (term))
+      |SELECT doc_id, term, tfidf, rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      |  FROM scored) WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", 3)
+      .orderBy("doc_id", "rk")
+  }
+
+  q("q_embed_centroids",
+    // per-label centroid components (first 8 dims): decimal sums + counts
+    // stay exact under any accumulation order, unlike a double avg
+    """SELECT label, i.range AS pos,
+      |  sum(cast(cast(embedding[i.range + 1] AS DOUBLE) AS DECIMAL(12,6))) AS comp_sum,
+      |  count(*) AS n
+      |FROM embeddings CROSS JOIN range(8) i
+      |GROUP BY label, i.range ORDER BY label, pos""".stripMargin) { (s, d) =>
+    t(s, d, "embeddings")
+      .select(col("label"), posexplode(slice(col("embedding"), 1, 8)))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col").cast("double").cast("decimal(12,6)")).as("comp_sum"),
+        count(lit(1)).as("n"))
+      .orderBy("label", "pos")
+  }
+
   q("q_multimodal",
     """SELECT d.doc_id, d.lang, e.label,
       |  len(e.embedding) AS dim, round(e.embedding[1]::DOUBLE, 6) AS e0,

@@ -84,6 +84,29 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
 
+  /** TF-IDF top terms per document: explode tokens, per-doc term counts,
+    * corpus document frequencies, score = (tf/len)·ln(N/df), top-k by
+    * (score, term) per doc. Two keyed shuffles (doc terms, corpus df) and
+    * a window — no driver-side vocabulary. */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count() // corpus size: one scalar, the only driver value
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val len = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(len, "doc_id").join(df, "term")
+      .withColumn("tfidf",
+        round(col("tf") / col("len") * log(lit(n.toDouble) / col("df")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("doc_id", "term", "tfidf", "rk")
+  }
+
   /** Rolling-hash (Rabin–Karp base-31 mod 2^61-1) fingerprint over tokens —
     * order-sensitive unlike md5-of-sorted; expressed as an aggregate fold,
     * still codegen'd. */
