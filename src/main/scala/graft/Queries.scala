@@ -305,7 +305,59 @@ object Queries {
       .orderBy("o_orderstatus")
   }
 
+  q("q_agg_percentile",
+    // exact interpolated percentiles: Spark percentile() and DuckDB
+    // quantile_cont share the Hive p*(n-1) interpolation
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+      |  round(median(l_extendedprice), 4) AS med_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem").groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+        round(expr("median(l_extendedprice)"), 4).as("med_price"))
+      .orderBy("l_returnflag")
+  }
+
+  q("q_agg_collect",
+    // order-insensitive list aggregation: sorted arrays compare equal
+    """SELECT n_regionkey, list_sort(array_agg(n_name)) AS names
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+    t(s, d, "nation").groupBy("n_regionkey")
+      .agg(sort_array(collect_list("n_name")).as("names"))
+      .orderBy("n_regionkey")
+  }
+
+  q("q_agg_string",
+    """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+    t(s, d, "nation").groupBy("n_regionkey")
+      .agg(array_join(sort_array(collect_list("n_name")), ",").as("names"))
+      .orderBy("n_regionkey")
+  }
+
   // ------------------------------------------------------------ §2.F windows/sort/set
+
+  q("q_win_distribution",
+    """SELECT o_orderkey,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pr,
+      |  round(cume_dist() OVER w, 6) AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pr"),
+      round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("o_orderkey")
+  }
 
   q("q_win_range",
     // RANGE frame over an integer ordering key; decimal sums stay exact

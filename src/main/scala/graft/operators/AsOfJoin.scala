@@ -24,6 +24,9 @@ object AsOfJoin {
       leftTs: String, rightTs: String,
       rightVals: Map[String, String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val reserved = Set("_k", "_ts", "_side")
+    require(!leftCols.exists(reserved) && !rightVals.values.exists(reserved),
+      s"asofBackward reserves column names ${reserved.mkString(", ")}")
     val carried = rightVals.toSeq.sortBy(_._1)
 
     // unified shape: key, ts, side (right sorts before left on ts ties so
