@@ -90,6 +90,22 @@ object GraftCatalog {
       warehouseRoot: String): DataFrame =
     readTable(spark, db.table(tableName), db.tablePath(warehouseRoot, tableName))
 
+  private def compressionFor(table: TableMeta): Option[String] = {
+    def dig(m: Any, path: List[String]): Option[Any] = (m, path) match {
+      case (v, Nil) => Some(v)
+      case (mm: scala.collection.Map[_, _], h :: t) =>
+        mm.asInstanceOf[scala.collection.Map[String, Any]].get(h).flatMap(dig(_, t))
+      case _ => None
+    }
+    dig(table.glueSpecific, List("StorageDescriptor", "Parameters", "compressionType"))
+      .orElse(dig(table.glueSpecific, List("Parameters", "compressionType")))
+      .map(String.valueOf)
+      .collect {
+        case "none" => "none"
+        case c @ ("snappy" | "gzip" | "zstd" | "lz4") => c
+      }
+  }
+
   private lazy val avroAvailable: Boolean =
     try { Class.forName("org.apache.spark.sql.avro.AvroFileFormat"); true }
     catch { case _: ClassNotFoundException => false }
@@ -182,7 +198,10 @@ object GraftCatalog {
     * the task level. */
   def writeTable(df: DataFrame, table: TableMeta, path: String,
       mode: String = "error"): Unit = {
-    val w0 = df.write.mode(mode)
+    var w0 = df.write.mode(mode)
+    // compressionType from the spec/glue_specific parameters maps to the
+    // writer codec (specs/parquet_specific.json "compressionType")
+    compressionFor(table).foreach(c => w0 = w0.option("compression", c))
     val w = if (table.partitions.nonEmpty) w0.partitionBy(table.partitions: _*) else w0
     table.dataFormat match {
       case "csv"  => w.option("header", false).csv(path)

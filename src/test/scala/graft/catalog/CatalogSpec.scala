@@ -150,6 +150,42 @@ class CatalogSpec extends SparkTestBase {
     assert(teams("TableType") == "EXTERNAL_TABLE")
   }
 
+  test("schema evolution: declared meta adds a column, old files null-fill") {
+    import spark.implicits._
+    val root = tmp()
+    val v1 = TableMeta("e", "e/", Seq(ColumnMeta("id", "long"),
+      ColumnMeta("a", "character")), dataFormat = "parquet")
+    val db1 = DatabaseMeta("db", "b", tables = Seq(v1))
+    GraftCatalog.writeTable(Seq((1L, "x")).toDF("id", "a"), v1,
+      db1.tablePath(root, "e"), mode = "overwrite")
+    // metadata evolves: add_column (meta.py:238-288) + new data lands
+    val v2 = v1.addColumn(ColumnMeta("b", "double"))
+    val db2 = DatabaseMeta("db", "b", tables = Seq(v2))
+    GraftCatalog.writeTable(Seq((2L, "y", 9.5)).toDF("id", "a", "b"), v2,
+      db2.tablePath(root, "e"), mode = "append")
+    val rows = GraftCatalog.readTable(spark, db2, "e", root)
+      .orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(2), "old file should null-fill the new column")
+    assert(rows(1).getDouble(2) == 9.5)
+  }
+
+  test("compressionType in glue_specific maps to the writer codec") {
+    import spark.implicits._
+    val root = tmp()
+    val t = TableMeta("c", "c/", Seq(ColumnMeta("id", "long")),
+      dataFormat = "parquet",
+      glueSpecific = Map("StorageDescriptor" ->
+        Map("Parameters" -> Map("compressionType" -> "none"))))
+    val db = DatabaseMeta("db", "b", tables = Seq(t))
+    GraftCatalog.writeTable(Seq(Tuple1(1L)).toDF("id"), t,
+      db.tablePath(root, "c"), mode = "overwrite")
+    val files = new java.io.File(db.tablePath(root, "c")).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(!_.contains("snappy")),
+      files.mkString(","))
+  }
+
   test("orc: write + read round-trip through the catalog") {
     import spark.implicits._
     val root = tmp()
