@@ -17,9 +17,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen warmup so the alphabetically-first query doesn't absorb
-    // session startup cost (no fixture data is touched)
+    // JIT/codegen/IO-path warmup so the alphabetically-first query doesn't
+    // absorb session startup: exercise codegen, a shuffle, and the parquet
+    // reader (via the 5-row region table — no meaningful data cached)
     spark.range(1000).selectExpr("id", "id * 2 AS x")
+      .groupBy((org.apache.spark.sql.functions.col("id") % 7).as("k"))
+      .count().write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"${sfDir.stripSuffix("/")}/region.parquet")
       .write.format("noop").mode("overwrite").save()
     // noop sink: forces full evaluation of every column of every row
     // (count() would let Spark skip projections entirely)
