@@ -783,7 +783,7 @@ object Queries {
     """WITH flagged AS (
       |  SELECT user_id, ts,
       |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
       |  FROM events),
       |islands AS (
       |  SELECT user_id, ts,

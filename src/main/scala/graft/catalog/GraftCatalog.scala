@@ -90,13 +90,15 @@ object GraftCatalog {
       warehouseRoot: String): DataFrame =
     readTable(spark, db.table(tableName), db.tablePath(warehouseRoot, tableName))
 
+  /** Walk a nested String->Any map along `path`. */
+  private def dig(m: Any, path: List[String]): Option[Any] = (m, path) match {
+    case (v, Nil) => Some(v)
+    case (mm: scala.collection.Map[_, _], h :: t) =>
+      mm.asInstanceOf[scala.collection.Map[String, Any]].get(h).flatMap(dig(_, t))
+    case _ => None
+  }
+
   private def compressionFor(table: TableMeta): Option[String] = {
-    def dig(m: Any, path: List[String]): Option[Any] = (m, path) match {
-      case (v, Nil) => Some(v)
-      case (mm: scala.collection.Map[_, _], h :: t) =>
-        mm.asInstanceOf[scala.collection.Map[String, Any]].get(h).flatMap(dig(_, t))
-      case _ => None
-    }
     dig(table.glueSpecific, List("StorageDescriptor", "Parameters", "compressionType"))
       .orElse(dig(table.glueSpecific, List("Parameters", "compressionType")))
       .map(String.valueOf)
@@ -111,31 +113,17 @@ object GraftCatalog {
     catch { case _: ClassNotFoundException => false }
 
   private def glueSpecificSkipHeader(table: TableMeta): Boolean = {
-    def dig(m: Any, path: List[String]): Option[Any] = (m, path) match {
-      case (v, Nil) => Some(v)
-      case (mm: scala.collection.Map[_, _], h :: t) =>
-        mm.asInstanceOf[scala.collection.Map[String, Any]].get(h).flatMap(dig(_, t))
-      case _ => None
-    }
     dig(table.glueSpecific, List("StorageDescriptor", "Parameters", "skip.header.line.count"))
       .orElse(dig(table.glueSpecific, List("Parameters", "skip.header.line.count")))
       .contains("1")
   }
 
-  private def regexFor(table: TableMeta): String = {
-    def dig(path: List[String]): Option[String] = {
-      def go(m: Any, p: List[String]): Option[Any] = (m, p) match {
-        case (v, Nil) => Some(v)
-        case (mm: scala.collection.Map[_, _], h :: t) =>
-          mm.asInstanceOf[scala.collection.Map[String, Any]].get(h).flatMap(go(_, t))
-        case _ => None
-      }
-      go(table.glueSpecific, path).map(String.valueOf)
-    }
-    dig(List("StorageDescriptor", "SerdeInfo", "Parameters", "input.regex"))
+  private def regexFor(table: TableMeta): String =
+    dig(table.glueSpecific,
+        List("StorageDescriptor", "SerdeInfo", "Parameters", "input.regex"))
+      .map(String.valueOf)
       .getOrElse(throw new IllegalArgumentException(
         s"regex table ${table.name} needs glue_specific input.regex"))
-  }
 
   // ----------------------------------------------------------- registration
 
@@ -177,8 +165,10 @@ object GraftCatalog {
   def deleteData(db: DatabaseMeta, warehouseRoot: String,
       tablesOnly: Boolean = false): Unit = {
     def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).forEach(rm(_))
+      if (java.nio.file.Files.isDirectory(p)) {
+        val st = java.nio.file.Files.list(p)
+        try st.forEach(rm(_)) finally st.close()
+      }
       java.nio.file.Files.deleteIfExists(p)
     }
     val roots =
@@ -230,18 +220,21 @@ object GraftCatalog {
     val db = DatabaseMeta(name, bucket, baseFolder).validated
     val root = java.nio.file.Paths.get(db.databasePath(warehouseRoot))
     if (!java.nio.file.Files.isDirectory(root)) return db
-    val it = java.nio.file.Files.list(root).iterator()
-    var out = db
-    while (it.hasNext) {
-      val d = it.next()
-      if (java.nio.file.Files.isDirectory(d)) {
-        val tname = d.getFileName.toString.toLowerCase.replaceAll("[^a-z0-9_]", "_")
-        try out = out.addTable(
-          tableMetaFromParquet(spark, tname, s"${d.getFileName}/", d.toString))
-        catch { case _: Exception => () } // non-parquet dirs skipped
+    val st = java.nio.file.Files.list(root)
+    try {
+      val it = st.iterator()
+      var out = db
+      while (it.hasNext) {
+        val d = it.next()
+        if (java.nio.file.Files.isDirectory(d)) {
+          val tname = d.getFileName.toString.toLowerCase.replaceAll("[^a-z0-9_]", "_")
+          try out = out.addTable(
+            tableMetaFromParquet(spark, tname, s"${d.getFileName}/", d.toString))
+          catch { case _: Exception => () } // non-parquet dirs skipped
+        }
       }
-    }
-    out
+      out
+    } finally st.close()
   }
 
   /** Schema-inference source (tablemeta_from_parquet_meta, meta.py:1038-1060):

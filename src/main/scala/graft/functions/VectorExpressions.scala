@@ -38,17 +38,24 @@ case class VectorDot(left: Expression, right: Expression)
       s"vec_dot needs two array<float> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
+    // length mismatch -> null, matching aggregate(zip_with(...)) where the
+    // shorter side null-pads and poisons the sum (the documented contract)
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -57,12 +64,16 @@ case class VectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
 

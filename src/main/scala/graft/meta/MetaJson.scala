@@ -54,16 +54,22 @@ object MetaJson {
 
   // ---- column ----
 
+  /** Present AND non-null — an explicit JSON `null` must behave like a
+    * missing key, not like Some(NullNode) (which would silently coerce to
+    * "null"/false). */
+  private def opt(n: JsonNode, field: String): Option[JsonNode] =
+    Option(n.get(field)).filterNot(_.isNull)
+
   private def columnFromNode(n: JsonNode): ColumnMeta = ColumnMeta(
     name = n.get("name").asText(),
     typeName = n.get("type").asText(),
-    description = Option(n.get("description")).map(_.asText()).getOrElse(""),
-    pattern = Option(n.get("pattern")).map(_.asText()),
-    enumValues = Option(n.get("enum")).map(a =>
+    description = opt(n, "description").map(_.asText()).getOrElse(""),
+    pattern = opt(n, "pattern").map(_.asText()),
+    enumValues = opt(n, "enum").map(a =>
       a.elements().asScala.map(nodeToScala).toSeq),
-    nullable = Option(n.get("nullable")).map(_.asBoolean()),
-    sensitivity = Option(n.get("sensitivity")).map(_.asText()),
-    redacted = Option(n.get("redacted")).map(_.asBoolean()),
+    nullable = opt(n, "nullable").map(_.asBoolean()),
+    sensitivity = opt(n, "sensitivity").map(_.asText()),
+    redacted = opt(n, "redacted").map(_.asBoolean()),
   )
 
   private def columnToNode(c: ColumnMeta): ObjectNode = {
@@ -88,17 +94,17 @@ object MetaJson {
   def tableFromJson(json: String): TableMeta = {
     val n = mapper.readTree(json)
     def strSeq(field: String): Seq[String] =
-      Option(n.get(field)).map(_.elements().asScala.map(_.asText()).toSeq)
+      opt(n, field).map(_.elements().asScala.map(_.asText()).toSeq)
         .getOrElse(Seq.empty)
     TableMeta(
       name = n.get("name").asText(),
       location = n.get("location").asText(),
       columns = n.get("columns").elements().asScala.map(columnFromNode).toSeq,
       dataFormat = n.get("data_format").asText(),
-      description = Option(n.get("description")).map(_.asText()).getOrElse(""),
+      description = opt(n, "description").map(_.asText()).getOrElse(""),
       partitions = strSeq("partitions"),
       primaryKey = strSeq("primary_key"),
-      glueSpecific = Option(n.get("glue_specific"))
+      glueSpecific = opt(n, "glue_specific")
         .map(g => nodeToScala(g).asInstanceOf[scala.collection.Map[String, Any]].toMap)
         .getOrElse(Map.empty),
     ).validated
@@ -131,8 +137,8 @@ object MetaJson {
     DatabaseMeta(
       name = n.get("name").asText(),
       bucket = n.get("bucket").asText(),
-      baseFolder = Option(n.get("base_folder")).map(_.asText()).getOrElse(""),
-      description = Option(n.get("description")).map(_.asText()).getOrElse(""),
+      baseFolder = opt(n, "base_folder").map(_.asText()).getOrElse(""),
+      description = opt(n, "description").map(_.asText()).getOrElse(""),
     ).validated
   }
 
@@ -161,10 +167,13 @@ object MetaJson {
   def readDatabaseFolder(folder: String): DatabaseMeta = {
     val dir = Paths.get(folder)
     val db = readDatabaseJson(dir.resolve("database.json").toString)
-    val tableFiles = Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".json"))
-      .filterNot(p => p.getFileName.toString == "database.json")
-      .toSeq.sortBy(_.getFileName.toString)
+    val stream = Files.list(dir)
+    val tableFiles =
+      try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".json"))
+        .filterNot(p => p.getFileName.toString == "database.json")
+        .toSeq.sortBy(_.getFileName.toString)
+      finally stream.close()
     tableFiles.foldLeft(db)((d, p) => d.addTable(readTableJson(p.toString)))
   }
 

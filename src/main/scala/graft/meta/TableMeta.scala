@@ -83,12 +83,24 @@ final case class TableMeta(
       primaryKey = primaryKey.filterNot(_ == columnName))
   }
 
-  /** meta.py:380-430 update_column: per-property surgery. */
+  /** meta.py:380-430 update_column: per-property surgery. A rename
+    * propagates to partitions/primaryKey references, and the whole table
+    * re-validates so a rename onto an existing column is rejected rather
+    * than silently duplicating. */
   def updateColumn(columnName: String)(f: ColumnMeta => ColumnMeta): TableMeta = {
     checkColumnExists(columnName)
-    copy(columns = columns.map { c =>
-      if (c.name == columnName) { val n = f(c); n.validate(); n } else c
+    var newName = columnName
+    val updated = copy(columns = columns.map { c =>
+      if (c.name == columnName) {
+        val n = f(c); n.validate(); newName = n.name; n
+      } else c
     })
+    val renamed =
+      if (newName == columnName) updated
+      else updated.copy(
+        partitions = updated.partitions.map(p => if (p == columnName) newName else p),
+        primaryKey = updated.primaryKey.map(p => if (p == columnName) newName else p))
+    renamed.validated
   }
 
   /** meta.py:290-298 reorder_columns: every existing column must appear. */

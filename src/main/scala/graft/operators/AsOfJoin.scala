@@ -27,6 +27,9 @@ object AsOfJoin {
     val reserved = Set("_k", "_ts", "_side")
     require(!leftCols.exists(reserved) && !rightVals.values.exists(reserved),
       s"asofBackward reserves column names ${reserved.mkString(", ")}")
+    val clash = rightVals.values.toSet.intersect(leftCols.toSet)
+    require(clash.isEmpty,
+      s"rightVals output names collide with left columns: ${clash.mkString(", ")}")
     val carried = rightVals.toSeq.sortBy(_._1)
 
     // unified shape: key, ts, side (right sorts before left on ts ties so

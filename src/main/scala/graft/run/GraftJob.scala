@@ -61,20 +61,33 @@ object GraftJob {
       if (elapsed > budgetSec) JobTimedOut(name, budgetSec)
       else {
         val t0 = System.nanoTime()
+        // enforce the budget ON the running query, not just between
+        // queries: run the action under a job group and cancel it when the
+        // remaining budget is exhausted (the reference's cost-cap kill)
+        val group = s"graftjob-$name"
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
         try {
-          val df = fn(spark, sfDir)
-          val sink = TableMeta(name.replaceAll("[^a-z0-9_]", "_"), s"$name/",
-            dataFormat = sinkFormat)
-          GraftCatalog.writeTable(df, sink.copy(columns = Seq.empty),
-            s"${outDir.stripSuffix("/")}/$name", mode = "overwrite")
-          val rows = spark.read.format(sinkFormat match {
-            case "csv" | "csv_quoted_nodate" => "csv"
-            case f => f
-          }).load(s"${outDir.stripSuffix("/")}/$name").count()
+          val remainingMs = math.max(1L, ((budgetSec - elapsed) * 1000).toLong)
+          val work = scala.concurrent.Future {
+            val df = fn(spark, sfDir)
+            val sink = TableMeta(name.replaceAll("[^a-z0-9_]", "_"), s"$name/",
+              dataFormat = sinkFormat)
+            GraftCatalog.writeTable(df, sink.copy(columns = Seq.empty),
+              s"${outDir.stripSuffix("/")}/$name", mode = "overwrite")
+            spark.read.format(sinkFormat match {
+              case "csv" | "csv_quoted_nodate" => "csv"
+              case f => f
+            }).load(s"${outDir.stripSuffix("/")}/$name").count()
+          }(scala.concurrent.ExecutionContext.global)
+          val rows = scala.concurrent.Await.result(work,
+            scala.concurrent.duration.Duration(remainingMs, "ms"))
           JobSucceeded(name, rows, (System.nanoTime() - t0) / 1e9)
         } catch {
+          case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(group)
+            JobTimedOut(name, budgetSec)
           case e: Throwable => JobFailed(name, e)
-        }
+        } finally spark.sparkContext.clearJobGroup()
       }
     }
   }
@@ -85,17 +98,20 @@ object GraftJob {
   def inferSinkMetas(spark: SparkSession, outDir: String): Seq[TableMeta] = {
     val root = java.nio.file.Paths.get(outDir)
     if (!java.nio.file.Files.isDirectory(root)) return Seq.empty
-    val dirs = java.nio.file.Files.list(root).iterator()
+    val st = java.nio.file.Files.list(root)
     val out = scala.collection.mutable.ArrayBuffer.empty[TableMeta]
-    while (dirs.hasNext) {
-      val d = dirs.next()
-      if (java.nio.file.Files.isDirectory(d)) {
-        val name = d.getFileName.toString.toLowerCase.replaceAll("[^a-z0-9_]", "_")
-        try out += GraftCatalog.tableMetaFromParquet(
-          spark, name, s"$name/", d.toString)
-        catch { case _: Exception => () }
+    try {
+      val dirs = st.iterator()
+      while (dirs.hasNext) {
+        val d = dirs.next()
+        if (java.nio.file.Files.isDirectory(d)) {
+          val name = d.getFileName.toString.toLowerCase.replaceAll("[^a-z0-9_]", "_")
+          try out += GraftCatalog.tableMetaFromParquet(
+            spark, name, s"$name/", d.toString)
+          catch { case _: Exception => () }
+        }
       }
-    }
+    } finally st.close()
     out.toSeq
   }
 }

@@ -97,9 +97,12 @@ object EventStreams {
 
   /** Run any of the above to completion over the existing files and return
     * the result table (Trigger.AvailableNow = drain-then-stop; the
-    * streaming execution path, not a batch rewrite). */
+    * streaming execution path, not a batch rewrite). outputMode is
+    * operator-dependent and therefore required: "complete" for the
+    * windowed aggregations, "append" for dedupEvents, "update" for
+    * mapGroupsWithState. */
   def runAvailableNow(spark: SparkSession, out: DataFrame, name: String,
-      outputMode: String = "complete"): DataFrame = {
+      outputMode: String): DataFrame = {
     val checkpoint = java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString
     val query: StreamingQuery = out.writeStream
       .format("memory")

@@ -171,6 +171,34 @@ class MetaSpec extends AnyFunSuite {
       Seq("long", "character", "array<float>", "struct<num:int>"))
   }
 
+  test("out-of-range decimal is invalid, not a crash") {
+    assert(!graft.types.AgnosticType.isValid("decimal(2,5)"))
+    assert(!graft.types.AgnosticType.isValid("decimal(99,0)"))
+    assert(graft.types.AgnosticType.isValid("decimal(38,38)"))
+  }
+
+  test("explicit JSON null behaves like a missing key") {
+    val t = MetaJson.tableFromJson(
+      """{"name":"t","location":"t/","data_format":"parquet",
+         "description":null,"glue_specific":null,
+         "columns":[{"name":"c","type":"int","nullable":null,"pattern":null}]}""")
+    assert(t.description == "")
+    assert(t.glueSpecific.isEmpty)
+    assert(t.columns.head.nullable.isEmpty)
+    assert(t.columns.head.pattern.isEmpty)
+  }
+
+  test("updateColumn rename propagates to partitions/pk; dup rename rejected") {
+    val t = TableMeta("t", "t/", Seq(
+      ColumnMeta("a", "int"), ColumnMeta("p", "int")),
+      primaryKey = Seq("p")).withPartitions(Seq("p"))
+    val renamed = t.updateColumn("p")(_.copy(name = "p2"))
+    assert(renamed.partitions == Seq("p2") && renamed.primaryKey == Seq("p2"))
+    renamed.validated
+    intercept[IllegalArgumentException](
+      t.updateColumn("p")(_.copy(name = "a"))) // collides with existing column
+  }
+
   test("folder round-trip: write then read back equals") {
     val dir = java.nio.file.Files.createTempDirectory("graftmeta").toString
     val db = db1

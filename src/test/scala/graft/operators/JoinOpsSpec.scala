@@ -38,6 +38,15 @@ class JoinOpsSpec extends SparkTestBase {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("vec_dot on length-mismatched vectors is null, like the HOF form") {
+    val d = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val r = d.select(graft.functions.VectorFunctions.vecDot($"a", $"b").as("d"))
+      .collect()
+    assert(r(0).isNullAt(0))
+    assert(r(1).getDouble(0) == 11.0)
+  }
+
   test("GraftExtensions: custom expressions callable from SQL") {
     GraftExtensions.register(spark)
     graft.sources.Tables.load(spark, sf(), "embeddings")

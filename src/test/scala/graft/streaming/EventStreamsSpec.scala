@@ -13,7 +13,7 @@ class EventStreamsSpec extends SparkTestBase {
 
   test("tumbling window streaming result equals batch result") {
     val s = EventStreams.runAvailableNow(spark,
-      EventStreams.tumblingCounts(stream), "t_tumbling")
+      EventStreams.tumblingCounts(stream), "t_tumbling", outputMode = "complete")
     val b = batch.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("total"))
       .select(col("window.start").as("window_start"), col("event_type"),
@@ -23,7 +23,7 @@ class EventStreamsSpec extends SparkTestBase {
 
   test("session window streaming result equals batch result") {
     val s = EventStreams.runAvailableNow(spark,
-      EventStreams.sessionCounts(stream), "t_session")
+      EventStreams.sessionCounts(stream), "t_session", outputMode = "complete")
     val b = batch.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"))
       .select(col("user_id"), col("session_start"), col("n_events"))
