@@ -53,7 +53,12 @@ object GraftJob {
       workers: Int = 2,
       workerType: String = "G.1X",
       costCap: Double = MaximumCostCap): Seq[JobResult] = {
-    val budgetSec = timeoutMinutes(workers, workerType, costCap) * 60.0
+    // the runner keeps seconds precision; timeoutMinutes' int truncation
+    // exists only for parity with the reference's Glue API field
+    val dpu = AllowedWorkerTypes.getOrElse(workerType,
+      throw new IllegalArgumentException(
+        s"worker_type must be one of ${AllowedWorkerTypes.keys.toSeq.sorted.mkString(", ")}"))
+    val budgetSec = 3600.0 * costCap / (WorkerHourlyCost * dpu * workers)
     val jobStart = System.nanoTime()
     def elapsed = (System.nanoTime() - jobStart) / 1e9
 

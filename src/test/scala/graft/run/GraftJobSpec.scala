@@ -32,6 +32,23 @@ class GraftJobSpec extends SparkTestBase {
     assert(r.head.isInstanceOf[GraftJob.JobFailed])
   }
 
+  test("a query exceeding the remaining budget is cancelled mid-flight") {
+    val out = java.nio.file.Files.createTempDirectory("graftjob4").toString
+    val slow = Map("crawl" -> ((s: org.apache.spark.sql.SparkSession, d: String) => {
+      import s.implicits._
+      s.range(0, 64, 1, 8).mapPartitions { it =>
+        Thread.sleep(60000); it
+      }.toDF("id")
+    }))
+    // G.8X x 40 workers at a 2-cent cap -> sub-second budget
+    val t0 = System.nanoTime()
+    val r = GraftJob.run(spark, slow, sf(), out,
+      workers = 40, workerType = "G.8X", costCap = 0.02)
+    val took = (System.nanoTime() - t0) / 1e9
+    assert(r.head.isInstanceOf[GraftJob.JobTimedOut], r.head.toString)
+    assert(took < 30, s"cancellation took ${took}s — query was not cut short")
+  }
+
   test("zero budget times out immediately") {
     val out = java.nio.file.Files.createTempDirectory("graftjob3").toString
     val subset = graft.SparkEntry.queries.view.filterKeys(Set("q_scan_all")).toMap
