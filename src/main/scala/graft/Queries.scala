@@ -586,6 +586,118 @@ object Queries {
              SELECT n, n * n AS sq FROM nums ORDER BY n""")
   }
 
+  q("q_intersect_all",
+    """SELECT c_nationkey AS nk FROM customer
+      |INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin) { (s, d) =>
+    t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      .intersectAll(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+  }
+
+  q("q_except_all",
+    """SELECT c_nationkey AS nk FROM customer
+      |EXCEPT ALL SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin) { (s, d) =>
+    t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      .exceptAll(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+  }
+
+  // --------------------------------------------------- TPC-H classic shapes
+
+  q("q_tpch3",
+    // shipping-priority (Q3 shape): 3-way join + group + top-10 by revenue
+    """SELECT l.l_orderkey,
+      |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      |  o.o_orderdate, o.o_orderpriority
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val l = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+      .agg(round(sum(l("l_extendedprice") * (lit(1) - l("l_discount"))), 2).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  q("q_tpch5",
+    // local-supplier volume (Q5 shape): 6-way star join, dims broadcast
+    """SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |GROUP BY n.n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer"); val o = t(s, d, "orders")
+    val l = t(s, d, "lineitem"); val sup = t(s, d, "supplier")
+    val n = t(s, d, "nation")
+    val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup),
+        l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name"))
+      .agg(round(sum(l("l_extendedprice") * (lit(1) - l("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  q("q_tpch10",
+    // returned-item reporting (Q10 shape): top-20 customers by lost revenue
+    """SELECT c.c_custkey, c.c_name,
+      |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      |  n.n_name
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE l.l_returnflag = 'R'
+      |GROUP BY c.c_custkey, c.c_name, n.n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer"); val o = t(s, d, "orders")
+    val n = t(s, d, "nation")
+    val l = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(c("c_custkey"), c("c_name"), n("n_name"))
+      .agg(round(sum(l("l_extendedprice") * (lit(1) - l("l_discount"))), 2).as("revenue"))
+      .select("c_custkey", "c_name", "revenue", "n_name")
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  q("q_fn_bitwise",
+    """SELECT o_orderkey,
+      |  o_orderkey & 255 AS band,
+      |  o_orderkey | 1 AS orr,
+      |  xor(o_orderkey, 5) AS oxor,
+      |  o_orderkey << 2 AS shl,
+      |  o_orderkey >> 1 AS shr
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      col("o_orderkey").bitwiseAND(255).as("band"),
+      col("o_orderkey").bitwiseOR(1).as("orr"),
+      col("o_orderkey").bitwiseXOR(5).as("oxor"),
+      expr("shiftleft(o_orderkey, 2)").as("shl"),
+      expr("shiftright(o_orderkey, 1)").as("shr"))
+      .orderBy("o_orderkey")
+  }
+
   // ------------------------------------------------------------ §2.G scalar functions
 
   q("q_fn_string",

@@ -69,6 +69,26 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * signups within the preceding hour. Both sides carry watermarks so
+    * Spark can bound the join state (rows older than the interval +
+    * watermark are evicted) — the state-bounded streaming join shape. */
+  def purchaseSignupJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "2 hours")
+    purchases.join(signups,
+      col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "user_id", "p_ts", "signup_id", "s_ts")
+  }
+
   /** Custom keyed state (SURVEY §2.J / builder north star:
     * `KeyValueGroupedDataset.mapGroupsWithState` for semantics window
     * functions can't express). Per-user running totals carried in explicit

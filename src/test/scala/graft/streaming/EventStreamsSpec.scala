@@ -30,6 +30,22 @@ class EventStreamsSpec extends SparkTestBase {
     assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val s = EventStreams.runAvailableNow(spark,
+      EventStreams.purchaseSignupJoin(stream), "t_ssjoin", outputMode = "append")
+    val p = batch.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val g = batch.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+    val b = p.join(g, col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "user_id", "p_ts", "signup_id", "s_ts")
+    assert(s.count() > 0, "no joined rows — fixture should contain matches")
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
+  }
+
   test("mapGroupsWithState running totals equal the batch aggregate") {
     val s = EventStreams.runAvailableNow(spark,
       EventStreams.userRunningTotals(stream), "t_state", outputMode = "update")
