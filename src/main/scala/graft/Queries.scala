@@ -1037,6 +1037,40 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  q("q_dedup_clusters",
+    // connected components over the near-dup pairs; the oracle computes
+    // min-reachable-id per node via a recursive transitive closure
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 1))])) AS s
+      |  FROM words),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |shared AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 100),
+      |cp AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM (SELECT * FROM sh WHERE s IN (SELECT s FROM shared)) a
+      |  JOIN (SELECT * FROM sh WHERE s IN (SELECT s FROM shared)) b USING (s)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cp
+      |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.8),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |labels AS (
+      |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+      |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(
+      t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8,
+      maxShingleDf = 100L)
+    graft.operators.Dedup.dedupClusters(pairs).orderBy("doc_id")
+  }
+
   // MinHash-LSH and SimHash use xxhash64 — not reproducible in DuckDB,
   // rows-only checks; exactness is asserted against q_dedup_ngram in specs.
   qNoOracle("q_dedup_minhash") { (s, d) =>

@@ -123,6 +123,44 @@ object Dedup {
       graft.functions.SketchAggregates.simhashAgg(col("w")).as("simhash"))
   }
 
+  /** Connected components over near-dup pairs: iterative min-label
+    * propagation (each node takes the min of its own and its neighbors'
+    * labels until fixpoint). This is how pairwise near-dup hits become
+    * removable duplicate GROUPS — removing id_b of every pair over-deletes
+    * when clusters chain (a~b, b~c: b and c both vanish even though c
+    * survives b's removal).
+    *
+    * Scale: each iteration is one join + one agg, both keyed on doc_id;
+    * iterations ≈ graph diameter (near-dup clusters are shallow).
+    * Converged labels are checked with a cheap count per round. */
+  def dedupClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+    var labels = edges.select(col("u").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIterations && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "v")
+          .withColumnRenamed("cluster_id", "v_label"), Seq("v"))
+        .groupBy(col("u").as("doc_id"))
+        .agg(min(col("v_label")).as("n_label"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint() // truncate the growing iterative lineage
+      converged = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

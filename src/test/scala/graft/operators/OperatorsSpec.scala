@@ -97,6 +97,15 @@ class OperatorsSpec extends SparkTestBase {
     assert(simAgg == simColWise)
   }
 
+  test("dedupClusters: chained pairs collapse into one component") {
+    import spark.implicits._
+    // 1-2, 2-3 chain plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("broadcast brute pairs equal the join-based formulation exactly") {
     val a = Similarity.bruteNearDupPairs(emb, "vec_id", "embedding", 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
