@@ -1071,6 +1071,13 @@ object Queries {
     graft.operators.Dedup.dedupClusters(pairs).orderBy("doc_id")
   }
 
+  // composite pipeline — stages individually oracled above; the composite
+  // is property-tested (survivor invariants) in specs
+  qNoOracle("q_corpus_clean") { (s, d) =>
+    graft.operators.CorpusPipeline.cleanCorpus(t(s, d, "documents"))
+      .select("doc_id", "quality").orderBy("doc_id")
+  }
+
   // MinHash-LSH and SimHash use xxhash64 — not reproducible in DuckDB,
   // rows-only checks; exactness is asserted against q_dedup_ngram in specs.
   qNoOracle("q_dedup_minhash") { (s, d) =>

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composite training-corpus cleaning pipeline (the user story the
+  * §2.K extensions exist for): exact dedup → near-dup cluster collapse →
+  * quality floor → optional language allowlist. Returns the surviving
+  * rows of `docs` with provenance columns describing why each doc was
+  * kept.
+  *
+  * Scale shape: every stage is a keyed shuffle or projection over
+  * (doc_id, small-payload) frames; full documents are only carried in the
+  * final semi-join back onto the input. */
+object CorpusPipeline {
+
+  /** @param jaccardThreshold near-dup cutoff for the n-gram stage
+    * @param minQuality keep docs with TextAnalysis quality >= this
+    * @param languages  keep docs whose predicted language is in this set
+    *                   (empty = no language filter) */
+  def cleanCorpus(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      jaccardThreshold: Double = 0.8,
+      minQuality: Double = 0.3,
+      languages: Set[String] = Set.empty): DataFrame = {
+
+    // 1. exact dedup: min-id survivor per distinct text
+    val exact = Dedup.exactDedup(docs, idCol, textCol)
+
+    // 2. near-dup clusters over the exact survivors; keep each cluster's
+    //    min id (cluster_id IS the min by construction)
+    val pairs = Dedup.ngramJaccardPairs(exact, idCol, textCol,
+      n = 3, threshold = jaccardThreshold, maxShingleDf = 100L)
+    val clusters = Dedup.dedupClusters(pairs)
+    val nearDupLosers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val deduped = exact.join(nearDupLosers,
+      exact(idCol) === nearDupLosers("doc_id"), "left_anti")
+
+    // 3. quality floor
+    val quality = TextAnalysis.qualityScore(deduped, idCol, textCol)
+      .select(col(idCol), col("quality"))
+    val qualified = deduped.join(
+      quality.filter(col("quality") >= minQuality).select(idCol), Seq(idCol))
+
+    // 4. language allowlist
+    val kept =
+      if (languages.isEmpty) qualified
+      else {
+        val lang = TextAnalysis.languageId(qualified, idCol, textCol)
+          .select(col(idCol), col("lang_pred"))
+        qualified.join(
+          lang.filter(col("lang_pred").isin(languages.toSeq: _*)).select(idCol),
+          Seq(idCol))
+      }
+
+    kept.join(quality, Seq(idCol), "left")
+  }
+}

@@ -133,10 +133,42 @@ object Dedup {
     * Scale: each iteration is one join + one agg, both keyed on doc_id;
     * iterations ≈ graph diameter (near-dup clusters are shallow).
     * Converged labels are checked with a cheap count per round. */
-  def dedupClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIterations: Int = 20,
+      driverUnionFindThreshold: Long = 2_000_000L): DataFrame = {
+    // materialize the edge list ONCE: without this every iteration's join
+    // re-executes the full upstream pair-generation lineage (shingling,
+    // joins) — the iteration cost must be proportional to the graph, not
+    // to the corpus
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
+      .repartition(8) // candidate graphs are orders smaller than the corpus
+      .localCheckpoint()
+
+    // small-graph fast path: near-dup graphs are typically tiny relative
+    // to the corpus; below the threshold a driver union-find beats paying
+    // Spark job overhead per propagation round (same min-id result)
+    val edgeCount = edges.count()
+    if (edgeCount <= driverUnionFindThreshold) {
+      val spark = pairs.sparkSession
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.select("u", "v").collect().foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      val nodes = parent.keySet ++ parent.values
+      val out = nodes.toSeq.map(n => (n, find(n))).sorted
+      import spark.implicits._
+      return out.toDF("doc_id", "cluster_id")
+    }
+
     var labels = edges.select(col("u").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
@@ -148,14 +180,15 @@ object Dedup {
           .withColumnRenamed("cluster_id", "v_label"), Seq("v"))
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("v_label")).as("n_label"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+      // carry the old label through one checkpointed frame so the
+      // convergence check is a count on materialized data, not a re-join
+      val step = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id").as("old"),
           least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint() // truncate the growing iterative lineage
-      converged = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).isEmpty
-      labels = next
+        .localCheckpoint() // also truncates the iterative lineage
+      converged = step.filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = step.drop("old")
       iter += 1
     }
     labels

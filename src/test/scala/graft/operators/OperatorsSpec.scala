@@ -97,13 +97,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(simAgg == simColWise)
   }
 
+  test("cleanCorpus: survivors are exact-unique, cluster-min, above quality floor") {
+    val cleaned = CorpusPipeline.cleanCorpus(docs, minQuality = 0.2)
+    val ids = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.size < docs.count())
+    // no surviving near-dup pair: every Jaccard pair has lost its non-min id
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(!(ids.contains(a) && ids.contains(b)),
+        s"near-dup pair ($a,$b) fully survived") }
+    // quality floor holds
+    val qs = cleaned.select("quality").collect().map(_.getDouble(0))
+    assert(qs.forall(_ >= 0.2))
+  }
+
   test("dedupClusters: chained pairs collapse into one component") {
     import spark.implicits._
     // 1-2, 2-3 chain plus isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val labels = Dedup.dedupClusters(pairs).collect()
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    // driver union-find fast path
+    val fast = Dedup.dedupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(fast == expected)
+    // distributed label-propagation path (threshold 0 forces it)
+    val dist = Dedup.dedupClusters(pairs, driverUnionFindThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
   }
 
   test("broadcast brute pairs equal the join-based formulation exactly") {
