@@ -26,8 +26,10 @@ object CorpusPipeline {
       minQuality: Double = 0.3,
       languages: Set[String] = Set.empty): DataFrame = {
 
-    // 1. exact dedup: min-id survivor per distinct text
-    val exact = Dedup.exactDedup(docs, idCol, textCol)
+    // 1. exact dedup: min-id survivor per distinct text — materialized
+    //    once, since the near-dup, quality and language stages all consume
+    //    it (otherwise each stage re-runs the dedup shuffle)
+    val exact = Dedup.exactDedup(docs, idCol, textCol).localCheckpoint()
 
     // 2. near-dup clusters over the exact survivors; keep each cluster's
     //    min id (cluster_id IS the min by construction)
