@@ -1071,6 +1071,26 @@ object Queries {
     graft.operators.Dedup.dedupClusters(pairs).orderBy("doc_id")
   }
 
+  q("q_sample_split",
+    // deterministic content-hash sampling + train/val/test assignment —
+    // reproducible across engines and runs, unlike TABLESAMPLE
+    """SELECT doc_id,
+      |  substr(md5(text), 1, 2) AS h2,
+      |  CASE WHEN substr(md5(text), 1, 2) < '0a' THEN 'test'
+      |       WHEN substr(md5(text), 1, 2) < '14' THEN 'val'
+      |       ELSE 'train' END AS split
+      |FROM documents
+      |WHERE substr(md5(text), 1, 2) < 'c0'
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val h2 = substring(md5(col("text")), 1, 2)
+    t(s, d, "documents")
+      .select(col("doc_id"), h2.as("h2"),
+        when(h2 < "0a", "test").when(h2 < "14", "val")
+          .otherwise("train").as("split"))
+      .filter(col("h2") < "c0")
+      .orderBy("doc_id")
+  }
+
   // composite pipeline — stages individually oracled above; the composite
   // is property-tested (survivor invariants) in specs
   qNoOracle("q_corpus_clean") { (s, d) =>
