@@ -718,6 +718,29 @@ object Queries {
       .orderBy("p_partkey")
   }
 
+  q("q_fn_string2",
+    """SELECT p_partkey,
+      |  lpad(cast(p_size AS VARCHAR), 4, '0') AS size_pad,
+      |  rpad(p_brand, 12, '.') AS brand_pad,
+      |  reverse(p_brand) AS brand_rev,
+      |  repeat('ab', 3) AS rep,
+      |  left(p_name, 3) AS l3, right(p_name, 3) AS r3,
+      |  strpos(p_type, 'ED') AS pos_ed,
+      |  translate(p_brand, '#', '-') AS brand_t
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    t(s, d, "part").select(
+      col("p_partkey"),
+      lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+      rpad(col("p_brand"), 12, ".").as("brand_pad"),
+      reverse(col("p_brand")).as("brand_rev"),
+      lit("ab" * 3).as("rep"),
+      substring(col("p_name"), 1, 3).as("l3"),
+      expr("right(p_name, 3)").as("r3"),
+      expr("instr(p_type, 'ED')").as("pos_ed"),
+      translate(col("p_brand"), "#", "-").as("brand_t"))
+      .orderBy("p_partkey")
+  }
+
   q("q_fn_regex",
     """SELECT p_partkey, p_type,
       |  regexp_extract(p_type, '^(\w+)', 1) AS first_word,
