@@ -322,12 +322,15 @@ object Queries {
   }
 
   q("q_agg_collect",
-    // order-insensitive list aggregation: sorted arrays compare equal
-    """SELECT n_regionkey, list_sort(array_agg(n_name)) AS names
-      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, d) =>
-    t(s, d, "nation").groupBy("n_regionkey")
-      .agg(sort_array(collect_list("n_name")).as("names"))
-      .orderBy("n_regionkey")
+    // order-insensitive list aggregation (collect_list incl. duplicates).
+    // The list is sorted then joined to a string: the driver's pandas hasher
+    // cannot hash a raw array column (numpy.ndarray is unhashable), so the
+    // canonical form is the joined string; QueriesSpec keeps the array form.
+    """SELECT c_nationkey, array_to_string(list_sort(array_agg(c_mktsegment)), '|') AS segments
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+    t(s, d, "customer").groupBy("c_nationkey")
+      .agg(array_join(sort_array(collect_list("c_mktsegment")), "|").as("segments"))
+      .orderBy("c_nationkey")
   }
 
   q("q_agg_string",
@@ -341,15 +344,18 @@ object Queries {
   // ------------------------------------------------------------ §2.F windows/sort/set
 
   q("q_win_distribution",
+    // partitioned by o_custkey (high cardinality): at 100 TB this spreads
+    // across the cluster, unlike the 3-value o_orderstatus key which would
+    // put the whole table into 3 window tasks
     """SELECT o_orderkey,
       |  ntile(4) OVER w AS quartile,
       |  round(percent_rank() OVER w, 6) AS pr,
       |  round(cume_dist() OVER w, 6) AS cd
       |FROM orders
-      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("o_orderstatus")
+    val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice"), col("o_orderkey"))
     t(s, d, "orders").select(
       col("o_orderkey"),
@@ -360,19 +366,25 @@ object Queries {
   }
 
   q("q_win_range",
-    // RANGE frame over an integer ordering key; decimal sums stay exact
+    // RANGE frame over an integer ordering key; the sum runs in DECIMAL
+    // (exact under any accumulation order) and only the final projection is
+    // cast to DOUBLE so both engines hash the same physical type.
+    // Partition key is o_custkey (high cardinality) — a RANGE frame over the
+    // same key degenerates to per-partition totals, which is exactly the
+    // "running neighbourhood" semantics but with a scale-safe key (the old
+    // 3-value o_orderstatus key meant 3 window tasks at 100 TB).
     """SELECT o_custkey, o_orderkey,
-      |  sum(cast(o_totalprice AS DECIMAL(18,2))) OVER (
-      |    PARTITION BY o_orderstatus ORDER BY o_custkey
-      |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS near_total
+      |  cast(sum(cast(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_total
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("o_orderstatus").orderBy("o_custkey")
-      .rangeBetween(-5, Window.currentRow)
-    t(s, d, "orders")
-      .select(col("o_custkey"), col("o_orderkey"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).as("near_total"))
-      .orderBy("o_custkey", "o_orderkey")
+    t(s, d, "orders").createOrReplaceTempView("win_range_orders")
+    s.sql("""SELECT o_custkey, o_orderkey,
+               cast(sum(cast(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_total
+             FROM win_range_orders ORDER BY o_custkey, o_orderkey""")
   }
 
   q("q_win_rank",
@@ -392,16 +404,18 @@ object Queries {
   }
 
   q("q_win_agg",
-    // Cast the INPUT to decimal and keep the window aggregates in decimal:
-    // double accumulation order differs between engines (segment trees vs
-    // sequential) and round()/avg() ties then disagree; decimal sums are
-    // exact and associate freely. (DuckDB's avg-over-decimal returns DOUBLE,
-    // so the sliding metric is a 3-row sum, not an avg.)
+    // Cast the INPUT to decimal and accumulate the window aggregates in
+    // decimal: double accumulation order differs between engines (segment
+    // trees vs sequential) and round()/avg() ties then disagree; decimal sums
+    // are exact and associate freely. Only the FINAL projection is cast to
+    // DOUBLE (exact at these magnitudes) so both engines hash the same
+    // physical type — Spark widens sum(DECIMAL(18,2)) to (28,2), DuckDB to
+    // (38,2), and the driver's hasher distinguishes those.
     """SELECT o_custkey, o_orderkey,
-      |  sum(cast(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
-      |  sum(cast(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum3
+      |  cast(sum(cast(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      |  cast(sum(cast(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val base = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -409,8 +423,9 @@ object Queries {
     t(s, d, "orders")
       .select(col("o_custkey"), col("o_orderkey"),
         sum(dec).over(
-          base.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("running_total"),
-        sum(dec).over(base.rowsBetween(-2, 0)).as("moving_sum3"))
+          base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"),
+        sum(dec).over(base.rowsBetween(-2, 0)).cast("double").as("moving_sum3"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -555,24 +570,27 @@ object Queries {
   }
 
   q("q_cte",
+    // top-20 via ORDER BY + LIMIT instead of a global rank() window: the
+    // (n DESC, o_custkey) sort key is unique, so the two are equivalent, and
+    // Spark plans LIMIT as TakeOrderedAndProject (per-partition top-20 then a
+    // single 20-row merge) where an unpartitioned window would funnel every
+    // row through one task at scale.
     """WITH cust_orders AS (
       |  SELECT o_custkey, count(*) AS n, max(o_totalprice) AS max_price
       |  FROM orders GROUP BY o_custkey),
-      |ranked AS (
-      |  SELECT o_custkey, n, max_price,
-      |         rank() OVER (ORDER BY n DESC, o_custkey) AS rk
-      |  FROM cust_orders)
-      |SELECT o_custkey, n, max_price FROM ranked WHERE rk <= 20
+      |top20 AS (
+      |  SELECT o_custkey, n, max_price FROM cust_orders
+      |  ORDER BY n DESC, o_custkey LIMIT 20)
+      |SELECT o_custkey, n, max_price FROM top20
       |ORDER BY o_custkey""".stripMargin) { (s, d) =>
     t(s, d, "orders").createOrReplaceTempView("cte_orders")
     s.sql("""WITH cust_orders AS (
                SELECT o_custkey, count(*) AS n, max(o_totalprice) AS max_price
                FROM cte_orders GROUP BY o_custkey),
-             ranked AS (
-               SELECT o_custkey, n, max_price,
-                      rank() OVER (ORDER BY n DESC, o_custkey) AS rk
-               FROM cust_orders)
-             SELECT o_custkey, n, max_price FROM ranked WHERE rk <= 20
+             top20 AS (
+               SELECT o_custkey, n, max_price FROM cust_orders
+               ORDER BY n DESC, o_custkey LIMIT 20)
+             SELECT o_custkey, n, max_price FROM top20
              ORDER BY o_custkey""")
   }
 
@@ -777,7 +795,7 @@ object Queries {
       |  ceil(l_quantity) AS q_ceil, floor(l_quantity) AS q_floor,
       |  round(power(l_tax + 1, 2), 6) AS tax_sq,
       |  round(ln(l_extendedprice), 6) AS p_ln,
-      |  cast(l_extendedprice AS DECIMAL(18,2)) AS p_dec
+      |  cast(cast(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS p_dec
       |FROM lineitem WHERE l_orderkey < 100
       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
     t(s, d, "lineitem").filter(col("l_orderkey") < 100).select(
@@ -788,14 +806,16 @@ object Queries {
       floor(col("l_quantity")).as("q_floor"),
       round(pow(col("l_tax") + 1, 2), 6).as("tax_sq"),
       round(log(col("l_extendedprice")), 6).as("p_ln"),
-      col("l_extendedprice").cast("decimal(18,2)").as("p_dec"))
+      // decimal rounding exercised, then back to DOUBLE for a hash-stable
+      // physical type (engines disagree on decimal widening/serialization)
+      col("l_extendedprice").cast("decimal(18,2)").cast("double").as("p_dec"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
   q("q_fn_cast",
     """SELECT o_orderkey,
       |  cast(floor(o_totalprice) AS BIGINT) AS price_long,
-      |  cast(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+      |  cast(cast(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec,
       |  cast(cast(o_orderdate AS DATE) AS VARCHAR) AS date_str,
       |  cast(o_orderkey AS DOUBLE) AS key_dbl,
       |  cast('42' AS INT) AS s2i
@@ -804,7 +824,9 @@ object Queries {
       col("o_orderkey"),
       // floor first: DuckDB's double→bigint cast rounds, Spark's truncates
       floor(col("o_totalprice")).cast("bigint").as("price_long"),
-      col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
+      // string form pins the 2-dp decimal rendering ("123.40") in both
+      // engines; a raw decimal column hashes differently across engines
+      col("o_totalprice").cast("decimal(18,2)").cast("string").as("price_dec"),
       col("o_orderdate").cast("date").cast("string").as("date_str"),
       col("o_orderkey").cast("double").as("key_dbl"),
       lit("42").cast("int").as("s2i"))
@@ -887,13 +909,14 @@ object Queries {
   // ------------------------------------------------------------ §2.J streaming (batch-mode windows)
 
   q("q_stream_tumbling",
+    // decimal accumulation (exact), DOUBLE final projection (hash-stable)
     """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
-      |  sum(cast(value AS DECIMAL(18,2))) AS total
+      |  cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
     t(s, d, "events")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("total"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
       .orderBy("window_start", "event_type")
@@ -1141,7 +1164,9 @@ object Queries {
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    graft.operators.Similarity.bruteNearDupPairs(
+    // size-adaptive: exact broadcast kernel under the budget (this scale),
+    // IVF-cell-blocked pair join past it (the 100 TB path)
+    graft.operators.Similarity.nearDupPairsAuto(
         t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.45)
       .orderBy("id_a", "id_b")
   }
@@ -1266,16 +1291,17 @@ object Queries {
 
   q("q_embed_centroids",
     // per-label centroid components (first 8 dims): decimal sums + counts
-    // stay exact under any accumulation order, unlike a double avg
+    // stay exact under any accumulation order, unlike a double avg; the
+    // final projection goes back to DOUBLE for a hash-stable physical type
     """SELECT label, i.range AS pos,
-      |  sum(cast(cast(embedding[i.range + 1] AS DOUBLE) AS DECIMAL(12,6))) AS comp_sum,
+      |  cast(sum(cast(cast(embedding[i.range + 1] AS DOUBLE) AS DECIMAL(12,6))) AS DOUBLE) AS comp_sum,
       |  count(*) AS n
       |FROM embeddings CROSS JOIN range(8) i
       |GROUP BY label, i.range ORDER BY label, pos""".stripMargin) { (s, d) =>
     t(s, d, "embeddings")
       .select(col("label"), posexplode(slice(col("embedding"), 1, 8)))
       .groupBy(col("label"), col("pos"))
-      .agg(sum(col("col").cast("double").cast("decimal(12,6)")).as("comp_sum"),
+      .agg(sum(col("col").cast("double").cast("decimal(12,6)")).cast("double").as("comp_sum"),
         count(lit(1)).as("n"))
       .orderBy("label", "pos")
   }

@@ -134,22 +134,31 @@ object Dedup {
     * iterations ≈ graph diameter (near-dup clusters are shallow).
     * Converged labels are checked with a cheap count per round. */
   def dedupClusters(pairs: DataFrame, maxIterations: Int = 20,
-      driverUnionFindThreshold: Long = 2_000_000L): DataFrame = {
+      driverUnionFindThreshold: Long = -1L): DataFrame = {
+    val parallelism = pairs.sparkSession.sparkContext.defaultParallelism
+    // auto threshold: a collected edge costs ~100 bytes in the driver
+    // union-find hashmap; budget ~5% of the driver heap for it, so the
+    // fast path grows with the driver instead of a hardcoded constant
+    val ufThreshold =
+      if (driverUnionFindThreshold >= 0L) driverUnionFindThreshold
+      else Runtime.getRuntime.maxMemory / 20L / 100L
     // materialize the edge list ONCE: without this every iteration's join
     // re-executes the full upstream pair-generation lineage (shingling,
     // joins) — the iteration cost must be proportional to the graph, not
-    // to the corpus
+    // to the corpus. Candidate graphs are orders smaller than the corpus,
+    // so use a fraction of the cluster's parallelism (chunky tasks), never
+    // a literal width.
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
-      .repartition(8) // candidate graphs are orders smaller than the corpus
+      .repartition(math.max(parallelism / 4, 8))
       .localCheckpoint()
 
     // small-graph fast path: near-dup graphs are typically tiny relative
     // to the corpus; below the threshold a driver union-find beats paying
     // Spark job overhead per propagation round (same min-id result)
     val edgeCount = edges.count()
-    if (edgeCount <= driverUnionFindThreshold) {
+    if (edgeCount <= ufThreshold) {
       val spark = pairs.sparkSession
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {

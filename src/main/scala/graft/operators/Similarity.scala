@@ -170,6 +170,46 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Size-adaptive near-dup pairs — the registered inventory path.
+    *
+    * Exact all-pairs cosine is inherently O(n²): no blocking scheme is both
+    * exact and sub-quadratic at a 0.45 threshold. The scale strategy is
+    * therefore a gate, not a single algorithm:
+    *   - while the (id, vec) set fits a broadcast budget (default 128 MB,
+    *     ~250k 128-dim vectors), run the exact broadcast kernel
+    *     ([[bruteNearDupPairs]]) — O(n²·d) flops in-register, zero shuffle;
+    *   - beyond the budget, switch to the IVF-cell-blocked pair join
+    *     ([[embeddingNearDupPairs]]) with centroids drawn as a deterministic
+    *     hash-ordered sample — same-cell pairs only (standard blocked-ANN
+    *     dedup, approximate recall), but each cell's pair join is local and
+    *     the whole thing scales horizontally.
+    * The gate reads only count + one head row (vector dim) — no full-table
+    * driver collect on either path; centroid sampling collects k rows. */
+  def nearDupPairsAuto(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, broadcastBudgetBytes: Long = 128L << 20): DataFrame = {
+    val spark = embeddings.sparkSession
+    val n = embeddings.count()
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    val bytes = n * (dim.toLong * 4 + 24) // floats + per-row object overhead
+    if (bytes <= broadcastBudgetBytes) {
+      bruteNearDupPairs(embeddings, idCol, vecCol, threshold)
+    } else {
+      // enough cells that one cell's rows stay task-sized (~budget/8 bytes),
+      // at least one per core so the pair joins saturate the cluster — but
+      // never so many that cells average fewer than ~16 rows (degenerate
+      // blocking where every vector sits alone)
+      val perCellBytes = math.max(broadcastBudgetBytes / 8, 1L << 20)
+      val wanted = math.max(spark.sparkContext.defaultParallelism.toLong,
+        bytes / perCellBytes + 1)
+      val k = math.min(wanted, math.max(1L, n / 16)).toInt
+      val centroids = embeddings
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(k).select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).toArray).toSeq
+      embeddingNearDupPairs(embeddings, idCol, vecCol, centroids, threshold)
+    }
+  }
+
   /** All near-duplicate pairs by embedding cosine ≥ threshold, bucketed by
     * IVF cell so the pair join is per-cell, not global (same-cell pairs
     * only — approximate, standard blocked-ANN dedup). */

@@ -137,6 +137,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(a.nonEmpty)
   }
 
+  test("nearDupPairsAuto: exact under the broadcast budget, cell-blocked past it") {
+    val exact = Similarity.bruteNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // default budget: small table -> identical to the exact kernel
+    val auto = Similarity.nearDupPairsAuto(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto == exact)
+    // 0-byte budget forces the cell-blocked path: approximate (same-cell
+    // pairs only) — a subset of the exact pairs, with identical scores
+    val blocked = Similarity.nearDupPairsAuto(emb, "vec_id", "embedding", 0.4,
+        broadcastBudgetBytes = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked.subsetOf(exact))
+    assert(blocked.nonEmpty)
+  }
+
   test("rolling hash: deterministic, order-sensitive") {
     import spark.implicits._
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("id", "t")

@@ -3,28 +3,61 @@
 part of the library): run each oracle_sql.json query in DuckDB over the
 same sf parquet dir and compare against the Verify parquet dumps.
 
+Faithful to the driver's pandas-based hasher (round-1 lesson):
+  - the Spark side is read via pyarrow -> pandas, so DECIMAL columns
+    surface as exact decimal.Decimal objects;
+  - the oracle side is duckdb .df(), which converts DECIMAL / HUGEINT to
+    float64;
+  - cells compare with exact Python ==, NO float rounding. Python numeric
+    equality is unified across int/float (6 == 6.0) but exact for
+    Decimal-vs-float (Decimal('123.40') != 1.4-as-double), which is
+    precisely the mismatch the driver's hash catches. A Spark output with
+    a decimal physical type therefore fails here, as it does there.
+  - rows sort via pandas sort_values, which raises on array/ndarray cells
+    exactly like the driver's hasher — nested output columns fail loudly.
+
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 """
-import json, math, sys, glob, os
+import glob
+import json
+import math
+import os
+import sys
+from decimal import Decimal
 
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
-    return v
+def sort_rows(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    # mergesort = stable; na_position fixed so both sides agree on nulls.
+    # Raises TypeError on ndarray cells — same failure the driver hits.
+    return df.sort_values(by=cols, na_position="last", kind="mergesort")
 
 
-def norm(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+def cell_eq(a, b):
+    a_null = a is None or (isinstance(a, float) and math.isnan(a)) or a is pd.NaT
+    b_null = b is None or (isinstance(b, float) and math.isnan(b)) or b is pd.NaT
+    if a_null or b_null:
+        return a_null and b_null
+    if isinstance(a, pd.Timestamp) or isinstance(b, pd.Timestamp):
+        return pd.Timestamp(a) == pd.Timestamp(b)
+    return a == b  # exact; int/float unify, Decimal-vs-float stays exact
+
+
+def decimal_cols(df):
+    out = []
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object and any(isinstance(v, Decimal) for v in col.head(20)):
+            out.append(c)
+    return out
 
 
 def main(sf_dir, out_dir):
@@ -38,38 +71,59 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name in sorted(oracles):
         sql = oracles[name]
-        pq = os.path.join(out_dir, name)
-        files = glob.glob(os.path.join(pq, "*.parquet"))
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no verify parquet output")
             n_fail += 1
             continue
         try:
-            got_rel = con.execute(
-                f"SELECT * FROM read_parquet({files!r})")
-            got_cols = [d[0] for d in got_rel.description]
-            got = got_rel.fetchall()
-            exp_rel = con.execute(sql)
-            exp_cols = [d[0] for d in exp_rel.description]
-            exp = exp_rel.fetchall()
+            got = pq.ParquetDataset(files).read().to_pandas()
+            exp = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
-        if sorted(c.lower() for c in got_cols) != sorted(c.lower() for c in exp_cols):
-            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+        if sorted(c.lower() for c in got.columns) != sorted(c.lower() for c in exp.columns):
+            print(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(exp.columns)}")
             n_fail += 1
             continue
-        g, e = norm(got, got_cols), norm(exp, exp_cols)
-        if g == e:
+        got.columns = [c.lower() for c in got.columns]
+        exp.columns = [c.lower() for c in exp.columns]
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+            n_fail += 1
+            continue
+        # decimal physical types on the SPARK side are driver-unsafe even if
+        # values happen to compare equal locally — flag before comparing
+        dec = decimal_cols(got)
+        if dec:
+            print(f"FAIL {name}: spark output has DECIMAL column(s) {dec} "
+                  f"(driver hashes Decimal vs duckdb float64 — cast to DOUBLE/VARCHAR)")
+            n_fail += 1
+            continue
+        try:
+            g = sort_rows(got)
+            e = sort_rows(exp)
+        except TypeError as te:
+            print(f"FAIL {name}: unsortable/nested column (driver-breaking): {te}")
+            n_fail += 1
+            continue
+        bad = None
+        gv, ev = g.values, e.values
+        for i in range(len(gv)):
+            for j in range(gv.shape[1]):
+                if not cell_eq(gv[i][j], ev[i][j]):
+                    bad = (i, g.columns[j], gv[i][j], ev[i][j])
+                    break
+            if bad:
+                break
+        if bad is None:
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
         else:
-            print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
-            for i, (a, b) in enumerate(zip(g, e)):
-                if a != b:
-                    print(f"  first diff at {i}:\n    got {a}\n    exp {b}")
-                    break
+            i, c, a, b = bad
+            print(f"FAIL {name}: first diff row {i} col {c}: "
+                  f"got {a!r} ({type(a).__name__}) exp {b!r} ({type(b).__name__})")
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
