@@ -73,14 +73,23 @@ object GraftCatalog {
       case "regex" =>
         // RegexSerDe: one capture group per column
         // (specs/regex_specific.json:1-15). Extraction + cast are
-        // codegen'd expressions — stays in WholeStageCodegen.
+        // codegen'd expressions — stays in WholeStageCodegen. The text
+        // source goes through format("text") + basePath (not textFile) so
+        // directory partition columns are discovered, then re-appended
+        // after the extraction projection with their declared types.
         val re = regexFor(table)
         val cols = table.columns.filterNot(c => table.partitions.contains(c.name))
-        val extracted = spark.read.textFile(path).toDF("value").select(
+        val raw = withBase(spark.read.format("text")).load(path)
+        val partFields = table.partitions.filter(raw.columns.contains)
+          .map { p =>
+            val declared = table.fullSchema.fields.find(_.name == p)
+              .map(_.dataType).getOrElse(StringType)
+            col(p).cast(declared).as(p)
+          }
+        raw.select(
           cols.zipWithIndex.map { case (c, i) =>
             regexp_extract(col("value"), re, i + 1).cast(c.toStructField.dataType).as(c.name)
-          }: _*)
-        extracted
+          } ++ partFields: _*)
       case other =>
         throw new IllegalArgumentException(s"unsupported data_format $other")
     }
@@ -171,11 +180,15 @@ object GraftCatalog {
       }
       java.nio.file.Files.deleteIfExists(p)
     }
+    val warehouse = java.nio.file.Paths.get(warehouseRoot).normalize()
     val roots =
       if (tablesOnly) db.tables.map(t => db.tablePath(warehouseRoot, t.name))
       else Seq(db.databasePath(warehouseRoot))
     roots.map(r => java.nio.file.Paths.get(r.stripSuffix("/") + "/").normalize())
-      .filter(_.startsWith(java.nio.file.Paths.get(warehouseRoot).normalize()))
+      .filter(_.startsWith(warehouse))
+      // never delete the warehouse root itself (a degenerate DatabaseMeta
+      // whose databasePath collapses to the root must not wipe everything)
+      .filterNot(_ == warehouse)
       .filter(java.nio.file.Files.exists(_))
       .foreach(rm)
   }
@@ -194,7 +207,16 @@ object GraftCatalog {
     compressionFor(table).foreach(c => w0 = w0.option("compression", c))
     val w = if (table.partitions.nonEmpty) w0.partitionBy(table.partitions: _*) else w0
     table.dataFormat match {
-      case "csv"  => w.option("header", false).csv(path)
+      case "csv"  =>
+        // LazySimpleSerDe symmetry with readTable: the reader parses with NO
+        // quote handling, so the writer must not quote either — otherwise a
+        // value containing ',' or '"' is quoted on write and read back
+        // split/corrupted. With quoting off, embedded separators cannot
+        // round-trip at all (true of LazySimpleSerDe itself); Hive's
+        // answer is "don't put commas in CSV", and ours is the same.
+        w.option("header", false)
+          .option("quote", "\u0000").option("escape", "")
+          .option("emptyValue", "").csv(path)
       case "csv_quoted_nodate" =>
         w.option("header", false).option("quote", "\"").option("escape", "\\").csv(path)
       case "json" => w.json(path)

@@ -13,6 +13,10 @@ final case class DatabaseMeta(
 
   def validated: DatabaseMeta = {
     Validation.validateName(name)
+    // an empty bucket would collapse databasePath to the warehouse root,
+    // making deleteData(tablesOnly = false) wipe the whole warehouse
+    if (bucket.isEmpty)
+      throw new IllegalArgumentException("bucket must be non-empty")
     Validation.validateString(bucket, allowedChars = ".-")
     tables.foreach(_.validated)
     this

@@ -70,19 +70,25 @@ object GraftJob {
         // queries: run the action under a job group and cancel it when the
         // remaining budget is exhausted (the reference's cost-cap kill)
         val group = s"graftjob-$name"
-        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
         try {
           val remainingMs = math.max(1L, ((budgetSec - elapsed) * 1000).toLong)
           val work = scala.concurrent.Future {
-            val df = fn(spark, sfDir)
-            val sink = TableMeta(name.replaceAll("[^a-z0-9_]", "_"), s"$name/",
-              dataFormat = sinkFormat)
-            GraftCatalog.writeTable(df, sink.copy(columns = Seq.empty),
-              s"${outDir.stripSuffix("/")}/$name", mode = "overwrite")
-            spark.read.format(sinkFormat match {
-              case "csv" | "csv_quoted_nodate" => "csv"
-              case f => f
-            }).load(s"${outDir.stripSuffix("/")}/$name").count()
+            // the job group must be set on the thread that RUNS the Spark
+            // actions: local properties are inherited at thread creation
+            // only, so a reused pool thread would otherwise carry a stale
+            // or absent group and cancelJobGroup would cancel nothing
+            spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+            try {
+              val df = fn(spark, sfDir)
+              val sink = TableMeta(name.replaceAll("[^a-z0-9_]", "_"), s"$name/",
+                dataFormat = sinkFormat)
+              GraftCatalog.writeTable(df, sink.copy(columns = Seq.empty),
+                s"${outDir.stripSuffix("/")}/$name", mode = "overwrite")
+              spark.read.format(sinkFormat match {
+                case "csv" | "csv_quoted_nodate" => "csv"
+                case f => f
+              }).load(s"${outDir.stripSuffix("/")}/$name").count()
+            } finally spark.sparkContext.clearJobGroup()
           }(scala.concurrent.ExecutionContext.global)
           val rows = scala.concurrent.Await.result(work,
             scala.concurrent.duration.Duration(remainingMs, "ms"))
@@ -92,7 +98,7 @@ object GraftJob {
             spark.sparkContext.cancelJobGroup(group)
             JobTimedOut(name, budgetSec)
           case e: Throwable => JobFailed(name, e)
-        } finally spark.sparkContext.clearJobGroup()
+        }
       }
     }
   }

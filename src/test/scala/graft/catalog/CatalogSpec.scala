@@ -81,6 +81,48 @@ class CatalogSpec extends SparkTestBase {
     assert(rows(1).getString(1) == "WARN")
   }
 
+  test("partitioned regex table keeps its directory partition columns") {
+    val root = tmp()
+    write(s"$root/b/r/year=2020", "part-0.log", Seq("a INFO x"))
+    write(s"$root/b/r/year=2021", "part-0.log", Seq("b WARN y"))
+    val t = TableMeta("r", "r/", Seq(
+      ColumnMeta("host", "character"), ColumnMeta("level", "character"),
+      ColumnMeta("msg", "character"), ColumnMeta("year", "int")),
+      dataFormat = "regex",
+      glueSpecific = Map("StorageDescriptor" -> Map("SerdeInfo" ->
+        Map("Parameters" -> Map("input.regex" -> "(\\S+) (\\S+) (.*)")))))
+      .withPartitions(Seq("year"))
+    val db = DatabaseMeta("db", "b", tables = Seq(t))
+    val rows = GraftCatalog.readTable(spark, db, "r", root).orderBy("year").collect()
+    assert(rows.map(_.getAs[Int]("year")).toSeq == Seq(2020, 2021))
+    assert(rows.map(_.getAs[String]("level")).toSeq == Seq("INFO", "WARN"))
+  }
+
+  test("csv write/read round-trip is symmetric (no quoting either way)") {
+    val root = tmp()
+    val t = TableMeta("t", "t/", Seq(
+      ColumnMeta("id", "int"), ColumnMeta("s", "character")))
+    val db = DatabaseMeta("db", "b", tables = Seq(t))
+    import spark.implicits._
+    // a value with an embedded quote char must come back verbatim — the
+    // LazySimpleSerDe reader does no quote handling, so the writer must
+    // not add quotes around it
+    val df = Seq((1, """say "hi" twice"""), (2, "plain")).toDF("id", "s")
+    GraftCatalog.writeTable(df, t, db.tablePath(root, "t"), mode = "overwrite")
+    val back = GraftCatalog.readTable(spark, db, "t", root).orderBy("id").collect()
+    assert(back(0).getString(1) == """say "hi" twice""")
+    assert(back(1).getString(1) == "plain")
+  }
+
+  test("validated rejects an empty bucket; deleteData never removes the warehouse root") {
+    intercept[IllegalArgumentException](DatabaseMeta("db", "").validated)
+    val root = tmp()
+    write(s"$root/keep", "f.txt", Seq("data"))
+    // unvalidated degenerate meta whose databasePath IS the warehouse root
+    GraftCatalog.deleteData(DatabaseMeta("db", ""), root)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/keep/f.txt")))
+  }
+
   test("partitioned parquet: write with partitionBy, read back with discovery") {
     val root = tmp()
     val t = TableMeta("p", "p/", Seq(

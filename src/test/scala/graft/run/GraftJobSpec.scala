@@ -47,6 +47,15 @@ class GraftJobSpec extends SparkTestBase {
     val took = (System.nanoTime() - t0) / 1e9
     assert(r.head.isInstanceOf[GraftJob.JobTimedOut], r.head.toString)
     assert(took < 30, s"cancellation took ${took}s — query was not cut short")
+    // the cancellation must actually kill the Spark jobs (not just return
+    // early from Await): the 60s-sleep tasks get interrupted and the
+    // cluster drains well before the sleep could have finished
+    val tracker = spark.sparkContext.statusTracker
+    val drainDeadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+    while (tracker.getActiveJobIds().nonEmpty && System.nanoTime() < drainDeadline)
+      Thread.sleep(200)
+    assert(tracker.getActiveJobIds().isEmpty,
+      "timed-out query's Spark jobs were not cancelled")
   }
 
   test("zero budget times out immediately") {
