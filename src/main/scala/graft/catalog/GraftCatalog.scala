@@ -168,6 +168,131 @@ object GraftCatalog {
     else "Cannot find database in catalogue. Doing nothing."
   }
 
+  // ------------------------------------------------- persistent registration
+
+  /** SQL string literal with backslashes/quotes escaped for the default
+    * (escape-processing) Spark parser. */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  private def qualified(db: DatabaseMeta, tableName: String): String =
+    s"`${db.name}`.`$tableName`"
+
+  /** create_glue_database analog against the REAL metastore
+    * (meta.py:793-810 `create_glue_database` → `glue_client.create_table`):
+    * `CREATE DATABASE` + one external datasource table per TableMeta with
+    * `LOCATION` pointing at the warehouse path. Unlike [[registerDatabase]]
+    * (session-scoped temp views), these entries survive into sibling
+    * sessions (`spark.newSession()` shares the catalog) and give
+    * `MSCK REPAIR TABLE` / [[refreshPartitions]] a genuine partitioned
+    * catalog table to operate on — the reference's refresh lifecycle
+    * (meta.py:574-643).
+    *
+    * Formats whose serde does a read-time transform (`regex`,
+    * `csv_quoted_nodate`) register as a raw base table `<name>_raw` plus a
+    * persistent VIEW `<name>` applying the same extraction/cast SQL the
+    * temp-view reader builds, so query semantics are identical either way.
+    */
+  def registerDatabasePersistent(spark: SparkSession, db: DatabaseMeta,
+      warehouseRoot: String, deleteIfExists: Boolean = false): Unit = {
+    if (deleteIfExists) unregisterDatabasePersistent(spark, db)
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `${db.name}`")
+    db.tables.foreach { t =>
+      createCatalogTable(spark, db, t, db.tablePath(warehouseRoot, t.name))
+      // initial partition discovery — the reference registers partitions as
+      // part of table creation; for us MSCK scans the LOCATION tree
+      if (t.partitions.nonEmpty) refreshPartitions(spark, db, t.name)
+    }
+  }
+
+  private def createCatalogTable(spark: SparkSession, db: DatabaseMeta,
+      t: TableMeta, path: String): Unit = {
+    val partClause =
+      if (t.partitions.isEmpty) ""
+      else t.partitions.map(p => s"`$p`").mkString(" PARTITIONED BY (", ", ", ")")
+
+    def create(name: String, schema: org.apache.spark.sql.types.StructType,
+        fmt: String, opts: Map[String, String]): Unit = {
+      val optClause =
+        if (opts.isEmpty) ""
+        else opts.map { case (k, v) => s"`$k` ${sqlLit(v)}" }
+          .mkString(" OPTIONS (", ", ", ")")
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $name (${schema.toDDL}) " +
+        s"USING $fmt$optClause$partClause LOCATION ${sqlLit(path)}")
+    }
+
+    val partFields = t.partitions.map(p => t.fullSchema(p))
+    def partCols = t.partitions.map(p => s"`$p`")
+
+    t.dataFormat match {
+      case "parquet" | "orc" | "json" =>
+        create(qualified(db, t.name), t.fullSchema, t.dataFormat, Map.empty)
+      case "avro" =>
+        if (!avroAvailable) throw new IllegalStateException(
+          "data_format 'avro' needs the spark-avro module on the classpath " +
+            "(org.apache.spark:spark-avro)")
+        create(qualified(db, t.name), t.fullSchema, "avro", Map.empty)
+      case "csv" =>
+        create(qualified(db, t.name), t.fullSchema, "csv", Map(
+          "sep" -> ",", "quote" -> "", // LazySimpleSerDe: no quote handling
+          "header" -> glueSpecificSkipHeader(t).toString))
+      case "csv_quoted_nodate" =>
+        // OpenCSVSerde: raw table deserializes every data column as string,
+        // the view casts to the declared types (same as readTable)
+        val rawSchema = org.apache.spark.sql.types.StructType(
+          t.dataSchema.fields.map(_.copy(dataType = StringType)) ++ partFields)
+        create(qualified(db, s"${t.name}_raw"), rawSchema, "csv", Map(
+          "sep" -> ",", "quote" -> "\"", "escape" -> "\\",
+          "header" -> glueSpecificSkipHeader(t).toString))
+        val casts = t.dataSchema.fields.map(f =>
+          s"CAST(`${f.name}` AS ${f.dataType.sql}) AS `${f.name}`") ++ partCols
+        spark.sql(s"CREATE OR REPLACE VIEW ${qualified(db, t.name)} AS " +
+          s"SELECT ${casts.mkString(", ")} FROM ${qualified(db, s"${t.name}_raw")}")
+      case "regex" =>
+        // RegexSerDe: raw text table + a view doing the capture-group
+        // extraction and casts (same expressions as readTable)
+        val re = regexFor(t)
+        val rawSchema = org.apache.spark.sql.types.StructType(
+          Array(org.apache.spark.sql.types.StructField("value", StringType)) ++ partFields)
+        create(qualified(db, s"${t.name}_raw"), rawSchema, "text", Map.empty)
+        val dataCols = t.columns.filterNot(c => t.partitions.contains(c.name))
+        val extracts = dataCols.zipWithIndex.map { case (c, i) =>
+          s"CAST(regexp_extract(`value`, ${sqlLit(re)}, ${i + 1}) AS " +
+            s"${c.toStructField.dataType.sql}) AS `${c.name}`"
+        } ++ partCols
+        spark.sql(s"CREATE OR REPLACE VIEW ${qualified(db, t.name)} AS " +
+          s"SELECT ${extracts.mkString(", ")} FROM ${qualified(db, s"${t.name}_raw")}")
+      case other =>
+        throw new IllegalArgumentException(s"unsupported data_format $other")
+    }
+  }
+
+  /** delete_glue_database analog for the persistent path (meta.py:755-767):
+    * drops the database with its tables/views; external LOCATIONs keep
+    * their data (Glue semantics — metadata only). Message parity with
+    * [[unregisterDatabase]]. */
+  def unregisterDatabasePersistent(spark: SparkSession, db: DatabaseMeta): String =
+    if (!spark.catalog.databaseExists(db.name))
+      "Cannot find database in catalogue. Doing nothing."
+    else {
+      spark.sql(s"DROP DATABASE `${db.name}` CASCADE")
+      "database deleted"
+    }
+
+  /** refresh_partitions / MSCK analog (meta.py:574-643) over a PERSISTENT
+    * table registered by [[registerDatabasePersistent]]: discovers
+    * partition directories added out-of-band. View-backed formats repair
+    * their raw base table. */
+  def refreshPartitions(spark: SparkSession, db: DatabaseMeta,
+      tableName: String): Unit = {
+    val t = db.table(tableName)
+    val target = t.dataFormat match {
+      case "regex" | "csv_quoted_nodate" => s"${t.name}_raw"
+      case _ => t.name
+    }
+    spark.sql(s"MSCK REPAIR TABLE ${qualified(db, target)}")
+  }
+
   /** delete_data_in_database analog (meta.py:769-791): recursively delete
     * warehouse files for the whole DB or only its declared tables.
     * Trailing-slash prefix safety mirrors the reference's S3 prefix rule. */

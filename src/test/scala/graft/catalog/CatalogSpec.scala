@@ -123,6 +123,74 @@ class CatalogSpec extends SparkTestBase {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/keep/f.txt")))
   }
 
+  test("persistent registration: real catalog tables, visible to a sibling session") {
+    val root = tmp()
+    import spark.implicits._
+    val t = TableMeta("ev", "ev/", Seq(
+      ColumnMeta("id", "int"), ColumnMeta("v", "character"),
+      ColumnMeta("year", "int"))).withPartitions(Seq("year"))
+    val db = DatabaseMeta("persdb1", "b", tables = Seq(t))
+    GraftCatalog.writeTable(
+      Seq((1, "a", 2020), (2, "b", 2021)).toDF("id", "v", "year")
+        .repartition(1),
+      t.copy(dataFormat = "parquet"), db.tablePath(root, "ev"), mode = "overwrite")
+    GraftCatalog.registerDatabasePersistent(spark, db.copy(tables = Seq(
+      t.copy(dataFormat = "parquet"))), root)
+    // a temp view would be invisible here: newSession() shares the catalog
+    // but clears session-scoped state
+    val sibling = spark.newSession()
+    val rows = sibling.sql("SELECT id, v, year FROM persdb1.ev ORDER BY id").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(rows.map(_.getInt(2)).toSeq == Seq(2020, 2021))
+    assert(GraftCatalog.unregisterDatabasePersistent(spark, db) == "database deleted")
+    assert(GraftCatalog.unregisterDatabasePersistent(spark, db) ==
+      "Cannot find database in catalogue. Doing nothing.")
+  }
+
+  test("MSCK analog: out-of-band partition becomes visible after refreshPartitions") {
+    val root = tmp()
+    import spark.implicits._
+    val t = TableMeta("logs", "logs/", Seq(
+      ColumnMeta("id", "int"), ColumnMeta("year", "int")),
+      dataFormat = "parquet").withPartitions(Seq("year"))
+    val db = DatabaseMeta("persdb2", "b", tables = Seq(t))
+    GraftCatalog.writeTable(Seq((1, 2020)).toDF("id", "year").repartition(1),
+      t, db.tablePath(root, "logs"), mode = "overwrite")
+    GraftCatalog.registerDatabasePersistent(spark, db, root)
+    assert(spark.table("persdb2.logs").count() == 1)
+    // write a NEW partition directory out-of-band (not through the catalog)
+    Seq((2, 2021)).toDF("id", "year").repartition(1).write.mode("append")
+      .parquet(s"${db.tablePath(root, "logs")}/year=2021")
+    // invisible until the MSCK-style repair discovers the directory
+    GraftCatalog.refreshPartitions(spark, db, "logs")
+    val years = spark.sql("SELECT year FROM persdb2.logs ORDER BY year")
+      .collect().map(_.getInt(0)).toSeq
+    assert(years == Seq(2020, 2021), s"got $years")
+    GraftCatalog.unregisterDatabasePersistent(spark, db)
+  }
+
+  test("persistent regex + csv_quoted tables register as raw table + view") {
+    val root = tmp()
+    write(s"$root/b/r", "part-0.log", Seq("h1 INFO ok", "h2 WARN bad"))
+    val rx = TableMeta("r", "r/", Seq(
+      ColumnMeta("host", "character"), ColumnMeta("level", "character"),
+      ColumnMeta("msg", "character")),
+      dataFormat = "regex",
+      glueSpecific = Map("StorageDescriptor" -> Map("SerdeInfo" ->
+        Map("Parameters" -> Map("input.regex" -> "(\\S+) (\\S+) (.*)")))))
+    write(s"$root/b/q", "part-0.csv", Seq("\"1\",\"x,y\""))
+    val cq = TableMeta("q", "q/", Seq(
+      ColumnMeta("id", "int"), ColumnMeta("s", "character")),
+      dataFormat = "csv_quoted_nodate")
+    val db = DatabaseMeta("persdb3", "b", tables = Seq(rx, cq))
+    GraftCatalog.registerDatabasePersistent(spark, db, root)
+    val r = spark.sql("SELECT host, level FROM persdb3.r ORDER BY host").collect()
+    assert(r.map(_.getString(1)).toSeq == Seq("INFO", "WARN"))
+    val q = spark.sql("SELECT id, s FROM persdb3.q").collect()
+    assert(q.head.getInt(0) == 1 && q.head.getString(1) == "x,y")
+    GraftCatalog.unregisterDatabasePersistent(spark, db)
+  }
+
   test("partitioned parquet: write with partitionBy, read back with discovery") {
     val root = tmp()
     val t = TableMeta("p", "p/", Seq(
