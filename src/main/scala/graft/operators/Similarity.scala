@@ -59,6 +59,15 @@ object Similarity {
     (-array_max(scored).getField("negi")).as("cell_id")
   }
 
+  /** Probe's `nprobe` nearest cells, computed once driver-side on the
+    * centroid literals (k entries — scalar-sized). */
+  private def nearestCells(centroids: Seq[Array[Float]], probe: Array[Float],
+      nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) => (cosineLocal(c, probe), i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(nprobe).map(_._2)
+
   /** IVF top-k: score only rows in the probe's `nprobe` nearest cells.
     * Approximate (recall < 1 when true neighbors live in unprobed cells) —
     * the scale path: the scan prunes to nprobe/K of the table. */
@@ -68,17 +77,36 @@ object Similarity {
     val cent = typedLit(centroids.map(_.toSeq))
     val assigned = embeddings.withColumn("cell_id",
       cellIdExpr(col(vecCol), cent, centroids.size))
-    // probe's nearest cells, computed once on the driver-side literal
-    val probeCells = centroids.zipWithIndex
-      .map { case (c, i) => (cosineLocal(c, probe), i) }
-      .sortBy { case (s, i) => (-s, i) }
-      .take(nprobe).map(_._2)
     assigned
-      .filter(col("cell_id").isin(probeCells: _*))
+      .filter(col("cell_id").isin(nearestCells(centroids, probe, nprobe): _*))
       .select(col(idCol), round(cosine(col(vecCol), typedLit(probe.toSeq)), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  /** Materialize the IVF index: cell assignment computed ONCE, the table
+    * written `partitionBy(cell_id)`. This is the 100 TB shape: the one-off
+    * O(n·K·d) assignment is paid at build time, and every probe afterwards
+    * prunes at the FILE level — Spark's partition discovery lists only the
+    * probed cells' directories, so unprobed data is never opened, read, or
+    * decoded (vs [[ivfTopK]], which still scans all rows to re-derive
+    * cells). */
+  def buildIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Float]], path: String): Unit =
+    assignCells(embeddings.select(col(idCol), col(vecCol)), vecCol, centroids)
+      .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+
+  /** Top-k over a [[buildIvfIndex]] table. The `cell_id IN (...)` predicate
+    * is a partition filter (cell_id is a directory column), so the plan's
+    * scan carries `PartitionFilters` and touches nprobe/K of the files. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      idCol: String, vecCol: String, centroids: Seq[Array[Float]],
+      probe: Array[Float], k: Int, nprobe: Int = 2): DataFrame =
+    spark.read.parquet(indexPath)
+      .filter(col("cell_id").isin(nearestCells(centroids, probe, nprobe): _*))
+      .select(col(idCol), round(cosine(col(vecCol), typedLit(probe.toSeq)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
 
   private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0

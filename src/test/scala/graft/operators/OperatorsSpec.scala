@@ -3,6 +3,7 @@ package graft.operators
 import graft.SparkTestBase
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** §2.K operator properties that the DuckDB oracle cannot check:
   * LSH recall vs the exact method, approximate-vs-exact containment,
@@ -56,6 +57,30 @@ class OperatorsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(ivf.subsetOf(brute) || (ivf intersect brute).size >= 3,
       s"ivf overlap with brute too low: ${(ivf intersect brute).size}")
+  }
+
+  test("materialized IVF index: probes prune to the probed cells' files only") {
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    val probe = emb.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", centroids, dir)
+    // every cell is a directory of the index
+    val cellDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val nCells = try cellDirs.iterator().asScala
+      .count(_.getFileName.toString.startsWith("cell_id=")) finally cellDirs.close()
+    assert(nCells >= 4, s"index should fan out over cells, got $nCells dirs")
+    val indexed = Similarity.ivfTopKIndexed(
+      spark, dir, "vec_id", "embedding", centroids, probe, 10, nprobe = 2)
+    // identical results to the scan-everything formulation
+    val direct = Similarity.ivfTopK(
+      emb, "vec_id", "embedding", centroids, probe, 10, nprobe = 2)
+    assert(indexed.collect().toSeq == direct.collect().toSeq)
+    // and the scan proves the file-prune: cell_id is a PARTITION filter,
+    // not a post-scan row filter
+    val scan = indexed.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell_id"),
+      s"cell_id filter did not reach partition pruning:\n$scan")
   }
 
   test("assignCells is deterministic and total") {
