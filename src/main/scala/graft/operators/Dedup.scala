@@ -33,6 +33,16 @@ object Dedup {
   def shingles(textCol: Column, n: Int): Column =
     graft.functions.ShingleUtil.shingleCol(textCol, n)
 
+  /** The (doc_id, sh_str) shingle explosion — THE shared stage of the
+    * dedup family: ngram-Jaccard, MinHash, and cluster building all start
+    * here. Callers running several dedup ops over the same corpus should
+    * compute this once, `persist` it, and feed the `*From` variants below
+    * (the inventory layer in [[graft.SparkEntry]] does exactly that). */
+  def shingleExplode(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("sh_str"))
+
   /** Exact n-gram Jaccard near-dup pairs: explode (shingle, id), self-join
     * per shingle bucket, |∩| via count, |∪| via sizes. `maxShingleDf` drops
     * shingles appearing in more than that many docs (skew guard — MUST be
@@ -43,14 +53,17 @@ object Dedup {
     * maxShingleDf² pairs. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      maxShingleDf: Long = 1000L): DataFrame = {
+      maxShingleDf: Long = 1000L): DataFrame =
+    ngramJaccardPairsFrom(shingleExplode(docs, idCol, textCol, n),
+      threshold, maxShingleDf)
+
+  /** [[ngramJaccardPairs]] from a precomputed [[shingleExplode]] frame. */
+  def ngramJaccardPairsFrom(shingled: DataFrame, threshold: Double,
+      maxShingleDf: Long): DataFrame = {
     // shingles shuffle as 8-byte xxhash64 keys, not strings: same pair
     // counts (collisions are ~#shingles²/2^64), far cheaper to shuffle,
     // hash-join and sort at scale
-    val sh = docs
-      .select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), n)).as("sh_str"))
-      .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
+    val sh = shingled.select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf && col("df") >= 2)
     val shRare = sh.join(rare.select("sh"), Seq("sh"))
@@ -76,16 +89,17 @@ object Dedup {
   /** MinHash signatures: k independent hash slots via xxhash64(seed, shingle)
     * — fully deterministic, no fitted model. Returns (id, signature array). */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 64): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), n)).as("sh"))
+      n: Int = 3, numHashes: Int = 64): DataFrame =
+    minHashSignaturesFrom(shingleExplode(docs, idCol, textCol, n), numHashes)
+
+  /** [[minHashSignatures]] from a precomputed [[shingleExplode]] frame. */
+  def minHashSignaturesFrom(shingled: DataFrame, numHashes: Int = 64): DataFrame =
     // single-buffer sketch aggregate (one hash pass per shingle, one
     // Array[Long] buffer per doc) — bit-identical to 64 separate
     // min(xxhash64(lit(seed), sh)) columns, ~4x faster
-    sh.groupBy("doc_id").agg(
-      graft.functions.SketchAggregates.minhashAgg(col("sh"), numHashes)
+    shingled.groupBy("doc_id").agg(
+      graft.functions.SketchAggregates.minhashAgg(col("sh_str"), numHashes)
         .as("signature"))
-  }
 
   /** MinHash-LSH candidate pairs: band the signature (bands × rowsPerBand),
     * hash each band, bucket-join. Docs sharing ≥1 band bucket become
@@ -94,10 +108,15 @@ object Dedup {
     * Scale: candidates come from groupBy(band_hash) buckets, never a full
     * cross join; band count tunes recall vs bucket size. */
   def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame =
+    minHashCandidatesFrom(shingleExplode(docs, idCol, textCol, n), numHashes, bands)
+
+  /** [[minHashCandidates]] from a precomputed [[shingleExplode]] frame. */
+  def minHashCandidatesFrom(shingled: DataFrame, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minHashSignatures(docs, idCol, textCol, n, numHashes)
+    val sigs = minHashSignaturesFrom(shingled, numHashes)
     val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(lit("band"), b,
