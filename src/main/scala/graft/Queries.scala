@@ -1163,7 +1163,8 @@ object Queries {
   // composite pipeline — stages individually oracled above; the composite
   // is property-tested (survivor invariants) in specs
   qNoOracle("q_corpus_clean") { (s, d) =>
-    graft.operators.CorpusPipeline.cleanCorpus(t(s, d, "documents"))
+    graft.operators.CorpusPipeline.cleanCorpus(t(s, d, "documents"),
+        corpusShingles = Some(sharedShingles(s, d)))
       .select("doc_id", "quality").orderBy("doc_id")
   }
 

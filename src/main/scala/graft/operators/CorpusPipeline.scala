@@ -17,14 +17,20 @@ object CorpusPipeline {
   /** @param jaccardThreshold near-dup cutoff for the n-gram stage
     * @param minQuality keep docs with TextAnalysis quality >= this
     * @param languages  keep docs whose predicted language is in this set
-    *                   (empty = no language filter) */
+    *                   (empty = no language filter)
+    * @param corpusShingles optional precomputed FULL-corpus
+    *                   `Dedup.shingleExplode` frame (the dedup family's
+    *                   shared stage): the exact survivors' shingles are a
+    *                   semi-join of it, so a caller that already persisted
+    *                   it skips a second parse+shingle pass over the text */
   def cleanCorpus(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       jaccardThreshold: Double = 0.8,
       minQuality: Double = 0.3,
-      languages: Set[String] = Set.empty): DataFrame = {
+      languages: Set[String] = Set.empty,
+      corpusShingles: Option[DataFrame] = None): DataFrame = {
 
     // 1. exact dedup: min-id survivor per distinct text — materialized
     //    once, since the near-dup, quality and language stages all consume
@@ -32,9 +38,16 @@ object CorpusPipeline {
     val exact = Dedup.exactDedup(docs, idCol, textCol).localCheckpoint()
 
     // 2. near-dup clusters over the exact survivors; keep each cluster's
-    //    min id (cluster_id IS the min by construction)
-    val pairs = Dedup.ngramJaccardPairs(exact, idCol, textCol,
-      n = 3, threshold = jaccardThreshold, maxShingleDf = 100L)
+    //    min id (cluster_id IS the min by construction). A survivor's
+    //    shingles equal its row in the full-corpus explosion, so the shared
+    //    stage (when supplied) substitutes for re-shingling.
+    val shingled = corpusShingles match {
+      case Some(sh) => sh.join(
+        exact.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
+      case None => Dedup.shingleExplode(exact, idCol, textCol, n = 3)
+    }
+    val pairs = Dedup.ngramJaccardPairsFrom(shingled,
+      threshold = jaccardThreshold, maxShingleDf = 100L)
     val clusters = Dedup.dedupClusters(pairs)
     val nearDupLosers = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))

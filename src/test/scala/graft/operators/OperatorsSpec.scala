@@ -138,6 +138,15 @@ class OperatorsSpec extends SparkTestBase {
     assert(qs.forall(_ >= 0.2))
   }
 
+  test("cleanCorpus via the shared shingle stage equals the self-shingling form") {
+    val shared = Dedup.shingleExplode(docs, "doc_id", "text", 3)
+    val self = CorpusPipeline.cleanCorpus(docs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaShared = CorpusPipeline.cleanCorpus(docs, corpusShingles = Some(shared))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(self == viaShared)
+  }
+
   test("dedupClusters: chained pairs collapse into one component") {
     import spark.implicits._
     // 1-2, 2-3 chain plus isolated pair 10-11
