@@ -43,7 +43,7 @@ object GraftCatalog {
         val skipHeader = glueSpecificSkipHeader(table)
         withBase(spark.read.schema(schema))
           .option("header", skipHeader)
-          .option("sep", ",")
+          .option("sep", csvOptions(table)._1) // field.delim, default ','
           .option("quote", "") // LazySimpleSerDe has no quote handling
           .csv(path)
       case "csv_quoted_nodate" =>
@@ -51,9 +51,10 @@ object GraftCatalog {
         // deserialized as string THEN cast (Athena behavior, SURVEY §1.2).
         val asStrings = org.apache.spark.sql.types.StructType(
           schema.fields.map(_.copy(dataType = StringType)))
+        val (sep, quote, escape) = csvOptions(table)
         val raw = withBase(spark.read.schema(asStrings))
           .option("header", glueSpecificSkipHeader(table))
-          .option("sep", ",").option("quote", "\"").option("escape", "\\")
+          .option("sep", sep).option("quote", quote).option("escape", escape)
           .csv(path)
         raw.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
       case "json" =>
@@ -126,6 +127,27 @@ object GraftCatalog {
       .orElse(dig(table.glueSpecific, List("Parameters", "skip.header.line.count")))
       .contains("1")
   }
+
+  /** SerdeInfo.Parameters override from glue_specific (deep-merged over the
+    * spec templates, specs/csv_specific.json etc.): `field.delim` for
+    * LazySimpleSerDe, `separatorChar`/`quoteChar`/`escapeChar` for
+    * OpenCSVSerde. */
+  private def serdeParam(table: TableMeta, name: String): Option[String] =
+    dig(table.glueSpecific,
+        List("StorageDescriptor", "SerdeInfo", "Parameters", name))
+      .map(String.valueOf)
+
+  /** (sep, quote, escape) for the two csv serdes, with the spec-template
+    * defaults when glue_specific doesn't override. */
+  private def csvOptions(table: TableMeta): (String, String, String) =
+    table.dataFormat match {
+      case "csv" =>
+        (serdeParam(table, "field.delim").getOrElse(","), "", "")
+      case _ =>
+        (serdeParam(table, "separatorChar").getOrElse(","),
+          serdeParam(table, "quoteChar").getOrElse("\""),
+          serdeParam(table, "escapeChar").getOrElse("\\"))
+    }
 
   private def regexFor(table: TableMeta): String =
     dig(table.glueSpecific,
@@ -234,15 +256,17 @@ object GraftCatalog {
         create(qualified(db, t.name), t.fullSchema, "avro", Map.empty)
       case "csv" =>
         create(qualified(db, t.name), t.fullSchema, "csv", Map(
-          "sep" -> ",", "quote" -> "", // LazySimpleSerDe: no quote handling
+          "sep" -> csvOptions(t)._1,
+          "quote" -> "", // LazySimpleSerDe: no quote handling
           "header" -> glueSpecificSkipHeader(t).toString))
       case "csv_quoted_nodate" =>
         // OpenCSVSerde: raw table deserializes every data column as string,
         // the view casts to the declared types (same as readTable)
+        val (sep, quote, escape) = csvOptions(t)
         val rawSchema = org.apache.spark.sql.types.StructType(
           t.dataSchema.fields.map(_.copy(dataType = StringType)) ++ partFields)
         create(qualified(db, s"${t.name}_raw"), rawSchema, "csv", Map(
-          "sep" -> ",", "quote" -> "\"", "escape" -> "\\",
+          "sep" -> sep, "quote" -> quote, "escape" -> escape,
           "header" -> glueSpecificSkipHeader(t).toString))
         val casts = t.dataSchema.fields.map(f =>
           s"CAST(`${f.name}` AS ${f.dataType.sql}) AS `${f.name}`") ++ partCols
@@ -340,10 +364,14 @@ object GraftCatalog {
         // round-trip at all (true of LazySimpleSerDe itself); Hive's
         // answer is "don't put commas in CSV", and ours is the same.
         w.option("header", false)
+          .option("sep", csvOptions(table)._1)
           .option("quote", "\u0000").option("escape", "")
           .option("emptyValue", "").csv(path)
       case "csv_quoted_nodate" =>
-        w.option("header", false).option("quote", "\"").option("escape", "\\").csv(path)
+        val (sep, quote, escape) = csvOptions(table)
+        w.option("header", false)
+          .option("sep", sep).option("quote", quote).option("escape", escape)
+          .csv(path)
       case "json" => w.json(path)
       case "parquet" => w.parquet(path)
       case "orc" => w.orc(path)

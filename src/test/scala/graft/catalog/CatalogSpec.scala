@@ -123,6 +123,34 @@ class CatalogSpec extends SparkTestBase {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/keep/f.txt")))
   }
 
+  test("serde params honored: field.delim TSV and separatorChar/quoteChar overrides") {
+    val root = tmp()
+    // LazySimpleSerDe field.delim = tab (specs/csv_specific.json parameter)
+    write(s"$root/b/tsv", "part-0.csv", Seq("1\talpha", "2\tbe,ta"))
+    val tsv = TableMeta("tsv", "tsv/", Seq(
+      ColumnMeta("id", "int"), ColumnMeta("s", "character")),
+      glueSpecific = Map("StorageDescriptor" -> Map("SerdeInfo" ->
+        Map("Parameters" -> Map("field.delim" -> "\t")))))
+    // OpenCSVSerde separatorChar=';' quoteChar='\'' (csv_quoted spec params)
+    write(s"$root/b/semi", "part-0.csv", Seq("'1';'x;y'"))
+    val semi = TableMeta("semi", "semi/", Seq(
+      ColumnMeta("id", "int"), ColumnMeta("s", "character")),
+      dataFormat = "csv_quoted_nodate",
+      glueSpecific = Map("StorageDescriptor" -> Map("SerdeInfo" ->
+        Map("Parameters" -> Map("separatorChar" -> ";", "quoteChar" -> "'")))))
+    val db = DatabaseMeta("db", "b", tables = Seq(tsv, semi))
+    val t1 = GraftCatalog.readTable(spark, db, "tsv", root).orderBy("id").collect()
+    assert(t1.map(_.getString(1)).toSeq == Seq("alpha", "be,ta"))
+    val t2 = GraftCatalog.readTable(spark, db, "semi", root).collect()
+    assert(t2.head.getInt(0) == 1 && t2.head.getString(1) == "x;y")
+    // write path symmetry: TSV round-trips through the same field.delim
+    import spark.implicits._
+    val df = Seq((3, "ga,mma")).toDF("id", "s")
+    GraftCatalog.writeTable(df, tsv, db.tablePath(root, "tsv"), mode = "overwrite")
+    val back = GraftCatalog.readTable(spark, db, "tsv", root).collect()
+    assert(back.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((3, "ga,mma")))
+  }
+
   test("persistent registration: real catalog tables, visible to a sibling session") {
     val root = tmp()
     import spark.implicits._
