@@ -65,12 +65,18 @@ object GraftCatalog {
       case "orc" =>
         withBase(spark.read.schema(schema)).orc(path)
       case "avro" =>
-        // spark-avro is an external module; fail with an actionable message
-        // when it isn't on the classpath (it is not bundled in this image)
-        if (!avroAvailable) throw new IllegalStateException(
-          "data_format 'avro' needs the spark-avro module on the classpath " +
-            "(org.apache.spark:spark-avro)")
-        withBase(spark.read.schema(schema)).format("avro").load(path)
+        // spark-avro module when present; otherwise graft's own avro
+        // container-file source built on the bundled org.apache.avro
+        // runtime (AvroSerDe analog, specs/avro_specific.json)
+        if (avroAvailable)
+          withBase(spark.read.schema(schema)).format(AvroFormat).load(path)
+        else {
+          val partSchema = org.apache.spark.sql.types.StructType(
+            table.partitions.map(p => table.fullSchema(p)))
+          val raw = graft.sources.AvroFiles.read(spark, path, partSchema)
+          raw.select(schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        }
       case "regex" =>
         // RegexSerDe: one capture group per column
         // (specs/regex_specific.json:1-15). Extraction + cast are
@@ -118,8 +124,13 @@ object GraftCatalog {
       }
   }
 
+  /** Spark 4 bundles AvroFileFormat inside spark-sql but without the
+    * spark-avro module's DataSourceRegister service entry, so the "avro"
+    * short name does not resolve — the full class name does. */
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
   private lazy val avroAvailable: Boolean =
-    try { Class.forName("org.apache.spark.sql.avro.AvroFileFormat"); true }
+    try { Class.forName(AvroFormat); true }
     catch { case _: ClassNotFoundException => false }
 
   private def glueSpecificSkipHeader(table: TableMeta): Boolean = {
@@ -253,7 +264,7 @@ object GraftCatalog {
         if (!avroAvailable) throw new IllegalStateException(
           "data_format 'avro' needs the spark-avro module on the classpath " +
             "(org.apache.spark:spark-avro)")
-        create(qualified(db, t.name), t.fullSchema, "avro", Map.empty)
+        create(qualified(db, t.name), t.fullSchema, s"`$AvroFormat`", Map.empty)
       case "csv" =>
         create(qualified(db, t.name), t.fullSchema, "csv", Map(
           "sep" -> csvOptions(t)._1,
@@ -375,7 +386,13 @@ object GraftCatalog {
       case "json" => w.json(path)
       case "parquet" => w.parquet(path)
       case "orc" => w.orc(path)
-      case "avro" => w.format("avro").save(path)
+      case "avro" =>
+        if (avroAvailable) w.format(AvroFormat).save(path)
+        else if (table.partitions.nonEmpty)
+          throw new IllegalArgumentException(
+            "partitioned avro writes need the spark-avro module; " +
+              "graft's built-in avro sink writes unpartitioned container files")
+        else graft.sources.AvroFiles.write(df, path, mode)
       case other => throw new IllegalArgumentException(s"unwritable format $other")
     }
   }

@@ -1,0 +1,290 @@
+package graft.sources
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Distributed Avro container-file source/sink built directly on the
+  * bundled `org.apache.avro` runtime (the spark-avro MODULE is not in this
+  * image, but avro itself ships with Spark core). Fills the reference's
+  * `avro` data_format (`specs/avro_specific.json:1-22`, AvroSerDe) so an
+  * avro-declared table is readable/writable rather than an actionable
+  * error.
+  *
+  * Scale shape: reads parallelize over FILES (one task per container file
+  * — avro's natural unit; size files ~128 MB like any avro pipeline and
+  * the scan saturates the cluster); decoding happens inside the tasks via
+  * Hadoop FS streams, so nothing but the file LIST touches the driver.
+  * Writes emit one container file per partition of the DataFrame.
+  *
+  * Type mapping (both directions): boolean/int/long/float/double/string/
+  * bytes/fixed/enum, date (int+date), timestamp (long+timestamp-micros),
+  * decimal (bytes+decimal), records→structs, arrays, string-keyed maps,
+  * and `[null, T]` unions→nullable fields.
+  */
+object AvroFiles {
+
+  // ------------------------------------------------------------- schemas
+
+  /** Avro → Spark schema. */
+  def toSparkType(s: Schema): DataType = s.getType match {
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.INT =>
+      if (s.getLogicalType.isInstanceOf[LogicalTypes.Date]) DateType else IntegerType
+    case Schema.Type.LONG =>
+      s.getLogicalType match {
+        case _: LogicalTypes.TimestampMicros | _: LogicalTypes.TimestampMillis => TimestampType
+        case _ => LongType
+      }
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.STRING | Schema.Type.ENUM => StringType
+    case Schema.Type.BYTES | Schema.Type.FIXED =>
+      s.getLogicalType match {
+        case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+        case _ => BinaryType
+      }
+    case Schema.Type.RECORD =>
+      StructType(s.getFields.asScala.map(f =>
+        StructField(f.name(), toSparkType(f.schema()), nullable = isNullable(f.schema()))).toArray)
+    case Schema.Type.ARRAY =>
+      ArrayType(toSparkType(s.getElementType), containsNull = isNullable(s.getElementType))
+    case Schema.Type.MAP =>
+      MapType(StringType, toSparkType(s.getValueType), valueContainsNull = isNullable(s.getValueType))
+    case Schema.Type.UNION => toSparkType(nonNullBranch(s))
+    case Schema.Type.NULL => NullType
+  }
+
+  private def isNullable(s: Schema): Boolean =
+    s.getType == Schema.Type.UNION && s.getTypes.asScala.exists(_.getType == Schema.Type.NULL)
+
+  private def nonNullBranch(s: Schema): Schema = {
+    val branches = s.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL)
+    require(branches.size == 1, s"only [null, T] unions supported, got $s")
+    branches.head
+  }
+
+  /** Spark → Avro schema; nullable fields become `[null, T]`. */
+  def toAvroSchema(dt: DataType, name: String = "record"): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case d: DecimalType =>
+      LogicalTypes.decimal(d.precision, d.scale).addToSchema(Schema.create(Schema.Type.BYTES))
+    case st: StructType =>
+      val b = SchemaBuilder.record(name).fields()
+      st.fields.foldLeft(b) { (acc, f) =>
+        val base = toAvroSchema(f.dataType, s"${name}_${f.name}")
+        if (f.nullable && base.getType != Schema.Type.NULL)
+          acc.name(f.name)
+            .`type`(Schema.createUnion(Schema.create(Schema.Type.NULL), base))
+            .withDefault(null)
+        else acc.name(f.name).`type`(base).noDefault()
+      }.endRecord()
+    case at: ArrayType => Schema.createArray(
+      maybeNullable(toAvroSchema(at.elementType, s"${name}_item"), at.containsNull))
+    case mt: MapType =>
+      require(mt.keyType == StringType, "avro maps need string keys")
+      Schema.createMap(maybeNullable(toAvroSchema(mt.valueType, s"${name}_value"),
+        mt.valueContainsNull))
+    case other => throw new IllegalArgumentException(s"unsupported avro type $other")
+  }
+
+  private def maybeNullable(s: Schema, nullable: Boolean): Schema =
+    if (nullable && s.getType != Schema.Type.NULL)
+      Schema.createUnion(Schema.create(Schema.Type.NULL), s) else s
+
+  // -------------------------------------------------------------- values
+
+  /** Avro runtime value → external Spark row value. */
+  private def toSpark(v: Any, s: Schema): Any = {
+    if (v == null) return null
+    s.getType match {
+      case Schema.Type.UNION => toSpark(v, nonNullBranch(s))
+      case Schema.Type.STRING | Schema.Type.ENUM => v.toString
+      case Schema.Type.INT if s.getLogicalType.isInstanceOf[LogicalTypes.Date] =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[Int].toLong))
+      case Schema.Type.LONG if s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMicros] =>
+        java.sql.Timestamp.from(java.time.Instant.EPOCH.plus(
+          v.asInstanceOf[Long], java.time.temporal.ChronoUnit.MICROS))
+      case Schema.Type.LONG if s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMillis] =>
+        new java.sql.Timestamp(v.asInstanceOf[Long])
+      case Schema.Type.BYTES =>
+        val buf = v.asInstanceOf[java.nio.ByteBuffer]
+        val arr = new Array[Byte](buf.remaining()); buf.duplicate().get(arr)
+        s.getLogicalType match {
+          case d: LogicalTypes.Decimal =>
+            BigDecimal(new java.math.BigInteger(arr), d.getScale).bigDecimal
+          case _ => arr
+        }
+      case Schema.Type.FIXED =>
+        val arr = v.asInstanceOf[GenericData.Fixed].bytes().clone()
+        s.getLogicalType match {
+          case d: LogicalTypes.Decimal =>
+            BigDecimal(new java.math.BigInteger(arr), d.getScale).bigDecimal
+          case _ => arr
+        }
+      case Schema.Type.RECORD =>
+        val rec = v.asInstanceOf[GenericRecord]
+        Row.fromSeq(s.getFields.asScala.map(f => toSpark(rec.get(f.pos()), f.schema())).toSeq)
+      case Schema.Type.ARRAY =>
+        v.asInstanceOf[java.util.Collection[Any]].asScala
+          .map(toSpark(_, s.getElementType)).toSeq
+      case Schema.Type.MAP =>
+        v.asInstanceOf[java.util.Map[Any, Any]].asScala
+          .map { case (k, x) => k.toString -> toSpark(x, s.getValueType) }.toMap
+      case _ => v
+    }
+  }
+
+  /** External Spark row value → Avro runtime value. */
+  private def toAvro(v: Any, s: Schema): Any = {
+    if (v == null) return null
+    s.getType match {
+      case Schema.Type.UNION => toAvro(v, nonNullBranch(s))
+      case Schema.Type.INT if s.getLogicalType.isInstanceOf[LogicalTypes.Date] =>
+        v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+      case Schema.Type.LONG if s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMicros] =>
+        val t = v.asInstanceOf[java.sql.Timestamp]
+        t.getTime / 1000L * 1000000L + t.getNanos.toLong / 1000L
+      case Schema.Type.BYTES =>
+        s.getLogicalType match {
+          case d: LogicalTypes.Decimal =>
+            val bd = v.asInstanceOf[java.math.BigDecimal].setScale(d.getScale)
+            java.nio.ByteBuffer.wrap(bd.unscaledValue().toByteArray)
+          case _ => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+        }
+      case Schema.Type.RECORD =>
+        val row = v.asInstanceOf[Row]
+        val rec = new GenericData.Record(s)
+        s.getFields.asScala.foreach(f => rec.put(f.pos(), toAvro(row.get(f.pos()), f.schema())))
+        rec
+      case Schema.Type.ARRAY =>
+        v.asInstanceOf[scala.collection.Seq[Any]].map(toAvro(_, s.getElementType)).asJava
+      case Schema.Type.MAP =>
+        v.asInstanceOf[scala.collection.Map[String, Any]]
+          .map { case (k, x) => k -> toAvro(x, s.getValueType) }.asJava
+      case _ => v
+    }
+  }
+
+  // ---------------------------------------------------------------- read
+
+  /** Read a directory (or single file) of avro container files. One task
+    * per file; `k=v` directory segments under `path` become partition
+    * columns (string-typed unless `partitionSchema` pins them). */
+  def read(spark: SparkSession, path: String,
+      partitionSchema: StructType = StructType(Nil)): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    // driver lists files only; decoding is task-side
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".avro")) files += f.getPath.toString
+    }
+    require(files.nonEmpty, s"no .avro files under $path")
+
+    // schema from the first file's header (container files embed it)
+    val first = {
+      val in = fs.open(new HPath(files.head))
+      val r = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+      try r.getSchema finally { r.close() }
+    }
+    val dataSchema = toSparkType(first).asInstanceOf[StructType]
+    val rootUri = fs.makeQualified(root).toString
+
+    def partValues(file: String): Seq[(String, String)] =
+      file.stripPrefix(rootUri).split("/").toSeq
+        .filter(_.contains("=")).map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }
+    val partCols: Seq[String] = files.flatMap(partValues(_).map(_._1)).distinct.toSeq
+    val fullSchema = StructType(dataSchema.fields ++ partCols.map { c =>
+      partitionSchema.fields.find(_.name == c).getOrElse(StructField(c, StringType))
+    })
+
+    val schemaJson = first.toString // Schema is not serializable-friendly; ship JSON
+    val rdd = spark.sparkContext
+      .parallelize(files.toSeq.sorted, math.min(files.size,
+        math.max(spark.sparkContext.defaultParallelism, 1)))
+      .mapPartitions { fileIt =>
+        val schema = new Schema.Parser().parse(schemaJson)
+        // task-side Configuration: loads the standard cluster conf from the
+        // executor classpath (the driver conf would need a spark-private
+        // serializable wrapper)
+        val taskConf = new org.apache.hadoop.conf.Configuration()
+        fileIt.flatMap { file =>
+          val p = new HPath(file)
+          val in = p.getFileSystem(taskConf).open(p)
+          val reader = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord](schema))
+          val parts = file.stripPrefix(rootUri).split("/").toSeq
+            .filter(_.contains("=")).map(_.split("=", 2)(1))
+            .map(java.net.URLDecoder.decode(_, "UTF-8"))
+          new Iterator[Row] {
+            def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
+            def next(): Row = {
+              val rec = reader.next()
+              Row.fromSeq(schema.getFields.asScala.map(f =>
+                toSpark(rec.get(f.pos()), f.schema())).toSeq ++ parts)
+            }
+          }
+        }
+      }
+    // partition values arrive as strings; cast to the declared types
+    val asStrings = StructType(dataSchema.fields ++ partCols.map(StructField(_, StringType)))
+    val df = spark.createDataFrame(rdd, asStrings)
+    import org.apache.spark.sql.functions.col
+    df.select(fullSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+  }
+
+  // --------------------------------------------------------------- write
+
+  /** Write as avro container files, one per DataFrame partition (no commit
+    * protocol — same direct-write contract as the rest of writeTable). */
+  def write(df: DataFrame, path: String, mode: String = "error"): Unit = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root)) mode match {
+      case "overwrite" => fs.delete(root, true)
+      case "ignore" => return
+      case "append" => ()
+      case _ => throw new IllegalStateException(s"path $path already exists")
+    }
+    fs.mkdirs(root)
+    val sparkSchema = df.schema
+    val avroJson = toAvroSchema(sparkSchema, "graft_record").toString
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    df.rdd.mapPartitionsWithIndex { (i, rows) =>
+      val schema = new Schema.Parser().parse(avroJson)
+      val file = new HPath(path, f"part-$i%05d-$stamp.avro")
+      val out = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .create(file, true)
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out)
+      var n = 0L
+      rows.foreach { r => w.append(toAvro(r, schema).asInstanceOf[GenericRecord]); n += 1 }
+      w.close()
+      Iterator.single(n)
+    }.sum() // action: materializes the write
+    ()
+  }
+}
