@@ -15,6 +15,12 @@ object Bench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 100000)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same adaptive posture as GraftSession profiles: runtime partition
+      // coalescing collapses the 32 reducer tasks of tiny shuffles (most of
+      // the inventory at small SF), skew-join splits the heavy ones
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen/IO-path warmup so the alphabetically-first query doesn't
