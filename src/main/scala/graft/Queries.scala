@@ -1312,6 +1312,35 @@ object Queries {
       .orderBy("doc_id", "rk")
   }
 
+  q("q_text_repetition",
+    // Gopher-style repetition filters: duplicate-word fraction, top-bigram
+    // fraction, duplicate-bigram occurrence fraction (multiplicity kept —
+    // unlike the dedup shingles, which are distinct)
+    """WITH words AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |wstats AS (
+      |  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct
+      |  FROM words),
+      |bg AS (
+      |  SELECT doc_id, unnest(
+      |    [array_to_string(w[i:i+1], ' ') for i in range(1, greatest(len(w), 1))]) AS b
+      |  FROM words),
+      |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bstats AS (
+      |  SELECT doc_id, sum(c) AS n_bg, max(c) AS top_c,
+      |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+      |  FROM bgc GROUP BY 1)
+      |SELECT doc_id,
+      |  round(1.0 - n_distinct * 1.0 / n_words, 6) AS dup_word_frac,
+      |  round(top_c * 1.0 / n_bg, 6) AS top_bigram_frac,
+      |  round(dup_c * 1.0 / n_bg, 6) AS dup_bigram_frac
+      |FROM wstats JOIN bstats USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.repetitionScore(
+        t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   q("q_embed_centroids",
     // per-label centroid components (first 8 dims): decimal sums + counts
     // stay exact under any accumulation order, unlike a double avg; the

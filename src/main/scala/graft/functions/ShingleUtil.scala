@@ -43,14 +43,41 @@ object ShingleUtil {
     new GenericArrayData(out)
   }
 
-  /** Column wrapper: `shingleCol(col("text"), 3)`. */
-  def shingleCol(text: Column, n: Int): Column =
+  /** As [[shingles]] but keeping every occurrence (no distinct) — the
+    * repetition-scoring input, where multiplicity IS the signal. */
+  def shinglesAll(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return null
+    val words = ws.split(text.toString.toLowerCase, -1)
+    val count = math.max(words.length - n + 1, 0)
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def invoke(method: String, text: Column, n: Int): Column =
     GraftSqlBridge.column(StaticInvoke(
       ShingleUtil.getClass,
       ArrayType(StringType, containsNull = false),
-      "shingles",
+      method,
       Seq(GraftSqlBridge.expression(text), Literal(n, IntegerType)),
       inputTypes = Seq(StringType, IntegerType),
       propagateNull = true,
       returnNullable = true))
+
+  /** Column wrapper: `shingleCol(col("text"), 3)`. */
+  def shingleCol(text: Column, n: Int): Column = invoke("shingles", text, n)
+
+  /** Column wrapper for [[shinglesAll]]. */
+  def shingleAllCol(text: Column, n: Int): Column = invoke("shinglesAll", text, n)
 }

@@ -79,6 +79,34 @@ object TextAnalysis {
         round((col("punct_score") + col("stop_score") + col("len_score")) / 3, 4))
   }
 
+  /** Repetition scoring (the Gopher-style repetitious-text filters, Rae et
+    * al. 2021 §A1.1 — public): per document,
+    *   - dup_word_frac    = 1 − distinct words / words,
+    *   - top_bigram_frac  = occurrences of the most frequent bigram / bigrams,
+    *   - dup_bigram_frac  = occurrences of bigrams appearing >1 time / bigrams.
+    * Docs with fewer than two words have no bigrams and drop out (as in the
+    * SQL formulation).
+    *
+    * Scale: one explode keyed on (doc_id, bigram), then per-doc partial
+    * aggs — no driver state, no windows. */
+  def repetitionScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = split(lower(col(textCol)), "\\s+")
+    val wstats = docs.select(col(idCol).as("doc_id"),
+      size(w).as("n_words"), size(array_distinct(w)).as("n_distinct"))
+    val bg = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.ShingleUtil.shingleAllCol(col(textCol), 2)).as("b"))
+    val bgc = bg.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val bstats = bgc.groupBy("doc_id").agg(
+      sum("c").as("n_bg"), max("c").as("top_c"),
+      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"))
+    wstats.join(bstats, "doc_id").select(
+      col("doc_id"),
+      round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 6)
+        .as("dup_word_frac"),
+      round(col("top_c").cast("double") / col("n_bg"), 6).as("top_bigram_frac"),
+      round(col("dup_c").cast("double") / col("n_bg"), 6).as("dup_bigram_frac"))
+  }
+
   /** Document fingerprint: md5 of the normalized text (case/whitespace/
     * punctuation-insensitive) — the exact-after-normalization dedup key. */
   def fingerprint(text: Column): Column =
