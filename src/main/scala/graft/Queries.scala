@@ -1312,6 +1312,30 @@ object Queries {
       .orderBy("doc_id", "rk")
   }
 
+  q("q_topk_grouped",
+    // per-group top-k as ONE bounded-heap aggregate (TopKAgg): the window
+    // formulation must fully sort every group (5 priority groups = 5 giant
+    // sort tasks at 100 TB); the agg keeps a k-element heap per group with
+    // map-side partial aggregation, so the shuffle carries ≤ k rows per
+    // group per mapper. The oracle is the window formulation — results
+    // are identical, only the plan differs.
+    """SELECT o_orderpriority, rk, totalprice, o_orderkey FROM (
+      |  SELECT o_orderpriority,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+      |    cast(o_totalprice AS DOUBLE) AS totalprice, o_orderkey
+      |  FROM orders) WHERE rk <= 3
+      |ORDER BY o_orderpriority, rk""".stripMargin) { (s, d) =>
+    t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(graft.functions.SketchAggregates.topKAgg(
+        col("o_totalprice").cast("double"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.score").as("totalprice"), col("col.id").as("o_orderkey"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
   q("q_text_repetition",
     // Gopher-style repetition filters: duplicate-word fraction, top-bigram
     // fraction, duplicate-bigram occurrence fraction (multiplicity kept —

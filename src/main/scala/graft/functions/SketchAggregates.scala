@@ -144,6 +144,126 @@ case class SimHashAgg(
     copy(child = newChildren.head)
 }
 
+/** Bounded min-heap buffer for [[TopKAgg]]: root = the WORST kept element,
+  * so a better candidate replaces the root in O(log k). Rank order:
+  * higher score wins, ties broken by smaller id (the window formulation's
+  * `ORDER BY score DESC, id ASC`). */
+final class TopKBuffer(val k: Int) extends Serializable {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var size = 0
+
+  /** true when (s1,i1) ranks BELOW (s2,i2). */
+  @inline private def below(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && i1 > i2)
+
+  def add(s: Double, id: Long): Unit = {
+    if (size < k) {
+      var i = size; scores(i) = s; ids(i) = id; size += 1
+      // sift up: the heap keeps every parent ranked below (worse than) its
+      // children, so a new leaf that ranks below its parent bubbles up
+      while (i > 0 && below(scores(i), ids(i), scores((i - 1) / 2), ids((i - 1) / 2))) {
+        swap(i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    } else if (below(scores(0), ids(0), s, id)) {
+      scores(0) = s; ids(0) = id
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = 2 * i + 2
+        var worst = i
+        if (l < size && below(scores(l), ids(l), scores(worst), ids(worst))) worst = l
+        if (r < size && below(scores(r), ids(r), scores(worst), ids(worst))) worst = r
+        if (worst == i) done = true else { swap(i, worst); i = worst }
+      }
+    }
+  }
+
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+    val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+  }
+
+  /** (score desc, id asc) — the emit order. */
+  def sortedPairs: Array[(Double, Long)] =
+    (0 until size).map(i => (scores(i), ids(i))).toArray
+      .sortBy { case (s, id) => (-s, id) }
+}
+
+/** Per-group top-k as ONE bounded-buffer aggregate instead of a window
+  * sort: `row_number() OVER (PARTITION BY g ORDER BY s DESC) <= k` must
+  * shuffle and fully SORT every group; this keeps a k-element heap per
+  * group with map-side partial aggregation, so the shuffle carries at most
+  * k rows per group per mapper and nothing is ever sorted but the final k.
+  * The 100 TB difference: top-3-per-customer over 10^10 rows shuffles
+  * ~3·groups rows instead of 10^10, and no executor materializes a full
+  * group. Emits `array<struct<score double, id long>>` in rank order. */
+case class TopKAgg(
+    scoreChild: Expression,
+    idChild: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(scoreChild, idChild)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("id", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = scoreChild.eval(input)
+    val id = idChild.eval(input)
+    if (s != null && id != null)
+      buf.add(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer = {
+    var i = 0
+    while (i < b.size) { a.add(b.scores(i), b.ids(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: TopKBuffer): Any =
+    new GenericArrayData(buf.sortedPairs.map { case (s, id) =>
+      InternalRow(s, id)
+    }.asInstanceOf[Array[Any]])
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + buf.size * 16)
+    bb.putInt(buf.k); bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) { bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val kk = bb.getInt; val n = bb.getInt
+    val buf = new TopKBuffer(kk)
+    var i = 0
+    while (i < n) { buf.add(bb.getDouble, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKAgg =
+    copy(scoreChild = newChildren(0), idChild = newChildren(1))
+}
+
 object SketchAggregates {
   def minhashAgg(shingle: Column, numHashes: Int): Column =
     GraftSqlBridge.column(
@@ -153,4 +273,10 @@ object SketchAggregates {
   def simhashAgg(word: Column): Column =
     GraftSqlBridge.column(
       SimHashAgg(GraftSqlBridge.expression(word)).toAggregateExpression())
+
+  /** Per-group top-k by (score desc, id asc): `topKAgg(score, id, 3)`. */
+  def topKAgg(score: Column, id: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      TopKAgg(GraftSqlBridge.expression(score), GraftSqlBridge.expression(id), k)
+        .toAggregateExpression())
 }
