@@ -53,10 +53,13 @@ object Similarity {
   }
 
   private def cellIdExpr(vec: Column, cent: Column, k: Int): Column = {
-    val scored = transform(sequence(lit(0), lit(k - 1)),
-      i => struct(round(cosine(vec, element_at(cent, i + 1)), 9).as("s"), (-i).as("negi")))
-    // array_max on struct orders lexicographically: max score, then min index
-    (-array_max(scored).getField("negi")).as("cell_id")
+    // argmax with first-occurrence (min-index) tiebreak: array_position
+    // returns the FIRST element equal to the max. Alias-free on purpose —
+    // struct-field names assigned inside lambda bodies are not preserved
+    // in every resolution context.
+    val scores = transform(sequence(lit(0), lit(k - 1)),
+      i => round(cosine(vec, element_at(cent, i + 1)), 9))
+    (array_position(scores, array_max(scores)) - 1).cast("int").as("cell_id")
   }
 
   /** Probe's `nprobe` nearest cells, computed once driver-side on the
@@ -82,6 +85,53 @@ object Similarity {
       .select(col(idCol), round(cosine(col(vecCol), typedLit(probe.toSeq)), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Distributed Lloyd's (spherical) k-means for IVF centroid fitting.
+    * Init = deterministic hash-ordered sample of k vectors; each iteration
+    * assigns cells map-side against the broadcast centroid literal, then
+    * computes per-cell per-dimension means with ordinary partial+final
+    * aggregation. Only k·d (sums, counts) rows ever reach the driver —
+    * scalar-sized regardless of corpus size. Cosine assignment is
+    * scale-invariant, so plain means serve as spherical centroids. Empty
+    * cells keep their previous centroid. Fully deterministic. */
+  def fitCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int = 5): Seq[Array[Float]] = {
+    var centroids = embeddings
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray).toSeq
+    for (_ <- 0 until iterations) {
+      val cent = typedLit(centroids.map(_.toSeq))
+      val sums = embeddings
+        .select(cellIdExpr(col(vecCol), cent, k).as("cell_id"),
+          posexplode(col(vecCol)))
+        .groupBy("cell_id", "pos")
+        .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect() // k·d rows — driver-safe at any corpus size
+      val byCell = sums.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val arr = new Array[Float](old.length)
+            rows.foreach(r =>
+              arr(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat)
+            arr
+          case None => old
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Mean cosine of every vector to its assigned centroid — the quality
+    * number a fit is judged by (spherical-k-means inertia analog). */
+  def meanAssignedCosine(embeddings: DataFrame, vecCol: String,
+      centroids: Seq[Array[Float]]): Double = {
+    val cent = typedLit(centroids.map(_.toSeq))
+    assignCells(embeddings, vecCol, centroids)
+      .select(avg(cosine(col(vecCol), element_at(cent, col("cell_id") + 1))))
+      .head().getDouble(0)
   }
 
   /** Materialize the IVF index: cell assignment computed ONCE, the table

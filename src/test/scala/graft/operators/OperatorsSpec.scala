@@ -59,6 +59,18 @@ class OperatorsSpec extends SparkTestBase {
       s"ivf overlap with brute too low: ${(ivf intersect brute).size}")
   }
 
+  test("fitCentroids: deterministic, and tighter cells than the sampled init") {
+    val init = emb.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(8).select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    val fitted = Similarity.fitCentroids(emb, "vec_id", "embedding", 8, iterations = 3)
+    val again = Similarity.fitCentroids(emb, "vec_id", "embedding", 8, iterations = 3)
+    assert(fitted.map(_.toSeq) == again.map(_.toSeq), "fit must be deterministic")
+    val before = Similarity.meanAssignedCosine(emb, "embedding", init)
+    val after = Similarity.meanAssignedCosine(emb, "embedding", fitted)
+    assert(after >= before - 1e-9,
+      s"fitting degraded assignment tightness: $before -> $after")
+  }
+
   test("materialized IVF index: probes prune to the probed cells' files only") {
     val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
