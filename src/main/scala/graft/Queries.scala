@@ -32,23 +32,38 @@ object Queries {
     * parse+shingle scan when a suite (Verify, Bench, a user pipeline) runs
     * them together. At 100 TB this is the "materialize the common prefix"
     * pattern — MEMORY_AND_DISK, spillable, evicted when the corpus dir
-    * changes. Single-query use pays one persist and loses nothing. */
+    * changes. Single-query use pays one persist and loses nothing.
+    *
+    * Keyed WEAKLY on the actual session object (not an identity hash — a
+    * GC'd session's hash can be reused, which would hand out a DataFrame
+    * bound to a stopped SparkContext), so dead sessions' entries vanish
+    * with the session. Snapshot semantics: a corpus dir rewritten
+    * in-session keeps serving the persisted snapshot, like any Spark
+    * cache. */
   private val sharedShingleCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
 
-  private def sharedShingles(s: SparkSession, dir: String): DataFrame = {
-    val key = (System.identityHashCode(s), dir)
-    if (!sharedShingleCache.contains(key))
+  private def sharedShingles(s: SparkSession, dir: String): DataFrame =
+    sharedShingleCache.synchronized {
+      val perSession = {
+        val m = sharedShingleCache.get(s)
+        if (m != null) m else {
+          val m2 = scala.collection.mutable.Map.empty[String, DataFrame]
+          sharedShingleCache.put(s, m2)
+          m2
+        }
+      }
       // keep at most one corpus cached per session
-      sharedShingleCache.filterInPlace { case ((sess, d), df) =>
-        val keep = sess != key._1 || d == dir
+      perSession.filterInPlace { (d, df) =>
+        val keep = d == dir
         if (!keep) df.unpersist(blocking = false)
         keep
       }
-    sharedShingleCache.getOrElseUpdate(key,
-      graft.operators.Dedup.shingleExplode(t(s, dir, "documents"), "doc_id", "text", n = 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+      perSession.getOrElseUpdate(dir,
+        graft.operators.Dedup.shingleExplode(t(s, dir, "documents"), "doc_id", "text", n = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   // ------------------------------------------------------------ §2.C scans/filters
 

@@ -228,6 +228,17 @@ object GraftCatalog {
     */
   def registerDatabasePersistent(spark: SparkSession, db: DatabaseMeta,
       warehouseRoot: String, deleteIfExists: Boolean = false): Unit = {
+    // validate every table's format UP FRONT so an unsupported one cannot
+    // leave the database half-registered mid-loop
+    db.tables.foreach { t =>
+      if (t.dataFormat == "avro" && !avroAvailable) throw new IllegalStateException(
+        s"table ${t.name}: persistent avro registration needs " +
+          "org.apache.spark.sql.avro.AvroFileFormat on the classpath")
+      if (!Seq("parquet", "orc", "json", "csv", "csv_quoted_nodate", "regex",
+          "avro").contains(t.dataFormat))
+        throw new IllegalArgumentException(
+          s"table ${t.name}: unsupported data_format ${t.dataFormat}")
+    }
     if (deleteIfExists) unregisterDatabasePersistent(spark, db)
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `${db.name}`")
     db.tables.foreach { t =>
@@ -392,7 +403,7 @@ object GraftCatalog {
           throw new IllegalArgumentException(
             "partitioned avro writes need the spark-avro module; " +
               "graft's built-in avro sink writes unpartitioned container files")
-        else graft.sources.AvroFiles.write(df, path, mode)
+        else graft.sources.AvroFiles.write(df, path, mode, compressionFor(table))
       case other => throw new IllegalArgumentException(s"unwritable format $other")
     }
   }

@@ -267,7 +267,11 @@ object Similarity {
       threshold: Double, broadcastBudgetBytes: Long = 128L << 20): DataFrame = {
     val spark = embeddings.sparkSession
     val n = embeddings.count()
-    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    // max over the table (null-safe): an empty table or all-null column
+    // routes to the trivially-correct brute path instead of crashing on
+    // head() of an empty result
+    val dim = Option(embeddings.select(max(size(col(vecCol)))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(0)
     val bytes = n * (dim.toLong * 4 + 24) // floats + per-row object overhead
     if (bytes <= broadcastBudgetBytes) {
       bruteNearDupPairs(embeddings, idCol, vecCol, threshold)

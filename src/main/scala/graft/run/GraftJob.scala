@@ -70,6 +70,11 @@ object GraftJob {
         // queries: run the action under a job group and cancel it when the
         // remaining budget is exhausted (the reference's cost-cap kill)
         val group = s"graftjob-$name"
+        // set by the timeout path BEFORE it cancels: a Future that has not
+        // yet started sees the flag and never submits its first job, so a
+        // 1 ms-budget timeout cannot leave a zombie query running (the
+        // cancel would otherwise fire before setJobGroup and kill nothing)
+        val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
         try {
           val remainingMs = math.max(1L, ((budgetSec - elapsed) * 1000).toLong)
           val work = scala.concurrent.Future {
@@ -79,6 +84,7 @@ object GraftJob {
             // or absent group and cancelJobGroup would cancel nothing
             spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
             try {
+              if (timedOut.get()) throw new InterruptedException(s"$name budget exhausted")
               val df = fn(spark, sfDir)
               val sink = TableMeta(name.replaceAll("[^a-z0-9_]", "_"), s"$name/",
                 dataFormat = sinkFormat)
@@ -95,7 +101,15 @@ object GraftJob {
           JobSucceeded(name, rows, (System.nanoTime() - t0) / 1e9)
         } catch {
           case _: java.util.concurrent.TimeoutException =>
-            spark.sparkContext.cancelJobGroup(group)
+            timedOut.set(true)
+            // repeat the cancel briefly: a job submitted between the flag
+            // check and the first cancel still gets killed
+            var tries = 0
+            while (tries < 20) {
+              spark.sparkContext.cancelJobGroup(group)
+              if (spark.sparkContext.statusTracker.getActiveJobIds().isEmpty) tries = 20
+              else { Thread.sleep(100); tries += 1 }
+            }
             JobTimedOut(name, budgetSec)
           case e: Throwable => JobFailed(name, e)
         }

@@ -32,7 +32,9 @@ final class JobPackage(
     * <parent>/shared_job_resources/   same three folders, merged when
     *                                  includeSharedJobResources
     * }}} */
-  val jobFolder: Path = Paths.get(jobFolder0).normalize()
+  // absolute so the parent/grandparent walk (shared resources, meta_data)
+  // is always defined — a bare relative "myjob" has getParent == null
+  val jobFolder: Path = Paths.get(jobFolder0).toAbsolutePath.normalize()
 
   /** etl.py:158-160. */
   val jobPath: Path = jobFolder.resolve("job.py")
@@ -47,9 +49,11 @@ final class JobPackage(
   val jobName: String =
     jobNameOverride.getOrElse(jobFolder.getFileName.toString)
 
-  def jobParentFolder: Path = jobFolder.getParent
+  def jobParentFolder: Path =
+    Option(jobFolder.getParent).getOrElse(jobFolder)
 
-  def etlRootFolder: Path = jobParentFolder.getParent
+  def etlRootFolder: Path =
+    Option(jobParentFolder.getParent).getOrElse(jobParentFolder)
 
   private def sharedFolder(kind: String): Path =
     jobParentFolder.resolve("shared_job_resources").resolve(kind)

@@ -158,8 +158,10 @@ object AvroFiles {
       case Schema.Type.INT if s.getLogicalType.isInstanceOf[LogicalTypes.Date] =>
         v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
       case Schema.Type.LONG if s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMicros] =>
+        // floorDiv: truncating division is off by +1s for pre-epoch
+        // timestamps with fractional seconds (getNanos is always >= 0)
         val t = v.asInstanceOf[java.sql.Timestamp]
-        t.getTime / 1000L * 1000000L + t.getNanos.toLong / 1000L
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos.toLong / 1000L
       case Schema.Type.BYTES =>
         s.getLogicalType match {
           case d: LogicalTypes.Decimal =>
@@ -180,6 +182,34 @@ object AvroFiles {
       case _ => v
     }
   }
+
+  /** Hive-style partition-path unescape: ONLY %XX sequences decode —
+    * URLDecoder would also turn '+' into a space, corrupting values that
+    * legitimately contain '+' (Spark's escapePathName never escapes it). */
+  private def unescapePathName(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code = try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** `k -> v` pairs from the k=v directory segments of `file` under the
+    * qualified root URI. */
+  private def partValues(file: String, rootUri: String): Seq[(String, String)] =
+    file.stripPrefix(rootUri).split("/").toSeq
+      .dropRight(1) // the filename itself is not a partition segment
+      .filter(_.contains("=")).map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        unescapePathName(k) -> unescapePathName(v)
+      }
 
   // ---------------------------------------------------------------- read
 
@@ -209,18 +239,14 @@ object AvroFiles {
     val dataSchema = toSparkType(first).asInstanceOf[StructType]
     val rootUri = fs.makeQualified(root).toString
 
-    def partValues(file: String): Seq[(String, String)] =
-      file.stripPrefix(rootUri).split("/").toSeq
-        .filter(_.contains("=")).map { seg =>
-          val Array(k, v) = seg.split("=", 2)
-          k -> java.net.URLDecoder.decode(v, "UTF-8")
-        }
-    val partCols: Seq[String] = files.flatMap(partValues(_).map(_._1)).distinct.toSeq
+    val partCols: Seq[String] =
+      files.flatMap(f => partValues(f, rootUri).map(_._1)).distinct.toSeq
     val fullSchema = StructType(dataSchema.fields ++ partCols.map { c =>
       partitionSchema.fields.find(_.name == c).getOrElse(StructField(c, StringType))
     })
 
     val schemaJson = first.toString // Schema is not serializable-friendly; ship JSON
+    val partColsB = partCols // serializable copy for the closure
     val rdd = spark.sparkContext
       .parallelize(files.toSeq.sorted, math.min(files.size,
         math.max(spark.sparkContext.defaultParallelism, 1)))
@@ -234,9 +260,10 @@ object AvroFiles {
           val p = new HPath(file)
           val in = p.getFileSystem(taskConf).open(p)
           val reader = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord](schema))
-          val parts = file.stripPrefix(rootUri).split("/").toSeq
-            .filter(_.contains("=")).map(_.split("=", 2)(1))
-            .map(java.net.URLDecoder.decode(_, "UTF-8"))
+          // align to the UNION of partition columns across all files: a
+          // file missing a k=v level contributes null for that column
+          val kv = partValues(file, rootUri).toMap
+          val parts = partColsB.map(kv.getOrElse(_, null))
           new Iterator[Row] {
             def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
             def next(): Row = {
@@ -256,9 +283,21 @@ object AvroFiles {
 
   // --------------------------------------------------------------- write
 
+  /** Map a writeTable compression name to the avro container codec. */
+  private def codecFor(compression: Option[String]): Option[org.apache.avro.file.CodecFactory] =
+    compression.map {
+      case "none" => org.apache.avro.file.CodecFactory.nullCodec()
+      case "snappy" => org.apache.avro.file.CodecFactory.snappyCodec()
+      case "gzip" => org.apache.avro.file.CodecFactory.deflateCodec(6)
+      case "zstd" => org.apache.avro.file.CodecFactory.zstandardCodec(3)
+      case other => throw new IllegalArgumentException(
+        s"compression '$other' is not supported by avro container files")
+    }
+
   /** Write as avro container files, one per DataFrame partition (no commit
     * protocol — same direct-write contract as the rest of writeTable). */
-  def write(df: DataFrame, path: String, mode: String = "error"): Unit = {
+  def write(df: DataFrame, path: String, mode: String = "error",
+      compression: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new HPath(path)
@@ -273,12 +312,15 @@ object AvroFiles {
     val sparkSchema = df.schema
     val avroJson = toAvroSchema(sparkSchema, "graft_record").toString
     val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val codecName = compression // validate on the driver, ship the name
+    codecFor(codecName)
     df.rdd.mapPartitionsWithIndex { (i, rows) =>
       val schema = new Schema.Parser().parse(avroJson)
       val file = new HPath(path, f"part-$i%05d-$stamp.avro")
       val out = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
         .create(file, true)
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+      codecFor(codecName).foreach(w.setCodec)
       w.create(schema, out)
       var n = 0L
       rows.foreach { r => w.append(toAvro(r, schema).asInstanceOf[GenericRecord]); n += 1 }

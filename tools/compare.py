@@ -55,7 +55,9 @@ def decimal_cols(df):
     out = []
     for c in df.columns:
         col = df[c]
-        if col.dtype == object and any(isinstance(v, Decimal) for v in col.head(20)):
+        # full-column scan: a decimal column whose first rows are all null
+        # must still be flagged (the driver hashes every row)
+        if col.dtype == object and any(isinstance(v, Decimal) for v in col):
             out.append(c)
     return out
 
@@ -104,7 +106,10 @@ def main(sf_dir, out_dir):
         try:
             g = sort_rows(got)
             e = sort_rows(exp)
-        except TypeError as te:
+        except (TypeError, ValueError) as te:
+            # ndarray cells raise ValueError ("truth value of an array...")
+            # from pandas, plain unhashables raise TypeError — both are the
+            # same driver-breaking condition; fail the QUERY, not the script
             print(f"FAIL {name}: unsortable/nested column (driver-breaking): {te}")
             n_fail += 1
             continue
