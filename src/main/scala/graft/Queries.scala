@@ -1380,6 +1380,30 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  q("q_embed_quantize",
+    // symmetric int8 quantization summarized to scalar columns (the raw
+    // int8 array is not driver-hashable; q_sum/q_sqsum pin every value)
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx,
+      |    embedding::DOUBLE[] AS e
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  round(mx / 127, 6) AS scale,
+      |  CAST(list_sum(list_transform(e, x -> round(x * 127 / mx))) AS BIGINT) AS q_sum,
+      |  CAST(list_sum(list_transform(e, x -> round(x * 127 / mx) ** 2)) AS BIGINT) AS q_sqsum
+      |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val quant = graft.operators.Similarity.quantizeInt8(
+      t(s, d, "embeddings"), "vec_id", "embedding")
+    quant.select(
+      col("vec_id"),
+      round(col("scale"), 6).as("scale"),
+      aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+      aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long") * x.cast("long"))
+        .as("q_sqsum"))
+      .orderBy("vec_id")
+  }
+
   q("q_embed_centroids",
     // per-label centroid components (first 8 dims): decimal sums + counts
     // stay exact under any accumulation order, unlike a double avg; the

@@ -87,6 +87,21 @@ object Similarity {
       .limit(k)
   }
 
+  /** Symmetric per-vector int8 quantization (the storage path for large
+    * embedding tables: 4x smaller than float32, dot products still usable
+    * after dequantization by `scale`). scale = max|x|/127; zero vectors
+    * quantize to null (guarded division). Pure projection — scales as a
+    * map-only stage. */
+  def quantizeInt8(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val mx = array_max(transform(v, x => abs(x.cast("double"))))
+    val mxn = when(mx === 0.0, lit(null)).otherwise(mx)
+    embeddings.select(
+      col(idCol),
+      (mxn / 127).as("scale"),
+      transform(v, x => round(x.cast("double") * 127 / mxn).cast("byte")).as("q"))
+  }
+
   /** Distributed Lloyd's (spherical) k-means for IVF centroid fitting.
     * Init = deterministic hash-ordered sample of k vectors; each iteration
     * assigns cells map-side against the broadcast centroid literal, then
