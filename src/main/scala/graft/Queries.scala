@@ -1393,14 +1393,15 @@ object Queries {
       |  CAST(list_sum(list_transform(e, x -> round(x * 127 / mx))) AS BIGINT) AS q_sum,
       |  CAST(list_sum(list_transform(e, x -> round(x * 127 / mx) ** 2)) AS BIGINT) AS q_sqsum
       |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
-    val quant = graft.operators.Similarity.quantizeInt8(
-      t(s, d, "embeddings"), "vec_id", "embedding")
-    quant.select(
-      col("vec_id"),
-      round(col("scale"), 6).as("scale"),
-      aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
-      aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long") * x.cast("long"))
-        .as("q_sqsum"))
+    // one compiled pass per row (vecQuantStats) — the HOF formulation in
+    // Similarity.quantizeInt8 costs interpreted closures per element; the
+    // spec asserts both agree
+    t(s, d, "embeddings")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.vecQuantStats(col("embedding")).as("st"))
+      .select(col("vec_id"),
+        round(col("st.scale"), 6).as("scale"),
+        col("st.q_sum").as("q_sum"), col("st.q_sqsum").as("q_sqsum"))
       .orderBy("vec_id")
   }
 

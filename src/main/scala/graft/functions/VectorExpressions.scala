@@ -129,6 +129,58 @@ case class VectorNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-row int8-quantization statistics in ONE pass over the vector:
+  * struct(scale = max|x|/127, q_sum = Σ round(x·127/mx), q_sqsum = Σ round²).
+  * The HOF formulation (aggregate over transform) costs two interpreted
+  * closure calls per ELEMENT; this is one eval per ROW (CodegenFallback —
+  * the loop itself is compiled JVM code). Rounding is BigDecimal HALF_UP,
+  * bit-identical to Spark's `round` (and DuckDB's away-from-zero for these
+  * magnitudes). Zero/empty vectors → null, matching the guarded-division
+  * HOF form. */
+case class VectorQuantStats(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("scale", DoubleType),
+    org.apache.spark.sql.types.StructField("q_sum", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("q_sqsum", org.apache.spark.sql.types.LongType)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_quant_stats needs array<float>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(x.getFloat(i).toDouble)
+      if (v > mx) mx = v
+      i += 1
+    }
+    if (mx == 0.0) return null
+    var qs = 0L
+    var qq = 0L
+    i = 0
+    while (i < n) {
+      val v = x.getFloat(i).toDouble * 127.0 / mx
+      val q = java.math.BigDecimal.valueOf(v)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      qs += q
+      qq += q * q
+      i += 1
+    }
+    InternalRow(mx / 127.0, qs, qq)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VectorQuantStats =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for the codegen'd expressions. */
   def vecDot(a: Column, b: Column): Column =
@@ -141,4 +193,8 @@ object VectorFunctions {
   /** cosine(a,b) = dot/(|a||b|) — same formula/order as Similarity.cosine. */
   def vecCosine(a: Column, b: Column): Column =
     vecDot(a, b) / (vecNorm(a) * vecNorm(b))
+
+  /** struct(scale, q_sum, q_sqsum) int8-quantization stats, one pass. */
+  def vecQuantStats(a: Column): Column =
+    GraftSqlBridge.column(VectorQuantStats(GraftSqlBridge.expression(a)))
 }

@@ -59,6 +59,20 @@ class OperatorsSpec extends SparkTestBase {
       s"ivf overlap with brute too low: ${(ivf intersect brute).size}")
   }
 
+  test("vecQuantStats equals the HOF quantizeInt8 formulation") {
+    val viaExpr = emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.vecQuantStats(col("embedding")).as("st"))
+      .select(col("vec_id"), col("st.scale"), col("st.q_sum"), col("st.q_sqsum"))
+      .orderBy("vec_id").collect().toSeq
+    val viaHof = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long") * x.cast("long"))
+          .as("q_sqsum"))
+      .orderBy("vec_id").collect().toSeq
+    assert(viaExpr == viaHof)
+  }
+
   test("fitCentroids: deterministic, and tighter cells than the sampled init") {
     val init = emb.orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(8).select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
