@@ -175,9 +175,13 @@ object Dedup {
 
     // small-graph fast path: near-dup graphs are typically tiny relative
     // to the corpus; below the threshold a driver union-find beats paying
-    // Spark job overhead per propagation round (same min-id result)
-    val edgeCount = edges.count()
-    if (edgeCount <= ufThreshold) {
+    // Spark job overhead per propagation round (same min-id result).
+    // take(threshold+1) both SIZES and FETCHES in one action: if it comes
+    // back within bound those are already the edges (no separate count()
+    // + collect() jobs); one extra row proves the graph is over budget.
+    val maxFetch = math.min(ufThreshold, Int.MaxValue - 1L).toInt
+    val fetched = edges.select("u", "v").take(maxFetch + 1)
+    if (fetched.length <= maxFetch) {
       val spark = pairs.sparkSession
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -187,7 +191,7 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges.select("u", "v").collect().foreach { row =>
+      fetched.foreach { row =>
         val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
         if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
       }
