@@ -64,4 +64,19 @@ class GraftJobSpec extends SparkTestBase {
     val r = GraftJob.run(spark, subset, sf(), out, costCap = 0.0)
     assert(r.head.isInstanceOf[GraftJob.JobTimedOut])
   }
+
+  test("a timed-out query leaves no zombie: nothing is written after the kill") {
+    // a ~1 ms budget makes Await time out BEFORE the Future body has even
+    // started — the timed-out flag must stop the query from launching at
+    // all, or it would run to completion in the background and write its
+    // sink anyway (the zombie the cost cap exists to prevent)
+    val out = java.nio.file.Files.createTempDirectory("graftjob5").toString
+    val subset = graft.SparkEntry.queries.view.filterKeys(Set("q_scan_all")).toMap
+    val r = GraftJob.run(spark, subset, sf(), out, costCap = 1e-9)
+    assert(r.head.isInstanceOf[GraftJob.JobTimedOut])
+    // give any would-be zombie ample time to run the (fast) query + write
+    Thread.sleep(3000)
+    assert(GraftJob.inferSinkMetas(spark, out).isEmpty,
+      "timed-out query still wrote its sink — zombie execution")
+  }
 }
