@@ -92,6 +92,52 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Resize plumbing: emit a payload re-scaled to `targetW`×`targetH` with
+    * the meta struct updated to the new dimensions. The pixel resample is
+    * the STUB part (nearest-neighbor over raw bytes as if 1 byte/pixel —
+    * a real codec decodes, resamples, re-encodes in its place); the
+    * distributed contract — schema preserved, meta rewritten, batched
+    * per-partition execution, payload bytes never shuffled — is real. */
+  def resizeMedia(media: DataFrame, targetW: Int, targetH: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    val spark = media.sparkSession
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    media.select("media_id", "payload", "meta").mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // real decoder: decode + resample the whole batch in one call here
+        batch.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val meta = r.getStruct(2)
+          val resized =
+            if (payload == null) null
+            else {
+              val srcW = math.max(1, meta.getInt(1))
+              val srcH = math.max(1, meta.getInt(2))
+              val out = new Array[Byte](targetW * targetH)
+              var y = 0
+              while (y < targetH) {
+                var x = 0
+                while (x < targetW) {
+                  // nearest-neighbor index into the source "pixel" grid
+                  val sx = x.toLong * srcW / targetW
+                  val sy = y.toLong * srcH / targetH
+                  val src = (sy * srcW + sx).toInt
+                  out(y * targetW + x) =
+                    if (src < payload.length) payload(src) else 0
+                  x += 1
+                }
+                y += 1
+              }
+              out
+            }
+          Row(r.getLong(0), resized,
+            Row(meta.getString(0), targetW, targetH, meta.getInt(3)))
+        }
+      }
+    }(encoder)
+  }
+
   /** Synthesize a media table from the documents fixture (payload = utf8
     * bytes) — a deterministic stand-in for real blobs, used by tests and
     * the q_multimodal pipeline. */

@@ -236,6 +236,22 @@ class OperatorsSpec extends SparkTestBase {
     rows.foreach(r => assert(again(r.getLong(0)) == r.getSeq[Float](1)))
   }
 
+  test("multimodal: resize rewrites payload dims and meta, deterministically") {
+    val media = Multimodal.mediaFromDocuments(docs.limit(50))
+    val resized = Multimodal.resizeMedia(media, 8, 4)
+    val rows = resized.orderBy("media_id").collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getAs[Array[Byte]]("payload").length == 8 * 4)
+      val meta = r.getStruct(2)
+      assert(meta.getInt(1) == 8 && meta.getInt(2) == 4)
+      assert(meta.getString(0) == "text/plain") // mime preserved
+    }
+    val again = Multimodal.resizeMedia(media, 8, 4).orderBy("media_id").collect()
+    assert(rows.map(_.getAs[Array[Byte]]("payload").toSeq).toSeq ==
+      again.map(_.getAs[Array[Byte]]("payload").toSeq).toSeq)
+  }
+
   test("multimodal: frame sampling slices chunk-aligned frames") {
     val media = Multimodal.mediaFromDocuments(docs.limit(10))
     val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
