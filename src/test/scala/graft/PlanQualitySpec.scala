@@ -66,4 +66,25 @@ class PlanQualitySpec extends SparkTestBase {
     // q_fn_json needs event_id + props only; ts/user_id/value must be pruned
     assert(!p.contains("user_id"), s"events pruning failed:\n$p")
   }
+
+  test("q_topk_grouped aggregates partially with no window or global sort of the input") {
+    val p = plan("q_topk_grouped")
+    assert(!p.contains("Window"), s"window snuck into the TopKAgg plan:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"no typed aggregate:\n$p")
+    assert(p.toLowerCase.contains("partial"), s"no map-side partial agg:\n$p")
+  }
+
+  test("q_embed_quantize is a pure projection over a pruned scan") {
+    val p = plan("q_embed_quantize")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      s"quantize introduced a non-sort shuffle:\n$p") // only the ORDER BY may exchange
+    assert(!p.contains("label"), "embeddings pruning failed: label column read")
+  }
+
+  test("q_text_repetition partial-aggregates the bigram counts") {
+    val p = plan("q_text_repetition")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial+final aggregation:\n$p")
+  }
 }
