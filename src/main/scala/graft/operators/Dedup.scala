@@ -161,26 +161,17 @@ object Dedup {
     val ufThreshold =
       if (driverUnionFindThreshold >= 0L) driverUnionFindThreshold
       else Runtime.getRuntime.maxMemory / 20L / 100L
-    // materialize the edge list ONCE: without this every iteration's join
-    // re-executes the full upstream pair-generation lineage (shingling,
-    // joins) — the iteration cost must be proportional to the graph, not
-    // to the corpus. Candidate graphs are orders smaller than the corpus,
-    // so use a fraction of the cluster's parallelism (chunky tasks), never
-    // a literal width.
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .distinct()
-      .repartition(math.max(parallelism / 4, 8))
-      .localCheckpoint()
 
-    // small-graph fast path: near-dup graphs are typically tiny relative
-    // to the corpus; below the threshold a driver union-find beats paying
-    // Spark job overhead per propagation round (same min-id result).
-    // take(threshold+1) both SIZES and FETCHES in one action: if it comes
-    // back within bound those are already the edges (no separate count()
-    // + collect() jobs); one extra row proves the graph is over budget.
+    // small-graph fast path FIRST: near-dup graphs are typically tiny
+    // relative to the corpus, and a driver union-find beats paying Spark
+    // job overhead per propagation round (same min-id result).
+    // take(threshold+1) on the raw pairs both SIZES and FETCHES in one
+    // action — within bound the rows are already here, with none of the
+    // mirror/distinct/repartition/checkpoint jobs the distributed path
+    // needs; one extra row proves the graph is over budget. Duplicate
+    // pairs are harmless to union-find, direction is mirrored driver-side.
     val maxFetch = math.min(ufThreshold, Int.MaxValue - 1L).toInt
-    val fetched = edges.select("u", "v").take(maxFetch + 1)
+    val fetched = pairs.select(col("id_a"), col("id_b")).take(maxFetch + 1)
     if (fetched.length <= maxFetch) {
       val spark = pairs.sparkSession
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -200,6 +191,18 @@ object Dedup {
       import spark.implicits._
       return out.toDF("doc_id", "cluster_id")
     }
+
+    // distributed path: materialize the mirrored edge list ONCE — without
+    // this every iteration's join re-executes the full upstream
+    // pair-generation lineage (shingling, joins); the iteration cost must
+    // be proportional to the graph, not to the corpus. Candidate graphs
+    // are orders smaller than the corpus, so use a fraction of the
+    // cluster's parallelism (chunky tasks), never a literal width.
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+      .repartition(math.max(parallelism / 4, 8))
+      .localCheckpoint()
 
     var labels = edges.select(col("u").as("doc_id"))
       .distinct()
