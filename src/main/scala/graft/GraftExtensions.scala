@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{VectorDot, VectorNorm}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{MinHashAgg, SimHashAgg, TopKAgg, VectorDot, VectorNorm, VectorQuantStats}
 
 /** SparkSessionExtensions entry point: makes graft's custom expressions
   * callable from SQL (`SELECT vec_dot(a.embedding, b.embedding) ...`).
@@ -28,7 +28,29 @@ object GraftExtensions {
     (FunctionIdentifier("vec_norm"),
       info("vec_norm", "vec_norm(a) - L2 norm of an array<float>"),
       (args: Seq[Expression]) => VectorNorm(args(0))),
+    (FunctionIdentifier("vec_quant_stats"),
+      info("vec_quant_stats",
+        "vec_quant_stats(a) - int8 quantization struct(scale, q_sum, q_sqsum)"),
+      (args: Seq[Expression]) => VectorQuantStats(args(0))),
+    (FunctionIdentifier("topk_agg"),
+      info("topk_agg",
+        "topk_agg(score, id, k) - per-group top-k array<struct<score,id>> " +
+          "by (score desc, id asc), bounded-heap aggregate"),
+      (args: Seq[Expression]) => TopKAgg(args(0), args(1), litInt(args(2), "k"))),
+    (FunctionIdentifier("minhash_agg"),
+      info("minhash_agg",
+        "minhash_agg(shingle, numHashes) - one-pass minhash signature"),
+      (args: Seq[Expression]) => MinHashAgg(args(0), litInt(args(1), "numHashes"))),
+    (FunctionIdentifier("simhash_agg"),
+      info("simhash_agg", "simhash_agg(word) - 64-bit simhash bit-vote"),
+      (args: Seq[Expression]) => SimHashAgg(args(0))),
   )
+
+  private def litInt(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
 
   /** Imperative registration for an existing session. */
   def register(spark: SparkSession): Unit =

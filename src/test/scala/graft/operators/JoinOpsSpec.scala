@@ -57,5 +57,32 @@ class JoinOpsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(0) - r.getDouble(1) * r.getDouble(1)) < 1e-9)
   }
 
+  test("GraftExtensions: quantization and aggregates callable from SQL") {
+    GraftExtensions.register(spark)
+    graft.sources.Tables.load(spark, sf(), "embeddings")
+      .createOrReplaceTempView("ext_emb2")
+    val q = spark.sql(
+      "SELECT vec_quant_stats(embedding).q_sum FROM ext_emb2 WHERE vec_id = 0").head()
+    assert(!q.isNullAt(0))
+    val top = spark.sql(
+      """SELECT label, topk_agg(cast(vec_id AS DOUBLE), vec_id, 2) AS t
+        |FROM ext_emb2 GROUP BY label""".stripMargin).collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      val arr = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(arr.size <= 2)
+      // top-2 by score desc = the two largest vec_ids of the label
+      assert(arr.map(_.getDouble(0)).sorted.reverse == arr.map(_.getDouble(0)))
+    }
+    val mh = spark.sql(
+      """SELECT doc_id, minhash_agg(sh, 16) AS sig FROM (
+        |  SELECT 1L AS doc_id, explode(array('a','b','c')) AS sh)
+        |GROUP BY doc_id""".stripMargin).head()
+    assert(mh.getSeq[Long](1).size == 16)
+    val badK = intercept[Exception](spark.sql(
+      "SELECT topk_agg(cast(vec_id AS DOUBLE), vec_id, vec_id) FROM ext_emb2"))
+    assert(badK.getMessage.contains("integer literal"))
+  }
+
   private def GraftExtensions = graft.GraftExtensions
 }
