@@ -1,6 +1,7 @@
 package graft.run
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
 import graft.meta.TableMeta
 import graft.catalog.GraftCatalog
 
@@ -115,6 +116,38 @@ object GraftJob {
         }
       }
     }
+  }
+
+  /** Execute a PACKAGED job's staged .sql resources — the reference
+    * lifecycle's execution half (`job.py` scripts read their .sql files
+    * from the staged S3 folder and run them via Athena/Spark; SURVEY
+    * §3.2-3.3). Each `<name>.sql` in the staged resources folder runs as
+    * query `<name>` against whatever tables/views the caller registered
+    * (e.g. [[graft.catalog.GraftCatalog.registerDatabase]]), writing a
+    * sink per query under `outDir`, under the same cost-cap budget as
+    * [[run]]. Files execute in name order (the reference's serialized
+    * refreshes). */
+  def runStagedSql(
+      spark: SparkSession,
+      pkg: JobPackage,
+      outDir: String,
+      sinkFormat: String = "parquet",
+      workers: Int = 2,
+      workerType: String = "G.1X",
+      costCap: Double = MaximumCostCap): Seq[JobResult] = {
+    val staged = pkg.stageJobFolder
+    val st = java.nio.file.Files.list(staged)
+    val sqls = try st.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".sql"))
+      .toSeq.sortBy(_.getFileName.toString)
+    finally st.close()
+    val queries: Map[String, (SparkSession, String) => DataFrame] =
+      sqls.map { p =>
+        val name = p.getFileName.toString.stripSuffix(".sql")
+        val text = java.nio.file.Files.readString(p)
+        name -> ((s: SparkSession, _: String) => s.sql(text))
+      }.toMap
+    run(spark, queries, sfDir = "", outDir, sinkFormat, workers, workerType, costCap)
   }
 
   /** Post-job schema registration: infer TableMeta for every sink written

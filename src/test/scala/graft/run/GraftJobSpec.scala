@@ -65,6 +65,36 @@ class GraftJobSpec extends SparkTestBase {
     assert(r.head.isInstanceOf[GraftJob.JobTimedOut])
   }
 
+  test("packaged .sql resources execute end-to-end: package -> stage -> run -> metas") {
+    // the full reference lifecycle in-process: a job folder with sql
+    // resources is packaged, staged, executed against registered views,
+    // and its sinks schema-inferred back into table metas
+    val root = java.nio.file.Files.createTempDirectory("graftsqljob")
+    val job = root.resolve("glue_jobs").resolve("sql_job")
+    java.nio.file.Files.createDirectories(job.resolve("glue_resources"))
+    java.nio.file.Files.writeString(job.resolve("job.py"), "# runner stub")
+    java.nio.file.Files.writeString(
+      job.resolve("glue_resources").resolve("region_count.sql"),
+      "SELECT r_regionkey, count(*) AS n FROM staged_region GROUP BY r_regionkey")
+    java.nio.file.Files.writeString(
+      job.resolve("glue_resources").resolve("broken.sql"),
+      "SELECT * FROM table_that_does_not_exist")
+    graft.sources.Tables.load(spark, sf(), "region")
+      .createOrReplaceTempView("staged_region")
+
+    val pkg = new JobPackage(job.toString, root.resolve("stage").toString, jobId = "9")
+    pkg.syncToStage()
+    val out = java.nio.file.Files.createTempDirectory("graftsqlout").toString
+    val results = GraftJob.runStagedSql(spark, pkg, out)
+    assert(results.map(_.name) == Seq("broken", "region_count"))
+    assert(results.head.isInstanceOf[GraftJob.JobFailed]) // bad sql fails, run continues
+    assert(results(1).isInstanceOf[GraftJob.JobSucceeded])
+    val metas = GraftJob.inferSinkMetas(spark, out)
+    assert(metas.map(_.name) == Seq("region_count"))
+    assert(metas.head.columnNames == Seq("r_regionkey", "n"))
+    pkg.cleanup()
+  }
+
   test("a timed-out query leaves no zombie: nothing is written after the kill") {
     // a ~1 ms budget makes Await time out BEFORE the Future body has even
     // started — the timed-out flag must stop the query from launching at
