@@ -6,6 +6,7 @@ import graft.catalog.GraftCatalog
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /** Built-in avro container-file source/sink (AvroSerDe analog,
   * specs/avro_specific.json:1-22) — exercised directly since the
@@ -82,6 +83,48 @@ class AvroFilesSpec extends SparkTestBase {
     val back = GraftCatalog.readTable(spark, db, "pav", root).orderBy("id").collect()
     assert(back.map(r => (r.getLong(0), r.getAs[Int]("year"))).toSeq ==
       Seq((1L, 2020), (2L, 2021)))
+  }
+
+  test("pre-epoch fractional timestamps round-trip (floorDiv, not truncation)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts", TimestampType)))
+    val before = java.sql.Timestamp.valueOf("1969-12-31 23:59:59.25")
+    val after = java.sql.Timestamp.valueOf("1970-01-01 00:00:00.25")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, before), Row(2L, after)), 1), schema)
+    val dir = tmp() + "/ts"
+    AvroFiles.write(df, dir)
+    val back = AvroFiles.read(spark, dir).orderBy("id").collect()
+    assert(back(0).getTimestamp(1) == before, s"pre-epoch: ${back(0).getTimestamp(1)}")
+    assert(back(1).getTimestamp(1) == after)
+  }
+
+  test("partition values containing '+' survive; mixed-depth layouts null-fill") {
+    val root = tmp()
+    import spark.implicits._
+    AvroFiles.write(Seq((1L, "a")).toDF("id", "v"), s"$root/lang=C++")
+    AvroFiles.write(Seq((2L, "b")).toDF("id", "v"), s"$root/lang=scala")
+    // a file with NO partition directory in the same tree
+    AvroFiles.write(Seq((3L, "c")).toDF("id", "v"), root, mode = "append")
+    val got = AvroFiles.read(spark, root).orderBy("id").collect()
+    assert(got.map(_.getAs[String]("lang")).toSeq == Seq("C++", "scala", null))
+  }
+
+  test("compression codecs apply (smaller files) and round-trip") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, "x" * 200)).toDF("id", "s").repartition(1)
+    val plain = tmp() + "/plain"; val zstd = tmp() + "/zstd"
+    AvroFiles.write(df, plain)
+    AvroFiles.write(df, zstd, compression = Some("zstd"))
+    def size(d: String): Long = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+      try st.iterator().asScala.map(java.nio.file.Files.size(_)).sum finally st.close()
+    }
+    assert(size(zstd) < size(plain) / 2, s"zstd ${size(zstd)} vs plain ${size(plain)}")
+    assert(AvroFiles.read(spark, zstd).count() == 2000)
+    intercept[IllegalArgumentException](
+      AvroFiles.write(df, tmp() + "/bad", compression = Some("lz4")))
   }
 
   test("persistent catalog: avro table registers via the full-class provider") {
