@@ -1155,6 +1155,45 @@ object Queries {
     graft.operators.Dedup.dedupClusters(pairs).orderBy("doc_id")
   }
 
+  q("q_dedup_incremental",
+    // dedup NEW docs (odd ids) against the EXISTING corpus (even ids):
+    // exact hash anti-join + ngram-Jaccard vs existing only — the
+    // existing×existing quadrant is never compared
+    """WITH existing AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+      |newdocs AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+      |exact_surv AS (
+      |  SELECT * FROM newdocs
+      |  WHERE md5(text) NOT IN (SELECT md5(text) FROM existing)),
+      |words_n AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM exact_surv),
+      |sh_n AS (SELECT doc_id AS id_new, unnest(list_distinct(
+      |  [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 1))])) AS s
+      |  FROM words_n),
+      |words_o AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM existing),
+      |sh_o AS (SELECT doc_id AS id_old, unnest(list_distinct(
+      |  [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 1))])) AS s
+      |  FROM words_o),
+      |rare_o AS (SELECT s FROM sh_o GROUP BY s HAVING count(*) <= 100),
+      |sizes_n AS (SELECT id_new, count(*) AS szn FROM sh_n GROUP BY 1),
+      |sizes_o AS (SELECT id_old, count(*) AS szo FROM sh_o GROUP BY 1),
+      |common AS (
+      |  SELECT id_new, id_old, count(*) AS c
+      |  FROM sh_n JOIN (SELECT * FROM sh_o WHERE s IN (SELECT s FROM rare_o)) so USING (s)
+      |  GROUP BY 1, 2),
+      |neardup AS (
+      |  SELECT DISTINCT id_new FROM common
+      |  JOIN sizes_n USING (id_new) JOIN sizes_o USING (id_old)
+      |  WHERE c * 1.0 / (szn + szo - c) >= 0.8)
+      |SELECT doc_id FROM exact_surv
+      |WHERE doc_id NOT IN (SELECT id_new FROM neardup)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    graft.operators.Dedup.dedupAgainstCorpus(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3, threshold = 0.8, maxShingleDf = 100L)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   q("q_sample_split",
     // deterministic content-hash sampling + train/val/test assignment —
     // reproducible across engines and runs, unlike TABLESAMPLE

@@ -229,6 +229,56 @@ object Dedup {
     labels
   }
 
+  /** Incremental dedup: filter NEW documents against an EXISTING corpus —
+    * the "don't re-ingest what the training set already has" operator.
+    * A new doc is dropped when (a) its exact content hash exists in the
+    * corpus, or (b) it has n-gram Jaccard ≥ `threshold` with any existing
+    * doc. Returns the surviving new docs.
+    *
+    * Scale shape: this is deliberately NOT dedupClusters over new∪existing
+    * — the existing×existing quadrant (the overwhelming bulk at 100 TB) is
+    * never compared. Exact = one anti-join on md5; near-dup = shingle
+    * bucket join restricted to new×existing pairs. The existing side's
+    * shingle explosion can be a precomputed/persisted table, so daily
+    * increments pay O(|new|) shingling plus keyed joins only.
+    * New-vs-new duplicates are kept (run [[exactDedup]]/clusters within
+    * the increment first if that matters). */
+  def dedupAgainstCorpus(newDocs: DataFrame, existingDocs: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Long = 1000L): DataFrame = {
+    // (a) exact: anti-join on the 128-bit content hash
+    val newHashed = newDocs.withColumn("content_hash", md5(col(textCol)))
+    val existingHashes = existingDocs
+      .select(md5(col(textCol)).as("content_hash")).distinct()
+    val exactSurvivors = newHashed
+      .join(existingHashes, Seq("content_hash"), "left_anti")
+      .drop("content_hash")
+
+    // (b) near-dup vs existing only: shingles keyed by xxhash64; the df cap
+    // is computed over the existing corpus (its hot shingles are the ones
+    // that explode buckets)
+    val shNew = shingleExplode(exactSurvivors, idCol, textCol, n)
+      .select(col("doc_id").as("id_new"), xxhash64(col("sh_str")).as("sh"))
+    val shOld = shingleExplode(existingDocs, idCol, textCol, n)
+      .select(col("doc_id").as("id_old"), xxhash64(col("sh_str")).as("sh"))
+    val rareOld = shOld.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+    val shOldRare = shOld.join(rareOld.select("sh"), Seq("sh"))
+
+    val sizesNew = shNew.groupBy("id_new").agg(count(lit(1)).as("sz_new"))
+    val sizesOld = shOld.groupBy("id_old").agg(count(lit(1)).as("sz_old"))
+    val common = shNew.join(shOldRare, Seq("sh"))
+      .groupBy("id_new", "id_old").agg(count(lit(1)).as("n_common"))
+    val nearDupNew = common
+      .join(sizesNew, Seq("id_new")).join(sizesOld, Seq("id_old"))
+      .filter(col("n_common").cast("double") /
+        (col("sz_new") + col("sz_old") - col("n_common")).cast("double") >= threshold)
+      .select(col("id_new")).distinct()
+
+    exactSurvivors.join(nearDupNew,
+      exactSurvivors(idCol) === nearDupNew("id_new"), "left_anti")
+  }
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
