@@ -111,22 +111,44 @@ object Dedup {
       n: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame =
     minHashCandidatesFrom(shingleExplode(docs, idCol, textCol, n), numHashes, bands)
 
-  /** [[minHashCandidates]] from a precomputed [[shingleExplode]] frame. */
-  def minHashCandidatesFrom(shingled: DataFrame, numHashes: Int = 64,
+  /** (doc_id, band, bucket) LSH banding of a (doc_id, signature) frame —
+    * the derived index an incremental pipeline PERSISTS for its corpus
+    * (signatures + bands are a few hundred bytes/doc; the text never needs
+    * to be re-read). */
+  def minHashBands(sigs: DataFrame, numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minHashSignaturesFrom(shingled, numHashes)
-    val banded = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(lit("band"), b,
           concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows)))))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  /** [[minHashCandidates]] from a precomputed [[shingleExplode]] frame. */
+  def minHashCandidatesFrom(shingled: DataFrame, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val banded = minHashBands(minHashSignaturesFrom(shingled, numHashes),
+      numHashes, bands)
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Incremental LSH: near-dup CANDIDATES of new docs vs an existing
+    * corpus represented ONLY by its banded signature index
+    * ([[minHashBands]] output, typically persisted) — the corpus text is
+    * never touched and existing×existing is never joined. Refine
+    * candidates with exact Jaccard (or drop outright at high bands). */
+  def minHashCandidatesAgainst(newBands: DataFrame,
+      existingBands: DataFrame): DataFrame = {
+    val nw = newBands.select(col("band"), col("bucket"), col("doc_id").as("id_new"))
+    val old = existingBands.select(col("band"), col("bucket"), col("doc_id").as("id_old"))
+    nw.join(old, Seq("band", "bucket"))
+      .select("id_new", "id_old").distinct()
   }
 
   /** 64-bit SimHash from word hashes: per-bit majority vote of

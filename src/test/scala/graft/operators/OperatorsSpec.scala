@@ -31,6 +31,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(cand.size < nDocs * (nDocs - 1) / 4, "candidate set degenerated")
   }
 
+  test("incremental LSH vs a persisted band index recalls cross-set near-dups") {
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    // persist the corpus index once (signatures+bands, no text)
+    val idxDir = java.nio.file.Files.createTempDirectory("lshidx").toString + "/bands"
+    Dedup.minHashBands(Dedup.minHashSignatures(existing, "doc_id", "text"))
+      .write.parquet(idxDir)
+    val cand = Dedup.minHashCandidatesAgainst(
+        Dedup.minHashBands(Dedup.minHashSignatures(fresh, "doc_id", "text")),
+        spark.read.parquet(idxDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: exact cross-set Jaccard pairs (new odd, old even)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        if (a % 2 == 1 && b % 2 == 0) Some((a, b))
+        else if (b % 2 == 1 && a % 2 == 0) Some((b, a))
+        else None
+      }.toSet
+    assert(exact.nonEmpty, "fixture should contain cross-set near-dups")
+    val recall = exact.count(cand.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"incremental LSH recall $recall (missed ${exact -- cand})")
+    // and a doc never matches itself or its own half
+    assert(cand.forall { case (n, o) => n % 2 == 1 && o % 2 == 0 })
+  }
+
   test("simhash: near-dup docs land within small hamming distance") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
