@@ -1214,9 +1214,55 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  // composite pipeline — stages individually oracled above; the composite
-  // is property-tested (survivor invariants) in specs
-  qNoOracle("q_corpus_clean") { (s, d) =>
+  q("q_corpus_clean",
+    // the COMPOSITE pipeline replayed end-to-end in SQL: exact min-id
+    // dedup → ngram-Jaccard pairs over survivors → recursive-closure
+    // cluster collapse → the quality formula (punct/stop/length blend,
+    // each component rounded at 4 dp like the engine) with its 0.3 floor
+    """WITH RECURSIVE exact AS (
+      |  SELECT d.* FROM documents d
+      |  JOIN (SELECT md5(text) AS h, min(doc_id) AS keep
+      |        FROM documents GROUP BY 1) k ON d.doc_id = k.keep),
+      |words AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM exact),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |  [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 1))])) AS s
+      |  FROM words),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |shared AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 100),
+      |cp AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |  FROM (SELECT * FROM sh WHERE s IN (SELECT s FROM shared)) a
+      |  JOIN (SELECT * FROM sh WHERE s IN (SELECT s FROM shared)) b USING (s)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cp
+      |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |losers AS (
+      |  SELECT u AS doc_id FROM reach GROUP BY u HAVING least(u, min(v)) <> u),
+      |deduped AS (
+      |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+      |feats AS (
+      |  SELECT doc_id,
+      |    length(text) AS nc,
+      |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np,
+      |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS nt,
+      |    len(list_filter(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')),
+      |        t -> t IN ('the','and','of','to','in','is','that','it','for','was'))) AS nstop
+      |  FROM deduped),
+      |qual AS (
+      |  SELECT doc_id, round((
+      |      round((nc - np * 2) * 1.0 / greatest(nc, 1.0), 4)
+      |    + round(least(nstop * 1.0 / greatest(nt, 1.0) * 5, 1.0), 4)
+      |    + round(least(nt / 100.0, 1.0), 4)) / 3, 4) AS quality
+      |  FROM feats)
+      |SELECT doc_id, quality FROM qual WHERE quality >= 0.3
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
     graft.operators.CorpusPipeline.cleanCorpus(t(s, d, "documents"),
         corpusShingles = Some(sharedShingles(s, d)))
       .select("doc_id", "quality").orderBy("doc_id")
@@ -1266,7 +1312,25 @@ object Queries {
   }
 
   // IVF is approximate by construction (recall measured in specs) — rows-only
-  qNoOracle("q_sim_ivf") { (s, d) =>
+  q("q_sim_ivf",
+    // IVF is deterministic given fixed centroids (first 8 vectors), so the
+    // whole pipeline — cell argmax at 9 dp with min-index tiebreak, probe's
+    // 2 nearest cells, cosine top-10 in the probed cells — replays in SQL
+    """WITH cent AS (
+      |  SELECT vec_id AS c, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 8),
+      |probe AS (SELECT embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id = 0),
+      |pcells AS (
+      |  SELECT c FROM cent, probe
+      |  ORDER BY list_cosine_similarity(pv, ce) DESC, c LIMIT 2),
+      |assigned AS (
+      |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+      |    (SELECT c FROM cent
+      |     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], ce), 9) DESC, c
+      |     LIMIT 1) AS cell
+      |  FROM embeddings e WHERE e.vec_id <> 0)
+      |SELECT vec_id, round(list_cosine_similarity(v, (SELECT pv FROM probe)), 6) AS cos
+      |FROM assigned WHERE cell IN (SELECT c FROM pcells)
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
     val emb = t(s, d, "embeddings")
     val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
       .select("embedding").collect()
