@@ -20,6 +20,37 @@ class TopKAggSpec extends SparkTestBase {
     assert(small.sortedPairs.toSeq == Seq((2.0, 2L), (1.0, 1L)))
   }
 
+  test("heap equals the sort-based reference on randomized inputs") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 200) {
+      val k = 1 + rng.nextInt(8)
+      val n = rng.nextInt(60)
+      // small value domain to force plenty of score ties
+      val xs = Seq.fill(n)((rng.nextInt(6).toDouble, rng.nextInt(40).toLong))
+      val buf = new TopKBuffer(k)
+      xs.foreach { case (s, id) => buf.add(s, id) }
+      val expected = xs.distinct.sortBy { case (s, id) => (-s, id) }.take(k)
+      // the buffer keeps duplicates of identical (s,id) pairs; compare on
+      // the distinct rank order the aggregate emits after merge semantics
+      val got = buf.sortedPairs.toSeq
+      assert(got == xs.sortBy { case (s, id) => (-s, id) }.take(k),
+        s"trial $trial k=$k: $got vs expected ${xs.sortBy { case (s, id) => (-s, id) }.take(k)}")
+      assert(expected.forall(e => got.contains(e) || got.size == k))
+    }
+  }
+
+  test("merge order does not change the result") {
+    val rng = new scala.util.Random(7)
+    val xs = Seq.fill(100)((rng.nextInt(5).toDouble, rng.nextInt(50).toLong))
+    val (l, r) = xs.splitAt(37)
+    val whole = new TopKBuffer(6); xs.foreach { case (s, id) => whole.add(s, id) }
+    val a = new TopKBuffer(6); l.foreach { case (s, id) => a.add(s, id) }
+    val b = new TopKBuffer(6); r.foreach { case (s, id) => b.add(s, id) }
+    var i = 0
+    while (i < b.size) { a.add(b.scores(i), b.ids(i)); i += 1 }
+    assert(a.sortedPairs.toSeq == whole.sortedPairs.toSeq)
+  }
+
   test("agg equals the window row_number formulation on real data") {
     import org.apache.spark.sql.expressions.Window
     val orders = Tables.load(spark, sf(), "orders")
