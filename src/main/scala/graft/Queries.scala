@@ -1190,7 +1190,10 @@ object Queries {
     graft.operators.Dedup.dedupAgainstCorpus(
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", n = 3, threshold = 0.8, maxShingleDf = 100L)
+        "doc_id", "text", n = 3, threshold = 0.8, maxShingleDf = 100L,
+        // the existing side's explosion is the dedup family's shared stage
+        // filtered to the corpus half — no re-parse of the text
+        existingShingles = Some(sharedShingles(s, d).filter(col("doc_id") % 2 === 0)))
       .select("doc_id").orderBy("doc_id")
   }
 
@@ -1311,7 +1314,6 @@ object Queries {
       .limit(10)
   }
 
-  // IVF is approximate by construction (recall measured in specs) — rows-only
   q("q_sim_ivf",
     // IVF is deterministic given fixed centroids (first 8 vectors), so the
     // whole pipeline — cell argmax at 9 dp with min-index tiebreak, probe's

@@ -33,6 +33,13 @@ case class MinHashAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_agg needs a string input, got ${other.sql}")
+    }
+
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
 
@@ -95,6 +102,13 @@ case class SimHashAgg(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash_agg needs a string input, got ${other.sql}")
+    }
 
   override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
 
@@ -209,6 +223,18 @@ case class TopKAgg(
   require(k > 0, "k must be positive")
 
   override def children: Seq[Expression] = Seq(scoreChild, idChild)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (scoreChild.dataType != org.apache.spark.sql.types.DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_agg score must be double (cast it), got ${scoreChild.dataType.sql}")
+    else if (idChild.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_agg id must be bigint, got ${idChild.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     org.apache.spark.sql.types.StructType(Seq(

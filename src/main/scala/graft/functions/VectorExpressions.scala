@@ -146,6 +146,11 @@ case class VectorQuantStats(child: Expression)
     org.apache.spark.sql.types.StructField("q_sum", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("q_sqsum", org.apache.spark.sql.types.LongType)))
 
+  // returns null for zero/degenerate vectors even when the input column is
+  // non-nullable — without this override Catalyst would trust
+  // child.nullable and elide the null checks downstream
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -158,7 +163,11 @@ case class VectorQuantStats(child: Expression)
     var mx = 0.0
     var i = 0
     while (i < n) {
+      // null or non-finite elements make the quantization undefined —
+      // null out the row (the HOF form null-propagates the same inputs)
+      if (x.isNullAt(i)) return null
       val v = math.abs(x.getFloat(i).toDouble)
+      if (!java.lang.Double.isFinite(v)) return null
       if (v > mx) mx = v
       i += 1
     }

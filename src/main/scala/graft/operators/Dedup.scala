@@ -267,7 +267,8 @@ object Dedup {
     * the increment first if that matters). */
   def dedupAgainstCorpus(newDocs: DataFrame, existingDocs: DataFrame,
       idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.8,
-      maxShingleDf: Long = 1000L): DataFrame = {
+      maxShingleDf: Long = 1000L,
+      existingShingles: Option[DataFrame] = None): DataFrame = {
     // (a) exact: anti-join on the 128-bit content hash
     val newHashed = newDocs.withColumn("content_hash", md5(col(textCol)))
     val existingHashes = existingDocs
@@ -278,10 +279,15 @@ object Dedup {
 
     // (b) near-dup vs existing only: shingles keyed by xxhash64; the df cap
     // is computed over the existing corpus (its hot shingles are the ones
-    // that explode buckets)
+    // that explode buckets). The existing side is consumed by THREE
+    // subtrees (df cap, bucket join, sizes), so pass `existingShingles` —
+    // the persisted per-corpus [[shingleExplode]] table — on real
+    // increments; without one, localCheckpoint materializes the explosion
+    // once instead of re-parsing the corpus per subtree.
     val shNew = shingleExplode(exactSurvivors, idCol, textCol, n)
       .select(col("doc_id").as("id_new"), xxhash64(col("sh_str")).as("sh"))
-    val shOld = shingleExplode(existingDocs, idCol, textCol, n)
+    val shOld = existingShingles
+      .getOrElse(shingleExplode(existingDocs, idCol, textCol, n).localCheckpoint())
       .select(col("doc_id").as("id_old"), xxhash64(col("sh_str")).as("sh"))
     val rareOld = shOld.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)

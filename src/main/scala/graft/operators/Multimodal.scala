@@ -101,6 +101,8 @@ object Multimodal {
   def resizeMedia(media: DataFrame, targetW: Int, targetH: Int,
       batchSize: Int = 64): DataFrame = {
     require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    require(targetW.toLong * targetH <= Int.MaxValue,
+      s"target ${targetW}x$targetH overflows a byte array")
     val spark = media.sparkSession
     val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
     media.select("media_id", "payload", "meta").mapPartitions { it =>
@@ -108,31 +110,38 @@ object Multimodal {
         // real decoder: decode + resample the whole batch in one call here
         batch.map { r =>
           val payload = r.getAs[Array[Byte]](1)
-          val meta = r.getStruct(2)
+          // meta and its fields are nullable in mediaSchema — fall back to
+          // a 1-row grid of the payload when dimensions are unknown
+          val meta = if (r.isNullAt(2)) null else r.getStruct(2)
+          def metaInt(i: Int, dflt: Int): Int =
+            if (meta == null || meta.isNullAt(i)) dflt else meta.getInt(i)
           val resized =
             if (payload == null) null
             else {
-              val srcW = math.max(1, meta.getInt(1))
-              val srcH = math.max(1, meta.getInt(2))
+              val srcW = math.max(1, metaInt(1, payload.length))
+              val srcH = math.max(1, metaInt(2, 1))
               val out = new Array[Byte](targetW * targetH)
               var y = 0
               while (y < targetH) {
                 var x = 0
                 while (x < targetW) {
-                  // nearest-neighbor index into the source "pixel" grid
+                  // nearest-neighbor index into the source "pixel" grid;
+                  // Long math + Long bound check so a huge claimed source
+                  // dimension cannot wrap negative past the guard
                   val sx = x.toLong * srcW / targetW
                   val sy = y.toLong * srcH / targetH
-                  val src = (sy * srcW + sx).toInt
+                  val src = sy * srcW + sx
                   out(y * targetW + x) =
-                    if (src < payload.length) payload(src) else 0
+                    if (src < payload.length) payload(src.toInt) else 0
                   x += 1
                 }
                 y += 1
               }
               out
             }
-          Row(r.getLong(0), resized,
-            Row(meta.getString(0), targetW, targetH, meta.getInt(3)))
+          val mime = if (meta == null || meta.isNullAt(0)) null else meta.getString(0)
+          val nFrames: Any = if (meta == null || meta.isNullAt(3)) null else meta.getInt(3)
+          Row(r.getLong(0), resized, Row(mime, targetW, targetH, nFrames))
         }
       }
     }(encoder)

@@ -77,8 +77,10 @@ class PlanQualitySpec extends SparkTestBase {
 
   test("q_embed_quantize is a pure projection over a pruned scan") {
     val p = plan("q_embed_quantize")
-    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
-      s"quantize introduced a non-sort shuffle:\n$p") // only the ORDER BY may exchange
+    // only the final ORDER BY may exchange — any hash-partitioned shuffle
+    // means the projection regressed into a wide operation
+    assert(!p.contains("hashpartitioning"),
+      s"quantize introduced a non-sort shuffle:\n$p")
     assert(!p.contains("label"), "embeddings pruning failed: label column read")
   }
 

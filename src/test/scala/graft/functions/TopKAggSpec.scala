@@ -29,13 +29,9 @@ class TopKAggSpec extends SparkTestBase {
       val xs = Seq.fill(n)((rng.nextInt(6).toDouble, rng.nextInt(40).toLong))
       val buf = new TopKBuffer(k)
       xs.foreach { case (s, id) => buf.add(s, id) }
-      val expected = xs.distinct.sortBy { case (s, id) => (-s, id) }.take(k)
-      // the buffer keeps duplicates of identical (s,id) pairs; compare on
-      // the distinct rank order the aggregate emits after merge semantics
+      val expected = xs.sortBy { case (s, id) => (-s, id) }.take(k)
       val got = buf.sortedPairs.toSeq
-      assert(got == xs.sortBy { case (s, id) => (-s, id) }.take(k),
-        s"trial $trial k=$k: $got vs expected ${xs.sortBy { case (s, id) => (-s, id) }.take(k)}")
-      assert(expected.forall(e => got.contains(e) || got.size == k))
+      assert(got == expected, s"trial $trial k=$k: $got vs $expected")
     }
   }
 
