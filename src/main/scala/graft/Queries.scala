@@ -1197,6 +1197,29 @@ object Queries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  q("q_pack_sequences",
+    // concatenate-and-chunk sequence packing at a 2048-token budget; the
+    // oracle's single global cumsum window IS the semantics the engine
+    // computes with a two-phase distributed prefix sum (the unpartitioned
+    // window would be one task at scale — the engine never runs it)
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))::BIGINT AS n_tokens
+      |  FROM documents),
+      |cum AS (
+      |  SELECT doc_id, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+      |  FROM toks)
+      |SELECT doc_id, n_tokens, start_offset,
+      |  start_offset // 2048 AS pack_id,
+      |  start_offset % 2048 AS offset_in_pack
+      |FROM cum ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Packing.packChunks(
+        t(s, d, "documents"), "doc_id", "text", budget = 2048L)
+      .orderBy("doc_id")
+  }
+
   q("q_sample_split",
     // deterministic content-hash sampling + train/val/test assignment —
     // reproducible across engines and runs, unlike TABLESAMPLE

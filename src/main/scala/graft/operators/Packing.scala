@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequence packing for pretraining batches (EXTENSION, SURVEY §2.K): the
+  * concatenate-and-chunk assignment — documents are laid end to end in
+  * doc_id order and the token stream is cut into fixed `budget`-token
+  * context windows; each document gets the pack (window) its first token
+  * lands in and its offset within that pack.
+  *
+  * Scale note: this needs a GLOBAL running token total in a deterministic
+  * order — the one thing a plain window (`ORDER BY doc_id` with no
+  * partition) serializes into a single task. Instead: two-phase prefix
+  * sum. Range-repartition by doc_id (so partition k holds a contiguous
+  * id range), per-partition token sums come back to the driver (ONE row
+  * per partition — scalar-sized at any corpus size), their prefix offsets
+  * broadcast back, and each partition emits its running totals locally.
+  * Every phase is parallel; the sequential dependency is carried by the
+  * partition-count-sized offset array, not the data.
+  */
+object Packing {
+
+  /** @param budget tokens per pack (context window size)
+    * @return (doc_id, n_tokens, start_offset, pack_id, offset_in_pack) */
+  def packChunks(docs: DataFrame, idCol: String, textCol: String,
+      budget: Long, partitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = docs.sparkSession
+    val nPart =
+      if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    // localCheckpoint freezes the range-partition layout so phase 1's
+    // per-partition sums and phase 2's emit see the SAME partitions
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .repartitionByRange(nPart, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .localCheckpoint()
+
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("start_offset", LongType, nullable = false),
+      StructField("pack_id", LongType, nullable = false),
+      StructField("offset_in_pack", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+
+    // phase 1: one (partitionIndex, tokenSum) row per partition
+    val partSums = toks.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(1))
+      Iterator.single((i, s))
+    }.collect().sortBy(_._1)
+    // driver-side exclusive prefix over the (tiny) per-partition sums
+    val offsets = new Array[Long](partSums.length + 1)
+    partSums.foreach { case (i, s) => offsets(i + 1) = s }
+    var i = 1
+    while (i < offsets.length) { offsets(i) += offsets(i - 1); i += 1 }
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    // phase 2: local running sum + the partition's global offset
+    toks.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var running = bc.value(pid)
+      it.map { r =>
+        val start = running
+        running += r.getLong(1)
+        Row(r.getLong(0), r.getLong(1), start, start / budget, start % budget)
+      }
+    }(encoder)
+  }
+}

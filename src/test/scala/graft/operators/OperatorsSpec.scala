@@ -262,6 +262,23 @@ class OperatorsSpec extends SparkTestBase {
     rows.foreach(r => assert(again(r.getLong(0)) == r.getSeq[Float](1)))
   }
 
+  test("packing: two-phase prefix sum equals the single-task window, in parallel") {
+    import org.apache.spark.sql.expressions.Window
+    val packed = Packing.packChunks(docs, "doc_id", "text", budget = 512L,
+      partitions = 4)
+    assert(packed.rdd.getNumPartitions == 4, "packing collapsed to fewer partitions")
+    val viaWindow = docs.select(col("doc_id").cast("long").as("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum("n_tokens").over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        (col("start_offset") / 512L).cast("long").as("pack_id"),
+        (col("start_offset") % 512L).as("offset_in_pack"))
+    assert(packed.orderBy("doc_id").collect().toSeq ==
+      viaWindow.orderBy("doc_id").collect().toSeq)
+  }
+
   test("multimodal: resize rewrites payload dims and meta, deterministically") {
     val media = Multimodal.mediaFromDocuments(docs.limit(50))
     val resized = Multimodal.resizeMedia(media, 8, 4)
