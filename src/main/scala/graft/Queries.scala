@@ -1197,6 +1197,43 @@ object Queries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  q("q_text_pii",
+    // PII scrub over text salted with deterministic synthetic PII (the
+    // fixture corpus is clean, so both engines append the same email/ip/
+    // phone material first — the oracle then pins real matches, not a
+    // vacuous zero). md5 of the scrubbed text pins every replacement.
+    """WITH salted AS (
+      |  SELECT doc_id,
+      |    concat(text, ' contact user', doc_id, '@example.com or 10.0.',
+      |           doc_id % 256, '.7 tel 555-010-', 1000 + doc_id % 9000) AS t
+      |  FROM documents),
+      |scrubbed AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |          '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g'),
+      |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS clean,
+      |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+      |    len(regexp_extract_all(t, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS n_phone,
+      |    len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+      |    len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn
+      |  FROM salted)
+      |SELECT doc_id, n_email, n_phone, n_ip, n_ssn, md5(clean) AS clean_md5
+      |FROM scrubbed ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.TextAnalysis
+    val salted = t(s, d, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 10.0."), col("doc_id") % 256,
+        lit(".7 tel 555-010-"), lit(1000) + col("doc_id") % 9000).as("t"))
+    salted.select(
+      (col("doc_id") +: TextAnalysis.piiCounts(col("t")) :+
+        md5(TextAnalysis.scrubPii(col("t"))).as("clean_md5")): _*)
+      .orderBy("doc_id")
+  }
+
   q("q_pack_sequences",
     // concatenate-and-chunk sequence packing at a 2048-token budget; the
     // oracle's single global cumsum window IS the semantics the engine

@@ -107,6 +107,28 @@ object TextAnalysis {
       round(col("dup_c").cast("double") / col("n_bg"), 6).as("dup_bigram_frac"))
   }
 
+  /** PII patterns for corpus scrubbing — deliberately restricted to the
+    * regex subset Java and RE2 agree on (no lookaround), so the scrub is
+    * reproducible across engines. Order matters: email first (an email
+    * contains dot-runs an IP pattern could nibble at). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b", "<PHONE>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"))
+
+  /** Replace every PII match with its placeholder token (map-only). */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (_, re, repl)) =>
+      regexp_replace(t, re, repl)
+    }
+
+  /** Per-kind PII match counts, one column per pattern. */
+  def piiCounts(text: Column): Seq[Column] =
+    piiPatterns.map { case (name, re, _) =>
+      size(regexp_extract_all(text, lit(re), lit(0))).as(s"n_$name")
+    }
+
   /** Document fingerprint: md5 of the normalized text (case/whitespace/
     * punctuation-insensitive) — the exact-after-normalization dedup key. */
   def fingerprint(text: Column): Column =
