@@ -661,6 +661,39 @@ object Queries {
 
   // --------------------------------------------------- TPC-H classic shapes
 
+  q("q_tpch1",
+    // TPC-H Q1 pricing summary: sums/averages run in DECIMAL internally
+    // (exact under any accumulation order), final projection to DOUBLE for
+    // a hash-stable physical type (round-1 lesson); avg = sum/count so
+    // both engines divide the same exact decimal
+    """SELECT l_returnflag, l_linestatus,
+      |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2))) * (1 + cast(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  round(cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+      |  round(cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+      |  round(cast(sum(cast(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= DATE '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    val l = t(s, d, "lineitem").filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+    def dec(c: String) = col(c).cast("decimal(18,2)")
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("double").as("sum_disc_price"),
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")) * (lit(1) + dec("l_tax"))).cast("double").as("sum_charge"),
+        round(sum(dec("l_quantity")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum(dec("l_extendedprice")).cast("double") / count(lit(1)), 6).as("avg_price"),
+        round(sum(dec("l_discount")).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   q("q_tpch3",
     // shipping-priority (Q3 shape): 3-way join + group + top-10 by revenue
     """SELECT l.l_orderkey,
