@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.Dedup
+
+/** Streaming corpus ingestion with per-micro-batch incremental dedup
+  * (EXTENSION, SURVEY §2.J×§2.K): new document files stream in, each
+  * batch is deduped within itself (exact min-id) and then against the
+  * corpus written so far, and only novel content is appended — the
+  * growing corpus never accumulates a duplicate.
+  *
+  * Scale shape: the per-batch work is [[Dedup.exactDedup]] (one keyed
+  * shuffle of (md5, id)) plus an anti-join against the corpus' hashes —
+  * O(batch + corpus-hash-scan) per trigger, never corpus×corpus. With
+  * `nearDupThreshold` set, the batch additionally runs
+  * [[Dedup.dedupAgainstCorpus]]'s shingle-bucket join (new×corpus only).
+  * At 100 TB the corpus-hash side is a column-pruned parquet scan of one
+  * md5 column; a production deployment materializes it (or a
+  * [[Dedup.minHashBands]] index) alongside the corpus.
+  */
+object CorpusIngest {
+
+  /** Start an AvailableNow ingest of parquet document files from
+    * `sourceDir` into `corpusDir`. */
+  def ingestDocuments(spark: SparkSession, sourceDir: String, corpusDir: String,
+      checkpointDir: String, idCol: String = "doc_id", textCol: String = "text",
+      nearDupThreshold: Option[Double] = None): StreamingQuery = {
+    val schema = spark.read.parquet(sourceDir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1) // bounded micro-batches
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh = Dedup.exactDedup(batch, idCol, textCol)
+        val survivors =
+          if (!hasParquet(corpusDir)) fresh
+          else {
+            val corpus = spark.read.parquet(corpusDir)
+            nearDupThreshold match {
+              case Some(t) =>
+                Dedup.dedupAgainstCorpus(fresh, corpus, idCol, textCol, threshold = t)
+              case None =>
+                // exact-only: anti-join on the corpus' content hashes (a
+                // column-pruned scan of textCol -> md5)
+                fresh.join(
+                  corpus.select(md5(col(textCol)).as("corpus_hash")).distinct(),
+                  md5(col(textCol)) === col("corpus_hash"), "left_anti")
+            }
+          }
+        survivors.write.mode("append").parquet(corpusDir)
+        ()
+      }
+      .start()
+  }
+
+  private def hasParquet(dir: String): Boolean = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) return false
+    val st = java.nio.file.Files.list(p)
+    try st.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+    finally st.close()
+  }
+}

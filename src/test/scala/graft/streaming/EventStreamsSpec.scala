@@ -83,4 +83,26 @@ class EventStreamsSpec extends SparkTestBase {
       EventStreams.dedupEvents(dupStream), "t_dedup2", outputMode = "append")
     assert(out.count() == batch.count(), "duplicates across micro-batches survived")
   }
+
+  test("streaming corpus ingest: each batch dedups against the corpus so far") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ingest")
+    val src = root.resolve("incoming").toString
+    // two files -> two micro-batches. B re-sends A's first five texts
+    // under NEW ids plus five genuinely new docs; whatever order the
+    // file source picks, one survivor per distinct text must remain.
+    val a = (1L to 10L).map(i => (i, s"document body number $i"))
+    val b = (11L to 15L).map(i => (i, s"document body number ${i - 10}")) ++
+      (16L to 20L).map(i => (i, s"document body number $i"))
+    a.toDF("doc_id", "text").repartition(1).write.parquet(s"$src/f=a")
+    b.toDF("doc_id", "text").repartition(1).write.parquet(s"$src/f=b")
+    val corpus = root.resolve("corpus").toString
+    val q = CorpusIngest.ingestDocuments(spark, src, corpus,
+      root.resolve("ckpt").toString)
+    q.awaitTermination()
+    val got = spark.read.parquet(corpus)
+    assert(got.count() == 15, s"expected 15 survivors, got ${got.count()}")
+    assert(got.select("text").distinct().count() == 15,
+      "corpus accumulated duplicate texts")
+  }
 }
