@@ -1274,7 +1274,7 @@ object Queries {
     // window would be one task at scale — the engine never runs it)
     """WITH toks AS (
       |  SELECT doc_id,
-      |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))::BIGINT AS n_tokens
+      |    coalesce(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), 0)::BIGINT AS n_tokens
       |  FROM documents),
       |cum AS (
       |  SELECT doc_id, n_tokens,

@@ -265,17 +265,25 @@ object Dedup {
     * increments pay O(|new|) shingling plus keyed joins only.
     * New-vs-new duplicates are kept (run [[exactDedup]]/clusters within
     * the increment first if that matters). */
+  /** New docs whose EXACT content does not appear in the corpus: anti-join
+    * on md5. Null-SAFE equality (`<=>`) so null-text rows match each other
+    * — with plain equality a null hash compares unknown and every batch's
+    * null-text row would survive the anti-join forever. */
+  def exactAgainstCorpus(newDocs: DataFrame, existingDocs: DataFrame,
+      textCol: String): DataFrame = {
+    val existingHashes = existingDocs
+      .select(md5(col(textCol)).as("corpus_content_hash")).distinct()
+    newDocs.join(existingHashes,
+      md5(newDocs(textCol)) <=> existingHashes("corpus_content_hash"),
+      "left_anti")
+  }
+
   def dedupAgainstCorpus(newDocs: DataFrame, existingDocs: DataFrame,
       idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Long = 1000L,
       existingShingles: Option[DataFrame] = None): DataFrame = {
     // (a) exact: anti-join on the 128-bit content hash
-    val newHashed = newDocs.withColumn("content_hash", md5(col(textCol)))
-    val existingHashes = existingDocs
-      .select(md5(col(textCol)).as("content_hash")).distinct()
-    val exactSurvivors = newHashed
-      .join(existingHashes, Seq("content_hash"), "left_anti")
-      .drop("content_hash")
+    val exactSurvivors = exactAgainstCorpus(newDocs, existingDocs, textCol)
 
     // (b) near-dup vs existing only: shingles keyed by xxhash64; the df cap
     // is computed over the existing corpus (its hot shingles are the ones

@@ -32,8 +32,11 @@ object Packing {
       if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
     // localCheckpoint freezes the range-partition layout so phase 1's
     // per-partition sums and phase 2's emit see the SAME partitions
+    // null text counts as 0 tokens (ANSI size(null) is null, which would
+    // NPE the primitive getLong phases below)
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+        coalesce(size(TextAnalysis.tokens(col(textCol))), lit(0))
+          .cast("long").as("n_tokens"))
       .repartitionByRange(nPart, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .localCheckpoint()

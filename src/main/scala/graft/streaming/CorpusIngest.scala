@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.Dedup
 
@@ -23,14 +22,25 @@ import graft.operators.Dedup
 object CorpusIngest {
 
   /** Start an AvailableNow ingest of parquet document files from
-    * `sourceDir` into `corpusDir`. */
+    * `sourceDir` into `corpusDir`.
+    *
+    * @param schema explicit source schema — REQUIRED when the ingester
+    *   starts before the first file lands (the natural deployment order);
+    *   inferred from existing files when None.
+    * @param maxFilesPerTrigger micro-batch size in files. Each trigger
+    *   anti-joins against the corpus-so-far (a column-pruned text→md5
+    *   scan), so a large backlog ingests cheapest in FEW big batches; a
+    *   production deployment materializes the corpus hash/band index
+    *   alongside the corpus instead of re-hashing per trigger. */
   def ingestDocuments(spark: SparkSession, sourceDir: String, corpusDir: String,
       checkpointDir: String, idCol: String = "doc_id", textCol: String = "text",
-      nearDupThreshold: Option[Double] = None): StreamingQuery = {
-    val schema = spark.read.parquet(sourceDir).schema
+      nearDupThreshold: Option[Double] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val srcSchema = schema.getOrElse(spark.read.parquet(sourceDir).schema)
     spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", 1) // bounded micro-batches
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger) // bounded micro-batches
       .parquet(sourceDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -45,11 +55,7 @@ object CorpusIngest {
               case Some(t) =>
                 Dedup.dedupAgainstCorpus(fresh, corpus, idCol, textCol, threshold = t)
               case None =>
-                // exact-only: anti-join on the corpus' content hashes (a
-                // column-pruned scan of textCol -> md5)
-                fresh.join(
-                  corpus.select(md5(col(textCol)).as("corpus_hash")).distinct(),
-                  md5(col(textCol)) === col("corpus_hash"), "left_anti")
+                Dedup.exactAgainstCorpus(fresh, corpus, textCol)
             }
           }
         survivors.write.mode("append").parquet(corpusDir)
