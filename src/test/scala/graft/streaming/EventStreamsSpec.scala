@@ -84,6 +84,22 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out.count() == batch.count(), "duplicates across micro-batches survived")
   }
 
+  test("corpus ingest starts on an empty source dir when given a schema") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("ingest_empty")
+    val src = root.resolve("incoming")
+    java.nio.file.Files.createDirectories(src)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // no files yet — inference would throw; the explicit schema must not
+    val q = CorpusIngest.ingestDocuments(spark, src.toString,
+      root.resolve("corpus").toString, root.resolve("ckpt").toString,
+      schema = Some(schema))
+    q.awaitTermination()
+    assert(!java.nio.file.Files.exists(root.resolve("corpus")) ||
+      spark.read.parquet(root.resolve("corpus").toString).count() == 0)
+  }
+
   test("streaming corpus ingest: each batch dedups against the corpus so far") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("ingest")
