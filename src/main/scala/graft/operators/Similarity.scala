@@ -299,10 +299,10 @@ object Similarity {
       val wanted = math.max(spark.sparkContext.defaultParallelism.toLong,
         bytes / perCellBytes + 1)
       val k = math.min(wanted, math.max(1L, n / 16)).toInt
-      val centroids = embeddings
-        .orderBy(xxhash64(col(idCol)), col(idCol))
-        .limit(k).select(col(vecCol)).collect()
-        .map(_.getSeq[Float](0).toArray).toSeq
+      // two Lloyd's iterations tighten the cells around the data's real
+      // clusters, raising same-cell recall over a raw hash-ordered sample
+      // for the same O(n·K·d) assignment cost the pair join pays anyway
+      val centroids = fitCentroids(embeddings, idCol, vecCol, k, iterations = 2)
       embeddingNearDupPairs(embeddings, idCol, vecCol, centroids, threshold)
     }
   }

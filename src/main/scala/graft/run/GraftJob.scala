@@ -41,6 +41,55 @@ object GraftJob {
   final case class JobFailed(name: String, error: Throwable) extends JobResult
   final case class JobTimedOut(name: String, budgetSeconds: Double) extends JobResult
 
+  /** Job-run states mirroring the reference's Glue status vocabulary
+    * (`etl.py:640-698` `job_status`/`wait_for_completion`). */
+  sealed trait JobState
+  case object Running extends JobState
+  final case class Completed(results: Seq[JobResult]) extends JobState
+  final case class Aborted(error: Throwable) extends JobState
+
+  /** Handle for an asynchronously-running job — the in-process analog of
+    * the reference's run_job + poll loop. */
+  final class JobHandle private[run] (
+      fut: scala.concurrent.Future[Seq[JobResult]]) {
+
+    /** Non-blocking status probe (`job_status`). */
+    def status: JobState = fut.value match {
+      case None => Running
+      case Some(scala.util.Success(r)) => Completed(r)
+      case Some(scala.util.Failure(e)) => Aborted(e)
+    }
+
+    /** `wait_for_completion` (etl.py:663-698): poll until the run leaves
+      * Running, at `pollSeconds` intervals. The reference raises typed
+      * errors for failed/timeout states; here per-query outcomes are the
+      * JobResult values and only a run-level crash raises. */
+    def waitForCompletion(pollSeconds: Double = 1.0): Seq[JobResult] = {
+      while (status == Running)
+        Thread.sleep(math.max(1L, (pollSeconds * 1000).toLong))
+      status match {
+        case Completed(r) => r
+        case Aborted(e) => throw e
+        case Running => throw new IllegalStateException("unreachable")
+      }
+    }
+  }
+
+  /** [[run]] on a background thread, returning a pollable [[JobHandle]] —
+    * the reference's non-blocking `run_job()` shape. */
+  def runAsync(
+      spark: SparkSession,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      sfDir: String,
+      outDir: String,
+      sinkFormat: String = "parquet",
+      workers: Int = 2,
+      workerType: String = "G.1X",
+      costCap: Double = MaximumCostCap): JobHandle =
+    new JobHandle(scala.concurrent.Future {
+      run(spark, queries, sfDir, outDir, sinkFormat, workers, workerType, costCap)
+    }(scala.concurrent.ExecutionContext.global))
+
   /** One job = a named set of queries written to sinks under `outDir`.
     * Sequential like the reference's serialized Athena refreshes
     * (CHANGELOG.md:145); the wall-clock budget spans the whole job and is

@@ -58,6 +58,16 @@ class GraftJobSpec extends SparkTestBase {
       "timed-out query's Spark jobs were not cancelled")
   }
 
+  test("runAsync: pollable status transitions Running -> Completed") {
+    val out = java.nio.file.Files.createTempDirectory("graftjob6").toString
+    val subset = graft.SparkEntry.queries.view.filterKeys(Set("q_scan_all")).toMap
+    val h = GraftJob.runAsync(spark, subset, sf(), out)
+    // wait_for_completion analog drains to the same results run() gives
+    val results = h.waitForCompletion(pollSeconds = 0.05)
+    assert(results.length == 1 && results.head.isInstanceOf[GraftJob.JobSucceeded])
+    assert(h.status == GraftJob.Completed(results))
+  }
+
   test("zero budget times out immediately") {
     val out = java.nio.file.Files.createTempDirectory("graftjob3").toString
     val subset = graft.SparkEntry.queries.view.filterKeys(Set("q_scan_all")).toMap
