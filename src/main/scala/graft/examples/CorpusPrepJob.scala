@@ -1,0 +1,49 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusPipeline, Dedup, Packing}
+
+/** End-to-end training-corpus preparation — the §2.K operators composed
+  * the way a pretraining data job uses them:
+  *
+  *  1. clean: exact dedup → near-dup cluster collapse → quality floor
+  *     ([[CorpusPipeline.cleanCorpus]], one shared shingle stage);
+  *  2. pack: concatenate-and-chunk context-window assignment
+  *     ([[Packing.packChunks]], two-phase distributed prefix sum);
+  *  3. index: persist the MinHash band index future increments dedup
+  *     against ([[Dedup.minHashBands]]) without re-reading this corpus.
+  *
+  * Returns the packed training set; writes it and the band index under
+  * `outDir`. Every stage is a keyed shuffle or map-only pass — nothing
+  * corpus-sized ever reaches the driver.
+  */
+object CorpusPrepJob {
+
+  def run(spark: SparkSession, docs: DataFrame, outDir: String,
+      contextTokens: Long = 2048L, minQuality: Double = 0.3): DataFrame = {
+    val shingled = Dedup.shingleExplode(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cleaned = CorpusPipeline.cleanCorpus(docs,
+        minQuality = minQuality, corpusShingles = Some(shingled))
+
+      val packed = Packing.packChunks(cleaned, "doc_id", "text", contextTokens)
+      val trainingSet = cleaned
+        .join(packed.select("doc_id", "n_tokens", "pack_id", "offset_in_pack"),
+          Seq("doc_id"))
+        .select("doc_id", "text", "quality", "n_tokens", "pack_id", "offset_in_pack")
+      trainingSet.write.mode("overwrite")
+        .partitionBy("pack_id") // training readers pull whole packs
+        .parquet(s"$outDir/training_set")
+
+      // survivors' signatures only — the increment index never includes
+      // documents this run already rejected
+      Dedup.minHashBands(Dedup.minHashSignaturesFrom(
+          shingled.join(cleaned.select("doc_id"), Seq("doc_id"), "left_semi")))
+        .write.mode("overwrite").parquet(s"$outDir/lsh_bands")
+
+      spark.read.parquet(s"$outDir/training_set")
+    } finally shingled.unpersist(blocking = false)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.examples
+
+import java.nio.file.Files
+import graft.SparkTestBase
+import graft.operators.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+class CorpusPrepJobSpec extends SparkTestBase {
+
+  test("corpus prep: cleaned, packed, indexed — and increments dedup against it") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val out = Files.createTempDirectory("corpusprep").toString
+    val training = CorpusPrepJob.run(spark, docs, out, contextTokens = 512L)
+
+    // survivors are exact-unique and above the quality floor
+    assert(training.count() > 0)
+    assert(training.select("text").distinct().count() == training.count())
+    assert(training.filter(col("quality") < 0.3).isEmpty)
+    // pack ids form a contiguous prefix of the chunked token stream
+    // pack_id comes back as the partition-directory-inferred int type
+    val packs = training.select(col("pack_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(packs.head == 0 && packs.last == packs.length - 1,
+      s"pack ids not contiguous: ${packs.take(5).mkString(",")}..")
+    // the training set is partitioned by pack on disk
+    val dirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$out/training_set"))
+    val nPackDirs = try dirs.iterator().asScala
+      .count(_.getFileName.toString.startsWith("pack_id=")) finally dirs.close()
+    assert(nPackDirs == packs.length)
+
+    // a future increment dedups against the persisted band index alone
+    val bands = spark.read.parquet(s"$out/lsh_bands")
+    val increment = docs.limit(20) // resend of already-ingested docs
+    val cand = Dedup.minHashCandidatesAgainst(
+      Dedup.minHashBands(Dedup.minHashSignatures(increment, "doc_id", "text")),
+      bands)
+    // every resent doc that SURVIVED cleaning must hit the index
+    val survivors = training.select("doc_id")
+      .join(increment.select("doc_id"), Seq("doc_id"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    val hit = cand.select("id_new").distinct().collect().map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(hit),
+      s"index missed resent survivors: ${survivors -- hit}")
+  }
+}
