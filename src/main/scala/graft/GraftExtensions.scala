@@ -44,6 +44,18 @@ object GraftExtensions {
     (FunctionIdentifier("simhash_agg"),
       info("simhash_agg", "simhash_agg(word) - 64-bit simhash bit-vote"),
       (args: Seq[Expression]) => SimHashAgg(args(0))),
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(text, n) - distinct lowercase word n-grams"),
+      (args: Seq[Expression]) =>
+        graft.functions.ShingleUtil.shingleExpr("shingles", args(0),
+          litInt(args(1), "n"))),
+    (FunctionIdentifier("word_shingles_all"),
+      info("word_shingles_all",
+        "word_shingles_all(text, n) - word n-grams with multiplicity"),
+      (args: Seq[Expression]) =>
+        graft.functions.ShingleUtil.shingleExpr("shinglesAll", args(0),
+          litInt(args(1), "n"))),
   )
 
   private def litInt(e: Expression, name: String): Int = e match {

@@ -65,15 +65,22 @@ object ShingleUtil {
     new GenericArrayData(out)
   }
 
-  private def invoke(method: String, text: Column, n: Int): Column =
-    GraftSqlBridge.column(StaticInvoke(
+  /** Expression-level constructor (SQL function registration path). */
+  def shingleExpr(method: String,
+      text: org.apache.spark.sql.catalyst.expressions.Expression,
+      n: Int): org.apache.spark.sql.catalyst.expressions.Expression =
+    StaticInvoke(
       ShingleUtil.getClass,
       ArrayType(StringType, containsNull = false),
       method,
-      Seq(GraftSqlBridge.expression(text), Literal(n, IntegerType)),
+      Seq(text, Literal(n, IntegerType)),
       inputTypes = Seq(StringType, IntegerType),
       propagateNull = true,
-      returnNullable = true))
+      returnNullable = true)
+
+  private def invoke(method: String, text: Column, n: Int): Column =
+    GraftSqlBridge.column(
+      shingleExpr(method, GraftSqlBridge.expression(text), n))
 
   /** Column wrapper: `shingleCol(col("text"), 3)`. */
   def shingleCol(text: Column, n: Int): Column = invoke("shingles", text, n)

@@ -82,6 +82,15 @@ class JoinOpsSpec extends SparkTestBase {
     val badK = intercept[Exception](spark.sql(
       "SELECT topk_agg(cast(vec_id AS DOUBLE), vec_id, vec_id) FROM ext_emb2"))
     assert(badK.getMessage.contains("integer literal"))
+    // mistyped aggregate inputs fail ANALYSIS, not executors
+    val badType = intercept[Exception](spark.sql(
+      "SELECT minhash_agg(vec_id, 16) FROM ext_emb2").collect())
+    assert(badType.getMessage.contains("string"), badType.getMessage)
+    // shingling callable from SQL, both distinct and multiplicity forms
+    val sh = spark.sql(
+      "SELECT word_shingles('a b a b', 2) AS d, word_shingles_all('a b a b', 2) AS m").head()
+    assert(sh.getSeq[String](0) == Seq("a b", "b a"))
+    assert(sh.getSeq[String](1) == Seq("a b", "b a", "a b"))
   }
 
   private def GraftExtensions = graft.GraftExtensions
