@@ -48,15 +48,21 @@ object GraftExtensions {
       info("word_shingles",
         "word_shingles(text, n) - distinct lowercase word n-grams"),
       (args: Seq[Expression]) =>
-        graft.functions.ShingleUtil.shingleExpr("shingles", args(0),
-          litInt(args(1), "n"))),
+        graft.functions.ShingleUtil.shingleExpr("shingles",
+          arity(args, 2, "word_shingles")(0), litInt(args(1), "n"))),
     (FunctionIdentifier("word_shingles_all"),
       info("word_shingles_all",
         "word_shingles_all(text, n) - word n-grams with multiplicity"),
       (args: Seq[Expression]) =>
-        graft.functions.ShingleUtil.shingleExpr("shinglesAll", args(0),
-          litInt(args(1), "n"))),
+        graft.functions.ShingleUtil.shingleExpr("shinglesAll",
+          arity(args, 2, "word_shingles_all")(0), litInt(args(1), "n"))),
   )
+
+  private def arity(args: Seq[Expression], n: Int, name: String): Seq[Expression] = {
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$name takes $n arguments, got ${args.length}")
+    args
+  }
 
   private def litInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v

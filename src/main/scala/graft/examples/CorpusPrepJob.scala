@@ -25,8 +25,11 @@ object CorpusPrepJob {
     val shingled = Dedup.shingleExplode(docs, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // three consumers below (packing, the training-set join, the index
+      // semi-join) — materialize the cleaning once at the fan-out point
       val cleaned = CorpusPipeline.cleanCorpus(docs,
-        minQuality = minQuality, corpusShingles = Some(shingled))
+          minQuality = minQuality, corpusShingles = Some(shingled))
+        .localCheckpoint()
 
       val packed = Packing.packChunks(cleaned, "doc_id", "text", contextTokens)
       val trainingSet = cleaned
@@ -43,7 +46,11 @@ object CorpusPrepJob {
           shingled.join(cleaned.select("doc_id"), Seq("doc_id"), "left_semi")))
         .write.mode("overwrite").parquet(s"$outDir/lsh_bands")
 
+      // re-read what was written, restored to trainingSet's declared
+      // schema (partitionBy infers pack_id as int and reorders it last)
       spark.read.parquet(s"$outDir/training_set")
+        .select(col("doc_id"), col("text"), col("quality"), col("n_tokens"),
+          col("pack_id").cast("long").as("pack_id"), col("offset_in_pack"))
     } finally shingled.unpersist(blocking = false)
   }
 }

@@ -68,7 +68,8 @@ object ShingleUtil {
   /** Expression-level constructor (SQL function registration path). */
   def shingleExpr(method: String,
       text: org.apache.spark.sql.catalyst.expressions.Expression,
-      n: Int): org.apache.spark.sql.catalyst.expressions.Expression =
+      n: Int): org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(n > 0, s"shingle size must be positive, got $n")
     StaticInvoke(
       ShingleUtil.getClass,
       ArrayType(StringType, containsNull = false),
@@ -77,6 +78,7 @@ object ShingleUtil {
       inputTypes = Seq(StringType, IntegerType),
       propagateNull = true,
       returnNullable = true)
+  }
 
   private def invoke(method: String, text: Column, n: Int): Column =
     GraftSqlBridge.column(

@@ -276,8 +276,9 @@ object Similarity {
     *     hash-ordered sample — same-cell pairs only (standard blocked-ANN
     *     dedup, approximate recall), but each cell's pair join is local and
     *     the whole thing scales horizontally.
-    * The gate reads only count + one head row (vector dim) — no full-table
-    * driver collect on either path; centroid sampling collects k rows. */
+    * The gate reads only count + a max-size probe — no full-table driver
+    * collect on either path; centroid selection collects at most k·d
+    * scalar aggregate rows (fitted) or k vectors (sampled). */
   def nearDupPairsAuto(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double, broadcastBudgetBytes: Long = 128L << 20): DataFrame = {
     val spark = embeddings.sparkSession
@@ -300,9 +301,18 @@ object Similarity {
         bytes / perCellBytes + 1)
       val k = math.min(wanted, math.max(1L, n / 16)).toInt
       // two Lloyd's iterations tighten the cells around the data's real
-      // clusters, raising same-cell recall over a raw hash-ordered sample
-      // for the same O(n·K·d) assignment cost the pair join pays anyway
-      val centroids = fitCentroids(embeddings, idCol, vecCol, k, iterations = 2)
+      // clusters, raising same-cell recall over a raw hash-ordered sample —
+      // but fitCentroids collects k·d aggregate rows per iteration, and on
+      // this path k grows with the corpus; fit only while that stays
+      // driver-scalar (~8M rows), else the hash-ordered sample (k vectors
+      // collected, nothing else) is the scale-safe default
+      val centroids =
+        if (k.toLong * dim <= 8L * 1000 * 1000)
+          fitCentroids(embeddings, idCol, vecCol, k, iterations = 2)
+        else embeddings
+          .orderBy(xxhash64(col(idCol)), col(idCol))
+          .limit(k).select(col(vecCol)).collect()
+          .map(_.getSeq[Float](0).toArray).toSeq
       embeddingNearDupPairs(embeddings, idCol, vecCol, centroids, threshold)
     }
   }

@@ -111,6 +111,10 @@ object GraftJob {
     val budgetSec = 3600.0 * costCap / (WorkerHourlyCost * dpu * workers)
     val jobStart = System.nanoTime()
     def elapsed = (System.nanoTime() - jobStart) / 1e9
+    // unique per RUN: concurrent runAsync jobs may execute the same query
+    // names, and a shared group id would let one run's cost-cap kill
+    // cancel the other's in-flight query
+    val runToken = java.util.UUID.randomUUID().toString.take(8)
 
     queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (elapsed > budgetSec) JobTimedOut(name, budgetSec)
@@ -119,7 +123,7 @@ object GraftJob {
         // enforce the budget ON the running query, not just between
         // queries: run the action under a job group and cancel it when the
         // remaining budget is exhausted (the reference's cost-cap kill)
-        val group = s"graftjob-$name"
+        val group = s"graftjob-$runToken-$name"
         // set by the timeout path BEFORE it cancels: a Future that has not
         // yet started sees the flag and never submits its first job, so a
         // 1 ms-budget timeout cannot leave a zombie query running (the
@@ -154,10 +158,17 @@ object GraftJob {
             timedOut.set(true)
             // repeat the cancel briefly: a job submitted between the flag
             // check and the first cancel still gets killed
+            // scope the drain check to THIS group — other concurrent runs'
+            // active jobs are none of our business (getJobIdsForGroup also
+            // lists finished jobs, so filter to RUNNING)
+            val tracker = spark.sparkContext.statusTracker
+            def groupRunning: Boolean = tracker.getJobIdsForGroup(group)
+              .exists(id => tracker.getJobInfo(id)
+                .exists(_.status == org.apache.spark.JobExecutionStatus.RUNNING))
             var tries = 0
             while (tries < 20) {
               spark.sparkContext.cancelJobGroup(group)
-              if (spark.sparkContext.statusTracker.getActiveJobIds().isEmpty) tries = 20
+              if (!groupRunning) tries = 20
               else { Thread.sleep(100); tries += 1 }
             }
             JobTimedOut(name, budgetSec)

@@ -18,12 +18,19 @@ class CorpusPrepJobSpec extends SparkTestBase {
     assert(training.count() > 0)
     assert(training.select("text").distinct().count() == training.count())
     assert(training.filter(col("quality") < 0.3).isEmpty)
-    // pack ids form a contiguous prefix of the chunked token stream
-    // pack_id comes back as the partition-directory-inferred int type
-    val packs = training.select(col("pack_id").cast("long")).distinct()
+    // pack ids agree with the chunking law: pack = start // budget, where
+    // start is the exclusive running token total in doc_id order.
+    // (contiguity is NOT asserted — a doc longer than the budget legally
+    // spans windows no document starts in)
+    import org.apache.spark.sql.expressions.Window
+    val law = training
+      .withColumn("start", coalesce(sum("n_tokens").over(Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("pack_id") =!= (col("start") / 512L).cast("long"))
+    assert(law.isEmpty, s"pack law violated for ${law.count()} docs")
+    val packs = training.select("pack_id").distinct()
       .collect().map(_.getLong(0)).sorted
-    assert(packs.head == 0 && packs.last == packs.length - 1,
-      s"pack ids not contiguous: ${packs.take(5).mkString(",")}..")
+    assert(packs.head == 0)
     // the training set is partitioned by pack on disk
     val dirs = java.nio.file.Files.list(
       java.nio.file.Paths.get(s"$out/training_set"))
