@@ -19,7 +19,7 @@ object SkewJoin {
     require(saltFactor > 0)
     // salt from the row content hash: stable, no RNG, spreads same-key rows
     val leftSalted = left.withColumn("_salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(saltFactor)).cast("int"))
     val rightSalted = right
       .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     leftSalted.join(rightSalted, Seq(key, "_salt")).drop("_salt")
