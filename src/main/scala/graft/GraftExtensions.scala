@@ -24,38 +24,48 @@ object GraftExtensions {
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two array<float>"),
-      (args: Seq[Expression]) => VectorDot(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "vec_dot"); VectorDot(args(0), args(1)) }),
     (FunctionIdentifier("vec_norm"),
       info("vec_norm", "vec_norm(a) - L2 norm of an array<float>"),
-      (args: Seq[Expression]) => VectorNorm(args(0))),
+      (args: Seq[Expression]) => {
+        arity(args, 1, "vec_norm"); VectorNorm(args(0)) }),
     (FunctionIdentifier("vec_quant_stats"),
       info("vec_quant_stats",
         "vec_quant_stats(a) - int8 quantization struct(scale, q_sum, q_sqsum)"),
-      (args: Seq[Expression]) => VectorQuantStats(args(0))),
+      (args: Seq[Expression]) => {
+        arity(args, 1, "vec_quant_stats"); VectorQuantStats(args(0)) }),
     (FunctionIdentifier("topk_agg"),
       info("topk_agg",
         "topk_agg(score, id, k) - per-group top-k array<struct<score,id>> " +
           "by (score desc, id asc), bounded-heap aggregate"),
-      (args: Seq[Expression]) => TopKAgg(args(0), args(1), litInt(args(2), "k"))),
+      (args: Seq[Expression]) => {
+        arity(args, 3, "topk_agg")
+        TopKAgg(args(0), args(1), litInt(args(2), "k")) }),
     (FunctionIdentifier("minhash_agg"),
       info("minhash_agg",
         "minhash_agg(shingle, numHashes) - one-pass minhash signature"),
-      (args: Seq[Expression]) => MinHashAgg(args(0), litInt(args(1), "numHashes"))),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "minhash_agg")
+        MinHashAgg(args(0), litInt(args(1), "numHashes")) }),
     (FunctionIdentifier("simhash_agg"),
       info("simhash_agg", "simhash_agg(word) - 64-bit simhash bit-vote"),
-      (args: Seq[Expression]) => SimHashAgg(args(0))),
+      (args: Seq[Expression]) => {
+        arity(args, 1, "simhash_agg"); SimHashAgg(args(0)) }),
     (FunctionIdentifier("word_shingles"),
       info("word_shingles",
         "word_shingles(text, n) - distinct lowercase word n-grams"),
-      (args: Seq[Expression]) =>
-        graft.functions.ShingleUtil.shingleExpr("shingles",
-          arity(args, 2, "word_shingles")(0), litInt(args(1), "n"))),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "word_shingles")
+        graft.functions.ShingleUtil.shingleExpr("shingles", args(0),
+          litInt(args(1), "n")) }),
     (FunctionIdentifier("word_shingles_all"),
       info("word_shingles_all",
         "word_shingles_all(text, n) - word n-grams with multiplicity"),
-      (args: Seq[Expression]) =>
-        graft.functions.ShingleUtil.shingleExpr("shinglesAll",
-          arity(args, 2, "word_shingles_all")(0), litInt(args(1), "n"))),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "word_shingles_all")
+        graft.functions.ShingleUtil.shingleExpr("shinglesAll", args(0),
+          litInt(args(1), "n")) }),
   )
 
   private def arity(args: Seq[Expression], n: Int, name: String): Seq[Expression] = {

@@ -24,13 +24,15 @@ object CorpusPrepJob {
       contextTokens: Long = 2048L, minQuality: Double = 0.3): DataFrame = {
     val shingled = Dedup.shingleExplode(docs, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // three consumers below (packing, the training-set join, the index
+    // semi-join) — materialize the cleaning once at the fan-out point;
+    // persist (not localCheckpoint) so the finally can RELEASE the blocks:
+    // repeated runs in a long-lived app must not accumulate corpus-sized
+    // cache entries
+    val cleaned = CorpusPipeline.cleanCorpus(docs,
+        minQuality = minQuality, corpusShingles = Some(shingled))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // three consumers below (packing, the training-set join, the index
-      // semi-join) — materialize the cleaning once at the fan-out point
-      val cleaned = CorpusPipeline.cleanCorpus(docs,
-          minQuality = minQuality, corpusShingles = Some(shingled))
-        .localCheckpoint()
-
       val packed = Packing.packChunks(cleaned, "doc_id", "text", contextTokens)
       val trainingSet = cleaned
         .join(packed.select("doc_id", "n_tokens", "pack_id", "offset_in_pack"),
@@ -51,6 +53,9 @@ object CorpusPrepJob {
       spark.read.parquet(s"$outDir/training_set")
         .select(col("doc_id"), col("text"), col("quality"), col("n_tokens"),
           col("pack_id").cast("long").as("pack_id"), col("offset_in_pack"))
-    } finally shingled.unpersist(blocking = false)
+    } finally {
+      shingled.unpersist(blocking = false)
+      cleaned.unpersist(blocking = false)
+    }
   }
 }

@@ -112,13 +112,15 @@ object Similarity {
     * cells keep their previous centroid. Fully deterministic. */
   def fitCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, iterations: Int = 5): Seq[Array[Float]] = {
-    var centroids = embeddings
+    // null vectors can neither seed nor be assigned a cell
+    val valid = embeddings.filter(col(vecCol).isNotNull)
+    var centroids = valid
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(k).select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray).toSeq
     for (_ <- 0 until iterations) {
       val cent = typedLit(centroids.map(_.toSeq))
-      val sums = embeddings
+      val sums = valid
         .select(cellIdExpr(col(vecCol), cent, k).as("cell_id"),
           posexplode(col(vecCol)))
         .groupBy("cell_id", "pos")
@@ -280,7 +282,8 @@ object Similarity {
     * collect on either path; centroid selection collects at most k·d
     * scalar aggregate rows (fitted) or k vectors (sampled). */
   def nearDupPairsAuto(embeddings: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, broadcastBudgetBytes: Long = 128L << 20): DataFrame = {
+      threshold: Double, broadcastBudgetBytes: Long = 128L << 20,
+      maxCells: Int = 4096): DataFrame = {
     val spark = embeddings.sparkSession
     val n = embeddings.count()
     // max over the table (null-safe): an empty table or all-null column
@@ -295,24 +298,20 @@ object Similarity {
       // enough cells that one cell's rows stay task-sized (~budget/8 bytes),
       // at least one per core so the pair joins saturate the cluster — but
       // never so many that cells average fewer than ~16 rows (degenerate
-      // blocking where every vector sits alone)
+      // blocking), and HARD-capped at maxCells: k otherwise grows linearly
+      // with the corpus, and anything k-sized (the centroid literal every
+      // task evaluates, the k·d fit aggregate, a k-vector sample) must stay
+      // scalar relative to the driver and the per-row assignment cost.
+      // Past the cap cells simply exceed the per-task ideal and the pair
+      // joins spill — degraded, not broken.
       val perCellBytes = math.max(broadcastBudgetBytes / 8, 1L << 20)
       val wanted = math.max(spark.sparkContext.defaultParallelism.toLong,
         bytes / perCellBytes + 1)
-      val k = math.min(wanted, math.max(1L, n / 16)).toInt
+      val k = math.min(math.min(wanted, math.max(1L, n / 16)), maxCells.toLong).toInt
       // two Lloyd's iterations tighten the cells around the data's real
-      // clusters, raising same-cell recall over a raw hash-ordered sample —
-      // but fitCentroids collects k·d aggregate rows per iteration, and on
-      // this path k grows with the corpus; fit only while that stays
-      // driver-scalar (~8M rows), else the hash-ordered sample (k vectors
-      // collected, nothing else) is the scale-safe default
-      val centroids =
-        if (k.toLong * dim <= 8L * 1000 * 1000)
-          fitCentroids(embeddings, idCol, vecCol, k, iterations = 2)
-        else embeddings
-          .orderBy(xxhash64(col(idCol)), col(idCol))
-          .limit(k).select(col(vecCol)).collect()
-          .map(_.getSeq[Float](0).toArray).toSeq
+      // clusters, raising same-cell recall over a raw hash-ordered sample;
+      // with k capped, the fit's k·d driver aggregate stays scalar-sized
+      val centroids = fitCentroids(embeddings, idCol, vecCol, k, iterations = 2)
       embeddingNearDupPairs(embeddings, idCol, vecCol, centroids, threshold)
     }
   }

@@ -23,11 +23,12 @@ class CorpusPrepJobSpec extends SparkTestBase {
     // (contiguity is NOT asserted — a doc longer than the budget legally
     // spans windows no document starts in)
     import org.apache.spark.sql.expressions.Window
-    val law = training
+    val lawViolations = training
       .withColumn("start", coalesce(sum("n_tokens").over(Window.orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .filter(col("pack_id") =!= (col("start") / 512L).cast("long"))
-    assert(law.isEmpty, s"pack law violated for ${law.count()} docs")
+      .count()
+    assert(lawViolations == 0, s"pack law violated for $lawViolations docs")
     val packs = training.select("pack_id").distinct()
       .collect().map(_.getLong(0)).sorted
     assert(packs.head == 0)
