@@ -1188,6 +1188,30 @@ object Queries {
     graft.operators.Dedup.dedupClusters(pairs).orderBy("doc_id")
   }
 
+  q("q_decontaminate",
+    // benchmark-contamination check: corpus docs (doc_id % 97 != 0)
+    // sharing at least one word 3-gram with the held-out eval set
+    // (doc_id % 97 = 0), with the distinct-shingle hit count. The eval
+    // side is tiny and broadcast; the corpus side never shuffles.
+    """WITH words AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 1))])) AS s
+      |  FROM words),
+      |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+      |SELECT doc_id, count(*) AS n_hits
+      |FROM sh
+      |WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM ev)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sh = sharedShingles(s, d)
+    graft.operators.Dedup.contaminationHits(
+        sh.filter(col("doc_id") % 97 =!= 0),
+        sh.filter(col("doc_id") % 97 === 0))
+      .orderBy("doc_id")
+  }
+
   q("q_dedup_incremental",
     // dedup NEW docs (odd ids) against the EXISTING corpus (even ids):
     // exact hash anti-join + ngram-Jaccard vs existing only — the

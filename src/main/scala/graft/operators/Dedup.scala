@@ -315,6 +315,28 @@ object Dedup {
       exactSurvivors(idCol) === nearDupNew("id_new"), "left_anti")
   }
 
+  /** Benchmark-contamination check: for each corpus doc, the number of
+    * distinct n-gram shingles it shares with an eval/benchmark set
+    * (the pre-training decontamination pass — drop or flag training docs
+    * that contain verbatim benchmark n-grams).
+    *
+    * Both inputs are (doc_id, sh_str) shingle tables as produced by
+    * [[shingleExplode]] (distinct per doc by construction, so the count
+    * IS the distinct-shingle hit count).
+    *
+    * Scale (100 TB): benchmarks are MBs even when the corpus is 100 TB,
+    * so the eval side is deduped and broadcast — the corpus side stays a
+    * streaming scan + broadcast hash join + partial count, with no
+    * shuffle of corpus shingles. If the eval set ever outgrows the
+    * broadcast threshold, drop the hint and Spark falls back to a
+    * shuffled join with the same semantics. */
+  def contaminationHits(corpusShingles: DataFrame,
+      evalShingles: DataFrame): DataFrame =
+    corpusShingles
+      .join(broadcast(evalShingles.select("sh_str").distinct()), Seq("sh_str"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -199,6 +199,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(self == viaShared)
   }
 
+  test("contaminationHits counts distinct shared shingles vs the eval set") {
+    import spark.implicits._
+    // "quick brown fox" appears in BOTH eval docs: the eval-side distinct
+    // must still count it once per corpus doc. Doc 2 shares nothing and
+    // must be absent, not zero.
+    val corpus = Seq((1L, "the quick brown fox jumps"),
+      (2L, "totally unrelated text right here")).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "quick brown fox trots home"),
+      (101L, "a quick brown fox again appears")).toDF("doc_id", "text")
+    val hits = Dedup.contaminationHits(
+        Dedup.shingleExplode(corpus, "doc_id", "text"),
+        Dedup.shingleExplode(evalSet, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((1L, 1L)))
+  }
+
   test("dedupClusters: chained pairs collapse into one component") {
     import spark.implicits._
     // 1-2, 2-3 chain plus isolated pair 10-11
