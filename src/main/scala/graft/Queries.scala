@@ -1334,6 +1334,53 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  q("q_sample_stratified",
+    // per-source deterministic downsampling: the rate map compiles to a
+    // CASE threshold on the content hash — map-side filter, no join, no
+    // shuffle at any corpus size. Rates exercise keep-all (src1 -> 'g',
+    // which sorts above every hex string), drop-all (src2), fractional
+    // (src0 1/4), and the 1/2 default.
+    """SELECT doc_id, source, substr(md5(text), 1, 4) AS h4
+      |FROM documents
+      |WHERE substr(md5(text), 1, 4) <
+      |  CASE source WHEN 'src0' THEN '4000' WHEN 'src1' THEN 'g'
+      |              WHEN 'src2' THEN '0000' ELSE '8000' END
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Sampling.stratifiedSample(
+        t(s, d, "documents"), "source", col("text"),
+        rates = Map("src0" -> 0.25, "src1" -> 1.0, "src2" -> 0.0),
+        defaultRate = 0.5)
+      .select("doc_id", "source", "h4")
+      .orderBy("doc_id")
+  }
+
+  q("q_corpus_mix",
+    // data-mixture weighting: per-language token mass and the
+    // sample-rate/epoch factor needed to hit a target share of a 1M-token
+    // budget. One low-cardinality groupBy with map-side partial agg; the
+    // token count runs inside the scan projection.
+    """WITH g AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, n_docs, tokens,
+      |  CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 WHEN 'de' THEN 0.1
+      |                 WHEN 'es' THEN 0.1 WHEN 'fr' THEN 0.1 ELSE 0.0 END
+      |    AS DOUBLE) AS target_share,
+      |  CAST(floor(target_share * 1000000) AS BIGINT) AS target_tokens,
+      |  round(CAST(floor(target_share * 1000000) AS BIGINT) * 1.0 / tokens, 6) AS weight,
+      |  least(round(CAST(floor(target_share * 1000000) AS BIGINT) * 1.0 / tokens, 6), 1.0) AS sample_rate,
+      |  greatest(round(CAST(floor(target_share * 1000000) AS BIGINT) * 1.0 / tokens, 6), 1.0) AS epochs
+      |FROM g
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    graft.operators.Sampling.mixtureWeights(
+        t(s, d, "documents"), "lang", "text",
+        targetShares = Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.1,
+          "es" -> 0.1, "fr" -> 0.1),
+        budgetTokens = 1000000L)
+      .orderBy("lang")
+  }
+
   q("q_corpus_clean",
     // the COMPOSITE pipeline replayed end-to-end in SQL: exact min-id
     // dedup → ngram-Jaccard pairs over survivors → recursive-closure

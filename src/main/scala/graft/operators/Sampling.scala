@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling and data-mixture weighting (EXTENSION,
+  * SURVEY.md §2.K) — the "balance the training mix" half of a corpus
+  * pipeline, next to q_sample_split's uniform hash split.
+  *
+  * Both ops are content-hash / pure-arithmetic, so results are
+  * reproducible across engines, runs, and partitionings — unlike
+  * TABLESAMPLE or rand()-based sampling, which a DuckDB oracle could
+  * never replay.
+  */
+object Sampling {
+
+  /** Lowercase-hex keep threshold for `rate`: a row survives when the
+    * first four md5 hex chars of its content key compare strictly below
+    * this string (granularity 1/65536). rate>=1 maps to "g", which sorts
+    * above every hex string, so everything survives; rate=0 maps to
+    * "0000", below-or-equal to everything, so nothing does. */
+  def thresholdHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    if (rate >= 1.0) "g" else f"${math.floor(rate * 65536).toLong}%04x"
+  }
+
+  /** Per-group deterministic downsampling: keep a row iff
+    * `substr(md5(hashKey), 1, 4) < thresholdHex(rate(group))`, with
+    * `defaultRate` for groups absent from `rates`.
+    *
+    * Scale (100 TB): the rate table compiles into a CASE expression, so
+    * this is a map-side projection + filter — NO join, NO shuffle, and
+    * the filter sits directly on the scan regardless of corpus size.
+    * Rows keep a `h4` column so downstream stages (and the oracle) can
+    * audit the assignment. */
+  def stratifiedSample(df: DataFrame, groupCol: String, hashKey: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val thr = caseOver(col(groupCol), rates.view.mapValues(thresholdHex).toMap,
+      thresholdHex(defaultRate))
+    df.withColumn("h4", substring(md5(hashKey), 1, 4))
+      .filter(col("h4") < thr)
+  }
+
+  /** CASE group WHEN k1 THEN v1 ... ELSE default END, empty-map safe
+    * (collapses to the default literal). */
+  private def caseOver[T](group: Column, entries: Map[String, T],
+      default: T): Column =
+    entries.toSeq.sortBy(_._1)
+      .foldLeft(Option.empty[Column]) { case (acc, (g, v)) =>
+        Some(acc.fold(when(group === g, v))(_.when(group === g, v)))
+      }
+      .fold(lit(default))(_.otherwise(default))
+
+  /** Data-mixture weighting: per-group document/token counts plus the
+    * sampling rate (downsample) or epoch count (upsample) needed to hit
+    * `targetShares` of a `budgetTokens` training budget. Groups absent
+    * from `targetShares` get share 0 (excluded from the mix).
+    *
+    * Output per group: n_docs, tokens, target_share, target_tokens
+    * (floor of share*budget), weight (target/actual, 6 dp),
+    * sample_rate = min(weight, 1), epochs = max(weight, 1).
+    *
+    * Scale (100 TB): one groupBy on a low-cardinality key with partial
+    * (map-side) aggregation — the token counting runs inside the scan
+    * projection, and only |groups| rows ever shuffle. */
+  def mixtureWeights(docs: DataFrame, groupCol: String, textCol: String,
+      targetShares: Map[String, Double], budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val share = caseOver(col(groupCol), targetShares, 0.0)
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.bpeishTokenCount(col(textCol))).as("tokens"))
+      .withColumn("target_share", share)
+      .withColumn("target_tokens",
+        floor(col("target_share") * budgetTokens).cast("long"))
+      .withColumn("weight",
+        round(col("target_tokens").cast("double") / col("tokens"), 6))
+      .withColumn("sample_rate", least(col("weight"), lit(1.0)))
+      .withColumn("epochs", greatest(col("weight"), lit(1.0)))
+  }
+}

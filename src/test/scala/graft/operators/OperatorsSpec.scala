@@ -199,6 +199,41 @@ class OperatorsSpec extends SparkTestBase {
     assert(self == viaShared)
   }
 
+  test("stratifiedSample: rate 1 keeps all, rate 0 drops all, fractions subset") {
+    val byRate = (r: Double) => Sampling.stratifiedSample(
+      docs, "source", col("text"), rates = Map.empty, defaultRate = r)
+    val n = docs.count()
+    assert(byRate(1.0).count() == n)
+    assert(byRate(0.0).count() == 0)
+    val halfIds = byRate(0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    val quarterIds = byRate(0.25).select("doc_id").collect().map(_.getLong(0)).toSet
+    // monotone thresholds: the 1/4 sample is a subset of the 1/2 sample,
+    // and both are in the right ballpark of their target rate
+    assert(quarterIds.subsetOf(halfIds))
+    assert(math.abs(halfIds.size.toDouble / n - 0.5) < 0.1)
+    // per-group rates apply to their group only
+    val mixed = Sampling.stratifiedSample(docs, "source", col("text"),
+      rates = Map("src0" -> 0.0), defaultRate = 1.0)
+    assert(mixed.filter(col("source") === "src0").count() == 0)
+    assert(mixed.count() == docs.filter(col("source") =!= "src0").count())
+  }
+
+  test("mixtureWeights arithmetic on a known tiny mix") {
+    import spark.implicits._
+    // 10-token docs: a has 2 docs (20 tokens), b has 1 (10 tokens)
+    val ten = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    val d = Seq(("a", ten), ("a", ten), ("b", ten)).toDF("src", "text")
+    val w = Sampling.mixtureWeights(d, "src", "text",
+        targetShares = Map("a" -> 0.25, "b" -> 0.75), budgetTokens = 40L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    // a: target 10 of 20 actual -> weight 0.5, downsample; b: target 30 of
+    // 10 actual -> weight 3.0, 3 epochs
+    assert(w("a") == ((2L, 20L, 0.25, 10L, 0.5, 0.5, 1.0)))
+    assert(w("b") == ((1L, 10L, 0.75, 30L, 3.0, 1.0, 3.0)))
+  }
+
   test("contaminationHits counts distinct shared shingles vs the eval set") {
     import spark.implicits._
     // "quick brown fox" appears in BOTH eval docs: the eval-side distinct
