@@ -1461,6 +1461,29 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  q("q_dedup_semantic",
+    // SemDeDup: cosine near-dup pairs -> connected components -> keep each
+    // component's min-id root; the embedding column itself is projected
+    // away so the result is driver-hashable
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |labels AS (SELECT u AS vec_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+      |SELECT vec_id, label FROM embeddings
+      |WHERE vec_id NOT IN (SELECT vec_id FROM labels WHERE vec_id <> cluster_id)
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    graft.operators.Similarity.semanticDedup(
+        t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.45)
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+  }
+
   q("q_sim_topk",
     """SELECT b.vec_id,
       |  round(list_cosine_similarity(b.embedding::DOUBLE[],

@@ -335,4 +335,25 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** SemDeDup-style semantic deduplication: cosine near-dup pairs →
+    * connected components → keep only each component's min-id root (plus
+    * every row in no component). Returns the surviving rows of `emb`
+    * unchanged.
+    *
+    * Scale (100 TB): pair generation is [[nearDupPairsAuto]] (exact
+    * broadcast kernel under the budget, IVF-cell-blocked past it),
+    * clustering is [[Dedup.dedupClusters]] (driver union-find for small
+    * graphs, distributed label propagation past the heap-derived
+    * threshold), and the final step is a keyed left-anti join — the loser
+    * set is usually far smaller than the corpus, so AQE turns it into a
+    * broadcast join when it fits. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = nearDupPairsAuto(emb, idCol, vecCol, threshold)
+    val losers = Dedup.dedupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    emb.join(losers, Seq(idCol), "left_anti")
+  }
 }

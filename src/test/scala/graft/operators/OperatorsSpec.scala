@@ -199,6 +199,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(self == viaShared)
   }
 
+  test("semanticDedup keeps exactly one representative per cosine component") {
+    val kept = Similarity.semanticDedup(emb, "vec_id", "embedding", 0.45)
+    val dropped = emb.count() - kept.count()
+    assert(dropped > 0, "fixture should contain planted embedding near-dups")
+    // roots of distinct components share no edge, so survivors must be
+    // pairwise below the threshold — the defining SemDeDup invariant
+    assert(Similarity.bruteNearDupPairsJoin(kept, "vec_id", "embedding", 0.45)
+      .count() == 0)
+    // and nothing outside a near-dup component was dropped
+    val inComponent = Similarity.bruteNearDupPairsJoin(emb, "vec_id", "embedding", 0.45)
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().count()
+    assert(dropped < inComponent)
+  }
+
   test("stratifiedSample: rate 1 keeps all, rate 0 drops all, fractions subset") {
     val byRate = (r: Double) => Sampling.stratifiedSample(
       docs, "source", col("text"), rates = Map.empty, defaultRate = r)
