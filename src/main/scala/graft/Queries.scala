@@ -1368,9 +1368,12 @@ object Queries {
       |                 WHEN 'es' THEN 0.1 WHEN 'fr' THEN 0.1 ELSE 0.0 END
       |    AS DOUBLE) AS target_share,
       |  CAST(floor(target_share * 1000000) AS BIGINT) AS target_tokens,
-      |  round(CAST(floor(target_share * 1000000) AS BIGINT) * 1.0 / tokens, 6) AS weight,
-      |  least(round(CAST(floor(target_share * 1000000) AS BIGINT) * 1.0 / tokens, 6), 1.0) AS sample_rate,
-      |  greatest(round(CAST(floor(target_share * 1000000) AS BIGINT) * 1.0 / tokens, 6), 1.0) AS epochs
+      |  CASE WHEN tokens = 0 THEN NULL
+      |       ELSE round(CAST(floor(target_share * 1000000) AS BIGINT) * 1.0 / tokens, 6) END AS weight,
+      |  CASE WHEN tokens = 0 THEN NULL
+      |       ELSE least(round(CAST(floor(target_share * 1000000) AS BIGINT) * 1.0 / tokens, 6), 1.0) END AS sample_rate,
+      |  CASE WHEN tokens = 0 THEN NULL
+      |       ELSE greatest(round(CAST(floor(target_share * 1000000) AS BIGINT) * 1.0 / tokens, 6), 1.0) END AS epochs
       |FROM g
       |ORDER BY lang""".stripMargin) { (s, d) =>
     graft.operators.Sampling.mixtureWeights(

@@ -35,9 +35,14 @@ object Sampling {
     * audit the assignment. */
   def stratifiedSample(df: DataFrame, groupCol: String, hashKey: Column,
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    require(!df.columns.contains("h4"),
+      "input already has an h4 column; rename it before stratifiedSample")
     val thr = caseOver(col(groupCol), rates.view.mapValues(thresholdHex).toMap,
       thresholdHex(defaultRate))
-    df.withColumn("h4", substring(md5(hashKey), 1, 4))
+    // null keys hash like the empty string so every row gets a
+    // deterministic assignment (a null h4 would compare null and silently
+    // drop the row even at rate 1)
+    df.withColumn("h4", substring(md5(coalesce(hashKey, lit(""))), 1, 4))
       .filter(col("h4") < thr)
   }
 
@@ -58,7 +63,8 @@ object Sampling {
     *
     * Output per group: n_docs, tokens, target_share, target_tokens
     * (floor of share*budget), weight (target/actual, 6 dp),
-    * sample_rate = min(weight, 1), epochs = max(weight, 1).
+    * sample_rate = min(weight, 1), epochs = max(weight, 1); all three are
+    * null for a zero-token group (no defined weight).
     *
     * Scale (100 TB): one groupBy on a low-cardinality key with partial
     * (map-side) aggregation — the token counting runs inside the scan
@@ -73,9 +79,16 @@ object Sampling {
       .withColumn("target_share", share)
       .withColumn("target_tokens",
         floor(col("target_share") * budgetTokens).cast("long"))
-      .withColumn("weight",
-        round(col("target_tokens").cast("double") / col("tokens"), 6))
-      .withColumn("sample_rate", least(col("weight"), lit(1.0)))
-      .withColumn("epochs", greatest(col("weight"), lit(1.0)))
+      // a zero-token group has no defined weight: null, not Infinity (and
+      // least/greatest skip nulls, so sample_rate/epochs must null out
+      // explicitly rather than inherit a bogus 1.0)
+      .withColumn("weight", when(col("tokens") === 0, lit(null).cast("double"))
+        .otherwise(round(col("target_tokens").cast("double") / col("tokens"), 6)))
+      .withColumn("sample_rate",
+        when(col("tokens") === 0, lit(null).cast("double"))
+          .otherwise(least(col("weight"), lit(1.0))))
+      .withColumn("epochs",
+        when(col("tokens") === 0, lit(null).cast("double"))
+          .otherwise(greatest(col("weight"), lit(1.0))))
   }
 }

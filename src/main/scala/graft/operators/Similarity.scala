@@ -324,9 +324,13 @@ object Similarity {
     val cent = typedLit(centroids.map(_.toSeq))
     val assigned = embeddings
       .withColumn("cell_id", cellIdExpr(col(vecCol), cent, centroids.size))
-    val a = assigned.select(col("cell_id"), col(idCol).as("id_a"),
+    // ids cast to long like the brute kernel does (Similarity.bruteNearDupPairs),
+    // so both sides of nearDupPairsAuto's size gate emit the same id type and
+    // downstream consumers (Dedup.dedupClusters' union-find reads longs) see
+    // one contract regardless of which path the table size selected
+    val a = assigned.select(col("cell_id"), col(idCol).cast("long").as("id_a"),
       col(vecCol).as("vec_a"), l2Norm(col(vecCol)).as("nrm_a"))
-    val b = assigned.select(col("cell_id"), col(idCol).as("id_b"),
+    val b = assigned.select(col("cell_id"), col(idCol).cast("long").as("id_b"),
       col(vecCol).as("vec_b"), l2Norm(col(vecCol)).as("nrm_b"))
     a.join(b, Seq("cell_id"))
       .filter(col("id_a") < col("id_b"))

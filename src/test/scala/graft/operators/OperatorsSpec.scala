@@ -233,6 +233,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(mixed.count() == docs.filter(col("source") =!= "src0").count())
   }
 
+  test("sampling edge cases: null keys, h4 collision, zero-token group") {
+    import spark.implicits._
+    // null hash keys get a deterministic assignment (hash of ""), so
+    // rate 1 really keeps everything, null text included
+    val withNull = Seq(("a", "some text"), ("a", null))
+      .toDF("src", "text")
+    assert(Sampling.stratifiedSample(withNull, "src", col("text"),
+      rates = Map.empty, defaultRate = 1.0).count() == 2)
+    // a pre-existing h4 column is an explicit error, not a silent overwrite
+    val clash = withNull.withColumn("h4", lit("x"))
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(clash, "src", col("text"), Map.empty)
+    }
+    // zero-token group: weight/sample_rate/epochs are null, not Infinity
+    val empty = Seq(("a", ""), ("b", "one two")).toDF("src", "text")
+    val row = Sampling.mixtureWeights(empty, "src", "text",
+        targetShares = Map("a" -> 0.5, "b" -> 0.5), budgetTokens = 10L)
+      .filter(col("src") === "a").collect().head
+    assert(row.getLong(2) == 0L)
+    assert(row.isNullAt(5) && row.isNullAt(6) && row.isNullAt(7))
+  }
+
   test("mixtureWeights arithmetic on a known tiny mix") {
     import spark.implicits._
     // 10-token docs: a has 2 docs (20 tokens), b has 1 (10 tokens)
