@@ -44,13 +44,15 @@ object Queries {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
 
-  private def sharedShingles(s: SparkSession, dir: String): DataFrame =
-    sharedShingleCache.synchronized {
+  private def sharedFrame(
+      cache: java.util.Map[SparkSession, scala.collection.mutable.Map[String, DataFrame]],
+      s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+    cache.synchronized {
       val perSession = {
-        val m = sharedShingleCache.get(s)
+        val m = cache.get(s)
         if (m != null) m else {
           val m2 = scala.collection.mutable.Map.empty[String, DataFrame]
-          sharedShingleCache.put(s, m2)
+          cache.put(s, m2)
           m2
         }
       }
@@ -61,9 +63,25 @@ object Queries {
         keep
       }
       perSession.getOrElseUpdate(dir,
-        graft.operators.Dedup.shingleExplode(t(s, dir, "documents"), "doc_id", "text", n = 3)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
+
+  private def sharedShingles(s: SparkSession, dir: String): DataFrame =
+    sharedFrame(sharedShingleCache, s, dir)(
+      graft.operators.Dedup.shingleExplode(t(s, dir, "documents"), "doc_id", "text", n = 3))
+
+  /** The cosine near-dup pair set at the inventory's 0.45 threshold —
+    * shared by q_dedup_embed and q_dedup_semantic (same semantics as
+    * [[sharedShingles]]: the pair generation is the expensive common
+    * prefix of the embedding-dedup family). */
+  private val sharedEmbedPairCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
+
+  private def sharedEmbedPairs(s: SparkSession, dir: String): DataFrame =
+    sharedFrame(sharedEmbedPairCache, s, dir)(
+      graft.operators.Similarity.nearDupPairsAuto(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45))
 
   // ------------------------------------------------------------ §2.C scans/filters
 
@@ -1458,10 +1476,9 @@ object Queries {
       |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     // size-adaptive: exact broadcast kernel under the budget (this scale),
-    // IVF-cell-blocked pair join past it (the 100 TB path)
-    graft.operators.Similarity.nearDupPairsAuto(
-        t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.45)
-      .orderBy("id_a", "id_b")
+    // IVF-cell-blocked pair join past it (the 100 TB path); the pair set
+    // is the shared prefix with q_dedup_semantic
+    sharedEmbedPairs(s, d).orderBy("id_a", "id_b")
   }
 
   q("q_dedup_semantic",
@@ -1481,8 +1498,8 @@ object Queries {
       |SELECT vec_id, label FROM embeddings
       |WHERE vec_id NOT IN (SELECT vec_id FROM labels WHERE vec_id <> cluster_id)
       |ORDER BY vec_id""".stripMargin) { (s, d) =>
-    graft.operators.Similarity.semanticDedup(
-        t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.45)
+    graft.operators.Similarity.semanticDedupFrom(
+        t(s, d, "embeddings"), "vec_id", sharedEmbedPairs(s, d))
       .select("vec_id", "label")
       .orderBy("vec_id")
   }

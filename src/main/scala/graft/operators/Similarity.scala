@@ -353,8 +353,15 @@ object Similarity {
     * set is usually far smaller than the corpus, so AQE turns it into a
     * broadcast join when it fits. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val pairs = nearDupPairsAuto(emb, idCol, vecCol, threshold)
+      threshold: Double): DataFrame =
+    semanticDedupFrom(emb, idCol,
+      nearDupPairsAuto(emb, idCol, vecCol, threshold))
+
+  /** [[semanticDedup]] from a precomputed (id_a, id_b) pair frame —
+    * callers running several embedding-dedup ops should compute the
+    * pairs once, persist them, and feed both consumers. */
+  def semanticDedupFrom(emb: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
     val losers = Dedup.dedupClusters(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as(idCol))
