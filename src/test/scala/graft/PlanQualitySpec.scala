@@ -89,4 +89,23 @@ class PlanQualitySpec extends SparkTestBase {
     assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
       s"no partial+final aggregation:\n$p")
   }
+
+  test("q_decontaminate broadcasts the eval shingles — corpus side never shuffles pre-agg") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"contamination join fell back to SMJ:\n$p")
+  }
+
+  test("q_sample_stratified is a map-side filter with no join or shuffle") {
+    val p = plan("q_sample_stratified")
+    assert(!p.contains("Join"), s"rate map regressed into a join:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"stratified sampling introduced a non-sort shuffle:\n$p")
+  }
+
+  test("q_corpus_mix partial-aggregates and reads only lang+text") {
+    val p = plan("q_corpus_mix")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert(!p.contains("doc_id"), "documents pruning failed: doc_id read")
+  }
 }
