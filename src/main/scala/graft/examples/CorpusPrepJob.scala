@@ -2,16 +2,21 @@ package graft.examples
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{CorpusPipeline, Dedup, Packing}
+import graft.operators.{CorpusPipeline, Dedup, Packing, Sampling}
 
 /** End-to-end training-corpus preparation — the §2.K operators composed
   * the way a pretraining data job uses them:
   *
+  *  0. decontaminate (optional): drop every document sharing a word
+  *     3-gram with the held-out eval set ([[Dedup.contaminationHits]],
+  *     eval side broadcast);
   *  1. clean: exact dedup → near-dup cluster collapse → quality floor
   *     ([[CorpusPipeline.cleanCorpus]], one shared shingle stage);
-  *  2. pack: concatenate-and-chunk context-window assignment
+  *  2. sample (optional): per-group deterministic downsampling to the
+  *     target mixture ([[Sampling.stratifiedSample]], map-side filter);
+  *  3. pack: concatenate-and-chunk context-window assignment
   *     ([[Packing.packChunks]], two-phase distributed prefix sum);
-  *  3. index: persist the MinHash band index future increments dedup
+  *  4. index: persist the MinHash band index future increments dedup
   *     against ([[Dedup.minHashBands]]) without re-reading this corpus.
   *
   * Returns the packed training set; writes it and the band index under
@@ -21,20 +26,41 @@ import graft.operators.{CorpusPipeline, Dedup, Packing}
 object CorpusPrepJob {
 
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
-      contextTokens: Long = 2048L, minQuality: Double = 0.3): DataFrame = {
-    val shingled = Dedup.shingleExplode(docs, "doc_id", "text")
+      contextTokens: Long = 2048L, minQuality: Double = 0.3,
+      evalDocs: Option[DataFrame] = None, maxEvalHits: Long = 0L,
+      sampleRates: Map[String, Double] = Map.empty,
+      sampleGroupCol: String = "source",
+      defaultSampleRate: Double = 1.0): DataFrame = {
+    val shingled0 = Dedup.shingleExplode(docs, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // decontamination filters BOTH the docs and their already-computed
+    // shingles, so the cleaning stage below still sees shingles that
+    // exactly cover its input (cleanCorpus requires that invariant)
+    val (docsIn, shingled) = evalDocs match {
+      case Some(ev) =>
+        val dropIds = Dedup.contaminationHits(shingled0,
+            Dedup.shingleExplode(ev, "doc_id", "text"))
+          .filter(col("n_hits") > maxEvalHits)
+          .select("doc_id")
+        (docs.join(dropIds, Seq("doc_id"), "left_anti"),
+          shingled0.join(dropIds, Seq("doc_id"), "left_anti"))
+      case None => (docs, shingled0)
+    }
     // three consumers below (packing, the training-set join, the index
     // semi-join) — materialize the cleaning once at the fan-out point;
     // persist (not localCheckpoint) so the finally can RELEASE the blocks:
     // repeated runs in a long-lived app must not accumulate corpus-sized
     // cache entries
-    val cleaned = CorpusPipeline.cleanCorpus(docs,
+    val cleaned = CorpusPipeline.cleanCorpus(docsIn,
         minQuality = minQuality, corpusShingles = Some(shingled))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val packed = Packing.packChunks(cleaned, "doc_id", "text", contextTokens)
-      val trainingSet = cleaned
+      val sampled =
+        if (sampleRates.isEmpty && defaultSampleRate >= 1.0) cleaned
+        else Sampling.stratifiedSample(cleaned, sampleGroupCol, col("text"),
+          sampleRates, defaultSampleRate).drop("h4")
+      val packed = Packing.packChunks(sampled, "doc_id", "text", contextTokens)
+      val trainingSet = sampled
         .join(packed.select("doc_id", "n_tokens", "pack_id", "offset_in_pack"),
           Seq("doc_id"))
         .select("doc_id", "text", "quality", "n_tokens", "pack_id", "offset_in_pack")
@@ -42,10 +68,10 @@ object CorpusPrepJob {
         .partitionBy("pack_id") // training readers pull whole packs
         .parquet(s"$outDir/training_set")
 
-      // survivors' signatures only — the increment index never includes
-      // documents this run already rejected
+      // the training set's signatures only — the increment index never
+      // includes documents this run rejected or sampled out
       Dedup.minHashBands(Dedup.minHashSignaturesFrom(
-          shingled.join(cleaned.select("doc_id"), Seq("doc_id"), "left_semi")))
+          shingled.join(sampled.select("doc_id"), Seq("doc_id"), "left_semi")))
         .write.mode("overwrite").parquet(s"$outDir/lsh_bands")
 
       // re-read what was written, restored to trainingSet's declared
@@ -54,7 +80,7 @@ object CorpusPrepJob {
         .select(col("doc_id"), col("text"), col("quality"), col("n_tokens"),
           col("pack_id").cast("long").as("pack_id"), col("offset_in_pack"))
     } finally {
-      shingled.unpersist(blocking = false)
+      shingled0.unpersist(blocking = false)
       cleaned.unpersist(blocking = false)
     }
   }

@@ -53,4 +53,32 @@ class CorpusPrepJobSpec extends SparkTestBase {
     assert(survivors.subsetOf(hit),
       s"index missed resent survivors: ${survivors -- hit}")
   }
+
+  test("corpus prep: decontamination and stratified sampling compose") {
+    val docs = Tables.load(spark, sf(), "documents")
+    // the eval set is drawn from the corpus itself, so decontamination
+    // must remove at least those members (and their shingle-sharers)
+    val eval_ = docs.filter(col("doc_id") % 101 === 0)
+      .select("doc_id", "text")
+    val out = Files.createTempDirectory("corpusprep2").toString
+    val training = CorpusPrepJob.run(spark, docs, out, contextTokens = 512L,
+      evalDocs = Some(eval_), sampleRates = Map("src0" -> 0.0))
+    assert(training.count() > 0)
+    // no surviving doc shares any 3-gram with the eval set
+    val hits = Dedup.contaminationHits(
+      Dedup.shingleExplode(training, "doc_id", "text"),
+      Dedup.shingleExplode(eval_, "doc_id", "text"))
+    assert(hits.isEmpty, "contaminated docs survived decontamination")
+    // src0 was sampled out entirely
+    val src0Survivors = training
+      .join(docs.filter(col("source") === "src0").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    assert(src0Survivors.isEmpty, "rate-0 source leaked into the training set")
+    // the band index matches the training set, not the pre-sampling
+    // corpus (docs too short to shingle legitimately have no signature)
+    val bands = spark.read.parquet(s"$out/lsh_bands")
+    assert(bands.select("doc_id").distinct().count() ==
+      Dedup.shingleExplode(training, "doc_id", "text")
+        .select("doc_id").distinct().count())
+  }
 }
