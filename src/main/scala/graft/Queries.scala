@@ -46,34 +46,60 @@ object Queries {
 
   private def sharedFrame(
       cache: java.util.Map[SparkSession, scala.collection.mutable.Map[String, DataFrame]],
-      s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
-    cache.synchronized {
-      val perSession = {
+      s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    def withMap[T](f: scala.collection.mutable.Map[String, DataFrame] => T): T =
+      cache.synchronized {
         val m = cache.get(s)
-        if (m != null) m else {
+        val perSession = if (m != null) m else {
           val m2 = scala.collection.mutable.Map.empty[String, DataFrame]
           cache.put(s, m2)
           m2
         }
+        f(perSession)
       }
+    val cached = withMap { m =>
       // keep at most one corpus cached per session
-      perSession.filterInPlace { (d, df) =>
+      m.filterInPlace { (d, df) =>
         val keep = d == dir
         if (!keep) df.unpersist(blocking = false)
         keep
       }
-      perSession.getOrElseUpdate(dir,
-        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      m.get(dir)
     }
+    cached.getOrElse {
+      // build OUTSIDE the lock: some builders run eager Spark jobs
+      // (nearDupPairsAuto counts, fits centroids, may collect under its
+      // broadcast budget) and must not serialize unrelated sessions/dirs
+      // behind a global monitor. Two threads racing the same (s, dir)
+      // both build; the loser unpersists its copy and adopts the winner's.
+      val built = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      withMap { m =>
+        m.get(dir) match {
+          case Some(winner) =>
+            built.unpersist(blocking = false)
+            winner
+          case None =>
+            m.put(dir, built)
+            built
+        }
+      }
+    }
+  }
 
   private def sharedShingles(s: SparkSession, dir: String): DataFrame =
     sharedFrame(sharedShingleCache, s, dir)(
       graft.operators.Dedup.shingleExplode(t(s, dir, "documents"), "doc_id", "text", n = 3))
 
   /** The cosine near-dup pair set at the inventory's 0.45 threshold —
-    * shared by q_dedup_embed and q_dedup_semantic (same semantics as
-    * [[sharedShingles]]: the pair generation is the expensive common
-    * prefix of the embedding-dedup family). */
+    * shared by q_dedup_embed and q_dedup_semantic (same caching contract
+    * as [[sharedShingles]]: the pair generation is the expensive common
+    * prefix of the embedding-dedup family).
+    *
+    * Retention note: under the brute path the cached frame's closure pins
+    * its vector broadcast (≤ the kernel's 128 MB budget) until eviction;
+    * the cache keeps at most ONE dir per session, so that retention is
+    * bounded at a single broadcast and released on dir switch or session
+    * GC. */
   private val sharedEmbedPairCache =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())

@@ -31,19 +31,30 @@ object CorpusPrepJob {
       sampleRates: Map[String, Double] = Map.empty,
       sampleGroupCol: String = "source",
       defaultSampleRate: Double = 1.0): DataFrame = {
+    // fail rate errors at the boundary, not only on the code path that
+    // happens to reach stratifiedSample (an out-of-range default with an
+    // empty rate map must not silently no-op)
+    require(defaultSampleRate >= 0.0 && defaultSampleRate <= 1.0,
+      s"defaultSampleRate must be in [0,1], got $defaultSampleRate")
     val shingled0 = Dedup.shingleExplode(docs, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // decontamination filters BOTH the docs and their already-computed
-    // shingles, so the cleaning stage below still sees shingles that
-    // exactly cover its input (cleanCorpus requires that invariant)
-    val (docsIn, shingled) = evalDocs match {
-      case Some(ev) =>
-        val dropIds = Dedup.contaminationHits(shingled0,
-            Dedup.shingleExplode(ev, "doc_id", "text"))
-          .filter(col("n_hits") > maxEvalHits)
-          .select("doc_id")
-        (docs.join(dropIds, Seq("doc_id"), "left_anti"),
-          shingled0.join(dropIds, Seq("doc_id"), "left_anti"))
+    // shingles, so the cleaning stage below sees shingles that exactly
+    // cover its input (a superset would also satisfy today's consumers,
+    // but exact coverage keeps the invariant simple). dropIds is tiny
+    // (contaminated ids only) and consumed by several downstream actions
+    // — persist it so the corpus-wide contamination aggregate runs once.
+    val dropIds = evalDocs.map { ev =>
+      Dedup.contaminationHits(shingled0,
+          Dedup.shingleExplode(ev, "doc_id", "text"))
+        .filter(col("n_hits") > maxEvalHits)
+        .select("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val (docsIn, shingled) = dropIds match {
+      case Some(drop) =>
+        (docs.join(drop, Seq("doc_id"), "left_anti"),
+          shingled0.join(drop, Seq("doc_id"), "left_anti"))
       case None => (docs, shingled0)
     }
     // three consumers below (packing, the training-set join, the index
@@ -81,6 +92,7 @@ object CorpusPrepJob {
           col("pack_id").cast("long").as("pack_id"), col("offset_in_pack"))
     } finally {
       shingled0.unpersist(blocking = false)
+      dropIds.foreach(_.unpersist(blocking = false))
       cleaned.unpersist(blocking = false)
     }
   }
