@@ -1298,6 +1298,78 @@ object Queries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  q("q_dedup_spans",
+    // exact substring (span) dedup signal: per doc, the 5-word spans that
+    // appear verbatim in >= 2 distinct docs, and the token coverage of
+    // their interval union (within-doc repeats do NOT count — that is
+    // q_text_repetition's signal). Linear: no pair join anywhere.
+    """WITH words AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sp AS (
+      |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS s
+      |  FROM (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i, w
+      |        FROM words)),
+      |dup AS (
+      |  SELECT s FROM (SELECT DISTINCT s, doc_id FROM sp)
+      |  GROUP BY s HAVING count(*) >= 2),
+      |hits AS (SELECT doc_id, pos FROM sp WHERE s IN (SELECT s FROM dup)),
+      |cov AS (
+      |  SELECT doc_id, greatest(0, pos + 5 - greatest(coalesce(max(pos + 5) OVER (
+      |      PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), pos)) AS add
+      |  FROM hits),
+      |agg AS (SELECT doc_id, count(*) AS dup_spans, sum(add) AS dup_tokens
+      |        FROM cov GROUP BY 1),
+      |base AS (SELECT doc_id, len(w) AS n_tokens FROM words)
+      |SELECT b.doc_id, b.n_tokens,
+      |  coalesce(a.dup_spans, 0) AS dup_spans,
+      |  CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      |  round(coalesce(a.dup_tokens, 0) * 1.0 / greatest(b.n_tokens, 1), 6) AS dup_frac
+      |FROM base b LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.duplicatedSpans(
+        t(s, d, "documents"), "doc_id", "text", k = 5)
+      .withColumn("dup_frac", round(col("dup_frac"), 6))
+      .orderBy("doc_id")
+  }
+
+  q("q_dedup_spans_strip",
+    // the removal half: rewrite each doc with flagged-span tokens cut
+    // (cut the substring, keep the doc); surviving order preserved
+    """WITH words AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sp AS (
+      |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+4], ' ') AS s
+      |  FROM (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i, w
+      |        FROM words)),
+      |dup AS (
+      |  SELECT s FROM (SELECT DISTINCT s, doc_id FROM sp)
+      |  GROUP BY s HAVING count(*) >= 2),
+      |covered AS (
+      |  SELECT DISTINCT doc_id, tpos FROM (
+      |    SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS tpos
+      |    FROM sp WHERE s IN (SELECT s FROM dup))),
+      |toks AS (
+      |  SELECT doc_id, i - 1 AS tpos, w[i] AS tok
+      |  FROM (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM words)),
+      |kept AS (
+      |  SELECT t.doc_id, t.tpos, t.tok FROM toks t
+      |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+      |                    WHERE c.doc_id = t.doc_id AND c.tpos = t.tpos)),
+      |reb AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+      |         count(*) AS kept_tokens
+      |  FROM kept GROUP BY 1),
+      |base AS (SELECT doc_id, len(w) AS n_tokens FROM words)
+      |SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text, b.n_tokens,
+      |  coalesce(r.kept_tokens, 0) AS kept_tokens
+      |FROM base b LEFT JOIN reb r USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.stripDuplicatedSpans(
+        t(s, d, "documents"), "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+  }
+
   q("q_text_pii",
     // PII scrub over text salted with deterministic synthetic PII (the
     // fixture corpus is clean, so both engines append the same email/ip/

@@ -337,6 +337,112 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
 
+  /** Exact substring (span) dedup signal, Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" style: flag every k-word
+    * span that appears verbatim in at least `minDocs` DISTINCT documents,
+    * then report per document how much of it is covered by such spans —
+    * `dup_spans` (flagged span occurrences), `dup_tokens` (tokens under
+    * the union of flagged [pos, pos+k) intervals) and `dup_frac`.
+    * Within-document repetition deliberately does NOT count (that signal
+    * is [[TextAnalysis.repetitionScore]]); this is the cross-document
+    * boilerplate/contamination detector.
+    *
+    * Scale (100 TB): no pair join anywhere — unlike Jaccard dedup this is
+    * linear in corpus size. One narrow span explode, one (span, doc)
+    * distinct + count to find shared spans, one semi-join back keyed on
+    * the span hash, then a window + aggregate both keyed on doc_id (the
+    * same shuffle). Hot boilerplate spans are exactly the signal, and the
+    * semi-join probe side never amplifies rows.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minDocs: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"span size must be positive, got $k")
+
+    // spans with start positions (multiplicity kept, positional order);
+    // shuffled as 8-byte xxhash64 keys like the rest of the dedup family
+    val spans = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.ShingleUtil.shingleAllCol(col(textCol), k)))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("sh"))
+
+    // spans present in >= minDocs distinct docs; two-level agg keeps the
+    // distinct partial (per (sh, doc) first, then per sh)
+    val shared = spans.select("sh", "doc_id").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("sh")
+    val hits = spans.join(shared, Seq("sh"), "left_semi")
+
+    // union of overlapping [pos, pos+k) intervals per doc: sorted by pos,
+    // each span contributes the tokens past the running max end
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevEnd = coalesce(max(col("pos") + lit(k)).over(w), lit(0))
+    val perDoc = hits
+      .withColumn("add",
+        greatest(lit(0), col("pos") + lit(k) - greatest(prevEnd, col("pos"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_spans"), sum(col("add")).cast("long").as("dup_tokens"))
+
+    // every doc appears in the output (zero-hit docs with zeros); token
+    // count mirrors the shingle tokenizer (lowercase, \s+ split, -1 limit)
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(split(lower(col(textCol)), "\\s+", -1)).cast("long").as("n_tokens"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double")).as("dup_frac"))
+  }
+
+  /** The removal half of [[duplicatedSpans]]: rewrite each document with
+    * every token under a flagged span removed (the Lee-et-al. policy of
+    * cutting the duplicated substring itself rather than dropping the
+    * document). Returns (doc_id, clean_text, n_tokens, kept_tokens);
+    * clean_text preserves surviving-token order, single-space joined,
+    * lowercase (the tokenizer's casing).
+    *
+    * Scale: flagged hit intervals explode to k rows each (hits only, not
+    * the corpus), distinct to covered positions, anti-join against the
+    * token explosion keyed on (doc_id, pos), then one doc-keyed
+    * sort_array(collect_list) reassembly — linear, no pair joins, and the
+    * final aggregate shuffles only surviving tokens. */
+  def stripDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minDocs: Long = 2L): DataFrame = {
+    require(k > 0, s"span size must be positive, got $k")
+    val spans = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.ShingleUtil.shingleAllCol(col(textCol), k)))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("sh"))
+    val shared = spans.select("sh", "doc_id").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("sh")
+    // covered token positions: each flagged hit spreads to [pos, pos+k)
+    val covered = spans.join(shared, Seq("sh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tpos"))
+      .distinct()
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), "\\s+", -1)))
+      .select(col("doc_id"), col("pos").as("tpos"), col("col").as("w"))
+    val kept = toks.join(covered, Seq("doc_id", "tpos"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      concat_ws(" ", transform(sort_array(collect_list(struct(col("tpos"), col("w")))),
+        e => e.getField("w"))).as("clean_text"),
+      count(lit(1)).as("kept_tokens"))
+    docs.select(col(idCol).as("doc_id"),
+        size(split(lower(col(textCol)), "\\s+", -1)).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        // fully-covered docs lose every token: empty text, not null
+        when(col("n_tokens").isNotNull,
+          coalesce(col("clean_text"), lit(""))).as("clean_text"),
+        col("n_tokens"),
+        when(col("n_tokens").isNotNull,
+          coalesce(col("kept_tokens"), lit(0L))).as("kept_tokens"))
+  }
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

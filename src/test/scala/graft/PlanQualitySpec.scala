@@ -108,4 +108,21 @@ class PlanQualitySpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
     assert(!p.contains("doc_id"), "documents pruning failed: doc_id read")
   }
+
+  test("q_dedup_spans is pair-join-free: keyed joins only, no cartesian") {
+    val p = plan("q_dedup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"span dedup degenerated to a product:\n$p")
+    // linear pipeline: the shared-span lookup is a semi join on the hash
+    assert(p.contains("LeftSemi"), s"expected a semi join on sh:\n$p")
+    // the shared-span distinct aggregates partially before shuffling
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("q_dedup_spans_strip anti-joins covered positions — no product, no resort") {
+    val p = plan("q_dedup_spans_strip")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"strip degenerated to a product:\n$p")
+    assert(p.contains("LeftAnti"), s"expected an anti join on (doc_id, tpos):\n$p")
+  }
 }

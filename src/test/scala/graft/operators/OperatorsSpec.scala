@@ -302,6 +302,61 @@ class OperatorsSpec extends SparkTestBase {
     assert(dist == expected)
   }
 
+  test("duplicatedSpans flags cross-doc spans, merges overlaps, ignores within-doc repeats") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b c d e f"),            // shares "a b c d e" with doc 2
+      (2L, "x a b c d e y"),
+      (3L, "p q r s t u"),            // clean
+      (4L, "h i j k l m n"),          // identical to doc 5: full coverage
+      (5L, "h i j k l m n"),
+      (6L, "m n o p q z m n o p q")   // within-doc repeat only: NOT flagged
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(fixture, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+
+    assert(out(1L) == ((6L, 1L, 5L, 5.0 / 6)))   // one hit at pos 0
+    assert(out(2L) == ((7L, 1L, 5L, 5.0 / 7)))   // one hit at pos 1
+    assert(out(3L) == ((6L, 0L, 0L, 0.0)))
+    // docs 4/5: spans at pos 0,1,2 all duplicated; union [0,7) = 7 tokens
+    // (15 without the interval merge), so frac is exactly 1.0
+    assert(out(4L) == ((7L, 3L, 7L, 1.0)))
+    assert(out(5L) == ((7L, 3L, 7L, 1.0)))
+    // "m n o p q" repeats only inside doc 6 → cross-doc df = 1, no flag
+    assert(out(6L) == ((11L, 0L, 0L, 0.0)))
+  }
+
+  test("duplicatedSpans: null text yields null token count and zero hits") {
+    import spark.implicits._
+    val fixture = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val rows = Dedup.duplicatedSpans(fixture, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(3L).isNullAt(1) && rows(3L).getLong(2) == 0L)
+    assert(rows(1L).getLong(3) == 6L && rows(2L).getLong(3) == 6L)
+  }
+
+  test("stripDuplicatedSpans cuts flagged tokens, keeps order, empties full dups") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b c d e f"),            // "a b c d e" shared with doc 2 → keeps "f"
+      (2L, "x a b c d e y"),          // keeps "x" and "y"
+      (3L, "p q r s t u"),            // untouched (lowercased join only)
+      (4L, "h i j k l m n"),          // identical to doc 5 → fully cut
+      (5L, "h i j k l m n"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatedSpans(fixture, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "f" && out(1L).getLong(3) == 1L)
+    assert(out(2L).getString(1) == "x y" && out(2L).getLong(3) == 2L)
+    assert(out(3L).getString(1) == "p q r s t u" && out(3L).getLong(3) == 6L)
+    assert(out(4L).getString(1) == "" && out(4L).getLong(3) == 0L)
+    assert(out(5L).getString(1) == "")
+    assert(out(6L).isNullAt(1) && out(6L).isNullAt(2))
+  }
+
   test("broadcast brute pairs equal the join-based formulation exactly") {
     val a = Similarity.bruteNearDupPairs(emb, "vec_id", "embedding", 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
