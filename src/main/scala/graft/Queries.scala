@@ -90,6 +90,18 @@ object Queries {
     sharedFrame(sharedShingleCache, s, dir)(
       graft.operators.Dedup.shingleExplode(t(s, dir, "documents"), "doc_id", "text", n = 3))
 
+  /** The positional 5-word span explosion shared by the span-dedup pair
+    * (q_dedup_spans / q_dedup_spans_strip) — same caching contract as
+    * [[sharedShingles]]; each operator also consumes it on both sides of
+    * its own semi-join, so the persist pays off even for a single query. */
+  private val sharedSpanCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
+
+  private def sharedSpans(s: SparkSession, dir: String): DataFrame =
+    sharedFrame(sharedSpanCache, s, dir)(
+      graft.operators.Dedup.spanExplode(t(s, dir, "documents"), "doc_id", "text", k = 5))
+
   /** The cosine near-dup pair set at the inventory's 0.45 threshold —
     * shared by q_dedup_embed and q_dedup_semantic (same caching contract
     * as [[sharedShingles]]: the pair generation is the expensive common
@@ -1328,7 +1340,8 @@ object Queries {
       |FROM base b LEFT JOIN agg a USING (doc_id)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     graft.operators.Dedup.duplicatedSpans(
-        t(s, d, "documents"), "doc_id", "text", k = 5)
+        t(s, d, "documents"), "doc_id", "text", k = 5,
+        spanFrame = Some(sharedSpans(s, d)))
       .withColumn("dup_frac", round(col("dup_frac"), 6))
       .orderBy("doc_id")
   }
@@ -1361,12 +1374,17 @@ object Queries {
       |         count(*) AS kept_tokens
       |  FROM kept GROUP BY 1),
       |base AS (SELECT doc_id, len(w) AS n_tokens FROM words)
-      |SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text, b.n_tokens,
-      |  coalesce(r.kept_tokens, 0) AS kept_tokens
+      |SELECT b.doc_id,
+      |  CASE WHEN b.n_tokens IS NOT NULL
+      |       THEN coalesce(r.clean_text, '') END AS clean_text,
+      |  b.n_tokens,
+      |  CASE WHEN b.n_tokens IS NOT NULL
+      |       THEN coalesce(r.kept_tokens, 0) END AS kept_tokens
       |FROM base b LEFT JOIN reb r USING (doc_id)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     graft.operators.Dedup.stripDuplicatedSpans(
-        t(s, d, "documents"), "doc_id", "text", k = 5)
+        t(s, d, "documents"), "doc_id", "text", k = 5,
+        spanFrame = Some(sharedSpans(s, d)))
       .orderBy("doc_id")
   }
 

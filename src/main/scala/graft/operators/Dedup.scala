@@ -337,6 +337,34 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
 
+  /** The (doc_id, pos, sh) positional span explosion — the shared stage of
+    * the span-dedup pair ([[duplicatedSpans]], [[stripDuplicatedSpans]]):
+    * start position plus the xxhash64 of the k-word span at it
+    * (multiplicity kept, unlike [[shingleExplode]]'s distinct shingles).
+    * Callers running both operators should compute this once, `persist`
+    * it, and pass it via their `spanFrame` parameter (the inventory layer
+    * in [[graft.SparkEntry]] does exactly that) — it also feeds both
+    * sides of each operator's own semi-join, so even a single call
+    * benefits from a materialized copy. */
+  def spanExplode(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"span size must be positive, got $k")
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.ShingleUtil.shingleAllCol(col(textCol), k)))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("sh"))
+  }
+
+  /** Span occurrences whose span appears in >= minDocs distinct docs;
+    * two-level agg keeps the distinct partial (per (sh, doc) first, then
+    * per sh). */
+  private def flaggedSpanHits(spans: DataFrame, minDocs: Long): DataFrame = {
+    val shared = spans.select("sh", "doc_id").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("sh")
+    spans.join(shared, Seq("sh"), "left_semi")
+  }
+
   /** Exact substring (span) dedup signal, Lee et al. "Deduplicating
     * Training Data Makes Language Models Better" style: flag every k-word
     * span that appears verbatim in at least `minDocs` DISTINCT documents,
@@ -353,25 +381,17 @@ object Dedup {
     * the span hash, then a window + aggregate both keyed on doc_id (the
     * same shuffle). Hot boilerplate spans are exactly the signal, and the
     * semi-join probe side never amplifies rows.
-    */
+    *
+    * @param spanFrame optional precomputed [[spanExplode]] frame (MUST be
+    *                  built with the same `k`), typically persisted and
+    *                  shared with [[stripDuplicatedSpans]] */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, minDocs: Long = 2L): DataFrame = {
+      k: Int = 5, minDocs: Long = 2L,
+      spanFrame: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"span size must be positive, got $k")
-
-    // spans with start positions (multiplicity kept, positional order);
-    // shuffled as 8-byte xxhash64 keys like the rest of the dedup family
-    val spans = docs.select(col(idCol).as("doc_id"),
-        posexplode(graft.functions.ShingleUtil.shingleAllCol(col(textCol), k)))
-      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("sh"))
-
-    // spans present in >= minDocs distinct docs; two-level agg keeps the
-    // distinct partial (per (sh, doc) first, then per sh)
-    val shared = spans.select("sh", "doc_id").distinct()
-      .groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDocs)
-      .select("sh")
-    val hits = spans.join(shared, Seq("sh"), "left_semi")
+    val hits = flaggedSpanHits(
+      spanFrame.getOrElse(spanExplode(docs, idCol, textCol, k)), minDocs)
 
     // union of overlapping [pos, pos+k) intervals per doc: sorted by pos,
     // each span contributes the tokens past the running max end
@@ -407,19 +427,18 @@ object Dedup {
     * the corpus), distinct to covered positions, anti-join against the
     * token explosion keyed on (doc_id, pos), then one doc-keyed
     * sort_array(collect_list) reassembly — linear, no pair joins, and the
-    * final aggregate shuffles only surviving tokens. */
+    * final aggregate shuffles only surviving tokens.
+    *
+    * @param spanFrame optional precomputed [[spanExplode]] frame (MUST be
+    *                  built with the same `k`), typically persisted and
+    *                  shared with [[duplicatedSpans]] */
   def stripDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, minDocs: Long = 2L): DataFrame = {
+      k: Int = 5, minDocs: Long = 2L,
+      spanFrame: Option[DataFrame] = None): DataFrame = {
     require(k > 0, s"span size must be positive, got $k")
-    val spans = docs.select(col(idCol).as("doc_id"),
-        posexplode(graft.functions.ShingleUtil.shingleAllCol(col(textCol), k)))
-      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("sh"))
-    val shared = spans.select("sh", "doc_id").distinct()
-      .groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDocs)
-      .select("sh")
     // covered token positions: each flagged hit spreads to [pos, pos+k)
-    val covered = spans.join(shared, Seq("sh"), "left_semi")
+    val covered = flaggedSpanHits(
+        spanFrame.getOrElse(spanExplode(docs, idCol, textCol, k)), minDocs)
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tpos"))
       .distinct()

@@ -115,8 +115,12 @@ class PlanQualitySpec extends SparkTestBase {
       s"span dedup degenerated to a product:\n$p")
     // linear pipeline: the shared-span lookup is a semi join on the hash
     assert(p.contains("LeftSemi"), s"expected a semi join on sh:\n$p")
-    // the shared-span distinct aggregates partially before shuffling
-    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    // the (sh, doc) distinct aggregates map-side before its shuffle
+    // (partial + final = two HashAggregates keyed on exactly (sh, doc_id))
+    assert("HashAggregate\\(keys=\\[sh#\\d+L, doc_id#\\d+L\\]".r
+      .findAllIn(p).size >= 2, s"span distinct lost its partial agg:\n$p")
+    // and the df count combines partially too
+    assert(p.contains("partial_count"), s"df count lost its partial agg:\n$p")
   }
 
   test("q_dedup_spans_strip anti-joins covered positions — no product, no resort") {
