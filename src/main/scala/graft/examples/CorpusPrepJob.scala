@@ -12,6 +12,9 @@ import graft.operators.{CorpusPipeline, Dedup, Packing, Sampling}
   *     eval side broadcast);
   *  1. clean: exact dedup → near-dup cluster collapse → quality floor
   *     ([[CorpusPipeline.cleanCorpus]], one shared shingle stage);
+  *  1b. strip spans (optional): cut cross-document duplicated k-word
+  *     substrings from the survivors' text and drop docs left empty
+  *     ([[Dedup.stripDuplicatedSpans]], the cut-the-substring policy);
   *  2. sample (optional): per-group deterministic downsampling to the
   *     target mixture ([[Sampling.stratifiedSample]], map-side filter);
   *  3. pack: concatenate-and-chunk context-window assignment
@@ -30,7 +33,8 @@ object CorpusPrepJob {
       evalDocs: Option[DataFrame] = None, maxEvalHits: Long = 0L,
       sampleRates: Map[String, Double] = Map.empty,
       sampleGroupCol: String = "source",
-      defaultSampleRate: Double = 1.0): DataFrame = {
+      defaultSampleRate: Double = 1.0,
+      stripSpans: Boolean = false, spanK: Int = 5): DataFrame = {
     // fail rate errors at the boundary, not only on the code path that
     // happens to reach stratifiedSample (an out-of-range default with an
     // empty rate map must not silently no-op)
@@ -66,9 +70,19 @@ object CorpusPrepJob {
         minQuality = minQuality, corpusShingles = Some(shingled))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // span strip runs on the SURVIVORS (exact/near dups are already
+      // gone, so flagged spans are genuine cross-doc boilerplate); docs
+      // cut down to nothing are dropped by the inner join
+      val boiled =
+        if (!stripSpans) cleaned
+        else cleaned.drop("text").join(
+          Dedup.stripDuplicatedSpans(cleaned, "doc_id", "text", k = spanK)
+            .filter(col("kept_tokens") > 0)
+            .select(col("doc_id"), col("clean_text").as("text")),
+          Seq("doc_id"))
       val sampled =
-        if (sampleRates.isEmpty && defaultSampleRate >= 1.0) cleaned
-        else Sampling.stratifiedSample(cleaned, sampleGroupCol, col("text"),
+        if (sampleRates.isEmpty && defaultSampleRate >= 1.0) boiled
+        else Sampling.stratifiedSample(boiled, sampleGroupCol, col("text"),
           sampleRates, defaultSampleRate).drop("h4")
       val packed = Packing.packChunks(sampled, "doc_id", "text", contextTokens)
       val trainingSet = sampled

@@ -81,4 +81,26 @@ class CorpusPrepJobSpec extends SparkTestBase {
       Dedup.shingleExplode(training, "doc_id", "text")
         .select("doc_id").distinct().count())
   }
+
+  test("corpus prep: span strip cuts cross-doc boilerplate from the training text") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val out = Files.createTempDirectory("corpusprep3").toString
+    val training = CorpusPrepJob.run(spark, docs, out, contextTokens = 512L,
+      stripSpans = true, spanK = 5)
+    assert(training.count() > 0)
+    // re-running the detector on the output finds nothing. Strictly a
+    // single pass only guarantees FLAGGED spans are gone (cut edges can
+    // rejoin into new shared 5-grams in principle); on the deterministic
+    // fixture the single pass is empirically residue-free, so assert the
+    // stronger property — if the fixture changes and this trips, relax to
+    // the flagged-spans-only invariant
+    val residue = Dedup.duplicatedSpans(training, "doc_id", "text", k = 5)
+      .filter(col("dup_spans") > 0)
+    assert(residue.isEmpty, "duplicated spans survived the strip stage")
+    // nothing empty got packed, and n_tokens reflects the STRIPPED text
+    assert(training.filter(col("text") === "").isEmpty)
+    assert(training.filter(
+      col("n_tokens") =!= size(split(col("text"), "\\s+", -1))).isEmpty,
+      "n_tokens disagrees with the stripped text")
+  }
 }
