@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for web-corpus deduplication — SURVEY.md §2.K EXT.
+  *
+  * The same page is typically crawled under many URL spellings (case in
+  * the host, `www.`, explicit default ports, tracking query params,
+  * fragments, trailing slashes). Canonicalizing before grouping turns
+  * those into one key, so URL-level dedup is a single hash shuffle, like
+  * q_dedup_exact.
+  *
+  * Every step is a plain `functions._` regex/string expression: the whole
+  * column stays inside whole-stage codegen (no UDF), and the pipeline is
+  * replayable in any RE2-compatible SQL engine, which is what the DuckDB
+  * oracle for q_dedup_url does. Deliberately NOT handled (documented
+  * contract, not an oversight): percent-encoding normalization, IDN hosts,
+  * query-param reordering, and case-insensitive param names — those need
+  * a real URL parser, and crawl pipelines normally run this AFTER a
+  * fetcher that already emits encoded ASCII URLs.
+  */
+object UrlOps {
+
+  /** Tracking params dropped during canonicalization (exact, case-sensitive
+    * names; `utm_*` is a prefix family). */
+  val trackingParamPattern = "(?:utm_[^=&#]*|gclid|fbclid|msclkid|ref_src)"
+
+  /** Scheme and `host[:port]` of a URL, lowercased; null if not a
+    * `scheme://`-shaped string. */
+  def urlScheme(url: Column): Column =
+    lower(nullif(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1), lit("")))
+
+  def urlHostPort(url: Column): Column =
+    lower(nullif(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1), lit("")))
+
+  /** Canonical URL (see object doc for the normalization contract). */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = urlScheme(url)
+    val hostPort = urlHostPort(url)
+    val host = regexp_replace(regexp_replace(hostPort, ":[0-9]*$", ""), "^www\\.", "")
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val keptPort = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+
+    // everything after the authority, fragment dropped
+    val rest = regexp_replace(regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""), "#.*$", "")
+    val rawPath = regexp_extract(rest, "^([^?]*)", 1)
+    val path = regexp_replace(rawPath, "/+$", "")
+    val rawQuery = regexp_extract(rest, "\\?(.*)$", 1)
+    // split on '&', drop tracking params and empty segments, rejoin. A
+    // single regexp_replace over the whole query either needs a lookahead
+    // (not RE2, so the oracle couldn't replay it) or misses adjacent
+    // params; the split form is one-pass correct in both engines. The
+    // lambda runs per PARAM, not per char, so the interpreted-HOF cost is
+    // a few evals per row.
+    val tracking = "^" + trackingParamPattern + "(=.*)?$"
+    val tidied = array_join(
+      filter(split(rawQuery, "&"), p => p =!= "" && not(p.rlike(tracking))), "&")
+    val keptQuery = when(tidied === "", lit("")).otherwise(concat(lit("?"), tidied))
+
+    when(scheme.isNull, url) // not a URL: pass through unchanged
+      .otherwise(concat(scheme, lit("://"), host, keptPort, path, keptQuery))
+  }
+}
