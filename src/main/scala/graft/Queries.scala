@@ -71,16 +71,19 @@ object Queries {
       // (nearDupPairsAuto counts, fits centroids, may collect under its
       // broadcast budget) and must not serialize unrelated sessions/dirs
       // behind a global monitor. Two threads racing the same (s, dir)
-      // both build; the loser unpersists its copy and adopts the winner's.
-      val built = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // both build; only the winner of the put persists. The loser must
+      // NOT persist-then-unpersist its copy: CacheManager keys cache
+      // entries by logical-plan equality, and both racers build equal
+      // plans, so the loser's unpersist would evict the winner's entry
+      // too and the "shared" stage would silently recompute.
+      val built = build
       withMap { m =>
         m.get(dir) match {
-          case Some(winner) =>
-            built.unpersist(blocking = false)
-            winner
+          case Some(winner) => winner
           case None =>
-            m.put(dir, built)
-            built
+            val p = built.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            m.put(dir, p)
+            p
         }
       }
     }
@@ -920,7 +923,8 @@ object Queries {
   q("q_fn_math",
     """SELECT l_orderkey, l_linenumber,
       |  round(l_extendedprice, 1) AS p_round, abs(l_discount - 0.05) AS d_abs,
-      |  ceil(l_quantity) AS q_ceil, floor(l_quantity) AS q_floor,
+      |  cast(ceil(l_quantity) AS BIGINT) AS q_ceil,
+      |  cast(floor(l_quantity) AS BIGINT) AS q_floor,
       |  round(power(l_tax + 1, 2), 6) AS tax_sq,
       |  round(ln(l_extendedprice), 6) AS p_ln,
       |  cast(cast(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS p_dec
@@ -1439,9 +1443,10 @@ object Queries {
       |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
       |  FROM toks)
-      |SELECT doc_id, n_tokens, start_offset,
-      |  start_offset // 2048 AS pack_id,
-      |  start_offset % 2048 AS offset_in_pack
+      |SELECT doc_id, n_tokens,
+      |  cast(start_offset AS BIGINT) AS start_offset,
+      |  cast(start_offset // 2048 AS BIGINT) AS pack_id,
+      |  cast(start_offset % 2048 AS BIGINT) AS offset_in_pack
       |FROM cum ORDER BY doc_id""".stripMargin) { (s, d) =>
     graft.operators.Packing.packChunks(
         t(s, d, "documents"), "doc_id", "text", budget = 2048L)
@@ -1473,18 +1478,19 @@ object Queries {
     // CASE threshold on the content hash — map-side filter, no join, no
     // shuffle at any corpus size. Rates exercise keep-all (src1 -> 'g',
     // which sorts above every hex string), drop-all (src2), fractional
-    // (src0 1/4), and the 1/2 default.
-    """SELECT doc_id, source, substr(md5(text), 1, 4) AS h4
+    // (src0 1/4), and the 1/2 default. 8 hex chars = 1/2^32 granularity,
+    // so mixtureWeights-derived micro-rates never floor to drop-all.
+    """SELECT doc_id, source, substr(md5(text), 1, 8) AS h8
       |FROM documents
-      |WHERE substr(md5(text), 1, 4) <
-      |  CASE source WHEN 'src0' THEN '4000' WHEN 'src1' THEN 'g'
-      |              WHEN 'src2' THEN '0000' ELSE '8000' END
+      |WHERE substr(md5(text), 1, 8) <
+      |  CASE source WHEN 'src0' THEN '40000000' WHEN 'src1' THEN 'g'
+      |              WHEN 'src2' THEN '00000000' ELSE '80000000' END
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     graft.operators.Sampling.stratifiedSample(
         t(s, d, "documents"), "source", col("text"),
         rates = Map("src0" -> 0.25, "src1" -> 1.0, "src2" -> 0.0),
         defaultRate = 0.5)
-      .select("doc_id", "source", "h4")
+      .select("doc_id", "source", "h8")
       .orderBy("doc_id")
   }
 

@@ -83,7 +83,7 @@ object CorpusPrepJob {
       val sampled =
         if (sampleRates.isEmpty && defaultSampleRate >= 1.0) boiled
         else Sampling.stratifiedSample(boiled, sampleGroupCol, col("text"),
-          sampleRates, defaultSampleRate).drop("h4")
+          sampleRates, defaultSampleRate).drop("h8")
       val packed = Packing.packChunks(sampled, "doc_id", "text", contextTokens)
       val trainingSet = sampled
         .join(packed.select("doc_id", "n_tokens", "pack_id", "offset_in_pack"),

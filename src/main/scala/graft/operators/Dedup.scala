@@ -178,22 +178,28 @@ object Dedup {
       driverUnionFindThreshold: Long = -1L): DataFrame = {
     val parallelism = pairs.sparkSession.sparkContext.defaultParallelism
     // auto threshold: a collected edge costs ~100 bytes in the driver
-    // union-find hashmap; budget ~5% of the driver heap for it, so the
-    // fast path grows with the driver instead of a hardcoded constant
+    // union-find hashmap PLUS ~200 bytes of external-Row overhead while
+    // the collect is in flight (GenericRow + backing array + two boxed
+    // longs); budget ~5% of the driver heap at ~300 B/edge so the fast
+    // path grows with the driver instead of a hardcoded constant
     val ufThreshold =
       if (driverUnionFindThreshold >= 0L) driverUnionFindThreshold
-      else Runtime.getRuntime.maxMemory / 20L / 100L
+      else Runtime.getRuntime.maxMemory / 20L / 300L
 
     // small-graph fast path FIRST: near-dup graphs are typically tiny
     // relative to the corpus, and a driver union-find beats paying Spark
     // job overhead per propagation round (same min-id result).
-    // take(threshold+1) on the raw pairs both SIZES and FETCHES in one
-    // action — within bound the rows are already here, with none of the
-    // mirror/distinct/repartition/checkpoint jobs the distributed path
-    // needs; one extra row proves the graph is over budget. Duplicate
-    // pairs are harmless to union-find, direction is mirrored driver-side.
+    // limit(threshold+1).localCheckpoint() materializes the capped edge
+    // set ONCE — take()'s partition-escalation retries would re-execute
+    // the expensive pair-generation lineage several times when the frame
+    // is uncached; sizing (count) and fetch (collect) then both hit the
+    // checkpointed partitions. One extra row proves the graph is over
+    // budget. Duplicate pairs are harmless to union-find, direction is
+    // mirrored driver-side.
     val maxFetch = math.min(ufThreshold, Int.MaxValue - 1L).toInt
-    val fetched = pairs.select(col("id_a"), col("id_b")).take(maxFetch + 1)
+    val capped = pairs.select(col("id_a"), col("id_b"))
+      .limit(maxFetch + 1).localCheckpoint()
+    val fetched = capped.collect()
     if (fetched.length <= maxFetch) {
       val spark = pairs.sparkSession
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]

@@ -15,35 +15,37 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Lowercase-hex keep threshold for `rate`: a row survives when the
-    * first four md5 hex chars of its content key compare strictly below
-    * this string (granularity 1/65536). rate>=1 maps to "g", which sorts
-    * above every hex string, so everything survives; rate=0 maps to
-    * "0000", below-or-equal to everything, so nothing does. */
+    * first eight md5 hex chars of its content key compare strictly below
+    * this string (granularity 1/2^32 — fine enough that the 6-dp
+    * sample_rates [[mixtureWeights]] emits for huge groups never floor to
+    * drop-all). rate>=1 maps to "g", which sorts above every hex string,
+    * so everything survives; rate=0 maps to "00000000", below-or-equal
+    * to everything, so nothing does. */
   def thresholdHex(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    if (rate >= 1.0) "g" else f"${math.floor(rate * 65536).toLong}%04x"
+    if (rate >= 1.0) "g" else f"${math.floor(rate * 4294967296.0).toLong}%08x"
   }
 
   /** Per-group deterministic downsampling: keep a row iff
-    * `substr(md5(hashKey), 1, 4) < thresholdHex(rate(group))`, with
+    * `substr(md5(hashKey), 1, 8) < thresholdHex(rate(group))`, with
     * `defaultRate` for groups absent from `rates`.
     *
     * Scale (100 TB): the rate table compiles into a CASE expression, so
     * this is a map-side projection + filter — NO join, NO shuffle, and
     * the filter sits directly on the scan regardless of corpus size.
-    * Rows keep a `h4` column so downstream stages (and the oracle) can
+    * Rows keep an `h8` column so downstream stages (and the oracle) can
     * audit the assignment. */
   def stratifiedSample(df: DataFrame, groupCol: String, hashKey: Column,
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
-    require(!df.columns.contains("h4"),
-      "input already has an h4 column; rename it before stratifiedSample")
+    require(!df.columns.contains("h8"),
+      "input already has an h8 column; rename it before stratifiedSample")
     val thr = caseOver(col(groupCol), rates.view.mapValues(thresholdHex).toMap,
       thresholdHex(defaultRate))
     // null keys hash like the empty string so every row gets a
-    // deterministic assignment (a null h4 would compare null and silently
+    // deterministic assignment (a null h8 would compare null and silently
     // drop the row even at rate 1)
-    df.withColumn("h4", substring(md5(coalesce(hashKey, lit(""))), 1, 4))
-      .filter(col("h4") < thr)
+    df.withColumn("h8", substring(md5(coalesce(hashKey, lit(""))), 1, 8))
+      .filter(col("h8") < thr)
   }
 
   /** CASE group WHEN k1 THEN v1 ... ELSE default END, empty-map safe

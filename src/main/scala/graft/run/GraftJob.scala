@@ -137,13 +137,23 @@ object GraftJob {
             // only, so a reused pool thread would otherwise carry a stale
             // or absent group and cancelJobGroup would cancel nothing
             spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-            try {
+            // re-check the flag at every stage boundary, not just on
+            // entry: driver-side planning (fn builds the frame, possibly
+            // running eager sizing jobs) can outlive the cancel/drain
+            // loop — cancelJobGroup finds nothing RUNNING, the timeout
+            // path returns JobTimedOut, and without these checks the
+            // late starter would still submit its sink write afterwards
+            def checkBudget(): Unit =
               if (timedOut.get()) throw new InterruptedException(s"$name budget exhausted")
+            try {
+              checkBudget()
               val df = fn(spark, sfDir)
+              checkBudget()
               val sink = TableMeta(name.replaceAll("[^a-z0-9_]", "_"), s"$name/",
                 dataFormat = sinkFormat)
               GraftCatalog.writeTable(df, sink.copy(columns = Seq.empty),
                 s"${outDir.stripSuffix("/")}/$name", mode = "overwrite")
+              checkBudget()
               spark.read.format(sinkFormat match {
                 case "csv" | "csv_quoted_nodate" => "csv"
                 case f => f

@@ -260,12 +260,19 @@ object AvroFiles {
           val p = new HPath(file)
           val in = p.getFileSystem(taskConf).open(p)
           val reader = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord](schema))
+          // close on task completion, not only on iterator exhaustion: a
+          // downstream LIMIT / take / failure stops consuming mid-file
+          // and would otherwise leak the Hadoop input stream
+          var closed = false
+          def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
           // align to the UNION of partition columns across all files: a
           // file missing a k=v level contributes null for that column
           val kv = partValues(file, rootUri).toMap
           val parts = partColsB.map(kv.getOrElse(_, null))
           new Iterator[Row] {
-            def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
+            def hasNext: Boolean = { val h = reader.hasNext; if (!h) closeOnce(); h }
             def next(): Row = {
               val rec = reader.next()
               Row.fromSeq(schema.getFields.asScala.map(f =>
@@ -294,8 +301,11 @@ object AvroFiles {
         s"compression '$other' is not supported by avro container files")
     }
 
-  /** Write as avro container files, one per DataFrame partition (no commit
-    * protocol — same direct-write contract as the rest of writeTable). */
+  /** Write as avro container files, one per DataFrame partition. Each
+    * task writes to an attempt-unique temp name and renames into the
+    * deterministic final name on success — so a failed task leaves no
+    * partial file behind and a speculative duplicate attempt cannot
+    * corrupt the committed file (the rename loser just drops its temp). */
   def write(df: DataFrame, path: String, mode: String = "error",
       compression: Option[String] = None): Unit = {
     val spark = df.sparkSession
@@ -316,15 +326,31 @@ object AvroFiles {
     codecFor(codecName)
     df.rdd.mapPartitionsWithIndex { (i, rows) =>
       val schema = new Schema.Parser().parse(avroJson)
-      val file = new HPath(path, f"part-$i%05d-$stamp.avro")
-      val out = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        .create(file, true)
+      val finalFile = new HPath(path, f"part-$i%05d-$stamp.avro")
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId().toString).getOrElse("local")
+      val tmpFile = new HPath(path, f".part-$i%05d-$stamp.avro.$attempt.tmp")
+      val tfs = tmpFile.getFileSystem(new org.apache.hadoop.conf.Configuration())
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
       codecFor(codecName).foreach(w.setCodec)
-      w.create(schema, out)
       var n = 0L
-      rows.foreach { r => w.append(toAvro(r, schema).asInstanceOf[GenericRecord]); n += 1 }
-      w.close()
+      try {
+        w.create(schema, tfs.create(tmpFile, true))
+        rows.foreach { r => w.append(toAvro(r, schema).asInstanceOf[GenericRecord]); n += 1 }
+        w.close()
+      } catch { case e: Throwable =>
+        try w.close() catch { case _: Throwable => () }
+        tfs.delete(tmpFile, false)
+        throw e
+      }
+      // commit: both attempts of a speculated task target the same final
+      // name; the rename loser sees it already present and discards its
+      // temp instead of clobbering the winner's committed bytes
+      if (!tfs.rename(tmpFile, finalFile)) {
+        if (tfs.exists(finalFile)) tfs.delete(tmpFile, false)
+        else throw new java.io.IOException(
+          s"avro commit failed: could not rename $tmpFile to $finalFile")
+      }
       Iterator.single(n)
     }.sum() // action: materializes the write
     ()

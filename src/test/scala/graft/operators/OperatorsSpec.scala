@@ -233,7 +233,7 @@ class OperatorsSpec extends SparkTestBase {
     assert(mixed.count() == docs.filter(col("source") =!= "src0").count())
   }
 
-  test("sampling edge cases: null keys, h4 collision, zero-token group") {
+  test("sampling edge cases: null keys, h8 collision, micro-rate, zero-token group") {
     import spark.implicits._
     // null hash keys get a deterministic assignment (hash of ""), so
     // rate 1 really keeps everything, null text included
@@ -241,11 +241,15 @@ class OperatorsSpec extends SparkTestBase {
       .toDF("src", "text")
     assert(Sampling.stratifiedSample(withNull, "src", col("text"),
       rates = Map.empty, defaultRate = 1.0).count() == 2)
-    // a pre-existing h4 column is an explicit error, not a silent overwrite
-    val clash = withNull.withColumn("h4", lit("x"))
+    // a pre-existing h8 column is an explicit error, not a silent overwrite
+    val clash = withNull.withColumn("h8", lit("x"))
     intercept[IllegalArgumentException] {
       Sampling.stratifiedSample(clash, "src", col("text"), Map.empty)
     }
+    // a tiny-but-positive rate must stay representable, not floor to
+    // drop-all: 1e-6 (the smallest 6-dp mixtureWeights rate) maps to a
+    // positive threshold at 1/2^32 granularity
+    assert(Sampling.thresholdHex(1e-6) > "00000000")
     // zero-token group: weight/sample_rate/epochs are null, not Infinity
     val empty = Seq(("a", ""), ("b", "one two")).toDF("src", "text")
     val row = Sampling.mixtureWeights(empty, "src", "text",

@@ -103,6 +103,19 @@ def main(sf_dir, out_dir):
                   f"(driver hashes Decimal vs duckdb float64 — cast to DOUBLE/VARCHAR)")
             n_fail += 1
             continue
+        # round-2 lesson: the driver hashes pandas VALUES, so an int64 column
+        # on one side vs float64 on the other (duckdb ceil/floor -> DOUBLE,
+        # sum(BIGINT) window -> HUGEINT -> float64) hash-differs even though
+        # 6 == 6.0 compares equal. Flag integer-vs-float kind mismatches.
+        kind_bad = [c for c in got.columns
+                    if {got[c].dtype.kind, exp[c].dtype.kind} == {"i", "f"}
+                    or {got[c].dtype.kind, exp[c].dtype.kind} == {"u", "f"}]
+        if kind_bad:
+            print(f"FAIL {name}: int-vs-float physical dtype mismatch on "
+                  f"{[(c, str(got[c].dtype), str(exp[c].dtype)) for c in kind_bad]} "
+                  f"(driver hash differs — cast BOTH sides to BIGINT or DOUBLE)")
+            n_fail += 1
+            continue
         try:
             g = sort_rows(got)
             e = sort_rows(exp)
