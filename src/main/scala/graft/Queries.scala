@@ -296,6 +296,31 @@ object Queries {
       .orderBy("event_id")
   }
 
+  q("q_join_range",
+    // keyless time-range join: every signup landing within the hour after
+    // a purchase. The naive theta join is BroadcastNestedLoop (O(L·R));
+    // binnedRangeJoin turns it into a shuffled equi-join on a time-bin
+    // key with bounded left replication — the shape that survives when
+    // both sides are unbroadcastable event streams.
+    """SELECT p.event_id AS p_event, p.user_id AS p_user,
+      |       s.event_id AS s_event, s.user_id AS s_user
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+      |  ON s.ts >= p.ts AND s.ts < p.ts + INTERVAL 1 HOUR
+      |ORDER BY p_event, s_event""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_event"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+    graft.operators.RangeJoin.binnedRangeJoin(
+        purchases, signups, "p_ts", "s_ts", lowerSec = 0L, upperSec = 3600L)
+      .select("p_event", "p_user", "s_event", "s_user")
+      .orderBy("p_event", "s_event")
+  }
+
   // ------------------------------------------------------------ §2.E aggregations
 
   q("q_agg_global",
