@@ -1297,6 +1297,32 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  q("q_decontaminate_bloom",
+    // same contamination semantics through the Bloom semi-join reduction:
+    // ~10 bits/shingle broadcast + map-side might-contain prefilter, so
+    // only candidate corpus shingles ever reach the (unhinted) confirm
+    // join — the formulation for eval sets too big to broadcast exactly.
+    // Bloom false positives die in the exact join, so the oracle is the
+    // same SQL as q_decontaminate.
+    """WITH words AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 1))])) AS s
+      |  FROM words),
+      |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+      |SELECT doc_id, count(*) AS n_hits
+      |FROM sh
+      |WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM ev)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sh = sharedShingles(s, d)
+    graft.operators.Dedup.contaminationHitsBloom(
+        sh.filter(col("doc_id") % 97 =!= 0),
+        sh.filter(col("doc_id") % 97 === 0))
+      .orderBy("doc_id")
+  }
+
   q("q_dedup_incremental",
     // dedup NEW docs (odd ids) against the EXISTING corpus (even ids):
     // exact hash anti-join + ngram-Jaccard vs existing only — the

@@ -343,6 +343,39 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
 
+  /** [[contaminationHits]] with a Bloom-filter semi-join reduction — the
+    * formulation for when the eval shingle set outgrows an exact
+    * broadcast. A Bloom filter at `fpp` costs ~10 bits/shingle versus
+    * hundreds for the exact string set, so it stays broadcastable long
+    * after the distinct-shingle frame does not; the map-side
+    * might-contain filter drops the ~all of the corpus shingle stream
+    * that cannot match BEFORE the join, so only candidate rows shuffle.
+    * The exact join then removes Bloom false positives — results are
+    * identical to [[contaminationHits]], only the data volume reaching
+    * the join changes. No broadcast hint on the confirm join: at small
+    * eval sizes AQE picks broadcast-hash anyway, past the threshold it
+    * degrades to a shuffled join fed by the pre-reduced stream.
+    *
+    * @param expectedItems sizing for the filter; pass the (approximate)
+    *   distinct eval-shingle count at scale to avoid the sizing count job
+    * @param fpp false-positive rate — tune against shuffle savings */
+  def contaminationHitsBloom(corpusShingles: DataFrame,
+      evalShingles: DataFrame, expectedItems: Long = 0L,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = corpusShingles.sparkSession
+    val eval = evalShingles.select("sh_str").distinct()
+    val items =
+      if (expectedItems > 0L) expectedItems else math.max(eval.count(), 1L)
+    val bloom = eval.stat.bloomFilter("sh_str", items, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((s: String) => s != null && bc.value.mightContainString(s))
+    corpusShingles.filter(mightContain(col("sh_str")))
+      .join(eval, Seq("sh_str"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** The (doc_id, pos, sh) positional span explosion — the shared stage of
     * the span-dedup pair ([[duplicatedSpans]], [[stripDuplicatedSpans]]):
     * start position plus the xxhash64 of the k-word span at it

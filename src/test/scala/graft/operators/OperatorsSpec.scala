@@ -291,6 +291,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(hits == Set((1L, 1L)))
   }
 
+  test("contaminationHitsBloom matches the exact path (FPs die in the confirm join)") {
+    import spark.implicits._
+    // enough docs that the bloom prefilter has real work: 40 corpus docs,
+    // every 4th one sharing a 3-gram with the eval set
+    val corpus = (1L to 40L).map { i =>
+      val tail = if (i % 4 == 0) "shared eval marker phrase" else s"unique body $i text"
+      (i, s"document number $i says $tail")
+    }.toDF("doc_id", "text")
+    val evalSet = Seq((100L, "the shared eval marker phrase here")).toDF("doc_id", "text")
+    val cs = Dedup.shingleExplode(corpus, "doc_id", "text")
+    val es = Dedup.shingleExplode(evalSet, "doc_id", "text")
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = key(Dedup.contaminationHits(cs, es))
+    assert(exact.nonEmpty)
+    assert(key(Dedup.contaminationHitsBloom(cs, es)) == exact)
+    // an aggressive fpp still agrees: false positives only cost shuffle
+    assert(key(Dedup.contaminationHitsBloom(cs, es, fpp = 0.5)) == exact)
+  }
+
   test("dedupClusters: chained pairs collapse into one component") {
     import spark.implicits._
     // 1-2, 2-3 chain plus isolated pair 10-11
