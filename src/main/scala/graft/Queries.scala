@@ -1793,6 +1793,95 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  q("q_text_entropy",
+    // Shannon entropy of each doc's word distribution — one compiled
+    // StaticInvoke per row (no explode → groupBy → join round-trip);
+    // the oracle replays it relationally. H = log2(n) - sum(c*log2(c))/n.
+    """WITH words AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS w
+      |  FROM documents),
+      |counts AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+      |h AS (SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS s FROM counts GROUP BY 1)
+      |SELECT d.doc_id, round(coalesce(log2(h.n) - h.s / h.n, 0.0), 6) AS entropy
+      |FROM documents d LEFT JOIN h USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        round(graft.functions.TextEntropy.wordEntropyCol(col("text")), 6)
+          .as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  q("q_dedup_url",
+    // URL-level dedup for a web corpus: many crawl spellings of the same
+    // page (host case, www., default ports, tracking params, fragments,
+    // trailing slashes) collapse to one canonical key, making URL dedup
+    // a single hash shuffle. URLs are salted deterministically from
+    // doc_id; the canonicalization is pure RE2-safe regex/string ops, so
+    // the oracle replays the exact pipeline.
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 5 AS INT)
+      |      WHEN 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.com:443/Article/' || CAST(doc_id % 97 AS VARCHAR) || '/?utm_source=feed&id=' || CAST(doc_id % 31 AS VARCHAR) || '#frag'
+      |      WHEN 1 THEN 'http://example' || CAST(doc_id % 7 AS VARCHAR) || '.com:80/a/b'
+      |      WHEN 2 THEN 'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com/Article/' || CAST(doc_id % 97 AS VARCHAR) || '?id=' || CAST(doc_id % 31 AS VARCHAR) || '&gclid=xyz'
+      |      WHEN 3 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+      |      ELSE 'https://sub.example' || CAST(doc_id % 7 AS VARCHAR) || '.com:8443/x//y/?fbclid=1&q=' || CAST(doc_id % 13 AS VARCHAR)
+      |    END AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id, url,
+      |    lower(nullif(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+      |    lower(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')) AS host_port,
+      |    regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '#.*$', '') AS rest
+      |  FROM urls),
+      |pieces AS (
+      |  SELECT doc_id, url, scheme,
+      |    regexp_replace(regexp_replace(host_port, ':[0-9]*$', ''), '^www\.', '') AS host,
+      |    regexp_extract(host_port, ':([0-9]+)$', 1) AS port,
+      |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+      |    regexp_extract(rest, '\?(.*)$', 1) AS raw_query
+      |  FROM parts),
+      |tidy AS (
+      |  SELECT doc_id, url, scheme, host, port, path,
+      |    -- empty list -> array_to_string yields NULL in DuckDB; coalesce
+      |    -- to '' so a query reduced to nothing drops cleanly
+      |    coalesce(array_to_string(list_filter(string_split(raw_query, '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p, '^(?:utm_[^=&#]*|gclid|fbclid|msclkid|ref_src)(=.*)?$')), '&'), '') AS tidied
+      |  FROM pieces),
+      |canon AS (
+      |  SELECT doc_id,
+      |    CASE WHEN scheme IS NULL THEN url
+      |         ELSE scheme || '://' || host ||
+      |           CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+      |                  OR (scheme = 'https' AND port = '443') THEN ''
+      |                ELSE ':' || port END ||
+      |           path ||
+      |           CASE WHEN tidied = '' THEN '' ELSE '?' || tidied END
+      |    END AS canonical_url
+      |  FROM tidy)
+      |SELECT canonical_url, count(*) AS n_urls, min(doc_id) AS survivor
+      |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    def part(m: Int) = (id % m).cast("string")
+    val url = when(id % 5 === 0,
+        concat(lit("HTTPS://WWW.Example"), part(7), lit(".com:443/Article/"),
+          part(97), lit("/?utm_source=feed&id="), part(31), lit("#frag")))
+      .when(id % 5 === 1,
+        concat(lit("http://example"), part(7), lit(".com:80/a/b")))
+      .when(id % 5 === 2,
+        concat(lit("https://example"), part(7), lit(".com/Article/"),
+          part(97), lit("?id="), part(31), lit("&gclid=xyz")))
+      .when(id % 5 === 3, concat(lit("not a url "), id.cast("string")))
+      .otherwise(concat(lit("https://sub.example"), part(7),
+        lit(".com:8443/x//y/?fbclid=1&q="), part(13)))
+    t(s, d, "documents")
+      .select(id, graft.operators.UrlOps.canonicalizeUrl(url).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_urls"), min(id).as("survivor"))
+      .orderBy("canonical_url")
+  }
+
   q("q_text_tfidf",
     """WITH toks AS (
       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term

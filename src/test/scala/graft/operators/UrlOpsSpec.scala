@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization contract: each normalization rule pinned on a
+  * crafted URL, plus the pass-through and null behavior. */
+class UrlOpsSpec extends SparkTestBase {
+
+  private def canon(urls: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .orderBy("id")
+      .select(UrlOps.canonicalizeUrl(col("url")))
+      .collect().map(r => r.getString(0)).toSeq
+  }
+
+  test("host case, www, default ports, tracking params, fragments, slashes") {
+    val out = canon(Seq(
+      "HTTPS://WWW.Example.COM:443/Article/7/?utm_source=f&id=3#frag",
+      "http://example.com:80/a/b",
+      "https://example.com:8443/x//y/?fbclid=1&q=2",
+      "http://example.com/?utm_campaign=x&utm_medium=y",
+      "https://example.com/p?gclid=1&ref_src=t&keep=1&msclkid=2",
+      "ftp://Example.com:21/file"))
+    assert(out(0) == "https://example.com/Article/7?id=3") // case+www+443+utm+frag+slash
+    assert(out(1) == "http://example.com/a/b")             // default port 80 dropped
+    assert(out(2) == "https://example.com:8443/x//y?q=2")  // non-default port kept, interior // kept
+    assert(out(3) == "http://example.com")                 // query fully consumed
+    assert(out(4) == "https://example.com/p?keep=1")       // every tracker family dropped
+    assert(out(5) == "ftp://example.com:21/file")          // non-http port untouched
+  }
+
+  test("non-URLs pass through unchanged; null stays null") {
+    import spark.implicits._
+    val out = Seq((1L, "not a url 42"), (2L, null))
+      .toDF("id", "url").orderBy("id")
+      .select(UrlOps.canonicalizeUrl(col("url")))
+      .collect()
+    assert(out(0).getString(0) == "not a url 42")
+    assert(out(1).isNullAt(0))
+  }
+
+  test("scheme/host accessors") {
+    import spark.implicits._
+    val row = Seq(Tuple1("HTTPS://User.Example.com:8443/p?q=1"))
+      .toDF("url")
+      .select(UrlOps.urlScheme(col("url")), UrlOps.urlHostPort(col("url")))
+      .collect().head
+    assert(row.getString(0) == "https")
+    assert(row.getString(1) == "user.example.com:8443")
+  }
+}
