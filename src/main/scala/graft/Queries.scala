@@ -321,6 +321,25 @@ object Queries {
       .orderBy("p_event", "s_event")
   }
 
+  q("q_join_skew",
+    // explicit salted join for hot keys AQE can't split (a single key
+    // overwhelming one reducer): left rows get a content-hash salt in
+    // [0,8), the dim side replicates 8x, the join key becomes (key,salt).
+    // Semantically identical to the plain equi-join — which is exactly
+    // what the oracle runs.
+    """SELECT p.p_brand, count(*) AS n,
+      |       round(sum(l.l_quantity), 2) AS qty
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+      .select(col("l_partkey").as("p_partkey"), col("l_quantity"))
+    val part = t(s, d, "part").select("p_partkey", "p_brand")
+    graft.operators.SkewJoin.saltedInnerJoin(li, part, "p_partkey", saltFactor = 8)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy("p_brand")
+  }
+
   // ------------------------------------------------------------ §2.E aggregations
 
   q("q_agg_global",
