@@ -1696,6 +1696,17 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  // sign-random-projection ANN: seeded-hyperplane signatures are not
+  // replayable in the oracle engine (JVM Gaussian stream), so rows-only;
+  // self-retrieval/exact-rerank/recall are spec'd against brute force
+  qNoOracle("q_sim_lsh") { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    graft.operators.Similarity.lshTopK(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", probe, k = 10)
+  }
+
   q("q_sim_topk",
     """SELECT b.vec_id,
       |  round(list_cosine_similarity(b.embedding::DOUBLE[],

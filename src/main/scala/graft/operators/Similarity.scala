@@ -175,6 +175,68 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
+  // ------------------------------------------------- random-hyperplane LSH
+
+  /** `nBits` seeded Gaussian hyperplanes for sign-random-projection LSH.
+    * Deterministic for a (seed, dim, nBits) triple — the same planes can
+    * be regenerated at query time against a signature table built
+    * earlier, so nothing but the seed needs storing. */
+  def gaussianPlanes(dim: Int, nBits: Int, seed: Long): Seq[Array[Float]] = {
+    require(nBits >= 1 && nBits <= 63, s"nBits must be in [1,63], got $nBits")
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  /** Packed sign-bit signature of `vec` under `planes`: bit i is set iff
+    * dot(vec, plane_i) >= 0. Each dot is the codegen'd [[dot]] expression
+    * against a literal plane — nBits primitive loops map-side, no UDF. */
+  def lshSignature(vec: Column, planes: Seq[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedLit(p.toSeq)) >= 0d, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  private def dotLocal(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+    d
+  }
+
+  /** Candidate rows for `probe` under multi-table sign-random-projection
+    * LSH: `nTables` independent `nBits`-bit signatures (planes seeded
+    * `seed + t`), a row is a candidate if ANY table buckets it with the
+    * probe. Recall for a neighbor at angle θ is
+    * `1 - (1 - (1 - θ/π)^nBits)^nTables` — more tables buy recall, more
+    * bits buy precision (smaller buckets). The whole predicate is a
+    * map-side conjunction of codegen'd dot products; at scale the
+    * signature columns are materialized once next to the vectors (cf.
+    * [[buildIvfIndex]] — a bucket-partitioned layout makes each probe a
+    * point lookup on nTables buckets) instead of recomputed per probe. */
+  def lshCandidates(embeddings: DataFrame, vecCol: String,
+      probe: Array[Float], nBits: Int = 6, nTables: Int = 12,
+      seed: Long = 7L): DataFrame = {
+    require(nTables >= 1, s"nTables must be positive, got $nTables")
+    val hit = (0 until nTables).map { t =>
+      val planes = gaussianPlanes(probe.length, nBits, seed + t)
+      val probeSig = planes.zipWithIndex
+        .map { case (p, i) => if (dotLocal(p, probe) >= 0d) 1L << i else 0L }
+        .sum
+      lshSignature(col(vecCol), planes) === lit(probeSig)
+    }.reduce(_ || _)
+    embeddings.filter(hit)
+  }
+
+  /** Approximate cosine top-k via [[lshCandidates]] + exact cosine rerank
+    * (id tiebreak). Complements [[ivfTopK]]: no centroid fit, tunable
+    * recall/scan-fraction via (nBits, nTables), suited to high-similarity
+    * retrieval (near-dup hunting) where (1-θ/π)^nBits stays large. */
+  def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      probe: Array[Float], k: Int, nBits: Int = 6, nTables: Int = 12,
+      seed: Long = 7L): DataFrame =
+    lshCandidates(embeddings, vecCol, probe, nBits, nTables, seed)
+      .select(col(idCol), round(cosine(col(vecCol), typedLit(probe.toSeq)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+
   private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) {

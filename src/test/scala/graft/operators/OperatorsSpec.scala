@@ -85,6 +85,48 @@ class OperatorsSpec extends SparkTestBase {
       s"ivf overlap with brute too low: ${(ivf intersect brute).size}")
   }
 
+  test("lsh top-k: self-retrieval, exact rerank, determinism, near-dup recall, pruning") {
+    val probe = emb.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    // the probe's own vector shares every sign bit with itself in every
+    // table: vec 0 must come back first with cosine 1
+    val self = Similarity.lshTopK(emb, "vec_id", "embedding", probe, 5)
+    val selfRows = self.collect()
+    assert(selfRows.head.getLong(0) == 0L && selfRows.head.getDouble(1) == 1.0)
+    // deterministic: seeded planes, no RNG at query time
+    assert(self.collect().toSeq == selfRows.toSeq)
+    // rerank is EXACT cosine: every returned score equals the brute score
+    val bruteScores = emb.select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"),
+          typedLit(probe.toSeq)), 6).as("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.lshTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", probe, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(lsh.forall { case (id, cos) => bruteScores(id) == cos })
+    // near-dup retrieval at the default (6 bits x 12 tables): probing
+    // with one side of each >=0.45-cosine planted pair must find the
+    // partner for most pairs, while scanning a fraction of the corpus.
+    // Theory: recall per pair = 1-(1-(1-theta/pi)^6)^12 ~ 0.68 at
+    // cos 0.45; the seeded outcome on this fixture is pinned exact.
+    val pairs = Similarity.bruteNearDupPairsJoin(emb, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length >= 5, s"fixture lost its planted near-dups: ${pairs.length}")
+    val n = emb.count()
+    var found = 0; var candTotal = 0L
+    pairs.foreach { case (a, b) =>
+      val pv = emb.filter(col("vec_id") === a).head().getSeq[Float](1).toArray
+      val rest = emb.filter(col("vec_id") =!= a)
+      candTotal += Similarity.lshCandidates(rest, "embedding", pv).count()
+      val top = Similarity.lshTopK(rest, "vec_id", "embedding", pv, 10)
+        .collect().map(_.getLong(0)).toSet
+      if (top.contains(b)) found += 1
+    }
+    assert(found * 2 >= pairs.length,
+      s"near-dup recall too low: $found of ${pairs.length}")
+    assert(candTotal < pairs.length * n / 4,
+      s"candidate set too large: $candTotal over ${pairs.length} probes of $n rows")
+  }
+
   test("vecQuantStats equals the HOF quantizeInt8 formulation") {
     val viaExpr = emb.select(col("vec_id"),
         graft.functions.VectorFunctions.vecQuantStats(col("embedding")).as("st"))
