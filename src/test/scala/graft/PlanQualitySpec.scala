@@ -129,4 +129,48 @@ class PlanQualitySpec extends SparkTestBase {
       s"strip degenerated to a product:\n$p")
     assert(p.contains("LeftAnti"), s"expected an anti join on (doc_id, tpos):\n$p")
   }
+
+  test("q_join_range is an equi-join on the time bin — never a nested loop") {
+    val p = plan("q_join_range")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a product:\n$p")
+    // the residual range predicate rides the equi-join as its condition
+    assert(p.contains("Join") && p.contains("_lbin") || p.contains("BroadcastHashJoin")
+      || p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"no keyed join on the bin:\n$p")
+  }
+
+  test("q_join_skew joins on (key, salt) with no nested loop") {
+    val p = plan("q_join_skew")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"salted join degenerated:\n$p")
+    assert(p.contains("_salt"), s"salt column missing from the join:\n$p")
+  }
+
+  test("q_dedup_url groups in one shuffle over a pruned scan") {
+    val p = plan("q_dedup_url")
+    // canonicalization is pure projection: exactly one hash shuffle (the
+    // groupBy), with map-side partial aggregation
+    assert("hashpartitioning".r.findAllIn(p).size <= 1,
+      s"url dedup shuffled more than the groupBy:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert(!p.contains("text#") || !p.contains("lang"),
+      s"documents pruning failed:\n$p")
+  }
+
+  test("q_decontaminate_bloom prefilters map-side before the confirm join") {
+    val p = plan("q_decontaminate_bloom")
+    // the bloom UDF filter must sit under the join, not above it
+    assert(p.contains("Filter"), s"no bloom prefilter in plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"confirm join degenerated:\n$p")
+  }
+
+  test("q_text_entropy is one StaticInvoke projection — no explode, no join") {
+    val p = plan("q_text_entropy")
+    assert(!p.contains("Generate") && !p.contains("Join"),
+      s"entropy regressed into explode/join:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"entropy introduced a non-sort shuffle:\n$p")
+  }
 }
