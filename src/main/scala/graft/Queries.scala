@@ -1523,6 +1523,28 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  q("q_chunk_docs",
+    // overlapping token-window chunking (32-token windows every 24):
+    // per-document map-side explode, no shuffle at any corpus size
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |sized AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+      |chunks AS (
+      |  SELECT doc_id, tk, unnest(generate_series(0, n - 1, 24)) AS start_tok
+      |  FROM sized)
+      |SELECT doc_id,
+      |  CAST(start_tok // 24 AS BIGINT) AS chunk_id,
+      |  CAST(start_tok AS BIGINT) AS start_tok,
+      |  CAST(len(tk[start_tok + 1 : start_tok + 32]) AS BIGINT) AS n_tok,
+      |  md5(array_to_string(tk[start_tok + 1 : start_tok + 32], ' ')) AS chunk_md5
+      |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    graft.operators.Packing.chunkDocs(
+        t(s, d, "documents"), "doc_id", "text",
+        chunkTokens = 32, strideTokens = 24)
+      .orderBy("doc_id", "chunk_id")
+  }
+
   q("q_sample_split",
     // deterministic content-hash sampling + train/val/test assignment —
     // reproducible across engines and runs, unlike TABLESAMPLE

@@ -73,4 +73,34 @@ object Packing {
       }
     }(encoder)
   }
+
+  /** Overlapping fixed-size token-window chunking (RAG / long-doc
+    * pretraining prep): windows of `chunkTokens` tokens starting every
+    * `strideTokens` tokens while a window still begins inside the
+    * document (the final window may be short). Unlike [[packChunks]]'s
+    * global stream, chunking is per-document — a pure map-side
+    * tokenize + sequence-explode + slice with NO shuffle at any corpus
+    * size (ordering the output is the caller's concern).
+    *
+    * @return (doc_id, chunk_id, start_tok, n_tok, chunk_md5) */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(strideTokens > 0 && strideTokens <= chunkTokens,
+      s"strideTokens must be in [1, chunkTokens], got $strideTokens")
+    val chunk = slice(col("toks"), col("start_tok") + 1, lit(chunkTokens))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      // empty/null docs produce no chunks (coalesce: ANSI size(null)=null)
+      .filter(coalesce(size(col("toks")), lit(0)) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), (size(col("toks")) - 1).cast("long"),
+          lit(strideTokens.toLong))).as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / strideTokens).cast("long").as("chunk_id"),
+        col("start_tok"),
+        size(chunk).cast("long").as("n_tok"),
+        md5(array_join(chunk, " ")).as("chunk_md5"))
+  }
 }

@@ -488,6 +488,32 @@ class OperatorsSpec extends SparkTestBase {
       viaWindow.orderBy("doc_id").collect().toSeq)
   }
 
+  test("chunkDocs: window starts, short tails, overlap content, empty docs") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than one chunk
+      (3L, ""),                                       // no chunks
+      (4L, null.asInstanceOf[String]))                // no chunks
+      .toDF("doc_id", "text")
+    val out = Packing.chunkDocs(toy, "doc_id", "text",
+        chunkTokens = 4, strideTokens = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    // doc 1: starts 0,3,6,9 -> sizes 4,4,4,1; doc 2: one short chunk
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L), (1L, 3L, 9L, 1L),
+        (2L, 0L, 0L, 3L)))
+    // overlap windows carry the right tokens: chunk 1 of doc 1 = w4..w7
+    val md5w4to7 = java.security.MessageDigest.getInstance("MD5")
+      .digest("w4 w5 w6 w7".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(1).getString(4) == md5w4to7)
+    // map-side contract: no exchange in the plan
+    val p = Packing.chunkDocs(toy, "doc_id", "text", 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking introduced a shuffle:\n$p")
+  }
+
   test("multimodal: resize rewrites payload dims and meta, deterministically") {
     val media = Multimodal.mediaFromDocuments(docs.limit(50))
     val resized = Multimodal.resizeMedia(media, 8, 4)
