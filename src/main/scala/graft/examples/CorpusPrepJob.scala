@@ -20,7 +20,10 @@ import graft.operators.{CorpusPipeline, Dedup, Packing, Sampling}
   *  3. pack: concatenate-and-chunk context-window assignment
   *     ([[Packing.packChunks]], two-phase distributed prefix sum);
   *  4. index: persist the MinHash band index future increments dedup
-  *     against ([[Dedup.minHashBands]]) without re-reading this corpus.
+  *     against ([[Dedup.minHashBands]]) without re-reading this corpus;
+  *  5. chunk (optional): overlapping token-window chunks of the sampled
+  *     survivors for retrieval/long-doc training ([[Packing.chunkDocs]],
+  *     map-only) written next to the packed set.
   *
   * Returns the packed training set; writes it and the band index under
   * `outDir`. Every stage is a keyed shuffle or map-only pass — nothing
@@ -34,7 +37,8 @@ object CorpusPrepJob {
       sampleRates: Map[String, Double] = Map.empty,
       sampleGroupCol: String = "source",
       defaultSampleRate: Double = 1.0,
-      stripSpans: Boolean = false, spanK: Int = 5): DataFrame = {
+      stripSpans: Boolean = false, spanK: Int = 5,
+      chunkTokens: Int = 0, chunkStride: Int = 0): DataFrame = {
     // fail rate errors at the boundary, not only on the code path that
     // happens to reach stratifiedSample (an out-of-range default with an
     // empty rate map must not silently no-op)
@@ -98,6 +102,12 @@ object CorpusPrepJob {
       Dedup.minHashBands(Dedup.minHashSignaturesFrom(
           shingled.join(sampled.select("doc_id"), Seq("doc_id"), "left_semi")))
         .write.mode("overwrite").parquet(s"$outDir/lsh_bands")
+
+      // optional retrieval chunks over the same survivors (map-only)
+      if (chunkTokens > 0)
+        Packing.chunkDocs(sampled, "doc_id", "text", chunkTokens,
+            if (chunkStride > 0) chunkStride else chunkTokens)
+          .write.mode("overwrite").parquet(s"$outDir/chunks")
 
       // re-read what was written, restored to trainingSet's declared
       // schema (partitionBy infers pack_id as int and reorders it last)

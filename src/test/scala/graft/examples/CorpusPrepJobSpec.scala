@@ -12,7 +12,8 @@ class CorpusPrepJobSpec extends SparkTestBase {
   test("corpus prep: cleaned, packed, indexed — and increments dedup against it") {
     val docs = Tables.load(spark, sf(), "documents")
     val out = Files.createTempDirectory("corpusprep").toString
-    val training = CorpusPrepJob.run(spark, docs, out, contextTokens = 512L)
+    val training = CorpusPrepJob.run(spark, docs, out, contextTokens = 512L,
+      chunkTokens = 64, chunkStride = 48)
 
     // survivors are exact-unique and above the quality floor
     assert(training.count() > 0)
@@ -52,6 +53,15 @@ class CorpusPrepJobSpec extends SparkTestBase {
     val hit = cand.select("id_new").distinct().collect().map(_.getLong(0)).toSet
     assert(survivors.subsetOf(hit),
       s"index missed resent survivors: ${survivors -- hit}")
+
+    // the optional chunk output covers exactly the training survivors
+    val chunks = spark.read.parquet(s"$out/chunks")
+    assert(chunks.count() > 0)
+    assert(chunks.join(training.select("doc_id"), Seq("doc_id"), "left_anti")
+      .isEmpty, "chunks exist for docs outside the training set")
+    assert(training.filter(col("n_tokens") > 0)
+      .join(chunks.select("doc_id"), Seq("doc_id"), "left_anti")
+      .isEmpty, "a non-empty training doc has no chunks")
   }
 
   test("corpus prep: decontamination and stratified sampling compose") {
