@@ -66,6 +66,13 @@ object GraftExtensions {
         arity(args, 2, "word_shingles_all")
         graft.functions.ShingleUtil.shingleExpr("shinglesAll", args(0),
           litInt(args(1), "n")) }),
+    (FunctionIdentifier("word_entropy"),
+      info("word_entropy",
+        "word_entropy(text) - Shannon entropy of the word distribution " +
+          "(0.0 for null/empty)"),
+      (args: Seq[Expression]) => {
+        arity(args, 1, "word_entropy")
+        graft.functions.TextEntropy.wordEntropyExpr(args(0)) }),
   )
 
   private def arity(args: Seq[Expression], n: Int, name: String): Seq[Expression] = {

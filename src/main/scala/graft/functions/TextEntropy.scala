@@ -48,16 +48,23 @@ object TextEntropy {
     math.log(n.toDouble) / log2 - acc / n
   }
 
+  /** The catalyst expression form (shared by the Column wrapper and the
+    * SQL registration in [[graft.GraftExtensions]]). */
+  def wordEntropyExpr(
+      text: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    StaticInvoke(
+      TextEntropy.getClass,
+      DoubleType,
+      "wordEntropy",
+      Seq(text),
+      inputTypes = Seq(StringType),
+      propagateNull = false,
+      returnNullable = false)
+
   /** Column wrapper: `wordEntropyCol(col("text"))`. Null text → 0.0 (an
     * empty document has zero vocabulary diversity; keeping the score
     * non-null lets quality filters threshold without null handling). */
   def wordEntropyCol(text: Column): Column =
-    GraftSqlBridge.column(StaticInvoke(
-      TextEntropy.getClass,
-      DoubleType,
-      "wordEntropy",
-      Seq(GraftSqlBridge.expression(text)),
-      inputTypes = Seq(StringType),
-      propagateNull = false,
-      returnNullable = false))
+    GraftSqlBridge.column(wordEntropyExpr(GraftSqlBridge.expression(text)))
 }

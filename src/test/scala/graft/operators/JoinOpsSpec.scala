@@ -55,6 +55,10 @@ class JoinOpsSpec extends SparkTestBase {
       """SELECT vec_dot(embedding, embedding) AS d, vec_norm(embedding) AS n
         |FROM ext_emb WHERE vec_id = 0""".stripMargin).head()
     assert(math.abs(r.getDouble(0) - r.getDouble(1) * r.getDouble(1)) < 1e-9)
+    // word_entropy from SQL matches the Column form and the null contract
+    val h = spark.sql(
+      "SELECT word_entropy('a b c d'), word_entropy(''), word_entropy(NULL)").head()
+    assert(h.getDouble(0) == 2.0 && h.getDouble(1) == 0.0 && h.getDouble(2) == 0.0)
   }
 
   test("GraftExtensions: quantization and aggregates callable from SQL") {
