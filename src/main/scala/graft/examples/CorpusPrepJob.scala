@@ -44,6 +44,12 @@ object CorpusPrepJob {
     // empty rate map must not silently no-op)
     require(defaultSampleRate >= 0.0 && defaultSampleRate <= 1.0,
       s"defaultSampleRate must be in [0,1], got $defaultSampleRate")
+    // chunking args validate HERE, not when chunkDocs finally runs after
+    // the cleaning/packing/writes — an hours-long pipeline must not fail
+    // on an argument typo at its last stage
+    require(chunkTokens >= 0, s"chunkTokens must be >= 0, got $chunkTokens")
+    require(chunkStride >= 0 && (chunkTokens == 0 || chunkStride <= chunkTokens),
+      s"chunkStride must be in [0, chunkTokens], got $chunkStride")
     val shingled0 = Dedup.shingleExplode(docs, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // decontamination filters BOTH the docs and their already-computed

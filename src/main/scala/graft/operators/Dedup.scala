@@ -188,18 +188,20 @@ object Dedup {
 
     // small-graph fast path FIRST: near-dup graphs are typically tiny
     // relative to the corpus, and a driver union-find beats paying Spark
-    // job overhead per propagation round (same min-id result).
-    // limit(threshold+1).localCheckpoint() materializes the capped edge
-    // set ONCE — take()'s partition-escalation retries would re-execute
-    // the expensive pair-generation lineage several times when the frame
-    // is uncached; sizing (count) and fetch (collect) then both hit the
-    // checkpointed partitions. One extra row proves the graph is over
-    // budget. Duplicate pairs are harmless to union-find, direction is
-    // mirrored driver-side.
+    // job overhead per propagation round (same min-id result). The capped
+    // frame is persisted for the duration of the collect so the
+    // CollectLimit partition-escalation retries reuse computed partitions
+    // instead of re-running the expensive pair-generation lineage, then
+    // unpersisted IMMEDIATELY — the fetched array is driver-side, and an
+    // over-budget graph must not leave maxFetch rows pinned in executor
+    // storage while the distributed path runs. One extra row proves the
+    // graph is over budget. Duplicate pairs are harmless to union-find,
+    // direction is mirrored driver-side.
     val maxFetch = math.min(ufThreshold, Int.MaxValue - 1L).toInt
-    val capped = pairs.select(col("id_a"), col("id_b"))
-      .limit(maxFetch + 1).localCheckpoint()
-    val fetched = capped.collect()
+    val capped = pairs.select(col("id_a"), col("id_b")).limit(maxFetch + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fetched =
+      try capped.collect() finally capped.unpersist(blocking = false)
     if (fetched.length <= maxFetch) {
       val spark = pairs.sparkSession
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -363,10 +365,18 @@ object Dedup {
       evalShingles: DataFrame, expectedItems: Long = 0L,
       fpp: Double = 0.01): DataFrame = {
     val spark = corpusShingles.sparkSession
-    val eval = evalShingles.select("sh_str").distinct()
+    // materialize the distinct eval shingles ONCE (it is small by
+    // premise): without this the distinct shuffle runs for the sizing
+    // count, again inside the bloomFilter aggregate, and a third time as
+    // the confirm-join build side
+    val eval = evalShingles.select("sh_str").distinct().localCheckpoint()
     val items =
       if (expectedItems > 0L) expectedItems else math.max(eval.count(), 1L)
     val bloom = eval.stat.bloomFilter("sh_str", items, fpp)
+    // the broadcast must outlive the returned (lazy) frame — its
+    // lifecycle is the standard one: ContextCleaner drops the executor
+    // blocks once the frame (and the UDF closure holding bc) is GC'd,
+    // exactly as for a broadcast-hash-join build side
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain =
       udf((s: String) => s != null && bc.value.mightContainString(s))

@@ -344,9 +344,15 @@ object AvroFiles {
         throw e
       }
       // commit: both attempts of a speculated task target the same final
-      // name; the rename loser sees it already present and discards its
-      // temp instead of clobbering the winner's committed bytes
-      if (!tfs.rename(tmpFile, finalFile)) {
+      // name; a loser discards its temp instead of clobbering the
+      // winner's committed bytes. The exists-check matters on LOCAL
+      // filesystems, where Hadoop rename delegates to POSIX rename(2)
+      // and silently overwrites (HDFS rename fails on existing dest, so
+      // there the rename-return branch is the guard). The exists→rename
+      // window is a benign TOCTOU: two attempts racing INTO it write
+      // identical deterministic content for this partition.
+      if (tfs.exists(finalFile)) tfs.delete(tmpFile, false)
+      else if (!tfs.rename(tmpFile, finalFile)) {
         if (tfs.exists(finalFile)) tfs.delete(tmpFile, false)
         else throw new java.io.IOException(
           s"avro commit failed: could not rename $tmpFile to $finalFile")

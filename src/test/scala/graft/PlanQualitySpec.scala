@@ -134,10 +134,10 @@ class PlanQualitySpec extends SparkTestBase {
     val p = plan("q_join_range")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
       s"range join degenerated to a product:\n$p")
-    // the residual range predicate rides the equi-join as its condition
-    assert(p.contains("Join") && p.contains("_lbin") || p.contains("BroadcastHashJoin")
-      || p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
-      s"no keyed join on the bin:\n$p")
+    // a keyed join whose key IS the bin column — any join without _lbin
+    // in the plan means the binning regressed away
+    assert(p.contains("Join"), s"no join in plan:\n$p")
+    assert(p.contains("_lbin"), s"bin key missing from the join:\n$p")
   }
 
   test("q_join_skew joins on (key, salt) with no nested loop") {
@@ -160,8 +160,16 @@ class PlanQualitySpec extends SparkTestBase {
 
   test("q_decontaminate_bloom prefilters map-side before the confirm join") {
     val p = plan("q_decontaminate_bloom")
-    // the bloom UDF filter must sit under the join, not above it
-    assert(p.contains("Filter"), s"no bloom prefilter in plan:\n$p")
+    // the bloom might-contain UDF must be present (the doc_id % filters
+    // alone would satisfy a bare "Filter" check) ...
+    assert(p.contains("UDF"), s"bloom might-contain filter missing:\n$p")
+    // ... and must sit UNDER the confirm join: plans print top-down, so
+    // the join operator's line must come before the UDF filter's line
+    val joinAt = "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    assert(joinAt >= 0, s"no keyed confirm join:\n$p")
+    assert(p.indexOf("UDF") > joinAt,
+      s"bloom prefilter not under the confirm join:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"confirm join degenerated:\n$p")
   }
