@@ -217,10 +217,7 @@ object Similarity {
     require(nTables >= 1, s"nTables must be positive, got $nTables")
     val hit = (0 until nTables).map { t =>
       val planes = gaussianPlanes(probe.length, nBits, seed + t)
-      val probeSig = planes.zipWithIndex
-        .map { case (p, i) => if (dotLocal(p, probe) >= 0d) 1L << i else 0L }
-        .sum
-      lshSignature(col(vecCol), planes) === lit(probeSig)
+      lshSignature(col(vecCol), planes) === lit(probeSignature(planes, probe))
     }.reduce(_ || _)
     embeddings.filter(hit)
   }
@@ -236,6 +233,59 @@ object Similarity {
       .select(col(idCol), round(cosine(col(vecCol), typedLit(probe.toSeq)), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+
+  private def probeSignature(planes: Seq[Array[Float]],
+      probe: Array[Float]): Long =
+    planes.zipWithIndex
+      .map { case (p, i) => if (dotLocal(p, probe) >= 0d) 1L << i else 0L }
+      .sum
+
+  /** Materialize the multi-table LSH index: ONE pass over the vectors
+    * explodes each row into its nTables (table, bucket) assignments and
+    * writes `partitionBy(table, bucket)` — the standard L-fold space
+    * trade of multi-table LSH, paid once at build time. Probes then
+    * become nTables point lookups with genuine FILE pruning (both
+    * `table` and `bucket` are directory columns), the same story as
+    * [[buildIvfIndex]] — unprobed buckets are never opened or decoded.
+    * Only (seed, nBits, nTables) need remembering: the planes
+    * regenerate at query time. */
+  def buildLshIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+      path: String, nBits: Int = 6, nTables: Int = 12,
+      seed: Long = 7L): Unit = {
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    val assignments = (0 until nTables).map { t =>
+      val planes = gaussianPlanes(dim, nBits, seed + t)
+      struct(lit(t).as("table"),
+        lshSignature(col(vecCol), planes).as("bucket"))
+    }
+    embeddings.select(col(idCol), col(vecCol),
+        explode(array(assignments: _*)).as("tb"))
+      .select(col(idCol), col(vecCol),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      .write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+  }
+
+  /** Top-k over a [[buildLshIndex]] table: the probe's nTables
+    * (table, bucket) pairs form a partition-column predicate, so the scan
+    * carries `PartitionFilters` and lists only the probed buckets'
+    * directories; ids hitting several tables dedup before the exact
+    * cosine rerank. Must be called with the SAME (nBits, nTables, seed)
+    * the index was built with. */
+  def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, idCol: String, vecCol: String,
+      probe: Array[Float], k: Int, nBits: Int = 6, nTables: Int = 12,
+      seed: Long = 7L): DataFrame = {
+    val pred = (0 until nTables).map { t =>
+      val sig = probeSignature(gaussianPlanes(probe.length, nBits, seed + t), probe)
+      col("table") === t && col("bucket") === sig
+    }.reduce(_ || _)
+    spark.read.parquet(indexPath)
+      .filter(pred)
+      .dropDuplicates(idCol)
+      .select(col(idCol), round(cosine(col(vecCol), typedLit(probe.toSeq)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
 
   private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0

@@ -127,6 +127,26 @@ class OperatorsSpec extends SparkTestBase {
       s"candidate set too large: $candTotal over ${pairs.length} probes of $n rows")
   }
 
+  test("materialized LSH index: probed buckets only, equal to the scan form") {
+    val probe = emb.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString + "/idx"
+    Similarity.buildLshIndex(emb, "vec_id", "embedding", dir)
+    // the index fans out over table dirs (one per hash table)
+    val tDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val nTables = try tDirs.iterator().asScala
+      .count(_.getFileName.toString.startsWith("table=")) finally tDirs.close()
+    assert(nTables == 12, s"expected 12 table partitions, got $nTables")
+    val indexed = Similarity.lshTopKIndexed(
+      spark, dir, "vec_id", "embedding", probe, 10)
+    // identical results to the scan-everything formulation
+    val direct = Similarity.lshTopK(emb, "vec_id", "embedding", probe, 10)
+    assert(indexed.collect().toSeq == direct.collect().toSeq)
+    // the probe predicate reaches PARTITION pruning, not a row filter
+    val scan = indexed.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("bucket"),
+      s"bucket predicate did not reach partition pruning:\n$scan")
+  }
+
   test("vecQuantStats equals the HOF quantizeInt8 formulation") {
     val viaExpr = emb.select(col("vec_id"),
         graft.functions.VectorFunctions.vecQuantStats(col("embedding")).as("st"))
