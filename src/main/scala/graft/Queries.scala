@@ -878,6 +878,81 @@ object Queries {
       .limit(20)
   }
 
+  q("q_tpch14",
+    // promotion effect (Q14 shape): conditional revenue share inside one
+    // partial-aggregated pass over the date-pruned scan; part broadcasts
+    """SELECT round(100.0 *
+      |    sum(CASE WHEN p.p_type = 'PROMO'
+      |        THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+      |    / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE l.l_shipdate >= DATE '1996-01-01'
+      |  AND l.l_shipdate < DATE '1996-04-01'""".stripMargin) { (s, d) =>
+    val l = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1996-04-01").cast("date"))
+    val p = t(s, d, "part")
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(0)) / sum(rev), 4)
+        .as("promo_share"))
+  }
+
+  q("q_tpch18",
+    // large-volume customers (Q18 shape): the agg-subquery semi-join —
+    // qualifying orderkeys come from a HAVING aggregate, then the
+    // three-way join re-aggregates per (customer, order)
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+      |       o.o_totalprice, sum(l.l_quantity) AS total_qty
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(l_quantity) > 300)
+      |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+      |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer"); val o = t(s, d, "orders")
+    val l = t(s, d, "lineitem")
+    // fresh load for the HAVING side: the same Dataset on both sides of
+    // the semi-join trips the ambiguous-self-join analyzer check
+    val big = t(s, d, "lineitem")
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+      .filter(col("q") > 300).select(col("l_orderkey").as("bigkey"))
+    o.join(big, o("o_orderkey") === col("bigkey"), "left_semi")
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(c("c_name"), c("c_custkey"), o("o_orderkey"), o("o_orderdate"),
+        o("o_totalprice"))
+      .agg(sum(l("l_quantity")).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  q("q_tpch19",
+    // discounted-revenue (Q19 shape): disjunctive brand/size/quantity
+    // bands — the OR-of-conjunctions predicate Catalyst must evaluate
+    // post-join while still pruning both scans to the referenced columns
+    """SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+      |       AND l.l_quantity BETWEEN 1 AND 11)
+      |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+      |       AND l.l_quantity BETWEEN 10 AND 20)
+      |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+      |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, d) =>
+    val l = t(s, d, "lineitem"); val p = t(s, d, "part")
+    def band(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .filter(band("Brand#12", 15, 1, 11) || band("Brand#23", 25, 10, 20) ||
+        band("Brand#34", 35, 20, 30))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
   q("q_fn_bitwise",
     """SELECT o_orderkey,
       |  o_orderkey & 255 AS band,
