@@ -490,6 +490,32 @@ object Queries {
 
   // ------------------------------------------------------------ §2.F windows/sort/set
 
+  q("q_win_value",
+    // value-position window family: first/last/nth over an explicit
+    // full-partition frame (the default frame stops at CURRENT ROW, which
+    // makes last_value a no-op), plus ntile bucketing; per-customer
+    // partitions with a unique (date, key) order for determinism
+    """SELECT o_orderkey, o_custkey,
+      |  first_value(o_totalprice) OVER w AS first_price,
+      |  last_value(o_totalprice) OVER w AS last_price,
+      |  nth_value(o_totalprice, 2) OVER w AS second_price,
+      |  ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      first(col("o_totalprice")).over(full).as("first_price"),
+      last(col("o_totalprice")).over(full).as("last_price"),
+      nth_value(col("o_totalprice"), 2).over(full).as("second_price"),
+      ntile(4).over(w).as("quartile"))
+      .orderBy("o_orderkey")
+  }
+
   q("q_win_distribution",
     // partitioned by o_custkey (high cardinality): at 100 TB this spreads
     // across the cluster, unlike the 3-value o_orderstatus key which would
