@@ -50,6 +50,10 @@ object CorpusPrepJob {
     require(chunkTokens >= 0, s"chunkTokens must be >= 0, got $chunkTokens")
     require(chunkStride >= 0 && (chunkTokens == 0 || chunkStride <= chunkTokens),
       s"chunkStride must be in [0, chunkTokens], got $chunkStride")
+    // a stride without a chunk size is the forgot-one-arg typo: rejecting
+    // it here beats silently skipping the chunks output hours later
+    require(chunkTokens > 0 || chunkStride == 0,
+      s"chunkStride=$chunkStride requires chunkTokens > 0")
     val shingled0 = Dedup.shingleExplode(docs, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // decontamination filters BOTH the docs and their already-computed

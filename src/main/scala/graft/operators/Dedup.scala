@@ -368,8 +368,13 @@ object Dedup {
     // materialize the distinct eval shingles ONCE (it is small by
     // premise): without this the distinct shuffle runs for the sizing
     // count, again inside the bloomFilter aggregate, and a third time as
-    // the confirm-join build side
-    val eval = evalShingles.select("sh_str").distinct().localCheckpoint()
+    // the confirm-join build side. persist, NOT localCheckpoint: the
+    // returned frame is lazy, and checkpoint blocks lost with an
+    // executor have no recompute path — a persisted frame just
+    // recomputes the small distinct. CacheManager keys by plan, so
+    // repeated calls over the same eval set share one entry.
+    val eval = evalShingles.select("sh_str").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val items =
       if (expectedItems > 0L) expectedItems else math.max(eval.count(), 1L)
     val bloom = eval.stat.bloomFilter("sh_str", items, fpp)

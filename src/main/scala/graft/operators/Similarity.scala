@@ -251,10 +251,20 @@ object Similarity {
     * regenerate at query time. */
   def buildLshIndex(embeddings: DataFrame, idCol: String, vecCol: String,
       path: String, nBits: Int = 6, nTables: Int = 12,
-      seed: Long = 7L): Unit = {
-    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+      seed: Long = 7L, dim: Int = 0): Unit = {
+    // pass dim explicitly at scale to skip the inference job (one extra
+    // pass over the lineage just to read one vector's length)
+    val d =
+      if (dim > 0) dim
+      else {
+        val firstDim = embeddings.filter(col(vecCol).isNotNull)
+          .select(size(col(vecCol))).head(1)
+        require(firstDim.nonEmpty,
+          "buildLshIndex: no non-null vectors to index")
+        firstDim.head.getInt(0)
+      }
     val assignments = (0 until nTables).map { t =>
-      val planes = gaussianPlanes(dim, nBits, seed + t)
+      val planes = gaussianPlanes(d, nBits, seed + t)
       struct(lit(t).as("table"),
         lshSignature(col(vecCol), planes).as("bucket"))
     }

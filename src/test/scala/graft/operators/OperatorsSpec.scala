@@ -141,9 +141,12 @@ class OperatorsSpec extends SparkTestBase {
     // identical results to the scan-everything formulation
     val direct = Similarity.lshTopK(emb, "vec_id", "embedding", probe, 10)
     assert(indexed.collect().toSeq == direct.collect().toSeq)
-    // the probe predicate reaches PARTITION pruning, not a row filter
+    // the probe predicate reaches PARTITION pruning, not a row filter:
+    // require a NON-EMPTY PartitionFilters list naming the bucket column
+    // (every scan prints "PartitionFilters: [...]", even when empty, and
+    // "bucket" appears in the output schema — bare contains() is vacuous)
     val scan = indexed.queryExecution.executedPlan.collectLeaves().head.toString
-    assert(scan.contains("PartitionFilters") && scan.contains("bucket"),
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(scan).isDefined,
       s"bucket predicate did not reach partition pruning:\n$scan")
   }
 
@@ -190,10 +193,11 @@ class OperatorsSpec extends SparkTestBase {
     val direct = Similarity.ivfTopK(
       emb, "vec_id", "embedding", centroids, probe, 10, nprobe = 2)
     assert(indexed.collect().toSeq == direct.collect().toSeq)
-    // and the scan proves the file-prune: cell_id is a PARTITION filter,
-    // not a post-scan row filter
+    // and the scan proves the file-prune: cell_id must appear INSIDE a
+    // non-empty PartitionFilters list (bare contains() is vacuous — every
+    // scan prints the header and the output schema names the column)
     val scan = indexed.queryExecution.executedPlan.collectLeaves().head.toString
-    assert(scan.contains("PartitionFilters") && scan.contains("cell_id"),
+    assert("PartitionFilters: \\[[^\\]]*cell_id".r.findFirstIn(scan).isDefined,
       s"cell_id filter did not reach partition pruning:\n$scan")
   }
 
