@@ -11,6 +11,19 @@ class EventStreamsSpec extends SparkTestBase {
   private lazy val stream = EventStreams.readEvents(spark, sf())
   private lazy val batch = Tables.load(spark, sf(), "events")
 
+  test("stream-static dimension join equals the batch join") {
+    val dim = batch.select("user_id").distinct()
+      .withColumn("tier", when(col("user_id") % 3 === 0, "gold").otherwise("std"))
+    val s = EventStreams.runAvailableNow(spark,
+      EventStreams.enrichWithDimension(stream, dim), "t_dimjoin",
+      outputMode = "append")
+    val b = batch.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .join(dim, Seq("user_id"), "left")
+    assert(s.count() > 0, "no enriched rows — fixture should contain purchases")
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
+  }
+
   test("tumbling window streaming result equals batch result") {
     val s = EventStreams.runAvailableNow(spark,
       EventStreams.tumblingCounts(stream), "t_tumbling", outputMode = "complete")
