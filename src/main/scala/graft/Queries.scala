@@ -1139,6 +1139,32 @@ object Queries {
       .orderBy("event_id")
   }
 
+  q("q_fn_map",
+    // MAP-type surface: construct from arrays, element access, size,
+    // key listing — scalars out so both engines hash identically
+    // (map_extract returns a LIST in DuckDB; [1] takes the element)
+    """WITH m AS (
+      |  SELECT o_orderkey,
+      |    MAP(['key', 'cust'], [o_orderkey, o_custkey]) AS mp
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  CAST(map_extract(mp, 'key')[1] AS BIGINT) AS v_key,
+      |  CAST(map_extract(mp, 'cust')[1] AS BIGINT) AS v_cust,
+      |  CAST(cardinality(mp) AS BIGINT) AS m_size,
+      |  array_to_string(map_keys(mp), ',') AS m_keys
+      |FROM m ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val mp = map_from_arrays(
+      array(lit("key"), lit("cust")),
+      array(col("o_orderkey"), col("o_custkey")))
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      element_at(mp, "key").as("v_key"),
+      element_at(mp, "cust").as("v_cust"),
+      size(mp).cast("long").as("m_size"),
+      array_join(map_keys(mp), ",").as("m_keys"))
+      .orderBy("o_orderkey")
+  }
+
   q("q_fn_array",
     // split -> array ops -> explode; word histogram is fully deterministic
     """SELECT w.word, count(*) AS n
