@@ -21,10 +21,17 @@ object TypedAggregators {
       if (nDocs - nNull == 0) 0.0 else totTokens.toDouble / (nDocs - nNull)
   }
 
+  // the exact character class of Java regex \s — NOT Character.isWhitespace,
+  // which also matches U+2000-range Unicode spaces and would make these
+  // stats disagree with every other tokenizer in the repo (TextAnalysis.
+  // tokens, ShingleUtil, TextEntropy all split on \s+)
+  private def isRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   private def tokenCount(text: String): Long = {
     var n = 0L; var inTok = false; var i = 0
     while (i < text.length) {
-      val ws = Character.isWhitespace(text.charAt(i))
+      val ws = isRegexWs(text.charAt(i))
       if (!ws && !inTok) { n += 1; inTok = true }
       else if (ws) inTok = false
       i += 1

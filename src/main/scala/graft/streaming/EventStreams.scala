@@ -91,14 +91,17 @@ object EventStreams {
 
   /** Stream-static enrichment join (SURVEY §2.J): the streaming fact side
     * joined to a STATIC dimension. No watermark or state store involved —
-    * the static relation is re-planned per micro-batch (so a dim refresh
-    * is picked up on the next trigger), and with the broadcast hint the
-    * stream side never shuffles: each micro-batch is a map-side hash
-    * probe, the shape that holds when the stream is the 100 TB side. */
+    * the static side's PLAN re-executes per micro-batch, but a
+    * file-backed dim keeps its snapshot file listing, so picking up new
+    * dim files needs a re-created DataFrame (or a table format with
+    * refreshable metadata), not just the next trigger. With the
+    * broadcast hint the stream side never shuffles: each micro-batch is
+    * a map-side hash probe, the shape that holds when the stream is the
+    * 100 TB side. */
   def enrichWithDimension(events: DataFrame, dim: DataFrame): DataFrame =
     events.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+      .join(broadcast(dim), Seq("user_id"), "left")
 
   /** Custom keyed state (SURVEY §2.J / builder north star:
     * `KeyValueGroupedDataset.mapGroupsWithState` for semantics window

@@ -37,6 +37,12 @@ class TypedAggregatorsSpec extends SparkTestBase {
       (3L, "  spaced   out  ")).toDS()
     val s = mixed.select(TypedAggregators.textStats.toColumn).head()
     assert(s == TypedAggregators.TextStats(3L, 1L, 5L, 2L, 3L))
+    // tokenization matches the repo's \s+ convention, NOT
+    // Character.isWhitespace: U+2007 (figure space) is not regex \s, so
+    // "a<U+2007>b" is ONE token, same as split("\\s+")
+    val uni = Seq((1L, "a\u2007b c")).toDS()
+      .select(TypedAggregators.textStats.toColumn).head()
+    assert(uni.totTokens == 2L, s"unicode-space tokenization diverged: $uni")
     val empty = spark.emptyDataset[(Long, String)]
       .select(TypedAggregators.textStats.toColumn).head()
     assert(empty == TypedAggregators.TextStats(0L, 0L, 0L, 0L, 0L))

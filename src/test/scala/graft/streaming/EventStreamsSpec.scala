@@ -12,7 +12,11 @@ class EventStreamsSpec extends SparkTestBase {
   private lazy val batch = Tables.load(spark, sf(), "events")
 
   test("stream-static dimension join equals the batch join") {
+    // dim deliberately covers only HALF the users so the LEFT join's
+    // null-tier branch is exercised — a regression to inner would drop
+    // the unmatched purchases and fail the equivalence below
     val dim = batch.select("user_id").distinct()
+      .filter(col("user_id") % 2 === 0)
       .withColumn("tier", when(col("user_id") % 3 === 0, "gold").otherwise("std"))
     val s = EventStreams.runAvailableNow(spark,
       EventStreams.enrichWithDimension(stream, dim), "t_dimjoin",
@@ -21,6 +25,8 @@ class EventStreamsSpec extends SparkTestBase {
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       .join(dim, Seq("user_id"), "left")
     assert(s.count() > 0, "no enriched rows — fixture should contain purchases")
+    assert(s.filter(col("tier").isNull).count() > 0,
+      "no unmatched purchases — the left-join branch is untested")
     assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
   }
 
