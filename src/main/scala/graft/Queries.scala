@@ -2066,6 +2066,39 @@ object Queries {
       .orderBy("canonical_url")
   }
 
+  q("q_text_gopher",
+    // Gopher-rule quality breakdown: word-count band, mean word length,
+    // alpha-word fraction, each auditable plus the combined pass flag.
+    // Bounds [20, 80] sit inside the fixture's 10-99 word range so both
+    // outcomes of every rule occur.
+    """WITH toks AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(tk) AS BIGINT) AS n_words,
+      |    CASE WHEN len(tk) > 0
+      |      THEN round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(tk), 6)
+      |      ELSE 0.0 END AS mean_word_len,
+      |    CASE WHEN len(tk) > 0
+      |      THEN round(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(tk), 6)
+      |      ELSE 0.0 END AS alpha_frac
+      |  FROM toks)
+      |SELECT doc_id, n_words, mean_word_len, alpha_frac,
+      |  n_words >= 20 AND n_words <= 80 AS ok_words,
+      |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mwl,
+      |  alpha_frac > 0.8 AS ok_alpha,
+      |  (n_words >= 20 AND n_words <= 80)
+      |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+      |    AND alpha_frac > 0.8 AS pass
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.gopherRules(
+        t(s, d, "documents"), "doc_id", "text",
+        minWords = 20L, maxWords = 80L)
+      .orderBy("doc_id")
+  }
+
   q("q_text_tfidf",
     """WITH toks AS (
       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term

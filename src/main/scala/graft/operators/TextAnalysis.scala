@@ -79,6 +79,42 @@ object TextAnalysis {
         round((col("punct_score") + col("stop_score") + col("len_score")) / 3, 4))
   }
 
+  /** Gopher-style document-quality rule breakdown (Rae et al. 2021 §A1.1
+    * — public): per document, the raw signals and a boolean per rule,
+    *   - word count within [minWords, maxWords],
+    *   - mean word length within [3, 10] chars,
+    *   - fraction of words containing an alphabetic char > 0.8,
+    * plus `pass` = all three. Unlike [[qualityScore]]'s blended scalar,
+    * this keeps each rule auditable — the form used when tuning which
+    * filter removes what.
+    *
+    * Scale: a pure projection; word chars come from one regexp_replace
+    * over the text (codegen'd) rather than a per-token closure, the
+    * alpha-word count is the only higher-order filter (per-token rlike;
+    * a few dozen evals per row). No shuffle at any corpus size. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val txt = col(textCol)
+    val toks = tokens(txt)
+    val nWords = coalesce(size(toks), lit(0)).cast("long")
+    // total in-token chars == all non-whitespace chars of the text
+    val tokChars = coalesce(
+      length(regexp_replace(txt, "\\s+", "")), lit(0)).cast("double")
+    val mwl = when(nWords > 0, round(tokChars / nWords, 6)).otherwise(0.0)
+    val alphaWords = coalesce(
+      size(filter(toks, w => w.rlike("[A-Za-z]"))), lit(0)).cast("double")
+    val alphaFrac =
+      when(nWords > 0, round(alphaWords / nWords, 6)).otherwise(0.0)
+    docs.select(col(idCol), nWords.as("n_words"), mwl.as("mean_word_len"),
+        alphaFrac.as("alpha_frac"))
+      .withColumn("ok_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mwl",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("ok_alpha", col("alpha_frac") > 0.8)
+      .withColumn("pass", col("ok_words") && col("ok_mwl") && col("ok_alpha"))
+  }
+
   /** Repetition scoring (the Gopher-style repetitious-text filters, Rae et
     * al. 2021 §A1.1 — public): per document,
     *   - dup_word_frac    = 1 − distinct words / words,
