@@ -2069,15 +2069,19 @@ object Queries {
   q("q_text_gopher",
     // Gopher-rule quality breakdown: word-count band, mean word length,
     // alpha-word fraction, each auditable plus the combined pass flag.
-    // Bounds [20, 80] sit inside the fixture's 10-99 word range so both
-    // outcomes of every rule occur.
+    // Bounds [20, 80] sit inside the fixture's 10-99 word range so the
+    // word-count rule splits both ways here; the fixture's synthetic
+    // all-alpha short-word text cannot fail the mwl/alpha rules, so
+    // THOSE rules' falsifiability lives in the gopherRules spec, not
+    // this oracle. n_words coalesces so a null text is (0, fail), the
+    // operator's contract, not SQL-null.
     """WITH toks AS (
       |  SELECT doc_id, text,
       |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
       |  FROM documents),
       |m AS (
       |  SELECT doc_id,
-      |    CAST(len(tk) AS BIGINT) AS n_words,
+      |    CAST(coalesce(len(tk), 0) AS BIGINT) AS n_words,
       |    CASE WHEN len(tk) > 0
       |      THEN round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(tk), 6)
       |      ELSE 0.0 END AS mean_word_len,
@@ -2088,10 +2092,8 @@ object Queries {
       |SELECT doc_id, n_words, mean_word_len, alpha_frac,
       |  n_words >= 20 AND n_words <= 80 AS ok_words,
       |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mwl,
-      |  alpha_frac > 0.8 AS ok_alpha,
-      |  (n_words >= 20 AND n_words <= 80)
-      |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-      |    AND alpha_frac > 0.8 AS pass
+      |  alpha_frac >= 0.8 AS ok_alpha,
+      |  ok_words AND ok_mwl AND ok_alpha AS pass
       |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
     graft.operators.TextAnalysis.gopherRules(
         t(s, d, "documents"), "doc_id", "text",

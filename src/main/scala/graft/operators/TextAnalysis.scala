@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens. */
+  /** Whitespace tokens. Caveat shared by every `\s+` split in this repo
+    * and its oracles: Java's `\s` includes vertical tab (U+000B), RE2's
+    * (DuckDB) does not — a document containing one would tokenize
+    * differently across engines. The fixtures contain none; a corpus
+    * that might should normalize control characters upstream. */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
@@ -83,7 +87,8 @@ object TextAnalysis {
     * — public): per document, the raw signals and a boolean per rule,
     *   - word count within [minWords, maxWords],
     *   - mean word length within [3, 10] chars,
-    *   - fraction of words containing an alphabetic char > 0.8,
+    *   - fraction of words containing an alphabetic char >= 0.8 (the
+    *     paper REMOVES docs below 80%, so the boundary doc is kept),
     * plus `pass` = all three. Unlike [[qualityScore]]'s blended scalar,
     * this keeps each rule auditable — the form used when tuning which
     * filter removes what.
@@ -111,7 +116,7 @@ object TextAnalysis {
         col("n_words") >= minWords && col("n_words") <= maxWords)
       .withColumn("ok_mwl",
         col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
-      .withColumn("ok_alpha", col("alpha_frac") > 0.8)
+      .withColumn("ok_alpha", col("alpha_frac") >= 0.8)
       .withColumn("pass", col("ok_words") && col("ok_mwl") && col("ok_alpha"))
   }
 

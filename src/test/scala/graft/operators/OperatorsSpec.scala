@@ -357,6 +357,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(hits == Set((1L, 1L)))
   }
 
+  test("gopherRules: every rule falsifiable, 0.8 boundary kept, null text fails") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "alpha beta gamma delta epsil"),       // 5 words, mwl 5 -> pass
+      (2L, "a b c d e"),                          // mwl 1 -> ok_mwl false
+      (3L, "overwhelmingly incomprehensible"
+        + " extraordinarily disproportionate"),   // mwl > 10 -> ok_mwl false
+      (4L, "123 456 789 000 111"),                // alpha_frac 0 -> ok_alpha false
+      (5L, "123 two2 three wordy words"),         // 4 alpha of 5 = 0.8 -> KEPT (paper boundary)
+      (6L, "one two"),                            // below minWords -> ok_words false
+      (7L, null.asInstanceOf[String]))            // null -> (0, fail), not SQL-null
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(toy, "doc_id", "text",
+        minWords = 3L, maxWords = 10L)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(4), r.getBoolean(5),
+        r.getBoolean(6), r.getBoolean(7)))).toMap
+    assert(out(1L) == ((true, true, true, true)))
+    assert(out(2L) == ((true, false, true, false)))
+    assert(out(3L)._2 == false && out(3L)._4 == false)
+    assert(out(4L) == ((true, true, false, false)))
+    assert(out(5L)._3 == true, "alpha_frac exactly 0.8 must be kept")
+    assert(out(6L) == ((false, true, true, false)))
+    assert(out(7L) == ((false, false, false, false)))
+  }
+
   test("contaminationHitsBloom matches the exact path (FPs die in the confirm join)") {
     import spark.implicits._
     // enough docs that the bloom prefilter has real work: 40 corpus docs,
