@@ -1802,14 +1802,63 @@ object Queries {
       .select("doc_id", "quality").orderBy("doc_id")
   }
 
-  // MinHash-LSH and SimHash use xxhash64 — not reproducible in DuckDB,
-  // rows-only checks; exactness is asserted against q_dedup_ngram in specs.
-  qNoOracle("q_dedup_minhash") { (s, d) =>
+  // MinHash-LSH and SimHash hash through graft.functions.NeutralHash
+  // (md5-derived 64-bit slices = DuckDB md5_number_lower/upper), so the
+  // FULL sketch pipeline — slot hashes, band buckets, bit votes, chunk
+  // keys — replays in the oracle engine, not just the row count.
+  q("q_dedup_minhash",
+    // slot i of shingle s = (md5_lower64(s) + i*md5_upper64(s)) mod 2^64,
+    // min per (doc, slot) compared unsigned (HUGEINT min over the nonneg
+    // residue = Long.compareUnsigned min over the wrapped bit pattern);
+    // band bucket = md5_lower64("band|s0,s1,s2,s3") over unsigned decimals
+    """WITH words AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |  [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 1))])) AS s
+      |  FROM words),
+      |h AS (SELECT doc_id, md5_number_lower(s)::HUGEINT AS lo,
+      |             md5_number_upper(s)::HUGEINT AS hi FROM sh),
+      |mh AS (SELECT doc_id, i,
+      |         min((lo + i * hi) % 18446744073709551616::HUGEINT) AS v
+      |       FROM h, range(64) t(i) GROUP BY 1, 2),
+      |bands AS (SELECT doc_id, (i // 4) AS band,
+      |            md5_number_lower(CAST(i // 4 AS VARCHAR) || '|' ||
+      |              string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS bucket
+      |          FROM mh GROUP BY doc_id, (i // 4))
+      |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM bands a JOIN bands b USING (band, bucket)
+      |WHERE a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     graft.operators.Dedup.minHashCandidatesFrom(sharedShingles(s, d))
       .orderBy("id_a", "id_b")
   }
 
-  qNoOracle("q_dedup_simhash") { (s, d) =>
+  q("q_dedup_simhash",
+    // word hash = md5_lower64(w); signature bit i = majority vote of bit i
+    // (the i=63 term is the sign bit: -2^63 in two's complement); chunk
+    // key = 16 extracted bits (shift-then-mask — shift-type agnostic);
+    // refine = hamming ≤ 3 via bit_count(xor)
+    """WITH words AS (
+      |  SELECT DISTINCT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+      |    FROM documents) WHERE w <> ''),
+      |h AS (SELECT doc_id, md5_number_lower(w) AS hw FROM words),
+      |bits AS (SELECT doc_id, i,
+      |           sum(CASE WHEN ((hw >> i) & 1) = 1 THEN 1 ELSE -1 END) AS c
+      |         FROM h, range(64) t(i) GROUP BY 1, 2),
+      |sigs AS (SELECT doc_id,
+      |           sum(CASE WHEN c > 0 THEN
+      |                 CASE WHEN i = 63 THEN -9223372036854775808
+      |                      ELSE (1::BIGINT << i) END
+      |               ELSE 0 END)::BIGINT AS sig
+      |         FROM bits GROUP BY doc_id),
+      |chunks AS (SELECT doc_id, sig, i AS chunk,
+      |             (sig >> (16 * i)) & 65535 AS ckey
+      |           FROM sigs, range(4) t(i))
+      |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM chunks a JOIN chunks b USING (chunk, ckey)
+      |WHERE a.doc_id < b.doc_id
+      |  AND bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     graft.operators.Dedup.simHashCandidates(
         t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")
@@ -1850,10 +1899,44 @@ object Queries {
       .orderBy("vec_id")
   }
 
-  // sign-random-projection ANN: seeded-hyperplane signatures are not
-  // replayable in the oracle engine (JVM Gaussian stream), so rows-only;
-  // self-retrieval/exact-rerank/recall are spec'd against brute force
-  qNoOracle("q_sim_lsh") { (s, d) =>
+  /** The q_sim_lsh oracle, generated from the SAME signPlanes derivation
+    * the engine uses: per table t a 6-bit signature
+    * `Σ_b 2^b · [list_dot_product(v, plane_tb) >= 0]`, candidates = rows
+    * matching the probe's signature in ANY table, exact cosine rerank.
+    * Planes are ±1.0 literals, so every dot is an exact left-to-right
+    * double sum in both engines — bit-identical signs. */
+  private def lshOracleSql(dim: Int, nBits: Int, nTables: Int, seed: Long,
+      k: Int): String = {
+    def planeLit(p: Array[Float]): String =
+      p.map(x => if (x > 0f) "1.0" else "-1.0").mkString("[", ",", "]")
+    def sigExpr(t: Int, vcol: String): String =
+      graft.operators.Similarity.signPlanes(dim, nBits, seed + t).zipWithIndex
+        .map { case (p, b) =>
+          s"(CASE WHEN list_dot_product($vcol, ${planeLit(p)}) >= 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+    val sigCols = (0 until nTables)
+      .map(t => s"${sigExpr(t, "v")} AS s$t").mkString(",\n  ")
+    val anyMatch = (0 until nTables).map(t => s"a.s$t = p.s$t").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |sigs AS (SELECT vec_id, v,
+       |  $sigCols
+       |  FROM e),
+       |probe AS (SELECT * FROM sigs WHERE vec_id = 0)
+       |SELECT a.vec_id, round(list_cosine_similarity(a.v, p.v), 6) AS cos
+       |FROM sigs a, probe p
+       |WHERE a.vec_id <> 0 AND ($anyMatch)
+       |ORDER BY cos DESC, a.vec_id LIMIT $k""".stripMargin
+  }
+
+  // sign-random-projection ANN with ±1 (Rademacher) hyperplanes derived
+  // from the neutral md5 stream: plane·vector products are EXACT in
+  // double (±1.0 factors), so the DuckDB oracle — same plane literals via
+  // list_dot_product, generated from the same signPlanes call — replays
+  // the signatures bit-for-bit. Literals pin dim=64 (the testdata
+  // embedding width at every sf).
+  q("q_sim_lsh", lshOracleSql(dim = 64, nBits = 6, nTables = 12, seed = 7L,
+    k = 10)) { (s, d) =>
     val emb = t(s, d, "embeddings")
     val probe = emb.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray

@@ -6,9 +6,8 @@ import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass sketch aggregates (SURVEY §2.L: custom `TypedImperativeAggregate`
@@ -18,10 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * per slot; these keep one primitive-array buffer per group and hash once
   * per input.
   *
-  * Hash contract: slot i uses the same value Spark's
-  * `xxhash64(lit(i), col)` produces (IntegerType seed folded first, then
-  * the string — XxHash64Function with initial seed 42), so results are
-  * bit-identical to the column-wise form. */
+  * Hash contract ([[NeutralHash]]): slot i's hash of shingle s is
+  * `lower64(s) + i * upper64(s)` (two-hash Carter-Wegman over ONE md5
+  * digest, natural 64-bit wrap-around), compared UNSIGNED. An external
+  * engine replays it as
+  * `(md5_number_lower(s)::HUGEINT + i * md5_number_upper(s)::HUGEINT)
+  *  % 2^64` — which is how the DuckDB oracle for q_dedup_minhash verifies
+  * the whole sketch, not just its row count. */
 case class MinHashAgg(
     child: Expression,
     numHashes: Int,
@@ -40,22 +42,20 @@ case class MinHashAgg(
         s"minhash_agg needs a string input, got ${other.sql}")
     }
 
+  // "empty" slot = unsigned max (all slots compare unsigned)
   override def createAggregationBuffer(): Array[Long] =
-    Array.fill(numHashes)(Long.MaxValue)
-
-  // the per-slot seed prefix (xxhash64 of the integer literal) is constant
-  // — fold it once, not once per input row per slot
-  @transient private lazy val seeds: Array[Long] =
-    Array.tabulate(numHashes)(i => XxHash64Function.hash(i, IntegerType, 42L))
+    Array.fill(numHashes)(-1L)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String]
+      // one md5 per shingle; slot hashes derive arithmetically
+      val (lo, hi) = NeutralHash.both64(v.asInstanceOf[UTF8String])
+      var h = lo
       var i = 0
       while (i < numHashes) {
-        val h = XxHash64Function.hash(s, StringType, seeds(i))
-        if (h < buf(i)) buf(i) = h
+        if (java.lang.Long.compareUnsigned(h, buf(i)) < 0) buf(i) = h
+        h += hi // slot i+1 = lo + (i+1)*hi, 64-bit wrap
         i += 1
       }
     }
@@ -64,7 +64,10 @@ case class MinHashAgg(
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < numHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    while (i < numHashes) {
+      if (java.lang.Long.compareUnsigned(b(i), a(i)) < 0) a(i) = b(i)
+      i += 1
+    }
     a
   }
 
@@ -91,8 +94,10 @@ case class MinHashAgg(
 }
 
 /** SimHash bit-vote accumulator: buffer = 64 signed counters updated from
-  * one xxhash64 per input word; eval packs the sign bits into the long
-  * signature. Identical to 64 `sum(when(bit set, 1, -1))` columns. */
+  * one [[NeutralHash.lower64]] (md5) per input word; eval packs the sign
+  * bits into the long signature. Identical to 64
+  * `sum(when(bit set, 1, -1))` columns over `md5_number_lower(w)` — which
+  * is how the DuckDB oracle for q_dedup_simhash replays it. */
 case class SimHashAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
@@ -115,7 +120,7 @@ case class SimHashAgg(
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = XxHash64Function.hash(v.asInstanceOf[UTF8String], StringType, 42L)
+      val h = NeutralHash.lower64(v.asInstanceOf[UTF8String])
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) != 0L) buf(i) += 1 else buf(i) -= 1

@@ -86,8 +86,10 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signatures: k independent hash slots via xxhash64(seed, shingle)
-    * — fully deterministic, no fitted model. Returns (id, signature array). */
+  /** MinHash signatures: k hash slots derived from one md5 digest per
+    * shingle (`lower64 + i*upper64`, [[graft.functions.NeutralHash]]) —
+    * fully deterministic, no fitted model, and replayable by an external
+    * SQL engine. Returns (id, signature array); slots compare UNSIGNED. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64): DataFrame =
     minHashSignaturesFrom(shingleExplode(docs, idCol, textCol, n), numHashes)
@@ -119,10 +121,16 @@ object Dedup {
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // bucket = md5-lower64 of "band|slot,slot,..." with slots rendered as
+    // UNSIGNED decimal — 8-byte shuffle keys (not the concat string), and
+    // an external engine replays the key as
+    // md5_number_lower(band || '|' || string_agg(slot::VARCHAR, ','))
     sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(lit("band"), b,
-          concat_ws(",", slice(col("signature"), b * rows + 1, lit(rows)))))))
+        b => graft.functions.NeutralHash.lower64Col(concat(
+          b.cast("string"), lit("|"),
+          concat_ws(",", transform(slice(col("signature"), b * rows + 1, lit(rows)),
+            v => graft.functions.NeutralHash.unsignedStringCol(v))))))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
   }
 
@@ -152,14 +160,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash from word hashes: per-bit majority vote of
-    * xxhash64(word). Implemented as a sum over signed bit contributions —
-    * one narrow agg, no UDF. */
+    * md5-lower64(word) ([[graft.functions.NeutralHash]] — replayable as
+    * DuckDB `md5_number_lower`). Implemented as a sum over signed bit
+    * contributions — one narrow agg, no UDF. */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(split(lower(col(textCol)), "\\s+"))).as("w"))
       .filter(col("w") =!= "")
     // single-buffer bit-vote aggregate (64 signed counters per doc, one
-    // xxhash64 per word) — same signature as the 64-column sum(when) form
+    // md5 per word) — same signature as the 64-column sum(when) form
     words.groupBy("doc_id").agg(
       graft.functions.SketchAggregates.simhashAgg(col("w")).as("simhash"))
   }
@@ -525,9 +534,13 @@ object Dedup {
   def simHashCandidates(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sigs = simHash(docs, idCol, textCol)
+    // chunk key = the 16 bits EXTRACTED (shift-then-mask), not masked in
+    // place: `(sig >> 16i) & 0xFFFF` is plain integer arithmetic any SQL
+    // engine reproduces, where `0xFFFF << 48` overflows engines that
+    // error on shift overflow
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
-        col("simhash").bitwiseAND(lit(0xFFFFL << (i * 16)))): _*)))
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .select(col("doc_id"), col("simhash"), col("pos").as("chunk"), col("col").as("ckey"))
     val a = chunked.select(col("chunk"), col("ckey"),
       col("doc_id").as("id_a"), col("simhash").as("sig_a"))

@@ -177,14 +177,25 @@ object Similarity {
 
   // ------------------------------------------------- random-hyperplane LSH
 
-  /** `nBits` seeded Gaussian hyperplanes for sign-random-projection LSH.
-    * Deterministic for a (seed, dim, nBits) triple — the same planes can
-    * be regenerated at query time against a signature table built
-    * earlier, so nothing but the seed needs storing. */
-  def gaussianPlanes(dim: Int, nBits: Int, seed: Long): Seq[Array[Float]] = {
+  /** `nBits` seeded ±1 (Rademacher) hyperplanes for sign-random-projection
+    * LSH. Deterministic for a (seed, dim, nBits) triple — the same planes
+    * regenerate at query time against a signature table built earlier, so
+    * nothing but the seed needs storing.
+    *
+    * Components come from [[graft.functions.NeutralHash]] (bit 0 of
+    * md5-lower64 of "lsh:seed:bit:dim") rather than a JVM Gaussian
+    * stream: sign projections against Rademacher vectors are an equally
+    * valid SRP family (the dot-product sign is what matters, not the
+    * component distribution), and ±1.0 components make every
+    * plane·vector product EXACT in double — an external SQL engine
+    * replays the signatures bit-for-bit via `list_dot_product` with the
+    * same plane literals, which is how q_sim_lsh gains a full DuckDB
+    * oracle instead of a rows-only check. */
+  def signPlanes(dim: Int, nBits: Int, seed: Long): Seq[Array[Float]] = {
     require(nBits >= 1 && nBits <= 63, s"nBits must be in [1,63], got $nBits")
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    Seq.tabulate(nBits)(b => Array.tabulate(dim)(d =>
+      if ((graft.functions.NeutralHash.lower64(s"lsh:$seed:$b:$d") & 1L) == 1L) 1f
+      else -1f))
   }
 
   /** Packed sign-bit signature of `vec` under `planes`: bit i is set iff
@@ -216,10 +227,12 @@ object Similarity {
       seed: Long = 7L): DataFrame = {
     require(nTables >= 1, s"nTables must be positive, got $nTables")
     val hit = (0 until nTables).map { t =>
-      val planes = gaussianPlanes(probe.length, nBits, seed + t)
+      val planes = signPlanes(probe.length, nBits, seed + t)
       lshSignature(col(vecCol), planes) === lit(probeSignature(planes, probe))
     }.reduce(_ || _)
-    embeddings.filter(hit)
+    // null vectors carry no signature (their dot is null → every bit
+    // clears to signature 0) and must not surface as bucket-0 candidates
+    embeddings.filter(col(vecCol).isNotNull && hit)
   }
 
   /** Approximate cosine top-k via [[lshCandidates]] + exact cosine rerank
@@ -264,15 +277,54 @@ object Similarity {
         firstDim.head.getInt(0)
       }
     val assignments = (0 until nTables).map { t =>
-      val planes = gaussianPlanes(d, nBits, seed + t)
+      val planes = signPlanes(d, nBits, seed + t)
       struct(lit(t).as("table"),
         lshSignature(col(vecCol), planes).as("bucket"))
     }
-    embeddings.select(col(idCol), col(vecCol),
+    // null vectors have no signature — indexing them into bucket 0 of
+    // every table would surface them as candidates with NULL cosine
+    embeddings.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol),
         explode(array(assignments: _*)).as("tb"))
       .select(col(idCol), col(vecCol),
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
       .write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+    writeLshMeta(embeddings.sparkSession, path, d, nBits, nTables, seed)
+  }
+
+  private final val LshMetaFile = "_lsh_index_meta.json"
+
+  /** Index parameters persisted next to the data: a probe with different
+    * (dim, nBits, nTables, seed) regenerates planes that no longer match
+    * the stored signatures and silently returns wrong buckets — the
+    * metadata turns that mismatch into an error at probe time. */
+  private def writeLshMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, dim: Int, nBits: Int, nTables: Int, seed: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, LshMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"dim":$dim,"nBits":$nBits,"nTables":$nTables,"seed":$seed}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readLshMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Map[String, Long]] = {
+    val p = new org.apache.hadoop.fs.Path(path, LshMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      // four flat integer fields — a targeted regex beats a JSON dep
+      val kv = """"(\w+)"\s*:\s*(-?\d+)""".r
+      Some(kv.findAllMatchIn(raw).map(m => m.group(1) -> m.group(2).toLong).toMap)
+    }
   }
 
   /** Top-k over a [[buildLshIndex]] table: the probe's nTables
@@ -280,13 +332,24 @@ object Similarity {
     * carries `PartitionFilters` and lists only the probed buckets'
     * directories; ids hitting several tables dedup before the exact
     * cosine rerank. Must be called with the SAME (nBits, nTables, seed)
-    * the index was built with. */
+    * the index was built with — validated against the metadata file
+    * [[buildLshIndex]] writes (pre-metadata indexes skip the check). */
   def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, idCol: String, vecCol: String,
       probe: Array[Float], k: Int, nBits: Int = 6, nTables: Int = 12,
       seed: Long = 7L): DataFrame = {
+    readLshMeta(spark, indexPath).foreach { meta =>
+      val asked = Map("dim" -> probe.length.toLong, "nBits" -> nBits.toLong,
+        "nTables" -> nTables.toLong, "seed" -> seed)
+      val mismatched = asked.filter { case (k2, v) => meta.get(k2).exists(_ != v) }
+      require(mismatched.isEmpty,
+        s"lshTopKIndexed: probe parameters ${mismatched.keys.mkString(", ")} " +
+          s"do not match the index at $indexPath (built with $meta, " +
+          s"probed with $asked) — regenerated planes would not match the " +
+          "stored signatures")
+    }
     val pred = (0 until nTables).map { t =>
-      val sig = probeSignature(gaussianPlanes(probe.length, nBits, seed + t), probe)
+      val sig = probeSignature(signPlanes(probe.length, nBits, seed + t), probe)
       col("table") === t && col("bucket") === sig
     }.reduce(_ || _)
     spark.read.parquet(indexPath)

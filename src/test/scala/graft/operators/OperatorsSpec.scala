@@ -212,22 +212,30 @@ class OperatorsSpec extends SparkTestBase {
   }
 
   test("sketch aggregates match their column-wise formulations bit-for-bit") {
-    // MinHashAgg vs 64 separate min(xxhash64(lit(seed), sh)) columns
+    import graft.functions.NeutralHash
+    // MinHashAgg vs 64 separate unsigned-min columns over the two-hash
+    // neutral scheme (slot i = lower64 + i*upper64, Java wrap-around);
+    // unsigned min via the sign-flip trick (x ^ MinValue preserves
+    // unsigned order under signed comparison)
+    val slotH = udf((s: String, i: Int) =>
+      (NeutralHash.lower64(s) + i.toLong * NeutralHash.upper64(s)) ^ Long.MinValue)
     val sh = docs.limit(50).select(col("doc_id"),
       explode(Dedup.shingles(col("text"), 3)).as("sh"))
-    val mins = (0 until 64).map(seed =>
-      min(xxhash64(lit(seed), col("sh"))).as(s"h$seed"))
+    val mins = (0 until 64).map(i =>
+      min(slotH(col("sh"), lit(i))).as(s"h$i"))
     val colWise = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until 64).map(i => col(s"h$i")): _*).as("sig"))
+      .select(col("doc_id"), array((0 until 64).map(i =>
+        col(s"h$i").bitwiseXOR(lit(Long.MinValue))): _*).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val agg = Dedup.minHashSignatures(docs.limit(50), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(agg == colWise)
 
-    // SimHashAgg vs 64 sum(when(bit, 1, -1)) columns
+    // SimHashAgg vs 64 sum(when(bit, 1, -1)) columns over md5-lower64
+    val wordH = udf((s: String) => NeutralHash.lower64(s))
     val words = docs.limit(50).select(col("doc_id"),
       explode(array_distinct(split(lower(col("text")), "\\s+"))).as("w"))
-      .filter(col("w") =!= "").withColumn("h", xxhash64(col("w")))
+      .filter(col("w") =!= "").withColumn("h", wordH(col("w")))
     val bitSums = (0 until 64).map(i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"b$i"))
     val simColWise = words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
