@@ -3,6 +3,67 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** (name, seconds, error, consumesSharedStage, warmStageHit) */
+  final case class QueryResult(name: String, sec: Double,
+      err: Option[String], shared: Boolean, warm: Boolean)
+
+  /** Run every query against the noop sink (forces full evaluation of
+    * every column of every row — count() would let Spark skip
+    * projections entirely). A failed query surfaces as an error entry,
+    * never as a fast time: swallowing it would let a regression IMPROVE
+    * the total. Warm-stage tracking: the first query touching a shared
+    * persisted stage (Queries.sharedStages) pays its materialization,
+    * later ones ride the cache — the flag makes per-query numbers
+    * interpretable. */
+  def runQueries(spark: SparkSession, sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+      : Seq[QueryResult] = {
+    val stagesSeen = scala.collection.mutable.Set.empty[String]
+    queries.sortBy(_._1).map { case (name, fn) =>
+      val stages = Queries.sharedStages.getOrElse(name, Nil)
+      val warm = stages.nonEmpty && stages.forall(stagesSeen.contains)
+      stagesSeen ++= stages
+      val t0 = System.nanoTime()
+      val err = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        None
+      } catch { case e: Throwable =>
+        Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+      }
+      QueryResult(name, (System.nanoTime() - t0) / 1e9, err, stages.nonEmpty, warm)
+    }
+  }
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** The one-line bench JSON. Success entries stay plain numbers (the
+    * driver's established contract); only FAILED queries become
+    * `{"sec":..,"err":..}` objects, with a nonzero top-level `errors`
+    * counter. Warm/cold flags ride in a sibling `shared_stage_hit` map so
+    * dedup-family timings are interpretable without changing the
+    * `queries` schema. */
+  def renderJson(results: Seq[QueryResult], sfDir: String): String = {
+    val qs = results.map { r =>
+      r.err match {
+        case None => "\"" + r.name + "\":" + r.sec
+        case Some(m) => "\"" + r.name + "\":" + s"""{"sec":${r.sec},"err":${jstr(m)}}"""
+      }
+    }.mkString("{", ",", "}")
+    val sharedFlags = results.collect { case r if r.shared =>
+      "\"" + r.name + "\":" + r.warm
+    }.mkString("{", ",", "}")
+    val total = results.map(_.sec).sum
+    val errors = results.count(_.err.isDefined)
+    s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,""" +
+      s""""shared_stage_hit":$sharedFlags,"queries":$qs,"sf":${jstr(sfDir)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,18 +92,7 @@ object Bench {
       .count().write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"${sfDir.stripSuffix("/")}/region.parquet")
       .write.format("noop").mode("overwrite").save()
-    // noop sink: forces full evaluation of every column of every row
-    // (count() would let Spark skip projections entirely)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(renderJson(runQueries(spark, sfDir, SparkEntry.queries.toSeq), sfDir))
     spark.stop()
   }
 }

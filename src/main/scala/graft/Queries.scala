@@ -2321,4 +2321,24 @@ object Queries {
   lazy val oracles: Map[String, String] = registry.collect {
     case (k, (_, Some(sql))) => k -> sql
   }.toMap
+
+  /** Which shared persisted stage(s) each dedup-family query consumes
+    * ([[sharedShingles]]/[[sharedSpans]]/[[sharedEmbedPairs]]): within a
+    * session the FIRST query of a stage group pays the materialization
+    * and the rest ride the cache, so per-query timings are only
+    * interpretable with this map — Bench emits a warm/cold flag from it.
+    * Maintained next to the query bodies; EntrySpec pins every key to a
+    * registered query. */
+  lazy val sharedStages: Map[String, Seq[String]] = Map(
+    "q_dedup_ngram" -> Seq("shingles"),
+    "q_dedup_clusters" -> Seq("shingles"),
+    "q_decontaminate" -> Seq("shingles"),
+    "q_decontaminate_bloom" -> Seq("shingles"),
+    "q_dedup_incremental" -> Seq("shingles"),
+    "q_dedup_minhash" -> Seq("shingles"),
+    "q_corpus_clean" -> Seq("shingles"),
+    "q_dedup_spans" -> Seq("spans"),
+    "q_dedup_spans_strip" -> Seq("spans"),
+    "q_dedup_embed" -> Seq("embed_pairs"),
+    "q_dedup_semantic" -> Seq("embed_pairs"))
 }

@@ -38,4 +38,39 @@ class EntrySpec extends SparkTestBase {
       assert(allowedEmpty.contains(name) || n > 0, s"$name returned 0 rows")
     }
   }
+
+  test("sharedStages names only registered queries") {
+    val unknown = Queries.sharedStages.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"sharedStages entries without queries: $unknown")
+  }
+
+  test("bench reports a broken query as an error, never as a fast time") {
+    import org.apache.spark.sql.functions._
+    val ok: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => s.range(10).toDF("id")
+    // fails at ACTION time (noop write), not at declaration — the shape
+    // the old swallow-everything catch recorded as a fast success
+    val broken: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => s.range(10).toDF("id")
+        .withColumn("boom", udf((x: Long) => {
+          throw new RuntimeException("deliberate bench failure"); x
+        }).apply(col("id")))
+    val results = Bench.runQueries(spark, sf(),
+      Seq("q_ok" -> ok, "z_broken" -> broken))
+    assert(results.find(_.name == "q_ok").get.err.isEmpty)
+    val b = results.find(_.name == "z_broken").get
+    assert(b.err.isDefined, "broken query did not surface an error")
+    val json = Bench.renderJson(results, sf())
+    assert(json.contains(""""errors":1"""), json)
+    assert(json.contains(""""z_broken":{"sec":"""), json)
+    // warm-stage flags: first shared-stage query cold, second warm
+    val flagged = Bench.runQueries(spark, sf(),
+      Seq("q_dedup_spans" -> SparkEntry.queries("q_dedup_spans"),
+        "q_dedup_spans_strip" -> SparkEntry.queries("q_dedup_spans_strip")))
+    assert(flagged.map(r => (r.name, r.shared, r.warm)) ==
+      Seq(("q_dedup_spans", true, false), ("q_dedup_spans_strip", true, true)))
+    val fjson = Bench.renderJson(flagged, sf())
+    assert(fjson.contains(""""q_dedup_spans":false""") &&
+      fjson.contains(""""q_dedup_spans_strip":true"""), fjson)
+  }
 }
