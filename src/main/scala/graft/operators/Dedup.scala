@@ -369,10 +369,16 @@ object Dedup {
     *
     * @param expectedItems sizing for the filter; pass the (approximate)
     *   distinct eval-shingle count at scale to avoid the sizing count job
-    * @param fpp false-positive rate — tune against shuffle savings */
+    * @param fpp false-positive rate — tune against shuffle savings
+    * @param preparedEval an already-distinct, already-persisted
+    *   (sh_str) eval frame whose LIFECYCLE THE CALLER OWNS — pass it when
+    *   probing several eval sets in one session: the default path
+    *   persists its distinct frame with no unpersist (CacheManager keys
+    *   by plan, so repeated calls over the SAME eval set share one entry,
+    *   but each DIFFERENT eval set adds a session-lifetime cache entry) */
   def contaminationHitsBloom(corpusShingles: DataFrame,
       evalShingles: DataFrame, expectedItems: Long = 0L,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01, preparedEval: Option[DataFrame] = None): DataFrame = {
     val spark = corpusShingles.sparkSession
     // materialize the distinct eval shingles ONCE (it is small by
     // premise): without this the distinct shuffle runs for the sizing
@@ -380,21 +386,23 @@ object Dedup {
     // the confirm-join build side. persist, NOT localCheckpoint: the
     // returned frame is lazy, and checkpoint blocks lost with an
     // executor have no recompute path — a persisted frame just
-    // recomputes the small distinct. CacheManager keys by plan, so
-    // repeated calls over the same eval set share one entry.
-    val eval = evalShingles.select("sh_str").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // recomputes the small distinct.
+    val eval = preparedEval.getOrElse(
+      evalShingles.select("sh_str").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val items =
       if (expectedItems > 0L) expectedItems else math.max(eval.count(), 1L)
     val bloom = eval.stat.bloomFilter("sh_str", items, fpp)
     // the broadcast must outlive the returned (lazy) frame — its
     // lifecycle is the standard one: ContextCleaner drops the executor
-    // blocks once the frame (and the UDF closure holding bc) is GC'd,
-    // exactly as for a broadcast-hash-join build side
+    // blocks once the frame (and the expression holding bc) is GC'd,
+    // exactly as for a broadcast-hash-join build side. The probe is a
+    // native codegen'd expression (graft.functions.BloomMightContain) —
+    // the corpus-side scan stays inside whole-stage codegen instead of
+    // detouring through an interpreted scala udf per row.
     val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain =
-      udf((s: String) => s != null && bc.value.mightContainString(s))
-    corpusShingles.filter(mightContain(col("sh_str")))
+    corpusShingles
+      .filter(graft.functions.BloomFunctions.bloomMightContain(bc, col("sh_str")))
       .join(eval, Seq("sh_str"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))

@@ -158,17 +158,21 @@ class PlanQualitySpec extends SparkTestBase {
       s"documents pruning failed:\n$p")
   }
 
-  test("q_decontaminate_bloom prefilters map-side before the confirm join") {
+  test("q_decontaminate_bloom prefilters map-side in codegen before the confirm join") {
     val p = plan("q_decontaminate_bloom")
-    // the bloom might-contain UDF must be present (the doc_id % filters
-    // alone would satisfy a bare "Filter" check) ...
-    assert(p.contains("UDF"), s"bloom might-contain filter missing:\n$p")
+    // the bloom might-contain expression must be present (the doc_id %
+    // filters alone would satisfy a bare "Filter" check) ...
+    assert(p.contains("bloommightcontain"),
+      s"bloom might-contain filter missing:\n$p")
+    // ... as a NATIVE expression, not an interpreted scala udf escape
+    // hatch out of whole-stage codegen
+    assert(!p.contains("UDF"), s"bloom probe regressed to a scala udf:\n$p")
     // ... and must sit UNDER the confirm join: plans print top-down, so
-    // the join operator's line must come before the UDF filter's line
+    // the join operator's line must come before the probe filter's line
     val joinAt = "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
       .findFirstMatchIn(p).map(_.start).getOrElse(-1)
     assert(joinAt >= 0, s"no keyed confirm join:\n$p")
-    assert(p.indexOf("UDF") > joinAt,
+    assert(p.indexOf("bloommightcontain") > joinAt,
       s"bloom prefilter not under the confirm join:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"confirm join degenerated:\n$p")
