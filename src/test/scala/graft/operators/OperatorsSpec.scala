@@ -588,6 +588,70 @@ class OperatorsSpec extends SparkTestBase {
       again.map(_.getAs[Array[Byte]]("payload").toSeq).toSeq)
   }
 
+  test("multimodal: REAL image decode end-to-end — info, grid features, pixel resize") {
+    import spark.implicits._
+    def encode(fmt: String, w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // 32x16 PNG, left half black / right half white; 20x20 JPEG gradient
+    val halfPng = encode("png", 32, 16)((x, _) => if (x < 16) 0x000000 else 0xFFFFFF)
+    val gradJpg = encode("jpg", 20, 20) { (x, _) =>
+      val v = x * 255 / 19; (v << 16) | (v << 8) | v
+    }
+    val textBytes = "definitely not an image payload".getBytes("UTF-8")
+    val media = Seq(
+      (1L, halfPng, ("image/png", 32, 16, 1)),
+      (2L, gradJpg, ("image/jpeg", 20, 20, 1)),
+      (3L, textBytes, ("text/plain", textBytes.length, 1, 1)))
+      .toDF("media_id", "payload", "meta")
+
+    // imageInfo: real codecs claim the PNG and JPEG, not the text
+    val info = Multimodal.imageInfo(media).orderBy("media_id").collect()
+    assert(info(0).getInt(1) == 32 && info(0).getInt(2) == 16 &&
+      info(0).getInt(3) == 3 && info(0).getBoolean(4))
+    assert(info(1).getInt(1) == 20 && info(1).getInt(2) == 20 &&
+      info(1).getBoolean(4))
+    assert(info(2).isNullAt(1) && !info(2).getBoolean(4))
+
+    // grid features on the half/half PNG: left grid columns exactly 0,
+    // right exactly 1 (black lum 0, white lum 255 -> 255/255)
+    val feats = Multimodal.extractFeatures(media, batchSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    for (g <- 0 until 4) {
+      assert(feats(1L)(g * 4) == 0f && feats(1L)(g * 4 + 1) == 0f,
+        s"left cells of grid row $g not black: ${feats(1L)}")
+      assert(feats(1L)(g * 4 + 2) == 1f && feats(1L)(g * 4 + 3) == 1f,
+        s"right cells of grid row $g not white: ${feats(1L)}")
+    }
+    // non-image payload falls back to the byte-stat stand-in
+    assert(feats(3L) == Multimodal.byteStatFeatures(textBytes).toSeq)
+
+    // pixel resize: the PNG comes back as a REAL decodable 10x8 PNG with
+    // halves preserved; the text payload rides the raw-byte fallback
+    val resized = Multimodal.resizeMedia(media, 10, 8).orderBy("media_id").collect()
+    val m1 = resized(0)
+    assert(m1.getStruct(2).getString(0) == "image/png" &&
+      m1.getStruct(2).getInt(1) == 10 && m1.getStruct(2).getInt(2) == 8)
+    val decoded = Multimodal.decodeImage(m1.getAs[Array[Byte]](1))
+    assert(decoded.isDefined && decoded.get.width == 10 && decoded.get.height == 8)
+    val g = decoded.get.gray
+    assert((g(0) & 0xFF) == 0 && (g(9) & 0xFF) == 255,
+      s"resize lost the half/half pattern: ${g.map(_ & 0xFF).mkString(",")}")
+    val m3 = resized(2)
+    assert(m3.getStruct(2).getString(0) == "text/plain" &&
+      m3.getAs[Array[Byte]](1).length == 10 * 8)
+
+    // deterministic across batch sizes
+    val again = Multimodal.extractFeatures(media, batchSize = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(again == feats)
+  }
+
   test("multimodal: frame sampling slices chunk-aligned frames") {
     val media = Multimodal.mediaFromDocuments(docs.limit(10))
     val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
