@@ -1944,6 +1944,21 @@ object Queries {
       emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", probe, k = 10)
   }
 
+  // the materialized multi-table form: identical semantics (candidates =
+  // any-table bucket match, exact rerank — the same oracle replays), but
+  // the probe is nTables point lookups with file-level pruning over the
+  // partitionBy(table, bucket) layout
+  q("q_sim_lsh_indexed", lshOracleSql(dim = 64, nBits = 6, nTables = 12,
+    seed = 7L, k = 10)) { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    val path = annIndexPath(s, d, "lsh") { p =>
+      graft.operators.Similarity.buildLshIndex(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", p, dim = 64)
+    }
+    graft.operators.Similarity.lshTopKIndexed(
+      s, path, "vec_id", "embedding", embProbe(s, d), k = 10)
+  }
+
   q("q_sim_topk",
     """SELECT b.vec_id,
       |  round(list_cosine_similarity(b.embedding::DOUBLE[],
@@ -1961,10 +1976,14 @@ object Queries {
       .limit(10)
   }
 
-  q("q_sim_ivf",
-    // IVF is deterministic given fixed centroids (first 8 vectors), so the
-    // whole pipeline — cell argmax at 9 dp with min-index tiebreak, probe's
-    // 2 nearest cells, cosine top-10 in the probed cells — replays in SQL
+  // IVF is deterministic given fixed centroids (first 8 vectors), so the
+  // whole pipeline — cell argmax at 9 dp with min-index tiebreak, probe's
+  // 2 nearest cells, cosine top-10 in the probed cells — replays in SQL.
+  // The same SQL oracles BOTH the scan form (q_sim_ivf, cells re-derived
+  // per probe) and the materialized form (q_sim_ivf_indexed, cells are a
+  // partitionBy directory layout): the index is an execution layout, not
+  // a semantics change.
+  private val ivfOracleSql: String =
     """WITH cent AS (
       |  SELECT vec_id AS c, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 8),
       |probe AS (SELECT embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id = 0),
@@ -1979,16 +1998,66 @@ object Queries {
       |  FROM embeddings e WHERE e.vec_id <> 0)
       |SELECT vec_id, round(list_cosine_similarity(v, (SELECT pv FROM probe)), 6) AS cos
       |FROM assigned WHERE cell IN (SELECT c FROM pcells)
-      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
-    val emb = t(s, d, "embeddings")
-    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  private def ivfCentroids(s: SparkSession, d: String): Seq[Array[Float]] =
+    t(s, d, "embeddings").filter(col("vec_id") < 8).orderBy("vec_id")
       .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray)
-    val probe = emb.filter(col("vec_id") === 0)
+      .map(_.getSeq[Float](0).toArray).toSeq
+
+  private def embProbe(s: SparkSession, d: String): Array[Float] =
+    t(s, d, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
+
+  q("q_sim_ivf", ivfOracleSql) { (s, d) =>
+    val emb = t(s, d, "embeddings")
     graft.operators.Similarity.ivfTopK(
       emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-      centroids.toSeq, probe, k = 10, nprobe = 2)
+      ivfCentroids(s, d), embProbe(s, d), k = 10, nprobe = 2)
+  }
+
+  /** Materialized ANN index dirs, one per (session, corpus dir, kind) —
+    * the registered form of the 100 TB index story: the one-off
+    * assignment cost is paid at build time into a partitionBy layout,
+    * and probes prune at the FILE level. Same weak-session caching
+    * contract as [[sharedFrame]]; the build runs OUTSIDE the lock (it is
+    * a Spark write job) and a losing racer's temp dir is just orphaned
+    * tmp space. */
+  private val annIndexCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]())
+
+  private def annIndexPath(s: SparkSession, dir: String, kind: String)(
+      build: String => Unit): String = {
+    def withMap[T](f: scala.collection.mutable.Map[String, String] => T): T =
+      annIndexCache.synchronized {
+        val m = annIndexCache.get(s)
+        val per = if (m != null) m else {
+          val m2 = scala.collection.mutable.Map.empty[String, String]
+          annIndexCache.put(s, m2)
+          m2
+        }
+        f(per)
+      }
+    val key = s"$kind|$dir"
+    withMap(_.get(key)).getOrElse {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_${kind}_idx")
+        .resolve("index").toString
+      build(p)
+      withMap(_.getOrElseUpdate(key, p))
+    }
+  }
+
+  q("q_sim_ivf_indexed", ivfOracleSql) { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    val centroids = ivfCentroids(s, d)
+    val path = annIndexPath(s, d, "ivf") { p =>
+      graft.operators.Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", centroids, p)
+    }
+    graft.operators.Similarity.ivfTopKIndexed(
+      s, path, "vec_id", "embedding", centroids, embProbe(s, d),
+      k = 10, nprobe = 2)
   }
 
   q("q_text_stats",
@@ -2340,5 +2409,9 @@ object Queries {
     "q_dedup_spans" -> Seq("spans"),
     "q_dedup_spans_strip" -> Seq("spans"),
     "q_dedup_embed" -> Seq("embed_pairs"),
-    "q_dedup_semantic" -> Seq("embed_pairs"))
+    "q_dedup_semantic" -> Seq("embed_pairs"),
+    // index builds: cold flag = the timing includes the one-off
+    // partitionBy materialization (annIndexPath)
+    "q_sim_ivf_indexed" -> Seq("ivf_index"),
+    "q_sim_lsh_indexed" -> Seq("lsh_index"))
 }

@@ -178,6 +178,20 @@ class PlanQualitySpec extends SparkTestBase {
       s"confirm join degenerated:\n$p")
   }
 
+  test("q_sim_ivf_indexed probes prune at the FILE level (cell_id partition filter)") {
+    val p = SparkEntry.queries("q_sim_ivf_indexed")(spark, sf())
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert("PartitionFilters: \\[[^\\]]*cell_id".r.findFirstIn(p).isDefined,
+      s"cell_id predicate did not reach partition pruning on the registered path:\n$p")
+  }
+
+  test("q_sim_lsh_indexed probes prune at the FILE level (table+bucket partition filter)") {
+    val p = SparkEntry.queries("q_sim_lsh_indexed")(spark, sf())
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"bucket predicate did not reach partition pruning on the registered path:\n$p")
+  }
+
   test("q_text_entropy is one StaticInvoke projection — no explode, no join") {
     val p = plan("q_text_entropy")
     assert(!p.contains("Generate") && !p.contains("Join"),
