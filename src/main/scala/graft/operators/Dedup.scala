@@ -197,75 +197,80 @@ object Dedup {
 
     // small-graph fast path FIRST: near-dup graphs are typically tiny
     // relative to the corpus, and a driver union-find beats paying Spark
-    // job overhead per propagation round (same min-id result). The capped
-    // frame is persisted for the duration of the collect so the
-    // CollectLimit partition-escalation retries reuse computed partitions
-    // instead of re-running the expensive pair-generation lineage, then
-    // unpersisted IMMEDIATELY — the fetched array is driver-side, and an
-    // over-budget graph must not leave maxFetch rows pinned in executor
-    // storage while the distributed path runs. One extra row proves the
-    // graph is over budget. Duplicate pairs are harmless to union-find,
-    // direction is mirrored driver-side.
+    // job overhead per propagation round (same min-id result). The
+    // UPSTREAM pair frame (not a limit() of it) is persisted, so take()
+    // keeps its incremental CollectLimit behavior — a few partitions
+    // first, escalating only if needed — while every retried or re-read
+    // partition rides the cache instead of re-running the expensive
+    // pair-generation lineage; a limit().persist() would instead plan a
+    // GlobalLimit (every partition + an extra shuffle) just to probe the
+    // budget. One extra row proves the graph is over budget, and the
+    // over-budget distributed path reuses the SAME cached frame for both
+    // mirrored-edge branches before unpersisting. Duplicate pairs are
+    // harmless to union-find, direction is mirrored driver-side.
     val maxFetch = math.min(ufThreshold, Int.MaxValue - 1L).toInt
-    val capped = pairs.select(col("id_a"), col("id_b")).limit(maxFetch + 1)
+    val base = pairs.select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fetched =
-      try capped.collect() finally capped.unpersist(blocking = false)
-    if (fetched.length <= maxFetch) {
-      val spark = pairs.sparkSession
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
+    try {
+      val fetched = base.take(maxFetch + 1)
+      if (fetched.length <= maxFetch) {
+        val spark = pairs.sparkSession
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        fetched.foreach { row =>
+          val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        }
+        val nodes = parent.keySet ++ parent.values
+        val out = nodes.toSeq.map(n => (n, find(n))).sorted
+        import spark.implicits._
+        return out.toDF("doc_id", "cluster_id")
       }
-      fetched.foreach { row =>
-        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
-        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+
+      // distributed path: materialize the mirrored edge list ONCE — without
+      // this every iteration's join re-executes the full upstream
+      // pair-generation lineage (shingling, joins); the iteration cost must
+      // be proportional to the graph, not to the corpus. Candidate graphs
+      // are orders smaller than the corpus, so use a fraction of the
+      // cluster's parallelism (chunky tasks), never a literal width. The
+      // localCheckpoint materializes both unionByName reads of the cached
+      // base frame, after which the finally unpersists it.
+      val edges = base.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(base.select(col("id_b").as("u"), col("id_a").as("v")))
+        .distinct()
+        .repartition(math.max(parallelism / 4, 8))
+        .localCheckpoint()
+
+      var labels = edges.select(col("u").as("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", col("doc_id"))
+      var iter = 0
+      var converged = false
+      while (iter < maxIterations && !converged) {
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("doc_id", "v")
+            .withColumnRenamed("cluster_id", "v_label"), Seq("v"))
+          .groupBy(col("u").as("doc_id"))
+          .agg(min(col("v_label")).as("n_label"))
+        // carry the old label through one checkpointed frame so the
+        // convergence check is a count on materialized data, not a re-join
+        val step = labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("cluster_id").as("old"),
+            least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id")))
+              .as("cluster_id"))
+          .localCheckpoint() // also truncates the iterative lineage
+        converged = step.filter(col("cluster_id") =!= col("old")).isEmpty
+        labels = step.drop("old")
+        iter += 1
       }
-      val nodes = parent.keySet ++ parent.values
-      val out = nodes.toSeq.map(n => (n, find(n))).sorted
-      import spark.implicits._
-      return out.toDF("doc_id", "cluster_id")
-    }
-
-    // distributed path: materialize the mirrored edge list ONCE — without
-    // this every iteration's join re-executes the full upstream
-    // pair-generation lineage (shingling, joins); the iteration cost must
-    // be proportional to the graph, not to the corpus. Candidate graphs
-    // are orders smaller than the corpus, so use a fraction of the
-    // cluster's parallelism (chunky tasks), never a literal width.
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .distinct()
-      .repartition(math.max(parallelism / 4, 8))
-      .localCheckpoint()
-
-    var labels = edges.select(col("u").as("doc_id"))
-      .distinct()
-      .withColumn("cluster_id", col("doc_id"))
-    var iter = 0
-    var converged = false
-    while (iter < maxIterations && !converged) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "v")
-          .withColumnRenamed("cluster_id", "v_label"), Seq("v"))
-        .groupBy(col("u").as("doc_id"))
-        .agg(min(col("v_label")).as("n_label"))
-      // carry the old label through one checkpointed frame so the
-      // convergence check is a count on materialized data, not a re-join
-      val step = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("cluster_id").as("old"),
-          least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint() // also truncates the iterative lineage
-      converged = step.filter(col("cluster_id") =!= col("old")).isEmpty
-      labels = step.drop("old")
-      iter += 1
-    }
-    labels
+      labels
+    } finally base.unpersist(blocking = false)
   }
 
   /** Incremental dedup: filter NEW documents against an EXISTING corpus —
