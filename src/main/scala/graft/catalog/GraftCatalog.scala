@@ -313,6 +313,42 @@ object GraftCatalog {
     }
   }
 
+  /** Statistics surface over a persistent table: `ANALYZE TABLE ...
+    * COMPUTE STATISTICS` (rowCount + sizeInBytes into the catalog) plus
+    * optional `FOR COLUMNS` (ndv/min/max/null histograms for the CBO).
+    *
+    * Why it matters at 100 TB: AQE re-plans from RUNTIME stats — after a
+    * stage has already shuffled. Catalog stats decide the INITIAL plan,
+    * which is where a filtered dimension flips from a sort-merge join to
+    * a broadcast before anything shuffles at all (with
+    * `spark.sql.cbo.enabled`, filter selectivity is estimated from the
+    * column ndv instead of pessimistically keeping the scan size). The
+    * idiomatic complement to a persistent catalog: re-run after large
+    * loads, the way the reference's Glue tables get crawler/partition
+    * refreshes.
+    *
+    * View-backed formats (`regex`, `csv_quoted_nodate`) analyze their
+    * `<name>_raw` base table (views hold no storage stats); column names
+    * passed for those must be RAW columns (`value` for regex, the
+    * pre-cast string columns for csv_quoted_nodate). */
+  def analyzeTable(spark: SparkSession, db: DatabaseMeta, tableName: String,
+      columns: Seq[String] = Nil): Unit = {
+    val t = db.table(tableName)
+    val target = t.dataFormat match {
+      case "regex" | "csv_quoted_nodate" => s"${t.name}_raw"
+      case _ => t.name
+    }
+    spark.sql(s"ANALYZE TABLE ${qualified(db, target)} COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE ${qualified(db, target)} COMPUTE STATISTICS " +
+        s"FOR COLUMNS ${columns.map(c => s"`$c`").mkString(", ")}")
+  }
+
+  /** [[analyzeTable]] over every table of the database (no column stats —
+    * pass explicit columns per table where the CBO needs them). */
+  def analyzeDatabase(spark: SparkSession, db: DatabaseMeta): Unit =
+    db.tables.foreach(t => analyzeTable(spark, db, t.name))
+
   /** delete_glue_database analog for the persistent path (meta.py:755-767):
     * drops the database with its tables/views; external LOCATIONs keep
     * their data (Glue semantics — metadata only). Message parity with

@@ -197,6 +197,69 @@ class CatalogSpec extends SparkTestBase {
     GraftCatalog.unregisterDatabasePersistent(spark, db)
   }
 
+  test("analyzeTable: rowCount lands in the catalog; column stats flip a broadcast decision") {
+    val root = tmp()
+    import spark.implicits._
+    val dim = TableMeta("dim", "dim/", Seq(
+      ColumnMeta("k", "int"), ColumnMeta("v", "character")),
+      dataFormat = "parquet")
+    val facts = TableMeta("facts", "facts/", Seq(
+      ColumnMeta("k", "int"), ColumnMeta("x", "long")),
+      dataFormat = "parquet")
+    val db = DatabaseMeta("statdb", "b", tables = Seq(dim, facts))
+    // dim rows carry incompressible-ish varied payloads so the parquet
+    // scan estimate stays ABOVE the broadcast threshold set below
+    GraftCatalog.writeTable(
+      (0 until 2000).map(i => (i, s"v${i}_${(i * 2654435761L).toHexString * 4}"))
+        .toDF("k", "v").repartition(1),
+      dim, db.tablePath(root, "dim"), mode = "overwrite")
+    GraftCatalog.writeTable(
+      (0 until 5000).map(i => (i % 2000, i.toLong)).toDF("k", "x").repartition(1),
+      facts, db.tablePath(root, "facts"), mode = "overwrite")
+    GraftCatalog.registerDatabasePersistent(spark, db, root)
+    try {
+      // 1) rowCount reaches the catalog entry
+      GraftCatalog.analyzeTable(spark, db, "dim")
+      val statsLine = spark.sql("DESCRIBE TABLE EXTENDED statdb.dim").collect()
+        .find(_.getString(0) == "Statistics").map(_.getString(1))
+      assert(statsLine.exists(_.contains("2000 rows")),
+        s"rowCount missing from catalog stats: $statsLine")
+
+      // 2) under CBO, ndv-based filter estimation on a stats-present dim
+      // flips the static join choice to broadcast; without column stats
+      // the filtered dim keeps the scan-size estimate and sort-merges.
+      // sparkPlan = the INITIAL physical choice (AQE may rescue the
+      // stats-less case at runtime — catalog stats fix it before any
+      // shuffle happens, which is the point).
+      val joined = () => spark.table("statdb.facts")
+        .join(spark.table("statdb.dim")
+          .filter(org.apache.spark.sql.functions.col("k") === 7), Seq("k"))
+      val dimBytes = new java.io.File(db.tablePath(root, "dim"))
+        .listFiles().map(_.length()).sum
+      withConf(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> (dimBytes / 2).toString,
+        "spark.sql.adaptive.enabled" -> "false") {
+        val before = joined().queryExecution.sparkPlan.toString
+        assert(before.contains("SortMergeJoin"),
+          s"stats-less filtered dim unexpectedly broadcast already:\n$before")
+        GraftCatalog.analyzeTable(spark, db, "dim", columns = Seq("k"))
+        val after = joined().queryExecution.sparkPlan.toString
+        assert(after.contains("BroadcastHashJoin"),
+          s"column stats did not flip the join to broadcast:\n$after")
+      }
+    } finally GraftCatalog.unregisterDatabasePersistent(spark, db)
+  }
+
+  private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
+    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("persistent regex + csv_quoted tables register as raw table + view") {
     val root = tmp()
     write(s"$root/b/r", "part-0.log", Seq("h1 INFO ok", "h2 WARN bad"))
