@@ -433,11 +433,15 @@ object Queries {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
-    t(s, d, "lineitem").createOrReplaceTempView("gsets_lineitem")
-    s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
-             FROM gsets_lineitem
-             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-             ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    // Dataset.groupingSets (Spark 4) — no session-global temp-view
+    // registration inside what is otherwise a pure-function inventory
+    t(s, d, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
   }
 
   // HLL sketches differ across engines — no hash oracle, rows-only check.
@@ -552,12 +556,16 @@ object Queries {
       |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_total
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    t(s, d, "orders").createOrReplaceTempView("win_range_orders")
-    s.sql("""SELECT o_custkey, o_orderkey,
-               cast(sum(cast(o_totalprice AS DECIMAL(18,2))) OVER (
-                 PARTITION BY o_custkey ORDER BY o_orderdate
-                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_total
-             FROM win_range_orders ORDER BY o_custkey, o_orderkey""")
+    // INTERVAL range frame in pure DataFrame form: order the window by
+    // epoch DAYS (dates are day-granular, so the integer range frame
+    // [-30, 0] is the identical peer set) — no temp-view registration
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-30, 0)
+    t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("near_total"))
+      .orderBy("o_custkey", "o_orderkey")
   }
 
   q("q_win_rank",
