@@ -161,6 +161,9 @@ object Similarity {
   def buildIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Array[Float]], path: String): Unit =
     assignCells(embeddings.select(col(idCol), col(vecCol)), vecCol, centroids)
+      // cluster by the partition key so each cell dir is written by one
+      // task (see buildLshIndex — avoids tasks × K open files)
+      .repartition(col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id").parquet(path)
 
   /** Top-k over a [[buildIvfIndex]] table. The `cell_id IN (...)` predicate
@@ -282,12 +285,18 @@ object Similarity {
         lshSignature(col(vecCol), planes).as("bucket"))
     }
     // null vectors have no signature — indexing them into bucket 0 of
-    // every table would surface them as candidates with NULL cosine
+    // every table would surface them as candidates with NULL cosine.
+    // Cluster rows by the partition key before the dynamic-partition
+    // write: without it EVERY task opens a file in EVERY (table, bucket)
+    // dir it sees — tasks × nTables·2^nBits files (committer churn at any
+    // scale, tiny-file explosion at 100 TB); clustered, each dir is
+    // written by exactly one task.
     embeddings.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol),
         explode(array(assignments: _*)).as("tb"))
       .select(col(idCol), col(vecCol),
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      .repartition(col("table"), col("bucket"))
       .write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
     writeLshMeta(embeddings.sparkSession, path, d, nBits, nTables, seed)
   }

@@ -66,8 +66,24 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if not os.path.exists(p):
+            continue
+        # graft.GenData writes Spark-style DIRECTORIES; driver fixtures are
+        # single files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+        if t == "events":
+            # GenData stores ts as epoch-NANOS BIGINT (Spark cannot write
+            # TIMESTAMP(NANOS)); mirror graft.sources.Tables' load
+            # conversion so oracle SQL sees a timestamp either way
+            ts_type = dict((r[0], r[1]) for r in
+                           con.execute("DESCRIBE SELECT * FROM events").fetchall())["ts"]
+            if ts_type == "BIGINT":
+                con.execute("DROP VIEW events")
+                con.execute(
+                    f"CREATE VIEW events AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) "
+                    f"FROM read_parquet('{src}')")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
