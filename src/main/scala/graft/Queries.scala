@@ -807,12 +807,18 @@ object Queries {
     // TPC-H Q1 pricing summary: sums/averages run in DECIMAL internally
     // (exact under any accumulation order), final projection to DOUBLE for
     // a hash-stable physical type (round-1 lesson); avg = sum/count so
-    // both engines divide the same exact decimal
+    // both engines divide the same exact decimal. The two product sums
+    // (scale 6/4) go through a VARCHAR bridge: DuckDB's direct
+    // DECIMAL→DOUBLE computes double(hugeint)/double(10^scale) — TWO
+    // roundings, off by an ulp from Spark's correctly-rounded
+    // BigDecimal.doubleValue once the scaled integer exceeds 2^53 (seen
+    // at sf1: sums ~2.7e10 at scale 6) — while VARCHAR→DOUBLE parses
+    // correctly rounded in both engines.
     """SELECT l_returnflag, l_linestatus,
       |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-      |  cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2))) * (1 + cast(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  cast(cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  cast(cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2))) * (1 + cast(l_tax AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
       |  round(cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
       |  round(cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
       |  round(cast(sum(cast(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
@@ -1139,11 +1145,17 @@ object Queries {
   }
 
   q("q_fn_json",
+    // from_json with an explicit schema parses each document ONCE into a
+    // struct (get_json_object re-parses per extracted key — the wrong
+    // idiom as soon as a second key is ever pulled)
     """SELECT event_id, cast(json_extract(props, '$.k') AS BIGINT) AS k
       |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
     t(s, d, "events").select(
       col("event_id"),
-      get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))))
+        .getField("k").as("k"))
       .orderBy("event_id")
   }
 
