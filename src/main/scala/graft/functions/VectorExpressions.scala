@@ -190,6 +190,91 @@ case class VectorQuantStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Packed sign-random-projection signature in ONE fused loop: bit b of
+  * the result is set iff `dot(vec, planes(b)) >= 0`. The composed
+  * formulation (nBits separate dot expressions folded through
+  * `when(...).otherwise(...)` + `bitwiseOR`) builds an expression tree
+  * whose generated code grows with nBits×dim — at 12 tables × 6 bits it
+  * is 72 inlined loops per row, large enough to threaten the whole-stage
+  * codegen method limits; this is one tight 2-level loop over a plain
+  * `float[][]` (no per-plane ArrayData indirection).
+  *
+  * Math contract: same ascending-index double accumulation as
+  * [[VectorDot]], so signatures are bit-identical to the composed form
+  * (and to the DuckDB `list_dot_product` oracle replay). Null or
+  * dimension-mismatched vectors → null (no signature — callers filter
+  * null vectors before signing). */
+case class SignProjection(child: Expression, planes: Seq[Seq[Float]])
+    extends UnaryExpression {
+
+  require(planes.nonEmpty && planes.size <= 63,
+    s"need 1..63 planes, got ${planes.size}")
+  require(planes.forall(_.size == planes.head.size),
+    "planes must share one dimension")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_projection needs array<float>, got ${other.sql}")
+  }
+
+  @transient private lazy val mat: Array[Array[Float]] =
+    planes.map(_.toArray).toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val dim = mat(0).length
+    if (x.numElements() != dim) return null
+    var sig = 0L
+    var b = 0
+    while (b < mat.length) {
+      val p = mat(b)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += x.getFloat(i).toDouble * p(i).toDouble; i += 1 }
+      if (acc >= 0.0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("planes", mat, "float[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val dim = ctx.freshName("dim")
+      val sig = ctx.freshName("sig")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val p = ctx.freshName("p")
+      s"""
+        int $dim = $matRef[0].length;
+        if ($a.numElements() != $dim) {
+          ${ev.isNull} = true;
+        } else {
+          long $sig = 0L;
+          for (int $b = 0; $b < $matRef.length; $b++) {
+            float[] $p = $matRef[$b];
+            double $acc = 0.0;
+            for (int $i = 0; $i < $dim; $i++) {
+              $acc += ((double) $a.getFloat($i)) * ((double) $p[$i]);
+            }
+            if ($acc >= 0.0) $sig |= 1L << $b;
+          }
+          ${ev.value} = $sig;
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignProjection =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for the codegen'd expressions. */
   def vecDot(a: Column, b: Column): Column =
@@ -206,4 +291,10 @@ object VectorFunctions {
   /** struct(scale, q_sum, q_sqsum) int8-quantization stats, one pass. */
   def vecQuantStats(a: Column): Column =
     GraftSqlBridge.column(VectorQuantStats(GraftSqlBridge.expression(a)))
+
+  /** Packed sign-projection signature over a plane matrix, one fused
+    * loop per row. */
+  def signProjection(vec: Column, planes: Seq[Array[Float]]): Column =
+    GraftSqlBridge.column(SignProjection(
+      GraftSqlBridge.expression(vec), planes.map(_.toSeq)))
 }

@@ -202,12 +202,13 @@ object Similarity {
   }
 
   /** Packed sign-bit signature of `vec` under `planes`: bit i is set iff
-    * dot(vec, plane_i) >= 0. Each dot is the codegen'd [[dot]] expression
-    * against a literal plane — nBits primitive loops map-side, no UDF. */
+    * dot(vec, plane_i) >= 0 — ONE fused codegen'd loop over the whole
+    * plane matrix (graft.functions.SignProjection) rather than nBits
+    * composed dot expressions (whose generated code grows with
+    * nBits×dim and threatens the codegen method limits at 12×6 planes).
+    * Null / dimension-mismatched vectors carry no signature (null). */
   def lshSignature(vec: Column, planes: Seq[Array[Float]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, typedLit(p.toSeq)) >= 0d, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    graft.functions.VectorFunctions.signProjection(vec, planes)
 
   private def dotLocal(a: Array[Float], b: Array[Float]): Double = {
     var d = 0.0; var i = 0
