@@ -415,6 +415,13 @@ object Similarity {
       math.sqrt(acc)
     }
 
+    // HALF_UP at 6 dp moves a value by at most 5e-7, so any raw cosine
+    // below (threshold - 5e-7) cannot round up across the threshold —
+    // the cheap primitive compare prunes ~all of the O(n²) pairs BEFORE
+    // the exact BigDecimal rounding (which would otherwise allocate per
+    // pair and dominate the kernel); survivors still round exactly, so
+    // boundary semantics are bit-identical to rounding everything
+    val guard = threshold - 5e-7
     rows.mapPartitions { it =>
       val block = bc.value
       val norms = block.map(p => norm(p._2))
@@ -429,10 +436,13 @@ object Similarity {
           if (idA < idB) {
             var dot = 0.0; var k = 0
             while (k < vecA.length) { dot += vecA(k).toDouble * vecB(k).toDouble; k += 1 }
-            val cos = java.math.BigDecimal.valueOf(dot / (nrmA * norms(j)))
-              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-            if (cos >= threshold)
-              out += org.apache.spark.sql.Row(idA, idB, cos)
+            val raw = dot / (nrmA * norms(j))
+            if (raw >= guard) {
+              val cos = java.math.BigDecimal.valueOf(raw)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              if (cos >= threshold)
+                out += org.apache.spark.sql.Row(idA, idB, cos)
+            }
           }
           j += 1
         }
@@ -529,8 +539,13 @@ object Similarity {
       col(vecCol).as("vec_b"), l2Norm(col(vecCol)).as("nrm_b"))
     a.join(b, Seq("cell_id"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos",
-        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 6))
+      .withColumn("raw",
+        dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+      // prune on the raw primitive compare BEFORE the per-row BigDecimal
+      // round (same 5e-7 HALF_UP guard band as the broadcast kernel —
+      // identical results, the round runs only on near-threshold rows)
+      .filter(col("raw") >= threshold - 5e-7)
+      .withColumn("cos", round(col("raw"), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
