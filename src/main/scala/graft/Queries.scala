@@ -2029,6 +2029,30 @@ object Queries {
     t(s, d, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
 
+  q("q_sim_topk_batch",
+    // the batch retrieval shape: 8 probes scored against the corpus in
+    // ONE pass, per-probe bounded-heap top-5 (no window sort; the oracle
+    // replays with a window because SQL has no heap, same rows)
+    """WITH probes AS (
+      |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+      |  FROM embeddings WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT p.probe_id, e.vec_id,
+      |    round(list_cosine_similarity(e.embedding::DOUBLE[], p.pv), 6) AS cos
+      |  FROM embeddings e, probes p WHERE e.vec_id >= 8)
+      |SELECT probe_id, vec_id, cos FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
+      |  FROM scored)
+      |WHERE rn <= 5
+      |ORDER BY probe_id, cos DESC, vec_id""".stripMargin) { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    graft.operators.Similarity.batchTopK(
+        emb.filter(col("vec_id") >= 8), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+      .orderBy(col("probe_id"), col("cos").desc, col("vec_id"))
+  }
+
   q("q_sim_ivf", ivfOracleSql) { (s, d) =>
     val emb = t(s, d, "embeddings")
     graft.operators.Similarity.ivfTopK(

@@ -87,6 +87,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch cosine top-k: score EVERY probe in ONE pass over the corpus —
+    * the realistic retrieval workload (thousands of probes against a
+    * 100 TB corpus), where per-probe scans would re-read the table per
+    * query. The probe set rides as a broadcast; per (probe, row) cosine
+    * is map-side codegen'd; per-probe top-k is the bounded-heap
+    * [[graft.functions.SketchAggregates.topKAgg]] with map-side partial
+    * aggregation — the shuffle carries at most k rows per probe per
+    * mapper and NOTHING is ever globally sorted (a window-rank
+    * formulation would shuffle and fully sort every scored row).
+    * Ties break (score desc, id asc), same as the single-probe ops. */
+  def batchTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      k: Int): DataFrame = {
+    val p = broadcast(probes.select(col(probeIdCol).as("probe_id"),
+      col(probeVecCol).as("probe_vec")))
+    embeddings.crossJoin(p)
+      .select(col("probe_id"),
+        col(idCol).cast("long").as("__nid"),
+        round(cosine(col(vecCol), col("probe_vec")), 6).as("cos"))
+      .groupBy("probe_id")
+      .agg(graft.functions.SketchAggregates.topKAgg(col("cos"), col("__nid"), k)
+        .as("top"))
+      .select(col("probe_id"), explode(col("top")).as("e"))
+      .select(col("probe_id"), col("e.id").as(idCol), col("e.score").as("cos"))
+  }
+
   /** Symmetric per-vector int8 quantization (the storage path for large
     * embedding tables: 4x smaller than float32, dot products still usable
     * after dequantization by `scale`). scale = max|x|/127; zero vectors

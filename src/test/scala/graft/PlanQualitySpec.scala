@@ -178,6 +178,20 @@ class PlanQualitySpec extends SparkTestBase {
       s"confirm join degenerated:\n$p")
   }
 
+  test("q_sim_topk_batch: broadcast probes, heap aggregate, no window or global sort of scored rows") {
+    val p = plan("q_sim_topk_batch")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"probe set is not broadcast:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"heap top-k aggregate missing:\n$p")
+    assert(!p.contains("Window"), s"batch top-k regressed to a window sort:\n$p")
+    // the only Sort allowed is the final tiny ORDER BY over ≤40 result
+    // rows — it must sit ABOVE the aggregate, not under it
+    val aggAt = p.indexOf("ObjectHashAggregate")
+    val lastSort = p.lastIndexOf("Sort ")
+    assert(lastSort < 0 || lastSort < aggAt,
+      s"scored stream is sorted below the aggregate:\n$p")
+  }
+
   test("q_sim_ivf_indexed probes prune at the FILE level (cell_id partition filter)") {
     val p = SparkEntry.queries("q_sim_ivf_indexed")(spark, sf())
       .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
