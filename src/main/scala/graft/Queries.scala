@@ -2029,6 +2029,32 @@ object Queries {
     t(s, d, "embeddings").filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
 
+  q("q_dedup_embed_incremental",
+    // incremental embedding dedup: odd vec_ids are the "new" increment,
+    // even the existing corpus; IVF-cell blocking (first 8 vectors as
+    // centroids, the q_sim_ivf convention) replays exactly in SQL —
+    // only same-cell new×existing pairs are ever scored
+    """WITH cent AS (
+      |  SELECT vec_id AS c, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 8),
+      |assigned AS (
+      |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+      |    (SELECT c FROM cent
+      |     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], ce), 9) DESC, c
+      |     LIMIT 1) AS cell
+      |  FROM embeddings e)
+      |SELECT n.vec_id AS id_new, o.vec_id AS id_old,
+      |  round(list_cosine_similarity(n.v, o.v), 6) AS cos
+      |FROM assigned n JOIN assigned o ON n.cell = o.cell
+      |WHERE n.vec_id % 2 = 1 AND o.vec_id % 2 = 0
+      |  AND round(list_cosine_similarity(n.v, o.v), 6) >= 0.45
+      |ORDER BY id_new, id_old""".stripMargin) { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    graft.operators.Similarity.nearDupAgainstCorpus(
+        emb.filter(col("vec_id") % 2 === 1), emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", ivfCentroids(s, d), threshold = 0.45)
+      .orderBy("id_new", "id_old")
+  }
+
   q("q_sim_topk_batch",
     // the batch retrieval shape: 8 probes scored against the corpus in
     // ONE pass, per-probe bounded-heap top-5 (no window sort; the oracle

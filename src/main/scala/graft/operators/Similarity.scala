@@ -576,6 +576,34 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Incremental embedding dedup: cosine near-dup pairs of NEW vectors
+    * vs an EXISTING corpus ONLY — the daily-increment shape, mirroring
+    * [[Dedup.dedupAgainstCorpus]] for text. The existing×existing
+    * quadrant (the overwhelming bulk at 100 TB) is never compared: both
+    * sides block by IVF cell and only same-cell new×existing pairs are
+    * scored (standard blocked-ANN dedup, approximate recall — identical
+    * blocking to [[embeddingNearDupPairs]]). At scale the existing
+    * side's assignment is the already-materialized [[buildIvfIndex]]
+    * table, so an increment pays O(|new|) assignment plus keyed joins.
+    * Returns (id_new, id_old, cos). */
+  def nearDupAgainstCorpus(newEmb: DataFrame, existingEmb: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[Array[Float]],
+      threshold: Double): DataFrame = {
+    val cent = typedLit(centroids.map(_.toSeq))
+    def assigned(df: DataFrame, side: String) = df
+      .withColumn("cell_id", cellIdExpr(col(vecCol), cent, centroids.size))
+      .select(col("cell_id"), col(idCol).cast("long").as(s"id_$side"),
+        col(vecCol).as(s"vec_$side"), l2Norm(col(vecCol)).as(s"nrm_$side"))
+    assigned(newEmb, "new").join(assigned(existingEmb, "old"), Seq("cell_id"))
+      .withColumn("raw",
+        dot(col("vec_new"), col("vec_old")) / (col("nrm_new") * col("nrm_old")))
+      // same 5e-7 HALF_UP guard band as the other cosine kernels
+      .filter(col("raw") >= threshold - 5e-7)
+      .withColumn("cos", round(col("raw"), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_new", "id_old", "cos")
+  }
+
   /** SemDeDup-style semantic deduplication: cosine near-dup pairs →
     * connected components → keep only each component's min-id root (plus
     * every row in no component). Returns the surviving rows of `emb`

@@ -150,6 +150,35 @@ class OperatorsSpec extends SparkTestBase {
       s"bucket predicate did not reach partition pruning:\n$scan")
   }
 
+  test("nearDupAgainstCorpus: cross-set only, exact cosines, finds planted pairs") {
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    val newSide = emb.filter(col("vec_id") % 2 === 1)
+    val oldSide = emb.filter(col("vec_id") % 2 === 0)
+    val pairs = Similarity.nearDupAgainstCorpus(
+        newSide, oldSide, "vec_id", "embedding", centroids, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // strictly new x existing — no within-side pair can appear
+    assert(pairs.forall { case (n, o, _) => n % 2 == 1 && o % 2 == 0 })
+    // every returned cosine equals the exact brute value
+    val brute = Similarity.bruteNearDupPairsJoin(emb, "vec_id", "embedding", 0.45)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pairs.foreach { case (n, o, c) =>
+      val key = if (n < o) (n, o) else (o, n)
+      assert(brute.get(key).contains(c), s"pair ($n,$o) cos $c not in brute set")
+    }
+    // exact expected set, computed independently: same-cell cross-parity
+    // brute pairs (assignCells is the blocking both paths share)
+    val cells = Similarity.assignCells(emb, "embedding", centroids)
+      .select("vec_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = brute.keySet.filter { case (a, b) =>
+      (a + b) % 2 == 1 && cells(a) == cells(b)
+    }.map { case (a, b) => if (a % 2 == 1) (a, b) else (b, a) }
+    assert(pairs.map(p => (p._1, p._2)).toSet == expected,
+      s"blocked pair set mismatch: got ${pairs.toSeq.sorted}, want $expected")
+  }
+
   test("vecQuantStats equals the HOF quantizeInt8 formulation") {
     val viaExpr = emb.select(col("vec_id"),
         graft.functions.VectorFunctions.vecQuantStats(col("embedding")).as("st"))
