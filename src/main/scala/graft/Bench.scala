@@ -23,7 +23,6 @@ object Bench {
     queries.sortBy(_._1).map { case (name, fn) =>
       val stages = Queries.sharedStages.getOrElse(name, Nil)
       val warm = stages.nonEmpty && stages.forall(stagesSeen.contains)
-      stagesSeen ++= stages
       val t0 = System.nanoTime()
       val err = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -31,6 +30,10 @@ object Bench {
       } catch { case e: Throwable =>
         Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
       }
+      // a FAILED stage-paying query did not materialize the shared
+      // stage — marking it seen would mislabel later consumers warm
+      // while they pay the cold build
+      if (err.isEmpty) stagesSeen ++= stages
       QueryResult(name, (System.nanoTime() - t0) / 1e9, err, stages.nonEmpty, warm)
     }
   }

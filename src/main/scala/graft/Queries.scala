@@ -44,19 +44,28 @@ object Queries {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
 
+  /** The one shared accessor for every weak-session cache in this file
+    * (sharedFrame AND annIndexPath ride it): lock the cache, resolve the
+    * per-session map, run `f` under the lock. Concurrency-sensitive —
+    * keep the single copy. */
+  private def withSessionMap[V, T](
+      cache: java.util.Map[SparkSession, scala.collection.mutable.Map[String, V]],
+      s: SparkSession)(f: scala.collection.mutable.Map[String, V] => T): T =
+    cache.synchronized {
+      val m = cache.get(s)
+      val perSession = if (m != null) m else {
+        val m2 = scala.collection.mutable.Map.empty[String, V]
+        cache.put(s, m2)
+        m2
+      }
+      f(perSession)
+    }
+
   private def sharedFrame(
       cache: java.util.Map[SparkSession, scala.collection.mutable.Map[String, DataFrame]],
       s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
     def withMap[T](f: scala.collection.mutable.Map[String, DataFrame] => T): T =
-      cache.synchronized {
-        val m = cache.get(s)
-        val perSession = if (m != null) m else {
-          val m2 = scala.collection.mutable.Map.empty[String, DataFrame]
-          cache.put(s, m2)
-          m2
-        }
-        f(perSession)
-      }
+      withSessionMap(cache, s)(f)
     val cached = withMap { m =>
       // keep at most one corpus cached per session
       m.filterInPlace { (d, df) =>
@@ -557,11 +566,14 @@ object Queries {
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     // INTERVAL range frame in pure DataFrame form: order the window by
-    // epoch DAYS (dates are day-granular, so the integer range frame
-    // [-30, 0] is the identical peer set) — no temp-view registration
+    // epoch MICROS with a [-30 days, 0] micros range — the identical
+    // peer set to the oracle's RANGE INTERVAL 30 DAY at ANY timestamp
+    // granularity (a day-granular key would lump all same-day rows into
+    // every frame) — and no temp-view registration
     val w = Window.partitionBy("o_custkey")
-      .orderBy(datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
-      .rangeBetween(-30, 0)
+      // NTZ→LTZ cast is wall-clock identity under the fixed UTC session
+      .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+      .rangeBetween(-30L * 86400 * 1000000, 0)
     t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
         sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
           .cast("double").as("near_total"))
@@ -1150,12 +1162,16 @@ object Queries {
     // idiom as soon as a second key is ever pulled)
     """SELECT event_id, cast(json_extract(props, '$.k') AS BIGINT) AS k
       |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    // the field parses as STRING then casts: a LongType field would
+    // PERMISSIVE-null a string-encoded number ({"k": "12"}) where the
+    // oracle's json_extract::BIGINT still yields 12 — string-then-cast
+    // accepts both encodings identically in both engines
     t(s, d, "events").select(
       col("event_id"),
       from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("k",
-          org.apache.spark.sql.types.LongType))))
-        .getField("k").as("k"))
+          org.apache.spark.sql.types.StringType))))
+        .getField("k").cast("bigint").as("k"))
       .orderBy("event_id")
   }
 
@@ -2097,24 +2113,33 @@ object Queries {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, String]]())
 
+  // every created temp root (winners AND losing racers' orphans) is
+  // removed at JVM exit — repeated Bench/Verify/test runs must not
+  // accumulate multi-hundred-directory index trees in java.io.tmpdir
+  private val annTmpRoots =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.nio.file.Path]())
+  private lazy val annCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      annTmpRoots.forEach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }, "graft-ann-index-cleanup"))
+
   private def annIndexPath(s: SparkSession, dir: String, kind: String)(
       build: String => Unit): String = {
-    def withMap[T](f: scala.collection.mutable.Map[String, String] => T): T =
-      annIndexCache.synchronized {
-        val m = annIndexCache.get(s)
-        val per = if (m != null) m else {
-          val m2 = scala.collection.mutable.Map.empty[String, String]
-          annIndexCache.put(s, m2)
-          m2
-        }
-        f(per)
-      }
     val key = s"$kind|$dir"
-    withMap(_.get(key)).getOrElse {
-      val p = java.nio.file.Files.createTempDirectory(s"graft_${kind}_idx")
-        .resolve("index").toString
+    withSessionMap(annIndexCache, s)(_.get(key)).getOrElse {
+      annCleanupHook
+      val root = java.nio.file.Files.createTempDirectory(s"graft_${kind}_idx")
+      annTmpRoots.add(root)
+      val p = root.resolve("index").toString
       build(p)
-      withMap(_.getOrElseUpdate(key, p))
+      withSessionMap(annIndexCache, s)(_.getOrElseUpdate(key, p))
     }
   }
 

@@ -116,7 +116,15 @@ object Dedup {
   /** (doc_id, band, bucket) LSH banding of a (doc_id, signature) frame —
     * the derived index an incremental pipeline PERSISTS for its corpus
     * (signatures + bands are a few hundred bytes/doc; the text never needs
-    * to be re-read). */
+    * to be re-read).
+    *
+    * HASH-VERSION NOTE: bucket values are md5-derived
+    * ([[graft.functions.NeutralHash]]); any band index persisted by a
+    * pre-NeutralHash (xxhash64) build has DISJOINT bucket values —
+    * probing it with current-code bands silently yields zero candidates,
+    * so such an index must be rebuilt (the schema is identical, which is
+    * why no automatic check can catch this; cf. the `_lsh_index_meta`
+    * validation the embedding-LSH index performs). */
   def minHashBands(sigs: DataFrame, numHashes: Int = 64,
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")

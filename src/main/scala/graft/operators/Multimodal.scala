@@ -37,14 +37,34 @@ object Multimodal {
   final case class DecodedImage(width: Int, height: Int, channels: Int,
       gray: Array[Byte])
 
+  // the default ImageIO read path backs every decode with a
+  // FileCacheImageInputStream TEMP FILE even for in-memory sources —
+  // per-row disk churn on executors in the hot mapPartitions path
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    // corrupt-but-claimed payloads throw RuntimeExceptions from the
+    // plugin readers (CMMException on broken ICC profiles,
+    // ArrayIndexOutOfBounds on truncated bodies) — any failure means
+    // "no codec decodes this", which is the fallback contract, not a
+    // task-killing error
+    try javax.imageio.ImageIO.read(in)
+    catch { case scala.util.control.NonFatal(_) => null }
+    // ImageIO.read closes the stream itself on success; close again only
+    // for the failure paths that left it open (double-close throws)
+    finally {
+      try in.close()
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** REAL image decode via the JDK's bundled `javax.imageio` readers
     * (PNG/JPEG/BMP/GIF/WBMP). None when no installed codec claims the
-    * bytes — the caller's fallback path handles non-image payloads. */
+    * bytes (or the claimed payload is corrupt) — the caller's fallback
+    * path handles non-image payloads. */
   def decodeImage(payload: Array[Byte]): Option[DecodedImage] = {
     if (payload == null || payload.length == 0) return None
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+    val img = readImage(payload)
     if (img == null) None
     else {
       val w = img.getWidth; val h = img.getHeight
@@ -191,9 +211,7 @@ object Multimodal {
   private[operators] def resizeImagePayload(payload: Array[Byte],
       targetW: Int, targetH: Int): Option[Array[Byte]] = {
     if (payload == null || payload.length == 0) return None
-    val src =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+    val src = readImage(payload)
     if (src == null) None
     else {
       val out = new java.awt.image.BufferedImage(targetW, targetH,
