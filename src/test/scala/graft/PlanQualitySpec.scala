@@ -192,6 +192,13 @@ class PlanQualitySpec extends SparkTestBase {
       s"scored stream is sorted below the aggregate:\n$p")
   }
 
+  test("q_dedup_embed_incremental is a cell-keyed equi-join — no cartesian pair explosion") {
+    val p = plan("q_dedup_embed_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"incremental embed dedup degenerated to an all-pairs product:\n$p")
+    assert(p.contains("cell_id"), s"cell blocking missing from the join:\n$p")
+  }
+
   test("q_sim_ivf_indexed probes prune at the FILE level (cell_id partition filter)") {
     val p = SparkEntry.queries("q_sim_ivf_indexed")(spark, sf())
       .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
