@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{MinHashAgg, SimHashAgg, TopKAgg, VectorDot, VectorNorm, VectorQuantStats}
+import graft.functions.{KmvDistinctAgg, MinHashAgg, SimHashAgg, TopKAgg, VectorDot, VectorNorm, VectorQuantStats}
 
 /** SparkSessionExtensions entry point: makes graft's custom expressions
   * callable from SQL (`SELECT vec_dot(a.embedding, b.embedding) ...`).
@@ -52,6 +52,13 @@ object GraftExtensions {
       info("simhash_agg", "simhash_agg(word) - 64-bit simhash bit-vote"),
       (args: Seq[Expression]) => {
         arity(args, 1, "simhash_agg"); SimHashAgg(args(0)) }),
+    (FunctionIdentifier("kmv_distinct"),
+      info("kmv_distinct",
+        "kmv_distinct(value, k) - engine-neutral approximate distinct " +
+          "count (k-minimum-values over md5; exact below k)"),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "kmv_distinct")
+        KmvDistinctAgg(args(0), litInt(args(1), "k")) }),
     (FunctionIdentifier("word_shingles"),
       info("word_shingles",
         "word_shingles(text, n) - distinct lowercase word n-grams"),

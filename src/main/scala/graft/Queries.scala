@@ -460,6 +460,34 @@ object Queries {
       .orderBy("o_orderstatus")
   }
 
+  q("q_agg_approx_distinct_kmv",
+    // the ENGINE-NEUTRAL approximate distinct: KMV over md5 — the k
+    // smallest distinct hashes are a deterministic function of the input
+    // set, so the whole estimate replays in SQL (unlike any HLL register
+    // layout). Exact when the group has < k distinct values; otherwise
+    // (k-1) * 2^64 / kth-min, both engines converting the SAME u64 with
+    // one correctly-rounded step.
+    """WITH h AS (
+      |  SELECT DISTINCT o_orderstatus,
+      |         md5_number_lower(CAST(o_custkey AS VARCHAR)) AS hv
+      |  FROM orders),
+      |r AS (SELECT o_orderstatus, hv,
+      |        row_number() OVER (PARTITION BY o_orderstatus ORDER BY hv) AS rn,
+      |        count(*) OVER (PARTITION BY o_orderstatus) AS d
+      |      FROM h)
+      |SELECT o_orderstatus,
+      |  round(CASE WHEN max(d) < 64 THEN CAST(max(d) AS DOUBLE)
+      |        ELSE 63 * 18446744073709551616.0 /
+      |             CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END,
+      |    4) AS approx_cust
+      |FROM r GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    t(s, d, "orders").groupBy("o_orderstatus")
+      .agg(round(graft.functions.SketchAggregates.kmvDistinct(
+        col("o_custkey").cast("string"), 64), 4).as("approx_cust"))
+      .orderBy("o_orderstatus")
+  }
+
   q("q_agg_percentile",
     // exact interpolated percentiles: Spark percentile() and DuckDB
     // quantile_cont share the Hive p*(n-1) interpolation

@@ -295,6 +295,130 @@ case class TopKAgg(
     copy(scoreChild = newChildren(0), idChild = newChildren(1))
 }
 
+/** KMV (k-minimum-values) distinct-count sketch over the neutral md5
+  * hash — the ENGINE-NEUTRAL alternative to HLL approx_count_distinct:
+  * because the k smallest distinct hash values are a deterministic
+  * function of the input set, an external SQL engine replays the whole
+  * estimate (DuckDB: the k-th smallest DISTINCT `md5_number_lower`, then
+  * `(k-1) * 2^64 / kth`), which no engine-specific HLL register layout
+  * allows. Estimator (Bar-Yossef et al. 2002): with fewer than k
+  * distinct hashes seen the sketch IS exact (estimate = size); past it,
+  * est = (k-1) * 2^64 / unsigned(kth-min). The k-th min converts to
+  * double by ONE correctly-rounded step (BigDecimal), matching the
+  * external engine's single u64→double conversion bit-for-bit.
+  *
+  * Buffer = size-k max-at-root heap of UNSIGNED longs holding the k
+  * smallest distinct hashes; one md5 per row, O(log k) on the rare
+  * sub-root insert, O(k) duplicate scan only for candidate inserts.
+  * Map-side partial aggregation merges heaps. */
+case class KmvDistinctAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] {
+
+  require(k >= 2, s"kmv needs k >= 2, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kmv_distinct needs a string input, got ${other.sql}")
+    }
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(NeutralHash.lower64(v.asInstanceOf[UTF8String]))
+    buf
+  }
+
+  override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = {
+    var i = 0
+    while (i < b.size) { a.add(b.hashes(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: KmvBuffer): Any =
+    if (buf.size < buf.k) buf.size.toDouble
+    else {
+      // kth-min as unsigned, converted in ONE correctly-rounded step
+      val u = new java.math.BigDecimal(
+        java.lang.Long.toUnsignedString(buf.kthMin)).doubleValue()
+      (buf.k - 1).toDouble * 18446744073709551616.0 / u
+    }
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + buf.size * 8)
+    bb.putInt(buf.k); bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) { bb.putLong(buf.hashes(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val kk = bb.getInt; val n = bb.getInt
+    val buf = new KmvBuffer(kk)
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinctAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinctAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvDistinctAgg =
+    copy(child = newChildren.head)
+}
+
+/** Max-at-root heap of the k smallest DISTINCT unsigned longs. */
+final class KmvBuffer(val k: Int) extends Serializable {
+  val hashes = new Array[Long](k)
+  var size = 0
+
+  @inline private def gtU(a: Long, b: Long): Boolean =
+    java.lang.Long.compareUnsigned(a, b) > 0
+
+  def kthMin: Long = hashes(0) // root = largest kept = k-th smallest
+
+  def add(h: Long): Unit = {
+    if (size < k) {
+      // linear duplicate scan — the buffer is small and warmup-only
+      var i = 0
+      while (i < size) { if (hashes(i) == h) return; i += 1 }
+      hashes(size) = h; size += 1
+      var c = size - 1
+      while (c > 0 && gtU(hashes(c), hashes((c - 1) / 2))) {
+        val t = hashes(c); hashes(c) = hashes((c - 1) / 2); hashes((c - 1) / 2) = t
+        c = (c - 1) / 2
+      }
+    } else if (gtU(hashes(0), h)) {
+      var i = 0
+      while (i < size) { if (hashes(i) == h) return; i += 1 }
+      hashes(0) = h
+      var c = 0
+      var done = false
+      while (!done) {
+        val l = 2 * c + 1; val r = 2 * c + 2
+        var big = c
+        if (l < size && gtU(hashes(l), hashes(big))) big = l
+        if (r < size && gtU(hashes(r), hashes(big))) big = r
+        if (big == c) done = true
+        else { val t = hashes(c); hashes(c) = hashes(big); hashes(big) = t; c = big }
+      }
+    }
+  }
+}
+
 object SketchAggregates {
   def minhashAgg(shingle: Column, numHashes: Int): Column =
     GraftSqlBridge.column(
@@ -309,5 +433,11 @@ object SketchAggregates {
   def topKAgg(score: Column, id: Column, k: Int): Column =
     GraftSqlBridge.column(
       TopKAgg(GraftSqlBridge.expression(score), GraftSqlBridge.expression(id), k)
+        .toAggregateExpression())
+
+  /** Engine-neutral approximate distinct count (KMV over md5). */
+  def kmvDistinct(value: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      KmvDistinctAgg(GraftSqlBridge.expression(value), k)
         .toAggregateExpression())
 }
