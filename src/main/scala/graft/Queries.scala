@@ -2099,6 +2099,23 @@ object Queries {
       .orderBy("id_new", "id_old")
   }
 
+  q("q_text_heavy_hitters",
+    // corpus-wide most-frequent tokens: map-side partial counts shuffle
+    // |vocab| rows, then a TakeOrdered top-20 — never a global sort of
+    // the token stream (the heavy-hitters pass every corpus audit runs)
+    """SELECT w, count(*) AS n FROM (
+      |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+      |  FROM documents)
+      |WHERE w <> ''
+      |GROUP BY w
+      |ORDER BY n DESC, w LIMIT 20""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(20)
+  }
+
   q("q_sim_topk_batch",
     // the batch retrieval shape: 8 probes scored against the corpus in
     // ONE pass, per-probe bounded-heap top-5 (no window sort; the oracle
