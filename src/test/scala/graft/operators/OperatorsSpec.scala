@@ -179,6 +179,22 @@ class OperatorsSpec extends SparkTestBase {
       s"blocked pair set mismatch: got ${pairs.toSeq.sorted}, want $expected")
   }
 
+  test("lshTopKIndexed rejects probe params that mismatch the stored index metadata") {
+    val probe = emb.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val dir = java.nio.file.Files.createTempDirectory("lshmeta").toString + "/idx"
+    Similarity.buildLshIndex(emb, "vec_id", "embedding", dir)
+    // wrong seed regenerates planes that silently miss every stored
+    // signature — the metadata check must turn that into an error
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTopKIndexed(spark, dir, "vec_id", "embedding", probe,
+        k = 10, seed = 99L)
+    }
+    assert(e.getMessage.contains("seed"), e.getMessage)
+    // matching params still probe fine
+    assert(Similarity.lshTopKIndexed(spark, dir, "vec_id", "embedding", probe,
+      k = 10).count() > 0)
+  }
+
   test("vecQuantStats equals the HOF quantizeInt8 formulation") {
     val viaExpr = emb.select(col("vec_id"),
         graft.functions.VectorFunctions.vecQuantStats(col("embedding")).as("st"))
