@@ -95,12 +95,8 @@ object Bench {
       .count().write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"${sfDir.stripSuffix("/")}/region.parquet")
       .write.format("noop").mode("overwrite").save()
-    // dev filter, mirroring Verify: SPARK_GRAFT_ONLY=q_a,q_b (unset = all)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.toSeq
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-    println(renderJson(runQueries(spark, sfDir, selected), sfDir))
+    println(renderJson(
+      runQueries(spark, sfDir, SparkEntry.selectedQueries), sfDir))
     spark.stop()
   }
 }

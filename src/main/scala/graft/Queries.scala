@@ -470,7 +470,7 @@ object Queries {
     """WITH h AS (
       |  SELECT DISTINCT o_orderstatus,
       |         md5_number_lower(CAST(o_custkey AS VARCHAR)) AS hv
-      |  FROM orders),
+      |  FROM orders WHERE o_custkey IS NOT NULL),
       |r AS (SELECT o_orderstatus, hv,
       |        row_number() OVER (PARTITION BY o_orderstatus ORDER BY hv) AS rn,
       |        count(*) OVER (PARTITION BY o_orderstatus) AS d

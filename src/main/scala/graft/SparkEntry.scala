@@ -43,4 +43,21 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Queries.oracles
+
+  /** The query inventory after the `SPARK_GRAFT_ONLY=q_a,q_b` dev filter
+    * (unset/blank = all). Shared by Verify and Bench so the two dev
+    * filters cannot desynchronize. A name that matches no query is a hard
+    * error — a typo'd filter would otherwise run zero queries and present
+    * an empty-but-clean result as a passing gate. */
+  def selectedQueries: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names -- queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    queries.toSeq.filter { case (name, _) => only.forall(_.contains(name)) }
+  }
 }
