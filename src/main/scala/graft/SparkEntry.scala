@@ -49,8 +49,12 @@ object SparkEntry {
     * filters cannot desynchronize. A name that matches no query is a hard
     * error — a typo'd filter would otherwise run zero queries and present
     * an empty-but-clean result as a passing gate. */
-  def selectedQueries: Seq[(String, (SparkSession, String) => DataFrame)] = {
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+  def selectedQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    selectedQueries(sys.env.get("SPARK_GRAFT_ONLY"))
+
+  private[graft] def selectedQueries(filter: Option[String])
+      : Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val only = filter
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
     only.foreach { names =>

@@ -44,6 +44,20 @@ class EntrySpec extends SparkTestBase {
     assert(unknown.isEmpty, s"sharedStages entries without queries: $unknown")
   }
 
+  test("selectedQueries: subset filter selects exactly; unknown names fail fast") {
+    val all = SparkEntry.selectedQueries(None).map(_._1).toSet
+    assert(all == SparkEntry.queries.keySet)
+    // blank / whitespace-only filter = no filter (not zero queries)
+    assert(SparkEntry.selectedQueries(Some(" , ")).map(_._1).toSet == all)
+    val two = SparkEntry.selectedQueries(Some("q_scan_all, q_agg_group"))
+    assert(two.map(_._1).toSet == Set("q_scan_all", "q_agg_group"))
+    // a typo must be a hard error, never an empty-but-clean run
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.selectedQueries(Some("q_scan_all,q_typo_nope"))
+    }
+    assert(e.getMessage.contains("q_typo_nope"))
+  }
+
   test("bench reports a broken query as an error, never as a fast time") {
     import org.apache.spark.sql.functions._
     val ok: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
