@@ -67,6 +67,18 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("user_id"), s"events pruning failed:\n$p")
   }
 
+  test("q_agg_approx_distinct_kmv sketches partially before the shuffle") {
+    val p = plan("q_agg_approx_distinct_kmv")
+    // KmvDistinctAgg is a TypedImperativeAggregate: ObjectHashAggregate
+    // partial+final around the exchange means only k-sized sketch buffers
+    // cross the wire, never raw keys
+    assert(p.contains("ObjectHashAggregate"), s"no object hash aggregate:\n$p")
+    assert(p.toLowerCase.contains("partial"), s"no map-side partial sketch:\n$p")
+    // orders has 9 columns; the scan must read only the group key + hashed key
+    assert(!p.contains("o_totalprice") && !p.contains("o_orderdate"),
+      s"orders scan not pruned to (o_orderstatus, o_custkey):\n$p")
+  }
+
   test("q_topk_grouped aggregates partially with no window or global sort of the input") {
     val p = plan("q_topk_grouped")
     assert(!p.contains("Window"), s"window snuck into the TopKAgg plan:\n$p")
