@@ -1782,6 +1782,26 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  q("q_sample_cap_source",
+    // domain capping: at most 7 docs per source by descending
+    // NeutralHash rank (deterministic uniform sample, no seed). The
+    // oracle is the window formulation; the Spark plan is the bounded-
+    // heap TopKAgg (see Sampling.capPerGroup — the window would fully
+    // sort every hot domain at 100 TB). Rank key = hash >> 11: top 53
+    // bits, exact in both engines, ties broken by ascending doc_id.
+    """WITH r AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY (md5_number_lower(CAST(doc_id AS VARCHAR)) >> 11) DESC,
+      |               doc_id) AS rn
+      |  FROM documents WHERE doc_id IS NOT NULL)
+      |SELECT source, doc_id FROM r WHERE rn <= 7
+      |ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Sampling.capPerGroup(
+        t(s, d, "documents"), "source", "doc_id", 7)
+      .orderBy("source", "doc_id")
+  }
+
   q("q_corpus_mix",
     // data-mixture weighting: per-language token mass and the
     // sample-rate/epoch factor needed to hit a target share of a 1M-token

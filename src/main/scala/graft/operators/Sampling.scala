@@ -48,6 +48,33 @@ object Sampling {
       .filter(col("h8") < thr)
   }
 
+  /** Per-group cap: keep at most `k` rows per group, chosen by descending
+    * engine-neutral hash rank of `idCol` (ties broken by ascending id) — a
+    * deterministic, seed-free uniform sample. The "at most N docs per
+    * domain" guard that stops one hot domain from flooding a training mix.
+    *
+    * Scale (100 TB): a bounded-heap TopKAgg, NOT a window row_number — the
+    * window formulation must shuffle and FULLY SORT every group's rows
+    * (one giant sort task per hot domain); the heap keeps k entries per
+    * group with map-side partial aggregation, so the shuffle carries at
+    * most k rows per group per mapper. The rank key is the top 53 bits of
+    * the md5-derived [[graft.functions.NeutralHash]] (`>>> 11`): exact as
+    * a Double here and exact as `UBIGINT >> 11` in an external oracle, so
+    * the selection replays bit-for-bit with no float edge cases. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val hrank = shiftrightunsigned(
+      graft.functions.NeutralHash.lower64Col(col(idCol).cast("string")), 11)
+      .cast("double")
+    df.filter(col(idCol).isNotNull)
+      .select(col(groupCol), col(idCol), hrank.as("hrank"))
+      .groupBy(groupCol)
+      .agg(graft.functions.SketchAggregates.topKAgg(
+        col("hrank"), col(idCol), k).as("top"))
+      .select(col(groupCol), explode(col("top.id")).as(idCol))
+  }
+
   /** CASE group WHEN k1 THEN v1 ... ELSE default END, empty-map safe
     * (collapses to the default literal). */
   private def caseOver[T](group: Column, entries: Map[String, T],

@@ -79,6 +79,16 @@ class PlanQualitySpec extends SparkTestBase {
       s"orders scan not pruned to (o_orderstatus, o_custkey):\n$p")
   }
 
+  test("q_sample_cap_source caps via heap aggregate — no window, text column pruned") {
+    val p = plan("q_sample_cap_source")
+    assert(!p.contains("Window"), s"window row_number snuck into the cap plan:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"no heap aggregate:\n$p")
+    assert(p.toLowerCase.contains("partial"), s"no map-side partial agg:\n$p")
+    // the documents scan must not read the (large) text column for a cap
+    // that only needs (source, doc_id)
+    assert(!p.contains("text"), s"documents scan not pruned to (source, doc_id):\n$p")
+  }
+
   test("q_topk_grouped aggregates partially with no window or global sort of the input") {
     val p = plan("q_topk_grouped")
     assert(!p.contains("Window"), s"window snuck into the TopKAgg plan:\n$p")
