@@ -1832,6 +1832,46 @@ object Queries {
       .orderBy("lang")
   }
 
+  q("q_corpus_mix_apply",
+    // the mixture loop CLOSED: mixtureWeights' sample_rate applied to the
+    // corpus in the same pass — weights broadcast-join onto documents,
+    // per-row threshold from the rate, md5-prefix keep rule. The 20k
+    // budget against sf0.01's ~27k tokens exercises all three branches:
+    // fractional keep (en/de/es), keep-all (zh: target > actual), and
+    // drop-all (fr: absent from the share map).
+    """WITH g AS (
+      |  SELECT lang,
+      |    CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY lang),
+      |w AS (
+      |  SELECT lang,
+      |    CASE WHEN tokens = 0 THEN NULL
+      |         ELSE least(round(CAST(floor(
+      |             CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.3
+      |                            WHEN 'de' THEN 0.1 WHEN 'es' THEN 0.1
+      |                            ELSE 0.0 END AS DOUBLE)
+      |             * 20000) AS BIGINT) * 1.0 / tokens, 6), 1.0) END AS sample_rate
+      |  FROM g),
+      |t AS (
+      |  SELECT lang,
+      |    CASE WHEN sample_rate IS NULL THEN '00000000'
+      |         WHEN sample_rate >= 1.0 THEN 'g'
+      |         ELSE lpad(lower(hex(CAST(floor(sample_rate * 4294967296.0) AS BIGINT))), 8, '0')
+      |    END AS thr
+      |  FROM w)
+      |SELECT d.doc_id, d.lang, substr(md5(d.text), 1, 8) AS h8
+      |FROM documents d JOIN t ON d.lang = t.lang
+      |WHERE substr(md5(d.text), 1, 8) < t.thr
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Sampling.applyMixture(
+        t(s, d, "documents"), "lang", "text",
+        targetShares = Map("en" -> 0.5, "zh" -> 0.3, "de" -> 0.1,
+          "es" -> 0.1),
+        budgetTokens = 20000L)
+      .select("doc_id", "lang", "h8")
+      .orderBy("doc_id")
+  }
+
   q("q_corpus_clean",
     // the COMPOSITE pipeline replayed end-to-end in SQL: exact min-id
     // dedup → ngram-Jaccard pairs over survivors → recursive-closure

@@ -48,6 +48,34 @@ object Sampling {
       .filter(col("h8") < thr)
   }
 
+  /** The mixture loop closed end-to-end: compute [[mixtureWeights]] and
+    * APPLY each group's `sample_rate` as the same deterministic md5-prefix
+    * rule [[stratifiedSample]] uses, in one distributed pass. The
+    * |groups|-row weights frame broadcast-joins onto the corpus and the
+    * keep threshold derives from `sample_rate` per row — no driver
+    * collect, no CASE compile, so an unbounded group count works: the
+    * 100 TB plan is scan → broadcast hash join → codegen'd filter.
+    * Zero-token / excluded groups (null or 0 rate) keep nothing;
+    * upsampled groups (epochs > 1) keep everything — epoch replication
+    * is the training loader's job, not the sampler's. */
+  def applyMixture(docs: DataFrame, groupCol: String, textCol: String,
+      targetShares: Map[String, Double], budgetTokens: Long): DataFrame = {
+    require(!docs.columns.contains("h8"),
+      "input already has an h8 column; rename it before applyMixture")
+    val w = mixtureWeights(docs, groupCol, textCol, targetShares, budgetTokens)
+      .select(col(groupCol).as("__mix_group"), col("sample_rate"))
+    // thresholdHex as a column: lower(hex(..)) + lpad replays the f"%08x"
+    // rendering exactly (verified against DuckDB's lpad(lower(hex(..))))
+    val thr = when(col("sample_rate").isNull, lit("00000000"))
+      .when(col("sample_rate") >= 1.0, lit("g"))
+      .otherwise(lpad(lower(hex(
+        floor(col("sample_rate") * 4294967296.0).cast("long"))), 8, "0"))
+    docs.join(broadcast(w), col(groupCol) === col("__mix_group"))
+      .withColumn("h8", substring(md5(coalesce(col(textCol), lit(""))), 1, 8))
+      .filter(col("h8") < thr)
+      .drop("__mix_group", "sample_rate")
+  }
+
   /** Per-group cap: keep at most `k` rows per group, chosen by descending
     * engine-neutral hash rank of `idCol` (ties broken by ascending id) — a
     * deterministic, seed-free uniform sample. The "at most N docs per

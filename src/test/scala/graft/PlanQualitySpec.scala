@@ -89,6 +89,12 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("text"), s"documents scan not pruned to (source, doc_id):\n$p")
   }
 
+  test("q_corpus_mix_apply broadcast-joins the weights — corpus never shuffles for the join") {
+    val p = plan("q_corpus_mix_apply")
+    assert(p.contains("BroadcastHashJoin"), s"weights not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the |groups|-row join:\n$p")
+  }
+
   test("q_topk_grouped aggregates partially with no window or global sort of the input") {
     val p = plan("q_topk_grouped")
     assert(!p.contains("Window"), s"window snuck into the TopKAgg plan:\n$p")
