@@ -467,21 +467,28 @@ object Queries {
     // layout). Exact when the group has < k distinct values; otherwise
     // (k-1) * 2^64 / kth-min, both engines converting the SAME u64 with
     // one correctly-rounded step.
-    """WITH h AS (
+    // group membership comes from the FULL table (not the non-null-key
+    // subset): the engine's groupBy emits every o_orderstatus group, and
+    // KmvDistinctAgg skips nulls so an all-null-key group yields an empty
+    // sketch = 0.0 — the LEFT JOIN + coalesce(0) replays exactly that
+    """WITH g AS (SELECT DISTINCT o_orderstatus FROM orders),
+      |h AS (
       |  SELECT DISTINCT o_orderstatus,
       |         md5_number_lower(CAST(o_custkey AS VARCHAR)) AS hv
       |  FROM orders WHERE o_custkey IS NOT NULL),
       |r AS (SELECT o_orderstatus, hv,
       |        row_number() OVER (PARTITION BY o_orderstatus ORDER BY hv) AS rn,
       |        count(*) OVER (PARTITION BY o_orderstatus) AS d
-      |      FROM h)
-      |SELECT o_orderstatus,
-      |  round(CASE WHEN max(d) < 64 THEN CAST(max(d) AS DOUBLE)
-      |        ELSE 63 * 18446744073709551616.0 /
-      |             CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END,
-      |    4) AS approx_cust
-      |FROM r GROUP BY o_orderstatus
-      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      |      FROM h),
+      |e AS (SELECT o_orderstatus,
+      |        round(CASE WHEN max(d) < 64 THEN CAST(max(d) AS DOUBLE)
+      |              ELSE 63 * 18446744073709551616.0 /
+      |                   CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END,
+      |          4) AS approx_cust
+      |      FROM r GROUP BY o_orderstatus)
+      |SELECT g.o_orderstatus, coalesce(e.approx_cust, 0.0) AS approx_cust
+      |FROM g LEFT JOIN e ON g.o_orderstatus IS NOT DISTINCT FROM e.o_orderstatus
+      |ORDER BY g.o_orderstatus""".stripMargin) { (s, d) =>
     t(s, d, "orders").groupBy("o_orderstatus")
       .agg(round(graft.functions.SketchAggregates.kmvDistinct(
         col("o_custkey").cast("string"), 64), 4).as("approx_cust"))
@@ -1856,12 +1863,12 @@ object Queries {
       |  SELECT lang,
       |    CASE WHEN sample_rate IS NULL THEN '00000000'
       |         WHEN sample_rate >= 1.0 THEN 'g'
-      |         ELSE lpad(lower(hex(CAST(floor(sample_rate * 4294967296.0) AS BIGINT))), 8, '0')
+      |         ELSE lpad(lower(hex(least(CAST(floor(sample_rate * 4294967296.0) AS BIGINT), 4294967295))), 8, '0')
       |    END AS thr
       |  FROM w)
-      |SELECT d.doc_id, d.lang, substr(md5(d.text), 1, 8) AS h8
+      |SELECT d.doc_id, d.lang, substr(md5(coalesce(d.text, '')), 1, 8) AS h8
       |FROM documents d JOIN t ON d.lang = t.lang
-      |WHERE substr(md5(d.text), 1, 8) < t.thr
+      |WHERE substr(md5(coalesce(d.text, '')), 1, 8) < t.thr
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     graft.operators.Sampling.applyMixture(
         t(s, d, "documents"), "lang", "text",

@@ -20,10 +20,15 @@ object Sampling {
     * sample_rates [[mixtureWeights]] emits for huge groups never floor to
     * drop-all). rate>=1 maps to "g", which sorts above every hex string,
     * so everything survives; rate=0 maps to "00000000", below-or-equal
-    * to everything, so nothing does. */
+    * to everything, so nothing does. The floored product clamps to
+    * 2^32-1: for rate = nextDown(1.0) the double product rounds up to
+    * exactly 2^32, whose 9-hex rendering would otherwise truncate to a
+    * near-zero threshold (%08x pads, never truncates, but the column
+    * twin's lpad does — both clamp so the forms stay identical). */
   def thresholdHex(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    if (rate >= 1.0) "g" else f"${math.floor(rate * 4294967296.0).toLong}%08x"
+    if (rate >= 1.0) "g"
+    else f"${math.min(math.floor(rate * 4294967296.0).toLong, 4294967295L)}%08x"
   }
 
   /** Per-group deterministic downsampling: keep a row iff
@@ -65,11 +70,15 @@ object Sampling {
     val w = mixtureWeights(docs, groupCol, textCol, targetShares, budgetTokens)
       .select(col(groupCol).as("__mix_group"), col("sample_rate"))
     // thresholdHex as a column: lower(hex(..)) + lpad replays the f"%08x"
-    // rendering exactly (verified against DuckDB's lpad(lower(hex(..))))
+    // rendering exactly (verified against DuckDB's lpad(lower(hex(..)))).
+    // least(.., 2^32-1) mirrors thresholdHex's clamp — without it a rate
+    // of nextDown(1.0) rounds the product up to 2^32 and lpad TRUNCATES
+    // the 9-digit hex to '10000000' (~6% keep instead of ~100%)
     val thr = when(col("sample_rate").isNull, lit("00000000"))
       .when(col("sample_rate") >= 1.0, lit("g"))
-      .otherwise(lpad(lower(hex(
-        floor(col("sample_rate") * 4294967296.0).cast("long"))), 8, "0"))
+      .otherwise(lpad(lower(hex(least(
+        floor(col("sample_rate") * 4294967296.0).cast("long"),
+        lit(4294967295L)))), 8, "0"))
     docs.join(broadcast(w), col(groupCol) === col("__mix_group"))
       .withColumn("h8", substring(md5(coalesce(col(textCol), lit(""))), 1, 8))
       .filter(col("h8") < thr)
@@ -88,19 +97,45 @@ object Sampling {
     * most k rows per group per mapper. The rank key is the top 53 bits of
     * the md5-derived [[graft.functions.NeutralHash]] (`>>> 11`): exact as
     * a Double here and exact as `UBIGINT >> 11` in an external oracle, so
-    * the selection replays bit-for-bit with no float edge cases. */
+    * the selection replays bit-for-bit with no float edge cases.
+    *
+    * Any id type works (ids are assumed unique per group). Integral ids
+    * ride the heap directly (cast long, cast back — schema preserved);
+    * other types keep the zero-extra-shuffle heap by carrying the 64-bit
+    * hash and joining the k·|groups| winning hashes back to recover the
+    * id (AQE broadcasts the winner side when small). For non-integral
+    * ids, rank ties (same top 53 hash bits) break by the hash's
+    * remaining bits rather than the raw id. */
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val hrank = shiftrightunsigned(
-      graft.functions.NeutralHash.lower64Col(col(idCol).cast("string")), 11)
-      .cast("double")
-    df.filter(col(idCol).isNotNull)
-      .select(col(groupCol), col(idCol), hrank.as("hrank"))
-      .groupBy(groupCol)
-      .agg(graft.functions.SketchAggregates.topKAgg(
-        col("hrank"), col(idCol), k).as("top"))
-      .select(col(groupCol), explode(col("top.id")).as(idCol))
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val hash = graft.functions.NeutralHash.lower64Col(col(idCol).cast("string"))
+    val hrank = shiftrightunsigned(hash, 11).cast("double")
+    val base = df.filter(col(idCol).isNotNull)
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        base.select(col(groupCol), col(idCol).cast("long").as("__cap_id"),
+            hrank.as("hrank"))
+          .groupBy(groupCol)
+          .agg(graft.functions.SketchAggregates.topKAgg(
+            col("hrank"), col("__cap_id"), k).as("top"))
+          .select(col(groupCol), explode(col("top.id")).as(idCol))
+          .select(col(groupCol),
+            col(idCol).cast(df.schema(idCol).dataType).as(idCol))
+      case _ =>
+        val hashed = base.select(col(groupCol), col(idCol), hash.as("__cap_nh"))
+        val winners = hashed
+          .select(col(groupCol),
+            shiftrightunsigned(col("__cap_nh"), 11).cast("double").as("hrank"),
+            col("__cap_nh"))
+          .groupBy(groupCol)
+          .agg(graft.functions.SketchAggregates.topKAgg(
+            col("hrank"), col("__cap_nh"), k).as("top"))
+          .select(col(groupCol), explode(col("top.id")).as("__cap_nh"))
+        hashed.join(winners, Seq(groupCol, "__cap_nh"))
+          .select(groupCol, idCol)
+    }
   }
 
   /** CASE group WHEN k1 THEN v1 ... ELSE default END, empty-map safe

@@ -376,6 +376,30 @@ class OperatorsSpec extends SparkTestBase {
       .filter(col("src") === "a").collect().head
     assert(row.getLong(2) == 0L)
     assert(row.isNullAt(5) && row.isNullAt(6) && row.isNullAt(7))
+    // rate = nextDown(1.0): the double product rounds up to exactly 2^32 —
+    // the clamp must render the max 8-hex threshold, not a truncated
+    // '10000000' (~6% keep)
+    assert(Sampling.thresholdHex(math.nextDown(1.0)) == "ffffffff")
+  }
+
+  test("capPerGroup handles integral and string id columns (generic API)") {
+    import spark.implicits._
+    val longIds = docs.select(col("source"), col("doc_id"))
+    val expected = Sampling.capPerGroup(docs, "source", "doc_id", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // int ids: same selection, schema preserved (int out, not long)
+    val intDf = longIds.withColumn("doc_id", col("doc_id").cast("int"))
+    val viaInt = Sampling.capPerGroup(intDf, "source", "doc_id", 7)
+    assert(viaInt.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(viaInt.collect().map(r => (r.getString(0), r.getInt(1).toLong))
+      .toSet == expected)
+    // string ids: the hash-join recovery path. CAST(doc_id AS STRING)
+    // hashes identically to the long path, so the same rows win.
+    val strDf = longIds.withColumn("doc_id", col("doc_id").cast("string"))
+    val viaStr = Sampling.capPerGroup(strDf, "source", "doc_id", 7)
+      .collect().map(r => (r.getString(0), r.getString(1).toLong)).toSet
+    assert(viaStr == expected)
   }
 
   test("mixtureWeights arithmetic on a known tiny mix") {
