@@ -70,8 +70,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[n,c,memMb] benches against real
+    // executor JVMs; default stays local (the committed-baseline shape)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val spark = graft.run.GraftSession.withMaster(SparkSession.builder(), master)
       .config("spark.sql.shuffle.partitions", cpus)
       // sketch TypedImperativeAggregates (MinHashAgg/SimHashAgg) keep
       // small fixed-size buffers; let ObjectHashAggregate hold many groups

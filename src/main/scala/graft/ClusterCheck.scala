@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Executor-JVM serialization proof: run the serialization-critical slice
+  * of the inventory twice — once on in-process `local[4]`, once on
+  * `local-cluster[2,2,1536]` (REAL executor processes) — and require
+  * bit-identical collected results.
+  *
+  * `local[...]` structurally hides a whole failure class: task binaries,
+  * broadcast handles (BloomMightContain's `Broadcast` field,
+  * SignProjection's plane matrix), and TypedImperativeAggregate partial
+  * buffers (TopKAgg / MinHashAgg / SimHashAgg / KmvDistinctAgg) never
+  * cross a process boundary, so a non-serializable capture or a
+  * serialize/deserialize asymmetry would only surface on a real cluster.
+  * local-cluster is the single-machine rehearsal: separate executor JVMs,
+  * real task/result/broadcast/shuffle serialization, no new infra.
+  *
+  * Run via `ClusterCheckSpec` (which spawns this in its own JVM — one
+  * SparkContext per JVM) or directly:
+  * `sbt "runMain graft.ClusterCheck /root/testdata/sf0.001"`.
+  * Exits nonzero on any mismatch. The FULL inventory proof is
+  * `SPARK_GRAFT_MASTER=local-cluster[2,4,2048] runMain graft.Verify ...`
+  * + tools/compare.py (see SCALING.md).
+  */
+object ClusterCheck {
+
+  /** Queries whose plans ship custom serialized state to executors:
+    * every custom expression/aggregate family, the broadcast-carrying
+    * shared stages, mapPartitions decode, and the driver-coordinated
+    * two-phase ops. */
+  val focus: Seq[String] = Seq(
+    "q_decontaminate_bloom",      // BloomMightContain: Broadcast handle in an expression
+    "q_sim_lsh",                  // SignProjection: plane matrix in an expression
+    "q_sim_lsh_indexed",          // + dynamic-partition index write from executors
+    "q_sim_ivf",                  // centroid fit + broadcast probe
+    "q_sim_topk_batch",           // TopKAgg partial buffers across the exchange
+    "q_sample_cap_source",        // TopKAgg via capPerGroup
+    "q_dedup_minhash",            // MinHashAgg buffers
+    "q_dedup_simhash",            // SimHashAgg buffers
+    "q_agg_approx_distinct_kmv",  // KmvDistinctAgg buffers
+    "q_dedup_clusters",           // union-find fast path / label propagation
+    "q_dedup_embed",              // size-gated broadcast cosine kernel
+    "q_text_entropy",             // StaticInvoke into library code on executors
+    "q_multimodal",               // mapPartitions + javax.imageio on executors
+    "q_pack_sequences",           // two-phase distributed prefix sum
+    "q_join_skew",                // salted join
+    "q_join_asof",                // union + window carry-forward
+  )
+
+  private def runAll(master: String, sfDir: String): Map[String, Seq[String]] = {
+    val spark = graft.run.GraftSession.withMaster(SparkSession.builder(), master)
+      .appName("graft-clustercheck")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 100000)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try focus.map { name =>
+      name -> SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+    }.toMap
+    finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val clusterMaster =
+      sys.env.getOrElse("SPARK_GRAFT_CLUSTER_MASTER", "local-cluster[2,2,1536]")
+    val expected = runAll("local[4]", sfDir)
+    val actual = runAll(clusterMaster, sfDir)
+    var failed = 0
+    focus.foreach { name =>
+      val (e, a) = (expected(name), actual(name))
+      if (e == a) println(s"[clustercheck] OK $name (${e.size} rows)")
+      else {
+        failed += 1
+        val firstDiff = e.zipAll(a, "<missing>", "<extra>")
+          .find { case (x, y) => x != y }
+        System.err.println(s"[clustercheck] MISMATCH $name: " +
+          s"local=${e.size} rows cluster=${a.size} rows, first diff: $firstDiff")
+      }
+    }
+    if (failed > 0) { System.err.println(s"[clustercheck] $failed FAILED"); sys.exit(1) }
+    println(s"CLUSTERCHECK_OK queries=${focus.size} master=$clusterMaster")
+  }
+}

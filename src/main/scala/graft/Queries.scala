@@ -1408,9 +1408,35 @@ object Queries {
       .orderBy("c_custkey")
   }
 
-  // catalog-shape query: cross-table type alignment over inferred schemas —
-  // no SQL-visible input for DuckDB, rows-only check
-  qNoOracle("q_meta_type_align") { (s, d) =>
+  // catalog-shape query: cross-table type alignment over inferred schemas
+  // (meta.py:878-916 semantics over the fixture warehouse). The oracle
+  // replays it with DuckDB's own schema introspection (DESCRIBE on the
+  // registered views) plus the same physical→agnostic type mapping
+  // AgnosticType.print applies to the Spark schema — engine-independent
+  // because both sides derive types from the SAME parquet footers, and
+  // every physical type in play maps 1:1 (TIMESTAMP/TIMESTAMP_NS both →
+  // datetime, mirroring TimestampType|TimestampNTZType → datetime).
+  q("q_meta_type_align", {
+    val mapT = (e: String) =>
+      s"""CASE $e WHEN 'VARCHAR' THEN 'character' WHEN 'INTEGER' THEN 'int'
+         |  WHEN 'BIGINT' THEN 'long' WHEN 'DOUBLE' THEN 'double'
+         |  WHEN 'FLOAT' THEN 'float' WHEN 'DATE' THEN 'date'
+         |  WHEN 'BOOLEAN' THEN 'boolean' WHEN 'BLOB' THEN 'binary'
+         |  ELSE CASE WHEN $e LIKE 'TIMESTAMP%' THEN 'datetime'
+         |            ELSE lower($e) END END""".stripMargin
+    val occ = graft.sources.Tables.all.map(t =>
+      s"SELECT column_name, column_type FROM (DESCRIBE $t)").mkString("\n  UNION ALL ")
+    s"""WITH occ AS (
+       |  $occ),
+       |m AS (SELECT column_name,
+       |  CASE WHEN column_type LIKE '%[]'
+       |       THEN 'array<' || ${mapT("rtrim(column_type, '[]')")} || '>'
+       |       ELSE ${mapT("column_type")} END AS col_type
+       |  FROM occ)
+       |SELECT column_name, count(DISTINCT col_type) AS n_types,
+       |  count(*) AS n_tables
+       |FROM m GROUP BY column_name ORDER BY column_name""".stripMargin
+  }) { (s, d) =>
     import s.implicits._
     val occurrences = Tables.all.flatMap { name =>
       Tables.load(s, d, name).schema.fields.map { f =>

@@ -7,8 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,4,2048] runs the whole dump
+    // against real executor JVMs (serialization proof); default local
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val spark = graft.run.GraftSession.withMaster(SparkSession.builder(), master)
       .config("spark.sql.shuffle.partitions", cpus)
       // sketch TypedImperativeAggregates (MinHashAgg/SimHashAgg) keep
       // small fixed-size buffers; let ObjectHashAggregate hold many groups

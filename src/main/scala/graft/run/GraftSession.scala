@@ -15,6 +15,34 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** The JDK17 `--add-opens` flags Spark 4 needs when a JVM is launched
+    * outside spark-submit (mirrors
+    * org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions;
+    * build.sbt carries the same list for forked driver JVMs). */
+  val jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED")
+
+  /** Apply a master URL to a builder. A `local-cluster[n,cores,memMb]`
+    * master spawns REAL executor JVMs (the single-machine rehearsal of a
+    * standalone cluster — every task result, broadcast, and aggregate
+    * buffer crosses a process boundary instead of staying in-heap), so
+    * the executors also need the driver's classpath (this library runs
+    * from class directories, not an assembled jar) and the add-opens
+    * list. Requires SPARK_HOME and SPARK_SCALA_VERSION in the
+    * environment (build.sbt sets both for forked runs). */
+  def withMaster(b: SparkSession.Builder, master: String): SparkSession.Builder =
+    if (master.startsWith("local-cluster")) b.master(master)
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.extraJavaOptions", jdk17AddOpens.mkString(" "))
+    else b.master(master)
+
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val b = SparkSession.builder()
       .master(s"local[$cores]")
