@@ -76,6 +76,10 @@ object GraftSession {
       "spark.sql.session.timeZone" -> "UTC",
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "100000",
       "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer",
+      // multi-tenant sessions run many queries concurrently (see
+      // ConcurrencySpec): FAIR keeps a long scan from starving short
+      // interactive jobs; pools opt in via spark.scheduler.pool
+      "spark.scheduler.mode" -> "FAIR",
     )
   }
 

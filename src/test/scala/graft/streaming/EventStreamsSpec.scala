@@ -103,6 +103,37 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out.count() == batch.count(), "duplicates across micro-batches survived")
   }
 
+  test("ProcessingTime soak: paced micro-batches converge to the batch result") {
+    import org.apache.spark.sql.streaming.Trigger
+    // a REAL clock-driven trigger (not AvailableNow's drain-and-stop):
+    // 10 files × maxFilesPerTrigger=1 under a 1s ProcessingTime trigger
+    // ≈ 10+ micro-batches paced by the wall clock, state carried across
+    // all of them. Written via Spark so ts is already micros (no nanos
+    // staging needed).
+    val staged = java.nio.file.Files.createTempDirectory("soak_events")
+    batch.repartition(10).write.mode("overwrite").parquet(staged.toString)
+    val schema = spark.read.parquet(staged.toString).schema
+    val paced = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_soak").toString
+    val q = EventStreams.tumblingCounts(paced).writeStream
+      .format("memory").queryName("t_soak").outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable() // blocks until every staged file is consumed
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 5, s"expected many paced micro-batches, saw $batches")
+    } finally q.stop()
+    val s = spark.table("t_soak")
+    val b = batch.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
+  }
+
   test("corpus ingest starts on an empty source dir when given a schema") {
     import org.apache.spark.sql.types._
     val root = java.nio.file.Files.createTempDirectory("ingest_empty")
