@@ -16,12 +16,28 @@ object Bench {
     * persisted stage (Queries.sharedStages) pays its materialization,
     * later ones ride the cache — the flag makes per-query numbers
     * interpretable. */
+  /** Returns per-query results plus the separately-charged one-off index
+    * build times (stage name -> seconds). Builds run before the first
+    * consuming query, so indexed-probe timings are steady-state cost —
+    * the 100 TB reading of an index: amortized build, per-probe pruning. */
   def runQueries(spark: SparkSession, sfDir: String,
       queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
-      : Seq[QueryResult] = {
+      : (Seq[QueryResult], Seq[(String, Double)]) = {
     val stagesSeen = scala.collection.mutable.Set.empty[String]
-    queries.sortBy(_._1).map { case (name, fn) =>
+    val buildTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val results = queries.sortBy(_._1).map { case (name, fn) =>
       val stages = Queries.sharedStages.getOrElse(name, Nil)
+      stages.filter(st => Queries.indexBuilds.contains(st) && !stagesSeen.contains(st))
+        .foreach { st =>
+          val b0 = System.nanoTime()
+          // a failed build stays uncounted and unseen: the consuming query
+          // then re-attempts it inline and reports the error itself
+          try {
+            Queries.indexBuilds(st)(spark, sfDir)
+            buildTimes(st) = (System.nanoTime() - b0) / 1e9
+            stagesSeen += st
+          } catch { case _: Throwable => () }
+        }
       val warm = stages.nonEmpty && stages.forall(stagesSeen.contains)
       val t0 = System.nanoTime()
       val err = try {
@@ -36,6 +52,7 @@ object Bench {
       if (err.isEmpty) stagesSeen ++= stages
       QueryResult(name, (System.nanoTime() - t0) / 1e9, err, stages.nonEmpty, warm)
     }
+    (results, buildTimes.toSeq)
   }
 
   private def jstr(s: String): String = "\"" + s.flatMap {
@@ -51,7 +68,8 @@ object Bench {
     * counter. Warm/cold flags ride in a sibling `shared_stage_hit` map so
     * dedup-family timings are interpretable without changing the
     * `queries` schema. */
-  def renderJson(results: Seq[QueryResult], sfDir: String): String = {
+  def renderJson(results: Seq[QueryResult], sfDir: String,
+      indexBuilds: Seq[(String, Double)] = Nil): String = {
     val qs = results.map { r =>
       r.err match {
         case None => "\"" + r.name + "\":" + r.sec
@@ -61,9 +79,14 @@ object Bench {
     val sharedFlags = results.collect { case r if r.shared =>
       "\"" + r.name + "\":" + r.warm
     }.mkString("{", ",", "}")
-    val total = results.map(_.sec).sum
+    // index builds are real work this run did: the total includes them
+    // (comparable across rounds), while per-query numbers stay probe-only
+    val total = results.map(_.sec).sum + indexBuilds.map(_._2).sum
     val errors = results.count(_.err.isDefined)
+    val builds = indexBuilds.map { case (st, sec) => "\"" + st + "\":" + sec }
+      .mkString("{", ",", "}")
     s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,""" +
+      s""""index_build":$builds,""" +
       s""""shared_stage_hit":$sharedFlags,"queries":$qs,"sf":${jstr(sfDir)}}"""
   }
 
@@ -97,8 +120,8 @@ object Bench {
       .count().write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"${sfDir.stripSuffix("/")}/region.parquet")
       .write.format("noop").mode("overwrite").save()
-    println(renderJson(
-      runQueries(spark, sfDir, SparkEntry.selectedQueries), sfDir))
+    val (results, builds) = runQueries(spark, sfDir, SparkEntry.selectedQueries)
+    println(renderJson(results, sfDir, builds))
     spark.stop()
   }
 }

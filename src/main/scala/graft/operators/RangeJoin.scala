@@ -62,4 +62,42 @@ object RangeJoin {
         rUs >= lUs + lowUs && rUs < lUs + highUs)
       .drop("_lbin", "_rbin")
   }
+
+  /** [[binnedRangeJoin]] with bounded output: at most `k` matches per
+    * left row, keeping the EARLIEST right rows by `rightTs` (ties broken
+    * by the remaining right columns ascending, so the selection is fully
+    * deterministic and external engines replay it).
+    *
+    * The range join's output is the one thing in it that grows
+    * super-linearly — ~|pairs| ≈ n² · window/span by problem definition
+    * (BASELINE.md) — and at 100 TB a user often wants "the first k
+    * responses within the window", not every one. The cap prunes AFTER
+    * the residual range predicate but BEFORE the output materializes
+    * downstream; the row_number window sorts only each left row's match
+    * set, whose size the bin residual already bounds to the window
+    * occupancy — the quantity the caller is declaring too big to keep,
+    * and far smaller than a global sort.
+    *
+    * @param leftKey columns that uniquely identify a left row (the cap
+    *                partitions by them) */
+  def binnedRangeJoinCapped(left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String,
+      lowerSec: Long, upperSec: Long, leftKey: Seq[String], k: Int,
+      binSec: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(leftKey.nonEmpty, "leftKey must name the columns identifying a left row")
+    require(leftKey.forall(left.columns.contains),
+      s"leftKey ${leftKey.mkString(",")} must be left-side columns")
+    import org.apache.spark.sql.expressions.Window
+    val joined = binnedRangeJoin(left, right, leftTs, rightTs,
+      lowerSec, upperSec, binSec)
+    require(!joined.columns.contains("_rj_rn"),
+      "binnedRangeJoinCapped reserves column name _rj_rn")
+    val ord = col(rightTs).asc +:
+      right.columns.filterNot(_ == rightTs).sorted.map(col(_).asc)
+    val w = Window.partitionBy(leftKey.map(col): _*).orderBy(ord: _*)
+    joined.withColumn("_rj_rn", row_number().over(w))
+      .filter(col("_rj_rn") <= k)
+      .drop("_rj_rn")
+  }
 }

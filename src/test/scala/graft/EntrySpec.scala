@@ -69,7 +69,7 @@ class EntrySpec extends SparkTestBase {
         .withColumn("boom", udf((x: Long) => {
           throw new RuntimeException("deliberate bench failure"); x
         }).apply(col("id")))
-    val results = Bench.runQueries(spark, sf(),
+    val (results, _) = Bench.runQueries(spark, sf(),
       Seq("q_ok" -> ok, "z_broken" -> broken))
     assert(results.find(_.name == "q_ok").get.err.isEmpty)
     val b = results.find(_.name == "z_broken").get
@@ -78,7 +78,7 @@ class EntrySpec extends SparkTestBase {
     assert(json.contains(""""errors":1"""), json)
     assert(json.contains(""""z_broken":{"sec":"""), json)
     // warm-stage flags: first shared-stage query cold, second warm
-    val flagged = Bench.runQueries(spark, sf(),
+    val (flagged, _) = Bench.runQueries(spark, sf(),
       Seq("q_dedup_spans" -> SparkEntry.queries("q_dedup_spans"),
         "q_dedup_spans_strip" -> SparkEntry.queries("q_dedup_spans_strip")))
     assert(flagged.map(r => (r.name, r.shared, r.warm)) ==
@@ -86,5 +86,18 @@ class EntrySpec extends SparkTestBase {
     val fjson = Bench.renderJson(flagged, sf())
     assert(fjson.contains(""""q_dedup_spans":false""") &&
       fjson.contains(""""q_dedup_spans_strip":true"""), fjson)
+  }
+
+  test("bench charges ANN index builds separately from the probe queries") {
+    val (results, builds) = Bench.runQueries(spark, sf(),
+      Seq("q_sim_ivf_indexed" -> SparkEntry.queries("q_sim_ivf_indexed"),
+        "q_sim_lsh_indexed" -> SparkEntry.queries("q_sim_lsh_indexed")))
+    assert(results.forall(_.err.isEmpty), results.flatMap(_.err).mkString("; "))
+    // builds pre-ran (possibly as cache hits from earlier specs — then
+    // near-zero seconds, still reported), probes flagged warm
+    assert(builds.map(_._1).toSet == Set("ivf_index", "lsh_index"))
+    assert(results.forall(_.warm), "probe queries should ride the pre-built index")
+    val json = Bench.renderJson(results, sf(), builds)
+    assert(json.contains(""""index_build":{"ivf_index":"""), json)
   }
 }
