@@ -49,13 +49,20 @@ object ClusterCheck {
   )
 
   private def runAll(master: String, sfDir: String): Map[String, Seq[String]] = {
-    val spark = graft.run.GraftSession.withMaster(SparkSession.builder(), master)
+    val b = graft.run.GraftSession.withMaster(SparkSession.builder(), master)
       .appName("graft-clustercheck")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 100000)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_SERIALIZER=kryo proves the serializer clusterConf
+    // advertises for deployments round-trips every custom buffer,
+    // broadcast value, and task closure across executor JVMs too
+    val spark = (sys.env.get("SPARK_GRAFT_SERIALIZER") match {
+      case Some("kryo") => b.config("spark.serializer",
+        "org.apache.spark.serializer.KryoSerializer")
+      case _ => b
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try focus.map { name =>
       name -> SparkEntry.queries(name)(spark, sfDir)
