@@ -80,6 +80,22 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity(args, 1, "word_entropy")
         graft.functions.TextEntropy.wordEntropyExpr(args(0)) }),
+    (FunctionIdentifier("clf_weight_sum"),
+      info("clf_weight_sum",
+        "clf_weight_sum(text, seed, buckets) - hashed-unigram linear " +
+          "classifier weight sum in integer micro-units (md5 buckets, " +
+          "engine-replayable)"),
+      (args: Seq[Expression]) => {
+        arity(args, 3, "clf_weight_sum")
+        // SQL integer literals arrive as INT; the static call wants
+        // (long seed, int buckets) — cast here, StaticInvoke does not
+        // implicit-cast its inputs
+        graft.functions.TextClassifier.hashedWeightSumExpr(
+          args(0),
+          org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.catalyst.expressions.Cast(args(2),
+            org.apache.spark.sql.types.IntegerType)) }),
   )
 
   private def arity(args: Seq[Expression], n: Int, name: String): Seq[Expression] = {

@@ -2541,6 +2541,80 @@ object Queries {
       .orderBy("doc_id", "rk")
   }
 
+  q("q_text_strip_html",
+    // HTML → text extraction (the first stage of crawl-corpus prep):
+    // pages are salted deterministically from doc_id (the q_dedup_url
+    // convention), then script/style/comment blocks, tags, and entities
+    // strip through the exact Java∩RE2-safe pipeline the oracle replays
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |    '<html><!-- id ' || doc_id || ' --><head><style>p{color:#333}</style>'
+      |    || '<script src="x.js">track(1&2);</script></head><body><h1>Doc '
+      |    || doc_id || '</h1><p>' || text || '</p><div class="f">&amp;copy; 2026 '
+      |    || '&lt;Corp&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>' AS html
+      |  FROM documents),
+      |stripped AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |      '(?s)<!--.*?-->', ' ', 'g'),
+      |      '(?s)<[^>]+>', ' ', 'g') AS t
+      |  FROM pages),
+      |decoded AS (
+      |  SELECT doc_id,
+      |    replace(replace(replace(replace(replace(replace(t,
+      |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+      |  FROM stripped)
+      |SELECT doc_id,
+      |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean,
+      |  length(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS n_chars_clean
+      |FROM decoded ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    val html = concat(
+      lit("<html><!-- id "), id.cast("string"),
+      lit(" --><head><style>p{color:#333}</style><script src=\"x.js\">track(1&2);</script></head><body><h1>Doc "),
+      id.cast("string"),
+      lit("</h1><p>"), col("text"),
+      lit("</p><div class=\"f\">&amp;copy; 2026 &lt;Corp&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>"))
+    t(s, d, "documents")
+      .select(id, graft.operators.TextAnalysis.stripHtml(html).as("clean"))
+      .withColumn("n_chars_clean", length(col("clean")))
+      .orderBy("doc_id")
+  }
+
+  q("q_text_classify",
+    // hashed-feature linear classifier inference (fastText-style quality
+    // filter): md5 buckets + integer micro-unit weights make the per-doc
+    // weight sum order-independent and bit-replayable; the engine runs
+    // ONE compiled static call per row, the oracle the relational form
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS w
+      |  FROM documents),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |    sum((${graft.functions.TextClassifier.weightsSqlLiteral(11L, 64)})[CAST((md5_number_lower(w) & 63) + 1 AS BIGINT)]) AS wsum
+      |  FROM toks GROUP BY doc_id),
+      |scored AS (
+      |  SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+      |    round(0.05 + coalesce(a.wsum, 0) / 1000000.0 / greatest(coalesce(a.n_tokens, 1), 1), 6) AS score
+      |  FROM documents d LEFT JOIN agg a USING (doc_id))
+      |SELECT doc_id, n_tokens, score, score >= 0.0 AS keep
+      |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val txt = col("text")
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        coalesce(size(graft.operators.TextAnalysis.tokens(txt)), lit(0)).as("n_tokens"),
+        coalesce(graft.functions.TextClassifier.hashedWeightSumCol(lower(txt), 11L, 64),
+          lit(0L)).as("wsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(0.05) + col("wsum").cast("double") / lit(1000000.0)
+          / greatest(col("n_tokens"), lit(1)).cast("double"), 6).as("score"))
+      .withColumn("keep", col("score") >= 0.0)
+      .orderBy("doc_id")
+  }
+
   q("q_topk_grouped",
     // per-group top-k as ONE bounded-heap aggregate (TopKAgg): the window
     // formulation must fully sort every group (5 priority groups = 5 giant
@@ -2617,6 +2691,76 @@ object Queries {
         round(col("st.scale"), 6).as("scale"),
         col("st.q_sum").as("q_sum"), col("st.q_sqsum").as("q_sqsum"))
       .orderBy("vec_id")
+  }
+
+  // ------------------------------------------------ product quantization
+
+  /** PQ fixture convention (mirrors [[ivfCentroids]]): codebooks are the
+    * 8-dim sub-slices of the first 16 vectors, so the oracle re-derives
+    * them in SQL; assignment distances reduce to pure dot products
+    * (|c|² − 2·v·c) and replay bit-identically via `list_dot_product`. */
+  private def pqCodebooks(s: SparkSession, d: String): Seq[Seq[Array[Float]]] =
+    graft.operators.Similarity.pqCodebooksFromRows(
+      t(s, d, "embeddings").filter(col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq,
+      numSub = 8)
+
+  q("q_embed_pq",
+    // PQ code assignment: 64-dim float32 vectors → 8 byte-sized codes
+    // (32× compression for a 100 TB embedding table); every (vector,
+    // subspace) row carries the nearest codebook entry by squared L2
+    // with min-index tiebreak — distances are |c|²−2·v·c, dot products
+    // only, so DuckDB replays the argmin bit-for-bit
+    """WITH cb AS (
+      |  SELECT vec_id AS j, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |codes AS (
+      |  SELECT v.vec_id, m.range AS m,
+      |    (SELECT j FROM cb
+      |     ORDER BY round(
+      |       list_dot_product(cv[m.range*8+1 : m.range*8+8], cv[m.range*8+1 : m.range*8+8])
+      |       - 2 * list_dot_product(e[m.range*8+1 : m.range*8+8], cv[m.range*8+1 : m.range*8+8]), 9) ASC, j
+      |     LIMIT 1) AS code
+      |  FROM v CROSS JOIN range(8) m)
+      |SELECT vec_id, m, code FROM codes ORDER BY vec_id, m""".stripMargin) { (s, d) =>
+    graft.operators.Similarity.pqCodes(
+        t(s, d, "embeddings"), "vec_id", "embedding", pqCodebooks(s, d))
+      .orderBy("vec_id", "m")
+  }
+
+  q("q_sim_pq",
+    // ADC retrieval over PQ codes: probe·v ≈ Σ_m LUT[m][code_m(v)], the
+    // lookup table in integer micro-units so partial sums are exact
+    // under any accumulation order — the oracle recomputes the same LUT
+    // from the same dot products and sums the same integers
+    """WITH cb AS (
+      |  SELECT vec_id AS j, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
+      |probe AS (SELECT embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id = 0),
+      |lut AS (
+      |  SELECT m.range AS m, cb.j,
+      |    CAST(round(list_dot_product(
+      |      (SELECT pv FROM probe)[m.range*8+1 : m.range*8+8],
+      |      cv[m.range*8+1 : m.range*8+8]) * 1000000) AS BIGINT) AS s
+      |  FROM cb CROSS JOIN range(8) m),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id <> 0),
+      |codes AS (
+      |  SELECT v.vec_id, m.range AS m,
+      |    (SELECT j FROM cb
+      |     ORDER BY round(
+      |       list_dot_product(cv[m.range*8+1 : m.range*8+8], cv[m.range*8+1 : m.range*8+8])
+      |       - 2 * list_dot_product(e[m.range*8+1 : m.range*8+8], cv[m.range*8+1 : m.range*8+8]), 9) ASC, j
+      |     LIMIT 1) AS code
+      |  FROM v CROSS JOIN range(8) m),
+      |scored AS (
+      |  SELECT c.vec_id, sum(l.s) AS score
+      |  FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.code
+      |  GROUP BY c.vec_id)
+      |SELECT vec_id, round(score / 1000000.0, 6) AS approx_dot
+      |FROM scored ORDER BY approx_dot DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    graft.operators.Similarity.adcTopK(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      pqCodebooks(s, d), embProbe(s, d), k = 10)
   }
 
   q("q_embed_centroids",

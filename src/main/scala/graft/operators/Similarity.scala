@@ -639,4 +639,94 @@ object Similarity {
       .select(col("doc_id").as(idCol))
     emb.join(losers, Seq(idCol), "left_anti")
   }
+
+  // ------------------------------------------------- product quantization
+
+  /** Split codebook rows into per-subspace codebooks for product
+    * quantization (Jégou et al. 2011, "Product Quantization for Nearest
+    * Neighbor Search" — public): codebook m holds each row's m-th
+    * contiguous `dim/numSub` slice. The inventory convention mirrors
+    * [[fitCentroids]]-free IVF: codebook rows are data vectors (the
+    * first K of the table), so an external SQL engine can re-derive the
+    * codebooks and replay the whole quantization. */
+  def pqCodebooksFromRows(rows: Seq[Array[Float]], numSub: Int): Seq[Seq[Array[Float]]] = {
+    require(rows.nonEmpty, "pqCodebooksFromRows: no codebook rows")
+    val dim = rows.head.length
+    require(numSub >= 1 && dim % numSub == 0,
+      s"pqCodebooksFromRows: dim $dim not divisible into $numSub subspaces")
+    val subDim = dim / numSub
+    Seq.tabulate(numSub)(m => rows.map(_.slice(m * subDim, (m + 1) * subDim)))
+  }
+
+  /** Nearest-codebook-entry index for subspace `m` (0-based), by squared
+    * L2 distance with min-index tiebreak. The |a|²-free expansion
+    * |c|² − 2·a·c keeps every comparison a pure dot product:
+    * [[graft.functions.VectorExpressions VectorDot]] accumulates
+    * ascending exactly like DuckDB's `list_dot_product`, and |c|² is a
+    * driver-computed literal from the same floats — so the assigned
+    * codes are bit-identical across engines (the IVF argmax story,
+    * rounded at 9 dp for tie robustness). */
+  private def pqCodeExpr(vec: Column, codebook: Seq[Array[Float]],
+      m: Int, subDim: Int): Column = {
+    val sub = slice(vec, m * subDim + 1, subDim)
+    val scores = array(codebook.map { c =>
+      round(lit(dotLocal(c, c)) -
+        lit(2.0) * graft.functions.VectorFunctions.vecDot(sub, typedLit(c.toSeq)), 9)
+    }: _*)
+    (array_position(scores, array_min(scores)) - 1).cast("int")
+  }
+
+  /** PQ code assignment: every vector becomes `numSub` (subspace, code)
+    * rows. This is the 100 TB compression path for embedding tables — a
+    * 64-dim float32 vector (256 B) becomes numSub=8 byte-sized codes
+    * (32× smaller), and downstream ADC scoring ([[adcTopK]]) reads ONLY
+    * the code table. Pure map-side projection against broadcast-sized
+    * codebook literals: no shuffle, no driver state, scales as a scan.
+    * Null vectors carry no codes (dropped, like the ANN indexes). */
+  def pqCodes(embeddings: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
+    val subDim = codebooks.head.head.length
+    val mc = array(codebooks.indices.map { m =>
+      struct(lit(m).as("m"),
+        pqCodeExpr(col(vecCol), codebooks(m), m, subDim).as("code"))
+    }: _*)
+    embeddings.filter(col(vecCol).isNotNull)
+      .select(col(idCol), explode(mc).as("mc"))
+      .select(col(idCol), col("mc.m").as("m"), col("mc.code").as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k by approximate inner product:
+    * score(v) ≈ probe·v = Σ_m probe_m · codebook[m][code_m(v)] — the dot
+    * product decomposes exactly over subspaces, so the per-probe cost is
+    * one numSub·K lookup table (computed driver-side, scalar) plus ONE
+    * table lookup per (row, subspace). At 100 TB the scan side is the
+    * 32×-compressed code table; here codes are re-derived map-side from
+    * the vectors (the [[ivfTopK]] scan-form convention).
+    *
+    * LUT entries are integer micro-units (round(dot·1e6) HALF_UP, the
+    * same BigDecimal semantics as Spark's `round`): integer partial sums
+    * are exact under ANY accumulation order, so an external SQL engine
+    * replays the scores bit-for-bit without relying on float summation
+    * order. Ordering ties break by id; k rows via TakeOrdered, never a
+    * global sort. */
+  def adcTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Array[Float]]], probe: Array[Float], k: Int): DataFrame = {
+    val subDim = codebooks.head.head.length
+    require(probe.length == subDim * codebooks.size,
+      s"adcTopK: probe dim ${probe.length} != ${subDim * codebooks.size}")
+    val lut: Seq[Seq[Long]] = codebooks.zipWithIndex.map { case (cb, m) =>
+      val pm = probe.slice(m * subDim, (m + 1) * subDim)
+      cb.map(c => java.math.BigDecimal.valueOf(dotLocal(pm, c) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+    }
+    val lutLit = typedLit(lut)
+    val score = codebooks.indices.map { m =>
+      element_at(element_at(lutLit, m + 1),
+        pqCodeExpr(col(vecCol), codebooks(m), m, subDim) + 1)
+    }.reduce(_ + _)
+    embeddings.filter(col(vecCol).isNotNull)
+      .select(col(idCol), round(score / lit(1000000.0), 6).as("approx_dot"))
+      .orderBy(col("approx_dot").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -198,6 +198,33 @@ object TextAnalysis {
       .select("doc_id", "term", "tfidf", "rk")
   }
 
+  /** HTML entities decoded by [[stripHtml]], applied via literal
+    * `replace` (no regex): `&amp;` LAST so double-encoded text
+    * (`&amp;lt;`) decodes one level per pass, the standard behavior. */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** HTML → text extraction for web-corpus prep (the first stage of any
+    * crawl-derived training pipeline): drop `<script>`/`<style>` blocks
+    * wholesale (their payload is code, not prose), then comments, then
+    * every remaining tag; decode the common entities; collapse runs of
+    * whitespace to one space and trim. Regexes stay in the Java∩RE2
+    * subset (inline `(?is)` flags, lazy quantifiers, no lookaround) so
+    * an external engine replays the exact pipeline. Pure codegen'd
+    * projection — map-only at any corpus size. Null html → null. */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = Seq(
+      "(?is)<script[^>]*>.*?</script>",
+      "(?is)<style[^>]*>.*?</style>",
+      "(?s)<!--.*?-->",
+      "(?s)<[^>]+>").foldLeft(html)((c, re) => regexp_replace(c, re, " "))
+    val decoded = htmlEntities.foldLeft(noBlocks) { case (c, (e, r)) =>
+      replace(c, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Rolling-hash (Rabin–Karp base-31 mod 2^61-1) fingerprint over tokens —
     * order-sensitive unlike md5-of-sorted; expressed as an aggregate fold,
     * still codegen'd. */

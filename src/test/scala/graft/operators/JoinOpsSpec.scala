@@ -59,6 +59,12 @@ class JoinOpsSpec extends SparkTestBase {
     val h = spark.sql(
       "SELECT word_entropy('a b c d'), word_entropy(''), word_entropy(NULL)").head()
     assert(h.getDouble(0) == 2.0 && h.getDouble(1) == 0.0 && h.getDouble(2) == 0.0)
+    // clf_weight_sum from SQL matches the static form (INT literals cast)
+    val c = spark.sql(
+      "SELECT clf_weight_sum('the quick fox', 11, 64), clf_weight_sum(NULL, 11, 64)").head()
+    assert(c.getLong(0) == graft.functions.TextClassifier.hashedWeightSum(
+      org.apache.spark.unsafe.types.UTF8String.fromString("the quick fox"), 11L, 64))
+    assert(c.isNullAt(1))
   }
 
   test("GraftExtensions: quantization and aggregates callable from SQL") {

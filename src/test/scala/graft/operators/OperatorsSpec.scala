@@ -734,4 +734,65 @@ class OperatorsSpec extends SparkTestBase {
     }
     assert(frames.select("frame").head().getAs[Array[Byte]](0).length == 16)
   }
+
+  // ------------------------------------------------- product quantization
+
+  private def pqFixture: (Seq[Array[Float]], Seq[Seq[Array[Float]]]) = {
+    val rows = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    (rows, Similarity.pqCodebooksFromRows(rows, numSub = 8))
+  }
+
+  test("pqCodes: codebook rows self-code, codes in range, deterministic") {
+    val (_, codebooks) = pqFixture
+    val codes = Similarity.pqCodes(emb, "vec_id", "embedding", codebooks)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(codes.size == emb.count() * 8)
+    assert(codes.values.forall(c => c >= 0 && c < 16))
+    // |c−v|² = 0 is the strict minimum, so every codebook row's slice
+    // assigns to its own index (no duplicate sub-slices in the fixture)
+    for (j <- 0 until 16; m <- 0 until 8)
+      assert(codes((j.toLong, m)) == j, s"vec $j subspace $m")
+    val again = Similarity.pqCodes(emb, "vec_id", "embedding", codebooks)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(again == codes)
+  }
+
+  test("adcTopK: codebook-row vectors reconstruct exactly, so ADC ≈ true dot") {
+    val (rows, codebooks) = pqFixture
+    val probe = rows.head // vec_id 0
+    val adc = Similarity.adcTopK(emb.filter(col("vec_id") < 16 && col("vec_id") =!= 0),
+        "vec_id", "embedding", codebooks, probe, k = 15)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(adc.size == 15)
+    // a codebook-row vector's PQ reconstruction is ITSELF, so its ADC
+    // score is the true dot up to 8 half-up micro-unit roundings (≤4e-6)
+    def dotL(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      d
+    }
+    (1 until 16).foreach { j =>
+      val exact = dotL(probe, rows(j))
+      assert(math.abs(adc(j.toLong) - exact) <= 5e-6,
+        s"vec $j: adc ${adc(j.toLong)} vs exact $exact")
+    }
+  }
+
+  test("stripHtml: blocks, tags, entities, whitespace, null") {
+    val rows = Seq(
+      (1L, "<html><head><script>var x = '<p>';</script><style>a{b}</style></head>" +
+        "<body><!-- note --><h1>Title</h1><p>Hello   <b>world</b></p></body></html>"),
+      (2L, "plain text stays"),
+      (3L, "&amp;lt; decodes one level; &quot;q&quot; &#39;s&#39;&nbsp;x &gt; &lt;"),
+      (4L, null))
+    val df = spark.createDataFrame(rows).toDF("id", "html")
+    val out = df.select(col("id"), TextAnalysis.stripHtml(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Title Hello world")
+    assert(out(2L) == "plain text stays")
+    // &amp;lt; -> &lt; (one decode level, amp last); entities decode
+    assert(out(3L) == "&lt; decodes one level; \"q\" 's' x > <")
+    assert(out(4L) == null)
+  }
 }
