@@ -46,6 +46,8 @@ object ClusterCheck {
     "q_pack_sequences",           // two-phase distributed prefix sum
     "q_join_skew",                // salted join
     "q_join_asof",                // union + window carry-forward
+    "q_sim_pq",                   // PQ code exprs + integer LUT literal on executors
+    "q_text_classify",            // TextClassifier StaticInvoke + per-JVM weight cache
   )
 
   private def runAll(master: String, sfDir: String): Map[String, Seq[String]] = {

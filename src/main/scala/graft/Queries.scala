@@ -2713,7 +2713,7 @@ object Queries {
     // only, so DuckDB replays the argmin bit-for-bit
     """WITH cb AS (
       |  SELECT vec_id AS j, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
-      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE embedding IS NOT NULL),
       |codes AS (
       |  SELECT v.vec_id, m.range AS m,
       |    (SELECT j FROM cb
@@ -2742,7 +2742,7 @@ object Queries {
       |      (SELECT pv FROM probe)[m.range*8+1 : m.range*8+8],
       |      cv[m.range*8+1 : m.range*8+8]) * 1000000) AS BIGINT) AS s
       |  FROM cb CROSS JOIN range(8) m),
-      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id <> 0),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id <> 0 AND embedding IS NOT NULL),
       |codes AS (
       |  SELECT v.vec_id, m.range AS m,
       |    (SELECT j FROM cb

@@ -695,6 +695,116 @@ object Similarity {
       .select(col(idCol), col("mc.m").as("m"), col("mc.code").as("code"))
   }
 
+  /** Packed PQ codes, one row per vector: (id, codes array<int>) — the
+    * form a materialized code table stores ([[adcTopKFromCodes]] scans
+    * it instead of the vectors; 32× less IO at 100 TB). */
+  def pqPackedCodes(embeddings: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
+    val subDim = codebooks.head.head.length
+    embeddings.filter(col(vecCol).isNotNull)
+      .select(col(idCol), array(codebooks.indices.map(m =>
+        pqCodeExpr(col(vecCol), codebooks(m), m, subDim)): _*).as("codes"))
+  }
+
+  /** Distributed per-subspace Lloyd's fitting for PQ codebooks (the
+    * trained form; [[pqCodebooksFromRows]] over raw data rows is the
+    * untrained baseline). Init = sub-slices of a deterministic
+    * hash-ordered k-row sample; each iteration assigns every (row,
+    * subspace) to its nearest code map-side against the broadcast
+    * codebook literals, then computes per-(subspace, code, dimension)
+    * means with ordinary partial+final aggregation — ALL subspaces in
+    * ONE job, and only numSub·k·subDim (sum, count) rows reach the
+    * driver per iteration regardless of corpus size (the
+    * [[fitCentroids]] contract). Squared-L2 assignment + mean update =
+    * standard k-means per subspace. Empty cells keep their previous
+    * code vector. Fully deterministic. */
+  def fitPqCodebooks(embeddings: DataFrame, idCol: String, vecCol: String,
+      numSub: Int, k: Int, iterations: Int = 5): Seq[Seq[Array[Float]]] = {
+    val valid = embeddings.filter(col(vecCol).isNotNull)
+    val initRows = valid
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray).toSeq
+    var books = pqCodebooksFromRows(initRows, numSub)
+    val subDim = books.head.head.length
+    for (_ <- 0 until iterations) {
+      val mc = array(books.indices.map { m =>
+        struct(lit(m).as("m"),
+          pqCodeExpr(col(vecCol), books(m), m, subDim).as("code"),
+          slice(col(vecCol), m * subDim + 1, subDim).as("sub"))
+      }: _*)
+      val sums = valid
+        .select(explode(mc).as("a"))
+        .select(col("a.m"), col("a.code"), posexplode(col("a.sub")))
+        .groupBy("m", "code", "pos")
+        .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect() // numSub·k·subDim rows — driver-safe at any corpus size
+      val byKey = sums.map(r =>
+        (r.getInt(0), r.getInt(1), r.getInt(2)) -> (r.getDouble(3), r.getLong(4))).toMap
+      books = books.zipWithIndex.map { case (cb, m) =>
+        cb.zipWithIndex.map { case (old, c) =>
+          if (byKey.contains((m, c, 0))) {
+            Array.tabulate(subDim) { p =>
+              val (s, n) = byKey((m, c, p))
+              (s / n).toFloat
+            }
+          } else old
+        }
+      }
+    }
+    books
+  }
+
+  /** Mean squared quantization error of `codebooks` over the table —
+    * the number a PQ fit is judged by (lower = tighter codes). */
+  def pqQuantizationError(embeddings: DataFrame, vecCol: String,
+      codebooks: Seq[Seq[Array[Float]]]): Double = {
+    val subDim = codebooks.head.head.length
+    val errs = codebooks.indices.map { m =>
+      val sub = slice(col(vecCol), m * subDim + 1, subDim)
+      val cbLit = typedLit(codebooks(m).map(_.toSeq))
+      val code = pqCodeExpr(col(vecCol), codebooks(m), m, subDim)
+      val cvec = element_at(cbLit, code + 1)
+      aggregate(zip_with(sub, cvec, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (a, e) => a + e)
+    }
+    embeddings.filter(col(vecCol).isNotNull)
+      .select(avg(errs.reduce(_ + _)).as("mse"))
+      .head().getDouble(0)
+  }
+
+  /** [[adcTopK]] over a pre-materialized packed code table (the
+    * steady-state 100 TB shape: the scan reads numSub bytes per row,
+    * never the vectors). Bit-identical to the re-deriving form when the
+    * codes came from the same codebooks. */
+  def adcTopKFromCodes(codes: DataFrame, idCol: String, codesCol: String,
+      codebooks: Seq[Seq[Array[Float]]], probe: Array[Float], k: Int): DataFrame = {
+    val lutLit = typedLit(adcLut(codebooks, probe))
+    val score = codebooks.indices.map { m =>
+      element_at(element_at(lutLit, m + 1),
+        element_at(col(codesCol), m + 1) + 1)
+    }.reduce(_ + _)
+    codes
+      .select(col(idCol), round(score / lit(1000000.0), 6).as("approx_dot"))
+      .orderBy(col("approx_dot").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The per-probe ADC lookup table in integer micro-units (HALF_UP,
+    * Spark `round` semantics — exact partial sums under any order). */
+  private def adcLut(codebooks: Seq[Seq[Array[Float]]],
+      probe: Array[Float]): Seq[Seq[Long]] = {
+    val subDim = codebooks.head.head.length
+    require(probe.length == subDim * codebooks.size,
+      s"ADC: probe dim ${probe.length} != ${subDim * codebooks.size}")
+    codebooks.zipWithIndex.map { case (cb, m) =>
+      val pm = probe.slice(m * subDim, (m + 1) * subDim)
+      cb.map(c => java.math.BigDecimal.valueOf(dotLocal(pm, c) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+    }
+  }
+
   /** Asymmetric-distance (ADC) top-k by approximate inner product:
     * score(v) ≈ probe·v = Σ_m probe_m · codebook[m][code_m(v)] — the dot
     * product decomposes exactly over subspaces, so the per-probe cost is
@@ -712,14 +822,7 @@ object Similarity {
   def adcTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       codebooks: Seq[Seq[Array[Float]]], probe: Array[Float], k: Int): DataFrame = {
     val subDim = codebooks.head.head.length
-    require(probe.length == subDim * codebooks.size,
-      s"adcTopK: probe dim ${probe.length} != ${subDim * codebooks.size}")
-    val lut: Seq[Seq[Long]] = codebooks.zipWithIndex.map { case (cb, m) =>
-      val pm = probe.slice(m * subDim, (m + 1) * subDim)
-      cb.map(c => java.math.BigDecimal.valueOf(dotLocal(pm, c) * 1e6)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
-    }
-    val lutLit = typedLit(lut)
+    val lutLit = typedLit(adcLut(codebooks, probe))
     val score = codebooks.indices.map { m =>
       element_at(element_at(lutLit, m + 1),
         pqCodeExpr(col(vecCol), codebooks(m), m, subDim) + 1)

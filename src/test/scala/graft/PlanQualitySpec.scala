@@ -248,4 +248,42 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("hashpartitioning"),
       s"entropy introduced a non-sort shuffle:\n$p")
   }
+
+  test("q_embed_pq assigns codes map-side — no join, no non-sort shuffle") {
+    val p = plan("q_embed_pq")
+    // codes come from broadcast-sized codebook LITERALS: any join means
+    // the codebook regressed into a table, any hash shuffle means the
+    // assignment stopped being a projection
+    assert(!p.contains("Join"), s"PQ assignment regressed into a join:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"PQ assignment introduced a non-sort shuffle:\n$p")
+    assert(!p.contains("label"), "embeddings pruning failed: label column read")
+  }
+
+  test("q_sim_pq scores via TakeOrdered — no global sort, no window, no join") {
+    val p = plan("q_sim_pq")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ADC top-k lost its TakeOrdered plan:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"ADC scoring regressed into a join/window:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"ADC scoring introduced a non-sort shuffle:\n$p")
+  }
+
+  test("q_text_strip_html is a pure projection — no shuffle beyond the final sort") {
+    val p = plan("q_text_strip_html")
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      s"html strip regressed into a join/explode:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"html strip introduced a non-sort shuffle:\n$p")
+  }
+
+  test("q_text_classify scores in one compiled call per row — no explode/groupBy round-trip") {
+    val p = plan("q_text_classify")
+    assert(!p.contains("Generate") && !p.contains("Join"),
+      s"classifier inference regressed into explode/join:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"classifier inference introduced a non-sort shuffle:\n$p")
+    assert(!p.contains("UDF"), s"classifier regressed to a scala udf:\n$p")
+  }
 }
