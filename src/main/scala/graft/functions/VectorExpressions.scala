@@ -275,6 +275,138 @@ case class SignProjection(child: Expression, planes: Seq[Seq[Float]])
     copy(child = newChild)
 }
 
+/** All product-quantization subspace codes in ONE fused loop: element m
+  * of the result is the index of the nearest `codebooks(m)` entry to the
+  * vector's m-th contiguous `subDim` slice, by squared L2 with min-index
+  * tiebreak. The composed formulation (per subspace: an `array(...)` of K
+  * round(|c|²−2·dot) scores + array_min + array_position) builds
+  * numSub×K inlined dot products per row — at 8×16 that is 128 loops,
+  * which blows Janino's method-size limit and silently drops the whole
+  * projection out of whole-stage codegen; this is one tight 3-level loop
+  * over a plain `float[][][]` (the [[SignProjection]] fix applied to PQ).
+  *
+  * Math contract: identical to the composed form — the |a|²-free
+  * expansion score = round(|c|² − 2·a·c, 9) with [[VectorDot]]-order
+  * double accumulation and Spark `round` rounding
+  * (BigDecimal.valueOf → setScale(9, HALF_UP)), strict `<` argmin =
+  * first-minimum-index tiebreak — so assigned codes are bit-identical to
+  * the previous expression tree and to the DuckDB
+  * `ORDER BY round(...) ASC, j LIMIT 1` oracle replay
+  * (`Similarity.pqCodeExpr` keeps the composed form as the spec'd
+  * reference). Null or dimension-mismatched vectors → null. */
+case class PqAssign(child: Expression, codebooks: Seq[Seq[Seq[Float]]])
+    extends UnaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_assign needs at least one non-empty codebook")
+  require(codebooks.flatten.forall(_.size == codebooks.head.head.size),
+    "pq_assign codebook entries must share one sub-dimension")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_assign needs array<float>, got ${other.sql}")
+  }
+
+  @transient private lazy val cb: Array[Array[Array[Float]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  // |c|² per (subspace, code), same ascending float→double accumulation
+  // as the dotLocal literals in the composed form
+  @transient private lazy val cn: Array[Array[Double]] =
+    cb.map(_.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }
+      acc
+    })
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val subDim = cb(0)(0).length
+    if (x.numElements() != cb.length * subDim) return null
+    val codes = new Array[Int](cb.length)
+    var m = 0
+    while (m < cb.length) {
+      val book = cb(m)
+      val base = m * subDim
+      var best = Double.PositiveInfinity
+      var bestIdx = -1
+      var c = 0
+      while (c < book.length) {
+        val cv = book(c)
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          acc += x.getFloat(base + i).toDouble * cv(i).toDouble
+          i += 1
+        }
+        val score = java.math.BigDecimal.valueOf(cn(m)(c) - 2.0 * acc)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (score < best) { best = score; bestIdx = c }
+        c += 1
+      }
+      codes(m) = bestIdx
+      m += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", cb, "float[][][]")
+    val cnRef = ctx.addReferenceObj("codeNorms", cn, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val subDim = ctx.freshName("subDim")
+      val codes = ctx.freshName("codes")
+      val m = ctx.freshName("m")
+      val book = ctx.freshName("book")
+      val base = ctx.freshName("base")
+      val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx")
+      val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val score = ctx.freshName("score")
+      s"""
+        int $subDim = $cbRef[0][0].length;
+        if ($a.numElements() != $cbRef.length * $subDim) {
+          ${ev.isNull} = true;
+        } else {
+          int[] $codes = new int[$cbRef.length];
+          for (int $m = 0; $m < $cbRef.length; $m++) {
+            float[][] $book = $cbRef[$m];
+            int $base = $m * $subDim;
+            double $best = Double.POSITIVE_INFINITY;
+            int $bestIdx = -1;
+            for (int $c = 0; $c < $book.length; $c++) {
+              float[] $cv = $book[$c];
+              double $acc = 0.0;
+              for (int $i = 0; $i < $subDim; $i++) {
+                $acc += ((double) $a.getFloat($base + $i)) * ((double) $cv[$i]);
+              }
+              double $score = java.math.BigDecimal.valueOf($cnRef[$m][$c] - 2.0 * $acc)
+                .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue();
+              if ($score < $best) { $best = $score; $bestIdx = $c; }
+            }
+            $codes[$m] = $bestIdx;
+          }
+          ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+            .fromPrimitiveArray($codes);
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAssign =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for the codegen'd expressions. */
   def vecDot(a: Column, b: Column): Column =
@@ -297,4 +429,10 @@ object VectorFunctions {
   def signProjection(vec: Column, planes: Seq[Array[Float]]): Column =
     GraftSqlBridge.column(SignProjection(
       GraftSqlBridge.expression(vec), planes.map(_.toSeq)))
+
+  /** All PQ subspace codes (array<int>, one per codebook) in one fused
+    * loop per row. */
+  def pqAssign(vec: Column, codebooks: Seq[Seq[Array[Float]]]): Column =
+    GraftSqlBridge.column(PqAssign(
+      GraftSqlBridge.expression(vec), codebooks.map(_.map(_.toSeq))))
 }

@@ -665,8 +665,14 @@ object Similarity {
     * ascending exactly like DuckDB's `list_dot_product`, and |c|² is a
     * driver-computed literal from the same floats — so the assigned
     * codes are bit-identical across engines (the IVF argmax story,
-    * rounded at 9 dp for tie robustness). */
-  private def pqCodeExpr(vec: Column, codebook: Seq[Array[Float]],
+    * rounded at 9 dp for tie robustness).
+    *
+    * This composed form is the REFERENCE semantics only (spec'd equal to
+    * the fused expression): production paths use
+    * [[graft.functions.PqAssign]], whose one fused loop stays inside
+    * whole-stage codegen where this numSub×K expression tree blows
+    * Janino's method-size limit and falls back to interpretation. */
+  private[graft] def pqCodeExpr(vec: Column, codebook: Seq[Array[Float]],
       m: Int, subDim: Int): Column = {
     val sub = slice(vec, m * subDim + 1, subDim)
     val scores = array(codebook.map { c =>
@@ -685,14 +691,11 @@ object Similarity {
     * Null vectors carry no codes (dropped, like the ANN indexes). */
   def pqCodes(embeddings: DataFrame, idCol: String, vecCol: String,
       codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
-    val subDim = codebooks.head.head.length
-    val mc = array(codebooks.indices.map { m =>
-      struct(lit(m).as("m"),
-        pqCodeExpr(col(vecCol), codebooks(m), m, subDim).as("code"))
-    }: _*)
     embeddings.filter(col(vecCol).isNotNull)
-      .select(col(idCol), explode(mc).as("mc"))
-      .select(col(idCol), col("mc.m").as("m"), col("mc.code").as("code"))
+      .select(col(idCol),
+        graft.functions.VectorFunctions.pqAssign(col(vecCol), codebooks).as("codes"))
+      .select(col(idCol), posexplode(col("codes")))
+      .select(col(idCol), col("pos").as("m"), col("col").as("code"))
   }
 
   /** Packed PQ codes, one row per vector: (id, codes array<int>) — the
@@ -700,10 +703,9 @@ object Similarity {
     * it instead of the vectors; 32× less IO at 100 TB). */
   def pqPackedCodes(embeddings: DataFrame, idCol: String, vecCol: String,
       codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
-    val subDim = codebooks.head.head.length
     embeddings.filter(col(vecCol).isNotNull)
-      .select(col(idCol), array(codebooks.indices.map(m =>
-        pqCodeExpr(col(vecCol), codebooks(m), m, subDim)): _*).as("codes"))
+      .select(col(idCol),
+        graft.functions.VectorFunctions.pqAssign(col(vecCol), codebooks).as("codes"))
   }
 
   /** Distributed per-subspace Lloyd's fitting for PQ codebooks (the
@@ -728,9 +730,10 @@ object Similarity {
     var books = pqCodebooksFromRows(initRows, numSub)
     val subDim = books.head.head.length
     for (_ <- 0 until iterations) {
+      val codes = graft.functions.VectorFunctions.pqAssign(col(vecCol), books)
       val mc = array(books.indices.map { m =>
         struct(lit(m).as("m"),
-          pqCodeExpr(col(vecCol), books(m), m, subDim).as("code"),
+          element_at(codes, m + 1).as("code"),
           slice(col(vecCol), m * subDim + 1, subDim).as("sub"))
       }: _*)
       val sums = valid
@@ -760,11 +763,11 @@ object Similarity {
   def pqQuantizationError(embeddings: DataFrame, vecCol: String,
       codebooks: Seq[Seq[Array[Float]]]): Double = {
     val subDim = codebooks.head.head.length
+    val codes = graft.functions.VectorFunctions.pqAssign(col(vecCol), codebooks)
     val errs = codebooks.indices.map { m =>
       val sub = slice(col(vecCol), m * subDim + 1, subDim)
       val cbLit = typedLit(codebooks(m).map(_.toSeq))
-      val code = pqCodeExpr(col(vecCol), codebooks(m), m, subDim)
-      val cvec = element_at(cbLit, code + 1)
+      val cvec = element_at(cbLit, element_at(codes, m + 1) + 1)
       aggregate(zip_with(sub, cvec, (x, y) =>
         (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
         lit(0.0), (a, e) => a + e)
@@ -820,16 +823,7 @@ object Similarity {
     * order. Ordering ties break by id; k rows via TakeOrdered, never a
     * global sort. */
   def adcTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-      codebooks: Seq[Seq[Array[Float]]], probe: Array[Float], k: Int): DataFrame = {
-    val subDim = codebooks.head.head.length
-    val lutLit = typedLit(adcLut(codebooks, probe))
-    val score = codebooks.indices.map { m =>
-      element_at(element_at(lutLit, m + 1),
-        pqCodeExpr(col(vecCol), codebooks(m), m, subDim) + 1)
-    }.reduce(_ + _)
-    embeddings.filter(col(vecCol).isNotNull)
-      .select(col(idCol), round(score / lit(1000000.0), 6).as("approx_dot"))
-      .orderBy(col("approx_dot").desc, col(idCol))
-      .limit(k)
-  }
+      codebooks: Seq[Seq[Array[Float]]], probe: Array[Float], k: Int): DataFrame =
+    adcTopKFromCodes(pqPackedCodes(embeddings, idCol, vecCol, codebooks),
+      idCol, "codes", codebooks, probe, k)
 }

@@ -258,6 +258,25 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("hashpartitioning"),
       s"PQ assignment introduced a non-sort shuffle:\n$p")
     assert(!p.contains("label"), "embeddings pruning failed: label column read")
+    // the assignment must be the ONE fused expression — the composed
+    // numSub×K tree (array_min/array_position over 128 inlined dots)
+    // blows Janino's method limit and silently goes interpreted
+    assert(p.contains("pqassign"), s"fused PqAssign missing from plan:\n$p")
+    assert(!p.contains("array_min"), s"composed PQ tree leaked into the plan:\n$p")
+  }
+
+  test("PqAssign projection runs inside whole-stage codegen") {
+    // the query plan hides codegen markers behind a non-final
+    // AdaptiveSparkPlan, so assert fusion on the bare projection (the
+    // vecDot convention): `*(n)` prefixes mark fused stages
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val cb = graft.operators.Similarity.pqCodebooksFromRows(
+      emb.orderBy("vec_id").limit(16).collect()
+        .map(_.getSeq[Float](1).toArray).toSeq, 8)
+    val df = graft.operators.Similarity.pqPackedCodes(emb, "vec_id", "embedding", cb)
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[[^\n]*pqassign""".r.findFirstIn(p).isDefined,
+      s"PqAssign projection not fused into codegen:\n${p.take(4000)}")
   }
 
   test("q_sim_pq scores via TakeOrdered — no global sort, no window, no join") {
@@ -268,6 +287,8 @@ class PlanQualitySpec extends SparkTestBase {
       s"ADC scoring regressed into a join/window:\n$p")
     assert(!p.contains("hashpartitioning"),
       s"ADC scoring introduced a non-sort shuffle:\n$p")
+    assert(p.contains("pqassign") && !p.contains("array_min"),
+      s"ADC code derivation not the fused PqAssign:\n$p")
   }
 
   test("q_text_strip_html is a pure projection — no shuffle beyond the final sort") {

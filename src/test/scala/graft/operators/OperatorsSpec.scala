@@ -809,7 +809,25 @@ class OperatorsSpec extends SparkTestBase {
     // the code table is numSub ints per row — the 32x-IO claim's shape
     assert(packed.schema("codes").dataType ==
       org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.IntegerType, containsNull = true))
+        org.apache.spark.sql.types.IntegerType, containsNull = false))
+  }
+
+  test("fused PqAssign equals the composed per-subspace reference form") {
+    val (_, codebooks) = pqFixture
+    val subDim = codebooks.head.head.length
+    // the composed expression tree IS the pinned semantics (and the shape
+    // the DuckDB oracle replays); the fused loop must match it bit-for-bit
+    val composed = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id") +: codebooks.indices.map(m =>
+        Similarity.pqCodeExpr(col("embedding"), codebooks(m), m, subDim)
+          .as(s"c$m")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to codebooks.size).map(r.getInt)).toMap
+    val fused = Similarity.pqPackedCodes(emb, "vec_id", "embedding", codebooks)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(fused.keySet == composed.keySet)
+    fused.foreach { case (id, codes) =>
+      assert(codes == composed(id), s"vec $id: fused $codes != composed ${composed(id)}")
+    }
   }
 
   test("stripHtml: blocks, tags, entities, whitespace, null") {
