@@ -2728,11 +2728,14 @@ object Queries {
       .orderBy("vec_id", "m")
   }
 
-  q("q_sim_pq",
-    // ADC retrieval over PQ codes: probe·v ≈ Σ_m LUT[m][code_m(v)], the
-    // lookup table in integer micro-units so partial sums are exact
-    // under any accumulation order — the oracle recomputes the same LUT
-    // from the same dot products and sums the same integers
+  // ADC retrieval over PQ codes: probe·v ≈ Σ_m LUT[m][code_m(v)], the
+  // lookup table in integer micro-units so partial sums are exact
+  // under any accumulation order — the oracle recomputes the same LUT
+  // from the same dot products and sums the same integers. Shared by the
+  // scan form (q_sim_pq, codes re-derived from vectors) and the indexed
+  // form (q_sim_pq_indexed, codes read from the materialized table):
+  // both produce identical rows by construction.
+  private val pqAdcOracleSql =
     """WITH cb AS (
       |  SELECT vec_id AS j, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
       |probe AS (SELECT embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id = 0),
@@ -2756,10 +2759,29 @@ object Queries {
       |  FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.code
       |  GROUP BY c.vec_id)
       |SELECT vec_id, round(score / 1000000.0, 6) AS approx_dot
-      |FROM scored ORDER BY approx_dot DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      |FROM scored ORDER BY approx_dot DESC, vec_id LIMIT 10""".stripMargin
+
+  q("q_sim_pq", pqAdcOracleSql) { (s, d) =>
     val emb = t(s, d, "embeddings")
     graft.operators.Similarity.adcTopK(
       emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      pqCodebooks(s, d), embProbe(s, d), k = 10)
+  }
+
+  private def pqIndexPath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "pq") { p =>
+      graft.operators.Similarity.buildPqIndex(
+        t(s, d, "embeddings").filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", pqCodebooks(s, d), p)
+    }
+
+  q("q_sim_pq_indexed", pqAdcOracleSql) { (s, d) =>
+    // the steady-state 100 TB shape: the probe PLAN scans only the
+    // materialized numSub-ints-per-row code table (32× less IO than the
+    // vectors — the embedding table appears nowhere in it; codebooks and
+    // probe are driver-side scalars, the fixture's 16-row collect)
+    graft.operators.Similarity.adcTopKIndexed(
+      s, pqIndexPath(s, d), "vec_id",
       pqCodebooks(s, d), embProbe(s, d), k = 10)
   }
 
@@ -2826,7 +2848,8 @@ object Queries {
     // index builds: cold flag = the timing includes the one-off
     // partitionBy materialization (annIndexPath)
     "q_sim_ivf_indexed" -> Seq("ivf_index"),
-    "q_sim_lsh_indexed" -> Seq("lsh_index"))
+    "q_sim_lsh_indexed" -> Seq("lsh_index"),
+    "q_sim_pq_indexed" -> Seq("pq_index"))
 
   /** Force-materialize an ANN index OUTSIDE query timing. Bench runs
     * these before the first consuming query and reports the build
@@ -2838,5 +2861,6 @@ object Queries {
     * annIndexPath key and ride the cache. */
   lazy val indexBuilds: Map[String, (SparkSession, String) => Unit] = Map(
     "ivf_index" -> ((s, d) => { ivfIndexPath(s, d); () }),
-    "lsh_index" -> ((s, d) => { lshIndexPath(s, d); () }))
+    "lsh_index" -> ((s, d) => { lshIndexPath(s, d); () }),
+    "pq_index" -> ((s, d) => { pqIndexPath(s, d); () }))
 }

@@ -708,6 +708,70 @@ object Similarity {
         graft.functions.VectorFunctions.pqAssign(col(vecCol), codebooks).as("codes"))
   }
 
+  private final val PqMetaFile = "_pq_index_meta.json"
+
+  /** Deterministic fingerprint of a codebook set (md5 over the float
+    * bits in order): codes in a materialized table are only meaningful
+    * against the EXACT codebooks that assigned them, so the probe path
+    * refuses a mismatched set instead of silently scoring garbage (the
+    * [[buildLshIndex]] metadata contract applied to PQ). */
+  private def pqFingerprint(codebooks: Seq[Seq[Array[Float]]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(4)
+    codebooks.foreach(_.foreach(_.foreach { f =>
+      buf.clear(); buf.putFloat(f); md.update(buf.array())
+    }))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Materialize the packed code table ([[pqPackedCodes]]) plus codebook
+    * metadata: the steady-state 100 TB ANN shape — later probes scan
+    * numSub ints per row instead of the 32×-larger vectors, and never
+    * touch the embedding table at all. No partitionBy: ADC scans the
+    * WHOLE code table by design (compression, not pruning, is PQ's
+    * lever; combine with [[buildIvfIndex]] cells when both are wanted). */
+  def buildPqIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Array[Float]]], path: String): Unit = {
+    pqPackedCodes(embeddings, idCol, vecCol, codebooks)
+      .write.mode("overwrite").parquet(path)
+    val spark = embeddings.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path, PqMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      (s"""{"numSub":${codebooks.size},"subDim":${codebooks.head.head.length},""" +
+        s""""codesPerSub":${codebooks.head.size},"fp":"${pqFingerprint(codebooks)}"}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** [[adcTopKFromCodes]] over a [[buildPqIndex]] table, with the
+    * codebook fingerprint validated against the index metadata (probing
+    * a code table with codebooks other than the ones that assigned the
+    * codes silently returns wrong neighbors — made an error instead;
+    * pre-metadata tables skip the check). */
+  def adcTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, idCol: String,
+      codebooks: Seq[Seq[Array[Float]]], probe: Array[Float], k: Int): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, PqMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val raw =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val fp = """"fp"\s*:\s*"([0-9a-f]+)"""".r.findFirstMatchIn(raw).map(_.group(1))
+      require(fp.contains(pqFingerprint(codebooks)),
+        s"adcTopKIndexed: codebooks do not match the index at $indexPath " +
+          s"(built with fingerprint ${fp.getOrElse("?")}) — its codes were " +
+          "assigned by different codebooks and would score wrong neighbors")
+    }
+    adcTopKFromCodes(spark.read.parquet(indexPath), idCol, "codes",
+      codebooks, probe, k)
+  }
+
   /** Distributed per-subspace Lloyd's fitting for PQ codebooks (the
     * trained form; [[pqCodebooksFromRows]] over raw data rows is the
     * untrained baseline). Init = sub-slices of a deterministic

@@ -291,6 +291,19 @@ class PlanQualitySpec extends SparkTestBase {
       s"ADC code derivation not the fused PqAssign:\n$p")
   }
 
+  test("q_sim_pq_indexed probes ONLY the materialized code table") {
+    val p = plan("q_sim_pq_indexed")
+    // the 32×-compression claim made literal: the probe plan reads the
+    // numSub-ints-per-row index, never the embedding vectors
+    assert(!p.contains("embeddings.parquet"),
+      s"indexed ADC probe still scans the embedding table:\n$p")
+    assert(p.contains("graft_pq_idx"), s"code-table scan missing:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"indexed ADC lost its TakeOrdered plan:\n$p")
+    assert(!p.contains("Join") && !p.contains("hashpartitioning"),
+      s"indexed ADC probe regressed into a join/shuffle:\n$p")
+  }
+
   test("q_text_strip_html is a pure projection — no shuffle beyond the final sort") {
     val p = plan("q_text_strip_html")
     assert(!p.contains("Join") && !p.contains("Generate"),

@@ -812,6 +812,33 @@ class OperatorsSpec extends SparkTestBase {
         org.apache.spark.sql.types.IntegerType, containsNull = false))
   }
 
+  test("buildPqIndex + adcTopKIndexed equals the scan form; mismatched codebooks error") {
+    val (rows, codebooks) = pqFixture
+    val probe = rows.head
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx_spec")
+    try {
+      val path = dir.resolve("index").toString
+      Similarity.buildPqIndex(corpus, "vec_id", "embedding", codebooks, path)
+      val direct = Similarity.adcTopK(corpus, "vec_id", "embedding",
+        codebooks, probe, k = 12).collect().toSeq
+      val indexed = Similarity.adcTopKIndexed(spark, path, "vec_id",
+        codebooks, probe, k = 12).collect().toSeq
+      assert(indexed == direct)
+      // probing with codebooks OTHER than the ones that assigned the
+      // stored codes must error, not silently score wrong neighbors
+      val other = codebooks.map(_.map(_.map(_ + 1.0f)))
+      val err = intercept[IllegalArgumentException] {
+        Similarity.adcTopKIndexed(spark, path, "vec_id", other, probe, k = 12)
+      }
+      assert(err.getMessage.contains("fingerprint"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("fused PqAssign equals the composed per-subspace reference form") {
     val (_, codebooks) = pqFixture
     val subDim = codebooks.head.head.length
