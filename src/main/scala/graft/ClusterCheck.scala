@@ -47,6 +47,7 @@ object ClusterCheck {
     "q_join_skew",                // salted join
     "q_join_asof",                // union + window carry-forward
     "q_sim_pq",                   // PQ code exprs + integer LUT literal on executors
+    "q_sim_pq_indexed",           // + executor-side code-table write, fingerprint check
     "q_text_classify",            // TextClassifier StaticInvoke + per-JVM weight cache
   )
 

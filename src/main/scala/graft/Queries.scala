@@ -1551,6 +1551,76 @@ object Queries {
     graft.operators.Dedup.dedupClusters(pairs).orderBy("doc_id")
   }
 
+  q("q_dedup_keep_best",
+    // near-dup collapse with quality-aware survivor choice: cluster the
+    // ngram-Jaccard pairs (singletons = own cluster), keep the
+    // HIGHEST-quality member per cluster, ties by lowest id. Survivor
+    // choice is two keyed aggs (max score, then min id among maximal) —
+    // never a per-cluster window sort. The oracle replays the recursive
+    // transitive closure plus the 4-dp quality blend.
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 1))])) AS s
+      |  FROM words),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |shared AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 100),
+      |cp AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM (SELECT * FROM sh WHERE s IN (SELECT s FROM shared)) a
+      |  JOIN (SELECT * FROM sh WHERE s IN (SELECT s FROM shared)) b USING (s)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cp
+      |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.8),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |labels AS (
+      |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+      |lab AS (
+      |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN labels l USING (doc_id)),
+      |base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS lt,
+      |    length(text)::DOUBLE AS n_chars,
+      |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE AS punct
+      |  FROM documents),
+      |qual AS (
+      |  SELECT doc_id,
+      |    round((round((n_chars - punct * 2) / greatest(n_chars, 1.0), 4)
+      |      + round(least(len(list_intersect(lt,
+      |          ['the','and','of','to','in','is','that','it','for','was']))::DOUBLE
+      |        / greatest(len(toks), 1) * 5, 1.0), 4)
+      |      + round(least(len(toks) / 100.0, 1.0), 4)) / 3, 4) AS quality
+      |  FROM base),
+      |j AS (
+      |  SELECT lab.cluster_id, lab.doc_id, qual.quality
+      |  FROM lab JOIN qual USING (doc_id)),
+      |best AS (
+      |  SELECT cluster_id, max(quality) AS best_quality, count(*) AS n_members
+      |  FROM j GROUP BY cluster_id)
+      |SELECT b.cluster_id, min(j.doc_id) AS keep_id, b.best_quality, b.n_members
+      |FROM j JOIN best b ON j.cluster_id = b.cluster_id AND j.quality = b.best_quality
+      |GROUP BY 1, 3, 4
+      |ORDER BY b.cluster_id""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val pairs = graft.operators.Dedup.ngramJaccardPairsFrom(
+      sharedShingles(s, d), threshold = 0.8, maxShingleDf = 100L)
+    val scores = graft.operators.TextAnalysis
+      .qualityScore(docs, "doc_id", "text")
+      .select("doc_id", "quality")
+    graft.operators.Dedup.keepBestPerCluster(
+        docs, pairs, scores, "doc_id", "quality")
+      .orderBy("cluster_id")
+  }
+
   q("q_decontaminate",
     // benchmark-contamination check: corpus docs (doc_id % 97 != 0)
     // sharing at least one word 3-gram with the held-out eval set
@@ -1863,6 +1933,73 @@ object Queries {
     graft.operators.Sampling.capPerGroup(
         t(s, d, "documents"), "source", "doc_id", 7)
       .orderBy("source", "doc_id")
+  }
+
+  q("q_sample_quality_bins",
+    // curriculum binning: exact quartile boundaries of the 4-dp quality
+    // blend (ONE percentile aggregate — single reduce, value→count
+    // buffer bounded by the 10^4 distinct 4-dp scores; an ntile window
+    // would globally sort the corpus), broadcast back, map-side CASE
+    // label. Boundaries round to 6 dp in both engines before comparing.
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS lt,
+      |    length(text)::DOUBLE AS n_chars,
+      |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE AS punct
+      |  FROM documents),
+      |qual AS (
+      |  SELECT doc_id,
+      |    round((round((n_chars - punct * 2) / greatest(n_chars, 1.0), 4)
+      |      + round(least(len(list_intersect(lt,
+      |          ['the','and','of','to','in','is','that','it','for','was']))::DOUBLE
+      |        / greatest(len(toks), 1) * 5, 1.0), 4)
+      |      + round(least(len(toks) / 100.0, 1.0), 4)) / 3, 4) AS quality
+      |  FROM base),
+      |b AS (
+      |  SELECT round(quantile_cont(quality, 0.25), 6) AS b0,
+      |         round(quantile_cont(quality, 0.5), 6) AS b1,
+      |         round(quantile_cont(quality, 0.75), 6) AS b2
+      |  FROM qual)
+      |SELECT CASE WHEN quality IS NULL THEN NULL
+      |            WHEN quality <= b0 THEN 0 WHEN quality <= b1 THEN 1
+      |            WHEN quality <= b2 THEN 2 ELSE 3 END AS bin,
+      |  count(*) AS n_docs,
+      |  round(min(quality), 4) AS min_q, round(max(quality), 4) AS max_q
+      |FROM qual CROSS JOIN b
+      |GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+    val scores = graft.operators.TextAnalysis
+      .qualityScore(t(s, d, "documents"), "doc_id", "text")
+      .select("doc_id", "quality")
+    graft.operators.Sampling.quantileBins(scores, "quality", Seq(0.25, 0.5, 0.75))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("quality")), 4).as("min_q"),
+        round(max(col("quality")), 4).as("max_q"))
+      .orderBy("bin")
+  }
+
+  q("q_corpus_shard",
+    // deterministic training-shard deal: shard = hash bits [32,64) mod 8,
+    // within-shard order key = top 53 bits — reproducible across engines,
+    // runs, and partitionings (no rand()). Assignment is a map-side
+    // projection; the audit is a groupBy on 8 keys with map-side partial
+    // agg. The write form (Sharding.writeShards: repartition(shard) →
+    // sorted partitionBy dirs) is spec'd; this query verifies the full
+    // assignment arithmetic against the oracle's u64 replay.
+    """WITH a AS (
+      |  SELECT doc_id, text,
+      |    CAST((md5_number_lower(CAST(doc_id AS VARCHAR)) >> 32) % 8 AS BIGINT) AS shard,
+      |    CAST((md5_number_lower(CAST(doc_id AS VARCHAR)) >> 11) AS BIGINT) AS rk
+      |  FROM documents WHERE doc_id IS NOT NULL)
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+      |  CAST(min(rk) AS DOUBLE) AS first_rank,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM a GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    graft.operators.Sharding.shardStats(
+        t(s, d, "documents"), "doc_id", "text", nShards = 8)
+      .orderBy("shard")
   }
 
   q("q_corpus_mix",
@@ -2584,6 +2721,49 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  q("q_text_extract_links",
+    // outlink extraction (link-graph prep): pages salted with two
+    // absolute links (host case, www., default port variants) and a
+    // relative one every 4th doc; hrefs come out of ONE codegen'd RE2
+    // regexp_extract_all, hosts canonicalize via the q_dedup_url string
+    // pipeline, relative links (null host) stay out of the graph by
+    // contract. Per-host outlink count + distinct-page count.
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |    '<p>' || text || '</p><a href="HTTPS://WWW.News' || CAST(doc_id % 5 AS VARCHAR)
+      |    || '.example.com/a/' || CAST(doc_id % 11 AS VARCHAR) || '">n</a><a href="http://blog'
+      |    || CAST(doc_id % 3 AS VARCHAR) || '.example.com:80/x?q=' || CAST(doc_id % 7 AS VARCHAR)
+      |    || '">b</a>' || CASE WHEN doc_id % 4 = 0 THEN '<a href="/rel/x">r</a>' ELSE '' END AS html
+      |  FROM documents),
+      |links AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(html, '(?i)href="([^"]+)"', 1)) AS link
+      |  FROM pages),
+      |hosts AS (
+      |  SELECT doc_id, regexp_replace(regexp_replace(
+      |      lower(nullif(regexp_extract(link, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')),
+      |      ':[0-9]*$', ''), '^www\.', '') AS host
+      |  FROM links)
+      |SELECT host, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
+      |FROM hosts WHERE host IS NOT NULL
+      |GROUP BY host ORDER BY host""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    def part(m: Int) = (id % m).cast("string")
+    val html = concat(
+      lit("<p>"), col("text"),
+      lit("</p><a href=\"HTTPS://WWW.News"), part(5),
+      lit(".example.com/a/"), part(11),
+      lit("\">n</a><a href=\"http://blog"), part(3),
+      lit(".example.com:80/x?q="), part(7), lit("\">b</a>"),
+      when(id % 4 === 0, lit("<a href=\"/rel/x\">r</a>")).otherwise(lit("")))
+    t(s, d, "documents")
+      .select(id, explode(graft.operators.UrlOps.extractLinks(html)).as("link"))
+      .select(id, graft.operators.UrlOps.linkHost(col("link")).as("host"))
+      .filter(col("host").isNotNull)
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_links"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("host")
+  }
+
   q("q_text_classify",
     // hashed-feature linear classifier inference (fastText-style quality
     // filter): md5 buckets + integer micro-unit weights make the per-doc
@@ -2836,6 +3016,7 @@ object Queries {
   lazy val sharedStages: Map[String, Seq[String]] = Map(
     "q_dedup_ngram" -> Seq("shingles"),
     "q_dedup_clusters" -> Seq("shingles"),
+    "q_dedup_keep_best" -> Seq("shingles"),
     "q_decontaminate" -> Seq("shingles"),
     "q_decontaminate_bloom" -> Seq("shingles"),
     "q_dedup_incremental" -> Seq("shingles"),

@@ -281,6 +281,43 @@ object Dedup {
     } finally base.unpersist(blocking = false)
   }
 
+  /** Cluster-collapse with quality-aware survivor choice: given the full
+    * corpus, near-dup `pairs` (id_a, id_b), and a per-doc score frame
+    * (idCol, scoreCol), label every document with its connected-component
+    * cluster ([[dedupClusters]]; unpaired docs are their own singleton
+    * cluster) and keep the HIGHEST-scoring member per cluster, ties
+    * broken by lowest id. This is the production form of near-dup
+    * removal: min-id survivor choice keeps an arbitrary member, while a
+    * trained pipeline wants the best-quality copy of each duplicated
+    * document (the cleanest extraction among crawl variants).
+    *
+    * Returns one row per cluster: cluster_id, keep_id, best_<score>,
+    * n_members.
+    *
+    * Scale (100 TB): the cluster label frame is proportional to the
+    * near-dup GRAPH, not the corpus — the left join onto the corpus
+    * broadcasts under AQE in the common case. Survivor choice is two
+    * keyed aggs (max score per cluster, then min id among the maximal)
+    * rather than a per-cluster window sort, so no cluster — however hot —
+    * ever becomes one giant sort task. */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val clusters = dedupClusters(pairs)
+      .withColumnRenamed("doc_id", idCol)
+    val labeled = docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val best = labeled.groupBy("cluster_id")
+      .agg(max(col(scoreCol)).as(s"best_$scoreCol"),
+        count(lit(1)).as("n_members"))
+    labeled.join(best, Seq("cluster_id"))
+      .filter(col(scoreCol) === col(s"best_$scoreCol"))
+      .groupBy(col("cluster_id"), col(s"best_$scoreCol"), col("n_members"))
+      .agg(min(col(idCol)).as("keep_id"))
+      .select("cluster_id", "keep_id", s"best_$scoreCol", "n_members")
+  }
+
   /** Incremental dedup: filter NEW documents against an EXISTING corpus —
     * the "don't re-ingest what the training set already has" operator.
     * A new doc is dropped when (a) its exact content hash exists in the

@@ -138,6 +138,51 @@ object Sampling {
     }
   }
 
+  /** Quantile (curriculum) binning: label every row with the quantile
+    * bin of `scoreCol` — bin i of n when the score falls in
+    * (boundary(i-1), boundary(i)], where the boundaries are the exact
+    * interpolated quantiles at probs (e.g. quartiles for
+    * probs = [0.25, 0.5, 0.75] → bins 0..3). The curriculum-sampling
+    * primitive: "train on the top quality quartile first" / "mix bins
+    * 60/30/10" both start from this label.
+    *
+    * Boundaries are rounded to 6 dp before comparing so the label
+    * replays in an external engine computing the same Hive p·(n-1)
+    * interpolation with possibly different last-ulp arithmetic.
+    *
+    * Scale (100 TB): the boundary computation is ONE exact percentile
+    * aggregate (single reduce to a 1-row frame — no global sort; the
+    * value→count buffer is bounded by score cardinality, here 4-dp
+    * scores ≤ 10^4 distinct values); the 1-row boundary frame
+    * broadcast-joins back and the bin label itself is a map-side CASE.
+    * An ntile() window — the textbook formulation — would instead
+    * globally sort the corpus on one task. */
+  def quantileBins(df: DataFrame, scoreCol: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs == probs.sorted && probs.forall(p => p > 0 && p < 1),
+      s"probs must be sorted and strictly inside (0,1), got $probs")
+    require(!df.columns.contains("bin"),
+      "input already has a bin column; rename it before quantileBins")
+    val probsSql = probs.map(p => s"${p}D").mkString(", ")
+    val bounds = df.agg(
+      expr(s"percentile($scoreCol, array($probsSql))").as("__qb"))
+    val boundCols = probs.indices.map(i =>
+      round(col("__qb")(i), 6).as(s"__b$i"))
+    val withBounds = df.crossJoin(broadcast(bounds.select(boundCols: _*)))
+    val bin = probs.indices.foldLeft(lit(probs.size)) { (acc, i) =>
+      // evaluated right-to-left: the FIRST boundary the score is <= wins,
+      // so fold from the last boundary down wrapping the accumulator
+      when(col(scoreCol) <= col(s"__b${probs.size - 1 - i}"),
+        lit(probs.size - 1 - i)).otherwise(acc)
+    }
+    withBounds
+      // a null score belongs to no bin (not the top one, which is where
+      // the null-propagating CASE fallthrough would land it)
+      .withColumn("bin",
+        when(col(scoreCol).isNull, lit(null)).otherwise(bin).cast("int"))
+      .drop(probs.indices.map(i => s"__b$i"): _*)
+  }
+
   /** CASE group WHEN k1 THEN v1 ... ELSE default END, empty-map safe
     * (collapses to the default literal). */
   private def caseOver[T](group: Column, entries: Map[String, T],

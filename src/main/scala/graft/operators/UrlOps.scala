@@ -64,4 +64,19 @@ object UrlOps {
     when(scheme.isNull, url) // not a URL: pass through unchanged
       .otherwise(concat(scheme, lit("://"), host, keptPort, path, keptQuery))
   }
+
+  /** All `href="…"` targets of an HTML page, in document order — the
+    * outlink-extraction half of crawl processing (the link graph feeds
+    * PageRank-style quality priors and frontier expansion). Double-quoted
+    * hrefs only, by contract: the fetcher-normalized HTML this runs on
+    * quotes attributes, and a single RE2 regex keeps the extraction
+    * codegen'd and oracle-replayable (no HTML parser dependency). */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("(?i)href=\"([^\"]+)\""), lit(1))
+
+  /** Registrable host of a link: lowercased authority with any port and
+    * a leading `www.` stripped — the key outlink analyses group on. Null
+    * for non-`scheme://` links (relative hrefs). */
+  def linkHost(url: Column): Column =
+    regexp_replace(regexp_replace(urlHostPort(url), ":[0-9]*$", ""), "^www\\.", "")
 }

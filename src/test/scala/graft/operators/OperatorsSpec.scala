@@ -873,4 +873,65 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(3L) == "&lt; decodes one level; \"q\" 's' x > <")
     assert(out(4L) == null)
   }
+
+  test("sharding: stable assignment, balanced-ish deal, sorted shard dirs round-trip") {
+    val n = 8
+    val assigned = Sharding.assignShards(docs, "doc_id", n)
+    // in-range, deterministic (same rows on re-evaluation), no shuffle op
+    val shards = assigned.select("shard").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(shards.forall(s => s >= 0 && s < n))
+    assert(shards.length == n, s"fixture should touch all $n shards, got ${shards.length}")
+    // every doc appears exactly once across shard dirs, each dir pure
+    val outDir = java.nio.file.Files.createTempDirectory("shards").toString
+    Sharding.writeShards(docs, "doc_id", n, outDir)
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").distinct().count() == docs.count())
+    val impure = back
+      .withColumn("expect", Sharding.shardId(col("doc_id"), n))
+      .filter(col("shard") =!= col("expect")).count()
+    assert(impure == 0, s"$impure rows landed in the wrong shard dir")
+    // shard dirs exist as partition directories
+    val dirs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.length == n)
+    // within one shard file, rows come back in shard_rank order (the
+    // loader's no-sort stream contract)
+    val one = spark.read.parquet(outDir + "/shard=" + shards.head)
+      .select("shard_rank").collect().map(_.getLong(0))
+    assert(one.sameElements(one.sorted), "shard file not sorted by shard_rank")
+  }
+
+  test("keepBestPerCluster: best quality wins, ties break to min id, singletons survive") {
+    import spark.implicits._
+    val ds = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (4L, 0.1),
+      (5L, 0.7), (6L, 0.7)).toDF("id", "score")
+    val out = Dedup.keepBestPerCluster(ds, pairs, scores, "id", "score")
+      .orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 0.9, 3L),   // chained cluster {1,2,3}: 2 has best quality
+      (4L, 4L, 0.1, 1L),   // singleton keeps itself
+      (5L, 5L, 0.7, 2L)))  // tie {5,6}: min id wins
+  }
+
+  test("quantileBins: quartile labels, boundary goes low, null score gets null bin") {
+    import spark.implicits._
+    val scores = ((1 to 100).map(i => (i.toLong, Some(i / 100.0))) :+
+      (101L, Option.empty[Double])).toDF("id", "s")
+    val out = Sampling.quantileBins(scores, "s", Seq(0.25, 0.5, 0.75))
+    val byBin = out.groupBy("bin").count().collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) -> r.getLong(1)).toMap
+    // quartile boundaries of 1..100/100 interpolate to .2575/.505/.7525,
+    // so the four bins split exactly 25/25/25/25
+    assert(byBin(-1) == 1, "null score must land in the null bin")
+    assert(byBin.view.filterKeys(_ >= 0).values.sum == 100)
+    assert(byBin(0) == 25 && byBin(3) == 25)
+    // the boundary value itself bins LOW (<=)
+    val b = out.filter(col("id") === 25).select("bin").head().getInt(0)
+    assert(b == 0)
+  }
 }

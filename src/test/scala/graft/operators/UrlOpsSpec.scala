@@ -51,4 +51,25 @@ class UrlOpsSpec extends SparkTestBase {
     assert(row.getString(0) == "https")
     assert(row.getString(1) == "user.example.com:8443")
   }
+
+  test("extractLinks pulls hrefs in order; linkHost canonicalizes or nulls relatives") {
+    import spark.implicits._
+    val html = """<a HREF="HTTPS://WWW.News.Example.com:443/a">n</a>
+      |<p>no link</p><a href="/relative/path">r</a>
+      |<a href="http://blog.example.com:80/x?q=1">b</a>""".stripMargin
+    val links = Seq(Tuple1(html)).toDF("html")
+      .select(explode(UrlOps.extractLinks(col("html"))).as("link"))
+      .select(col("link"), UrlOps.linkHost(col("link")).as("host"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1))))
+    assert(links.map(_._1).toSeq == Seq(
+      "HTTPS://WWW.News.Example.com:443/a", "/relative/path",
+      "http://blog.example.com:80/x?q=1"))
+    assert(links.map(_._2).toSeq == Seq(
+      Some("news.example.com"), None, Some("blog.example.com")))
+    // null html -> no links, null host
+    val nul = Seq(Tuple1(null: String)).toDF("html")
+      .select(explode_outer(UrlOps.extractLinks(col("html"))))
+      .collect()
+    assert(nul.length == 1 && nul.head.isNullAt(0))
+  }
 }
