@@ -133,6 +133,23 @@ object Queries {
       graft.operators.Similarity.nearDupPairsAuto(
         t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45))
 
+  /** The connected-component labels over the inventory's 0.8/df100
+    * ngram-Jaccard pairs — the expensive common prefix of
+    * q_dedup_clusters AND q_dedup_keep_best (same caching contract as
+    * [[sharedShingles]]). The label frame is proportional to the
+    * near-dup graph, so the persisted footprint is tiny; what the cache
+    * saves is re-running pair generation + label propagation per
+    * consumer. */
+  private val sharedClusterCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
+
+  private def sharedClusterLabels(s: SparkSession, dir: String): DataFrame =
+    sharedFrame(sharedClusterCache, s, dir)(
+      graft.operators.Dedup.dedupClusters(
+        graft.operators.Dedup.ngramJaccardPairsFrom(
+          sharedShingles(s, dir), threshold = 0.8, maxShingleDf = 100L)))
+
   // ------------------------------------------------------------ §2.C scans/filters
 
   q("q_scan_all",
@@ -1546,9 +1563,7 @@ object Queries {
       |labels AS (
       |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
       |SELECT doc_id, cluster_id FROM labels ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val pairs = graft.operators.Dedup.ngramJaccardPairsFrom(
-      sharedShingles(s, d), threshold = 0.8, maxShingleDf = 100L)
-    graft.operators.Dedup.dedupClusters(pairs).orderBy("doc_id")
+    sharedClusterLabels(s, d).orderBy("doc_id")
   }
 
   q("q_dedup_keep_best",
@@ -1611,13 +1626,11 @@ object Queries {
       |GROUP BY 1, 3, 4
       |ORDER BY b.cluster_id""".stripMargin) { (s, d) =>
     val docs = t(s, d, "documents")
-    val pairs = graft.operators.Dedup.ngramJaccardPairsFrom(
-      sharedShingles(s, d), threshold = 0.8, maxShingleDf = 100L)
     val scores = graft.operators.TextAnalysis
       .qualityScore(docs, "doc_id", "text")
       .select("doc_id", "quality")
-    graft.operators.Dedup.keepBestPerCluster(
-        docs, pairs, scores, "doc_id", "quality")
+    graft.operators.Dedup.keepBestFromLabels(
+        docs, sharedClusterLabels(s, d), scores, "doc_id", "quality")
       .orderBy("cluster_id")
   }
 
@@ -3015,8 +3028,8 @@ object Queries {
     * registered query. */
   lazy val sharedStages: Map[String, Seq[String]] = Map(
     "q_dedup_ngram" -> Seq("shingles"),
-    "q_dedup_clusters" -> Seq("shingles"),
-    "q_dedup_keep_best" -> Seq("shingles"),
+    "q_dedup_clusters" -> Seq("shingles", "clusters"),
+    "q_dedup_keep_best" -> Seq("shingles", "clusters"),
     "q_decontaminate" -> Seq("shingles"),
     "q_decontaminate_bloom" -> Seq("shingles"),
     "q_dedup_incremental" -> Seq("shingles"),

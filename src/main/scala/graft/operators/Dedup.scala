@@ -301,9 +301,16 @@ object Dedup {
     * rather than a per-cluster window sort, so no cluster — however hot —
     * ever becomes one giant sort task. */
   def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String): DataFrame =
+    keepBestFromLabels(docs, dedupClusters(pairs), scores, idCol, scoreCol)
+
+  /** [[keepBestPerCluster]] over an already-computed label frame
+    * (doc_id, cluster_id) — the form a pipeline uses when the cluster
+    * labels are shared with a plain min-id collapse (one label
+    * propagation, two consumers). */
+  def keepBestFromLabels(docs: DataFrame, labels: DataFrame, scores: DataFrame,
       idCol: String, scoreCol: String): DataFrame = {
-    val clusters = dedupClusters(pairs)
-      .withColumnRenamed("doc_id", idCol)
+    val clusters = labels.withColumnRenamed("doc_id", idCol)
     val labeled = docs.select(col(idCol))
       .join(clusters, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
