@@ -320,4 +320,39 @@ class PlanQualitySpec extends SparkTestBase {
       s"classifier inference introduced a non-sort shuffle:\n$p")
     assert(!p.contains("UDF"), s"classifier regressed to a scala udf:\n$p")
   }
+
+  test("q_corpus_shard: map-side assignment, one partial-agg shuffle, no sort before agg") {
+    val p = plan("q_corpus_shard")
+    assert(!p.contains("Join"), s"shard assignment regressed into a join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"shard audit lost its map-side partial agg:\n$p")
+    assert(!p.contains("Window"), s"shard audit sorted through a window:\n$p")
+  }
+
+  test("q_sample_quality_bins: percentile reduce + broadcast bounds, no window/ntile") {
+    val p = plan("q_sample_quality_bins")
+    assert(!p.contains("Window"),
+      s"quantile binning regressed to an ntile-style window sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"boundary frame is not broadcast:\n$p")
+    // the percentile agg reduces to a single row: partial + final pair
+    assert(p.contains("percentile"), s"exact percentile agg missing:\n$p")
+  }
+
+  test("q_dedup_keep_best: keyed aggs only — no per-cluster window sort") {
+    val p = plan("q_dedup_keep_best")
+    assert(!p.contains("Window"),
+      s"survivor choice regressed to a window rank:\n$p")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected the two-stage max/min-agg survivor choice:\n$p")
+  }
+
+  test("q_text_extract_links: one Generate off the scan, partial-agg link counts") {
+    val p = plan("q_text_extract_links")
+    assert("Generate".r.findAllIn(p).size == 1,
+      s"expected exactly one explode of the href array:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"link counts lost map-side partial aggregation:\n$p")
+    assert(!p.contains("Join"), s"outlink extraction regressed into a join:\n$p")
+  }
 }
