@@ -2637,6 +2637,79 @@ object Queries {
       .orderBy("canonical_url")
   }
 
+  q("q_dedup_url_latest",
+    // recrawl snapshot dedup: same salted URL spellings as q_dedup_url
+    // plus a deterministic capture version (doc_id*37 mod 97); keep the
+    // NEWEST capture per canonical URL, ties to lowest doc_id — "the
+    // current version of every page". Selection = two keyed aggs on the
+    // canonical key, never a per-URL window sort.
+    """WITH urls AS (
+      |  SELECT doc_id, CAST((doc_id * 37) % 97 AS BIGINT) AS ts,
+      |    CASE CAST(doc_id % 5 AS INT)
+      |      WHEN 0 THEN 'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.com:443/Article/' || CAST(doc_id % 97 AS VARCHAR) || '/?utm_source=feed&id=' || CAST(doc_id % 31 AS VARCHAR) || '#frag'
+      |      WHEN 1 THEN 'http://example' || CAST(doc_id % 7 AS VARCHAR) || '.com:80/a/b'
+      |      WHEN 2 THEN 'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com/Article/' || CAST(doc_id % 97 AS VARCHAR) || '?id=' || CAST(doc_id % 31 AS VARCHAR) || '&gclid=xyz'
+      |      WHEN 3 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+      |      ELSE 'https://sub.example' || CAST(doc_id % 7 AS VARCHAR) || '.com:8443/x//y/?fbclid=1&q=' || CAST(doc_id % 13 AS VARCHAR)
+      |    END AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id, ts, url,
+      |    lower(nullif(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+      |    lower(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')) AS host_port,
+      |    regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '#.*$', '') AS rest
+      |  FROM urls),
+      |pieces AS (
+      |  SELECT doc_id, ts, url, scheme,
+      |    regexp_replace(regexp_replace(host_port, ':[0-9]*$', ''), '^www\.', '') AS host,
+      |    regexp_extract(host_port, ':([0-9]+)$', 1) AS port,
+      |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+      |    regexp_extract(rest, '\?(.*)$', 1) AS raw_query
+      |  FROM parts),
+      |tidy AS (
+      |  SELECT doc_id, ts, url, scheme, host, port, path,
+      |    coalesce(array_to_string(list_filter(string_split(raw_query, '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p, '^(?:utm_[^=&#]*|gclid|fbclid|msclkid|ref_src)(=.*)?$')), '&'), '') AS tidied
+      |  FROM pieces),
+      |canon AS (
+      |  SELECT doc_id, ts,
+      |    CASE WHEN scheme IS NULL THEN url
+      |         ELSE scheme || '://' || host ||
+      |           CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+      |                  OR (scheme = 'https' AND port = '443') THEN ''
+      |                ELSE ':' || port END ||
+      |           path ||
+      |           CASE WHEN tidied = '' THEN '' ELSE '?' || tidied END
+      |    END AS canonical_url
+      |  FROM tidy),
+      |latest AS (
+      |  SELECT canonical_url, max(ts) AS latest_ts, count(*) AS n_snapshots
+      |  FROM canon GROUP BY canonical_url)
+      |SELECT c.canonical_url, l.latest_ts, min(c.doc_id) AS keep_id, l.n_snapshots
+      |FROM canon c JOIN latest l
+      |  ON c.canonical_url = l.canonical_url AND c.ts = l.latest_ts
+      |GROUP BY 1, 2, 4
+      |ORDER BY c.canonical_url""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    def part(m: Int) = (id % m).cast("string")
+    val url = when(id % 5 === 0,
+        concat(lit("HTTPS://WWW.Example"), part(7), lit(".com:443/Article/"),
+          part(97), lit("/?utm_source=feed&id="), part(31), lit("#frag")))
+      .when(id % 5 === 1,
+        concat(lit("http://example"), part(7), lit(".com:80/a/b")))
+      .when(id % 5 === 2,
+        concat(lit("https://example"), part(7), lit(".com/Article/"),
+          part(97), lit("?id="), part(31), lit("&gclid=xyz")))
+      .when(id % 5 === 3, concat(lit("not a url "), id.cast("string")))
+      .otherwise(concat(lit("https://sub.example"), part(7),
+        lit(".com:8443/x//y/?fbclid=1&q="), part(13)))
+    graft.operators.UrlOps.latestPerUrl(
+        t(s, d, "documents")
+          .select(id, ((id * 37) % 97).cast("long").as("ts"), url.as("url")),
+        "doc_id", "url", "ts")
+      .orderBy("canonical_url")
+  }
+
   q("q_text_gopher",
     // Gopher-rule quality breakdown: word-count band, mean word length,
     // alpha-word fraction, each auditable plus the combined pass flag.
@@ -2731,6 +2804,48 @@ object Queries {
     t(s, d, "documents")
       .select(id, graft.operators.TextAnalysis.stripHtml(html).as("clean"))
       .withColumn("n_chars_clean", length(col("clean")))
+      .orderBy("doc_id")
+  }
+
+  q("q_text_strip_boilerplate",
+    // line-level boilerplate removal (RefinedWeb/CCNet): pages salted
+    // with a universal copyright line (df=all docs), a rotating
+    // subscribe line (df≈1/5 of docs), and a unique ref line; lines in
+    // >= 10 distinct docs are dropped, the rest rejoin in order. The
+    // doc text itself survives (planted dup groups are < 10 docs).
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |    coalesce(text, '') || chr(10) || 'Copyright 2026 Example Corp' || chr(10)
+      |    || 'Subscribe channel ' || CAST(doc_id % 5 AS VARCHAR) || chr(10)
+      |    || 'ref ' || CAST(doc_id AS VARCHAR) AS page
+      |  FROM documents),
+      |l AS (SELECT doc_id, string_split(page, chr(10)) AS ln FROM pages),
+      |flat AS (
+      |  SELECT doc_id, unnest([{'idx': i, 'line': ln[i]} for i in range(1, len(ln)+1)]) AS s
+      |  FROM l),
+      |lines AS (SELECT doc_id, s.idx AS idx, s.line AS line FROM flat),
+      |hot AS (SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 10),
+      |kept AS (SELECT doc_id, idx, line FROM lines
+      |         WHERE line NOT IN (SELECT line FROM hot)),
+      |agg AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+      |    count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id),
+      |totals AS (SELECT doc_id, count(*) AS n_total FROM lines GROUP BY doc_id)
+      |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+      |  coalesce(a.n_kept, 0) AS n_kept,
+      |  t.n_total - coalesce(a.n_kept, 0) AS n_dropped
+      |FROM totals t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    val page = concat(
+      coalesce(col("text"), lit("")),
+      lit("\nCopyright 2026 Example Corp\nSubscribe channel "),
+      (id % 5).cast("string"),
+      lit("\nref "), id.cast("string"))
+    graft.operators.TextAnalysis.stripBoilerplateLines(
+        t(s, d, "documents").select(id, page.as("page")),
+        "doc_id", "page", minDocs = 10L)
       .orderBy("doc_id")
   }
 

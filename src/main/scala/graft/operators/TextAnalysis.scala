@@ -225,6 +225,47 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Line-level boilerplate removal (the RefinedWeb / CCNet shape): a
+    * LINE is boilerplate when its exact content appears in at least
+    * `minDocs` distinct documents (cookie banners, copyright footers,
+    * nav text — the cross-doc repeated furniture of a crawl). Each doc's
+    * text is rewritten with those lines removed, remaining lines in
+    * original order. Distinct from [[graft.operators.Dedup.stripDuplicatedSpans]]:
+    * spans cut repeated token WINDOWS anywhere in the text; this drops
+    * whole structural lines by corpus-wide document frequency.
+    *
+    * Returns (idCol, clean_text, n_kept, n_dropped). Null text is
+    * treated as "" (one empty line) so every doc gets a rewrite row.
+    *
+    * Scale (100 TB): lines shuffle ONCE keyed by md5(line) — 16-byte
+    * keys, not line bodies — for the distinct-doc-frequency agg; the
+    * resulting hot-line set is tiny (it IS the boilerplate) so the
+    * flagging join broadcasts under AQE; reassembly is one groupBy(doc)
+    * with a per-doc collect_list + array_sort — bounded by the doc's own
+    * size, never a window over the corpus. */
+  def stripBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val id = col(idCol)
+    val lines = docs.select(id,
+      posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("idx", "line")))
+    val hot = lines
+      .groupBy(md5(col("line")).as("lh"))
+      .agg(countDistinct(id).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("lh")
+    lines.join(hot.withColumn("__hot", lit(true)),
+        md5(col("line")) === col("lh"), "left")
+      .groupBy(id)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__hot").isNull,
+            struct(col("idx"), col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"),
+        count(when(col("__hot").isNull, 1)).as("n_kept"),
+        count(col("__hot")).as("n_dropped"))
+  }
+
   /** Rolling-hash (Rabin–Karp base-31 mod 2^61-1) fingerprint over tokens —
     * order-sensitive unlike md5-of-sorted; expressed as an aggregate fold,
     * still codegen'd. */

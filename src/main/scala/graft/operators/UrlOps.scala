@@ -79,4 +79,28 @@ object UrlOps {
     * for non-`scheme://` links (relative hrefs). */
   def linkHost(url: Column): Column =
     regexp_replace(regexp_replace(urlHostPort(url), ":[0-9]*$", ""), "^www\\.", "")
+
+  /** Snapshot dedup for a recrawled corpus: canonicalize each page's URL
+    * and keep the NEWEST capture per canonical URL (highest `tsCol`,
+    * ties broken by lowest id) — "the current version of every page",
+    * where [[canonicalizeUrl]]-based min-id dedup keeps an arbitrary
+    * crawl. Returns one row per canonical URL:
+    * (canonical_url, latest_ts, keep_id, n_snapshots).
+    *
+    * Scale (100 TB): canonicalization is map-side; the selection is two
+    * keyed aggs on the canonical key — max ts (+ snapshot count), then
+    * min id among the max-ts rows — so a page recrawled millions of
+    * times costs a bounded agg state, never a per-URL window sort. */
+  def latestPerUrl(pages: org.apache.spark.sql.DataFrame, idCol: String,
+      urlCol: String, tsCol: String): org.apache.spark.sql.DataFrame = {
+    val canon = pages.select(col(idCol), col(tsCol),
+      canonicalizeUrl(col(urlCol)).as("canonical_url"))
+    val latest = canon.groupBy("canonical_url")
+      .agg(max(col(tsCol)).as("latest_ts"), count(lit(1)).as("n_snapshots"))
+    canon.join(latest, Seq("canonical_url"))
+      .filter(col(tsCol) === col("latest_ts"))
+      .groupBy(col("canonical_url"), col("latest_ts"), col("n_snapshots"))
+      .agg(min(col(idCol)).as("keep_id"))
+      .select("canonical_url", "latest_ts", "keep_id", "n_snapshots")
+  }
 }

@@ -39,9 +39,11 @@ class ConcurrencySpec extends SparkTestBase {
     // every shared-stage family + both index builds + plain controls
     val names = Seq(
       "q_dedup_ngram", "q_dedup_clusters", "q_dedup_minhash",   // shared shingles
+      "q_dedup_keep_best",                                      // shared cluster labels (2 consumers)
       "q_dedup_spans", "q_dedup_spans_strip",                   // shared spans
       "q_dedup_embed", "q_dedup_semantic",                      // shared embed pairs
       "q_sim_ivf_indexed", "q_sim_lsh_indexed",                 // annIndexPath builds
+      "q_sim_pq_indexed",                                       // pq code-table build
       "q_decontaminate_bloom", "q_sample_cap_source",           // broadcast + TopKAgg
       "q_tpch1", "q_agg_group", "q_text_tfidf")                 // plain controls
     val dir = copiedFixtureDir()

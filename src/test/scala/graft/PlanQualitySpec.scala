@@ -347,6 +347,26 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected the two-stage max/min-agg survivor choice:\n$p")
   }
 
+  test("q_text_strip_boilerplate: bounded explodes, keyed aggs, no per-doc window sort") {
+    val p = plan("q_text_strip_boilerplate")
+    // the line explode appears once per consumer (hot-line build side +
+    // flagging side) — never more
+    assert("Generate".r.findAllIn(p).size <= 2,
+      s"line explode duplicated beyond the two consumers:\n$p")
+    assert(!p.contains("Window"),
+      s"line reassembly regressed to a window sort:\n$p")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected hot-line df agg + per-doc reassembly agg:\n$p")
+  }
+
+  test("q_dedup_url_latest: two keyed aggs on the canonical key, no window") {
+    val p = plan("q_dedup_url_latest")
+    assert(!p.contains("Window"),
+      s"latest-capture choice regressed to a window rank:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected the max-ts then min-id two-stage selection:\n$p")
+  }
+
   test("q_text_extract_links: one Generate off the scan, partial-agg link counts") {
     val p = plan("q_text_extract_links")
     assert("Generate".r.findAllIn(p).size == 1,

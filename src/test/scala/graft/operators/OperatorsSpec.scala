@@ -934,4 +934,24 @@ class OperatorsSpec extends SparkTestBase {
     val b = out.filter(col("id") === 25).select("bin").head().getInt(0)
     assert(b == 0)
   }
+
+  test("stripBoilerplateLines: df-hot lines drop, order survives, all-hot doc empties") {
+    import spark.implicits._
+    val ds = Seq(
+      (1L, "unique one\nFOOTER\nbody a"),
+      (2L, "body b\nFOOTER"),
+      (3L, "FOOTER\nbody c"),
+      (4L, "FOOTER"),                    // nothing but boilerplate
+      (5L, null: String))                // null text -> one "" line, kept
+      .toDF("id", "text")
+    val out = TextAnalysis.stripBoilerplateLines(ds, "id", "text", minDocs = 2L)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "unique one\nbody a", 2L, 1L),  // FOOTER (df=4) cut, order kept
+      (2L, "body b", 1L, 1L),
+      (3L, "body c", 1L, 1L),
+      (4L, "", 0L, 1L),                    // fully-boilerplate doc -> empty
+      (5L, "", 1L, 0L)))                   // "" line df=1: kept
+  }
 }

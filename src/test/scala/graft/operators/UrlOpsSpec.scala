@@ -72,4 +72,25 @@ class UrlOpsSpec extends SparkTestBase {
       .collect()
     assert(nul.length == 1 && nul.head.isNullAt(0))
   }
+
+  test("latestPerUrl keeps the newest capture per canonical URL, ties to min id") {
+    import spark.implicits._
+    val pages = Seq(
+      // three spellings of ONE page, captured at ts 1/5/5
+      (1L, 1L, "https://example.com/a?utm_source=x"),
+      (2L, 5L, "HTTPS://WWW.Example.com:443/a"),
+      (3L, 5L, "https://example.com/a/"),
+      // a second page, single capture
+      (4L, 2L, "http://other.com/p"),
+      // non-URL passes through as its own key
+      (5L, 9L, "not a url 5"))
+      .toDF("id", "ts", "url")
+    val out = UrlOps.latestPerUrl(pages, "id", "url", "ts")
+      .orderBy("canonical_url")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("http://other.com/p", 2L, 4L, 1L),
+      ("https://example.com/a", 5L, 2L, 3L),   // ts-tie 2 vs 3: min id 2
+      ("not a url 5", 9L, 5L, 1L)))
+  }
 }
