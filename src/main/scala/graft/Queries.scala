@@ -2085,6 +2085,46 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  q("q_corpus_report",
+    // one-pass corpus health report (the dashboard row an ingest run
+    // publishes): doc/lang/source counts, token mass + percentiles,
+    // exact-dup fraction. Single partial+final aggregate over the scan;
+    // the only multi-pass cost is the distinct-count trio, which Spark
+    // expands map-side. Single-reduce percentile, no sort.
+    """WITH b AS (
+      |  SELECT lang, source, text, md5(text) AS h,
+      |    len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_tok
+      |  FROM documents)
+      |SELECT count(*) AS n_docs,
+      |  count(CASE WHEN text IS NULL THEN 1 END) AS n_null_text,
+      |  count(DISTINCT lang) AS n_langs,
+      |  count(DISTINCT source) AS n_sources,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  round(quantile_cont(n_tok, 0.5), 4) AS p50_tokens,
+      |  round(quantile_cont(n_tok, 0.9), 4) AS p90_tokens,
+      |  round((count(h) - count(DISTINCT h)) * 1.0 / count(h), 6) AS dup_frac
+      |FROM b""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .select(col("text"), col("lang"), col("source"),
+        graft.operators.TextAnalysis.bpeishTokenCount(col("text")).as("n_tok"),
+        md5(col("text")).as("h"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("text").isNull, 1)).as("n_null_text"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_tok")).cast("long").as("total_tokens"),
+        // one value→count buffer serves both percentiles
+        expr("percentile(n_tok, array(0.5D, 0.9D))").as("__ps"),
+        round((count(col("h")) - countDistinct(col("h"))).cast("double")
+          / count(col("h")), 6).as("dup_frac"))
+      .select(col("n_docs"), col("n_null_text"), col("n_langs"),
+        col("n_sources"), col("total_tokens"),
+        round(col("__ps")(0), 4).as("p50_tokens"),
+        round(col("__ps")(1), 4).as("p90_tokens"),
+        col("dup_frac"))
+  }
+
   q("q_corpus_clean",
     // the COMPOSITE pipeline replayed end-to-end in SQL: exact min-id
     // dedup → ngram-Jaccard pairs over survivors → recursive-closure
@@ -2405,6 +2445,33 @@ object Queries {
     graft.operators.Similarity.batchTopK(
         emb.filter(col("vec_id") >= 8), "vec_id", "embedding",
         emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+      .orderBy(col("probe_id"), col("cos").desc, col("vec_id"))
+  }
+
+  q("q_sim_hard_negatives",
+    // contrastive-training negative mining: per probe, top-5 most-similar
+    // corpus vectors with a DIFFERENT label ("close but wrong"). Same
+    // one-pass bounded-heap shape as q_sim_topk_batch; the label-mismatch
+    // predicate runs map-side before the heap. Oracle replays with a
+    // window because SQL has no heap — same rows.
+    """WITH probes AS (
+      |  SELECT vec_id AS probe_id, label AS probe_label, embedding::DOUBLE[] AS pv
+      |  FROM embeddings WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT p.probe_id, e.vec_id,
+      |    round(list_cosine_similarity(e.embedding::DOUBLE[], p.pv), 6) AS cos
+      |  FROM embeddings e, probes p
+      |  WHERE e.vec_id >= 8 AND e.label <> p.probe_label)
+      |SELECT probe_id, vec_id, cos FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
+      |  FROM scored)
+      |WHERE rn <= 5
+      |ORDER BY probe_id, cos DESC, vec_id""".stripMargin) { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    graft.operators.Similarity.hardNegatives(
+        emb.filter(col("vec_id") >= 8), "vec_id", "embedding", "label",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", "label", k = 5)
       .orderBy(col("probe_id"), col("cos").desc, col("vec_id"))
   }
 

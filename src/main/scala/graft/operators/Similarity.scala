@@ -113,6 +113,34 @@ object Similarity {
       .select(col("probe_id"), col("e.id").as(idCol), col("e.score").as("cos"))
   }
 
+  /** Hard-negative mining for contrastive training: for every probe, the
+    * top-k most-similar corpus vectors whose label DIFFERS from the
+    * probe's — "close but wrong" examples, the negatives that actually
+    * move an embedding model. Same one-pass shape as [[batchTopK]]
+    * (broadcast probes, codegen'd cosine, bounded heap per probe); the
+    * label-mismatch predicate runs map-side BEFORE the heap, so
+    * same-label rows never enter aggregate state.
+    *
+    * Scale (100 TB): one corpus pass for the whole probe batch, shuffle
+    * ≤ k rows per probe per mapper; the label filter is a codegen'd
+    * column comparison with no extra join (labels ride the corpus scan). */
+  def hardNegatives(embeddings: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, probes: DataFrame, probeIdCol: String,
+      probeVecCol: String, probeLabelCol: String, k: Int): DataFrame = {
+    val p = broadcast(probes.select(col(probeIdCol).as("probe_id"),
+      col(probeVecCol).as("probe_vec"), col(probeLabelCol).as("probe_label")))
+    embeddings.crossJoin(p)
+      .filter(col(labelCol) =!= col("probe_label"))
+      .select(col("probe_id"),
+        col(idCol).cast("long").as("__nid"),
+        round(cosine(col(vecCol), col("probe_vec")), 6).as("cos"))
+      .groupBy("probe_id")
+      .agg(graft.functions.SketchAggregates.topKAgg(col("cos"), col("__nid"), k)
+        .as("top"))
+      .select(col("probe_id"), explode(col("top")).as("e"))
+      .select(col("probe_id"), col("e.id").as(idCol), col("e.score").as("cos"))
+  }
+
   /** Symmetric per-vector int8 quantization (the storage path for large
     * embedding tables: 4x smaller than float32, dot products still usable
     * after dequantization by `scale`). scale = max|x|/127; zero vectors

@@ -367,6 +367,23 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected the max-ts then min-id two-stage selection:\n$p")
   }
 
+  test("q_sim_hard_negatives: broadcast probes, map-side label filter, heap agg, no window") {
+    val p = plan("q_sim_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"probe set is not broadcast:\n$p")
+    assert(!p.contains("Window"), s"negative mining regressed to a window sort:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"bounded-heap TopKAgg missing:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"label filter became a shuffle join:\n$p")
+  }
+
+  test("q_corpus_report is one partial+final aggregate over the scan — no sort, no join") {
+    val p = plan("q_corpus_report")
+    assert(!p.contains("Join"), s"corpus report regressed into a join:\n$p")
+    assert(!p.contains("Window"), s"corpus report sorted through a window:\n$p")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"report lost partial aggregation:\n$p")
+  }
+
   test("q_text_extract_links: one Generate off the scan, partial-agg link counts") {
     val p = plan("q_text_extract_links")
     assert("Generate".r.findAllIn(p).size == 1,

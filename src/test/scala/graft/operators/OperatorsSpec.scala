@@ -935,6 +935,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(b == 0)
   }
 
+  test("hardNegatives: top-k by cosine among different-label vectors only") {
+    val probes = emb.filter(col("vec_id") < 8)
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val negs = Similarity.hardNegatives(
+        corpus, "vec_id", "embedding", "label",
+        probes, "vec_id", "embedding", "label", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(negs.nonEmpty)
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    // a negative NEVER shares its probe's label
+    negs.foreach { case (p, n, _) =>
+      assert(labelOf(p) != labelOf(n), s"probe $p got same-label negative $n")
+    }
+    // and equals the brute filtered ranking: for one probe, the top-5
+    // different-label cosines from batchTopK's unfiltered output
+    val p0 = negs.map(_._1).min
+    val brute = Similarity.batchTopK(
+        corpus, "vec_id", "embedding",
+        probes.filter(col("vec_id") === p0), "vec_id", "embedding",
+        k = corpus.count().toInt)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      .filter { case (n, _) => labelOf(n) != labelOf(p0) }
+      .sortBy { case (n, c) => (-c, n) }.take(5).toSeq
+    val mine = negs.filter(_._1 == p0).map { case (_, n, c) => (n, c) }.toSeq
+    assert(mine == brute, s"probe $p0: $mine != brute $brute")
+  }
+
   test("stripBoilerplateLines: df-hot lines drop, order survives, all-hot doc empties") {
     import spark.implicits._
     val ds = Seq(
