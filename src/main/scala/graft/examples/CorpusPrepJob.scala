@@ -12,7 +12,10 @@ import graft.operators.{CorpusPipeline, Dedup, Packing, Sampling}
   *     eval side broadcast);
   *  1. clean: exact dedup → near-dup cluster collapse → quality floor
   *     ([[CorpusPipeline.cleanCorpus]], one shared shingle stage);
-  *  1b. strip spans (optional): cut cross-document duplicated k-word
+  *  1b. strip boilerplate lines (optional): drop lines appearing in
+  *     >= boilerplateMinDocs distinct survivors — cookie banners,
+  *     footers ([[graft.operators.TextAnalysis.stripBoilerplateLines]]);
+  *  1c. strip spans (optional): cut cross-document duplicated k-word
   *     substrings from the survivors' text and drop docs left empty
   *     ([[Dedup.stripDuplicatedSpans]], the cut-the-substring policy);
   *  2. sample (optional): per-group deterministic downsampling to the
@@ -23,7 +26,10 @@ import graft.operators.{CorpusPipeline, Dedup, Packing, Sampling}
   *     against ([[Dedup.minHashBands]]) without re-reading this corpus;
   *  5. chunk (optional): overlapping token-window chunks of the sampled
   *     survivors for retrieval/long-doc training ([[Packing.chunkDocs]],
-  *     map-only) written next to the packed set.
+  *     map-only) written next to the packed set;
+  *  6. shard (optional): deal the training set into nShards
+  *     deterministic hash-ordered shard dirs a loader streams without
+  *     its own shuffle ([[graft.operators.Sharding.writeShards]]).
   *
   * Returns the packed training set; writes it and the band index under
   * `outDir`. Every stage is a keyed shuffle or map-only pass — nothing
@@ -38,7 +44,12 @@ object CorpusPrepJob {
       sampleGroupCol: String = "source",
       defaultSampleRate: Double = 1.0,
       stripSpans: Boolean = false, spanK: Int = 5,
-      chunkTokens: Int = 0, chunkStride: Int = 0): DataFrame = {
+      boilerplateMinDocs: Long = 0L,
+      chunkTokens: Int = 0, chunkStride: Int = 0,
+      nShards: Int = 0): DataFrame = {
+    require(nShards >= 0, s"nShards must be >= 0, got $nShards")
+    require(boilerplateMinDocs == 0L || boilerplateMinDocs >= 2L,
+      s"boilerplateMinDocs must be 0 (off) or >= 2, got $boilerplateMinDocs")
     // fail rate errors at the boundary, not only on the code path that
     // happens to reach stratifiedSample (an out-of-range default with an
     // empty rate map must not silently no-op)
@@ -87,10 +98,21 @@ object CorpusPrepJob {
       // span strip runs on the SURVIVORS (exact/near dups are already
       // gone, so flagged spans are genuine cross-doc boilerplate); docs
       // cut down to nothing are dropped by the inner join
-      val boiled =
-        if (!stripSpans) cleaned
+      // boilerplate lines strip FIRST (structural furniture), then span
+      // strip (residual repeated substrings) — each on the previous
+      // stage's survivors; docs reduced to nothing drop at each stage
+      val deBoiled =
+        if (boilerplateMinDocs == 0L) cleaned
         else cleaned.drop("text").join(
-          Dedup.stripDuplicatedSpans(cleaned, "doc_id", "text", k = spanK)
+          graft.operators.TextAnalysis.stripBoilerplateLines(
+              cleaned, "doc_id", "text", boilerplateMinDocs)
+            .filter(col("n_kept") > 0)
+            .select(col("doc_id"), col("clean_text").as("text")),
+          Seq("doc_id"))
+      val boiled =
+        if (!stripSpans) deBoiled
+        else deBoiled.drop("text").join(
+          Dedup.stripDuplicatedSpans(deBoiled, "doc_id", "text", k = spanK)
             .filter(col("kept_tokens") > 0)
             .select(col("doc_id"), col("clean_text").as("text")),
           Seq("doc_id"))
@@ -118,6 +140,13 @@ object CorpusPrepJob {
         Packing.chunkDocs(sampled, "doc_id", "text", chunkTokens,
             if (chunkStride > 0) chunkStride else chunkTokens)
           .write.mode("overwrite").parquet(s"$outDir/chunks")
+
+      // optional deterministic shard deal of the SAME training rows:
+      // shard dirs are what a multi-host loader streams (one shard set
+      // per host, hash order within) — one extra shuffle, no global sort
+      if (nShards > 0)
+        graft.operators.Sharding.writeShards(
+          trainingSet, "doc_id", nShards, s"$outDir/shards")
 
       // re-read what was written, restored to trainingSet's declared
       // schema (partitionBy infers pack_id as int and reorders it last)

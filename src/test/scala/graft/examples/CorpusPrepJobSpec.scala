@@ -113,4 +113,27 @@ class CorpusPrepJobSpec extends SparkTestBase {
       col("n_tokens") =!= size(split(col("text"), "\\s+", -1))).isEmpty,
       "n_tokens disagrees with the stripped text")
   }
+
+  test("corpus prep: boilerplate-line strip and shard deal compose end-to-end") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf(), "documents")
+      // salt a universal footer line onto every doc so the stage has
+      // something real to cut
+      .withColumn("text", concat(col("text"), lit("\nCopyright Example Corp")))
+    val out = Files.createTempDirectory("corpusprep4").toString
+    val training = CorpusPrepJob.run(spark, docs, out, contextTokens = 512L,
+      boilerplateMinDocs = 10L, nShards = 4)
+    assert(training.count() > 0)
+    // the footer line is gone from every surviving text
+    assert(training.filter(col("text").contains("Copyright Example Corp")).isEmpty,
+      "boilerplate line survived the strip stage")
+    // shard dirs exist, cover the training set exactly, and each is pure
+    val shards = spark.read.parquet(s"$out/shards")
+    assert(shards.count() == training.count())
+    assert(shards.select("doc_id").except(training.select("doc_id")).isEmpty)
+    val impure = shards
+      .withColumn("expect", graft.operators.Sharding.shardId(col("doc_id"), 4))
+      .filter(col("shard") =!= col("expect")).count()
+    assert(impure == 0, s"$impure training rows landed in the wrong shard")
+  }
 }
