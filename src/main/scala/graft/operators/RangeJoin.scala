@@ -66,17 +66,27 @@ object RangeJoin {
   /** [[binnedRangeJoin]] with bounded output: at most `k` matches per
     * left row, keeping the EARLIEST right rows by `rightTs` (ties broken
     * by the remaining right columns ascending, so the selection is fully
-    * deterministic and external engines replay it).
+    * deterministic and external engines replay it with
+    * `row_number() OVER (PARTITION BY leftKey ORDER BY rightTs, ...) <= k`).
     *
     * The range join's output is the one thing in it that grows
     * super-linearly — ~|pairs| ≈ n² · window/span by problem definition
-    * (BASELINE.md) — and at 100 TB a user often wants "the first k
-    * responses within the window", not every one. The cap prunes AFTER
-    * the residual range predicate but BEFORE the output materializes
-    * downstream; the row_number window sorts only each left row's match
-    * set, whose size the bin residual already bounds to the window
-    * occupancy — the quantity the caller is declaring too big to keep,
-    * and far smaller than a global sort.
+    * (BASELINE.md: 1.39 G candidate pairs at sf5) — and at 100 TB a user
+    * often wants "the first k responses within the window", not every one.
+    * A row_number window would shuffle EVERY candidate pair to its left
+    * key's reducer and sort the whole match set before discarding all but
+    * k; instead the cap is a bounded-heap aggregate
+    * ([[graft.functions.MinKByAgg]]) grouped on the left row: map-side
+    * partial aggregation caps each mapper's contribution at k rows per
+    * left key, so the exchange after the join carries ≤ k·(bins touched)
+    * rows per left row no matter how many candidates the window contains,
+    * and nothing is ever sorted but the final k. That turns the engine's
+    * largest avoidable shuffle (all pairs) into one proportional to the
+    * OUTPUT (k·|left|).
+    *
+    * Grouping is by ALL left columns (valid because `leftKey` uniquely
+    * identifies a left row, so the rest are functionally dependent — and
+    * it keeps the left row intact without first()-style aggregates).
     *
     * @param leftKey columns that uniquely identify a left row (the cap
     *                partitions by them) */
@@ -88,16 +98,23 @@ object RangeJoin {
     require(leftKey.nonEmpty, "leftKey must name the columns identifying a left row")
     require(leftKey.forall(left.columns.contains),
       s"leftKey ${leftKey.mkString(",")} must be left-side columns")
-    import org.apache.spark.sql.expressions.Window
     val joined = binnedRangeJoin(left, right, leftTs, rightTs,
       lowerSec, upperSec, binSec)
-    require(!joined.columns.contains("_rj_rn"),
-      "binnedRangeJoinCapped reserves column name _rj_rn")
-    val ord = col(rightTs).asc +:
-      right.columns.filterNot(_ == rightTs).sorted.map(col(_).asc)
-    val w = Window.partitionBy(leftKey.map(col): _*).orderBy(ord: _*)
-    joined.withColumn("_rj_rn", row_number().over(w))
-      .filter(col("_rj_rn") <= k)
-      .drop("_rj_rn")
+    val reserved = Set("_rj_top", "_rj_m")
+    require(!joined.columns.exists(reserved),
+      s"binnedRangeJoinCapped reserves column names ${reserved.mkString(", ")}")
+    // sort key = (rightTs, remaining right cols by name asc): a total order
+    // over right rows, so the k survivors are unique and an external SQL
+    // engine replays the selection with the equivalent row_number window.
+    val ordCols = col(rightTs) +:
+      right.columns.filterNot(_ == rightTs).sorted.map(col(_))
+    val payload = struct(right.columns.map(col): _*)
+    joined
+      .groupBy(left.columns.map(col): _*)
+      .agg(graft.functions.MinKByAgg
+        .minKByAgg(struct(ordCols: _*), payload, k).as("_rj_top"))
+      .withColumn("_rj_m", explode(col("_rj_top")))
+      .select(left.columns.map(col) ++
+        right.columns.map(c => col("_rj_m").getField(c).as(c)): _*)
   }
 }

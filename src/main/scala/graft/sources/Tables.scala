@@ -14,13 +14,22 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"${sfDir.stripSuffix("/")}/$name.parquet"
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-      // ([PARQUET_TYPE_ILLEGAL]); read nanos as long and rebuild a micros
-      // timestamp. Integer `div` — epoch nanos exceed double's 2^53.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+      // reader rejects — [PARQUET_TYPE_ILLEGAL] — unless nanos are read as
+      // long) and as TIMESTAMP(MICROS) without timezone (read as
+      // TIMESTAMP_NTZ). Normalize both to session-TZ TIMESTAMP so every
+      // consumer (unix_micros arithmetic, watermarks) sees one type.
+      // Integer `div` for the nanos case — epoch nanos exceed double's 2^53.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path)
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      val raw = spark.read.parquet(path)
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case TimestampType => raw
+        case _ => raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      }
     } else spark.read.parquet(path)
   }
 

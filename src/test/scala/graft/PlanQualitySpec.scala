@@ -79,6 +79,15 @@ class PlanQualitySpec extends SparkTestBase {
       s"orders scan not pruned to (o_orderstatus, o_custkey):\n$p")
   }
 
+  test("q_join_range_capped caps via heap aggregate — candidate pairs never shuffle through a window") {
+    val p = plan("q_join_range_capped")
+    assert(!p.contains("Window"),
+      s"capped range join regressed to a row_number window over all candidate pairs:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"no bounded-heap aggregate:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"no map-side partial cap — every candidate pair crosses the exchange:\n$p")
+  }
+
   test("q_sample_cap_source caps via heap aggregate — no window, text column pruned") {
     val p = plan("q_sample_cap_source")
     assert(!p.contains("Window"), s"window row_number snuck into the cap plan:\n$p")

@@ -38,6 +38,48 @@ class JoinOpsSpec extends SparkTestBase {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("binnedRangeJoinCapped equals the row_number-window formulation, including ties") {
+    import org.apache.spark.sql.expressions.Window
+    // 40 left rows x dense right side: windows overlap, duplicate right
+    // timestamps force tie-breaks through the non-ts right columns
+    val left = (1 to 40).map(i => (i.toLong, s"u${i % 5}",
+      java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 50}%02d:00")))
+      .toDF("p_event", "p_user", "p_ts")
+    val right = (1 to 300).map(j => (j.toLong, s"v${j % 7}",
+      java.sql.Timestamp.valueOf(f"2024-01-01 00:${(j * 3) % 55}%02d:${(j % 2) * 30}%02d")))
+      .toDF("s_event", "s_user", "s_ts")
+    val k = 4
+    val capped = RangeJoin.binnedRangeJoinCapped(left, right, "p_ts", "s_ts",
+      lowerSec = 0L, upperSec = 600L, leftKey = Seq("p_event"), k = k)
+    val w = Window.partitionBy("p_event")
+      .orderBy(col("s_ts").asc, col("s_event").asc, col("s_user").asc)
+    val windowed = RangeJoin.binnedRangeJoin(left, right, "p_ts", "s_ts", 0L, 600L)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    assert(capped.exceptAll(windowed).isEmpty && windowed.exceptAll(capped).isEmpty)
+    assert(capped.count() == windowed.count())
+    // groups smaller than k keep everything; none exceeds k
+    val sizes = capped.groupBy("p_event").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= k) && sizes.nonEmpty)
+  }
+
+  test("binnedRangeJoinCapped keeps the k EARLIEST right rows deterministically") {
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "lts")
+    // three rows share ts=00:01:00 — the tie-break on (v asc) decides
+    val right = Seq(
+      ("c", java.sql.Timestamp.valueOf("2024-01-01 00:01:00")),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:01:00")),
+      ("b", java.sql.Timestamp.valueOf("2024-01-01 00:01:00")),
+      ("z", java.sql.Timestamp.valueOf("2024-01-01 00:00:30")),
+      ("x", java.sql.Timestamp.valueOf("2024-01-01 00:05:00")))
+      .toDF("v", "rts")
+    val out = RangeJoin.binnedRangeJoinCapped(left, right, "lts", "rts",
+        0L, 3600L, Seq("id"), k = 3)
+      .select("v").collect().map(_.getString(0)).sorted.toSeq
+    // earliest is z@00:00:30, then the 00:01:00 tie resolves a < b < c
+    assert(out == Seq("a", "b", "z"))
+  }
+
   test("vec_dot on length-mismatched vectors is null, like the HOF form") {
     val d = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)),
       (Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
