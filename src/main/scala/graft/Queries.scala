@@ -3160,6 +3160,51 @@ object Queries {
       pqCodebooks(s, d), embProbe(s, d), k = 10)
   }
 
+  // ---- ANN index builds as first-class inventory entries. The one-off
+  // partitionBy materialization is the expensive half of every *_indexed
+  // query; registering the builds separately (named to sort BEFORE their
+  // consuming probes) means any harness that runs the inventory in name
+  // order charges the build here and the *_indexed entries read as what
+  // they are at 100 TB: steady-state probe cost over an amortized index.
+  // Each build query materializes via the shared annIndexPath cache (the
+  // same key the probe bodies hit) and returns a read-back audit row the
+  // oracle replays from the source table: count drift between the index
+  // and the corpus = a broken build, caught by the same rows+schema+hash
+  // gate as every other query.
+
+  q("q_sim_ivf_index_build",
+    """SELECT count(*) AS n_indexed, count(DISTINCT vec_id) AS n_vecs
+      |FROM embeddings WHERE vec_id <> 0""".stripMargin) { (s, d) =>
+    s.read.parquet(ivfIndexPath(s, d))
+      .agg(count(lit(1)).as("n_indexed"),
+        countDistinct(col("vec_id")).as("n_vecs"))
+  }
+
+  q("q_sim_lsh_index_build",
+    // 12 = nTables: the multi-table space trade, one assignment row per
+    // (vector, table)
+    """SELECT CAST(12 * count(*) AS BIGINT) AS n_rows,
+      |  count(DISTINCT vec_id) AS n_vecs,
+      |  CAST(12 AS BIGINT) AS n_tables
+      |FROM embeddings WHERE vec_id <> 0 AND embedding IS NOT NULL""".stripMargin) { (s, d) =>
+    s.read.parquet(lshIndexPath(s, d))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("vec_id")).as("n_vecs"),
+        countDistinct(col("table")).as("n_tables"))
+  }
+
+  q("q_sim_pq_index_build",
+    // 8 = numSub (pqCodebooks fixture convention): codes arity read back
+    // from the table, so a build writing malformed code rows hash-fails
+    """SELECT count(*) AS n_rows, count(DISTINCT vec_id) AS n_vecs,
+      |  CAST(8 AS INTEGER) AS num_sub
+      |FROM embeddings WHERE vec_id <> 0 AND embedding IS NOT NULL""".stripMargin) { (s, d) =>
+    s.read.parquet(pqIndexPath(s, d))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("vec_id")).as("n_vecs"),
+        min(size(col("codes"))).as("num_sub"))
+  }
+
   q("q_embed_centroids",
     // per-label centroid components (first 8 dims): decimal sums + counts
     // stay exact under any accumulation order, unlike a double avg; the
@@ -3225,7 +3270,10 @@ object Queries {
     // partitionBy materialization (annIndexPath)
     "q_sim_ivf_indexed" -> Seq("ivf_index"),
     "q_sim_lsh_indexed" -> Seq("lsh_index"),
-    "q_sim_pq_indexed" -> Seq("pq_index"))
+    "q_sim_pq_indexed" -> Seq("pq_index"),
+    "q_sim_ivf_index_build" -> Seq("ivf_index"),
+    "q_sim_lsh_index_build" -> Seq("lsh_index"),
+    "q_sim_pq_index_build" -> Seq("pq_index"))
 
   /** Force-materialize an ANN index OUTSIDE query timing. Bench runs
     * these before the first consuming query and reports the build
