@@ -1989,7 +1989,11 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"),
         round(min(col("quality")), 4).as("min_q"),
         round(max(col("quality")), 4).as("max_q"))
-      .orderBy("bin")
+      // nulls LAST to match the oracle: a null-quality doc lands in a NULL
+      // bin, which DuckDB's default ASC ordering sorts last while Spark's
+      // sorts first — latent on the current fixture (no null text), but
+      // the contract must survive one
+      .orderBy(col("bin").asc_nulls_last)
   }
 
   q("q_corpus_shard",
@@ -2891,7 +2895,8 @@ object Queries {
       |  SELECT doc_id, unnest([{'idx': i, 'line': ln[i]} for i in range(1, len(ln)+1)]) AS s
       |  FROM l),
       |lines AS (SELECT doc_id, s.idx AS idx, s.line AS line FROM flat),
-      |hot AS (SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 10),
+      |hot AS (SELECT line FROM lines WHERE line <> ''
+      |        GROUP BY line HAVING count(DISTINCT doc_id) >= 10),
       |kept AS (SELECT doc_id, idx, line FROM lines
       |         WHERE line NOT IN (SELECT line FROM hot)),
       |agg AS (

@@ -307,14 +307,28 @@ object Dedup {
   /** [[keepBestPerCluster]] over an already-computed label frame
     * (doc_id, cluster_id) — the form a pipeline uses when the cluster
     * labels are shared with a plain min-id collapse (one label
-    * propagation, two consumers). */
+    * propagation, two consumers).
+    *
+    * Contracts (enforced, not assumed): `labels` must expose
+    * (doc_id, cluster_id) — the [[dedupClusters]] output shape — and
+    * `scores` must cover EVERY doc in `docs`. A doc without a score row
+    * cannot be ranked; silently inner-joining it away would shrink
+    * n_members and could flip the survivor, so a missing score raises at
+    * execution instead (a row-local check — no extra pass, no shuffle).
+    * A null score VALUE is rejected the same way: an unrankable member. */
   def keepBestFromLabels(docs: DataFrame, labels: DataFrame, scores: DataFrame,
       idCol: String, scoreCol: String): DataFrame = {
+    require(labels.columns.contains("doc_id") && labels.columns.contains("cluster_id"),
+      s"labels must expose (doc_id, cluster_id), got ${labels.columns.mkString(", ")}")
     val clusters = labels.withColumnRenamed("doc_id", idCol)
     val labeled = docs.select(col(idCol))
       .join(clusters, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
-      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol), "left")
+      .withColumn(scoreCol, when(col(scoreCol).isNull,
+          raise_error(concat(lit("keepBestFromLabels: no score row for id "),
+            col(idCol).cast("string"))))
+        .otherwise(col(scoreCol)))
     val best = labeled.groupBy("cluster_id")
       .agg(max(col(scoreCol)).as(s"best_$scoreCol"),
         count(lit(1)).as("n_members"))

@@ -159,10 +159,18 @@ object Sampling {
     * globally sort the corpus on one task. */
   def quantileBins(df: DataFrame, scoreCol: String,
       probs: Seq[Double]): DataFrame = {
-    require(probs.nonEmpty && probs == probs.sorted && probs.forall(p => p > 0 && p < 1),
-      s"probs must be sorted and strictly inside (0,1), got $probs")
-    require(!df.columns.contains("bin"),
-      "input already has a bin column; rename it before quantileBins")
+    // distinct == sorted ⇒ strictly increasing: a duplicated prob would
+    // create an unreachable bin (two equal boundaries, nothing lands
+    // strictly between them) — reject it instead of silently mislabeling
+    require(probs.nonEmpty && probs == probs.sorted &&
+        probs.distinct == probs && probs.forall(p => p > 0 && p < 1),
+      s"probs must be strictly increasing inside (0,1), got $probs")
+    // temp names too: an input __qb/__b<i> column would be silently
+    // shadowed by the boundary frame and dropped on the way out
+    val reserved = "bin" +: "__qb" +: probs.indices.map(i => s"__b$i")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"quantileBins reserves column names ${clash.mkString(", ")}; rename before calling")
     val probsSql = probs.map(p => s"${p}D").mkString(", ")
     val bounds = df.agg(
       expr(s"percentile($scoreCol, array($probsSql))").as("__qb"))

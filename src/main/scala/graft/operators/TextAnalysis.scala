@@ -236,26 +236,47 @@ object TextAnalysis {
     *
     * Returns (idCol, clean_text, n_kept, n_dropped). Null text is
     * treated as "" (one empty line) so every doc gets a rewrite row.
+    * EMPTY lines are never boilerplate: they are paragraph separators,
+    * and on any real corpus ≥ minDocs docs contain one — counting them
+    * in the document-frequency agg would silently flatten every doc's
+    * paragraph structure corpus-wide.
     *
     * Scale (100 TB): lines shuffle ONCE keyed by md5(line) — 16-byte
     * keys, not line bodies — for the distinct-doc-frequency agg; the
-    * resulting hot-line set is tiny (it IS the boilerplate) so the
-    * flagging join broadcasts under AQE; reassembly is one groupBy(doc)
-    * with a per-doc collect_list + array_sort — bounded by the doc's own
-    * size, never a window over the corpus. */
+    * hot-line set is usually tiny (it IS the boilerplate), but "usually"
+    * is not a plan: the set is localCheckpoint'ed (one execution, gate
+    * reads only its count) and the flagging join broadcasts ONLY while
+    * the estimated build side fits `broadcastBudgetBytes`, falling back
+    * to a shuffled join past it — a crawl where half the web shares
+    * ≥ minDocs lines degrades to one extra shuffle instead of an
+    * executor OOM (the [[Similarity.nearDupPairsAuto]] gate discipline).
+    * Reassembly is one groupBy(doc) with a per-doc collect_list +
+    * array_sort — bounded by the doc's own size, never a window over
+    * the corpus. */
   def stripBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
-      minDocs: Long): DataFrame = {
+      minDocs: Long, broadcastBudgetBytes: Long = 64L << 20): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val id = col(idCol)
     val lines = docs.select(id,
       posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("idx", "line")))
     val hot = lines
+      .filter(col("line") =!= "")
       .groupBy(md5(col("line")).as("lh"))
       .agg(countDistinct(id).as("df"))
       .filter(col("df") >= minDocs)
       .select("lh")
-    lines.join(hot.withColumn("__hot", lit(true)),
-        md5(col("line")) === col("lh"), "left")
+      // eager: the hot agg runs exactly once (count gate + join probe
+      // both read the checkpointed blocks, not a recomputed lineage)
+      .localCheckpoint()
+    // 32-hex-char key + UnsafeRow/HashedRelation overhead ≈ 64 B/row.
+    // Past budget the shuffle_hash hint is explicit — checkpoint stats
+    // could otherwise still tempt the optimizer into the broadcast this
+    // gate exists to forbid (and SMJ would re-sort the corpus lines)
+    val hotFlag = hot.withColumn("__hot", lit(true))
+    val build =
+      if (hot.count() * 64L <= broadcastBudgetBytes) broadcast(hotFlag)
+      else hotFlag.hint("shuffle_hash")
+    lines.join(build, md5(col("line")) === col("lh"), "left")
       .groupBy(id)
       .agg(
         array_join(transform(

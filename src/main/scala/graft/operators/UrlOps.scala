@@ -90,15 +90,26 @@ object UrlOps {
     * Scale (100 TB): canonicalization is map-side; the selection is two
     * keyed aggs on the canonical key — max ts (+ snapshot count), then
     * min id among the max-ts rows — so a page recrawled millions of
-    * times costs a bounded agg state, never a per-URL window sort. */
+    * times costs a bounded agg state, never a per-URL window sort.
+    *
+    * Null contract (explicit, not incidental): rows with a null `urlCol`
+    * have no canonical key and are EXCLUDED up front — the one row class
+    * this operator drops, filtered visibly rather than lost inside the
+    * equi-join's null-key discard. Null `tsCol` rows keep their group
+    * membership (counted in n_snapshots) but cannot win; a URL whose
+    * captures are ALL null-ts still surfaces, with null latest_ts and
+    * min-id keep_id, via the null-safe match below. */
   def latestPerUrl(pages: org.apache.spark.sql.DataFrame, idCol: String,
       urlCol: String, tsCol: String): org.apache.spark.sql.DataFrame = {
-    val canon = pages.select(col(idCol), col(tsCol),
-      canonicalizeUrl(col(urlCol)).as("canonical_url"))
+    val canon = pages.filter(col(urlCol).isNotNull)
+      .select(col(idCol), col(tsCol),
+        canonicalizeUrl(col(urlCol)).as("canonical_url"))
     val latest = canon.groupBy("canonical_url")
       .agg(max(col(tsCol)).as("latest_ts"), count(lit(1)).as("n_snapshots"))
     canon.join(latest, Seq("canonical_url"))
-      .filter(col(tsCol) === col("latest_ts"))
+      // null-safe: an all-null-ts group has latest_ts null and must still
+      // keep one row, not vanish from the corpus
+      .filter(col(tsCol) <=> col("latest_ts"))
       .groupBy(col("canonical_url"), col("latest_ts"), col("n_snapshots"))
       .agg(min(col(idCol)).as("keep_id"))
       .select("canonical_url", "latest_ts", "keep_id", "n_snapshots")

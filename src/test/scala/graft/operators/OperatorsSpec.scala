@@ -982,4 +982,72 @@ class OperatorsSpec extends SparkTestBase {
       (4L, "", 0L, 1L),                    // fully-boilerplate doc -> empty
       (5L, "", 1L, 0L)))                   // "" line df=1: kept
   }
+
+  test("stripBoilerplateLines: blank lines are paragraph structure, never boilerplate") {
+    import spark.implicits._
+    // every doc contains a blank separator line (df=3 >= minDocs=2); the
+    // pre-fix DF aggregate would flag '' hot and flatten every paragraph
+    val ds = Seq(
+      (1L, "para one\n\npara two\nFOOTER"),
+      (2L, "intro\n\nbody\nFOOTER"),
+      (3L, "solo\n\nend"))
+      .toDF("id", "text")
+    val out = TextAnalysis.stripBoilerplateLines(ds, "id", "text", minDocs = 2L)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "para one\n\npara two", 3L, 1L),
+      (2L, "intro\n\nbody", 3L, 1L),
+      (3L, "solo\n\nend", 3L, 0L)))
+  }
+
+  test("stripBoilerplateLines: shuffled-join fallback (budget 0) equals the broadcast path") {
+    import spark.implicits._
+    val ds = (1L to 30L).map(i =>
+        (i, s"unique head $i\nSHARED FOOTER\nbody $i" + (if (i % 3 == 0) "\nSUB FOOTER" else "")))
+      .toDF("id", "text")
+    val broadcasted = TextAnalysis.stripBoilerplateLines(ds, "id", "text", minDocs = 2L)
+    val shuffled = TextAnalysis.stripBoilerplateLines(ds, "id", "text", minDocs = 2L,
+      broadcastBudgetBytes = 0L)
+    assert(broadcasted.exceptAll(shuffled).isEmpty
+      && shuffled.exceptAll(broadcasted).isEmpty)
+    // and the fallback genuinely forces the shuffled join — checkpoint
+    // stats would otherwise still read tiny and tempt a broadcast
+    val p = shuffled.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin") && !p.contains("BroadcastHashJoin"),
+      s"budget 0 must force the shuffled flagging join:\n$p")
+  }
+
+  test("quantileBins rejects duplicate probs and reserved column names") {
+    import spark.implicits._
+    val df = Seq((1L, 0.5)).toDF("id", "s")
+    intercept[IllegalArgumentException] {
+      Sampling.quantileBins(df, "s", Seq(0.25, 0.25, 0.75))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.quantileBins(df.withColumn("__qb", lit(1)), "s", Seq(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.quantileBins(df.withColumn("__b0", lit(1)), "s", Seq(0.5))
+    }
+  }
+
+  test("keepBestFromLabels: a doc without a score row fails loudly, not silently") {
+    import spark.implicits._
+    val ds = Seq(1L, 2L, 3L).toDF("id")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 0.2), (2L, 0.9)).toDF("id", "score") // 3 unscored
+    val ex = intercept[Exception] {
+      Dedup.keepBestFromLabels(ds, labels, scores, "id", "score").collect()
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("no score row"),
+      s"expected the missing-score raise, got: $messages")
+    // and the labels shape contract is checked up front
+    intercept[IllegalArgumentException] {
+      Dedup.keepBestFromLabels(ds, labels.withColumnRenamed("doc_id", "id"),
+        scores, "id", "score")
+    }
+  }
 }

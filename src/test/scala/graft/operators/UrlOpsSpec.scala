@@ -93,4 +93,24 @@ class UrlOpsSpec extends SparkTestBase {
       ("https://example.com/a", 5L, 2L, 3L),   // ts-tie 2 vs 3: min id 2
       ("not a url 5", 9L, 5L, 1L)))
   }
+
+  test("latestPerUrl null contract: null urls excluded, all-null-ts pages survive") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, Some(3L), "https://a.com/x"),
+      (2L, None, "https://a.com/x"),        // null ts in a mixed group: counted, can't win
+      (3L, None, "https://b.com/y"),        // ALL captures of b.com/y are null-ts
+      (4L, None, "https://b.com/y"),
+      (5L, Some(7L), null: String))         // null url: no canonical key — excluded
+      .toDF("id", "ts", "url")
+    val out = UrlOps.latestPerUrl(pages, "id", "url", "ts")
+      .orderBy("canonical_url")
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("https://a.com/x", 3L, 1L, 2L),  // null-ts row 2 counted in n_snapshots
+      ("https://b.com/y", -1L, 3L, 2L)  // all-null-ts: survives with null ts, min id
+    ))
+  }
 }
