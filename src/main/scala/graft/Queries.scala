@@ -3177,6 +3177,38 @@ object Queries {
   // and the corpus = a broken build, caught by the same rows+schema+hash
   // gate as every other query.
 
+  /** Hive-layout partitioned copy of `orders` (partitionBy o_orderstatus),
+    * materialized once per (session, dir) through the same tmp-path cache
+    * the ANN indexes use. Partition pruning is the reference's core scale
+    * mechanism (reference: etl_manager/meta.py:473-479 partitioned tables,
+    * meta.py:574-643 MSCK repair); this fixture lets an ORACLED query
+    * prove the file-level behavior, not just a spec. */
+  private def partitionedOrdersPath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "orders_bystatus") { p =>
+      t(s, d, "orders")
+        // cluster by the partition key: each status dir written by one
+        // task, not tasks × statuses open files (buildLshIndex discipline)
+        .repartition(col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(p)
+    }
+
+  q("q_scan_partition_prune",
+    // the oracle replays on the flat fixture — same rows by definition;
+    // what the partitioned layout adds is PROOF the predicate prunes at
+    // the directory level (PlanQualitySpec asserts PartitionFilters on
+    // this exact query's scan, so a pruning regression fails the suite
+    // while a data regression fails this hash check)
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+      |FROM orders
+      |WHERE o_orderstatus = 'F' AND o_totalprice > 200000
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    s.read.parquet(partitionedOrdersPath(s, d))
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 200000)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_orderkey")
+  }
+
   q("q_sim_ivf_index_build",
     """SELECT count(*) AS n_indexed, count(DISTINCT vec_id) AS n_vecs
       |FROM embeddings WHERE vec_id <> 0""".stripMargin) { (s, d) =>
@@ -3278,7 +3310,8 @@ object Queries {
     "q_sim_pq_indexed" -> Seq("pq_index"),
     "q_sim_ivf_index_build" -> Seq("ivf_index"),
     "q_sim_lsh_index_build" -> Seq("lsh_index"),
-    "q_sim_pq_index_build" -> Seq("pq_index"))
+    "q_sim_pq_index_build" -> Seq("pq_index"),
+    "q_scan_partition_prune" -> Seq("orders_part"))
 
   /** Force-materialize an ANN index OUTSIDE query timing. Bench runs
     * these before the first consuming query and reports the build
@@ -3291,5 +3324,6 @@ object Queries {
   lazy val indexBuilds: Map[String, (SparkSession, String) => Unit] = Map(
     "ivf_index" -> ((s, d) => { ivfIndexPath(s, d); () }),
     "lsh_index" -> ((s, d) => { lshIndexPath(s, d); () }),
-    "pq_index" -> ((s, d) => { pqIndexPath(s, d); () }))
+    "pq_index" -> ((s, d) => { pqIndexPath(s, d); () }),
+    "orders_part" -> ((s, d) => { partitionedOrdersPath(s, d); () }))
 }

@@ -79,6 +79,17 @@ class PlanQualitySpec extends SparkTestBase {
       s"orders scan not pruned to (o_orderstatus, o_custkey):\n$p")
   }
 
+  test("q_scan_partition_prune prunes at the DIRECTORY level — status filter is a PartitionFilter") {
+    val p = plan("q_scan_partition_prune")
+    // the o_orderstatus predicate must prune partitions (directory listing),
+    // not run as a data filter over every file
+    assert("PartitionFilters: \\[[^\\]]*o_orderstatus".r.findFirstIn(p).isDefined,
+      s"status filter did not reach PartitionFilters:\n$p")
+    // and the residual price predicate still pushes into the parquet scan
+    assert(p.contains("PushedFilters:") && p.contains("o_totalprice"),
+      s"price filter not pushed down:\n$p")
+  }
+
   test("q_join_range_capped caps via heap aggregate — candidate pairs never shuffle through a window") {
     val p = plan("q_join_range_capped")
     assert(!p.contains("Window"),
