@@ -183,14 +183,21 @@ object Dedup {
 
   /** Connected components over near-dup pairs: iterative min-label
     * propagation (each node takes the min of its own and its neighbors'
-    * labels until fixpoint). This is how pairwise near-dup hits become
-    * removable duplicate GROUPS — removing id_b of every pair over-deletes
-    * when clusters chain (a~b, b~c: b and c both vanish even though c
-    * survives b's removal).
+    * labels) PLUS a pointer-jump per round (each node then takes its
+    * label's label — the Shiloach–Vishkin shortcut), until fixpoint.
+    * This is how pairwise near-dup hits become removable duplicate
+    * GROUPS — removing id_b of every pair over-deletes when clusters
+    * chain (a~b, b~c: b and c both vanish even though c survives b's
+    * removal).
     *
-    * Scale: each iteration is one join + one agg, both keyed on doc_id;
-    * iterations ≈ graph diameter (near-dup clusters are shallow).
-    * Converged labels are checked with a cheap count per round. */
+    * Scale: each iteration is one edge join + one agg + one label
+    * self-join, all keyed on doc_id. Propagation alone needs
+    * O(diameter) rounds — a chain-shaped near-dup graph (recrawl
+    * series: v1~v2, v2~v3, …) makes that rounds = chain length; the
+    * jump doubles the distance the min label covers each round, so
+    * convergence is O(log diameter) and maxIterations = 20 covers any
+    * graph a corpus can produce (2^20-hop chains). Non-convergence
+    * raises rather than returning silently-wrong labels. */
   def dedupClusters(pairs: DataFrame, maxIterations: Int = 20,
       driverUnionFindThreshold: Long = -1L): DataFrame = {
     val parallelism = pairs.sparkSession.sparkContext.defaultParallelism
@@ -266,20 +273,41 @@ object Dedup {
             .withColumnRenamed("cluster_id", "v_label"), Seq("v"))
           .groupBy(col("u").as("doc_id"))
           .agg(min(col("v_label")).as("n_label"))
-        // carry the old label through one checkpointed frame so the
-        // convergence check is a count on materialized data, not a re-join
-        val step = labels.join(neighborMin, Seq("doc_id"), "left")
+        val prop = labels.join(neighborMin, Seq("doc_id"), "left")
           .select(col("doc_id"), col("cluster_id").as("old"),
             least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id")))
+              .as("mid"))
+        // pointer jump: label := label(label). Labels are always node ids
+        // (initialized from the node set, only ever lowered to another
+        // label), so the self-join always resolves; least() keeps the
+        // lowering monotone. This is what turns rounds = diameter into
+        // rounds = log(diameter) on chains. Carry the old label through
+        // one checkpointed frame so the convergence check is a count on
+        // materialized data, not a re-join.
+        val parents = prop
+          .select(col("doc_id").as("p_id"), col("mid").as("p_label"))
+        val step = prop.join(parents, col("mid") === col("p_id"), "left")
+          .select(col("doc_id"), col("old"),
+            least(col("mid"), coalesce(col("p_label"), col("mid")))
               .as("cluster_id"))
           .localCheckpoint() // also truncates the iterative lineage
         converged = step.filter(col("cluster_id") =!= col("old")).isEmpty
         labels = step.drop("old")
         iter += 1
+        lastDistributedRounds = iter
       }
+      if (!converged) throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIterations rounds — " +
+          "with pointer jumping that needs a graph of diameter > " +
+          s"2^$maxIterations; raise maxIterations")
       labels
     } finally base.unpersist(blocking = false)
   }
+
+  /** Rounds the LAST distributed [[dedupClusters]] run took — test/debug
+    * observability for the O(log diameter) convergence claim (the driver
+    * union-find fast path does not touch it). */
+  @volatile private[operators] var lastDistributedRounds: Int = 0
 
   /** Cluster-collapse with quality-aware survivor choice: given the full
     * corpus, near-dup `pairs` (id_a, id_b), and a per-doc score frame

@@ -495,6 +495,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(dist == expected)
   }
 
+  test("dedupClusters: 1000-node chain converges in O(log diameter) distributed rounds") {
+    import spark.implicits._
+    // worst-case shape for pure min-label propagation (rounds = 999):
+    // a recrawl-series chain 1~2~3~...~1000. Pointer jumping must close
+    // it in ~log2(1000) rounds.
+    val chain = (1L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.dedupClusters(chain, driverUnionFindThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 1000)
+    assert(labels.forall(_._2 == 1L),
+      s"chain must collapse to min id 1, got labels ${labels.filter(_._2 != 1L).take(5).toSeq}")
+    assert(Dedup.lastDistributedRounds <= 16,
+      s"expected O(log 1000) ~ <=16 rounds, took ${Dedup.lastDistributedRounds}")
+  }
+
   test("duplicatedSpans flags cross-doc spans, merges overlaps, ignores within-doc repeats") {
     import spark.implicits._
     val fixture = Seq(
