@@ -3177,6 +3177,54 @@ object Queries {
   // and the corpus = a broken build, caught by the same rows+schema+hash
   // gate as every other query.
 
+  // retrieval-quality audit: recall@10 of each ANN method's probe result
+  // against the brute-force exact top-10 — the number an ANN deployment
+  // is actually judged by, surfaced as a one-row report (q_corpus_report
+  // discipline) so the driver sees retrieval quality every round, not
+  // just spec-pinned. The oracle composes the SAME full SQL replays the
+  // per-method queries use (DuckDB allows a WITH-bearing SELECT as a
+  // parenthesized subquery), so every stage — signatures, cell
+  // assignment, integer-LUT ADC, the brute ranking — replays end to end.
+  q("q_sim_recall_report", {
+    val brute =
+      """SELECT b.vec_id FROM embeddings b WHERE b.vec_id <> 0
+        |  ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) DESC, b.vec_id
+        |  LIMIT 10""".stripMargin
+    val lsh = lshOracleSql(dim = 64, nBits = 6, nTables = 12, seed = 7L, k = 10)
+    s"""WITH brute AS ($brute),
+       |ivf AS (SELECT vec_id FROM ($ivfOracleSql)),
+       |lsh AS (SELECT vec_id FROM ($lsh)),
+       |pq AS (SELECT vec_id FROM ($pqAdcOracleSql))
+       |SELECT CAST(10 AS INTEGER) AS k,
+       |  round((SELECT count(*) FROM ivf WHERE vec_id IN (SELECT vec_id FROM brute)) / 10.0, 4) AS recall_ivf,
+       |  round((SELECT count(*) FROM lsh WHERE vec_id IN (SELECT vec_id FROM brute)) / 10.0, 4) AS recall_lsh,
+       |  round((SELECT count(*) FROM pq WHERE vec_id IN (SELECT vec_id FROM brute)) / 10.0, 4) AS recall_pq""".stripMargin
+  }) { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val probe = embProbe(s, d)
+    val brute = corpus
+      .select(col("vec_id"),
+        round(graft.operators.Similarity.cosine(
+          col("embedding"), typedLit(probe.toSeq)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select("vec_id")
+    def recall(hits: org.apache.spark.sql.DataFrame, name: String) =
+      hits.select("vec_id").join(brute, Seq("vec_id"), "leftsemi")
+        .agg(round(count(lit(1)) / 10.0, 4).as(name))
+    recall(graft.operators.Similarity.ivfTopK(
+        corpus, "vec_id", "embedding", ivfCentroids(s, d), probe,
+        k = 10, nprobe = 2), "recall_ivf")
+      .crossJoin(recall(graft.operators.Similarity.lshTopK(
+        corpus, "vec_id", "embedding", probe, k = 10), "recall_lsh"))
+      .crossJoin(recall(graft.operators.Similarity.adcTopK(
+        corpus, "vec_id", "embedding", pqCodebooks(s, d), probe, k = 10),
+        "recall_pq"))
+      .select(lit(10).as("k"), col("recall_ivf"), col("recall_lsh"),
+        col("recall_pq"))
+  }
+
   /** Hive-layout partitioned copy of `orders` (partitionBy o_orderstatus),
     * materialized once per (session, dir) through the same tmp-path cache
     * the ANN indexes use. Partition pruning is the reference's core scale
