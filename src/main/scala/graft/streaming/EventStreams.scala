@@ -19,7 +19,11 @@ final case class UserTotals(n: Long, total: Double)
 object EventStreams {
 
   /** The events stream from parquet files: the batch-identical source.
-    * `ts` arrives as TIMESTAMP(NANOS) parquet → long nanos → micros. */
+    * `ts` normalization mirrors [[graft.sources.Tables.load]] — the
+    * fixture has shipped as TIMESTAMP(NANOS) (read as long nanos) and as
+    * TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ); both
+    * normalize to session-TZ TIMESTAMP so watermarks/windows see one
+    * type. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -29,11 +33,16 @@ object EventStreams {
     java.nio.file.Files.createSymbolicLink(
       staged.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(staged.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling 1-hour counts by event type, 2h watermark for late data. */

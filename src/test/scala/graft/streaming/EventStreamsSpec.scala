@@ -95,9 +95,17 @@ class EventStreamsSpec extends SparkTestBase {
     java.nio.file.Files.copy(src, staged.resolve("b.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(staged.toString).schema
-    val dupStream = spark.readStream.schema(schema)
+    val rawStream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(staged.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // ts normalization mirrors EventStreams.readEvents (fixtures have
+    // shipped both long-nanos and micros-timestamp ts)
+    val dupStream = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        rawStream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => rawStream
+      case _ => rawStream.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
     val out = EventStreams.runAvailableNow(spark,
       EventStreams.dedupEvents(dupStream), "t_dedup2", outputMode = "append")
     assert(out.count() == batch.count(), "duplicates across micro-batches survived")
