@@ -49,6 +49,9 @@ object ClusterCheck {
     "q_sim_pq",                   // PQ code exprs + integer LUT literal on executors
     "q_sim_pq_indexed",           // + executor-side code-table write, fingerprint check
     "q_text_classify",            // TextClassifier StaticInvoke + per-JVM weight cache
+    "q_join_range_capped",        // MinKByAgg row-heap buffers across the exchange (r6)
+    "q_scan_partition_prune",     // executor dynamic-partition write + pruned read (r6)
+    "q_sim_recall_report",        // composes 4 retrieval plans + left-semi audits (r6)
   )
 
   private def runAll(master: String, sfDir: String): Map[String, Seq[String]] = {
