@@ -1996,6 +1996,45 @@ object Queries {
       .orderBy(col("bin").asc_nulls_last)
   }
 
+  q("q_sample_exact_n",
+    // exactly-n deterministic uniform sample: the n smallest md5(doc_id)
+    // values. rand() sampling promises neither the count nor replay; the
+    // hash order does both, and the plan is TakeOrderedAndProject — an
+    // n-element heap per task, never a global sort of the corpus.
+    """SELECT doc_id, lang, source FROM documents
+      |ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100""".stripMargin) { (s, d) =>
+    graft.operators.Sampling.deterministicSample(
+      t(s, d, "documents").select("doc_id", "lang", "source"),
+      col("doc_id"), n = 100)
+  }
+
+  q("q_agg_approx_percentile_hist",
+    // histogram-sketch quantiles: the engine-neutral APPROXIMATE quantile
+    // (the KMV-vs-HLL story applied to percentiles). Exact percentile
+    // keeps value→count state bounded by value cardinality; the histogram
+    // keeps ceil(range/binWidth) counters per group regardless of
+    // cardinality, merges as plain partial+final counter adds, and the
+    // p-estimate (upper edge of the first bin reaching p·total) replays
+    // bit-for-bit in SQL — unlike any t-digest/KLL buffer layout.
+    """WITH h AS (
+      |  SELECT l_returnflag, CAST(floor(l_quantity / 5.0) AS BIGINT) AS b,
+      |         count(*) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, b, n,
+      |    sum(n) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum,
+      |    sum(n) OVER (PARTITION BY l_returnflag) AS tot
+      |  FROM h)
+      |SELECT l_returnflag,
+      |  min(CASE WHEN CAST(cum AS DOUBLE) >= tot * 0.5 THEN (b + 1) * 5.0 END) AS p50,
+      |  min(CASE WHEN CAST(cum AS DOUBLE) >= tot * 0.9 THEN (b + 1) * 5.0 END) AS p90
+      |FROM c GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    graft.operators.Sampling.histogramQuantiles(
+        t(s, d, "lineitem"), "l_returnflag", "l_quantity",
+        binWidth = 5.0, probs = Seq(0.5, 0.9))
+      .orderBy("l_returnflag")
+  }
+
   q("q_corpus_shard",
     // deterministic training-shard deal: shard = hash bits [32,64) mod 8,
     // within-shard order key = top 53 bits — reproducible across engines,

@@ -191,6 +191,73 @@ object Sampling {
       .drop(probs.indices.map(i => s"__b$i"): _*)
   }
 
+  /** Deterministic uniform sample of EXACTLY `n` rows: the n smallest
+    * md5(hashKey) values, ties broken by the hash string itself being
+    * (effectively) unique. "Give me exactly 100k docs, reproducibly" —
+    * rand()-based sampling can't promise the count OR replay across
+    * engines/partitionings.
+    *
+    * Scale (100 TB): `orderBy(hash).limit(n)` plans as
+    * TakeOrderedAndProject — each task keeps an n-element heap and only
+    * n rows per partition reach the driver-side merge; the corpus is
+    * never globally sorted (PlanQualitySpec asserts no Sort+Exchange).
+    * The md5 hex string doubles as the audit column. */
+  def deterministicSample(df: DataFrame, hashKey: Column, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(!df.columns.contains("__ds_h"),
+      "input already has a __ds_h column; rename it before deterministicSample")
+    df.withColumn("__ds_h", md5(coalesce(hashKey.cast("string"), lit(""))))
+      .orderBy(col("__ds_h"))
+      .limit(n)
+      .drop("__ds_h")
+  }
+
+  /** Histogram-sketch approximate quantiles per group: the engine-neutral
+    * scale answer to "p50/p90 of a 100 TB column". Exact `percentile`
+    * keeps a value→count buffer bounded by VALUE CARDINALITY — fine for
+    * 4-dp scores, unbounded for raw doubles; this keeps one counter per
+    * fixed-width bin (`binWidth`), so aggregate state is
+    * ceil(range/binWidth) counters per group NO MATTER the cardinality,
+    * with ordinary partial+final merge (counters add). The estimate for
+    * prob p is the upper edge of the first bin whose cumulative count
+    * reaches p·total — deterministic integer arithmetic, replayable
+    * bit-for-bit in any SQL engine (unlike t-digest/KLL layouts), the
+    * [[graft.functions.SketchAggregates]] KMV discipline applied to
+    * quantiles.
+    *
+    * Scale: one partial+final groupBy((group, bin)) over the scan, then
+    * per-group cumulative selection over the |groups|·|bins| histogram
+    * frame — post-aggregation scalar work, windowed over bins only,
+    * never over rows. */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      binWidth: Double, probs: Seq[Double]): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(probs.nonEmpty && probs == probs.sorted && probs.distinct == probs
+        && probs.forall(p => p > 0 && p < 1),
+      s"probs must be strictly increasing inside (0,1), got $probs")
+    import org.apache.spark.sql.expressions.Window
+    // bin id via exact long floor-div of the scaled value: floor(v/w) as
+    // plain double floor is exact while |v/w| < 2^53 — the fixture and
+    // any realistic score range sit far below that
+    val bin = floor(col(valueCol).cast("double") / lit(binWidth)).cast("long")
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), bin.as("__hb"))
+      .agg(count(lit(1)).as("__hn"))
+    val w = Window.partitionBy(groupCol).orderBy("__hb")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("__hcum", sum(col("__hn")).over(w))
+      .withColumn("__htot", sum(col("__hn")).over(Window.partitionBy(groupCol)))
+    // estimate = upper bin edge of the first bin reaching p·total;
+    // p·total compares as a DOUBLE product of exact longs — identical
+    // in any engine
+    val aggs = probs.zipWithIndex.map { case (p, i) =>
+      min(when(col("__hcum").cast("double") >= col("__htot") * p,
+        (col("__hb") + 1L).cast("double") * binWidth)).as(s"p${(p * 100).round}")
+    }
+    cum.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** CASE group WHEN k1 THEN v1 ... ELSE default END, empty-map safe
     * (collapses to the default literal). */
   private def caseOver[T](group: Column, entries: Map[String, T],

@@ -90,6 +90,22 @@ class PlanQualitySpec extends SparkTestBase {
       s"price filter not pushed down:\n$p")
   }
 
+  test("q_sample_exact_n takes the n smallest hashes via heap — no global sort of the corpus") {
+    val p = plan("q_sample_exact_n")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"exact-n sample regressed to a global sort + limit:\n$p")
+    // the text column must never be read for a (doc_id, lang, source) sample
+    assert(!p.contains("ReadSchema") || !p.contains("text"),
+      s"documents scan not pruned:\n$p")
+  }
+
+  test("q_agg_approx_percentile_hist aggregates the histogram partially before the shuffle") {
+    val p = plan("q_agg_approx_percentile_hist")
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"histogram counters must combine map-side:\n$p")
+  }
+
   test("q_join_range_capped caps via heap aggregate — candidate pairs never shuffle through a window") {
     val p = plan("q_join_range_capped")
     assert(!p.contains("Window"),

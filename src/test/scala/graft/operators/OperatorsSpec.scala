@@ -1033,6 +1033,40 @@ class OperatorsSpec extends SparkTestBase {
       s"budget 0 must force the shuffled flagging join:\n$p")
   }
 
+  test("deterministicSample: exactly n rows, identical set under any partitioning") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i, s"v$i")).toDF("id", "v")
+    val a = Sampling.deterministicSample(df, col("id"), 100)
+    assert(a.count() == 100)
+    assert(a.columns.toSeq == Seq("id", "v"), "temp hash column leaked")
+    val b = Sampling.deterministicSample(df.repartition(17), col("id"), 100)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "sample must not depend on partitioning")
+    // n larger than the table keeps everything
+    assert(Sampling.deterministicSample(df.limit(7), col("id"), 100).count() == 7)
+  }
+
+  test("histogramQuantiles: estimates hit the bin upper edges, nulls ignored") {
+    import spark.implicits._
+    // group g: values 1..100, width 10 → bin0 holds 1..9 (9 rows),
+    // bins 1..9 hold 10 each, bin10 holds {100}. cum first reaches 50 at
+    // bin5 (cum 59) → p50 = upper edge 60.0 (the bin holding the true
+    // median 50.5); cum first reaches 90 at bin9 (cum 99) → p90 = 100.0
+    val df = ((1 to 100).map(i => ("g", Some(i.toDouble))) :+
+      (("g", Option.empty[Double]))).toDF("grp", "x")
+    val out = Sampling.histogramQuantiles(df, "grp", "x", 10.0, Seq(0.5, 0.9))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getDouble(1) == 60.0 && out(0).getDouble(2) == 100.0,
+      s"got ${out(0)}")
+    intercept[IllegalArgumentException] {
+      Sampling.histogramQuantiles(df, "grp", "x", 0.0, Seq(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.histogramQuantiles(df, "grp", "x", 10.0, Seq(0.5, 0.5))
+    }
+  }
+
   test("quantileBins rejects duplicate probs and reserved column names") {
     import spark.implicits._
     val df = Seq((1L, 0.5)).toDF("id", "s")
