@@ -357,14 +357,23 @@ object Dedup {
           raise_error(concat(lit("keepBestFromLabels: no score row for id "),
             col(idCol).cast("string"))))
         .otherwise(col(scoreCol)))
-    val best = labeled.groupBy("cluster_id")
-      .agg(max(col(scoreCol)).as(s"best_$scoreCol"),
-        count(lit(1)).as("n_members"))
-    labeled.join(best, Seq("cluster_id"))
-      .filter(col(scoreCol) === col(s"best_$scoreCol"))
-      .groupBy(col("cluster_id"), col(s"best_$scoreCol"), col("n_members"))
-      .agg(min(col(idCol)).as("keep_id"))
-      .select("cluster_id", "keep_id", s"best_$scoreCol", "n_members")
+    // ONE keyed aggregation pass: survivor = the k=1 bounded heap under
+    // (score DESC, id ASC) — via MinKByAgg on (-score, id) — computed
+    // alongside max/count in the same groupBy. The previous shape (max
+    // agg, then join the labeled frame back to filter score == best) ran
+    // the docs⋈labels⋈scores join TWICE (DAG branches recompute) and
+    // shuffled the full labeled frame a second time for the join; this
+    // shuffles ≤ 1 heap row + 2 counters per cluster per mapper, once.
+    labeled.groupBy("cluster_id")
+      .agg(
+        max(col(scoreCol)).as(s"best_$scoreCol"),
+        count(lit(1)).as("n_members"),
+        graft.functions.MinKByAgg.minKByAgg(
+          struct((-col(scoreCol).cast("double")).as("ns"), col(idCol).as("i")),
+          struct(col(idCol).as("keep_id")), k = 1).as("__kb"))
+      .select(col("cluster_id"),
+        element_at(col("__kb"), 1).getField("keep_id").as("keep_id"),
+        col(s"best_$scoreCol"), col("n_members"))
   }
 
   /** Incremental dedup: filter NEW documents against an EXISTING corpus —

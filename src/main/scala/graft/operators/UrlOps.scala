@@ -101,17 +101,49 @@ object UrlOps {
     * min-id keep_id, via the null-safe match below. */
   def latestPerUrl(pages: org.apache.spark.sql.DataFrame, idCol: String,
       urlCol: String, tsCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
     val canon = pages.filter(col(urlCol).isNotNull)
       .select(col(idCol), col(tsCol),
         canonicalizeUrl(col(urlCol)).as("canonical_url"))
-    val latest = canon.groupBy("canonical_url")
-      .agg(max(col(tsCol)).as("latest_ts"), count(lit(1)).as("n_snapshots"))
-    canon.join(latest, Seq("canonical_url"))
-      // null-safe: an all-null-ts group has latest_ts null and must still
-      // keep one row, not vanish from the corpus
-      .filter(col(tsCol) <=> col("latest_ts"))
-      .groupBy(col("canonical_url"), col("latest_ts"), col("n_snapshots"))
-      .agg(min(col(idCol)).as("keep_id"))
-      .select("canonical_url", "latest_ts", "keep_id", "n_snapshots")
+    // descending-ts heap key: an EXACT monotone inversion of ts, so the
+    // k=1 MinKByAgg under (desc_ts ASC, id ASC) picks "max ts, ties to
+    // min id" in the SAME aggregation pass as max/count — one keyed agg,
+    // no join-back, and the regex canonicalization runs ONCE per row
+    // (the join form evaluates the canon branch twice — a second full
+    // map pass over the corpus at 100 TB). Nulls map to Long.MaxValue:
+    // a null-ts capture loses to any dated one but an all-null group
+    // still keeps its min id. Exactness matters: epoch micros (~1e15)
+    // stay far from Long.MinValue, and no double rounding is involved —
+    // a cast-to-double inversion would collapse ties above 2^53.
+    val descTs: Option[Column] = pages.schema(tsCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(coalesce(-col(tsCol).cast("long"), lit(Long.MaxValue)))
+      case TimestampType =>
+        Some(coalesce(-unix_micros(col(tsCol)), lit(Long.MaxValue)))
+      case _ => None
+    }
+    descTs match {
+      case Some(d) =>
+        canon.groupBy("canonical_url")
+          .agg(
+            max(col(tsCol)).as("latest_ts"),
+            count(lit(1)).as("n_snapshots"),
+            graft.functions.MinKByAgg.minKByAgg(
+              struct(d.as("nt"), col(idCol).as("i")),
+              struct(col(idCol).as("keep_id")), k = 1).as("__kb"))
+          .select(col("canonical_url"), col("latest_ts"),
+            element_at(col("__kb"), 1).getField("keep_id").as("keep_id"),
+            col("n_snapshots"))
+      case None =>
+        // non-invertible ts types: the two-keyed-agg + null-safe join
+        // form (same semantics, one extra map pass)
+        val latest = canon.groupBy("canonical_url")
+          .agg(max(col(tsCol)).as("latest_ts"), count(lit(1)).as("n_snapshots"))
+        canon.join(latest, Seq("canonical_url"))
+          .filter(col(tsCol) <=> col("latest_ts"))
+          .groupBy(col("canonical_url"), col("latest_ts"), col("n_snapshots"))
+          .agg(min(col(idCol)).as("keep_id"))
+          .select("canonical_url", "latest_ts", "keep_id", "n_snapshots")
+    }
   }
 }

@@ -395,12 +395,17 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected hot-line df agg + per-doc reassembly agg:\n$p")
   }
 
-  test("q_dedup_url_latest: two keyed aggs on the canonical key, no window") {
+  test("q_dedup_url_latest: ONE keyed agg pass — no window, no join-back, canonicalize once") {
     val p = plan("q_dedup_url_latest")
     assert(!p.contains("Window"),
       s"latest-capture choice regressed to a window rank:\n$p")
-    assert("HashAggregate".r.findAllIn(p).size >= 2,
-      s"expected the max-ts then min-id two-stage selection:\n$p")
+    // the r6 single-pass shape: max/count/k=1-heap in one ObjectHashAggregate
+    // (partial+final); the old form joined the canon frame back, running
+    // the regex canonicalization twice over the corpus
+    assert(p.contains("ObjectHashAggregate"), s"no heap aggregate:\n$p")
+    assert(p.toLowerCase.contains("partial"), s"no map-side partial agg:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"survivor selection joined the corpus back:\n$p")
   }
 
   test("q_sim_hard_negatives: broadcast probes, map-side label filter, heap agg, no window") {
