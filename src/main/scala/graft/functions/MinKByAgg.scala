@@ -82,10 +82,19 @@ final class MinKRowBuffer(val k: Int, cmp: Ordering[InternalRow]) {
   * as `array<struct>` in ascending `o` order. Ties in `o` beyond k are
   * broken arbitrarily — callers wanting full determinism make `o` a total
   * order (the capped range join folds every right column into it).
+  *
+  * `wholeRow = true` is the fused form for the common "sort key IS the
+  * payload" case ([[MinKByAgg.minKRowsAgg]]): the child is ONE struct
+  * compared field-by-field ascending and emitted as-is. The pair form
+  * evaluates two CreateStructs per candidate row and stores both in the
+  * heap; at millions of candidate rows per task (the capped range join's
+  * regime) the fused form halves per-row construction, comparison
+  * indirection, and buffer bytes.
   */
 case class MinKByAgg(
     child: Expression,
     k: Int,
+    wholeRow: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[MinKRowBuffer] {
@@ -96,12 +105,17 @@ case class MinKByAgg(
   override def nullable: Boolean = false
 
   @transient private lazy val childType = child.dataType.asInstanceOf[StructType]
-  @transient private lazy val ordType = childType(0).dataType.asInstanceOf[StructType]
-  @transient private lazy val payloadType = childType(1).dataType.asInstanceOf[StructType]
+  @transient private lazy val ordType =
+    if (wholeRow) childType else childType(0).dataType.asInstanceOf[StructType]
+  @transient private lazy val payloadType =
+    if (wholeRow) childType else childType(1).dataType.asInstanceOf[StructType]
   @transient private lazy val ordOrdering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(ordType)
   @transient private lazy val rowCmp: Ordering[InternalRow] =
-    new Ordering[InternalRow] {
+    if (wholeRow) new Ordering[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int =
+        ordOrdering.compare(a, b)
+    } else new Ordering[InternalRow] {
       private val n = ordType.length
       override def compare(a: InternalRow, b: InternalRow): Int =
         ordOrdering.compare(a.getStruct(0, n), b.getStruct(0, n))
@@ -109,6 +123,10 @@ case class MinKByAgg(
   @transient private lazy val serProj = UnsafeProjection.create(childType)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case s: StructType if wholeRow =>
+      if (RowOrdering.isOrderable(s)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"min_k_rows_agg row struct is not orderable: ${s.sql}")
     case s: StructType if s.length == 2 =>
       (s(0).dataType, s(1).dataType) match {
         case (o: StructType, _: StructType) if RowOrdering.isOrderable(o) =>
@@ -149,9 +167,13 @@ case class MinKByAgg(
   }
 
   override def eval(buf: MinKRowBuffer): Any = {
-    val n = payloadType.length
-    new GenericArrayData(
-      buf.sortedRows.map(r => r.getStruct(1, n).copy(): Any))
+    if (wholeRow) {
+      new GenericArrayData(buf.sortedRows.map(r => r.copy(): Any))
+    } else {
+      val n = payloadType.length
+      new GenericArrayData(
+        buf.sortedRows.map(r => r.getStruct(1, n).copy(): Any))
+    }
   }
 
   override def serialize(buf: MinKRowBuffer): Array[Byte] = {
@@ -205,5 +227,14 @@ object MinKByAgg {
     GraftSqlBridge.column(
       MinKByAgg(
         GraftSqlBridge.expression(struct(ord.as("o"), payload.as("p"))), k)
+        .toAggregateExpression())
+
+  /** Fused form: the k smallest ROWS under the row struct's own
+    * field-by-field ascending order, emitted as-is — one CreateStruct
+    * per candidate row instead of the pair form's two, for the hot
+    * "sort key is the payload" case. */
+  def minKRowsAgg(row: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      MinKByAgg(GraftSqlBridge.expression(row), k, wholeRow = true)
         .toAggregateExpression())
 }

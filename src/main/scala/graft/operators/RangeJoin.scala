@@ -106,13 +106,16 @@ object RangeJoin {
     // sort key = (rightTs, remaining right cols by name asc): a total order
     // over right rows, so the k survivors are unique and an external SQL
     // engine replays the selection with the equivalent row_number window.
-    val ordCols = col(rightTs) +:
-      right.columns.filterNot(_ == rightTs).sorted.map(col(_))
-    val payload = struct(right.columns.map(col): _*)
+    // The key carries every right column, so it doubles as the payload —
+    // the fused minKRowsAgg builds ONE struct per candidate row (the
+    // per-row cost that dominates below the shuffle-bound regime) and
+    // the emit projection restores the caller's column order by name.
+    val ordCols = (col(rightTs).as(rightTs)) +:
+      right.columns.filterNot(_ == rightTs).sorted.map(c => col(c).as(c))
     joined
       .groupBy(left.columns.map(col): _*)
       .agg(graft.functions.MinKByAgg
-        .minKByAgg(struct(ordCols: _*), payload, k).as("_rj_top"))
+        .minKRowsAgg(struct(ordCols: _*), k).as("_rj_top"))
       .withColumn("_rj_m", explode(col("_rj_top")))
       .select(left.columns.map(col) ++
         right.columns.map(c => col("_rj_m").getField(c).as(c)): _*)
