@@ -3362,6 +3362,208 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------ §2.K event analytics (r6)
+
+  q("q_events_funnel",
+    // strict ordered conversion funnel (signup → view → purchase): each
+    // step's timestamp must come STRICTLY after the previous step's. The
+    // engine cascades k keyed min-aggregations (EventAnalytics.funnelUsers)
+    // — never a per-user sort or event×event join; means use exact integer
+    // microsecond sums so they replay bit-equal in any engine
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS ts_1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, max(s1.ts_1) AS ts_1, min(e.ts) AS ts_2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.ts_1
+      |  WHERE e.event_type = 'view' GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, max(s2.ts_1) AS ts_1, min(e.ts) AS ts_3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.ts_2
+      |  WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS step_idx, 'signup' AS step, count(*) AS n_users,
+      |    round(CAST(sum(epoch_us(ts_1) - epoch_us(ts_1)) AS DOUBLE) / count(*) / 1000000.0, 4) AS avg_secs_to_reach
+      |  FROM s1
+      |  UNION ALL
+      |  SELECT 2, 'view', count(*),
+      |    round(CAST(sum(epoch_us(ts_2) - epoch_us(ts_1)) AS DOUBLE) / count(*) / 1000000.0, 4)
+      |  FROM s2
+      |  UNION ALL
+      |  SELECT 3, 'purchase', count(*),
+      |    round(CAST(sum(epoch_us(ts_3) - epoch_us(ts_1)) AS DOUBLE) / count(*) / 1000000.0, 4)
+      |  FROM s3)
+      |ORDER BY step_idx""".stripMargin) { (s, d) =>
+    graft.operators.EventAnalytics.funnelSummary(
+        t(s, d, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"))
+      .orderBy("step_idx")
+  }
+
+  q("q_events_retention",
+    // weekly cohort retention: cohort = Monday of the user's first-event
+    // week, offset = full weeks since the first event; retention vs the
+    // cohort's week-0 distinct-user count (broadcast join of cohort sizes)
+    """WITH fs AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      |  FROM events GROUP BY 1),
+      |act AS (
+      |  SELECT DISTINCT e.user_id,
+      |    CAST(date_trunc('week', f.first_day) AS DATE) AS cohort_week,
+      |    CAST(date_diff('day', f.first_day, CAST(e.ts AS DATE)) // 7 AS BIGINT) AS week_offset
+      |  FROM events e JOIN fs f USING (user_id)),
+      |counts AS (
+      |  SELECT cohort_week, week_offset, count(*) AS n_users
+      |  FROM act GROUP BY 1, 2),
+      |base AS (SELECT cohort_week, n_users AS cohort_size FROM counts WHERE week_offset = 0)
+      |SELECT c.cohort_week, c.week_offset, c.n_users,
+      |  round(CAST(c.n_users AS DOUBLE) / b.cohort_size, 6) AS retention
+      |FROM counts c JOIN base b USING (cohort_week)
+      |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+    graft.operators.EventAnalytics.weeklyRetention(
+        t(s, d, "events"), "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  q("q_events_anomaly",
+    // daily-volume anomaly per event type: z-score of each day's count
+    // against the type's own daily distribution. Mean/variance come from
+    // EXACT integer sums (sum, sum of squares) so the doubles divide
+    // identically in both engines — stddev_samp's streaming double
+    // accumulation would not replay
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, count(*) AS days, sum(n) AS s, sum(n * n) AS ss
+      |  FROM daily GROUP BY 1),
+      |z AS (
+      |  SELECT d.event_type, d.day, d.n,
+      |    (CAST(d.n AS DOUBLE) - CAST(s.s AS DOUBLE) / s.days)
+      |      / sqrt((CAST(s.ss AS DOUBLE) - CAST(s.s AS DOUBLE) * (CAST(s.s AS DOUBLE) / s.days))
+      |             / (s.days - 1)) AS zv
+      |  FROM daily d JOIN st s USING (event_type))
+      |SELECT event_type, day, n, round(zv, 4) AS z, abs(zv) >= 2.0 AS is_anomaly
+      |FROM z ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    graft.operators.EventAnalytics.dailyVolumeAnomaly(
+        t(s, d, "events"), "event_type", "ts", zThreshold = 2.0)
+      .orderBy("event_type", "day")
+  }
+
+  q("q_events_attribution",
+    // last-touch revenue attribution: each purchase credited to the
+    // user's latest view/click at-or-before it — the as-of join reused as
+    // an analytics primitive (one keyed shuffle per side, no range
+    // explosion); revenue sums in exact decimal before the final DOUBLE
+    """SELECT coalesce(t.touch_type, 'none') AS touch_type,
+      |  count(*) AS n_purchases,
+      |  cast(sum(cast(p.value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, ts, event_type AS touch_type FROM events
+      |                WHERE event_type IN ('view', 'click')) t
+      |  ON p.user_id = t.user_id AND p.ts >= t.ts
+      |GROUP BY 1 ORDER BY touch_type""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts"), col("event_type").as("touch_type"))
+    graft.operators.AsOfJoin.asofBackward(
+        purchases, touches, "user_id", "ts", "ts",
+        Map("touch_type" -> "touch_type"))
+      .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("touch_type")
+  }
+
+  // ------------------------------------------------------------ §2.K LM scoring + link graph (r6)
+
+  q("q_text_perplexity",
+    // corpus bigram-LM quality scoring (CCNet-style): fit bigram counts
+    // on the corpus, score each doc's mean bigram log-probability with
+    // add-one smoothing over the vocabulary. Engine = three keyed aggs +
+    // two keyed joins over a persisted shared bigram stage
+    """WITH words AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |        FROM words WHERE len(ws) >= 2)),
+      |docbi AS (SELECT doc_id, w1, w2, count(*) AS c FROM bi GROUP BY 1, 2, 3),
+      |model AS (SELECT w1, w2, sum(c) AS c_bi FROM docbi GROUP BY 1, 2),
+      |lt AS (SELECT w1, sum(c_bi) AS c_w1 FROM model GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v
+      |      FROM (SELECT unnest(ws) AS w FROM words)),
+      |sc AS (
+      |  SELECT d.doc_id, sum(d.c) AS n_bigrams,
+      |    sum(d.c * ln((m.c_bi + 1.0) / CAST(l.c_w1 + v.v AS DOUBLE))) / sum(d.c) AS lp
+      |  FROM docbi d JOIN model m USING (w1, w2) JOIN lt l USING (w1) CROSS JOIN v
+      |  GROUP BY 1)
+      |SELECT doc.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  round(sc.lp, 6) AS avg_logp
+      |FROM documents doc LEFT JOIN sc USING (doc_id)
+      |ORDER BY doc.doc_id""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.bigramLogProb(
+        t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  q("q_graph_pagerank",
+    // PageRank over the outlink host graph (crawl-prioritization /
+    // source-quality prior): 5 fixed simplified-damping iterations —
+    // each iteration is ONE edges⋈ranks equi-join + one keyed sum, no
+    // driver-side adjacency (LinkGraph.pageRank). Hosts salt
+    // deterministically from doc_id (site% -> news%/blog%); the oracle
+    // unrolls the same 5 updates as CTEs
+    """WITH edges AS (
+      |  SELECT DISTINCT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src, dst
+      |  FROM (SELECT doc_id,
+      |          unnest(['news' || CAST(doc_id % 5 AS VARCHAR) || '.example.com',
+      |                  'blog' || CAST(doc_id % 3 AS VARCHAR) || '.example.com']) AS dst
+      |        FROM documents)),
+      |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+      |r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+      |r1 AS (SELECT nd.node, (1 - 0.85) / nn.n + 0.85 * coalesce(s.m, 0.0) AS r
+      |       FROM nodes nd CROSS JOIN nn LEFT JOIN (
+      |         SELECT e.dst AS node, sum(p.r / d.deg) AS m
+      |         FROM edges e JOIN r0 p ON e.src = p.node JOIN deg d ON e.src = d.src
+      |         GROUP BY 1) s ON nd.node = s.node),
+      |r2 AS (SELECT nd.node, (1 - 0.85) / nn.n + 0.85 * coalesce(s.m, 0.0) AS r
+      |       FROM nodes nd CROSS JOIN nn LEFT JOIN (
+      |         SELECT e.dst AS node, sum(p.r / d.deg) AS m
+      |         FROM edges e JOIN r1 p ON e.src = p.node JOIN deg d ON e.src = d.src
+      |         GROUP BY 1) s ON nd.node = s.node),
+      |r3 AS (SELECT nd.node, (1 - 0.85) / nn.n + 0.85 * coalesce(s.m, 0.0) AS r
+      |       FROM nodes nd CROSS JOIN nn LEFT JOIN (
+      |         SELECT e.dst AS node, sum(p.r / d.deg) AS m
+      |         FROM edges e JOIN r2 p ON e.src = p.node JOIN deg d ON e.src = d.src
+      |         GROUP BY 1) s ON nd.node = s.node),
+      |r4 AS (SELECT nd.node, (1 - 0.85) / nn.n + 0.85 * coalesce(s.m, 0.0) AS r
+      |       FROM nodes nd CROSS JOIN nn LEFT JOIN (
+      |         SELECT e.dst AS node, sum(p.r / d.deg) AS m
+      |         FROM edges e JOIN r3 p ON e.src = p.node JOIN deg d ON e.src = d.src
+      |         GROUP BY 1) s ON nd.node = s.node),
+      |r5 AS (SELECT nd.node, (1 - 0.85) / nn.n + 0.85 * coalesce(s.m, 0.0) AS r
+      |       FROM nodes nd CROSS JOIN nn LEFT JOIN (
+      |         SELECT e.dst AS node, sum(p.r / d.deg) AS m
+      |         FROM edges e JOIN r4 p ON e.src = p.node JOIN deg d ON e.src = d.src
+      |         GROUP BY 1) s ON nd.node = s.node)
+      |SELECT node AS host, round(r, 6) AS pr FROM r5 ORDER BY host""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    val edges = t(s, d, "documents").select(
+      concat(lit("site"), (id % 13).cast("string"), lit(".example.com")).as("src"),
+      explode(array(
+        concat(lit("news"), (id % 5).cast("string"), lit(".example.com")),
+        concat(lit("blog"), (id % 3).cast("string"), lit(".example.com")))).as("dst"))
+    graft.operators.LinkGraph.pageRank(edges, "src", "dst", iterations = 5)
+      .select(col("node").as("host"), round(col("rank"), 6).as("pr"))
+      .orderBy("host")
+  }
+
   // --------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = registry.map { case (k, (f, _)) => k -> f }.toMap

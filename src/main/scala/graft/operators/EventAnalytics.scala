@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Large-scale event-stream analytics (EXTENSION, SURVEY.md §2.K): the
+  * conversion-funnel / cohort-retention / volume-anomaly trio every
+  * event warehouse runs daily. The reference's `events`-shaped data is
+  * exactly what its users query through Athena; these are the native
+  * Spark formulations.
+  *
+  * Scale design shared by all three: everything is keyed aggregation —
+  * no windows over the raw event stream, no driver-side state. The only
+  * per-user work is a groupBy on the user key, so a 100 TB event table
+  * shuffles each relevant event ONCE per operator (and the post-agg
+  * frames are |users| or |days·types| rows — broadcastable for the
+  * follow-up joins).
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel: for each user, the earliest occurrence
+    * of step 1, then the earliest occurrence of step 2 STRICTLY AFTER
+    * that, and so on (the "strict windowless funnel" — every step must
+    * happen after the previous step's chosen timestamp, not merely
+    * after any earlier event).
+    *
+    * Returns one row per user that completed at least step 1, with
+    * columns `ts_1 .. ts_k` (k = steps reached; users drop out of later
+    * frames — see [[funnelSummary]] for the per-step counts).
+    *
+    * Shape: k keyed min-aggregations cascaded by an equi-join on the
+    * user key. Each stage's right side is ≤ |users reaching the stage|
+    * rows (monotonically shrinking), so stages 2..k are
+    * broadcast-or-co-partitioned joins against the (already filtered)
+    * event scan — never an event×event join, never a per-user sort.
+    * A window/collect_list formulation would sort every user's full
+    * event history; this never materializes more than one timestamp per
+    * user per step.
+    */
+  def funnelUsers(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): Seq[DataFrame] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
+    val reserved = (1 to steps.size).map(i => s"ts_$i").toSet + "_t"
+    require(!events.columns.exists(reserved), s"funnelUsers reserves ${reserved.mkString(", ")}")
+    var cur = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("ts_1"))
+    val frames = scala.collection.mutable.ArrayBuffer(cur)
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      val k = i + 2
+      val nxt = events.filter(col(typeCol) === st)
+        .select(col(userCol), col(tsCol).as("_t"))
+      // carried ts_j are functionally dependent on the user key; max()
+      // re-exposes them through the groupBy without widening the key
+      val carried = (1 until k).map(j => max(col(s"ts_$j")).as(s"ts_$j"))
+      cur = nxt.join(cur, Seq(userCol))
+        .filter(col("_t") > col(s"ts_${k - 1}"))
+        .groupBy(col(userCol))
+        .agg(carried.head, (carried.tail :+ min(col("_t")).as(s"ts_$k")): _*)
+      frames += cur
+    }
+    frames.toSeq
+  }
+
+  /** Per-step funnel summary: step index/name, users reaching it, and
+    * the mean seconds from the user's step-1 timestamp (exact integer
+    * microsecond sums — `sum(long)/count` — so the mean is
+    * order-independent and engine-replayable; a double `avg` would sum
+    * in arrival order).
+    */
+  def funnelSummary(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    val frames = funnelUsers(events, userCol, tsCol, typeCol, steps)
+    frames.zipWithIndex.map { case (f, i) =>
+      val k = i + 1
+      f.agg(
+        count(lit(1)).as("n_users"),
+        sum(unix_micros(col(s"ts_$k")) - unix_micros(col("ts_1"))).as("_us"))
+        .select(
+          lit(k).as("step_idx"), lit(steps(i)).as("step"), col("n_users"),
+          round(col("_us").cast("double") / col("n_users") / 1e6, 4)
+            .as("avg_secs_to_reach"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Weekly cohort retention: cohort = Monday of the week of the user's
+    * FIRST event; week_offset = full weeks elapsed since that first
+    * event; one row per (cohort_week, week_offset) with distinct active
+    * users and the retention ratio vs the cohort's week-0 size.
+    *
+    * Two keyed shuffles over the events at any scale: the first-seen
+    * aggregation (user key) and the join back (same user key —
+    * co-partitioned), then the distinct-count aggregation on the tiny
+    * (cohort, offset) key. Week-0 sizes rejoin as a broadcast (one row
+    * per cohort week).
+    */
+  def weeklyRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstSeen = events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("_first_day"))
+    val activity = events
+      .select(col(userCol), to_date(col(tsCol)).as("_day"))
+      .join(firstSeen, Seq(userCol))
+      .select(
+        col(userCol),
+        trunc(col("_first_day"), "week").as("cohort_week"),
+        // floor(int/7) == integer division for the non-negative diffs here;
+        // Spark's `/` on integers is DOUBLE division, hence the floor
+        floor(datediff(col("_day"), col("_first_day")) / 7).as("week_offset"))
+      .distinct()
+    val counts = activity.groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+    val base = counts.filter(col("week_offset") === 0L)
+      .select(col("cohort_week"), col("n_users").as("_cohort_size"))
+    counts.join(broadcast(base), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        round(col("n_users").cast("double") / col("_cohort_size"), 6)
+          .as("retention"))
+  }
+
+  /** Daily-volume anomaly detection per event type: day counts, then a
+    * z-score against the type's own daily distribution. Mean/variance
+    * come from EXACT integer sums (`sum(n)`, `sum(n*n)` over bigint) so
+    * the statistics are order-independent — `stddev_samp`'s double
+    * accumulation would differ in the low bits across engines and
+    * partitionings. The post-agg frame is |types|·|days| rows; the
+    * per-type stats join back as a broadcast.
+    */
+  def dailyVolumeAnomaly(events: DataFrame, typeCol: String, tsCol: String,
+      zThreshold: Double): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).as("_days"),
+      sum(col("n")).as("_s"),
+      sum(col("n") * col("n")).as("_ss"))
+    val mean = col("_s").cast("double") / col("_days")
+    val variance = (col("_ss").cast("double") - col("_s").cast("double") * mean) /
+      (col("_days") - 1)
+    val z = (col("n").cast("double") - mean) / sqrt(variance)
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"),
+        round(z, 4).as("z"),
+        (abs(z) >= zThreshold).as("is_anomaly"))
+  }
+}

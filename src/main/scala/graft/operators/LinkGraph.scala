@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Link-graph analytics over a web corpus (EXTENSION, SURVEY.md §2.K):
+  * PageRank over the host graph that [[UrlOps.extractLinks]] produces —
+  * the standard crawl-prioritization / quality-prior signal for a
+  * training-data pipeline (hosts with high rank ≈ well-linked sources).
+  *
+  * Scale design: the edge list and rank vector are both DataFrames keyed
+  * on the node id; one iteration = one equi-join (edges ⋈ ranks on src —
+  * co-partitioned after the first shuffle, and the out-degree is
+  * pre-folded INTO the edge table so the join is single) + one keyed sum
+  * (dst). Iteration count is fixed and small, so the whole run is
+  * O(iters) shuffles of |edges| rows — no driver-side adjacency, no
+  * per-node collect; the only driver scalar is the node count. Each
+  * iteration's rank frame is persisted and the previous unpersisted so
+  * lineage stays O(1) deep (localCheckpoint would also work; persist
+  * keeps recomputation cheap on executor loss at these sizes).
+  */
+object LinkGraph {
+
+  /** Simplified-damping PageRank (the classic
+    * `r' = (1-d)/n + d · Σ_in r/outdeg` update; dangling mass evaporates
+    * rather than redistributing — documented, engine-replayable, and the
+    * variant Spark's own GraphX example uses). Edges are deduplicated;
+    * nodes = src ∪ dst.
+    *
+    * @return one row per node: (node, rank) after `iterations` updates
+    *         from the uniform 1/n start. Ranks are raw doubles — round
+    *         at the consumption site for cross-engine hashing.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "pageRank needs >= 1 iteration")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // the one driver scalar
+    require(n > 0, "pageRank on an empty graph")
+    // out-degree folded into the edge table once: each iteration's join
+    // is then a single equi-join on src
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val teleport = (1.0 - damping) / n
+    for (_ <- 1 to iterations) {
+      val contribs = withDeg
+        .join(ranks, withDeg("src") === ranks("node"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("m"))
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + lit(damping) * coalesce(col("m"), lit(0.0))).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before dropping the previous iteration
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
+    ranks
+  }
+}

@@ -287,6 +287,60 @@ object TextAnalysis {
         count(col("__hot")).as("n_dropped"))
   }
 
+  /** Corpus bigram language-model scoring (the CCNet/KenLM-style quality
+    * signal, n-gram flavored): fit a bigram model ON the corpus itself
+    * (`c(w1,w2)` / left-context totals, add-one smoothed over the corpus
+    * vocabulary) and score every document with its mean bigram
+    * log-probability — low-probability documents read as gibberish /
+    * boilerplate / wrong-language relative to the corpus.
+    *
+    * Returns (idCol, n_bigrams, avg_logp) — `avg_logp` is
+    * `Σ c·ln((c_bi+1)/(c_w1+V)) / Σ c` over the doc's bigram multiset,
+    * null for docs with < 2 tokens.
+    *
+    * Scale (100 TB): the doc-side bigram multiset aggregates to
+    * (doc, w1, w2, count) BEFORE any join, so each doc contributes at
+    * most its distinct-bigram count to the model joins; the model and
+    * left-context tables are corpus-wide keyed aggregations (never
+    * broadcast — they grow with the corpus) and the scoring joins are
+    * plain keyed shuffles on (w1,w2)/(w1). Stopword-pair keys are the
+    * hot-key risk; they are bounded per doc by the pre-aggregation, and
+    * a skewed corpus can reuse [[SkewJoin]]'s salting on the w1 join.
+    * The shared bigram stage is persisted — it feeds the model, the
+    * left-context totals, and the scoring pass (three consumers, one
+    * materialization; the [[graft.operators.Dedup]] shared-shingle
+    * discipline). Vocabulary size rides along as a one-row broadcast
+    * cross join, not a driver scalar.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val toks = tokens(lower(col(textCol)))
+    val withToks = docs.select(id, toks.as("_w"))
+    val docBi = withToks.filter(size(col("_w")) >= 2)
+      .select(id, explode(transform(sequence(lit(1), size(col("_w")) - 1),
+        i => struct(element_at(col("_w"), i).as("w1"),
+          element_at(col("_w"), i + 1).as("w2")))).as("bg"))
+      .select(id, col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(id, col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = docBi.groupBy("w1", "w2").agg(sum("c").as("c_bi"))
+    val leftTotals = model.groupBy("w1").agg(sum("c_bi").as("c_w1"))
+    val vocab = withToks.select(explode(col("_w")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val scored = docBi
+      .join(model, Seq("w1", "w2"))
+      .join(leftTotals, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(id)
+      .agg(sum(col("c")).as("n_bigrams"),
+        (sum(col("c") * log((col("c_bi") + lit(1.0)) /
+          (col("c_w1") + col("v")).cast("double"))) /
+          sum(col("c"))).as("_lp"))
+    docs.select(id).join(scored, Seq(idCol), "left")
+      .select(id, coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("_lp"), 6).as("avg_logp"))
+  }
+
   /** Rolling-hash (Rabin–Karp base-31 mod 2^61-1) fingerprint over tokens —
     * order-sensitive unlike md5-of-sorted; expressed as an aggregate fold,
     * still codegen'd. */

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Falsifiable hand-computed contracts for the r6 event-analytics and
+  * link-graph operators (the oracle checks them on the fixture; these
+  * pin the SEMANTICS on adversarial micro-inputs — strictness of the
+  * funnel cascade, dangling PageRank mass, retention offsets, exact
+  * z-scores, bigram smoothing arithmetic). */
+class EventGraphSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel is strictly ordered: same-ts and out-of-order events do not convert") {
+    val events = Seq(
+      // user 1: clean signup -> view -> purchase
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 11:00:00"), "view"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // user 2: view AT the signup instant (not strictly after) and a
+      // view BEFORE signup — neither converts step 2
+      (2L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, ts("2024-01-01 10:00:00"), "signup"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      // user 3: signup then purchase with NO view — stops at step 1
+      (3L, ts("2024-01-01 10:00:00"), "signup"),
+      (3L, ts("2024-01-01 11:00:00"), "purchase"),
+      // user 4: no signup at all — never enters
+      (4L, ts("2024-01-01 10:00:00"), "view"),
+    ).toDF("user_id", "ts", "event_type")
+    val frames = EventAnalytics.funnelUsers(events, "user_id", "ts", "event_type",
+      Seq("signup", "view", "purchase"))
+    assert(frames.map(_.select("user_id").as[Long].collect().toSet) ==
+      Seq(Set(1L, 2L, 3L), Set(1L), Set(1L)))
+    val summary = EventAnalytics.funnelSummary(events, "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"))
+      .orderBy("step_idx")
+      .select("n_users", "avg_secs_to_reach").as[(Long, Double)].collect()
+    assert(summary.toSeq == Seq((3L, 0.0), (1L, 3600.0), (1L, 7200.0)))
+  }
+
+  test("funnel picks the EARLIEST qualifying timestamp per step") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 09:00:00"), "view"),  // before signup: skipped
+      (1L, ts("2024-01-01 11:00:00"), "view"),  // chosen
+      (1L, ts("2024-01-01 13:00:00"), "view"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"), // after chosen view
+    ).toDF("user_id", "ts", "event_type")
+    val last = EventAnalytics.funnelUsers(events, "user_id", "ts", "event_type",
+      Seq("signup", "view", "purchase")).last
+    val r = last.select("ts_1", "ts_2", "ts_3").collect().head
+    assert(r.getTimestamp(0) == ts("2024-01-01 10:00:00"))
+    assert(r.getTimestamp(1) == ts("2024-01-01 11:00:00"))
+    assert(r.getTimestamp(2) == ts("2024-01-01 12:00:00"))
+  }
+
+  test("weeklyRetention: cohort week is the Monday, offsets count full weeks from first event") {
+    // 2024-01-03 is a Wednesday; its Monday is 2024-01-01
+    val events = Seq(
+      (1L, ts("2024-01-03 10:00:00")), // first seen Wed
+      (1L, ts("2024-01-09 10:00:00")), // 6 days later -> offset 0
+      (1L, ts("2024-01-10 10:00:00")), // 7 days later -> offset 1
+      (2L, ts("2024-01-03 12:00:00")), // same cohort, week 0 only
+    ).toDF("user_id", "ts").withColumn("event_type", lit("view"))
+    val r = EventAnalytics.weeklyRetention(events, "user_id", "ts")
+      .orderBy("week_offset")
+      .select("cohort_week", "week_offset", "n_users", "retention")
+      .as[(java.sql.Date, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 0L, 2L, 1.0),
+      (java.sql.Date.valueOf("2024-01-01"), 1L, 1L, 0.5)))
+  }
+
+  test("dailyVolumeAnomaly z-scores match exact-sum statistics") {
+    // 4 days of counts 10,10,10,22 -> mean 13, var (300+484-4*169)/3 = 36, sd 6
+    val events = (1 to 10).map(i => ("click", ts(s"2024-01-01 0$i:00:00"))) ++
+      (1 to 10).map(i => ("click", ts(s"2024-01-02 0$i:00:00"))) ++
+      (1 to 10).map(i => ("click", ts(s"2024-01-03 0$i:00:00"))) ++
+      (1 to 22).map(i => ("click", ts(s"2024-01-04 ${10 + i % 12}:0${i % 6}:00")))
+    val df = events.toDF("event_type", "ts")
+    val r = EventAnalytics.dailyVolumeAnomaly(df, "event_type", "ts", 2.0)
+      .orderBy("day").select("n", "z", "is_anomaly")
+      .as[(Long, Double, Boolean)].collect().toSeq
+    assert(r == Seq((10L, -0.5, false), (10L, -0.5, false), (10L, -0.5, false),
+      (22L, 1.5, false)))
+    // tighter threshold flips the outlier day
+    val r2 = EventAnalytics.dailyVolumeAnomaly(df, "event_type", "ts", 1.5)
+      .filter(col("is_anomaly")).select("n").as[Long].collect().toSeq
+    assert(r2 == Seq(22L))
+  }
+
+  test("pageRank: hand-checked update, dangling mass evaporates, edges dedup") {
+    // a -> b, b -> a, a -> c (duplicated edge must collapse); c dangling
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "c"))
+      .toDF("src", "dst")
+    val r1 = LinkGraph.pageRank(edges, "src", "dst", iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // n=3, start 1/3; teleport (1-.85)/3 = .05
+    // a gets b's full 1/3; b and c get a's 1/3 / outdeg 2 = 1/6
+    assert(math.abs(r1("a") - (0.05 + 0.85 / 3)) < 1e-12)
+    assert(math.abs(r1("b") - (0.05 + 0.85 / 6)) < 1e-12)
+    assert(math.abs(r1("c") - (0.05 + 0.85 / 6)) < 1e-12)
+    // dangling c absorbed mass it never redistributes: total < 1 and shrinking
+    val r3 = LinkGraph.pageRank(edges, "src", "dst", iterations = 3)
+      .agg(sum("rank")).as[Double].collect().head
+    assert(r3 < r1.values.sum && r1.values.sum < 1.0 + 1e-12)
+  }
+
+  test("bigramLogProb: add-one arithmetic on a two-doc corpus, short docs null out") {
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: (a,b)x2, (b,a)x1
+      (2L, "a b"),       // bigram (a,b)
+      (3L, "solo"),      // < 2 tokens -> null score
+      (4L, "A b"),       // lowercases into (a,b)
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_bigrams", "avg_logp").as[(Long, Option[Double])].collect().toSeq
+    // model: c(a,b)=4, c(b,a)=1; c_w1: a->4, b->1; V=3 (a, b, solo)
+    val pab = math.log(5.0 / 7.0)  // (4+1)/(4+3)
+    val pba = math.log(2.0 / 4.0)  // (1+1)/(1+3)
+    def rd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0) == ((3L, Some(rd((2 * pab + pba) / 3)))))
+    assert(r(1) == ((1L, Some(rd(pab)))))
+    assert(r(2) == ((0L, None)))
+    assert(r(3) == ((1L, Some(rd(pab)))))
+  }
+}
