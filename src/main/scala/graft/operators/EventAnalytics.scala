@@ -93,6 +93,10 @@ object EventAnalytics {
     * co-partitioned), then the distinct-count aggregation on the tiny
     * (cohort, offset) key. Week-0 sizes rejoin as a broadcast (one row
     * per cohort week).
+    *
+    * Contract: rows with a null user key or null timestamp drop out (the
+    * keyed joins discard null keys) — normalize upstream if those rows
+    * must count.
     */
   def weeklyRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val firstSeen = events.groupBy(col(userCol))

@@ -69,6 +69,11 @@ object LinkGraph {
       ranks.unpersist(blocking = false)
       ranks = next
     }
+    // final ranks are materialized; the shared inputs can go (block loss
+    // just recomputes lineage from the source)
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    withDeg.unpersist(blocking = false)
     ranks
   }
 }

@@ -16,6 +16,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 /** Explicit state carried by [[EventStreams.userRunningTotals]]. */
 final case class UserTotals(n: Long, total: Double)
 
+/** Explicit state carried by [[EventStreams.userFunnel]]: ascending
+  * microsecond timestamps of the funnel steps reached so far. */
+final case class FunnelProgress(reachedTs: List[Long])
+
 object EventStreams {
 
   /** The events stream from parquet files: the batch-identical source.
@@ -136,6 +140,48 @@ object EventStreams {
           (user, n, math.rint(total * 100) / 100)
       }
       .toDF("user_id", "n_events", "total_value")
+  }
+
+  /** Incremental strict-ordered funnel (the streaming twin of
+    * [[graft.operators.EventAnalytics.funnelUsers]]): per-user state =
+    * the ascending timestamps of steps reached so far; each micro-batch
+    * sorts the user's NEW events by event time and advances the state
+    * machine greedily (earliest qualifying event per step — provably the
+    * same choice the batch cascade's min-aggregations make, because
+    * taking an earlier step-k timestamp never disqualifies a later
+    * step-k+1 candidate).
+    *
+    * Cross-batch caveat, documented not hidden: an event arriving in a
+    * LATER micro-batch with an event time before an already-consumed
+    * decision cannot retroactively rewrite the funnel — the standard
+    * streaming-funnel trade (per-user in-order delivery, or a final
+    * batch reconciliation, restores exactness). State is O(steps) longs
+    * per user, partitioned by the user key across executors.
+    */
+  def userFunnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    require(steps.nonEmpty && steps.distinct == steps, s"bad funnel steps: $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(
+      col("user_id").cast("long"), unix_micros(col("ts")), col("event_type"))
+      .as[(Long, Long, String)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[FunnelProgress, (Long, Int, Option[Long], Option[Long])](
+        GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[FunnelProgress]) =>
+          var ts = state.getOption.map(_.reachedTs).getOrElse(Nil)
+          // ties sort by type too, for a deterministic scan order; strict
+          // `>` means tied events can never advance past step 1 anyway
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, t, tpe) =>
+            val k = ts.size
+            if (k < steps.size && tpe == steps(k) && (k == 0 || t > ts.last))
+              ts = ts :+ t
+          }
+          state.update(FunnelProgress(ts))
+          (user, ts.size, ts.headOption, ts.lastOption)
+      }
+      .toDF("user_id", "steps_reached", "first_us", "last_us")
   }
 
   /** Run any of the above to completion over the existing files and return

@@ -179,4 +179,32 @@ class EventStreamsSpec extends SparkTestBase {
     assert(got.select("text").distinct().count() == 15,
       "corpus accumulated duplicate texts")
   }
+
+  test("stateful streaming funnel equals the batch cascade") {
+    val steps = Seq("signup", "view", "purchase")
+    val s = EventStreams.runAvailableNow(spark,
+      EventStreams.userFunnel(stream, steps), "t_funnel", outputMode = "update")
+    // final state per user (update mode may emit one row per micro-batch;
+    // the max steps_reached row is the final one)
+    val finalState = s.groupBy("user_id")
+      .agg(max("steps_reached").as("steps_reached"), max("last_us").as("last_us"))
+    val frames = graft.operators.EventAnalytics.funnelUsers(
+      batch, "user_id", "ts", "event_type", steps)
+    // per-step membership: users with steps_reached >= k == batch frame k
+    frames.zipWithIndex.foreach { case (f, i) =>
+      val k = i + 1
+      val streamed = finalState.filter(col("steps_reached") >= k)
+        .select("user_id")
+      assert(streamed.exceptAll(f.select("user_id")).isEmpty &&
+        f.select("user_id").exceptAll(streamed).isEmpty,
+        s"step $k membership diverges between streaming and batch")
+    }
+    // the final step's chosen timestamp matches the batch cascade's
+    val bLast = frames.last.select(col("user_id"),
+      unix_micros(col(s"ts_${steps.size}")).as("last_us"))
+    val sLast = finalState.filter(col("steps_reached") === steps.size)
+      .select("user_id", "last_us")
+    assert(sLast.exceptAll(bLast).isEmpty && bLast.exceptAll(sLast).isEmpty,
+      "final-step timestamps diverge between streaming and batch")
+  }
 }
