@@ -3477,6 +3477,46 @@ object Queries {
       .orderBy("touch_type")
   }
 
+  q("q_events_transitions",
+    // Markov transition matrix between consecutive event types per user:
+    // the one event op where a per-user lead() window is irreducible
+    // (adjacency is order-dependent); everything downstream is a tiny
+    // (from,to) agg + broadcast totals
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |tr AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, sum(n) AS t FROM tr GROUP BY 1)
+      |SELECT tr.from_type, tr.to_type, tr.n,
+      |  round(CAST(tr.n AS DOUBLE) / tot.t, 6) AS p
+      |FROM tr JOIN tot USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+    graft.operators.EventAnalytics.eventTransitions(
+        t(s, d, "events"), "user_id", "event_type", Seq("ts", "event_id"))
+      .orderBy("from_type", "to_type")
+  }
+
+  q("q_sample_weighted",
+    // Efraimidis–Spirakis weighted sampling without replacement, n=200,
+    // weight = n_chars (longer docs proportionally likelier). Key is
+    // ln(u)/w — the log transform of u^(1/w), same winners, no
+    // cross-engine pow; u = the top-53-bit NeutralHash uniform. Plans as
+    // TakeOrderedAndProject (n-element heap/task, never a global sort)
+    """WITH keyed AS (
+      |  SELECT doc_id,
+      |    ln((md5_number_lower(CAST(doc_id AS VARCHAR)) >> 11) / 9007199254740992.0)
+      |      / n_chars AS wkey
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND n_chars > 0),
+      |top AS (SELECT doc_id, wkey FROM keyed ORDER BY wkey DESC, doc_id LIMIT 200)
+      |SELECT doc_id, round(wkey, 6) AS wkey FROM top ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Sampling.weightedSample(
+        t(s, d, "documents"), "doc_id", col("n_chars").cast("double"), n = 200)
+  }
+
   // ------------------------------------------------------------ §2.K LM scoring + link graph (r6)
 
   q("q_text_perplexity",

@@ -121,6 +121,34 @@ object EventAnalytics {
           .as("retention"))
   }
 
+  /** Markov transition matrix between consecutive event types per user
+    * (path analysis: "what do users do after X"). Adjacency is
+    * inherently order-dependent, so the minimal shape is a lead() window
+    * partitioned by the user key — each partition is ONE user's history
+    * (bounded, sorts locally; this is the one event-analytics operator
+    * where a per-user sort is irreducible). Everything after is a tiny
+    * (from,to) aggregation; row probabilities come from exact counts
+    * joined back as a broadcast.
+    *
+    * @param orderCols total order within a user (e.g. ts then event_id
+    *                  to break timestamp ties deterministically) */
+  def eventTransitions(events: DataFrame, userCol: String, typeCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must define the event order")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(orderCols.map(col): _*)
+    val tr = events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = tr.groupBy("from_type").agg(sum("n").as("_t"))
+    tr.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("_t"), 6).as("p"))
+  }
+
   /** Daily-volume anomaly detection per event type: day counts, then a
     * z-score against the type's own daily distribution. Mean/variance
     * come from EXACT integer sums (`sum(n)`, `sum(n*n)` over bigint) so

@@ -303,4 +303,40 @@ object Sampling {
         when(col("tokens") === 0, lit(null).cast("double"))
           .otherwise(greatest(col("weight"), lit(1.0))))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis): each row gets key `ln(u)/w` — the monotone
+    * log transform of the classic `u^(1/w)`, so the same n rows win
+    * without a cross-engine `pow` — where `u` is the top-53-bit
+    * NeutralHash uniform in [0,1) (seedless, content-addressed: the
+    * sample is reproducible across engines and runs, and the oracle
+    * replays the exact key). Rows with larger weight win
+    * proportionally more often, exactly the inclusion law weighted
+    * curriculum sampling wants.
+    *
+    * Plans as TakeOrderedAndProject: an n-element heap per task, never a
+    * global sort — the [[deterministicSample]] shape with a weight in
+    * the key. Contract: weights must be > 0 (non-positive rows are
+    * filtered out — for ln(u) < 0 a negative weight would INVERT the
+    * key's meaning, silently preferring the lowest-weight rows);
+    * `u = 0` (probability 2^-53 per row) yields -Infinity and simply
+    * never wins.
+    *
+    * @return the n sampled rows plus their `wkey` (rounded to 6 dp),
+    *         ordered by idCol. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(!df.columns.contains("__wkey"), "weightedSample reserves __wkey")
+    val u = shiftrightunsigned(
+      graft.functions.NeutralHash.lower64Col(col(idCol).cast("string")), 11)
+      .cast("double") / lit(9007199254740992.0) // 2^53: exact division
+    val key = log(u) / weight
+    df.filter(col(idCol).isNotNull && weight > 0)
+      .select(col("*"), key.as("__wkey"))
+      .orderBy(col("__wkey").desc, col(idCol))
+      .limit(n)
+      .select(col(idCol), round(col("__wkey"), 6).as("wkey"))
+      .orderBy(idCol)
+  }
 }

@@ -110,6 +110,46 @@ class EventGraphSpec extends SparkTestBase {
     assert(r3 < r1.values.sum && r1.values.sum < 1.0 + 1e-12)
   }
 
+  test("eventTransitions: counts, probabilities, and deterministic tie order") {
+    val events = Seq(
+      // user 1: A -> B -> A  (ordered by ts)
+      (1L, 10L, ts("2024-01-01 10:00:00"), "A"),
+      (1L, 11L, ts("2024-01-01 11:00:00"), "B"),
+      (1L, 12L, ts("2024-01-01 12:00:00"), "A"),
+      // user 2: A -> A, where the two events TIE on ts and order falls
+      // to event_id (20 before 21); then C
+      (2L, 21L, ts("2024-01-01 10:00:00"), "A"),
+      (2L, 20L, ts("2024-01-01 10:00:00"), "A"),
+      (2L, 22L, ts("2024-01-01 11:00:00"), "C"),
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val r = EventAnalytics.eventTransitions(events, "user_id", "event_type",
+        Seq("ts", "event_id"))
+      .orderBy("from_type", "to_type")
+      .select("from_type", "to_type", "n", "p")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      ("A", "A", 1L, 0.333333), ("A", "B", 1L, 0.333333), ("A", "C", 1L, 0.333333),
+      ("B", "A", 1L, 1.0)))
+  }
+
+  test("weightedSample: E-S winners match the pow formulation, bad weights filtered") {
+    val docs = (1L to 400L).map(i => (i, (i % 37 + 1).toDouble)).toDF("doc_id", "w")
+    val got = Sampling.weightedSample(docs, "doc_id", col("w"), n = 50)
+      .select("doc_id").as[Long].collect().toSet
+    // reference: classic u^(1/w) ranking computed directly
+    val expected = (1L to 400L).map { i =>
+      val u = (graft.functions.NeutralHash.lower64(i.toString) >>> 11).toDouble /
+        9007199254740992.0
+      (math.pow(u, 1.0 / (i % 37 + 1)), i)
+    }.sortBy { case (k, i) => (-k, i) }.take(50).map(_._2).toSet
+    assert(got == expected)
+    // n beyond the frame returns everything; non-positive weights drop
+    val tiny = Seq((1L, 2.0), (2L, 0.0), (3L, -1.0)).toDF("doc_id", "w")
+    val all = Sampling.weightedSample(tiny, "doc_id", col("w"), n = 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(all == Seq(1L))
+  }
+
   test("bigramLogProb: add-one arithmetic on a two-doc corpus, short docs null out") {
     val docs = Seq(
       (1L, "a b a b"),   // bigrams: (a,b)x2, (b,a)x1
