@@ -1427,6 +1427,40 @@ object Queries {
       sum(when(!col("p_size").cast("string").rlike("^\\d+$"), 1L).otherwise(0L)).as("size_bad"))
   }
 
+  q("q_check_fk",
+    // referential integrity over the declared star edges: orphan child
+    // rows per FK walk (left-anti join per edge; null FKs excluded —
+    // that's q_check_nullable's job). Both fixture edges are clean, so a
+    // regression MAKING orphans flips the counts, and the synthetic
+    // third edge (orders -> even-keyed customers) proves nonzero counts
+    // flow through
+    """SELECT * FROM (
+      |  SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_orphans
+      |  FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey->customer', count(*)
+      |  FROM orders t WHERE t.o_custkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = t.o_custkey)
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey->even_customers', count(*)
+      |  FROM orders t WHERE t.o_custkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = t.o_custkey
+      |                    AND c.c_custkey % 2 = 0))
+      |ORDER BY fk""".stripMargin) { (s, d) =>
+    import graft.validate.Validate.orphanCount
+    val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+    val c = t(s, d, "customer")
+    orphanCount(li, "l_orderkey", o.select(col("o_orderkey")), "o_orderkey",
+        "lineitem.l_orderkey->orders")
+      .unionByName(orphanCount(o, "o_custkey", c.select(col("c_custkey")),
+        "c_custkey", "orders.o_custkey->customer"))
+      .unionByName(orphanCount(o, "o_custkey",
+        c.filter(col("c_custkey") % 2 === 0).select(col("c_custkey")),
+        "c_custkey", "orders.o_custkey->even_customers"))
+      .orderBy("fk")
+  }
+
   q("q_check_pk",
     // duplicate primary-key groups (meta.py:178-191 declared; we enforce)
     """SELECT l_orderkey, l_linenumber, count(*) AS n FROM lineitem

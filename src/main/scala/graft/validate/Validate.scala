@@ -71,6 +71,23 @@ object Validate {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
+  /** Referential-integrity check (q_check_fk): orphan child rows whose
+    * FK value has no match in the parent — the enforcement half of the
+    * reference's declared-but-unenforced key metadata (primary_key
+    * `meta.py:178-191`; the FK walk its example join implies). One
+    * left-anti join per edge (keyed shuffle, or broadcast when the
+    * parent's key column is dim-sized); null FKs count separately —
+    * they are a nullability question, not an orphan. */
+  def orphanCount(child: DataFrame, childCol: String,
+      parent: DataFrame, parentCol: String, edgeName: String): DataFrame = {
+    val keys = parent.select(col(parentCol).as(childCol)).distinct()
+    child.select(col(childCol))
+      .filter(col(childCol).isNotNull)
+      .join(keys, Seq(childCol), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .select(lit(edgeName).as("fk"), col("n_orphans"))
+  }
+
   /** Non-sensitive view (q_redact): drop redacted columns, sha2-mask
     * sensitive ones (`redacted`/`sensitivity` props,
     * specs/table_schema.json:81-92). */
