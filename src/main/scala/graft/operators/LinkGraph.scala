@@ -32,9 +32,16 @@ object LinkGraph {
     *         from the uniform 1/n start. Ranks are raw doubles — round
     *         at the consumption site for cross-engine hashing.
     */
+  /** @param materializeEvery persist + force every k-th iteration (and
+    *        the last) so lineage depth stays O(k) joins while short runs
+    *        pay only ONE eager action beyond the node count — a
+    *        per-iteration force would bill fixed job-scheduling overhead
+    *        ×iterations, which dominates on small graphs */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, damping: Double = 0.85): DataFrame = {
+      iterations: Int, damping: Double = 0.85,
+      materializeEvery: Int = 8): DataFrame = {
     require(iterations >= 1, "pageRank needs >= 1 iteration")
+    require(materializeEvery >= 1, "materializeEvery must be >= 1")
     val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
@@ -53,9 +60,9 @@ object LinkGraph {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var materialized: Option[DataFrame] = None
     val teleport = (1.0 - damping) / n
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
@@ -64,10 +71,13 @@ object LinkGraph {
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) + lit(damping) * coalesce(col("m"), lit(0.0))).as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before dropping the previous iteration
-      ranks.unpersist(blocking = false)
-      ranks = next
+      if (i % materializeEvery == 0 || i == iterations) {
+        val p = next.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count() // force before dropping the previous checkpoint
+        materialized.foreach(_.unpersist(blocking = false))
+        materialized = Some(p)
+        ranks = p
+      } else ranks = next
     }
     // final ranks are materialized; the shared inputs can go (block loss
     // just recomputes lineage from the source)
