@@ -52,6 +52,10 @@ object ClusterCheck {
     "q_join_range_capped",        // MinKByAgg row-heap buffers across the exchange (r6)
     "q_scan_partition_prune",     // executor dynamic-partition write + pruned read (r6)
     "q_sim_recall_report",        // composes 4 retrieval plans + left-semi audits (r6)
+    "q_events_funnel",            // cascaded keyed min-aggs + exact µs sums (r6)
+    "q_text_perplexity",          // shared persisted bigram stage read by 3 consumers (r6)
+    "q_graph_pagerank",           // iterative persist-swap ranks across executors (r6)
+    "q_sample_weighted",          // NeutralHash ln(u)/w key through TakeOrdered heaps (r6)
   )
 
   private def runAll(master: String, sfDir: String): Map[String, Seq[String]] = {

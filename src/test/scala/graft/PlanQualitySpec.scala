@@ -433,4 +433,29 @@ class PlanQualitySpec extends SparkTestBase {
       s"link counts lost map-side partial aggregation:\n$p")
     assert(!p.contains("Join"), s"outlink extraction regressed into a join:\n$p")
   }
+
+  test("q_events_funnel: cascaded keyed aggregations, never a per-user Window or collect of history") {
+    val p = plan("q_events_funnel")
+    assert(!p.contains("Window"),
+      s"funnel regressed to a window over the event stream:\n$p")
+    assert(!p.contains("collect_list"),
+      s"funnel regressed to collecting per-user event history:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"funnel min-aggregations lost map-side partials:\n$p")
+  }
+
+  test("q_sample_weighted takes the top keys via heap — no global sort, only id+weight read") {
+    val p = plan("q_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample regressed to a global sort + limit:\n$p")
+    assert(!p.contains("text"),
+      s"documents scan not pruned to (doc_id, n_chars):\n$p")
+  }
+
+  test("q_events_anomaly broadcasts the per-type stats back onto the daily frame") {
+    val p = plan("q_events_anomaly")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"per-type stats joined without broadcast:\n$p")
+    assert(!p.contains("Window"), s"anomaly z-scores took a window detour:\n$p")
+  }
 }
