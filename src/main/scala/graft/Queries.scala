@@ -3584,6 +3584,54 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  q("q_text_perplexity_incremental",
+    // incremental LM scoring: model fit on the EXISTING half (even
+    // doc_id), NEW odd-id docs scored against it with explicit
+    // unseen-bigram backoff — fresh-crawl quality gating without
+    // refitting on the crawl. probe×probe never meets; corpus is
+    // scanned only to build the model
+    """WITH cwords AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |pwords AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |cbi AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |        FROM cwords WHERE len(ws) >= 2)),
+      |model AS (SELECT w1, w2, count(*) AS c_bi FROM cbi GROUP BY 1, 2),
+      |lt AS (SELECT w1, sum(c_bi) AS c_w1 FROM model GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM cwords)),
+      |pbi AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |        FROM pwords WHERE len(ws) >= 2)),
+      |pagg AS (SELECT doc_id, w1, w2, count(*) AS c FROM pbi GROUP BY 1, 2, 3),
+      |sc AS (
+      |  SELECT p.doc_id, sum(p.c) AS n_bigrams,
+      |    sum(CASE WHEN m.c_bi IS NULL THEN p.c ELSE 0 END) AS n_unseen,
+      |    sum(p.c * ln((coalesce(m.c_bi, 0) + 1.0)
+      |                 / CAST(coalesce(l.c_w1, 0) + v.v AS DOUBLE))) / sum(p.c) AS lp
+      |  FROM pagg p
+      |  LEFT JOIN model m USING (w1, w2)
+      |  LEFT JOIN lt l USING (w1)
+      |  CROSS JOIN v
+      |  GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(coalesce(sc.n_unseen, 0) AS BIGINT) AS n_unseen,
+      |  round(sc.lp, 6) AS avg_logp
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+      |LEFT JOIN sc USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    graft.operators.TextAnalysis.bigramLogProbAgainst(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   q("q_graph_pagerank",
     // PageRank over the outlink host graph (crawl-prioritization /
     // source-quality prior): 5 fixed simplified-damping iterations —

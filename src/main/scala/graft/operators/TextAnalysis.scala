@@ -314,23 +314,14 @@ object TextAnalysis {
     */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
-    val toks = tokens(lower(col(textCol)))
-    val withToks = docs.select(id, toks.as("_w"))
-    val docBi = withToks.filter(size(col("_w")) >= 2)
-      .select(id, explode(transform(sequence(lit(1), size(col("_w")) - 1),
-        i => struct(element_at(col("_w"), i).as("w1"),
-          element_at(col("_w"), i + 1).as("w2")))).as("bg"))
-      .select(id, col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy(id, col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val docBi = docBigrams(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = docBi.groupBy("w1", "w2").agg(sum("c").as("c_bi"))
     val leftTotals = model.groupBy("w1").agg(sum("c_bi").as("c_w1"))
-    val vocab = withToks.select(explode(col("_w")).as("w"))
-      .agg(countDistinct(col("w")).as("v"))
     val scored = docBi
       .join(model, Seq("w1", "w2"))
       .join(leftTotals, Seq("w1"))
-      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(vocabSize(docs, textCol)))
       .groupBy(id)
       .agg(sum(col("c")).as("n_bigrams"),
         (sum(col("c") * log((col("c_bi") + lit(1.0)) /
@@ -338,6 +329,60 @@ object TextAnalysis {
           sum(col("c"))).as("_lp"))
     docs.select(id).join(scored, Seq(idCol), "left")
       .select(id, coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("_lp"), 6).as("avg_logp"))
+  }
+
+  /** The per-doc bigram multiset, pre-aggregated to (id, w1, w2, c) so a
+    * doc contributes at most its DISTINCT-bigram count to any downstream
+    * join. */
+  private def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val toks = tokens(lower(col(textCol)))
+    docs.select(id, toks.as("_w"))
+      .filter(size(col("_w")) >= 2)
+      .select(id, explode(transform(sequence(lit(1), size(col("_w")) - 1),
+        i => struct(element_at(col("_w"), i).as("w1"),
+          element_at(col("_w"), i + 1).as("w2")))).as("bg"))
+      .select(id, col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(id, col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+  }
+
+  /** One-row distinct-token count (the smoothing denominator), kept as a
+    * frame so it rides the plan as a broadcast cross join instead of a
+    * driver scalar. */
+  private def vocabSize(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+
+  /** Incremental form of [[bigramLogProb]] (the
+    * [[graft.operators.Dedup.dedupAgainstCorpus]] discipline applied to
+    * LM scoring): fit the bigram model on an EXISTING corpus, score NEW
+    * probe docs against it — the fresh-crawl-vs-trusted-corpus quality
+    * gate. Unseen mass backs off explicitly: a known-w1/unseen-pair
+    * bigram scores ln(1/(c_w1+V)), an unknown-w1 bigram ln(1/V) — one
+    * formula via coalesce, so the joins stay plain left equi-joins.
+    * The corpus side is scanned for the model only; probe×probe and
+    * corpus×corpus never meet. */
+  def bigramLogProbAgainst(corpus: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val corpusBi = docBigrams(corpus, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = corpusBi.groupBy("w1", "w2").agg(sum("c").as("c_bi"))
+    val leftTotals = model.groupBy("w1").agg(sum("c_bi").as("c_w1"))
+    val scored = docBigrams(probes, idCol, textCol)
+      .join(model, Seq("w1", "w2"), "left")
+      .join(leftTotals, Seq("w1"), "left")
+      .crossJoin(broadcast(vocabSize(corpus, textCol)))
+      .groupBy(id)
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(when(col("c_bi").isNull, col("c")).otherwise(0L)).as("n_unseen"),
+        (sum(col("c") * log((coalesce(col("c_bi"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c_w1"), lit(0L)) + col("v")).cast("double"))) /
+          sum(col("c"))).as("_lp"))
+    probes.select(id).join(scored, Seq(idCol), "left")
+      .select(id, coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
         round(col("_lp"), 6).as("avg_logp"))
   }
 

@@ -45,6 +45,8 @@ class ConcurrencySpec extends SparkTestBase {
       "q_sim_ivf_indexed", "q_sim_lsh_indexed",                 // annIndexPath builds
       "q_sim_pq_indexed",                                       // pq code-table build
       "q_decontaminate_bloom", "q_sample_cap_source",           // broadcast + TopKAgg
+      "q_text_perplexity",                                      // operator-internal bigram persist (r6)
+      "q_graph_pagerank",                                       // iterative persist-swap ranks (r6)
       "q_tpch1", "q_agg_group", "q_text_tfidf")                 // plain controls
     val dir = copiedFixtureDir()
     val pool = Executors.newFixedThreadPool(8)

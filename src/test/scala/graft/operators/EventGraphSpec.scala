@@ -150,6 +150,24 @@ class EventGraphSpec extends SparkTestBase {
     assert(all == Seq(1L))
   }
 
+  test("bigramLogProbAgainst: three backoff tiers score by hand") {
+    val corpus = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    // model: c(a,b)=2, c(b,a)=1; c_w1: a->2, b->1; V = |{a,b}| = 2
+    val probes = Seq(
+      (1L, "a b c"), // (a,b) seen: ln(3/4); (b,c) unseen pair: ln(1/(1+2))
+      (3L, "x y"),   // (x,y) unknown w1: ln(1/2)
+      (5L, "solo"),  // < 2 tokens
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLogProbAgainst(corpus, probes, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_bigrams", "n_unseen", "avg_logp")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    def rd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0) == ((2L, 1L, Some(rd((math.log(3.0 / 4.0) + math.log(1.0 / 3.0)) / 2)))))
+    assert(r(1) == ((1L, 1L, Some(rd(math.log(1.0 / 2.0))))))
+    assert(r(2) == ((0L, 0L, None)))
+  }
+
   test("bigramLogProb: add-one arithmetic on a two-doc corpus, short docs null out") {
     val docs = Seq(
       (1L, "a b a b"),   // bigrams: (a,b)x2, (b,a)x1
