@@ -18,6 +18,11 @@ import graft.operators.{CorpusPipeline, Dedup, Packing, Sampling}
   *  1c. strip spans (optional): cut cross-document duplicated k-word
   *     substrings from the survivors' text and drop docs left empty
   *     ([[Dedup.stripDuplicatedSpans]], the cut-the-substring policy);
+  *  1d. LM gate (optional): fit the corpus bigram model on the
+  *     survivors and drop documents whose mean bigram log-probability
+  *     falls below the floor — the CCNet-style perplexity filter
+  *     ([[graft.operators.TextAnalysis.bigramLogProb]]); docs too short
+  *     to score (< 2 tokens) are dropped with them;
   *  2. sample (optional): per-group deterministic downsampling to the
   *     target mixture ([[Sampling.stratifiedSample]], map-side filter);
   *  3. pack: concatenate-and-chunk context-window assignment
@@ -45,6 +50,7 @@ object CorpusPrepJob {
       defaultSampleRate: Double = 1.0,
       stripSpans: Boolean = false, spanK: Int = 5,
       boilerplateMinDocs: Long = 0L,
+      lmFloorLogProb: Option[Double] = None,
       chunkTokens: Int = 0, chunkStride: Int = 0,
       nShards: Int = 0): DataFrame = {
     require(nShards >= 0, s"nShards must be >= 0, got $nShards")
@@ -116,9 +122,22 @@ object CorpusPrepJob {
             .filter(col("kept_tokens") > 0)
             .select(col("doc_id"), col("clean_text").as("text")),
           Seq("doc_id"))
+      // LM gate on the fully-cleaned text (dup furniture is gone, so the
+      // model fits on what training would actually see); null-scored
+      // docs (< 2 tokens) fail the >= floor filter and drop with the low
+      // scorers
+      val lmGated = lmFloorLogProb match {
+        case None => boiled
+        case Some(floor) =>
+          boiled.join(
+            graft.operators.TextAnalysis.bigramLogProb(boiled, "doc_id", "text")
+              .filter(col("avg_logp") >= floor)
+              .select("doc_id"),
+            Seq("doc_id"), "left_semi")
+      }
       val sampled =
-        if (sampleRates.isEmpty && defaultSampleRate >= 1.0) boiled
-        else Sampling.stratifiedSample(boiled, sampleGroupCol, col("text"),
+        if (sampleRates.isEmpty && defaultSampleRate >= 1.0) lmGated
+        else Sampling.stratifiedSample(lmGated, sampleGroupCol, col("text"),
           sampleRates, defaultSampleRate).drop("h8")
       val packed = Packing.packChunks(sampled, "doc_id", "text", contextTokens)
       val trainingSet = sampled

@@ -136,4 +136,31 @@ class CorpusPrepJobSpec extends SparkTestBase {
       .filter(col("shard") =!= col("expect")).count()
     assert(impure == 0, s"$impure training rows landed in the wrong shard")
   }
+
+  test("corpus prep: LM-perplexity gate drops the low-probability tail") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf(), "documents")
+    val out = Files.createTempDirectory("corpusprep5").toString
+    // ungated run establishes the survivor set; the gated run at a floor
+    // chosen INSIDE the survivors' score range must drop someone and
+    // keep exactly the docs at-or-above the floor
+    val ungated = CorpusPrepJob.run(spark, docs, out, contextTokens = 512L)
+    val scores = graft.operators.TextAnalysis
+      .bigramLogProb(ungated.select("doc_id", "text"), "doc_id", "text")
+    val floor = scores.agg(
+      org.apache.spark.sql.functions.expr("percentile(avg_logp, 0.2)"))
+      .head().getDouble(0)
+    val out2 = Files.createTempDirectory("corpusprep6").toString
+    val gated = CorpusPrepJob.run(spark, docs, out2, contextTokens = 512L,
+      lmFloorLogProb = Some(floor))
+    assert(gated.count() > 0 && gated.count() < ungated.count(),
+      s"gate dropped nobody (floor=$floor)")
+    // nobody below the floor survives — re-scoring the gated survivors'
+    // ids against the UNGATED model reproduces the gate decision
+    val kept = gated.select("doc_id")
+    val below = scores.filter(col("avg_logp") < floor || col("avg_logp").isNull)
+      .select("doc_id")
+    assert(kept.intersect(below).isEmpty,
+      "a below-floor doc survived the LM gate")
+  }
 }
