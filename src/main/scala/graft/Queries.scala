@@ -3041,7 +3041,12 @@ object Queries {
     // hashed-feature linear classifier inference (fastText-style quality
     // filter): md5 buckets + integer micro-unit weights make the per-doc
     // weight sum order-independent and bit-replayable; the engine runs
-    // ONE compiled static call per row, the oracle the relational form
+    // ONE compiled static call per row, the oracle the relational form.
+    // score rounds through the VARCHAR->DECIMAL bridge: wsum/1e6/n is a
+    // RATIONAL whose double can print as exactly ...5 at the 6th place
+    // (one sf1 doc does), where Spark's shortest-repr BigDecimal HALF_UP
+    // rounds up but DuckDB's x*1e6 binary multiply lands below the half
+    // — the bridge replays Spark's semantics exactly (q_tpch1 discipline)
     s"""WITH toks AS (
       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS w
       |  FROM documents),
@@ -3051,7 +3056,7 @@ object Queries {
       |  FROM toks GROUP BY doc_id),
       |scored AS (
       |  SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
-      |    round(0.05 + coalesce(a.wsum, 0) / 1000000.0 / greatest(coalesce(a.n_tokens, 1), 1), 6) AS score
+      |    CAST(round(CAST(CAST((0.05 + coalesce(a.wsum, 0) / 1000000.0 / greatest(coalesce(a.n_tokens, 1), 1)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS score
       |  FROM documents d LEFT JOIN agg a USING (doc_id))
       |SELECT doc_id, n_tokens, score, score >= 0.0 AS keep
       |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
@@ -3417,15 +3422,15 @@ object Queries {
       |  WHERE e.event_type = 'purchase' GROUP BY 1)
       |SELECT * FROM (
       |  SELECT 1 AS step_idx, 'signup' AS step, count(*) AS n_users,
-      |    round(CAST(sum(epoch_us(ts_1) - epoch_us(ts_1)) AS DOUBLE) / count(*) / 1000000.0, 4) AS avg_secs_to_reach
+      |    CAST(round(CAST(CAST((CAST(sum(epoch_us(ts_1) - epoch_us(ts_1)) AS DOUBLE) / count(*) / 1000000.0) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS avg_secs_to_reach
       |  FROM s1
       |  UNION ALL
       |  SELECT 2, 'view', count(*),
-      |    round(CAST(sum(epoch_us(ts_2) - epoch_us(ts_1)) AS DOUBLE) / count(*) / 1000000.0, 4)
+      |    CAST(round(CAST(CAST((CAST(sum(epoch_us(ts_2) - epoch_us(ts_1)) AS DOUBLE) / count(*) / 1000000.0) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE)
       |  FROM s2
       |  UNION ALL
       |  SELECT 3, 'purchase', count(*),
-      |    round(CAST(sum(epoch_us(ts_3) - epoch_us(ts_1)) AS DOUBLE) / count(*) / 1000000.0, 4)
+      |    CAST(round(CAST(CAST((CAST(sum(epoch_us(ts_3) - epoch_us(ts_1)) AS DOUBLE) / count(*) / 1000000.0) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE)
       |  FROM s3)
       |ORDER BY step_idx""".stripMargin) { (s, d) =>
     graft.operators.EventAnalytics.funnelSummary(
@@ -3451,7 +3456,7 @@ object Queries {
       |  FROM act GROUP BY 1, 2),
       |base AS (SELECT cohort_week, n_users AS cohort_size FROM counts WHERE week_offset = 0)
       |SELECT c.cohort_week, c.week_offset, c.n_users,
-      |  round(CAST(c.n_users AS DOUBLE) / b.cohort_size, 6) AS retention
+      |  CAST(round(CAST(CAST((CAST(c.n_users AS DOUBLE) / b.cohort_size) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS retention
       |FROM counts c JOIN base b USING (cohort_week)
       |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
     graft.operators.EventAnalytics.weeklyRetention(
@@ -3525,7 +3530,7 @@ object Queries {
       |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
       |tot AS (SELECT from_type, sum(n) AS t FROM tr GROUP BY 1)
       |SELECT tr.from_type, tr.to_type, tr.n,
-      |  round(CAST(tr.n AS DOUBLE) / tot.t, 6) AS p
+      |  CAST(round(CAST(CAST((CAST(tr.n AS DOUBLE) / tot.t) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS p
       |FROM tr JOIN tot USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
     graft.operators.EventAnalytics.eventTransitions(
