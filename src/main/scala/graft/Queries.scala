@@ -617,8 +617,8 @@ object Queries {
     // put the whole table into 3 window tasks
     """SELECT o_orderkey,
       |  ntile(4) OVER w AS quartile,
-      |  round(percent_rank() OVER w, 6) AS pr,
-      |  round(cume_dist() OVER w, 6) AS cd
+      |  CAST(round(CAST(CAST((percent_rank() OVER w) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS pr,
+      |  CAST(round(CAST(CAST((cume_dist() OVER w) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cd
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
@@ -1557,7 +1557,7 @@ object Queries {
       |  JOIN (SELECT * FROM sh WHERE s IN (SELECT s FROM shared)) b USING (s)
       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
       |SELECT id_a, id_b,
-      |  round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+      |  CAST(round(CAST(CAST((n_common * 1.0 / (sa.n + sb.n - n_common)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS jaccard
       |FROM pairs
       |JOIN sizes sa ON id_a = sa.doc_id
       |JOIN sizes sb ON id_b = sb.doc_id
@@ -1786,7 +1786,7 @@ object Queries {
       |SELECT b.doc_id, b.n_tokens,
       |  coalesce(a.dup_spans, 0) AS dup_spans,
       |  CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-      |  round(coalesce(a.dup_tokens, 0) * 1.0 / greatest(b.n_tokens, 1), 6) AS dup_frac
+      |  CAST(round(CAST(CAST((coalesce(a.dup_tokens, 0) * 1.0 / greatest(b.n_tokens, 1)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS dup_frac
       |FROM base b LEFT JOIN agg a USING (doc_id)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     graft.operators.Dedup.duplicatedSpans(
@@ -2627,8 +2627,8 @@ object Queries {
     """SELECT doc_id, length(text) AS n_chars,
       |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens,
       |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpeish,
-      |  round(list_sum([length(t) for t in list_filter(string_split_regex(text, '\s+'), t -> t <> '')]) * 1.0
-      |    / greatest(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), 1), 4) AS mean_token_len
+      |  CAST(round(CAST(CAST((list_sum([length(t) for t in list_filter(string_split_regex(text, '\s+'), t -> t <> '')]) * 1.0
+      |    / greatest(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), 1)) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS mean_token_len
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     graft.operators.TextAnalysis.textStats(t(s, d, "documents"), "doc_id", "text")
       .orderBy("doc_id")
@@ -2871,10 +2871,10 @@ object Queries {
       |  SELECT doc_id,
       |    CAST(coalesce(len(tk), 0) AS BIGINT) AS n_words,
       |    CASE WHEN len(tk) > 0
-      |      THEN round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(tk), 6)
+      |      THEN CAST(round(CAST(CAST((length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(tk)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
       |      ELSE 0.0 END AS mean_word_len,
       |    CASE WHEN len(tk) > 0
-      |      THEN round(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(tk), 6)
+      |      THEN CAST(round(CAST(CAST((len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(tk)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)
       |      ELSE 0.0 END AS alpha_frac
       |  FROM toks)
       |SELECT doc_id, n_words, mean_word_len, alpha_frac,
@@ -3116,9 +3116,9 @@ object Queries {
       |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
       |  FROM bgc GROUP BY 1)
       |SELECT doc_id,
-      |  round(1.0 - n_distinct * 1.0 / n_words, 6) AS dup_word_frac,
-      |  round(top_c * 1.0 / n_bg, 6) AS top_bigram_frac,
-      |  round(dup_c * 1.0 / n_bg, 6) AS dup_bigram_frac
+      |  CAST(round(CAST(CAST((1.0 - n_distinct * 1.0 / n_words) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS dup_word_frac,
+      |  CAST(round(CAST(CAST((top_c * 1.0 / n_bg) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS top_bigram_frac,
+      |  CAST(round(CAST(CAST((dup_c * 1.0 / n_bg) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS dup_bigram_frac
       |FROM wstats JOIN bstats USING (doc_id)
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     graft.operators.TextAnalysis.repetitionScore(
