@@ -3538,6 +3538,49 @@ object Queries {
       .orderBy("from_type", "to_type")
   }
 
+  q("q_events_gapfill",
+    // calendar resample + forward-fill over a SPARSE series (events
+    // thinned to ~1% so real gaps exist): missing days appear with n=0
+    // and the value carries forward. Spine generated per key via
+    // sequence() — never a global calendar cross join
+    """WITH obs AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+      |    cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+      |  FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2),
+      |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY 1),
+      |spine AS (
+      |  SELECT event_type, CAST(unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span)
+      |SELECT s.event_type, s.day, coalesce(o.n, 0) AS n,
+      |  last_value(o.day_value IGNORE NULLS) OVER (
+      |    PARTITION BY s.event_type ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS ffill_value
+      |FROM spine s LEFT JOIN obs o USING (event_type, day)
+      |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    graft.operators.EventAnalytics.gapFillDaily(
+        t(s, d, "events").filter(col("event_id") % 97 === 0),
+        "event_type", "ts", "value")
+      .orderBy("event_type", "day")
+  }
+
+  q("q_events_rolling_active",
+    // trailing 7-day distinct active users per day (DAU/WAU family):
+    // each (user, activity-day) replicates onto <= 7 trailing calendar
+    // days map-side, then one countDistinct per day — no window over
+    // the event stream, no per-day self-join chain
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS aday FROM events),
+      |b AS (SELECT max(CAST(ts AS DATE)) AS lastd FROM events),
+      |rep AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(aday::TIMESTAMP,
+      |      least(aday + 6, b.lastd)::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM ud CROSS JOIN b)
+      |SELECT day, count(DISTINCT user_id) AS active_7d
+      |FROM rep GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+    graft.operators.EventAnalytics.rollingActiveUsers(
+        t(s, d, "events"), "user_id", "ts", windowDays = 7)
+      .orderBy("day")
+  }
+
   q("q_sample_weighted",
     // Efraimidis–Spirakis weighted sampling without replacement, n=200,
     // weight = n_chars (longer docs proportionally likelier). Key is

@@ -121,6 +121,62 @@ object EventAnalytics {
           .as("retention"))
   }
 
+  /** Calendar gap-fill + forward-fill: one row per (series key, day)
+    * over each key's [first, last] day span, with missing days filled —
+    * counts as 0, the carried metric forward-filled from the last
+    * observed day (the resample/ffill of time-series warehouses).
+    *
+    * The day spine generates per KEY via `sequence()` (map-side explode
+    * bounded by that key's own span — never a global calendar cross
+    * join); the observed frame joins back on (key, day) — co-partitioned
+    * with the spine's key — and the forward-fill is a last(ignoreNulls)
+    * window per key ordered by day, i.e. a per-key sort of DAYS (36,500
+    * rows per key per century), not of events.
+    */
+  def gapFillDaily(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val observed = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("day_value"))
+    val span = observed.groupBy(col(keyCol))
+      .agg(min("day").as("_d0"), max("day").as("_d1"))
+    val spine = span.select(col(keyCol),
+      explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(observed, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("ffill_value"))
+  }
+
+  /** Rolling 7-day distinct active users per day (the DAU/WAU family):
+    * the (user, day) distinct frame — ONE shuffle of the events, then
+    * |users|·|days| rows at most — replicates each activity day onto the
+    * ≤ 7 calendar days whose trailing window contains it (map-side
+    * explode, bounded ×7), and a countDistinct per day finishes it. No
+    * window over the event stream, no per-day self-join chain.
+    */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val userDays = events
+      .select(col(userCol), to_date(col(tsCol)).as("_aday"))
+      .distinct()
+    val bounds = events.agg(
+      min(to_date(col(tsCol))).as("_first"),
+      max(to_date(col(tsCol))).as("_last"))
+    userDays.crossJoin(broadcast(bounds))
+      .select(col(userCol),
+        explode(sequence(col("_aday"),
+          least(date_add(col("_aday"), windowDays - 1), col("_last"))))
+          .as("day"))
+      .groupBy("day")
+      .agg(countDistinct(col(userCol)).as(s"active_${windowDays}d"))
+  }
+
   /** Markov transition matrix between consecutive event types per user
     * (path analysis: "what do users do after X"). Adjacency is
     * inherently order-dependent, so the minimal shape is a lead() window

@@ -110,6 +110,39 @@ class EventGraphSpec extends SparkTestBase {
     assert(r3 < r1.values.sum && r1.values.sum < 1.0 + 1e-12)
   }
 
+  test("gapFillDaily: missing days appear with n=0 and carried value, per key") {
+    val events = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 10.0),
+      ("A", ts("2024-01-04 10:00:00"), 20.0),
+      ("B", ts("2024-01-02 10:00:00"), 5.0),
+    ).toDF("event_type", "ts", "value")
+    val r = EventAnalytics.gapFillDaily(events, "event_type", "ts", "value")
+      .orderBy("event_type", "day")
+      .select("event_type", "day", "n", "ffill_value")
+      .as[(String, java.sql.Date, Long, Double)].collect().toSeq
+    def d(s: String) = java.sql.Date.valueOf(s)
+    assert(r == Seq(
+      ("A", d("2024-01-01"), 1L, 10.0),
+      ("A", d("2024-01-02"), 0L, 10.0),
+      ("A", d("2024-01-03"), 0L, 10.0),
+      ("A", d("2024-01-04"), 1L, 20.0),
+      ("B", d("2024-01-02"), 1L, 5.0)))
+  }
+
+  test("rollingActiveUsers: trailing window counts distinct users, capped at the last day") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-03 10:00:00")),
+    ).toDF("user_id", "ts")
+    val r = EventAnalytics.rollingActiveUsers(events, "user_id", "ts", windowDays = 2)
+      .orderBy("day").select("day", "active_2d")
+      .as[(java.sql.Date, Long)].collect().toSeq
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // day1: {1,2}; day2 window {d1,d2}: {1,2}; day3 window {d2,d3}: {2}
+    assert(r == Seq((d("2024-01-01"), 2L), (d("2024-01-02"), 2L), (d("2024-01-03"), 1L)))
+  }
+
   test("eventTransitions: counts, probabilities, and deterministic tie order") {
     val events = Seq(
       // user 1: A -> B -> A  (ordered by ts)
