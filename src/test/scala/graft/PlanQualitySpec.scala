@@ -452,6 +452,24 @@ class PlanQualitySpec extends SparkTestBase {
       s"documents scan not pruned to (doc_id, n_chars):\n$p")
   }
 
+  test("q_events_rolling_active replicates map-side — no window over the stream, no nested loop") {
+    val p = plan("q_events_rolling_active")
+    assert(!p.contains("Window"),
+      s"rolling actives regressed to a window over the event stream:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") || p.contains("BuildRight, Cross"),
+      s"unexpected nested loop (only the 1-row bounds cross join is allowed):\n$p")
+    assert(p.contains("Generate"),
+      s"expected the sequence() day replication explode:\n$p")
+  }
+
+  test("q_events_gapfill: per-key spine join stays an equi-join, ffill window partitions by key") {
+    val p = plan("q_events_gapfill")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"gapfill's spine join must be keyed, not a product:\n$p")
+    assert(p.contains("Generate"),
+      s"expected the per-key sequence() spine explode:\n$p")
+  }
+
   test("q_events_anomaly broadcasts the per-type stats back onto the daily frame") {
     val p = plan("q_events_anomaly")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
