@@ -322,6 +322,26 @@ object Queries {
       .orderBy("event_id")
   }
 
+  q("q_join_asof_forward",
+    // forward as-of: each purchase matched to the user's NEXT error
+    // at-or-after it (incident attribution). Same union+carry shape as
+    // the backward form with the per-key scan reversed
+    """SELECT p.event_id, p.user_id, p.ts, e.event_id AS next_error
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON p.user_id = e.user_id AND p.ts <= e.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id").as("next_error"))
+    graft.operators.AsOfJoin.asofForward(
+        purchases, errors, "user_id", "ts", "ts",
+        Map("next_error" -> "next_error"))
+      .orderBy("event_id")
+  }
+
   q("q_join_range",
     // keyless time-range join: every signup landing within the hour after
     // a purchase. The naive theta join is BroadcastNestedLoop (O(L·R));

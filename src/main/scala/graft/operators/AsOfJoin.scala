@@ -22,7 +22,22 @@ object AsOfJoin {
     * @param rightVals  right columns to carry (renamed as given) */
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
-      rightVals: Map[String, String]): DataFrame = {
+      rightVals: Map[String, String]): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, rightVals, forward = false)
+
+  /** Forward as-of: for every left row, the EARLIEST right row whose
+    * time is >= the left row's, per key (next-upcoming-event semantics —
+    * "the error that followed this purchase"). Same
+    * union + carry-forward shape as [[asofBackward]], with the per-key
+    * sort descending so the carried value is the nearest at-or-after. */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      rightVals: Map[String, String]): DataFrame =
+    asofImpl(left, right, key, leftTs, rightTs, rightVals, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      rightVals: Map[String, String], forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val reserved = Set("_k", "_ts", "_side")
     require(!leftCols.exists(reserved) && !rightVals.values.exists(reserved),
@@ -43,7 +58,11 @@ object AsOfJoin {
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
         carried.map { case (in, out) => col(in).as(out) }): _*)
 
-    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"))
+    // forward flips the scan direction; right (side 0) still sorts
+    // before left at equal ts in both cases, keeping the bound inclusive
+    val order =
+      if (forward) Seq(col("_ts").desc, col("_side")) else Seq(col("_ts"), col("_side"))
+    val w = Window.partitionBy("_k").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withCarry = l.unionByName(r)
       .select((col("_side") +: leftCols.map(col) ++:
