@@ -3754,6 +3754,214 @@ object Queries {
       .orderBy("host")
   }
 
+  // ------------------------------------------------------------ §2.K CDC / profiling / retrieval (r6 continuation)
+
+  /** Deterministic CDC snapshots derived from `orders`: base drops every
+    * 10th key, next drops every 7th and bumps every 3rd key's price by
+    * +10.0 (exact IEEE add — replays bit-equal), so inserts, deletes,
+    * updates, and untouched rows all genuinely occur. */
+  private def cdcBase(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .filter(col("o_orderkey") % 10 =!= 0)
+
+  private def cdcNext(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+
+  private val cdcNextSql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin
+
+  q("q_cdc_diff",
+    // snapshot diff (incremental-load CDC): one full-outer sort-merge
+    // join on the snapshot key classifies inserts/deletes/updates and
+    // drops unchanged rows; presence is tracked with side markers so an
+    // all-NULL attribute row is not mistaken for an absent row
+    s"""WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 <> 0),
+      |nxt AS (
+      |  $cdcNextSql)
+      |SELECT coalesce(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+      |  CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+      |       WHEN n.o_orderkey IS NULL THEN 'delete'
+      |       ELSE 'update' END AS change_type,
+      |  b.o_custkey AS old_o_custkey, n.o_custkey AS new_o_custkey,
+      |  b.o_orderstatus AS old_o_orderstatus, n.o_orderstatus AS new_o_orderstatus,
+      |  b.o_totalprice AS old_o_totalprice, n.o_totalprice AS new_o_totalprice
+      |FROM base b FULL OUTER JOIN nxt n ON b.o_orderkey = n.o_orderkey
+      |WHERE b.o_orderkey IS NULL OR n.o_orderkey IS NULL
+      |   OR b.o_custkey IS DISTINCT FROM n.o_custkey
+      |   OR b.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+      |   OR b.o_totalprice IS DISTINCT FROM n.o_totalprice
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    graft.operators.ChangeCapture.snapshotDiff(
+        cdcBase(s, d), cdcNext(s, d), Seq("o_orderkey"),
+        Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  q("q_cdc_apply",
+    // MERGE-style changeset apply: the changeset is the diff of the two
+    // snapshots, so apply(base, diff(base, next)) must reproduce next
+    // EXACTLY — the oracle is the next snapshot itself, which checks the
+    // upsert path, the delete path, AND the untouched pass-through in
+    // one equality
+    s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM (
+      |  $cdcNextSql)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val base = cdcBase(s, d)
+    val diff = graft.operators.ChangeCapture.snapshotDiff(
+      base, cdcNext(s, d), Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+    val changes = diff.select(
+      col("o_orderkey"),
+      col("new_o_custkey").as("o_custkey"),
+      col("new_o_orderstatus").as("o_orderstatus"),
+      col("new_o_totalprice").as("o_totalprice"),
+      when(col("change_type") === "insert", lit("I"))
+        .when(col("change_type") === "delete", lit("D"))
+        .otherwise(lit("U")).as("op"))
+    graft.operators.ChangeCapture.applyChanges(
+        base, changes, Seq("o_orderkey"), "op")
+      .orderBy("o_orderkey")
+  }
+
+  q("q_cdc_scd2",
+    // SCD-type-2 history build from the events change log: per user, the
+    // event_type attribute's runs of equal consecutive values collapse
+    // into validity intervals [valid_from, valid_to) with a 1-based
+    // version and an is_current flag. Engine = two same-key window
+    // passes over ONE exchange (ChangeCapture.scd2FromLog)
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER w AS prev,
+      |    row_number() OVER w AS rn
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |cp AS (
+      |  SELECT user_id, event_type, ts, event_id FROM o
+      |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+      |SELECT user_id, event_type,
+      |  CAST(row_number() OVER w2 AS BIGINT) AS version,
+      |  ts AS valid_from,
+      |  lead(ts) OVER w2 AS valid_to,
+      |  lead(ts) OVER w2 IS NULL AS is_current
+      |FROM cp WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin) { (s, d) =>
+    graft.operators.ChangeCapture.scd2FromLog(
+        t(s, d, "events"), "user_id", "ts", "event_type", Seq("event_id"))
+      .orderBy("user_id", "version")
+  }
+
+  q("q_events_sessionize",
+    // gap-based sessionization (30-min inactivity closes a session):
+    // lag + running-sum windows share one user-keyed exchange, then a
+    // keyed agg collapses to session rows; duration is EXACT integer
+    // microseconds (no double seconds to round)
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM g)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+      |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin) { (s, d) =>
+    graft.operators.ChangeCapture.sessionize(
+        t(s, d, "events"), "user_id", "ts",
+        gapSeconds = 1800L, tiebreak = Seq("event_id"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  q("q_profile_columns",
+    // column profiling (the measurement side of the reference's declared
+    // column metadata, meta.py:30-53): one scan, one aggregate — every
+    // stat is an agg expression in the same agg(); exact distincts plan
+    // as a single Expand-based aggregate; the tall shape explodes a
+    // struct array AFTER the one-row agg
+    """WITH o AS (SELECT * FROM orders)
+      |SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+      |  count(*) - count(o_custkey) AS n_nulls,
+      |  count(DISTINCT o_custkey) AS n_distinct,
+      |  CAST(min(o_custkey) AS DOUBLE) AS min_num,
+      |  CAST(max(o_custkey) AS DOUBLE) AS max_num,
+      |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      |FROM o
+      |UNION ALL
+      |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+      |  count(DISTINCT o_orderpriority),
+      |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |  min(o_orderpriority), max(o_orderpriority)
+      |FROM o
+      |UNION ALL
+      |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+      |  count(DISTINCT o_orderstatus),
+      |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |  min(o_orderstatus), max(o_orderstatus)
+      |FROM o
+      |UNION ALL
+      |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+      |  count(DISTINCT o_totalprice),
+      |  min(o_totalprice), max(o_totalprice),
+      |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      |FROM o
+      |ORDER BY column_name""".stripMargin) { (s, d) =>
+    graft.operators.Profiling.profileColumns(
+        t(s, d, "orders"),
+        Seq("o_custkey", "o_orderpriority", "o_orderstatus", "o_totalprice"))
+      .orderBy("column_name")
+  }
+
+  q("q_text_bm25",
+    // BM25 keyword retrieval (lexical complement to the ANN family):
+    // probe terms = the 3 highest-df terms of length >= 6 (self-derived,
+    // deterministic); top-10 docs per term via the bounded-heap TopKAgg,
+    // never a per-term sort. idf contains ln -> irrational scores, so
+    // the 6-dp round is half-point-immune (BASELINE.md rational audit)
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |consts AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      |probes AS (
+      |  SELECT term, df FROM dft WHERE length(term) >= 6
+      |  ORDER BY df DESC, term LIMIT 3),
+      |scored AS (
+      |  SELECT p.term, tf.doc_id,
+      |    ln(1.0 + (CAST(c.n_docs AS DOUBLE) - p.df + 0.5) / (CAST(p.df AS DOUBLE) + 0.5))
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf.tf AS DOUBLE) + 1.2 *
+      |         (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) *
+      |          (CAST(c.n_docs AS DOUBLE) / CAST(c.sum_dl AS DOUBLE)))) AS score
+      |  FROM tf JOIN probes p USING (term) JOIN dl USING (doc_id) CROSS JOIN consts c),
+      |top AS (
+      |  SELECT term, doc_id, score,
+      |    row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rk
+      |  FROM scored)
+      |SELECT term, CAST(rk AS BIGINT) AS rk, doc_id, round(score, 6) AS score
+      |FROM top WHERE rk <= 10 ORDER BY term, rk""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.bm25TopDocs(
+        t(s, d, "documents"), "doc_id", "text",
+        nTerms = 3, minTermLen = 6, k1 = 1.2, b = 0.75, topK = 10)
+      .orderBy("term", "rk")
+  }
+
   // --------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = registry.map { case (k, (f, _)) => k -> f }.toMap

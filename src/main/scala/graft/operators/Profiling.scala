@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column profiling (EXTENSION, SURVEY.md §2.K): the per-column
+  * statistics a crawler/metadata tool derives before registering a
+  * table — row count, null count, exact distinct count, min/max. The
+  * reference stores exactly this kind of column metadata by hand
+  * (`etl_manager/meta.py:30-53` column specs, nullable/enum
+  * declarations); profiling computes the ground truth those
+  * declarations make claims about, so a user can VALIDATE a declared
+  * schema against the data it describes ([[graft.validate.Validate]]
+  * enforces; this measures).
+  *
+  * Shape: ONE aggregate over one scan — every per-column stat is an
+  * aggregate expression in the same `agg()`, so the table is read once.
+  * Multiple exact `count(DISTINCT)`s plan as a single Expand-based
+  * aggregate (rows replicate ×|profiled columns| map-side, then one
+  * shuffle). That is the right exactness/IO trade until the table is
+  * huge; past that, `approxDistinct = true` swaps in HLL
+  * `approx_count_distinct` and the Expand disappears — one plain
+  * partial+final agg over 100 TB. The tall output (one row per column)
+  * is produced by exploding a literal-built struct array AFTER the
+  * aggregate — a 1-row driver-free pivot, never a per-column scan.
+  */
+object Profiling {
+
+  /** Profile `cols` of `df`. Output columns: `column_name`, `n_rows`,
+    * `n_nulls`, `n_distinct`, `min_num`/`max_num` (DOUBLE, numeric
+    * columns only), `min_str`/`max_str` (strings only; NULL for the
+    * other family). Timestamp/date columns are profiled via their
+    * numeric epoch; complex types are rejected — profile a projection
+    * of them instead.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"profileColumns missing columns: ${missing.mkString(", ")}")
+
+    def isNumeric(dt: DataType): Boolean = dt match {
+      case _: NumericType | _: TimestampType | _: DateType => true
+      case _ => false
+    }
+    val kinds: Seq[(String, Boolean)] = cols.map { c =>
+      val dt = df.schema(c).dataType
+      require(isNumeric(dt) || dt == StringType || dt == BooleanType,
+        s"profileColumns supports numeric/string/boolean columns; $c is $dt")
+      (c, isNumeric(dt) || dt == BooleanType)
+    }
+
+    def numView(c: String): Column = df.schema(c).dataType match {
+      case _: TimestampType => unix_micros(col(c)).cast("double")
+      case _: DateType => datediff(col(c), lit("1970-01-01").cast("date")).cast("double")
+      case BooleanType => col(c).cast("int").cast("double")
+      case _ => col(c).cast("double")
+    }
+
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++ kinds.flatMap {
+      case (c, numeric) =>
+        val distinctAgg =
+          if (approxDistinct) approx_count_distinct(col(c)).as(s"__d_$c")
+          else countDistinct(col(c)).as(s"__d_$c")
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+          distinctAgg) ++ (
+          if (numeric)
+            Seq(min(numView(c)).as(s"__mn_$c"), max(numView(c)).as(s"__mx_$c"))
+          else
+            Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+    }
+
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows: Seq[Column] = kinds.map { case (c, numeric) =>
+      struct(
+        lit(c).as("column_name"),
+        col("__n").as("n_rows"),
+        coalesce(col(s"__nn_$c"), lit(0L)).as("n_nulls"),
+        col(s"__d_$c").cast("long").as("n_distinct"),
+        (if (numeric) col(s"__mn_$c") else lit(null).cast("double")).as("min_num"),
+        (if (numeric) col(s"__mx_$c") else lit(null).cast("double")).as("max_num"),
+        (if (numeric) lit(null).cast("string") else col(s"__mn_$c")).as("min_str"),
+        (if (numeric) lit(null).cast("string") else col(s"__mx_$c")).as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+}

@@ -386,6 +386,63 @@ object TextAnalysis {
         round(col("_lp"), 6).as("avg_logp"))
   }
 
+  /** BM25 keyword retrieval (Okapi BM25 with the "+1" idf that keeps
+    * scores positive): score every document against each probe term and
+    * keep the top `topK` per term. The probe terms are derived from the
+    * corpus itself — the `nTerms` highest-document-frequency terms of
+    * length ≥ `minTermLen` (df desc, term asc ties) — so the operator is
+    * self-contained and deterministic on any fixture. This is the exact
+    * lexical complement to the ANN family ([[Similarity]]): hybrid
+    * retrieval runs both and fuses.
+    *
+    * Shape: tokens shuffle ONCE into the (doc, term) tf agg; document
+    * length comes from the same tf frame (second, much smaller keyed
+    * agg); df and the probe-term pick are aggregates OF the tf frame
+    * (tiny); probe terms then broadcast back onto tf, so the
+    * corpus-sized side never shuffles again; avgdl/N ride a broadcast
+    * one-row frame. Top-k per term is the bounded-heap
+    * [[graft.functions.TopKAgg]] — ≤ k rows per term per mapper cross
+    * the wire, never a per-term sort of every matching document.
+    *
+    * Determinism: idf = ln(1 + (N − df + ½)/(df + ½)) is irrational on
+    * integer inputs, so the 6-dp round is immune to cross-engine
+    * half-point splits (BASELINE.md, rational-rounds audit); the tf/dl
+    * factor is computed in doubles with one fixed expression shape.
+    */
+  def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
+      nTerms: Int = 3, minTermLen: Int = 6, k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 10): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus constants from the docs that HAVE tokens (empty docs can't
+    // match any term; excluding them keeps N/avgdl self-consistent)
+    val consts = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val probes = dft.filter(length(col("term")) >= minTermLen)
+      .orderBy(col("df").desc, col("term"))
+      .limit(nTerms) // TakeOrdered: an nTerms-row frame, broadcast below
+    val scored = tf
+      .join(broadcast(probes), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(consts))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("score",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl").cast("double") *
+              (col("n_docs").cast("double") / col("sum_dl").cast("double")))))
+    scored.groupBy("term")
+      .agg(graft.functions.SketchAggregates.topKAgg(
+        col("score"), col("doc_id"), topK).as("top"))
+      .select(col("term"), posexplode(col("top")))
+      .select(col("term"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"), round(col("col.score"), 6).as("score"))
+  }
+
   /** Rolling-hash (Rabin–Karp base-31 mod 2^61-1) fingerprint over tokens —
     * order-sensitive unlike md5-of-sorted; expressed as an aggregate fold,
     * still codegen'd. */

@@ -476,4 +476,55 @@ class PlanQualitySpec extends SparkTestBase {
       s"per-type stats joined without broadcast:\n$p")
     assert(!p.contains("Window"), s"anomaly z-scores took a window detour:\n$p")
   }
+
+  test("q_cdc_diff is ONE keyed join — no window, no product, snapshots shuffle once") {
+    val p = plan("q_cdc_diff")
+    assert(!p.contains("Window"), s"snapshot diff must not window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"snapshot diff must be an equi-join:\n$p")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffled full-outer join:\n$p")
+  }
+
+  test("q_cdc_apply sheds changed keys via anti-join — no window, keyed joins only") {
+    val p = plan("q_cdc_apply")
+    assert(!p.contains("Window"), s"changeset apply must not window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"changeset apply must stay keyed:\n$p")
+    assert(p.contains("LeftAnti"), s"expected the base-side anti-join:\n$p")
+    assert(p.contains("Union"), s"expected the survivors union:\n$p")
+  }
+
+  test("q_cdc_scd2 runs both window passes over ONE user-keyed exchange") {
+    val p = plan("q_cdc_scd2")
+    // final presentation sort pays one range exchange; the two windows must
+    // share the single hash exchange on user_id
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"scd2's two windows should reuse one user-keyed shuffle:\n$p")
+  }
+
+  test("q_events_sessionize: lag+running-sum share the user exchange, then one keyed agg") {
+    val p = plan("q_events_sessionize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"sessionize should shuffle at most twice (user window, session agg):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"sessionize must not join at all:\n$p")
+  }
+
+  test("q_profile_columns is one scan + one aggregate — no join, no window") {
+    val p = plan("q_profile_columns")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"profiling must be a single-pass aggregate:\n$p")
+    assert(p.contains("Expand"),
+      s"exact multi-column distincts should plan as one Expand aggregate:\n$p")
+  }
+
+  test("q_text_bm25: heap top-k (no window), probe terms broadcast onto tf") {
+    val p = plan("q_text_bm25")
+    assert(!p.contains("Window"),
+      s"bm25 top-k must be the bounded-heap aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe-term join should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("ObjectHashAggregate"),
+      s"expected the TopKAgg object-hash aggregate:\n$p")
+  }
 }

@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Falsifiable hand-computed contracts for the CDC / profiling /
+  * retrieval additions: diff classification incl. null-valued updates
+  * and all-NULL-vs-absent rows, the apply(base, diff) == next round
+  * trip, SCD2 run collapsing + tie order, sessionize's strict-gap
+  * boundary, exact profiling stats, and BM25 equality with the brute
+  * window formulation. */
+class ChangeCaptureSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // ------------------------------------------------------------ snapshotDiff
+
+  test("snapshotDiff classifies insert/delete/update and drops unchanged") {
+    val base = Seq(
+      (1L, Some("a"), Some(10.0)), // unchanged
+      (2L, Some("b"), Some(20.0)), // value update
+      (3L, Some("c"), Some(30.0)), // delete
+      (4L, None, None),            // all-NULL attrs, unchanged: NOT a diff row
+      (5L, Some("e"), Some(50.0)), // -> NULL update
+    ).toDF("k", "s", "v")
+    val next = Seq(
+      (1L, Some("a"), Some(10.0)),
+      (2L, Some("b"), Some(21.0)),
+      (4L, None, None),
+      (5L, None, Some(50.0)),
+      (6L, Some("f"), Some(60.0)), // insert
+    ).toDF("k", "s", "v")
+    val out = ChangeCapture.snapshotDiff(base, next, Seq("k"), Seq("s", "v"))
+      .orderBy("k")
+      .select("k", "change_type")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq(2L -> "update", 3L -> "delete", 5L -> "update", 6L -> "insert"))
+  }
+
+  test("snapshotDiff carries old/new values, null on the absent side") {
+    val base = Seq((1L, 10.0)).toDF("k", "v")
+    val next = Seq((2L, 20.0)).toDF("k", "v")
+    val rows = ChangeCapture.snapshotDiff(base, next, Seq("k"), Seq("v"))
+      .orderBy("k")
+      .select("k", "change_type", "old_v", "new_v")
+      .as[(Long, String, Option[Double], Option[Double])].collect().toSeq
+    assert(rows == Seq(
+      (1L, "delete", Some(10.0), None),
+      (2L, "insert", None, Some(20.0))))
+  }
+
+  // ------------------------------------------------------------ applyChanges
+
+  test("applyChanges(base, diff(base, next)) reproduces next exactly") {
+    val base = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v")
+    val next = Seq(
+      (1L, "a", 10.0), (2L, "B", 21.0), (4L, "d", 40.0)).toDF("k", "s", "v")
+    val diff = ChangeCapture.snapshotDiff(base, next, Seq("k"), Seq("s", "v"))
+    val changes = diff.select(col("k"),
+      col("new_s").as("s"), col("new_v").as("v"),
+      when(col("change_type") === "insert", "I")
+        .when(col("change_type") === "delete", "D")
+        .otherwise("U").as("op"))
+    val merged = ChangeCapture.applyChanges(base, changes, Seq("k"), "op")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(merged == Seq((1L, "a", 10.0), (2L, "B", 21.0), (4L, "d", 40.0)))
+  }
+
+  test("applyChanges delete removes, insert appends, untouched passes through") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val changes = Seq((2L, "ignored", "D"), (3L, "c", "I")).toDF("k", "s", "op")
+    val out = ChangeCapture.applyChanges(base, changes, Seq("k"), "op")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(out == Seq(1L -> "a", 3L -> "c"))
+  }
+
+  // ------------------------------------------------------------ scd2FromLog
+
+  test("scd2 collapses equal runs, versions per entity, and flags current") {
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "bronze"),
+      (1L, ts("2024-01-02 00:00:00"), 2L, "bronze"), // same value: collapses
+      (1L, ts("2024-01-03 00:00:00"), 3L, "silver"),
+      (1L, ts("2024-01-04 00:00:00"), 4L, "bronze"), // back again: NEW version
+      (2L, ts("2024-01-01 00:00:00"), 5L, "gold"),
+    ).toDF("k", "ts", "seq", "tier")
+    val out = ChangeCapture.scd2FromLog(log, "k", "ts", "tier", Seq("seq"))
+      .orderBy("k", "version")
+      .select("k", "tier", "version", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[java.sql.Timestamp], Boolean)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, "bronze", 1L, Some(ts("2024-01-03 00:00:00")), false),
+      (1L, "silver", 2L, Some(ts("2024-01-04 00:00:00")), false),
+      (1L, "bronze", 3L, None, true),
+      (2L, "gold", 1L, None, true)))
+  }
+
+  test("scd2 null-safe compare: NULL->NULL is no change, x->NULL is a change") {
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, Some("a")),
+      (1L, ts("2024-01-02 00:00:00"), 2L, None),
+      (1L, ts("2024-01-03 00:00:00"), 3L, None), // collapses into version 2
+    ).toDF("k", "ts", "seq", "tier")
+    val out = ChangeCapture.scd2FromLog(log, "k", "ts", "tier", Seq("seq"))
+      .orderBy("version").select("tier", "version")
+      .as[(Option[String], Long)].collect().toSeq
+    assert(out == Seq(Some("a") -> 1L, None -> 2L))
+  }
+
+  test("scd2 same-ts rows break ties on the tiebreak column") {
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 2L, "b"),
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"), // seq 1 sorts first
+    ).toDF("k", "ts", "seq", "tier")
+    val out = ChangeCapture.scd2FromLog(log, "k", "ts", "tier", Seq("seq"))
+      .orderBy("version").select("tier").as[String].collect().toSeq
+    assert(out == Seq("a", "b"))
+  }
+
+  // ------------------------------------------------------------ sessionize
+
+  test("sessionize: gap STRICTLY over threshold opens a session; exact boundary stays") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:30:00"), 2L), // exactly 1800s later: SAME session
+      (1L, ts("2024-01-01 11:00:01"), 3L), // 1801s later: new session
+      (2L, ts("2024-01-01 09:00:00"), 4L),
+    ).toDF("user_id", "ts", "event_id")
+    val out = ChangeCapture.sessionize(ev, "user_id", "ts", 1800L, Seq("event_id"))
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events", "duration_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 2L, 1800L * 1000000L),
+      (1L, 2L, 1L, 0L),
+      (2L, 1L, 1L, 0L)))
+  }
+
+  // ------------------------------------------------------------ profiling
+
+  test("profileColumns: exact nulls/distincts/min-max on a hand frame") {
+    val df = Seq(
+      (Some(1L), Some("b")), (Some(3L), Some("a")),
+      (None, Some("a")), (Some(3L), None),
+    ).toDF("n", "s")
+    val out = Profiling.profileColumns(df, Seq("n", "s"))
+      .orderBy("column_name")
+      .select("column_name", "n_rows", "n_nulls", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double],
+        Option[String], Option[String])]
+      .collect().toSeq
+    assert(out == Seq(
+      ("n", 4L, 1L, 2L, Some(1.0), Some(3.0), None, None),
+      ("s", 4L, 1L, 2L, None, None, Some("a"), Some("b"))))
+  }
+
+  test("profileColumns approxDistinct stays within HLL error on the fixture") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val exact = Profiling.profileColumns(orders, Seq("o_custkey"))
+      .select("n_distinct").as[Long].head()
+    val approx = Profiling.profileColumns(orders, Seq("o_custkey"), approxDistinct = true)
+      .select("n_distinct").as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+
+  // ------------------------------------------------------------ BM25
+
+  test("bm25TopDocs equals the brute window formulation on the fixture") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val fast = TextAnalysis.bm25TopDocs(docs, "doc_id", "text",
+        nTerms = 2, minTermLen = 6, topK = 5)
+      .orderBy("term", "rk")
+      .select("term", "rk", "doc_id")
+      .as[(String, Long, Long)].collect().toSeq
+
+    // brute: same tf/dl/df arithmetic, per-term full sort via row_number
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val consts = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val probes = dft.filter(length(col("term")) >= 6)
+      .orderBy(col("df").desc, col("term")).limit(2)
+    val scored = tf.join(probes, Seq("term")).join(dl, Seq("doc_id"))
+      .crossJoin(consts)
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("score", col("idf") * (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+          lit(0.75) * col("dl").cast("double") *
+            (col("n_docs").cast("double") / col("sum_dl").cast("double")))))
+    val w = Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))
+    val brute = scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5).orderBy("term", "rk")
+      .select("term", "rk", "doc_id")
+      .as[(String, Long, Long)].collect().toSeq
+
+    assert(fast == brute)
+  }
+
+  test("bm25 plan: probe join broadcasts and the engine path has no Window") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = TextAnalysis.bm25TopDocs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "bm25 top-k must be the bounded-heap agg, not a window")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "probe terms / consts should broadcast")
+  }
+}
