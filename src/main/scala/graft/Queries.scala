@@ -3962,6 +3962,56 @@ object Queries {
       .orderBy("term", "rk")
   }
 
+  q("q_join_interval",
+    // interval-overlap join WITHOUT an equi-key (view windows × purchase
+    // windows, variable lengths both sides): binned to a shuffled
+    // equi-join on the bin id with the canonical-bin rule emitting each
+    // overlapping pair exactly once — never a BroadcastNestedLoopJoin.
+    // Closed intervals: touching endpoints overlap with overlap_us = 0
+    """WITH a AS (
+      |  SELECT event_id AS a_id, epoch_us(ts) AS a_s,
+      |    epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS a_e
+      |  FROM events WHERE event_type = 'view'),
+      |b AS (
+      |  SELECT event_id AS b_id, epoch_us(ts) AS b_s,
+      |    epoch_us(ts) + (event_id % 5 + 1) * 60000000 AS b_e
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT a_id, b_id, least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us
+      |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+    val a = ev.filter(col("event_type") === "view").select(
+      col("event_id").as("a_id"),
+      unix_micros(col("ts")).as("a_s"),
+      (unix_micros(col("ts")) + (col("event_id") % 7 + 1) * 60000000L).as("a_e"))
+    val b = ev.filter(col("event_type") === "purchase").select(
+      col("event_id").as("b_id"),
+      unix_micros(col("ts")).as("b_s"),
+      (unix_micros(col("ts")) + (col("event_id") % 5 + 1) * 60000000L).as("b_e"))
+    graft.operators.RangeJoin.intervalOverlapJoin(
+        a, b, "a_s", "a_e", "b_s", "b_e", binUnits = 600L * 1000000L)
+      .select("a_id", "b_id", "overlap_us")
+      .orderBy("a_id", "b_id")
+  }
+
+  q("q_profile_skew",
+    // key-skew profile for a join key (the go/no-go numbers for salting
+    // or AQE skew handling): per-key counts in one partial+final agg,
+    // heavy hitters via a GLOBAL bounded-heap TopKAgg (no sort of the
+    // key histogram), totals broadcast back. All-integer output
+    """WITH c AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows FROM c),
+      |top AS (
+      |  SELECT l_partkey, cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, l_partkey) AS rk
+      |  FROM c)
+      |SELECT l_partkey, cnt, CAST(rk AS BIGINT) AS rk, n_keys, n_rows
+      |FROM top CROSS JOIN tot WHERE rk <= 10 ORDER BY rk""".stripMargin) { (s, d) =>
+    graft.operators.Profiling.keySkewTopK(
+        t(s, d, "lineitem"), "l_partkey", k = 10)
+      .orderBy("rk")
+  }
+
   // --------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = registry.map { case (k, (f, _)) => k -> f }.toMap

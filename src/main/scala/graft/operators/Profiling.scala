@@ -86,4 +86,32 @@ object Profiling {
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** Key-distribution skew profile for a (join/partition) key: the `k`
+    * heaviest keys with their counts and rank, alongside the global key
+    * and row totals — the numbers that decide whether a key needs the
+    * [[SkewJoin]] salting treatment or AQE skew handling before a big
+    * join. All-integer output, so it replays bit-equal anywhere.
+    *
+    * Shape: one partial+final count per key (the only corpus-sized
+    * shuffle), then the heavy hitters come from a GLOBAL bounded-heap
+    * [[graft.functions.TopKAgg]] over the per-key counts — ≤ k rows per
+    * mapper cross the wire, never a sort of the key histogram — and the
+    * two global totals broadcast back as a one-row frame. Ties break by
+    * key ascending (deterministic, window-replayable).
+    */
+  def keySkewTopK(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))
+    counts
+      .agg(graft.functions.SketchAggregates.topKAgg(
+        col("cnt").cast("double"), col(keyCol), k).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.id").as(keyCol),
+        col("col.score").cast("long").as("cnt"),
+        (col("pos") + 1).cast("long").as("rk"))
+      .crossJoin(broadcast(totals))
+  }
 }

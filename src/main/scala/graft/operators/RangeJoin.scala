@@ -63,6 +63,52 @@ object RangeJoin {
       .drop("_lbin", "_rbin")
   }
 
+  /** Interval-overlap join without an equi-key: pairs every left
+    * interval `[lStart, lEnd]` with the right intervals `[rStart, rEnd]`
+    * it overlaps (closed-interval semantics: touching endpoints DO
+    * overlap, with `overlap_us = 0`). Columns are epoch-microsecond (or
+    * any same-unit integer) longs, so the same operator serves time
+    * ranges, token spans, or genomic coordinates.
+    *
+    * Same scale argument as [[binnedRangeJoin]], generalized to
+    * variable-length intervals on BOTH sides: each interval explodes to
+    * the fixed-width bins it covers (≤ len/bin + 1 replicas — pick
+    * `binUnits` near the typical interval length), the join is a
+    * shuffled equi-join on the bin id, and each genuinely-overlapping
+    * pair is emitted EXACTLY ONCE by the canonical-bin rule: only from
+    * the bin containing `max(lStart, rStart)` — the first bin where
+    * both intervals are present. No distinct pass, no
+    * BroadcastNestedLoopJoin, bounded replication — holds when both
+    * sides are 100 TB.
+    *
+    * Adds `overlap_us = min(lEnd, rEnd) − max(lStart, rStart)` (exact
+    * integer arithmetic). Intervals must be well-formed (start ≤ end);
+    * left/right column names must be disjoint.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binUnits: Long): DataFrame = {
+    require(binUnits > 0L, s"bin width must be positive, got $binUnits")
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty,
+      s"left/right column names must be disjoint, both have: ${clash.mkString(", ")}")
+    val reserved = Set("_lbin", "_rbin", "overlap_us")
+    require(!(left.columns ++ right.columns).exists(reserved),
+      s"intervalOverlapJoin reserves column names ${reserved.mkString(", ")}")
+    def floorDiv(x: org.apache.spark.sql.Column) =
+      ((x - pmod(x, lit(binUnits))) / lit(binUnits)).cast("long")
+    val l = left.withColumn("_lbin",
+      explode(sequence(floorDiv(col(lStart)), floorDiv(col(lEnd)))))
+    val r = right.withColumn("_rbin",
+      explode(sequence(floorDiv(col(rStart)), floorDiv(col(rEnd)))))
+    l.join(r, col("_lbin") === col("_rbin") &&
+        col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("_lbin") === floorDiv(greatest(col(lStart), col(rStart))))
+      .withColumn("overlap_us",
+        least(col(lEnd), col(rEnd)) - greatest(col(lStart), col(rStart)))
+      .drop("_lbin", "_rbin")
+  }
+
   /** [[binnedRangeJoin]] with bounded output: at most `k` matches per
     * left row, keeping the EARLIEST right rows by `rightTs` (ties broken
     * by the remaining right columns ascending, so the selection is fully

@@ -20,6 +20,10 @@ final case class UserTotals(n: Long, total: Double)
   * microsecond timestamps of the funnel steps reached so far. */
 final case class FunnelProgress(reachedTs: List[Long])
 
+/** Explicit state carried by [[EventStreams.userSessions]]: the user's
+  * sessions so far, chronological, as (start_us, end_us, n_events). */
+final case class SessionAcc(sessions: List[(Long, Long, Long)])
+
 object EventStreams {
 
   /** The events stream from parquet files: the batch-identical source.
@@ -182,6 +186,57 @@ object EventStreams {
           (user, ts.size, ts.headOption, ts.lastOption)
       }
       .toDF("user_id", "steps_reached", "first_us", "last_us")
+  }
+
+  /** Incremental gap-based sessionization (the streaming twin of
+    * [[graft.operators.ChangeCapture.sessionize]]): per-user state is
+    * the session list so far; each micro-batch sorts the user's NEW
+    * events by (event time, event id), extends the open session while
+    * the gap to its end stays ≤ `gapSeconds` (strictly larger opens a
+    * new one — same boundary as the batch form), and re-emits the
+    * user's sessions in Update mode, so the LAST emission per
+    * (user, session_idx) is the converged truth (n_events and end_us
+    * are monotone across batches under in-order delivery).
+    *
+    * Cross-batch caveat, documented not hidden: an event arriving in a
+    * later micro-batch with an event time before the open session's end
+    * folds INTO that session (it cannot retroactively split or re-order
+    * history) — the standard trade; per-user in-order delivery restores
+    * exactness, which the streaming==batch spec exercises across paced
+    * micro-batches. State is O(sessions) per user here so the twin is
+    * exactly comparable to batch; a production deployment that only
+    * needs CLOSED sessions emits them on close (event-time timeout) and
+    * keeps O(1) state.
+    */
+  def userSessions(events: DataFrame, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    val typed = events.select(
+      col("user_id").cast("long"), unix_micros(col("ts")),
+      col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, (Long, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[SessionAcc]) =>
+          var sessions = state.getOption.map(_.sessions).getOrElse(Nil)
+          val newTs = rows.toSeq.sortBy(r => (r._2, r._3)).map(_._2)
+          newTs.foreach { ts =>
+            sessions match {
+              case init :+ last if ts - last._2 <= gapUs =>
+                sessions = init :+ ((last._1, math.max(last._2, ts), last._3 + 1))
+              case _ =>
+                sessions = sessions :+ ((ts, ts, 1L))
+            }
+          }
+          state.update(SessionAcc(sessions))
+          sessions.iterator.zipWithIndex.map { case ((s0, s1, n), i) =>
+            (user, (i + 1).toLong, s0, s1, n)
+          }
+      }
+      .toDF("user_id", "session_idx", "start_us", "end_us", "n_events")
   }
 
   /** Run any of the above to completion over the existing files and return

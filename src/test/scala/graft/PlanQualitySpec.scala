@@ -518,6 +518,25 @@ class PlanQualitySpec extends SparkTestBase {
       s"exact multi-column distincts should plan as one Expand aggregate:\n$p")
   }
 
+  test("q_join_interval is an equi-join on the bin id — never a nested loop") {
+    val p = plan("q_join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval overlap must bin to an equi-join:\n$p")
+    assert(p.contains("Generate"),
+      s"expected the bin sequence() explode on both sides:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in an interval join:\n$p")
+  }
+
+  test("q_profile_skew: heavy hitters via global heap agg, totals broadcast — no window") {
+    val p = plan("q_profile_skew")
+    assert(!p.contains("Window"),
+      s"skew top-k must be the bounded-heap aggregate, not row_number:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row totals frame should broadcast:\n$p")
+    assert(!p.contains("l_quantity") && !p.contains("l_extendedprice"),
+      s"lineitem scan not pruned to the key column:\n$p")
+  }
+
   test("q_text_bm25: heap top-k (no window), probe terms broadcast onto tf") {
     val p = plan("q_text_bm25")
     assert(!p.contains("Window"),

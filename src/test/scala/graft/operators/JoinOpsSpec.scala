@@ -80,6 +80,64 @@ class JoinOpsSpec extends SparkTestBase {
     assert(out == Seq("a", "b", "z"))
   }
 
+  test("intervalOverlapJoin: containment, touching endpoints, disjoint — closed semantics") {
+    val a = Seq((1L, 100L, 200L), (2L, 300L, 400L), (3L, 500L, 500L))
+      .toDF("a_id", "a_s", "a_e")
+    val b = Seq(
+      (10L, 150L, 160L),  // contained in a1
+      (11L, 200L, 250L),  // touches a1's end exactly -> overlap_us = 0
+      (12L, 401L, 450L),  // just past a2: disjoint
+      (13L, 490L, 500L),  // touches the point-interval a3
+    ).toDF("b_id", "b_s", "b_e")
+    val out = RangeJoin.intervalOverlapJoin(a, b, "a_s", "a_e", "b_s", "b_e", 50L)
+      .select("a_id", "b_id", "overlap_us")
+      .orderBy("a_id", "b_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 10L, 10L), (1L, 11L, 0L), (3L, 13L, 0L)))
+  }
+
+  test("intervalOverlapJoin emits each pair EXACTLY once across shared bins") {
+    // both intervals span many bins together: without the canonical-bin
+    // rule this pair would appear once per shared bin
+    val a = Seq((1L, 0L, 1000L)).toDF("a_id", "a_s", "a_e")
+    val b = Seq((2L, 10L, 990L)).toDF("b_id", "b_s", "b_e")
+    val out = RangeJoin.intervalOverlapJoin(a, b, "a_s", "a_e", "b_s", "b_e", 100L)
+    assert(out.count() == 1L)
+    assert(out.select("overlap_us").as[Long].head() == 980L)
+  }
+
+  test("intervalOverlapJoin equals the brute theta join on fixture-derived intervals") {
+    val ev = graft.sources.Tables.load(spark, sf(), "events")
+    val a = ev.filter(col("event_type") === "view").select(
+      col("event_id").as("a_id"), unix_micros(col("ts")).as("a_s"),
+      (unix_micros(col("ts")) + (col("event_id") % 7 + 1) * 60000000L).as("a_e"))
+    val b = ev.filter(col("event_type") === "purchase").select(
+      col("event_id").as("b_id"), unix_micros(col("ts")).as("b_s"),
+      (unix_micros(col("ts")) + (col("event_id") % 5 + 1) * 60000000L).as("b_e"))
+    val fast = RangeJoin.intervalOverlapJoin(a, b, "a_s", "a_e", "b_s", "b_e",
+        binUnits = 600L * 1000000L)
+      .select("a_id", "b_id", "overlap_us").orderBy("a_id", "b_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val brute = a.join(b, col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s"))).as("o"))
+      .orderBy("a_id", "b_id").as[(Long, Long, Long)].collect().toSeq
+    assert(fast.nonEmpty && fast == brute)
+  }
+
+  test("keySkewTopK: exact heavy hitters, rank ties by key, integer totals") {
+    val df = Seq(7L, 7L, 7L, 3L, 3L, 9L, 9L, 1L).toDF("k")
+    val out = Profiling.keySkewTopK(df, "k", 3)
+      .orderBy("rk")
+      .select("k", "cnt", "rk", "n_keys", "n_rows")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // counts: 7->3, 3->2, 9->2, 1->1; tie between 3 and 9 breaks by key asc
+    assert(out == Seq(
+      (7L, 3L, 1L, 4L, 8L),
+      (3L, 2L, 2L, 4L, 8L),
+      (9L, 2L, 3L, 4L, 8L)))
+  }
+
   test("vec_dot on length-mismatched vectors is null, like the HOF form") {
     val d = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)),
       (Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")

@@ -207,4 +207,50 @@ class EventStreamsSpec extends SparkTestBase {
     assert(sLast.exceptAll(bLast).isEmpty && bLast.exceptAll(sLast).isEmpty,
       "final-step timestamps diverge between streaming and batch")
   }
+
+  test("stateful streaming sessionize equals batch across PACED micro-batches") {
+    // stage the events in EVENT-TIME order split across 8 files consumed
+    // one per trigger: per-user in-order delivery across many
+    // micro-batches, so sessions genuinely extend across batch
+    // boundaries and the cross-batch merge path is exercised
+    val staged = java.nio.file.Files.createTempDirectory("sess_events")
+    batch.coalesce(1).write.mode("overwrite").parquet(staged.toString + "/all")
+    // split the event-time-ordered rows into 8 sequential chunks (one per
+    // trigger): earlier chunks hold earlier times for EVERY user
+    val ordered = spark.read.parquet(staged.toString + "/all")
+      .orderBy("ts", "event_id").collect()
+    val schema = spark.read.parquet(staged.toString + "/all").schema
+    val chunk = math.max(1, ordered.length / 8)
+    ordered.grouped(chunk).zipWithIndex.foreach { case (rows, i) =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+        .write.mode("overwrite").parquet(f"$staged/in/f$i%03d")
+    }
+    val srcGlob = s"$staged/in/*"
+    val paced = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcGlob)
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_sess").toString
+    val q = EventStreams.userSessions(paced, gapSeconds = 1800L).writeStream
+      .format("memory").queryName("t_sessions").outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val progressed = spark.streams.active.isEmpty
+    assert(progressed)
+    // last emission per (user, session_idx): n_events/end_us are monotone
+    // across batches under in-order delivery, so max == final
+    val s = spark.table("t_sessions")
+      .groupBy("user_id", "session_idx")
+      .agg(min("start_us").as("start_us"), max("end_us").as("end_us"),
+        max("n_events").as("n_events"))
+    val b = graft.operators.ChangeCapture.sessionize(
+        batch, "user_id", "ts", 1800L, Seq("event_id"))
+      .select(col("user_id"), col("session_idx"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"), col("n_events"))
+    assert(s.count() > 0)
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty,
+      "streaming sessionization diverges from the batch operator")
+  }
 }
