@@ -4012,6 +4012,90 @@ object Queries {
       .orderBy("rk")
   }
 
+  /** Morton-interleave SQL for the z-order oracle: OR of 2·bits
+    * single-bit shift terms — the exact arithmetic the engine's
+    * [[graft.operators.Layout.zorderKey]] runs, rendered for DuckDB. */
+  private def zorderSql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
+  q("q_layout_zorder",
+    // Z-order clustering evidence: bucket lineitem by the top bits of
+    // the Morton key over (partkey, scaled suppkey) and report each
+    // bucket's bounding box — small boxes on BOTH dimensions are
+    // exactly what parquet min/max stats expose to the scan pruner.
+    // suppkey scales ×20 so both dimensions span comparable bit widths
+    // (Z-order degenerates on the narrow axis of a mismatched pair —
+    // the normalize-then-interleave rule every Z-clustering needs).
+    // Pure bit arithmetic (replays bit-equal), one projection + one agg
+    s"""WITH z AS (
+      |  SELECT ${zorderSql("CAST(l_partkey AS BIGINT)", "(CAST(l_suppkey AS BIGINT) * 20)", 11)} AS zkey,
+      |    CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) * 20 AS y
+      |  FROM lineitem)
+      |SELECT zkey >> 14 AS z_bucket, count(*) AS n,
+      |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+      |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin) { (s, d) =>
+    graft.operators.Layout.zorderBucketStats(
+        t(s, d, "lineitem").withColumn("supp_scaled",
+          col("l_suppkey").cast("long") * 20),
+        "l_partkey", "supp_scaled",
+        bits = 11, bucketShift = 14)
+      .orderBy("z_bucket")
+  }
+
+  q("q_compact_plan",
+    // small-file compaction planning: partition inventory (rows per
+    // ship-month) binned by greedy running total into ~target-size
+    // output files. The window runs over the INVENTORY (metadata-sized),
+    // never the table; the planned rewrite is one repartitionByRange
+    """WITH inv AS (
+      |  SELECT date_trunc('month', l_shipdate) AS part_month, count(*) AS n_rows
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT part_month, n_rows,
+      |    CAST(sum(n_rows) OVER (ORDER BY part_month ROWS UNBOUNDED PRECEDING)
+      |         AS BIGINT) - n_rows AS cum
+      |  FROM inv)
+      |SELECT part_month, n_rows, CAST(floor(cum / 25000) AS BIGINT) AS bin
+      |FROM c ORDER BY part_month""".stripMargin) { (s, d) =>
+    val inv = t(s, d, "lineitem")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("part_month"))
+      .agg(count(lit(1)).as("n_rows"))
+    graft.operators.Layout.compactionPlan(inv, "part_month", "n_rows",
+        targetSize = 25000L)
+      .orderBy("part_month")
+  }
+
+  q("q_join_fuzzy",
+    // blocked fuzzy join (entity resolution): customers matched to
+    // deterministically corrupted name variants (one char deleted at a
+    // key-dependent position) within Levenshtein distance 1. Engine =
+    // q-gram rare-prefix blocking with a no-false-negative guarantee +
+    // exact verify on candidates only; the oracle is the BRUTE theta
+    // join, so any blocking recall loss fails the hash
+    """WITH r AS (
+      |  SELECT c_custkey AS r_key,
+      |    substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT))
+      |      || substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2) AS r_name
+      |  FROM customer)
+      |SELECT l.c_custkey, r.r_key,
+      |  CAST(levenshtein(l.c_name, r.r_name) AS BIGINT) AS dist
+      |FROM customer l JOIN r ON levenshtein(l.c_name, r.r_name) <= 1
+      |ORDER BY c_custkey, r_key""".stripMargin) { (s, d) =>
+    val cust = t(s, d, "customer").select("c_custkey", "c_name")
+    val corrupted = cust.select(
+      col("c_custkey").as("r_key"),
+      expr("""concat(
+        substring(c_name, 1, cast(c_custkey % length(c_name) as int)),
+        substring(c_name, cast(c_custkey % length(c_name) as int) + 2))""")
+        .as("r_name"))
+    graft.operators.FuzzyJoin.qgramFuzzyJoin(
+        cust, corrupted, "c_custkey", "c_name", "r_key", "r_name",
+        maxDist = 1, q = 3)
+      .orderBy("c_custkey", "r_key")
+  }
+
   // --------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = registry.map { case (k, (f, _)) => k -> f }.toMap

@@ -537,6 +537,34 @@ class PlanQualitySpec extends SparkTestBase {
       s"lineitem scan not pruned to the key column:\n$p")
   }
 
+  test("q_layout_zorder: bit interleave + one keyed agg — no join, no window") {
+    val p = plan("q_layout_zorder")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"zorder stats must be projection + aggregate:\n$p")
+    assert(p.contains("partial"), s"bucket counts should partial-aggregate:\n$p")
+    assert(!p.contains("l_quantity"),
+      s"lineitem scan not pruned to (partkey, suppkey):\n$p")
+  }
+
+  test("q_compact_plan windows over the INVENTORY (post-agg), never the table") {
+    val p = plan("q_compact_plan")
+    // the Window's child must be the month aggregate, so the running sum
+    // sees |months| rows, not |lineitem|
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0, s"expected the running-total window:\n$p")
+    assert(p.indexOf("HashAggregate", wIdx) >= 0,
+      s"window must consume the aggregated inventory:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in the plan:\n$p")
+  }
+
+  test("q_join_fuzzy: rare-gram blocking — no cartesian, df broadcast, keyed joins") {
+    val p = plan("q_join_fuzzy")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must never go quadratic:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the gram-df rarity join should broadcast:\n$p")
+  }
+
   test("q_text_bm25: heap top-k (no window), probe terms broadcast onto tf") {
     val p = plan("q_text_bm25")
     assert(!p.contains("Window"),

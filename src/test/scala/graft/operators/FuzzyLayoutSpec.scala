@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Hand-computed contracts for the entity-resolution and layout
+  * operators: the q-gram blocking recall guarantee (including the
+  * adversarial hot-gram case the rare-prefix choice exists for), exact
+  * Morton bit interleaving, clustering evidence at the file level, and
+  * greedy compaction binning. */
+class FuzzyLayoutSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------ fuzzy join
+
+  test("qgramFuzzyJoin equals the brute theta join (sub/ins/del cases)") {
+    val left = Seq((1L, "kitten"), (2L, "flaw"), (3L, "apple"), (4L, "zzzz"))
+      .toDF("lid", "ls")
+    val right = Seq(
+      (10L, "sitten"),  // 1 substitution from kitten
+      (11L, "flaws"),   // 1 insertion from flaw
+      (12L, "appl"),    // 1 deletion from apple
+      (13L, "orange"),  // far from everything
+    ).toDF("rid", "rs")
+    val fast = FuzzyJoin.qgramFuzzyJoin(left, right, "lid", "ls", "rid", "rs", 1)
+      .orderBy("lid", "rid").as[(Long, Long, Long)].collect().toSeq
+    val brute = left.crossJoin(right)
+      .withColumn("dist", levenshtein(col("ls"), col("rs")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select("lid", "rid", "dist")
+      .orderBy("lid", "rid").as[(Long, Long, Long)].collect().toSeq
+    assert(fast == brute)
+    assert(fast.map(t => (t._1, t._2)) == Seq((1L, 10L), (2L, 11L), (3L, 12L)))
+  }
+
+  test("qgramFuzzyJoin recall survives the hot-shared-prefix adversary") {
+    // every string shares the hot prefix grams; the only distance-1
+    // pairs differ in the final character. If blocking dropped pairs
+    // whose rare grams miss (e.g. kept only ONE gram), this would fail.
+    val names = (0 until 50).map(i => (i.toLong, f"aaaaaaaaaa$i%02d"))
+    val left = names.toDF("lid", "ls")
+    val right = names.map { case (i, s) => (i + 1000L, s) }.toDF("rid", "rs")
+    val fast = FuzzyJoin.qgramFuzzyJoin(left, right, "lid", "ls", "rid", "rs", 1)
+    val brute = left.crossJoin(right)
+      .filter(levenshtein(col("ls"), col("rs")) <= 1)
+    assert(fast.count() == brute.count())
+    // sanity: distance-1 cross matches exist (e.g. ...a01 vs ...a00 family)
+    assert(fast.filter(col("dist") === 1).count() > 0)
+  }
+
+  test("qgramFuzzyJoin maxDist=0 degenerates to the exact string join") {
+    val left = Seq((1L, "abc"), (2L, "abd")).toDF("lid", "ls")
+    val right = Seq((10L, "abc"), (11L, "xyz")).toDF("rid", "rs")
+    val out = FuzzyJoin.qgramFuzzyJoin(left, right, "lid", "ls", "rid", "rs", 0)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 10L, 0L)))
+  }
+
+  // ------------------------------------------------------------ z-order
+
+  test("zorderKey interleaves bits exactly (x even positions, y odd)") {
+    // x=3 (011), y=5 (101), 3 bits:
+    // pos0=x0=1, pos1=y0=1, pos2=x1=1, pos3=y1=0, pos4=x2=0, pos5=y2=1
+    // -> 100111b = 39
+    val out = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.zorderKey(col("x"), col("y"), 3).as("z"))
+      .as[Long].head()
+    assert(out == 39L)
+  }
+
+  test("z-order buckets cover small (x, y) boxes — the data-skipping property") {
+    // suppkey (0..9 at sf0.001) scales ×20 so both dimensions use
+    // comparable bit widths — Z-order degenerates on the narrow axis of
+    // a mismatched pair (the normalize-then-interleave rule)
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .withColumn("supp_scaled", col("l_suppkey").cast("long") * 20)
+    val stats = Layout.zorderBucketStats(li, "l_partkey", "supp_scaled", 8, 10)
+      .withColumn("wx", col("max_x") - col("min_x"))
+      .withColumn("wy", col("max_y") - col("min_y"))
+    val (gx, gy) = li.agg(
+      (max("l_partkey") - min("l_partkey")).cast("long"),
+      (max("supp_scaled") - min("supp_scaled")).cast("long"))
+      .as[(Long, Long)].head()
+    val (mx, my) = stats.agg(max("wx"), max("wy")).as[(Long, Long)].head()
+    assert(stats.count() > 4, "bucketShift too coarse to say anything")
+    // every bucket's box is a fraction of the global range on BOTH axes
+    assert(mx <= gx / 2, s"x not clustered: bucket width $mx vs global $gx")
+    assert(my <= gy / 2, s"y not clustered: bucket width $my vs global $gy")
+  }
+
+  test("files written in z-key ranges carry narrow min/max on both columns") {
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .withColumn("zkey", Layout.zorderKey(
+        col("l_partkey").cast("long"), col("l_suppkey").cast("long") * 20, 8))
+    val dir = java.nio.file.Files.createTempDirectory("zsort").toString
+    li.repartitionByRange(8, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(dir)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("l_partkey") - min("l_partkey")).cast("long").as("wx"),
+        (max("l_suppkey") - min("l_suppkey")).cast("long").as("wy"))
+    val (gx, gy) = li.agg(
+      (max("l_partkey") - min("l_partkey")).cast("long"),
+      (max("l_suppkey") - min("l_suppkey")).cast("long"))
+      .as[(Long, Long)].head()
+    import org.apache.spark.sql.Row
+    val Row(ax: Double, ay: Double) = perFile.agg(avg("wx"), avg("wy")).head()
+    // a plain sort on partkey would leave suppkey at full range in every
+    // file; z-ranges bound BOTH averages well below the global widths
+    assert(ax < gx * 0.8, s"avg file partkey width $ax vs global $gx")
+    assert(ay < gy * 0.8, s"avg file suppkey width $ay vs global $gy")
+  }
+
+  // ------------------------------------------------------------ compaction
+
+  test("compactionPlan: greedy running-total binning in partition order") {
+    val inv = Seq(("p1", 10L), ("p2", 10L), ("p3", 10L), ("p4", 10L))
+      .toDF("part", "n")
+    val out = Layout.compactionPlan(inv, "part", "n", targetSize = 25L)
+      .orderBy("part").as[(String, Long, Long)].collect().toSeq
+    // cumulative-before: 0, 10, 20, 30 -> bins 0, 0, 0, 1
+    assert(out == Seq(("p1", 10L, 0L), ("p2", 10L, 0L), ("p3", 10L, 0L), ("p4", 10L, 1L)))
+  }
+
+  test("compactionPlan: an oversized partition occupies its own bin range") {
+    val inv = Seq(("a", 100L), ("b", 5L), ("c", 5L)).toDF("part", "n")
+    val out = Layout.compactionPlan(inv, "part", "n", targetSize = 30L)
+      .orderBy("part").as[(String, Long, Long)].collect().toSeq
+    // cumulative-before: 0, 100, 105 -> bins 0, 3, 3
+    assert(out == Seq(("a", 100L, 0L), ("b", 5L, 3L), ("c", 5L, 3L)))
+  }
+}
