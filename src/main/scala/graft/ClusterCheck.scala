@@ -56,6 +56,13 @@ object ClusterCheck {
     "q_text_perplexity",          // shared persisted bigram stage read by 3 consumers (r6)
     "q_graph_pagerank",           // iterative persist-swap ranks across executors (r6)
     "q_sample_weighted",          // NeutralHash ln(u)/w key through TakeOrdered heaps (r6)
+    "q_cdc_diff",                 // full-outer SMJ diff markers across executors (r6c)
+    "q_events_sessionize",        // shared-exchange window pair + keyed session agg (r6c)
+    "q_profile_columns",          // Expand-based multi-distinct agg + struct-array pivot (r6c)
+    "q_text_bm25",                // TopKAgg heaps fed by broadcast probe/const frames (r6c)
+    "q_join_interval",            // double-sided bin explode + canonical-bin dedup (r6c)
+    "q_join_fuzzy",               // rare-gram prefix arrays + broadcast df across JVMs (r6c)
+    "q_layout_zorder",            // 32-term bit interleave in codegen on executors (r6c)
   )
 
   private def runAll(master: String, sfDir: String): Map[String, Seq[String]] = {
