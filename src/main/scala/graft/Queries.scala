@@ -3338,6 +3338,27 @@ object Queries {
         .write.mode("overwrite").partitionBy("o_orderstatus").parquet(p)
     }
 
+  /** Bucketed twin tables for the co-located join: orders and customer
+    * written ONCE per (session, dir) as external bucketed tables (8
+    * buckets on the join key, sorted within buckets), so every later
+    * join on that key is exchange-free on both sides. Table names carry
+    * the temp path's hash — unique per build, collision-free across
+    * dirs; the annIndexPath cache makes the build a one-off charged to
+    * `indexBuilds` in Bench, like the ANN indexes. */
+  private def bucketedOrdersCustomer(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = annIndexPath(s, d, "bktjoin") { p =>
+      val suf = java.lang.Integer.toHexString(p.hashCode)
+      t(s, d, "orders").select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$p/orders").saveAsTable(s"graft_bkt_orders_$suf")
+      t(s, d, "customer").select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$p/customer").saveAsTable(s"graft_bkt_customer_$suf")
+    }
+    val suf = java.lang.Integer.toHexString(base.hashCode)
+    (s.table(s"graft_bkt_orders_$suf"), s.table(s"graft_bkt_customer_$suf"))
+  }
+
   q("q_scan_partition_prune",
     // the oracle replays on the flat fixture — same rows by definition;
     // what the partitioned layout adds is PROOF the predicate prunes at
@@ -4071,9 +4092,12 @@ object Queries {
     // blocked fuzzy join (entity resolution): customers matched to
     // deterministically corrupted name variants (one char deleted at a
     // key-dependent position) within Levenshtein distance 1. Engine =
-    // q-gram rare-prefix blocking with a no-false-negative guarantee +
-    // exact verify on candidates only; the oracle is the BRUTE theta
-    // join, so any blocking recall loss fails the hash
+    // deletion-neighborhood (FastSS) blocking with a no-false-negative
+    // guarantee + exact verify on candidates only — chosen over q-gram
+    // prefix blocking because the zero-padded serial names make every
+    // gram corpus-hot (sf0.1: 299 s gram-blocked vs ~2 s here); the
+    // oracle is the BRUTE theta join, so any blocking recall loss fails
+    // the hash
     """WITH r AS (
       |  SELECT c_custkey AS r_key,
       |    substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT))
@@ -4090,10 +4114,177 @@ object Queries {
         substring(c_name, 1, cast(c_custkey % length(c_name) as int)),
         substring(c_name, cast(c_custkey % length(c_name) as int) + 2))""")
         .as("r_name"))
-    graft.operators.FuzzyJoin.qgramFuzzyJoin(
+    graft.operators.FuzzyJoin.deletionFuzzyJoin(
         cust, corrupted, "c_custkey", "c_name", "r_key", "r_name",
-        maxDist = 1, q = 3)
+        maxDist = 1)
       .orderBy("c_custkey", "r_key")
+  }
+
+  q("q_join_sorted_neighborhood",
+    // sorted-neighborhood ER (the OTHER classic blocking): one total
+    // order on (c_name, c_custkey), each row meets its 9 successors,
+    // exact Levenshtein ≤ 2 verify. The engine materializes the order
+    // via a two-phase distributed rank (never a global window); the
+    // oracle IS the definition — row_number + rank-difference self-join
+    """WITH r AS (
+      |  SELECT c_custkey AS id, c_name AS s,
+      |    row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+      |  FROM customer WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 9
+      |WHERE levenshtein(a.s, b.s) <= 2
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.FuzzyJoin.sortedNeighborhoodJoin(
+        t(s, d, "customer"), "c_custkey", "c_name",
+        sortKey = col("c_name"), window = 10, maxDist = 2)
+      .orderBy("id_a", "id_b")
+  }
+
+  q("q_dedup_containment",
+    // DIRECTED n-gram containment: |sh(a) ∩ sh(b)| / |sh(a)| ≥ 0.8 —
+    // catches a short doc embedded in a long one, invisible to
+    // symmetric Jaccard. Same shingling + df∈[2,100] block as
+    // q_dedup_ngram; both directions of each intersecting pair are
+    // scored against their OWN size; ratio bridges VARCHAR→DECIMAL
+    """WITH words AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 1))])) AS s
+      |  FROM words),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |shared AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 100),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM (SELECT * FROM sh WHERE s IN (SELECT s FROM shared)) a
+      |  JOIN (SELECT * FROM sh WHERE s IN (SELECT s FROM shared)) b USING (s)
+      |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  CAST(round(CAST(CAST((n_common * 1.0 / sa.n) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS containment
+      |FROM pairs
+      |JOIN sizes sa ON id_a = sa.doc_id
+      |WHERE n_common * 1.0 / sa.n >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.containmentPairsFrom(
+        sharedShingles(s, d), threshold = 0.8, maxShingleDf = 100L)
+      .withColumn("containment", round(col("containment"), 6))
+      .orderBy("id_a", "id_b")
+  }
+
+  q("q_sketch_cms",
+    // count–min sketch: 4×256 counters over l_partkey via the
+    // engine-neutral Carter–Wegman hashes (lower64 + j·upper64, low 8
+    // bits), point estimates for part keys 1–10 = min over the 4 rows.
+    // Bounded O(d·w) state at ANY key cardinality — the oracle replays
+    // every counter and estimate exactly
+    """WITH h AS (
+      |  SELECT md5_number_lower(CAST(l_partkey AS VARCHAR))::HUGEINT AS lo,
+      |         md5_number_upper(CAST(l_partkey AS VARCHAR))::HUGEINT AS hi
+      |  FROM lineitem WHERE l_partkey IS NOT NULL),
+      |c AS (SELECT j, ((lo + j*hi) % 18446744073709551616::HUGEINT) % 256 AS b,
+      |        count(*) AS cnt
+      |      FROM h, range(4) t(j) GROUP BY 1, 2),
+      |p AS (SELECT CAST(range AS BIGINT) AS probe_key,
+      |        md5_number_lower(CAST(range AS VARCHAR))::HUGEINT AS lo,
+      |        md5_number_upper(CAST(range AS VARCHAR))::HUGEINT AS hi
+      |      FROM range(1, 11)),
+      |e AS (SELECT probe_key, j,
+      |        ((lo + j*hi) % 18446744073709551616::HUGEINT) % 256 AS b
+      |      FROM p, range(4) t(j))
+      |SELECT probe_key, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_cnt
+      |FROM e LEFT JOIN c USING (j, b)
+      |GROUP BY probe_key ORDER BY probe_key""".stripMargin) { (s, d) =>
+    val counters = graft.operators.Profiling.cmsCounters(
+      t(s, d, "lineitem"), col("l_partkey"), depth = 4, width = 256)
+    val probes = s.range(1, 11).select(col("id").as("probe_key"))
+    graft.operators.Profiling.cmsEstimates(
+        counters, probes, "probe_key", depth = 4, width = 256)
+      .orderBy("probe_key")
+  }
+
+  q("q_events_paths",
+    // top user-journey prefixes: first 3 events per user (ts, event_id
+    // order) as "a>b>c", counted, top 20. Engine = bounded-heap
+    // min-k-rows per user (≤ 3 rows/user/mapper cross the exchange) +
+    // TakeOrdered — the oracle's window replays the heap's selection
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |      FROM r WHERE rn <= 3 GROUP BY user_id),
+      |c AS (SELECT path, count(*) AS n_users FROM p GROUP BY path)
+      |SELECT path, n_users FROM c
+      |ORDER BY n_users DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+    graft.operators.EventAnalytics.topPaths(
+      t(s, d, "events"), "user_id", "ts", "event_id", "event_type",
+      pathLen = 3, topN = 20)
+  }
+
+  q("q_profile_joinstats",
+    // pre-join key diagnostics orders.o_custkey ⋈ customer.c_custkey:
+    // distinct keys per side, overlap, orphan ROWS per side, worst
+    // per-key fanout — the broadcast/salt/bucket decision numbers.
+    // Engine collapses each side to its key histogram first; only the
+    // histograms (key-cardinality-sized) ever join
+    """WITH lh AS (SELECT o_custkey AS k, count(*) AS lc FROM orders GROUP BY 1),
+      |rh AS (SELECT c_custkey AS k, count(*) AS rc FROM customer GROUP BY 1),
+      |j AS (SELECT lh.k AS lk, lc, rh.k AS rk, rc
+      |      FROM lh FULL JOIN rh ON lh.k = rh.k)
+      |SELECT CAST(coalesce(sum(lc), 0) AS BIGINT) AS n_left_rows,
+      |  count(CASE WHEN lk IS NOT NULL THEN 1 END) AS n_left_keys,
+      |  CAST(coalesce(sum(rc), 0) AS BIGINT) AS n_right_rows,
+      |  count(CASE WHEN rk IS NOT NULL THEN 1 END) AS n_right_keys,
+      |  count(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN 1 END) AS n_common_keys,
+      |  CAST(coalesce(sum(CASE WHEN rk IS NULL THEN lc END), 0) AS BIGINT) AS left_orphan_rows,
+      |  CAST(coalesce(sum(CASE WHEN lk IS NULL THEN rc END), 0) AS BIGINT) AS right_orphan_rows,
+      |  CAST(coalesce(max(lc * rc), 0) AS BIGINT) AS max_key_fanout
+      |FROM j""".stripMargin) { (s, d) =>
+    graft.operators.Profiling.joinKeyStats(
+      t(s, d, "orders"), "o_custkey", t(s, d, "customer"), "c_custkey")
+  }
+
+  q("q_agg_mode",
+    // statistical mode per group with a deterministic tie-break: the
+    // most frequent o_orderpriority per o_orderstatus (ties → smallest
+    // priority). Engine = two keyed aggs — count, then min(struct(-cnt,
+    // mode)) — never a per-group window sort; the oracle's row_number
+    // replays exactly that ordering
+    """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      |           FROM orders GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+      |        ORDER BY cnt DESC, o_orderpriority) AS rn FROM c)
+      |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+      |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    t(s, d, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("o_orderstatus")
+      .agg(min(struct((-col("cnt")).as("nc"),
+        col("o_orderpriority").as("m"))).as("_b"))
+      .select(col("o_orderstatus"), col("_b.m").as("mode_priority"),
+        (-col("_b.nc")).as("cnt"))
+      .orderBy("o_orderstatus")
+  }
+
+  q("q_join_bucketed",
+    // co-located join evidence: orders and customer persisted BUCKETED
+    // by their join key (8 buckets, sorted) so the join needs NO
+    // exchange on either side — the 100 TB repeated-join mechanism
+    // (pay the shuffle once at write time). The oracle replays on the
+    // flat fixture (same rows by definition); PlanQualitySpec asserts
+    // the exchange-free sort-merge plan on this exact query
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  count(DISTINCT c_custkey) AS n_customers
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val (o, c) = bucketedOrdersCustomer(s, d)
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy("c_mktsegment")
   }
 
   // --------------------------------------------------------------------------
@@ -4132,7 +4323,9 @@ object Queries {
     "q_sim_ivf_index_build" -> Seq("ivf_index"),
     "q_sim_lsh_index_build" -> Seq("lsh_index"),
     "q_sim_pq_index_build" -> Seq("pq_index"),
-    "q_scan_partition_prune" -> Seq("orders_part"))
+    "q_scan_partition_prune" -> Seq("orders_part"),
+    "q_dedup_containment" -> Seq("shingles"),
+    "q_join_bucketed" -> Seq("bkt_tables"))
 
   /** Force-materialize an ANN index OUTSIDE query timing. Bench runs
     * these before the first consuming query and reports the build
@@ -4146,5 +4339,6 @@ object Queries {
     "ivf_index" -> ((s, d) => { ivfIndexPath(s, d); () }),
     "lsh_index" -> ((s, d) => { lshIndexPath(s, d); () }),
     "pq_index" -> ((s, d) => { pqIndexPath(s, d); () }),
-    "orders_part" -> ((s, d) => { partitionedOrdersPath(s, d); () }))
+    "orders_part" -> ((s, d) => { partitionedOrdersPath(s, d); () }),
+    "bkt_tables" -> ((s, d) => { bucketedOrdersCustomer(s, d); () }))
 }

@@ -76,6 +76,38 @@ object NeutralHash {
       propagateNull = true,
       returnNullable = true))
 
+  /** Wrapping Carter–Wegman slot: (lo + j·hi) mod 2⁶⁴ — JVM Long
+    * arithmetic wraps by definition, which ANSI-mode Column arithmetic
+    * (overflow-checked add/multiply) cannot express. Same derivation as
+    * the MinHash slots; replays as
+    * `(lo + j*hi) % 18446744073709551616::HUGEINT` on unsigned values. */
+  def cwSlot(lo: Long, hi: Long, j: Long): Long = lo + j * hi
+
+  /** Column form of [[cwSlot]]. */
+  def cwSlotCol(lo: Column, hi: Column, j: Column): Column =
+    GraftSqlBridge.column(StaticInvoke(
+      NeutralHash.getClass,
+      LongType,
+      "cwSlot",
+      Seq(GraftSqlBridge.expression(lo), GraftSqlBridge.expression(hi),
+        GraftSqlBridge.expression(j)),
+      inputTypes = Seq(LongType, LongType, LongType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** Column form of [[upper64]] — the second Carter-Wegman base for
+    * relational sketches (count–min buckets derive hash j as
+    * `lower + j*upper` exactly like MinHash slots). */
+  def upper64Col(s: Column): Column =
+    GraftSqlBridge.column(StaticInvoke(
+      NeutralHash.getClass,
+      LongType,
+      "upper64",
+      Seq(GraftSqlBridge.expression(s)),
+      inputTypes = Seq(StringType),
+      propagateNull = true,
+      returnNullable = true))
+
   /** Column form of [[unsignedString]] (band-bucket keys concatenate
     * signature slots as DuckDB-replayable unsigned decimal). */
   def unsignedStringCol(v: Column): Column =

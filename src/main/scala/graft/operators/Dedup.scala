@@ -86,6 +86,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Directed n-gram containment pairs: containment(a→b) =
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)|. The asymmetric
+    * complement of [[ngramJaccardPairsFrom]] — a short document embedded
+    * verbatim inside a much longer one has containment ≈ 1 while its
+    * Jaccard stays far below any dedup threshold (the union is dominated
+    * by the long side), so quote/excerpt/subset duplication is invisible
+    * to symmetric scoring. Emits BOTH directions of each intersecting
+    * pair; a row (id_a, id_b, c) reads "c of id_a's shingles also occur
+    * in id_b".
+    *
+    * Same scale shape as Jaccard: intersection counts ride the one
+    * (id_a, id_b) keyed shuffle over rare-shingle buckets (df ≤
+    * `maxShingleDf` — the skew guard any oracle must mirror); the
+    * direction flip is a projection of the counted pairs, not a second
+    * pair join; sizes join back per ordered pair. */
+  def containmentPairsFrom(shingled: DataFrame, threshold: Double,
+      maxShingleDf: Long): DataFrame = {
+    // same 8-byte-key shuffle discipline as ngramJaccardPairsFrom
+    val sh = shingled.select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf && col("df") >= 2)
+    val shRare = sh.join(rare.select("sh"), Seq("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+
+    val a = shRare.select(col("sh"), col("doc_id").as("id_a"))
+    val b = shRare.select(col("sh"), col("doc_id").as("id_b"))
+    val common = a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+    // n_common is symmetric: materialize each unordered pair once, then
+    // emit both directions before dividing by the direction's own size
+    val directed = common.unionByName(common.select(
+      col("id_b").as("id_a"), col("id_a").as("id_b"), col("n_common")))
+
+    directed
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n_sh", "sz_a"), Seq("id_a"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("sz_a").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
+  /** [[containmentPairsFrom]] with the shingle stage inlined. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Long = 1000L): DataFrame =
+    containmentPairsFrom(shingleExplode(docs, idCol, textCol, n),
+      threshold, maxShingleDf)
+
   /** MinHash signatures: k hash slots derived from one md5 digest per
     * shingle (`lower64 + i*upper64`, [[graft.functions.NeutralHash]]) —
     * fully deterministic, no fitted model, and replayable by an external

@@ -205,6 +205,35 @@ object EventAnalytics {
         round(col("n").cast("double") / col("_t"), 6).as("p"))
   }
 
+  /** Top user-journey prefixes: each user's first `pathLen` events (by
+    * `tsCol`, then `idCol` as the total-order tie-break) concatenated
+    * into a path string "a>b>c", counted across users, top `topN` paths
+    * by user count (ties by path ascending — deterministic).
+    *
+    * Scale shape: the per-user "first k" is ONE bounded-heap
+    * [[graft.functions.MinKByAgg.minKRowsAgg]] — ≤ pathLen rows per user
+    * per mapper cross the user exchange, never a per-user window sort of
+    * the whole event stream (the row_number formulation shuffles and
+    * sorts EVERY event). Path counting is an ordinary partial+final agg
+    * on the path string, and the final top-N is TakeOrdered (heap at the
+    * driver over per-partition heaps), not a global sort. */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String,
+      pathLen: Int = 3, topN: Int = 20): DataFrame = {
+    require(pathLen >= 1, s"pathLen must be >= 1, got $pathLen")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    events
+      .groupBy(col(userCol).as("user_id"))
+      .agg(graft.functions.MinKByAgg.minKRowsAgg(
+        struct(col(tsCol).as("ts"), col(idCol).as("eid"),
+          col(typeCol).as("t")), pathLen).as("_seq"))
+      // minKRowsAgg emits ascending (ts, eid) — already journey order
+      .select(array_join(transform(col("_seq"), e => e("t")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topN)
+  }
+
   /** Daily-volume anomaly detection per event type: day counts, then a
     * z-score against the type's own daily distribution. Mean/variance
     * come from EXACT integer sums (`sum(n)`, `sum(n*n)` over bigint) so

@@ -78,4 +78,148 @@ object FuzzyJoin {
       .filter(col("dist") <= maxDist)
       .select(col(lId), col(rId), col("dist"))
   }
+
+  /** Deletion-neighborhood fuzzy join (the FastSS / SymSpell scheme):
+    * block on shared deletion variants instead of shared q-grams. If
+    * lev(a, b) ≤ d, deleting from each string the ≤ d characters its
+    * optimal alignment edits lands both on the SAME common subsequence —
+    * so a and b share a variant in their ≤ d-deletion neighborhoods
+    * ([[graft.functions.DeletionVariants]]), and the equi-join on
+    * variants has NO false negatives.
+    *
+    * Why a second blocking scheme: q-gram prefix blocking degrades to
+    * near-quadratic on LOW-ENTROPY keys — zero-padded serials, shared
+    * prefixes, fixed templates — because even the rarest grams of such a
+    * string are corpus-hot (measured: the sf0.1 customer-name join spent
+    * 299 s generating ~10⁸ gram-blocked candidates). Deletion variants
+    * invert that: a variant is (almost) the whole string, so a bucket
+    * only holds strings within edit distance ≤ 2d of each other, and
+    * repeated-character runs COLLAPSE variants (deleting any '0' of a
+    * zero-run yields one variant) — the uniform-key adversary makes the
+    * blocking cheaper. Same join re-measured: < 3 s. The trade is
+    * variant count C(len, ≤ d): linear in length for d = 1, quadratic
+    * for d = 2 — right for ER-sized KEYS (names, addresses, serials ≤
+    * `maxLen`); for long strings or large d, [[qgramFuzzyJoin]] remains
+    * the blocking of choice (gram count is always linear). A string
+    * longer than `maxLen` throws loudly rather than silently exploding
+    * its task.
+    *
+    * Shapes: two map-side variant explodes (≤ C(len, ≤ d) rows each,
+    * shuffled as 8-byte xxhash64 keys), one equi-join on the variant
+    * hash, pair dedup, and the exact Levenshtein verify on candidates
+    * only — never |L|·|R|.
+    *
+    * @return (lId, rId, dist) for every pair with dist ≤ maxDist */
+  def deletionFuzzyJoin(left: DataFrame, right: DataFrame,
+      lId: String, lStr: String, rId: String, rStr: String,
+      maxDist: Int, maxLen: Int = 64): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(lId != rId, "left and right id columns must have distinct names")
+    val lv = left.select(col(lId),
+      explode(graft.functions.DeletionVariants.variantsCol(
+        col(lStr), maxDist, maxLen)).as("_v"))
+      .select(col(lId), xxhash64(col("_v")).as("_vh"))
+    val rv = right.select(col(rId),
+      explode(graft.functions.DeletionVariants.variantsCol(
+        col(rStr), maxDist, maxLen)).as("_v"))
+      .select(col(rId), xxhash64(col("_v")).as("_vh"))
+    val candidates = lv.join(rv, Seq("_vh"))
+      .select(col(lId), col(rId)).distinct()
+    candidates
+      .join(left.select(col(lId), col(lStr)), Seq(lId))
+      .join(right.select(col(rId), col(rStr)), Seq(rId))
+      .withColumn("dist", levenshtein(col(lStr), col(rStr)).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col(lId), col(rId), col("dist"))
+  }
+
+  /** Sorted-neighborhood method (SNM) — the other classic blocking
+    * scheme for entity resolution: impose ONE total order (`sortKey`,
+    * then `idCol` as the deterministic tie-break), and compare each row
+    * only with the `window - 1` rows that follow it in that order. Where
+    * q-gram blocking recalls by shared substrings, SNM recalls by sort
+    * locality — cheap, order-tunable, and (unlike q-grams) bounded at
+    * exactly (window-1)·n candidate pairs regardless of how pathological
+    * the string distribution is.
+    *
+    * Scale shape: the global order is materialized WITHOUT a global
+    * window. Rows range-repartition on (key, id) — Spark samples split
+    * points, so ranges balance — then a two-phase distributed rank (the
+    * [[Packing.packChunks]] prefix-sum discipline: one count per
+    * partition to the driver, offsets broadcast back, ranks assigned
+    * map-side). Candidate pairing is an EQUI-join on rank: each row
+    * replicates to its window-1 successor positions (bounded map-side
+    * explode), meets the successor by rank, and only candidates pay the
+    * exact Levenshtein verify. Every stage is parallel at any n; nothing
+    * ever sorts or windows the full data in one task.
+    *
+    * Returns (id_a, id_b, dist) where id_a precedes id_b in sort order
+    * and dist ≤ maxDist. Rows with a NULL sort key or id are excluded
+    * up front (a null key has no well-defined neighborhood; the count
+    * is the caller's concern — mirror of shardStats' isNotNull guard).
+    *
+    * @param sortKey blocking sort key expression (choose one that lands
+    *                likely matches adjacently, e.g. a normalized name;
+    *                multi-pass SNM = union of runs with different keys)
+    * @param window  neighborhood width w ≥ 2: positions j pairs with
+    *                j+1 … j+w-1 */
+  def sortedNeighborhoodJoin(df: DataFrame, idCol: String, strCol: String,
+      sortKey: Column, window: Int, maxDist: Int,
+      partitions: Int = 0): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val spark = df.sparkSession
+    val nPart =
+      if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    // localCheckpoint freezes the layout so the count phase and the
+    // rank-emit phase see the SAME partitions (Packing discipline)
+    val sel = df
+      .select(col(idCol).cast("long").as("_id"), col(strCol).as("_s"),
+        sortKey.cast("string").as("_k"))
+      .filter(col("_k").isNotNull && col("_id").isNotNull)
+      .repartitionByRange(nPart, col("_k"), col("_id"))
+      .sortWithinPartitions("_k", "_id")
+      .localCheckpoint()
+
+    // phase 1: ONE (partition, rowCount) pair per partition to the driver
+    val partCounts = sel.rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = 0L; it.foreach(_ => n += 1); Iterator.single((i, n))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](partCounts.length + 1)
+    partCounts.foreach { case (i, n) => offsets(i + 1) = n }
+    var i = 1
+    while (i < offsets.length) { offsets(i) += offsets(i - 1); i += 1 }
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    // phase 2: global rank = partition offset + local position
+    val rankedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_s",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("_rank",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val ranked = sel.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var rank = bc.value(pid)
+      it.map { r =>
+        val out = org.apache.spark.sql.Row(r.getLong(0), r.getString(1), rank)
+        rank += 1
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(rankedSchema))
+
+    // candidates: row at rank j meets rows at ranks j+1 … j+w-1 via a
+    // bounded explode + equi-join on the dense rank — never a full sort
+    val a = ranked.select(
+        explode(sequence(col("_rank") + 1, col("_rank") + lit(window - 1)))
+          .as("_t"),
+        col("_id").as("id_a"), col("_s").as("_sa"))
+    val b = ranked.select(col("_rank").as("_t"),
+      col("_id").as("id_b"), col("_s").as("_sb"))
+    a.join(b, Seq("_t"))
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -114,4 +114,104 @@ object Profiling {
         (col("pos") + 1).cast("long").as("rk"))
       .crossJoin(broadcast(totals))
   }
+
+  /** Count–min sketch counters over a key column: a `depth` × `width`
+    * grid of counters where row j counts keys by hash_j(key) =
+    * (md5_lower64 + j·md5_upper64) & (width-1) — the same one-digest
+    * Carter–Wegman derivation as the MinHash slots
+    * ([[graft.functions.NeutralHash]]), so the WHOLE sketch replays
+    * bit-equal in an external SQL engine.
+    *
+    * This is the bounded-state frequency structure: state is O(depth ×
+    * width) counters no matter how many distinct keys the data holds —
+    * at 100 TB the counters still fit in one broadcast, where an exact
+    * per-key histogram is itself corpus-sized. Point estimates
+    * ([[cmsEstimates]]) then cost a broadcast lookup, never a full-key
+    * aggregation; estimates over-count only (min over depth rows of
+    * colliding counters ≥ true count, never below).
+    *
+    * Shape: map-side hash + a partial+final count into ≤ depth·width
+    * groups — the shuffle carries at most the grid, not the keys. Width
+    * must be a power of two (bucket = low bits of the wrapped 64-bit
+    * hash, identical in any engine's modular arithmetic). Null keys are
+    * skipped (md5 of NULL is NULL — no bucket). */
+  def cmsCounters(df: DataFrame, keyCol: Column,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"width must be a power of two >= 2, got $width")
+    val k = keyCol.cast("string")
+    df.select(graft.functions.NeutralHash.lower64Col(k).as("_lo"),
+        graft.functions.NeutralHash.upper64Col(k).as("_hi"))
+      .filter(col("_lo").isNotNull)
+      .select(explode(sequence(lit(0L), lit(depth - 1L))).as("j"),
+        col("_lo"), col("_hi"))
+      // wrapping (lo + j*hi) lives in a compiled JVM call (ANSI Column
+      // arithmetic is overflow-checked); low bits equal any engine's
+      // ((lo + j*hi) mod 2^64) mod width for power-of-two widths
+      .select(col("j"),
+        graft.functions.NeutralHash.cwSlotCol(col("_lo"), col("_hi"), col("j"))
+          .bitwiseAND(lit(width - 1L)).as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for `probes` (a frame with key column
+    * `probeKeyCol`) against a [[cmsCounters]] grid built with the same
+    * depth/width: est(key) = min over j of counter[j][hash_j(key)],
+    * missing buckets counting 0. The counters frame broadcasts (≤
+    * depth·width rows by construction); the probe side stays
+    * distributed, so estimating ANY number of probe keys is map-side. */
+  def cmsEstimates(counters: DataFrame, probes: DataFrame,
+      probeKeyCol: String, depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2 && (width & (width - 1)) == 0,
+      s"bad depth/width: $depth/$width")
+    val k = col(probeKeyCol).cast("string")
+    probes
+      .select(col(probeKeyCol),
+        graft.functions.NeutralHash.lower64Col(k).as("_lo"),
+        graft.functions.NeutralHash.upper64Col(k).as("_hi"))
+      .select(col(probeKeyCol),
+        explode(sequence(lit(0L), lit(depth - 1L))).as("j"),
+        col("_lo"), col("_hi"))
+      .select(col(probeKeyCol), col("j"),
+        graft.functions.NeutralHash.cwSlotCol(col("_lo"), col("_hi"), col("j"))
+          .bitwiseAND(lit(width - 1L)).as("bucket"))
+      .join(broadcast(counters), Seq("j", "bucket"), "left")
+      .groupBy(col(probeKeyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+
+  /** Pre-join key diagnostics between `left.lKey` and `right.rKey`: the
+    * one-row report that decides join strategy BEFORE paying for the
+    * join — distinct key counts each side, the key overlap, per-side
+    * orphan rows (rows whose key has no match across), and the maximum
+    * per-key fanout product (the worst-case row multiplication a join
+    * on these keys can produce). All-integer output.
+    *
+    * Shape: each side collapses to its key histogram first (one keyed
+    * partial+final count — the only data-sized shuffles), then the two
+    * HISTOGRAMS full-outer join on key (key-cardinality-sized, not
+    * row-sized) and a single global aggregate folds the report row.
+    * Null keys never match in an equi-join, so they are counted as
+    * orphans on their side. */
+  def joinKeyStats(left: DataFrame, lKey: String,
+      right: DataFrame, rKey: String): DataFrame = {
+    val lh = left.groupBy(col(lKey).as("_lk")).agg(count(lit(1)).as("_lc"))
+    val rh = right.groupBy(col(rKey).as("_rk")).agg(count(lit(1)).as("_rc"))
+    // plain (non-null-safe) equality: null keys match nothing in the
+    // join being diagnosed, so their histogram rows surface as orphans
+    lh.join(rh, col("_lk") === col("_rk"), "full")
+      .agg(
+        coalesce(sum(col("_lc")), lit(0L)).as("n_left_rows"),
+        count(when(col("_lk").isNotNull, 1)).as("n_left_keys"),
+        coalesce(sum(col("_rc")), lit(0L)).as("n_right_rows"),
+        count(when(col("_rk").isNotNull, 1)).as("n_right_keys"),
+        count(when(col("_lk").isNotNull && col("_rk").isNotNull, 1))
+          .as("n_common_keys"),
+        coalesce(sum(when(col("_rk").isNull, col("_lc"))), lit(0L))
+          .as("left_orphan_rows"),
+        coalesce(sum(when(col("_lk").isNull, col("_rc"))), lit(0L))
+          .as("right_orphan_rows"),
+        coalesce(max(col("_lc") * col("_rc")), lit(0L)).as("max_key_fanout"))
+  }
 }

@@ -557,12 +557,74 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Join"), s"no join belongs in the plan:\n$p")
   }
 
-  test("q_join_fuzzy: rare-gram blocking — no cartesian, df broadcast, keyed joins") {
+  test("q_join_fuzzy: deletion-variant blocking — equi-joins only, never quadratic") {
     val p = plan("q_join_fuzzy")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"fuzzy join must never go quadratic:\n$p")
+    // the variant explode is map-side; pairing is an equi-join on the
+    // xxhash64'd variant (any join flavor), then keyed re-attach joins
+    assert(p.contains("Join"), s"expected the variant equi-join:\n$p")
+    assert(p.contains("xxhash64"), s"variants should shuffle as 8-byte hashes:\n$p")
+  }
+
+  test("q_join_sorted_neighborhood: no window, no cartesian — rank equi-join only") {
+    val p = plan("q_join_sorted_neighborhood")
+    assert(!p.contains("Window"),
+      s"SNM rank must be the two-phase prefix sum, not a global window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"SNM pairing must stay an equi-join on rank:\n$p")
+  }
+
+  test("q_join_bucketed: SMJ over bucketed scans with NO exchange on the join keys") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the bucketed co-location is what avoids the
+      // shuffle (at fixture scale the small side would otherwise broadcast)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val p = plan("q_join_bucketed")
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge over buckets:\n$p")
+      assert(p.contains("SelectedBucketsCount"),
+        s"scans are not bucket-aware:\n$p")
+      assert(!p.contains("hashpartitioning(o_custkey")
+        && !p.contains("hashpartitioning(c_custkey#"),
+        s"join keys re-shuffled — bucketing not exploited:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q_sketch_cms: grid-sized partial agg, counters broadcast onto probes") {
+    val p = plan("q_sketch_cms")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"counter grid should aggregate partially before its (tiny) shuffle:\n$p")
     assert(p.contains("BroadcastHashJoin"),
-      s"the gram-df rarity join should broadcast:\n$p")
+      s"the estimate lookup should broadcast the counter grid:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in a sketch:\n$p")
+  }
+
+  test("q_events_paths: bounded-heap first-k per user, TakeOrdered top-N — no window") {
+    val p = plan("q_events_paths")
+    assert(!p.contains("Window"),
+      s"first-k per user must be the min-k-rows heap, not a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected the MinKByAgg object-hash aggregate:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N should be TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("q_agg_mode: two keyed aggs, never a per-group window sort") {
+    val p = plan("q_agg_mode")
+    assert(!p.contains("Window"), s"mode must not window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation:\n$p")
+  }
+
+  test("q_profile_joinstats: only key HISTOGRAMS join — no row-level join") {
+    val p = plan("q_profile_joinstats")
+    // both scans must aggregate (to their key histogram) BEFORE the one
+    // full-outer join; a row-level join would put the join under 2 aggs
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"expected the histogram full-outer join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"each side should collapse to its histogram pre-join:\n$p")
   }
 
   test("q_text_bm25: heap top-k (no window), probe terms broadcast onto tf") {
@@ -574,4 +636,5 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject") || p.contains("ObjectHashAggregate"),
       s"expected the TopKAgg object-hash aggregate:\n$p")
   }
+
 }

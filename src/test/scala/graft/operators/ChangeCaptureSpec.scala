@@ -168,6 +168,70 @@ class ChangeCaptureSpec extends SparkTestBase {
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
 
+  // ------------------------------------------------------- count-min sketch
+
+  test("cms estimates are exact without collisions and NEVER undercount") {
+    val data = Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val df = data.toDF("k")
+    val counters = Profiling.cmsCounters(df, col("k"), depth = 4, width = 256)
+    // counter mass per depth row = total rows (every row lands once per j)
+    val perRow = counters.groupBy("j").agg(sum("cnt").as("m"))
+      .select("m").as[Long].collect().toSeq
+    assert(perRow == Seq.fill(4)(11L))
+    val probes = Seq("a", "b", "c", "never-seen").toDF("k")
+    val est = Profiling.cmsEstimates(counters, probes, "k", depth = 4, width = 256)
+      .orderBy("k").as[(String, Long)].collect().toMap
+    // 3 keys in 4x256 buckets: no collisions -> exact; absent key -> 0
+    assert(est == Map("a" -> 7L, "b" -> 3L, "c" -> 1L, "never-seen" -> 0L))
+  }
+
+  test("cms overestimates only, even when width forces collisions") {
+    // width=2: heavy collisions guaranteed; estimate >= true for EVERY key
+    val data = (0 until 200).map(i => s"k${i % 20}")
+    val df = data.toDF("k")
+    val counters = Profiling.cmsCounters(df, col("k"), depth = 4, width = 2)
+    val probes = (0 until 20).map(i => s"k$i").toDF("k")
+    val est = Profiling.cmsEstimates(counters, probes, "k", depth = 4, width = 2)
+      .as[(String, Long)].collect().toMap
+    (0 until 20).foreach { i =>
+      assert(est(s"k$i") >= 10L, s"k$i undercounted: ${est(s"k$i")}")
+    }
+  }
+
+  test("cms rejects non-power-of-two widths loudly") {
+    val df = Seq("a").toDF("k")
+    intercept[IllegalArgumentException] {
+      Profiling.cmsCounters(df, col("k"), depth = 4, width = 100)
+    }
+  }
+
+  // --------------------------------------------------------- join key stats
+
+  test("joinKeyStats: orphans, overlap and fanout on a hand frame with nulls") {
+    val left = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None)
+      .toDF("lk")
+    val right = Seq(Some(1L), Some(1L), Some(3L), None, None)
+      .toDF("rk")
+    val out = Profiling.joinKeyStats(left, "lk", right, "rk")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    // (n_left_rows, n_left_keys, n_right_rows, n_right_keys,
+    //  n_common_keys, left_orphan_rows, right_orphan_rows, max_key_fanout)
+    // left: {1:3, 2:1, null:1}; right: {1:2, 3:1, null:2}
+    // common = {1}; left orphans = key2(1) + null(1) = 2;
+    // right orphans = key3(1) + null(2) = 3; fanout = 3*2 = 6
+    assert(out == ((5L, 2L, 5L, 2L, 1L, 2L, 3L, 6L)))
+  }
+
+  test("joinKeyStats on the fixture: every order has a customer, not vice versa") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val customer = spark.read.parquet(s"${sf()}/customer.parquet")
+    val out = Profiling.joinKeyStats(orders, "o_custkey", customer, "c_custkey")
+    val r = out.select("n_left_rows", "left_orphan_rows", "n_right_keys",
+      "n_common_keys").as[(Long, Long, Long, Long)].head()
+    assert(r._1 > 0 && r._2 == 0L, "orders referencing missing customers")
+    assert(r._4 <= r._3)
+  }
+
   // ------------------------------------------------------------ BM25
 
   test("bm25TopDocs equals the brute window formulation on the fixture") {

@@ -143,6 +143,24 @@ class EventGraphSpec extends SparkTestBase {
     assert(r == Seq((d("2024-01-01"), 2L), (d("2024-01-02"), 2L), (d("2024-01-03"), 1L)))
   }
 
+  test("topPaths: first-k order, tie-break by event_id, top-N tie order") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1: a -> b -> c, then a 4th event that must NOT appear
+      (1L, 1L, ts(1), "a"), (2L, 1L, ts(2), "b"),
+      (3L, 1L, ts(3), "c"), (4L, 1L, ts(4), "z"),
+      // user 2: same-ts tie at minute 1 -> event_id decides (5 before 6)
+      (5L, 2L, ts(1), "a"), (6L, 2L, ts(1), "b"), (7L, 2L, ts(3), "c"),
+      // user 3: only two events -> short path
+      (8L, 3L, ts(1), "x"), (9L, 3L, ts(2), "y"),
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventAnalytics.topPaths(ev, "user_id", "ts", "event_id",
+        "event_type", pathLen = 3, topN = 10)
+      .as[(String, Long)].collect().toSeq
+    // two users share path a>b>c (tie at ts resolved by event_id), one x>y
+    assert(out == Seq(("a>b>c", 2L), ("x>y", 1L)))
+  }
+
   test("eventTransitions: counts, probabilities, and deterministic tie order") {
     val events = Seq(
       // user 1: A -> B -> A  (ordered by ts)

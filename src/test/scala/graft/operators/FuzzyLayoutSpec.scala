@@ -57,6 +57,114 @@ class FuzzyLayoutSpec extends SparkTestBase {
     assert(out == Seq((1L, 10L, 0L)))
   }
 
+  // ------------------------------------------- deletion-neighborhood join
+
+  test("DeletionVariants: zero-runs collapse, k<=d levels, maxLen throws loudly") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def vs(s: String, d: Int, maxLen: Int = 64): Set[String] = {
+      val arr = graft.functions.DeletionVariants
+        .variants(UTF8String.fromString(s), d, maxLen)
+      (0 until arr.numElements()).map(arr.getUTF8String(_).toString).toSet
+    }
+    // d=0: just the string
+    assert(vs("abc", 0) == Set("abc"))
+    // d=1 on distinct chars: the string + len single-deletions
+    assert(vs("abc", 1) == Set("abc", "bc", "ac", "ab"))
+    // zero-run collapse: deleting ANY of the three 0s yields one variant
+    assert(vs("a000b", 1) == Set("a000b", "000b", "a00b", "a000"))
+    // d=2 contains d=1 (up-to semantics), plus the two-deletion layer
+    assert(vs("abcd", 2).contains("abcd") && vs("abcd", 2).contains("bcd")
+      && vs("abcd", 2).contains("cd") && vs("abcd", 2).contains("bd"))
+    val e = intercept[IllegalArgumentException] {
+      vs("x" * 65, 1)
+    }
+    assert(e.getMessage.contains("65-char"))
+  }
+
+  test("deletionFuzzyJoin equals the brute theta join (sub/ins/del, d=1 and d=2)") {
+    val left = Seq((1L, "kitten"), (2L, "flaw"), (3L, "apple"), (4L, "zzzz"))
+      .toDF("lid", "ls")
+    val right = Seq((10L, "sitten"), (11L, "flaws"), (12L, "appl"),
+      (13L, "orange"), (14L, "kittey")).toDF("rid", "rs")
+    for (d <- Seq(1, 2)) {
+      val fast = FuzzyJoin.deletionFuzzyJoin(left, right, "lid", "ls", "rid", "rs", d)
+        .orderBy("lid", "rid").as[(Long, Long, Long)].collect().toSeq
+      val brute = left.crossJoin(right)
+        .withColumn("dist", levenshtein(col("ls"), col("rs")).cast("long"))
+        .filter(col("dist") <= d)
+        .select("lid", "rid", "dist")
+        .orderBy("lid", "rid").as[(Long, Long, Long)].collect().toSeq
+      assert(fast == brute, s"maxDist=$d")
+    }
+  }
+
+  test("deletionFuzzyJoin equals qgramFuzzyJoin on the low-entropy serial adversary") {
+    // zero-padded serials: every q-gram is corpus-hot (the case that made
+    // gram blocking quadratic on the customer fixture) — both blockings
+    // must still agree exactly with each other (same no-false-negative
+    // guarantee, same verify)
+    val names = (0 until 60).map(i => (i.toLong, f"Customer#$i%09d"))
+    val left = names.toDF("lid", "ls")
+    val right = names.map { case (i, s) => (i + 1000L, s) }.toDF("rid", "rs")
+    val del = FuzzyJoin.deletionFuzzyJoin(left, right, "lid", "ls", "rid", "rs", 1)
+      .orderBy("lid", "rid").as[(Long, Long, Long)].collect().toSeq
+    val gram = FuzzyJoin.qgramFuzzyJoin(left, right, "lid", "ls", "rid", "rs", 1)
+      .orderBy("lid", "rid").as[(Long, Long, Long)].collect().toSeq
+    assert(del == gram)
+    assert(del.nonEmpty)
+  }
+
+  // --------------------------------------------------- sorted neighborhood
+
+  test("sortedNeighborhoodJoin matches the row_number definition exactly") {
+    val rows = Seq(
+      (1L, "alpha"), (2L, "alphb"), (3L, "alphq"), (4L, "beta"),
+      (5L, "betas"), (6L, "gamma"), (7L, "gamna"), (8L, "delta"),
+      (9L, "aleph"), (10L, "alpha")).toDF("id", "s")
+    val w = 3; val d = 2
+    val out = FuzzyJoin.sortedNeighborhoodJoin(rows, "id", "s", col("s"), w, d)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    // reference: global row_number over (s, id), pairs within w-1 ranks
+    val ranked = rows.orderBy("s", "id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).zipWithIndex
+    val expected = (for {
+      ((ida, sa), ra) <- ranked
+      ((idb, sb), rb) <- ranked
+      if rb > ra && rb - ra <= w - 1
+      dist = {
+        // tiny reference levenshtein
+        val m = Array.tabulate(sa.length + 1, sb.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to sa.length; j <- 1 to sb.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (sa(i - 1) == sb(j - 1)) 0 else 1))
+        m(sa.length)(sb.length).toLong
+      }
+      if dist <= d
+    } yield (ida, idb, dist)).sorted.toSeq
+    assert(out == expected)
+  }
+
+  test("sortedNeighborhoodJoin finds pairs ACROSS partition boundaries") {
+    // 40 near-identical strings forced into many partitions: with
+    // window=4, most neighborhoods straddle a range-partition edge —
+    // a per-partition-only implementation would lose those pairs
+    val rows = (0 until 40).map(i => (i.toLong, f"name$i%03d")).toDF("id", "s")
+    val out = FuzzyJoin.sortedNeighborhoodJoin(
+      rows, "id", "s", col("s"), window = 4, maxDist = 3, partitions = 13)
+    // every consecutive pair differs in <= 3 chars -> all (w-1)*n - edge
+    // pairs qualify: ranks 0..39, pairs (r, r+1..r+3) = 3*40 - (1+2+3)
+    assert(out.count() == 3 * 40 - 6)
+  }
+
+  test("sortedNeighborhoodJoin excludes null keys and null ids up front") {
+    val rows = Seq((1L, "aa"), (2L, "ab"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val out = FuzzyJoin.sortedNeighborhoodJoin(rows, "id", "s", col("s"), 2, 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1L)))
+  }
+
   // ------------------------------------------------------------ z-order
 
   test("zorderKey interleaves bits exactly (x even positions, y odd)") {

@@ -57,6 +57,43 @@ class OperatorsSpec extends SparkTestBase {
     assert(cand.forall { case (n, o) => n % 2 == 1 && o % 2 == 0 })
   }
 
+  test("containment catches a doc embedded in a longer one that Jaccard misses") {
+    import spark.implicits._
+    val prefix = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val tail = (0 until 60).map(i => s"filler$i word$i extra$i").mkString(" ")
+    val frame = Seq(
+      (1L, prefix),                 // short doc
+      (2L, s"$prefix $tail"),       // long doc containing it verbatim
+      (3L, "completely unrelated text about ships and sails and wind"),
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(frame, "doc_id", "text",
+        n = 3, threshold = 0.8, maxShingleDf = 100L)
+      .as[(Long, Long, Double)].collect().toSeq
+    // every shingle of 1 occurs in 2 -> containment(1->2) = 1.0;
+    // the reverse direction is tiny; Jaccard misses the pair entirely
+    assert(cont == Seq((1L, 2L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(frame, "doc_id", "text", 3, 0.8, 100L)
+    assert(jac.count() == 0, "Jaccard should NOT see the embedded doc")
+  }
+
+  test("containment emits both directions against each side's own size") {
+    import spark.implicits._
+    // two docs sharing their first half: containment differs per side
+    val shared = (0 until 20).map(i => s"common$i").mkString(" ")
+    val frame = Seq(
+      (1L, shared),                                              // 18 shingles, all shared
+      (2L, shared + " " + (0 until 20).map(i => s"own$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(frame, "doc_id", "text",
+        n = 3, threshold = 0.1, maxShingleDf = 100L)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(cont.map(r => (r._1, r._2)) == Seq((1L, 2L), (2L, 1L)))
+    val c12 = cont.find(_._1 == 1L).get._3
+    val c21 = cont.find(_._1 == 2L).get._3
+    assert(c12 == 1.0, s"short side fully contained, got $c12")
+    assert(c21 < 0.6 && c21 > 0.3, s"long side partial, got $c21")
+  }
+
   test("simhash: near-dup docs land within small hamming distance") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
