@@ -63,6 +63,13 @@ object ClusterCheck {
     "q_join_interval",            // double-sided bin explode + canonical-bin dedup (r6c)
     "q_join_fuzzy",               // rare-gram prefix arrays + broadcast df across JVMs (r6c)
     "q_layout_zorder",            // 32-term bit interleave in codegen on executors (r6c)
+    "q_join_fuzzy",               // DeletionVariants StaticInvoke explode across JVMs (r6d)
+    "q_join_sorted_neighborhood", // prefix-sum offsets broadcast + mapPartitions rank (r6d)
+    "q_sketch_cms",               // cwSlot StaticInvoke + counter-grid broadcast join (r6d)
+    "q_events_paths",             // MinKByAgg row-heap buffers across the user exchange (r6d)
+    "q_join_bucketed",            // executor-side bucketed table write + bucket-aware scan (r6d)
+    "q_text_bm25_indexed",        // executor-side postings write + pruned probe + TopKAgg (r6d)
+    "q_multimodal_frames",        // mapPartitions byte slicing across executor JVMs (r6d)
   )
 
   private def runAll(master: String, sfDir: String): Map[String, Seq[String]] = {

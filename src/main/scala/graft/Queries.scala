@@ -3442,6 +3442,28 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  q("q_multimodal_frames",
+    // frame-sampling plumbing over opaque binary payloads (every 4th
+    // 64-byte frame): the engine slices REAL bytes via mapPartitions
+    // (Multimodal.sampleFrames — the video-frame shape); the oracle
+    // replays through hex strings (DuckDB v1.0 cannot slice BLOBs), so
+    // both engines md5 the HEX of each frame. UTF-8 text stands in as
+    // the payload — the slicing never interprets it
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS ph FROM documents),
+      |f AS (SELECT media_id,
+      |        unnest(range(0, (length(ph) // 2) // 64, 4)) AS frame_no, ph
+      |      FROM m)
+      |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+      |  md5(substring(ph, 1 + CAST(frame_no AS BIGINT) * 128, 128)) AS frame_md5
+      |FROM f ORDER BY media_id, frame_no""".stripMargin) { (s, d) =>
+    val media = t(s, d, "documents")
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+    graft.operators.Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
+      .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+        md5(hex(col("frame"))).as("frame_md5"))
+      .orderBy("media_id", "frame_no")
+  }
+
   // ------------------------------------------------------------ §2.K event analytics (r6)
 
   q("q_events_funnel",
@@ -3983,6 +4005,66 @@ object Queries {
       .orderBy("term", "rk")
   }
 
+  private def textIndexPath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "txt") { p =>
+      graft.operators.TextAnalysis.buildTextIndex(
+        t(s, d, "documents"), "doc_id", "text", p, nBuckets = 64)
+    }
+
+  q("q_text_bm25_index_build",
+    // one-off inverted-index materialization charged separately from the
+    // probes (the ANN index_build discipline): postings = distinct
+    // (doc, term) pairs, replayed from raw tokenization
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+      |SELECT count(*) AS n_postings, count(DISTINCT term) AS n_terms,
+      |  count(DISTINCT doc_id) AS n_docs
+      |FROM tf""".stripMargin) { (s, d) =>
+    s.read.parquet(s"${textIndexPath(s, d)}/postings")
+      .agg(count(lit(1)).as("n_postings"),
+        countDistinct(col("term")).as("n_terms"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
+
+  q("q_text_bm25_indexed",
+    // the indexed probe: same scores and output as q_text_bm25, but the
+    // corpus-sized postings scan reads ONLY the probed terms' bucket
+    // partitions (PartitionFilters — PlanQualitySpec asserts), and dl is
+    // denormalized into the postings so no doc-length join runs at probe
+    // time. The oracle is the FULL scoring replay on raw documents —
+    // index staleness or bucket-routing bugs fail the hash
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |consts AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      |probes AS (
+      |  SELECT term, df FROM dft WHERE length(term) >= 6
+      |  ORDER BY df DESC, term LIMIT 3),
+      |scored AS (
+      |  SELECT p.term, tf.doc_id,
+      |    ln(1.0 + (CAST(c.n_docs AS DOUBLE) - p.df + 0.5) / (CAST(p.df AS DOUBLE) + 0.5))
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf.tf AS DOUBLE) + 1.2 *
+      |         (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) *
+      |          (CAST(c.n_docs AS DOUBLE) / CAST(c.sum_dl AS DOUBLE)))) AS score
+      |  FROM tf JOIN probes p USING (term) JOIN dl USING (doc_id) CROSS JOIN consts c),
+      |top AS (
+      |  SELECT term, doc_id, score,
+      |    row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rk
+      |  FROM scored)
+      |SELECT term, CAST(rk AS BIGINT) AS rk, doc_id, round(score, 6) AS score
+      |FROM top WHERE rk <= 10 ORDER BY term, rk""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.bm25TopDocsIndexed(
+        s, textIndexPath(s, d),
+        nTerms = 3, minTermLen = 6, k1 = 1.2, b = 0.75, topK = 10)
+      .orderBy("term", "rk")
+  }
+
   q("q_join_interval",
     // interval-overlap join WITHOUT an equi-key (view windows × purchase
     // windows, variable lengths both sides): binned to a shuffled
@@ -4325,7 +4407,9 @@ object Queries {
     "q_sim_pq_index_build" -> Seq("pq_index"),
     "q_scan_partition_prune" -> Seq("orders_part"),
     "q_dedup_containment" -> Seq("shingles"),
-    "q_join_bucketed" -> Seq("bkt_tables"))
+    "q_join_bucketed" -> Seq("bkt_tables"),
+    "q_text_bm25_indexed" -> Seq("txt_index"),
+    "q_text_bm25_index_build" -> Seq("txt_index"))
 
   /** Force-materialize an ANN index OUTSIDE query timing. Bench runs
     * these before the first consuming query and reports the build
@@ -4340,5 +4424,6 @@ object Queries {
     "lsh_index" -> ((s, d) => { lshIndexPath(s, d); () }),
     "pq_index" -> ((s, d) => { pqIndexPath(s, d); () }),
     "orders_part" -> ((s, d) => { partitionedOrdersPath(s, d); () }),
-    "bkt_tables" -> ((s, d) => { bucketedOrdersCustomer(s, d); () }))
+    "bkt_tables" -> ((s, d) => { bucketedOrdersCustomer(s, d); () }),
+    "txt_index" -> ((s, d) => { textIndexPath(s, d); () }))
 }

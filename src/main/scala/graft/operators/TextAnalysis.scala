@@ -443,6 +443,108 @@ object TextAnalysis {
         col("col.id").as("doc_id"), round(col("col.score"), 6).as("score"))
   }
 
+  private final val TextIndexMetaFile = "_text_index_meta.json"
+
+  /** Persisted inverted index for BM25 probing — the LEXICAL member of
+    * the materialized-index family (buildLshIndex / buildIvfIndex /
+    * buildPqIndex discipline): pay the corpus tokenization + tf shuffle
+    * ONCE at build, then every query is a partition-pruned point lookup.
+    *
+    * Layout under `path`:
+    *   postings/bucket=<b>/  (doc_id, term, tf, dl) — dl DENORMALIZED
+    *     into the posting so probes never join the doc-length table
+    *   terms/                (term, df, bucket) — vocab-sized
+    *   consts/               one row (n_docs, sum_dl)
+    *   _text_index_meta.json nBuckets + tokenizer tag, validated at
+    *     probe time (a probe hashing terms with a different bucket count
+    *     would silently read the wrong partitions — the meta turns that
+    *     into an error, the LshMeta discipline)
+    *
+    * Buckets cluster before the dynamic-partition write (one task per
+    * bucket dir, no committer churn). At 100 TB the postings table is
+    * corpus-sized but each probe reads only the probed terms' buckets —
+    * the PartitionFilters pruning PlanQualitySpec asserts. */
+  def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val bucket = pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
+    tf.join(dl, Seq("doc_id"))
+      .withColumn("bucket", bucket)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("bucket", bucket)
+      .write.mode("overwrite").parquet(s"$path/terms")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/consts")
+    val p = new org.apache.hadoop.fs.Path(path, TextIndexMetaFile)
+    val fs = p.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(s"""{"nBuckets": $nBuckets, "tokenizer": "ws-lower"}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** BM25 probe against a [[buildTextIndex]] layout: probe terms are the
+    * `nTerms` highest-df vocab terms of length ≥ `minTermLen` (the
+    * [[bm25TopDocs]] derivation — a vocab-table TakeOrdered, never a
+    * corpus scan), their (term, df, bucket) rows come to the driver
+    * (nTerms-sized), and the postings scan reads ONLY the probed
+    * buckets' partitions. Scores and output shape are identical to
+    * [[bm25TopDocs]] on the same corpus. */
+  def bm25TopDocsIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, nTerms: Int = 3, minTermLen: Int = 6, k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 10): DataFrame = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, TextIndexMetaFile)
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath), s"no $TextIndexMetaFile under $path — not a text index")
+    val metaJson = {
+      val in = fs.open(metaPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    require(metaJson.contains("\"tokenizer\": \"ws-lower\""),
+      s"text index at $path was built with a different tokenizer: $metaJson")
+
+    val probes = spark.read.parquet(s"$path/terms")
+      .filter(length(col("term")) >= minTermLen)
+      .orderBy(col("df").desc, col("term"))
+      .limit(nTerms)
+      .collect() // nTerms rows — driver-sized by construction
+    val buckets = probes.map(_.getAs[Int]("bucket")).distinct.toSeq
+    val probeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probes.toSeq.map(r =>
+        org.apache.spark.sql.Row(r.getAs[String]("term"), r.getAs[Long]("df"))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("df",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*))
+    val consts = spark.read.parquet(s"$path/consts")
+    val scored = postings
+      .join(broadcast(probeDf), Seq("term"))
+      .crossJoin(broadcast(consts))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("score",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl").cast("double") *
+              (col("n_docs").cast("double") / col("sum_dl").cast("double")))))
+    scored.groupBy("term")
+      .agg(graft.functions.SketchAggregates.topKAgg(
+        col("score"), col("doc_id"), topK).as("top"))
+      .select(col("term"), posexplode(col("top")))
+      .select(col("term"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"), round(col("col.score"), 6).as("score"))
+  }
+
   /** Rolling-hash (Rabin–Karp base-31 mod 2^61-1) fingerprint over tokens —
     * order-sensitive unlike md5-of-sorted; expressed as an aggregate fold,
     * still codegen'd. */

@@ -627,6 +627,20 @@ class PlanQualitySpec extends SparkTestBase {
       s"each side should collapse to its histogram pre-join:\n$p")
   }
 
+  test("q_text_bm25_indexed probes prune at the FILE level (term-bucket partition filter)") {
+    val p = SparkEntry.queries("q_text_bm25_indexed")(spark, sf())
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"probed term buckets did not reach partition pruning:\n$p")
+  }
+
+  test("q_multimodal_frames: map-side slicing — no join, no pre-sort shuffle") {
+    val p = plan("q_multimodal_frames")
+    assert(!p.contains("Join"), s"frame sampling must not join:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"frame explosion introduced a non-sort shuffle:\n$p")
+  }
+
   test("q_text_bm25: heap top-k (no window), probe terms broadcast onto tf") {
     val p = plan("q_text_bm25")
     assert(!p.contains("Window"),

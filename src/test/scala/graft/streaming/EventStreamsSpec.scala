@@ -142,6 +142,22 @@ class EventStreamsSpec extends SparkTestBase {
     assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
   }
 
+  test("streaming CMS counters equal the batch sketch — the mergeable-state property") {
+    // cmsCounters is a commutative-monoid aggregate (counters add), so
+    // the SAME declaration runs unchanged over the stream and must land
+    // on the batch grid exactly; estimates then agree for every key
+    import graft.operators.Profiling
+    val s = EventStreams.runAvailableNow(spark,
+      Profiling.cmsCounters(stream, col("event_type"), depth = 4, width = 64),
+      "t_cms", outputMode = "complete")
+    val b = Profiling.cmsCounters(batch, col("event_type"), depth = 4, width = 64)
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
+    val probes = batch.select("event_type").distinct()
+    val es = Profiling.cmsEstimates(s, probes, "event_type", depth = 4, width = 64)
+    val eb = Profiling.cmsEstimates(b, probes, "event_type", depth = 4, width = 64)
+    assert(es.exceptAll(eb).isEmpty && eb.exceptAll(es).isEmpty)
+  }
+
   test("corpus ingest starts on an empty source dir when given a schema") {
     import org.apache.spark.sql.types._
     val root = java.nio.file.Files.createTempDirectory("ingest_empty")
