@@ -70,6 +70,8 @@ object ClusterCheck {
     "q_join_bucketed",            // executor-side bucketed table write + bucket-aware scan (r6d)
     "q_text_bm25_indexed",        // executor-side postings write + pruned probe + TopKAgg (r6d)
     "q_multimodal_frames",        // mapPartitions byte slicing across executor JVMs (r6d)
+    "q_graph_triangles",          // persisted oriented edges + literal re-frame (r6d)
+    "q_text_tfidf_pairs",         // weighted inverted self-join across executors (r6d)
   )
 
   private def runAll(master: String, sfDir: String): Map[String, Seq[String]] = {

@@ -4369,6 +4369,135 @@ object Queries {
       .orderBy("c_mktsegment")
   }
 
+  q("q_graph_triangles",
+    // exact triangle count over the part co-purchase graph (parts sharing
+    // an order). Engine = degree-ordered edge iterator: orient each edge
+    // low→high (degree, node), wedges from out-pairs, close against the
+    // undirected set — O(m^1.5) candidates at ANY degree skew. The oracle
+    // computes the same result the textbook u<v<w way
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |nodes AS (SELECT count(DISTINCT n) AS n_nodes FROM
+      |  (SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs)),
+      |tri AS (SELECT count(*) AS n_triangles
+      |        FROM pairs e1 JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+      |        JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v)
+      |SELECT n_nodes, (SELECT count(*) FROM pairs) AS n_edges, n_triangles
+      |FROM nodes, tri""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+    val edges = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+      .select("pa", "pb")
+    graft.operators.LinkGraph.triangleCount(edges, "pa", "pb")
+  }
+
+  q("q_stat_chisq",
+    // chi-square independence test lang × source over documents: the
+    // full expected grid (zero-observed cells contribute), statistic
+    // summed through the VARCHAR→DECIMAL bridge so the per-cell double
+    // contributions add order-independently in both engines
+    """WITH obs AS (SELECT lang AS a, source AS b, count(*) AS o
+      |             FROM documents GROUP BY 1, 2),
+      |ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1),
+      |cb AS (SELECT b, sum(o) AS cb FROM obs GROUP BY 1),
+      |tot AS (SELECT sum(o) AS t FROM obs),
+      |grid AS (SELECT ra.a, cb.b, ra.ra, cb.cb, tot.t FROM ra, cb, tot),
+      |j AS (SELECT g.*, coalesce(obs.o, 0) AS o
+      |      FROM grid g LEFT JOIN obs USING (a, b)),
+      |c AS (SELECT t, a, b,
+      |        (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / t)
+      |          * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / t)
+      |          / (CAST(ra AS DOUBLE) * cb / t) AS contrib
+      |      FROM j)
+      |SELECT CAST(max(t) AS BIGINT) AS n,
+      |  CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT) AS dof,
+      |  CAST(round(sum(CAST(CAST(contrib AS VARCHAR) AS DECIMAL(38,18))), 6) AS DOUBLE) AS chi2
+      |FROM c""".stripMargin) { (s, d) =>
+    graft.operators.Profiling.chiSquare(t(s, d, "documents"), "lang", "source")
+  }
+
+  q("q_profile_outliers",
+    // per-group Tukey-fence outlier profile on o_totalprice: type-1
+    // (discrete) quartiles — DATA values at rank ceil(p·n), never an
+    // interpolated double — so fences are exact arithmetic on exact
+    // inputs and the boundary comparisons replay bit-equal
+    """WITH v AS (SELECT o_orderstatus AS grp, CAST(o_totalprice AS DOUBLE) AS v
+      |           FROM orders WHERE o_totalprice IS NOT NULL),
+      |r AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+      |        count(*) OVER (PARTITION BY grp) AS n FROM v),
+      |q AS (SELECT grp, max(n) AS n,
+      |        min(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN v END) AS q1,
+      |        min(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN v END) AS q3
+      |      FROM r GROUP BY grp),
+      |f AS (SELECT grp, n, q1, q3,
+      |        q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
+      |SELECT f.grp, CAST(f.n AS BIGINT) AS n, f.q1, f.q3,
+      |  CAST(coalesce(sum(CASE WHEN v.v < f.lo THEN 1 END), 0) AS BIGINT) AS n_low,
+      |  CAST(coalesce(sum(CASE WHEN v.v > f.hi THEN 1 END), 0) AS BIGINT) AS n_high
+      |FROM f JOIN v ON v.grp = f.grp
+      |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.operators.Profiling.iqrOutliers(
+        t(s, d, "orders"), "o_totalprice", "o_orderstatus")
+      .orderBy("grp")
+  }
+
+  q("q_join_nullsafe",
+    // null-safe (<=>) equi-join: derived null keys on BOTH sides so the
+    // null<=>null branch carries real rows at every sf. Stays a hash/SMJ
+    // equi-join (null-safe equality is a join key, not a theta filter)
+    """WITH l AS (SELECT o_orderkey,
+      |    CASE WHEN o_custkey % 997 = 0 THEN NULL ELSE o_custkey END AS lk
+      |  FROM orders),
+      |r AS (SELECT c_custkey,
+      |    CASE WHEN c_custkey % 499 = 0 THEN NULL ELSE c_custkey END AS rk
+      |  FROM customer)
+      |SELECT count(*) AS n_pairs,
+      |  CAST(coalesce(sum(CASE WHEN lk IS NULL THEN 1 END), 0) AS BIGINT) AS n_null_pairs,
+      |  count(DISTINCT rk) AS n_keys_matched
+      |FROM l JOIN r ON l.lk IS NOT DISTINCT FROM r.rk""".stripMargin) { (s, d) =>
+    val l = t(s, d, "orders").select(col("o_orderkey"),
+      when(col("o_custkey") % 997 === 0, lit(null)).otherwise(col("o_custkey")).as("lk"))
+    val r = t(s, d, "customer").select(col("c_custkey"),
+      when(col("c_custkey") % 499 === 0, lit(null)).otherwise(col("c_custkey")).as("rk"))
+    l.join(r, col("lk") <=> col("rk"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("lk").isNull, 1L).otherwise(0L)).as("n_null_pairs"),
+        countDistinct(col("rk")).as("n_keys_matched"))
+  }
+
+  q("q_text_tfidf_pairs",
+    // sparse TF-IDF cosine near-dup pairs (the lexical complement of
+    // q_dedup_embed): vectors over terms with df ≤ 100 (hot terms carry
+    // ~zero idf and would square the inverted self-join), dot over
+    // shared terms, full norms. ln → irrational scores, 6-dp round
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |len AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 100),
+      |w AS (SELECT tf.doc_id, tf.term,
+      |        CAST(tf.tf AS DOUBLE) / len.len *
+      |          ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df.df) AS w
+      |      FROM tf JOIN df USING (term) JOIN len USING (doc_id)),
+      |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+      |dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+      |        FROM w a JOIN w b USING (term)
+      |        WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+      |FROM dot JOIN norms na ON id_a = na.doc_id JOIN norms nb ON id_b = nb.doc_id
+      |WHERE dot / (na.nrm * nb.nrm) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.tfIdfCosinePairs(
+        t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.6, maxTermDf = 100L)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("id_a", "id_b")
+  }
+
   // --------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = registry.map { case (k, (f, _)) => k -> f }.toMap

@@ -86,4 +86,58 @@ object LinkGraph {
     withDeg.unpersist(blocking = false)
     ranks
   }
+
+  /** Exact triangle count over an undirected graph — the degree-ordered
+    * edge-iterator algorithm: canonicalize and dedup edges, orient each
+    * edge from its lower-(degree, node) endpoint to the higher, then
+    * each triangle has EXACTLY ONE node with two outgoing edges, so
+    * wedges (two out-edges of one node, deduped by t₁ < t₂) closed
+    * against the undirected edge set count each triangle once.
+    *
+    * The orientation is the scale move: out-degree in the oriented DAG
+    * is ≤ √(2m) for every node, so the wedge join generates at most
+    * O(m^1.5) rows no matter how skewed the raw degree distribution is
+    * — orienting by node id alone would square the hottest hub.
+    *
+    * @param edges frame with two node columns (any direction, dups and
+    *              self-loops tolerated: self-loops are dropped)
+    * @return one row: (n_nodes, n_edges, n_triangles) */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val pairs = edges
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = pairs.select(col("u").as("n"))
+      .unionAll(pairs.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = pairs
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), Seq("v"))
+    val oriented = withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        col("u")).otherwise(col("v")).as("s"),
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        col("v")).otherwise(col("u")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.select(col("s"), col("t").as("t1"))
+      .join(oriented.select(col("s"), col("t").as("t2")), Seq("s"))
+      .filter(col("t1") < col("t2"))
+    val tri = wedges.join(pairs,
+      pairs("u") === least(col("t1"), col("t2")) &&
+        pairs("v") === greatest(col("t1"), col("t2")))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
+    val out = nodes.crossJoin(nEdges)
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    // force the one-row result while inputs are persisted, then hand back
+    // a LITERAL frame — a consumer re-executing the returned plan after
+    // unpersist would otherwise recompute the whole wedge join uncached
+    val row = out.collect()
+    pairs.unpersist(blocking = false)
+    oriented.unpersist(blocking = false)
+    edges.sparkSession.createDataFrame(
+      java.util.Arrays.asList(row: _*), out.schema)
+  }
 }

@@ -194,6 +194,71 @@ object Profiling {
     * row-sized) and a single global aggregate folds the report row.
     * Null keys never match in an equi-join, so they are counted as
     * orphans on their side. */
+  /** Per-group IQR (Tukey-fence) outlier profile: type-1 (discrete)
+    * quartiles — the value at rank ceil(p·n), a DATA value, never an
+    * interpolated double — so the fences are exact arithmetic on exact
+    * inputs and the outlier COUNTS replay bit-equal in any engine (an
+    * interpolated quartile's low bits could flip a boundary comparison).
+    * Output per group: n, q1, q3, fences, outlier counts per side.
+    *
+    * Shape: one rank window per group (the keyed exchange), quartile
+    * rows selected by position, fences broadcast back onto the same
+    * frame. Exact per-group quantiles need the per-group sort at any
+    * scale; the approx swap is [[Sampling.histogramQuantiles]] (bounded
+    * state), same as profileColumns' HLL swap. Null values are ignored
+    * (no rank, not counted). */
+  def iqrOutliers(df: DataFrame, valueCol: String, byCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(byCol).as("grp"), col(valueCol).cast("double").as("v"))
+    val w = Window.partitionBy("grp").orderBy("v")
+    val ranked = vals
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+    val quarts = ranked
+      .filter(col("rn") === ceil(col("n") * 0.25) ||
+        col("rn") === ceil(col("n") * 0.75))
+      .groupBy("grp")
+      .agg(min(when(col("rn") === ceil(col("n") * 0.25), col("v"))).as("q1"),
+        min(when(col("rn") === ceil(col("n") * 0.75), col("v"))).as("q3"),
+        max(col("n")).as("n"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    vals.join(broadcast(quarts), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_high"))
+  }
+
+  /** Chi-square test of independence between two categorical columns:
+    * observed grid (one keyed count — the only data-sized shuffle), row
+    * and column totals as aggregates OF the grid, the FULL expected grid
+    * (row × column totals, so zero-observed cells contribute their
+    * expected mass, the textbook statistic), and the statistic summed
+    * through the VARCHAR→DECIMAL bridge so the ≤|a|·|b|-term double sum
+    * is order-independent and replays exactly (the q_tpch1 discipline).
+    * Output: one row (n, dof, chi2 at 6 dp). Null categories count as
+    * their own level on both axes. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = obs.groupBy("a").agg(sum(col("o")).as("ra"))
+    val cb = obs.groupBy("b").agg(sum(col("o")).as("cb"))
+    val tot = obs.agg(sum(col("o")).as("t"))
+    val e = col("ra").cast("double") * col("cb") / col("t")
+    val contrib = (coalesce(col("o"), lit(0L)).cast("double") - e) *
+      (coalesce(col("o"), lit(0L)).cast("double") - e) / e
+    ra.crossJoin(broadcast(cb)).crossJoin(broadcast(tot))
+      .join(obs, Seq("a", "b"), "left")
+      // struct-wrapped distincts so a NULL category counts as a level
+      .agg(max(col("t")).as("n"),
+        ((countDistinct(struct(col("a"))) - 1) *
+          (countDistinct(struct(col("b"))) - 1)).as("dof"),
+        round(sum(contrib.cast("decimal(38,18)")), 6).cast("double").as("chi2"))
+  }
+
   def joinKeyStats(left: DataFrame, lKey: String,
       right: DataFrame, rKey: String): DataFrame = {
     val lh = left.groupBy(col(lKey).as("_lk")).agg(count(lit(1)).as("_lc"))

@@ -198,6 +198,53 @@ object TextAnalysis {
       .select("doc_id", "term", "tfidf", "rk")
   }
 
+  /** Sparse TF-IDF cosine near-dup pairs — the LEXICAL complement of the
+    * dense embedding dedup ([[Similarity]]): docs are tf-idf vectors over
+    * terms with df ≤ `maxTermDf` (hot terms carry ~zero idf weight AND
+    * would make the inverted self-join quadratic — dropping them from the
+    * vectors entirely keeps semantics self-consistent: dot products and
+    * norms use the same vocabulary), pairs discovered by the inverted
+    * self-join on shared terms (df ≥ 2 implicitly), cosine =
+    * dot / (norm_a · norm_b).
+    *
+    * Scale shape: one token shuffle into tf, df and norms are aggregates
+    * OF tf, the pair shuffle is keyed on (id_a, id_b) over rare-term
+    * buckets bounded by maxTermDf² per term — the
+    * [[Dedup.ngramJaccardPairsFrom]] discipline with weights. Weight =
+    * (tf/len)·ln(N/df) ([[tfIdfTopTerms]]'s formula): the ln makes every
+    * score irrational, so a 6-dp round replays across engines without a
+    * decimal bridge. */
+  def tfIdfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxTermDf: Long = 1000L): DataFrame = {
+    val n = docs.count() // corpus size: one scalar, the only driver value
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val len = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxTermDf)
+    val w = tf.join(dft, Seq("term")).join(len, Seq("doc_id"))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") / col("len") *
+          log(lit(n.toDouble) / col("df"))).as("w"))
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val a = w.select(col("term"), col("doc_id").as("id_a"), col("w").as("wa"))
+    val b = w.select(col("term"), col("doc_id").as("id_b"), col("w").as("wb"))
+    val dot = a.join(b, Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dot
+      .join(norms.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("norm", "na"), Seq("id_a"))
+      .join(norms.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("norm", "nb"), Seq("id_b"))
+      .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** HTML entities decoded by [[stripHtml]], applied via literal
     * `replace` (no regex): `&amp;` LAST so double-encoded text
     * (`&amp;lt;`) decodes one level per pass, the standard behavior. */

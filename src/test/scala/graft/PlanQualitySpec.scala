@@ -627,6 +627,34 @@ class PlanQualitySpec extends SparkTestBase {
       s"each side should collapse to its histogram pre-join:\n$p")
   }
 
+  test("q_graph_triangles: keyed equi-joins only — never a cartesian wedge product") {
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting must stay on equi-joins:\n$p")
+  }
+
+  test("q_join_nullsafe: null-safe equality plans as a hash/merge equi-join") {
+    val p = plan("q_join_nullsafe")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"<=> must be a join KEY, not a post-product filter:\n$p")
+  }
+
+  test("q_text_tfidf_pairs: inverted self-join on terms — no cartesian, df prefilter aggregates") {
+    val p = plan("q_text_tfidf_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"sparse cosine must pair via the term index:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"tf/df aggregates should combine partially:\n$p")
+  }
+
+  test("q_profile_outliers: windows are GROUP-keyed — no single-partition sort of the table") {
+    val p = plan("q_profile_outliers")
+    assert(p.contains("Window"), s"expected the per-group rank window:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id")
+      || p.indexOf("Window") < p.indexOf("Exchange SinglePartition"),
+      s"rank window collapsed to one partition:\n$p")
+  }
+
   test("q_text_bm25_indexed probes prune at the FILE level (term-bucket partition filter)") {
     val p = SparkEntry.queries("q_text_bm25_indexed")(spark, sf())
       .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")

@@ -205,6 +205,46 @@ class ChangeCaptureSpec extends SparkTestBase {
     }
   }
 
+  // --------------------------------------------------- outliers & chi-square
+
+  test("iqrOutliers: type-1 quartiles, fences, per-side counts, nulls ignored") {
+    // group g: values 1..11 and an outlier 100; n=12, q1 = rank ceil(3)=3
+    // -> value 3, q3 = rank 9 -> value 9, iqr 6, lo = -6, hi = 18
+    val df = (Seq.range(1, 12).map(v => ("g", Some(v.toDouble))) :+
+      (("g", Some(100.0))) :+ (("g", None: Option[Double])))
+      .toDF("grp", "v")
+    val out = Profiling.iqrOutliers(df, "v", "grp")
+      .as[(String, Long, Double, Double, Long, Long)].head()
+    assert(out == (("g", 12L, 3.0, 9.0, 0L, 1L)))
+  }
+
+  test("chiSquare: zero for an exactly independent 2x2, dof counts null levels") {
+    // perfectly independent: o(a,b) = ra*cb/n for every cell -> chi2 = 0
+    val ind = Seq.fill(4)(("x", "u")) ++ Seq.fill(4)(("y", "u")) ++
+      Seq.fill(2)(("x", "v")) ++ Seq.fill(2)(("y", "v"))
+    val r = Profiling.chiSquare(ind.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double)].head()
+    assert(r == ((12L, 1L, 0.0)))
+    // a NULL category is a level: 3 a-levels (x, y, null) x 2 b-levels
+    val withNull = ind ++ Seq((null.asInstanceOf[String], "u"))
+    val r2 = Profiling.chiSquare(withNull.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Double)].head()
+    assert(r2._1 == 13L && r2._2 == 2L && r2._3 > 0.0)
+  }
+
+  test("tfIdfCosinePairs: identical docs score 1.0, disjoint docs never pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota"),
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.tfIdfCosinePairs(
+        docs, "doc_id", "text", threshold = 0.5, maxTermDf = 100L)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 2L)))
+    assert(math.abs(out.head._3 - 1.0) < 1e-12)
+  }
+
   // --------------------------------------------------------- join key stats
 
   test("joinKeyStats: orphans, overlap and fanout on a hand frame with nulls") {

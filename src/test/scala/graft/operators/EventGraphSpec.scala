@@ -143,6 +143,22 @@ class EventGraphSpec extends SparkTestBase {
     assert(r == Seq((d("2024-01-01"), 2L), (d("2024-01-02"), 2L), (d("2024-01-03"), 1L)))
   }
 
+  test("triangleCount: hand graphs — K4, closed star, dups and self-loops tolerated") {
+    // K4 = 4 triangles, 6 edges, 4 nodes
+    val k4 = (for { i <- 1L to 4L; j <- 1L to 4L if i < j } yield (i, j))
+      .toDF("a", "b")
+    val r1 = LinkGraph.triangleCount(k4, "a", "b")
+      .as[(Long, Long, Long)].head()
+    assert(r1 == ((4L, 6L, 4L)))
+    // hub star 0-{1..5} (degree skew) + one closing edge 1-2 → 1 triangle;
+    // reversed dups and a self-loop must not change anything
+    val star = Seq((0L, 1L), (1L, 0L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (0L, 5L), (1L, 2L), (3L, 3L)).toDF("a", "b")
+    val r2 = LinkGraph.triangleCount(star, "a", "b")
+      .as[(Long, Long, Long)].head()
+    assert(r2 == ((6L, 6L, 1L)))
+  }
+
   test("topPaths: first-k order, tie-break by event_id, top-N tie order") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val ev = Seq(
