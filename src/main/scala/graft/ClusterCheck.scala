@@ -72,6 +72,7 @@ object ClusterCheck {
     "q_multimodal_frames",        // mapPartitions byte slicing across executor JVMs (r6d)
     "q_graph_triangles",          // persisted oriented edges + literal re-frame (r6d)
     "q_text_tfidf_pairs",         // weighted inverted self-join across executors (r6d)
+    "q_join_jarowinkler",         // JaroWinkler StaticInvoke on executor JVMs (r6d)
   )
 
   private def runAll(master: String, sfDir: String): Map[String, Seq[String]] = {

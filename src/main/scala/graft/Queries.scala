@@ -4223,6 +4223,29 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  q("q_join_jarowinkler",
+    // SNM blocking + Jaro–Winkler verify (the classic name-matcher: JW
+    // weighs shared prefixes, SNM bounds candidates since JW has no
+    // edit-distance blocking guarantee). graft.functions.JaroWinkler is
+    // BIT-compatible with DuckDB's jaro_winkler_similarity (verified on
+    // 3,000 random pairs), so the 0.95 threshold and the 6-dp scores
+    // replay exactly; output rounds through the VARCHAR→DECIMAL bridge
+    """WITH r AS (
+      |  SELECT c_custkey AS id, c_name AS s,
+      |    row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+      |  FROM customer WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(round(CAST(CAST(jaro_winkler_similarity(a.s, b.s) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS jw
+      |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 9
+      |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.95
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.FuzzyJoin.sortedNeighborhoodJaroWinkler(
+        t(s, d, "customer"), "c_custkey", "c_name",
+        sortKey = col("c_name"), window = 10, minSim = 0.95)
+      .withColumn("jw", round(col("jw"), 6))
+      .orderBy("id_a", "id_b")
+  }
+
   q("q_dedup_containment",
     // DIRECTED n-gram containment: |sh(a) ∩ sh(b)| / |sh(a)| ≥ 0.8 —
     // catches a short doc embedded in a long one, invisible to

@@ -166,8 +166,20 @@ object FuzzyJoin {
   def sortedNeighborhoodJoin(df: DataFrame, idCol: String, strCol: String,
       sortKey: Column, window: Int, maxDist: Int,
       partitions: Int = 0): DataFrame = {
-    require(window >= 2, s"window must be >= 2, got $window")
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    sortedNeighborhoodPairs(df, idCol, strCol, sortKey, window, partitions)
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** The SNM candidate core shared by every verify metric: raw window
+    * pairs (id_a, id_b, _sa, _sb) with id_a preceding id_b in the
+    * (sortKey, id) total order. See [[sortedNeighborhoodJoin]] for the
+    * blocking semantics and the distributed-rank shape. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, strCol: String,
+      sortKey: Column, window: Int, partitions: Int = 0): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
     val spark = df.sparkSession
     val nPart =
       if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
@@ -218,8 +230,25 @@ object FuzzyJoin {
     val b = ranked.select(col("_rank").as("_t"),
       col("_id").as("id_b"), col("_s").as("_sb"))
     a.join(b, Seq("_t"))
-      .withColumn("dist", levenshtein(col("_sa"), col("_sb")).cast("long"))
-      .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .select(col("id_a"), col("id_b"), col("_sa"), col("_sb"))
+  }
+
+  /** SNM pairing verified by Jaro–Winkler instead of Levenshtein — the
+    * classic name-matching combination (JW weighs shared prefixes, the
+    * usual surname/typo signal; SNM supplies bounded candidates since JW
+    * has no edit-bound blocking guarantee to exploit). Scores come from
+    * [[graft.functions.JaroWinkler]], bit-compatible with DuckDB's
+    * `jaro_winkler_similarity`, so thresholds and output replay exactly.
+    *
+    * @return (id_a, id_b, jw) for window pairs with jw ≥ minSim */
+  def sortedNeighborhoodJaroWinkler(df: DataFrame, idCol: String,
+      strCol: String, sortKey: Column, window: Int, minSim: Double,
+      partitions: Int = 0): DataFrame = {
+    require(minSim >= 0.0 && minSim <= 1.0, s"minSim must be in [0,1], got $minSim")
+    sortedNeighborhoodPairs(df, idCol, strCol, sortKey, window, partitions)
+      .withColumn("jw",
+        graft.functions.JaroWinkler.jaroWinklerCol(col("_sa"), col("_sb")))
+      .filter(col("jw") >= minSim)
+      .select(col("id_a"), col("id_b"), col("jw"))
   }
 }

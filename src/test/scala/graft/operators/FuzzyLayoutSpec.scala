@@ -165,6 +165,41 @@ class FuzzyLayoutSpec extends SparkTestBase {
     assert(out == Seq((1L, 2L, 1L)))
   }
 
+  // ------------------------------------------------------- jaro-winkler
+
+  test("JaroWinkler matches DuckDB's jaro_winkler_similarity on pinned cases") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.functions.JaroWinkler.jaroWinkler(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    // values captured from DuckDB v1.0 jaro_winkler_similarity — full
+    // double precision, compared EXACTLY (the replay contract)
+    assert(jw("MARTHA", "MARHTA") == 0.9611111111111111)
+    assert(jw("DIXON", "DICKSONX") == 0.8133333333333332)
+    assert(jw("JELLYFISH", "SMELLYFISH") == 0.8962962962962964)
+    assert(jw("CRATE", "TRACE") == 0.7333333333333334)     // jaro > 0.7, prefix 0
+    assert(jw("abcdxxxxxx", "abcdyyyyyy") == 0.6)          // no boost at jaro <= 0.7
+    assert(jw("abcdefxxxx", "abcdefyyyy") == 0.8400000000000001) // prefix capped at 4
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "abc") == 0.0)
+    assert(jw("", "") == 0.0)                               // DuckDB convention
+    assert(jw("a", "b") == 0.0)
+    assert(jw("aaaaa", "aaaa") == 0.96)
+  }
+
+  test("sortedNeighborhoodJaroWinkler scores window pairs, respects threshold") {
+    val rows = Seq(
+      (1L, "martha"), (2L, "marhta"), (3L, "marsha"), (4L, "zzzzz"))
+      .toDF("id", "s")
+    val out = FuzzyJoin.sortedNeighborhoodJaroWinkler(
+        rows, "id", "s", col("s"), window = 4, minSim = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    // sort order: marhta(2), marsha(3), martha(1), zzzzz(4); all three
+    // m-names pair within the window, zzzzz matches nothing at 0.9
+    assert(out.map(r => (r._1, r._2)) == Seq((2L, 1L), (2L, 3L), (3L, 1L)))
+    assert(out.forall(_._3 >= 0.9))
+  }
+
   // ------------------------------------------------------------ z-order
 
   test("zorderKey interleaves bits exactly (x even positions, y odd)") {
