@@ -2306,6 +2306,38 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  q("q_dedup_minhash_est",
+    // sketch-only refine: Jaccard ESTIMATES for the banded candidate
+    // pairs from signature slot agreement alone (no second shingle
+    // shuffle). 64 is a power of two, so k/64 is an EXACT double —
+    // estimates replay bit-equal with no rounding bridge
+    """WITH words AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |  [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 1))])) AS s
+      |  FROM words),
+      |h AS (SELECT doc_id, md5_number_lower(s)::HUGEINT AS lo,
+      |             md5_number_upper(s)::HUGEINT AS hi FROM sh),
+      |mh AS (SELECT doc_id, i,
+      |         min((lo + i * hi) % 18446744073709551616::HUGEINT) AS v
+      |       FROM h, range(64) t(i) GROUP BY 1, 2),
+      |bands AS (SELECT doc_id, (i // 4) AS band,
+      |            md5_number_lower(CAST(i // 4 AS VARCHAR) || '|' ||
+      |              string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS bucket
+      |          FROM mh GROUP BY doc_id, (i // 4)),
+      |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |          FROM bands a JOIN bands b USING (band, bucket)
+      |          WHERE a.doc_id < b.doc_id),
+      |agree AS (SELECT p.id_a, p.id_b,
+      |            sum(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END) AS k
+      |          FROM pairs p JOIN mh ma ON ma.doc_id = p.id_a
+      |          JOIN mh mb ON mb.doc_id = p.id_b AND mb.i = ma.i
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b, CAST(k AS DOUBLE) / 64 AS est_jaccard
+      |FROM agree ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.minHashJaccardEstimates(sharedShingles(s, d))
+      .orderBy("id_a", "id_b")
+  }
+
   q("q_dedup_simhash",
     // word hash = md5_lower64(w); signature bit i = majority vote of bit i
     // (the i=63 term is the sign bit: -2^63 in two's complement); chunk
@@ -4544,6 +4576,7 @@ object Queries {
     "q_decontaminate_bloom" -> Seq("shingles"),
     "q_dedup_incremental" -> Seq("shingles"),
     "q_dedup_minhash" -> Seq("shingles"),
+    "q_dedup_minhash_est" -> Seq("shingles"),
     "q_corpus_clean" -> Seq("shingles"),
     "q_dedup_spans" -> Seq("spans"),
     "q_dedup_spans_strip" -> Seq("spans"),

@@ -205,6 +205,34 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Jaccard ESTIMATES for the LSH candidate pairs from their MinHash
+    * signatures alone — the sketch-only refine step: est = fraction of
+    * agreeing slots (an unbiased estimator of Jaccard), computed without
+    * ever touching the shingle sets again. At 100 TB this is the point
+    * of carrying signatures: candidate scoring is a signature join +
+    * one map-side array comparison, not a second shingle shuffle.
+    * Because numHashes is a power of two, agree/numHashes is an EXACT
+    * double — estimates replay bit-equal in any engine.
+    *
+    * @return (id_a, id_b, est_jaccard) for every banded candidate pair */
+  def minHashJaccardEstimates(shingled: DataFrame, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(numHashes >= 1 && (numHashes & (numHashes - 1)) == 0,
+      s"numHashes must be a power of two for exact-double estimates, got $numHashes")
+    val sigs = minHashSignaturesFrom(shingled, numHashes)
+    val cands = minHashCandidatesFrom(shingled, numHashes, bands)
+    val agree = aggregate(
+      zip_with(col("_sa"), col("_sb"), (x, y) => (x === y).cast("int")),
+      lit(0), (acc, v) => acc + v)
+    cands
+      .join(sigs.select(col("doc_id").as("id_a"), col("signature").as("_sa")),
+        Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("signature").as("_sb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (agree.cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+  }
+
   /** Incremental LSH: near-dup CANDIDATES of new docs vs an existing
     * corpus represented ONLY by its banded signature index
     * ([[minHashBands]] output, typically persisted) — the corpus text is

@@ -31,6 +31,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(cand.size < nDocs * (nDocs - 1) / 4, "candidate set degenerated")
   }
 
+  test("minHashJaccardEstimates track exact Jaccard on the candidate pairs") {
+    val shingled = Dedup.shingleExplode(docs, "doc_id", "text")
+    val est = Dedup.minHashJaccardEstimates(shingled)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est.nonEmpty, "no candidate pairs on the fixture")
+    // exact Jaccard with no df cap for the same pairs
+    val exact = Dedup.ngramJaccardPairsFrom(shingled, threshold = 0.0,
+        maxShingleDf = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    est.foreach { case (pair, e) =>
+      val x = exact.getOrElse(pair, 0.0)
+      assert(math.abs(e - x) <= 0.25,
+        s"estimate $e vs exact $x for $pair — 64-slot MinHash should be within ~2σ")
+      assert(e >= 0.0 && e <= 1.0)
+    }
+    // estimates are exact multiples of 1/64 (the exact-double contract)
+    est.values.foreach(e => assert((e * 64) == math.rint(e * 64)))
+  }
+
   test("incremental LSH vs a persisted band index recalls cross-set near-dups") {
     val existing = docs.filter(col("doc_id") % 2 === 0)
     val fresh = docs.filter(col("doc_id") % 2 === 1)

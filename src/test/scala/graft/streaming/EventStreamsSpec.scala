@@ -158,6 +158,26 @@ class EventStreamsSpec extends SparkTestBase {
     assert(es.exceptAll(eb).isEmpty && eb.exceptAll(es).isEmpty)
   }
 
+  test("streaming trending top-k: TypedImperativeAggregate buffers through streaming state") {
+    // TopKAgg is a TypedImperativeAggregate — its serialize/merge path
+    // through the streaming state store is exactly what local batch
+    // execution never exercises. Trending = top-5 events by value per
+    // type (ONE stateful aggregation: streaming forbids chaining them).
+    val top = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("event_type")
+        .agg(graft.functions.SketchAggregates.topKAgg(
+          col("value"), col("event_id"), 5).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), col("col.id").as("event_id"),
+          round(col("col.score"), 6).as("value"),
+          (col("pos") + 1).cast("long").as("rk"))
+    val s = EventStreams.runAvailableNow(spark, top(stream), "t_trend",
+      outputMode = "complete")
+    val b = top(batch)
+    assert(s.count() > 0)
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
+  }
+
   test("corpus ingest starts on an empty source dir when given a schema") {
     import org.apache.spark.sql.types._
     val root = java.nio.file.Files.createTempDirectory("ingest_empty")
