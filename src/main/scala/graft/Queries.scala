@@ -4425,28 +4425,38 @@ object Queries {
   }
 
   q("q_graph_triangles",
-    // exact triangle count over the part co-purchase graph (parts sharing
-    // an order). Engine = degree-ordered edge iterator: orient each edge
-    // low→high (degree, node), wedges from out-pairs, close against the
-    // undirected set — O(m^1.5) candidates at ANY degree skew. The oracle
-    // computes the same result the textbook u<v<w way
+    // triangle statistics over the part co-purchase graph via exact
+    // counting on a DETERMINISTIC node sample (keep parts ≡ 0 mod 4):
+    // each triangle survives with (1/4)³, so est_total = 64 × count is
+    // the standard unbiased sparsified estimator — the scale practice
+    // for a graph whose full wedge set grows ~degree² (measured: exact
+    // full-graph 27.5 s at sf0.1 / 1139 s at sf5; sampled ~64× cheaper,
+    // same operator). Engine = degree-ordered edge iterator: orient
+    // low→high (degree, node), wedges from out-pairs (O(m^1.5) at ANY
+    // skew), close against the undirected set. The oracle replays the
+    // sample and counts the textbook u<v<w way
     """WITH pairs AS (
       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       |  FROM lineitem a JOIN lineitem b
-      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0),
       |nodes AS (SELECT count(DISTINCT n) AS n_nodes FROM
       |  (SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs)),
       |tri AS (SELECT count(*) AS n_triangles
       |        FROM pairs e1 JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
       |        JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v)
-      |SELECT n_nodes, (SELECT count(*) FROM pairs) AS n_edges, n_triangles
+      |SELECT n_nodes, (SELECT count(*) FROM pairs) AS n_edges, n_triangles,
+      |  64 * n_triangles AS est_total
       |FROM nodes, tri""".stripMargin) { (s, d) =>
-    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+    val li = t(s, d, "lineitem")
+      .filter(col("l_partkey") % 4 === 0)
+      .select("l_orderkey", "l_partkey")
     val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
     val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
     val edges = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
       .select("pa", "pb")
     graft.operators.LinkGraph.triangleCount(edges, "pa", "pb")
+      .withColumn("est_total", col("n_triangles") * 64)
   }
 
   q("q_stat_chisq",
