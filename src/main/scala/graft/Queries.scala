@@ -3694,6 +3694,28 @@ object Queries {
         t(s, d, "documents"), "doc_id", col("n_chars").cast("double"), n = 200)
   }
 
+  q("q_sample_weighted_grouped",
+    // per-stratum E-S weighted sampling (top 50 per lang by ln(u)/w):
+    // ONE bounded-heap aggregate selects every stratum's sample in a
+    // single pass — ≤ n rows per group per mapper, no window, no global
+    // sort; the oracle's per-group window replays the heap's selection
+    """WITH keyed AS (
+      |  SELECT lang, doc_id,
+      |    ln((md5_number_lower(CAST(doc_id AS VARCHAR)) >> 11) / 9007199254740992.0)
+      |      / n_chars AS wkey
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND n_chars > 0),
+      |r AS (SELECT lang AS grp, doc_id, wkey,
+      |        row_number() OVER (PARTITION BY lang ORDER BY wkey DESC, doc_id) AS rk
+      |      FROM keyed)
+      |SELECT grp, doc_id, round(wkey, 6) AS wkey, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 50 ORDER BY grp, rk""".stripMargin) { (s, d) =>
+    graft.operators.Sampling.weightedSamplePerGroup(
+        t(s, d, "documents"), "doc_id", "lang",
+        col("n_chars").cast("double"), n = 50)
+      .orderBy("grp", "rk")
+  }
+
   // ------------------------------------------------------------ §2.K LM scoring + link graph (r6)
 
   q("q_text_perplexity",

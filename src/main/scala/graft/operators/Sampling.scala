@@ -339,4 +339,28 @@ object Sampling {
       .select(col(idCol), round(col("__wkey"), 6).as("wkey"))
       .orderBy(idCol)
   }
+
+  /** Per-group Efraimidis–Spirakis weighted sampling without
+    * replacement: [[weightedSample]]'s deterministic ln(u)/w key, but
+    * the n winners come from a bounded-heap TopKAgg PER GROUP — ≤ n
+    * rows per group per mapper cross the exchange, never a global sort
+    * or a per-group window. The stratified form of the same sampler:
+    * one aggregate selects every stratum's sample in a single pass. */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String, groupCol: String,
+      weight: Column, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val u = shiftrightunsigned(
+      graft.functions.NeutralHash.lower64Col(col(idCol).cast("string")), 11)
+      .cast("double") / lit(9007199254740992.0) // 2^53: exact division
+    val key = log(u) / weight
+    df.filter(col(idCol).isNotNull && weight > 0)
+      .select(col(groupCol).as("grp"), col(idCol).as("_id"), key.as("_k"))
+      .groupBy("grp")
+      .agg(graft.functions.SketchAggregates.topKAgg(
+        col("_k"), col("_id"), n).as("top"))
+      .select(col("grp"), posexplode(col("top")))
+      .select(col("grp"), col("col.id").as(idCol),
+        round(col("col.score"), 6).as("wkey"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
 }

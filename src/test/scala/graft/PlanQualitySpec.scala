@@ -627,6 +627,14 @@ class PlanQualitySpec extends SparkTestBase {
       s"each side should collapse to its histogram pre-join:\n$p")
   }
 
+  test("q_sample_weighted_grouped: one heap aggregate per stratum — no window") {
+    val p = plan("q_sample_weighted_grouped")
+    assert(!p.contains("Window"),
+      s"per-group sampling must be the TopKAgg heap, not a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"no heap aggregate:\n$p")
+    assert(p.toLowerCase.contains("partial"), s"no map-side partial heaps:\n$p")
+  }
+
   test("q_graph_triangles: keyed equi-joins only — never a cartesian wedge product") {
     val p = plan("q_graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
