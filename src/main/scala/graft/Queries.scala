@@ -4524,7 +4524,7 @@ object Queries {
       |SELECT f.grp, CAST(f.n AS BIGINT) AS n, f.q1, f.q3,
       |  CAST(coalesce(sum(CASE WHEN v.v < f.lo THEN 1 END), 0) AS BIGINT) AS n_low,
       |  CAST(coalesce(sum(CASE WHEN v.v > f.hi THEN 1 END), 0) AS BIGINT) AS n_high
-      |FROM f JOIN v ON v.grp = f.grp
+      |FROM f JOIN v ON v.grp IS NOT DISTINCT FROM f.grp
       |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin) { (s, d) =>
     graft.operators.Profiling.iqrOutliers(
         t(s, d, "orders"), "o_totalprice", "o_orderstatus")

@@ -224,7 +224,10 @@ object Profiling {
         max(col("n")).as("n"))
       .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
       .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
-    vals.join(broadcast(quarts), Seq("grp"))
+      .withColumnRenamed("grp", "_qgrp")
+    // null-safe: a NULL group key is a real group (its window ranked it);
+    // a plain equi-join would silently drop the whole group here
+    vals.join(broadcast(quarts), col("grp") <=> col("_qgrp"))
       .groupBy(col("grp"))
       .agg(max(col("n")).as("n"),
         max(col("q1")).as("q1"), max(col("q3")).as("q3"),

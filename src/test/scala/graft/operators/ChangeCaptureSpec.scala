@@ -218,6 +218,18 @@ class ChangeCaptureSpec extends SparkTestBase {
     assert(out == (("g", 12L, 3.0, 9.0, 0L, 1L)))
   }
 
+  test("iqrOutliers: a NULL group key is a real group, not silently dropped") {
+    val df = (Seq.range(1, 12).map(v => (None: Option[String], Some(v.toDouble))) :+
+      ((None: Option[String], Some(100.0))) :+ ((Some("g"), Some(1.0))))
+      .toDF("grp", "v")
+    val out = Profiling.iqrOutliers(df, "v", "grp")
+      .orderBy(asc_nulls_first("grp"))
+      .as[(Option[String], Long, Double, Double, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (None, 12L, 3.0, 9.0, 0L, 1L),
+      (Some("g"), 1L, 1.0, 1.0, 0L, 0L)))
+  }
+
   test("chiSquare: zero for an exactly independent 2x2, dof counts null levels") {
     // perfectly independent: o(a,b) = ra*cb/n for every cell -> chi2 = 0
     val ind = Seq.fill(4)(("x", "u")) ++ Seq.fill(4)(("y", "u")) ++
