@@ -1551,6 +1551,41 @@ object Queries {
       .orderBy("column_name")
   }
 
+  q("q_meta_schema_drift", {
+    val mapT = (e: String) =>
+      s"""CASE $e WHEN 'VARCHAR' THEN 'character' WHEN 'INTEGER' THEN 'int'
+         |  WHEN 'BIGINT' THEN 'long' WHEN 'DOUBLE' THEN 'double'
+         |  WHEN 'FLOAT' THEN 'float' WHEN 'DATE' THEN 'date'
+         |  WHEN 'BOOLEAN' THEN 'boolean' WHEN 'BLOB' THEN 'binary'
+         |  ELSE CASE WHEN $e LIKE 'TIMESTAMP%' THEN 'datetime'
+         |            ELSE lower($e) END END""".stripMargin
+    // drift between the documents snapshot and a "next version" of it:
+    // source dropped, n_chars narrowed to int, quality added — all four
+    // statuses exercised; the oracle DESCRIBEs the same two shapes
+    s"""WITH l AS (SELECT column_name, ${mapT("column_type")} AS t
+       |  FROM (DESCRIBE documents)),
+       |r AS (SELECT column_name, ${mapT("column_type")} AS t
+       |  FROM (DESCRIBE (SELECT doc_id, text, lang,
+       |    CAST(n_chars AS INTEGER) AS n_chars,
+       |    CAST(1.0 AS DOUBLE) AS quality FROM documents))),
+       |j AS (SELECT coalesce(l.column_name, r.column_name) AS column_name,
+       |        l.t AS type_left, r.t AS type_right
+       |      FROM l FULL JOIN r ON l.column_name = r.column_name)
+       |SELECT column_name, type_left, type_right,
+       |  CASE WHEN type_left IS NULL THEN 'added'
+       |       WHEN type_right IS NULL THEN 'removed'
+       |       WHEN type_left = type_right THEN 'unchanged'
+       |       ELSE 'retyped' END AS status
+       |FROM j ORDER BY column_name""".stripMargin
+  }) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val next = docs.select(col("doc_id"), col("text"), col("lang"),
+      col("n_chars").cast("int").as("n_chars"),
+      lit(1.0).as("quality"))
+    graft.catalog.GraftCatalog.schemaDiff(s, docs.schema, next.schema)
+      .orderBy("column_name")
+  }
+
   // ------------------------------------------------------------ §2.K LLM-pipeline ops
 
   q("q_dedup_exact",

@@ -481,4 +481,38 @@ object GraftCatalog {
   def tableMetaFromParquet(spark: SparkSession, name: String, location: String,
       path: String): TableMeta =
     TableMeta.fromSparkSchema(name, location, spark.read.parquet(path).schema)
+
+  /** Column-level schema drift between two snapshots of a table: every
+    * column of either side with its agnostic type on each and a status —
+    * `unchanged` / `retyped` / `removed` (left only) / `added` (right
+    * only). The evolution report a catalog tool emits before deciding
+    * whether a new snapshot can register over an existing declaration
+    * (the reference's update-table workflow compares declared column
+    * lists the same way, `etl_manager/meta.py:262-320`).
+    *
+    * Schemas are METADATA — the diff is O(#columns) driver work, no data
+    * scan at any table size. Types render through
+    * [[graft.types.AgnosticType]], the same engine-neutral names the
+    * metadata layer round-trips. */
+  def schemaDiff(spark: SparkSession,
+      left: org.apache.spark.sql.types.StructType,
+      right: org.apache.spark.sql.types.StructType): DataFrame = {
+    import spark.implicits._
+    val l = left.fields.map(f =>
+      f.name -> graft.types.AgnosticType.print(f.dataType)).toMap
+    val r = right.fields.map(f =>
+      f.name -> graft.types.AgnosticType.print(f.dataType)).toMap
+    val names =
+      (left.fields.map(_.name) ++ right.fields.map(_.name)).distinct.sorted
+    names.map { n =>
+      val (tl, tr) = (l.get(n), r.get(n))
+      val status = (tl, tr) match {
+        case (Some(a), Some(b)) => if (a == b) "unchanged" else "retyped"
+        case (Some(_), None) => "removed"
+        case (None, Some(_)) => "added"
+        case (None, None) => throw new IllegalStateException(n)
+      }
+      (n, tl.orNull, tr.orNull, status)
+    }.toSeq.toDF("column_name", "type_left", "type_right", "status")
+  }
 }

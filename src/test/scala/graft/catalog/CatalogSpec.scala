@@ -440,4 +440,25 @@ class CatalogSpec extends SparkTestBase {
       Seq("long", "long", "long", "int", "double"))
     assert(t.columns.find(_.name == "l_shipdate").get.typeName == "datetime")
   }
+
+  test("schemaDiff: all four statuses, nested types, deterministic order") {
+    import org.apache.spark.sql.types._
+    val left = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("c", ArrayType(FloatType)), StructField("gone", DateType)))
+    val right = StructType(Seq(
+      StructField("a", LongType),                    // unchanged
+      StructField("b", IntegerType),                 // retyped
+      StructField("c", ArrayType(DoubleType)),       // retyped (nested)
+      StructField("fresh", BooleanType)))            // added
+    val out = GraftCatalog.schemaDiff(spark, left, right)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSeq.sortBy(_._1)
+    assert(out == Seq(
+      ("a", "long", "long", "unchanged"),
+      ("b", "character", "int", "retyped"),
+      ("c", "array<float>", "array<double>", "retyped"),
+      ("fresh", null, "boolean", "added"),
+      ("gone", "date", null, "removed")))
+  }
 }
