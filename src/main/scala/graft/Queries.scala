@@ -322,6 +322,29 @@ object Queries {
       .orderBy("event_id")
   }
 
+  q("q_join_asof_tolerance",
+    // tolerance-bounded as-of: latest signup at-or-before the purchase
+    // AND within 7 days — a stale match is no match (the ASOF TOLERANCE
+    // refinement). Same carry-forward plan + one map-side gap predicate;
+    // the oracle nulls the carried value past the interval
+    """SELECT p.event_id, p.user_id, p.ts,
+      |  CASE WHEN p.ts - s.ts <= INTERVAL 7 DAY THEN s.event_id END AS signup_event
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_event"))
+    graft.operators.AsOfJoin.asofBackwardWithin(
+        purchases, signups, "user_id", "ts", "ts",
+        Map("signup_event" -> "signup_event"),
+        toleranceUs = 7L * 24 * 3600 * 1000000)
+      .orderBy("event_id")
+  }
+
   q("q_join_asof_forward",
     // forward as-of: each purchase matched to the user's NEXT error
     // at-or-after it (incident attribution). Same union+carry shape as

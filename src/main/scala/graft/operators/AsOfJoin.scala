@@ -35,6 +35,32 @@ object AsOfJoin {
       rightVals: Map[String, String]): DataFrame =
     asofImpl(left, right, key, leftTs, rightTs, rightVals, forward = true)
 
+  /** Backward as-of with a TOLERANCE bound (the `ASOF ... TOLERANCE`
+    * refinement): the match must lie within `toleranceUs` microseconds
+    * at-or-before the left row, else the carried values are NULL — a
+    * stale quote/signup/config older than the window is no match at
+    * all. Same single-exchange carry-forward plan as [[asofBackward]]
+    * plus one map-side gap predicate; time columns must be timestamps.
+    * `rightTs` may not itself appear in `rightVals` (the gap check
+    * carries it internally). */
+  def asofBackwardWithin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVals: Map[String, String],
+      toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
+    require(!rightVals.contains(rightTs),
+      s"carry $rightTs under a different name; asofBackwardWithin reserves it")
+    require(!rightVals.values.exists(_ == "__asof_mts") &&
+      !left.columns.contains("__asof_mts"),
+      "asofBackwardWithin reserves __asof_mts")
+    val withTs = asofBackward(left, right, key, leftTs, rightTs,
+      rightVals + (rightTs -> "__asof_mts"))
+    val gapOk =
+      unix_micros(col(leftTs)) - unix_micros(col("__asof_mts")) <= toleranceUs
+    rightVals.values.foldLeft(withTs) { (df, out) =>
+      df.withColumn(out, when(gapOk, col(out)))
+    }.drop("__asof_mts")
+  }
+
   private def asofImpl(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
       rightVals: Map[String, String], forward: Boolean): DataFrame = {

@@ -28,6 +28,20 @@ class JoinOpsSpec extends SparkTestBase {
     assert(out(0).getLong(3) == 7L)
   }
 
+  test("asofBackwardWithin: stale matches null out, exact-boundary gap kept") {
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val l = Seq((1L, "k", ts(100)), (2L, "k", ts(200)), (3L, "k", ts(50)))
+      .toDF("id", "k", "t")
+    val r = Seq(("k", ts(95), 7L), ("k", ts(10), 9L)).toDF("k", "t", "v")
+    // tolerance 5 s: id1's match is exactly 5 s back (boundary — kept);
+    // id2's latest match is 105 s stale; id3's is 40 s stale
+    val out = AsOfJoin.asofBackwardWithin(l, r, "k", "t", "t",
+        Map("v" -> "v"), toleranceUs = 5000000L)
+      .orderBy("id").collect()
+    assert(out.map(x => Option(x.get(3))).toSeq == Seq(Some(7L), None, None))
+    assert(out.length == 3) // left rows preserved, like the unbounded form
+  }
+
   test("saltedInnerJoin equals the plain join, with salted partitioning") {
     val skewed = (1 to 2000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
       .toDF("k", "v")
