@@ -4358,6 +4358,37 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  q("q_join_snm_multipass",
+    // multi-pass SNM: one pass sorted by name, one by REVERSED name —
+    // the standard recall fix (a leading-character typo lands far away
+    // under the forward sort, adjacent under the reverse). Pairs
+    // canonicalize to (min, max) id before the union dedup
+    """WITH r1 AS (
+      |  SELECT c_custkey AS id, c_name AS s,
+      |    row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+      |  FROM customer WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL),
+      |p1 AS (SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+      |         CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      |       FROM r1 a JOIN r1 b ON b.rn - a.rn BETWEEN 1 AND 9
+      |       WHERE levenshtein(a.s, b.s) <= 2),
+      |r2 AS (
+      |  SELECT c_custkey AS id, c_name AS s,
+      |    row_number() OVER (ORDER BY reverse(c_name), c_custkey) AS rn
+      |  FROM customer WHERE c_name IS NOT NULL AND c_custkey IS NOT NULL),
+      |p2 AS (SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+      |         CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      |       FROM r2 a JOIN r2 b ON b.rn - a.rn BETWEEN 1 AND 9
+      |       WHERE levenshtein(a.s, b.s) <= 2),
+      |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+      |SELECT id_a, id_b, min(dist) AS dist FROM u
+      |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.FuzzyJoin.sortedNeighborhoodMultiPass(
+        t(s, d, "customer"), "c_custkey", "c_name",
+        Seq(col("c_name"), reverse(col("c_name"))),
+        window = 10, maxDist = 2)
+      .orderBy("id_a", "id_b")
+  }
+
   q("q_dedup_containment",
     // DIRECTED n-gram containment: |sh(a) ∩ sh(b)| / |sh(a)| ≥ 0.8 —
     // catches a short doc embedded in a long one, invisible to
@@ -4586,6 +4617,34 @@ object Queries {
       |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin) { (s, d) =>
     graft.operators.Profiling.iqrOutliers(
         t(s, d, "orders"), "o_totalprice", "o_orderstatus")
+      .orderBy("grp")
+  }
+
+  q("q_profile_outliers_mad",
+    // robust (MAD) outlier profile — the Iglewicz–Hoaglin modified
+    // z-score with TYPE-1 medians, so every fence input is a data value
+    // (or an exact difference of two) and the strict-inequality cut
+    // replays bit-equal; tolerates 50% contamination vs Tukey's 25%
+    """WITH v AS (SELECT o_orderstatus AS grp, CAST(o_totalprice AS DOUBLE) AS v
+      |           FROM orders WHERE o_totalprice IS NOT NULL),
+      |rv AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+      |         count(*) OVER (PARTITION BY grp) AS n FROM v),
+      |med AS (SELECT grp, min(v) AS med, max(n) AS n FROM rv
+      |        WHERE rn = CAST(ceil(n * 0.5) AS BIGINT) GROUP BY grp),
+      |dv AS (SELECT v.grp, v.v, abs(v.v - m.med) AS d, m.med, m.n
+      |       FROM v JOIN med m ON v.grp IS NOT DISTINCT FROM m.grp),
+      |rd AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY d, v) AS rn
+      |       FROM dv),
+      |mad AS (SELECT grp, min(d) AS mad FROM rd
+      |        WHERE rn = CAST(ceil(n * 0.5) AS BIGINT) GROUP BY grp)
+      |SELECT dv.grp, CAST(max(dv.n) AS BIGINT) AS n,
+      |  max(dv.med) AS med, max(t.mad) AS mad,
+      |  CAST(coalesce(sum(CASE WHEN CAST(0.6745 AS DOUBLE) * dv.d >
+      |    CAST(3.5 AS DOUBLE) * t.mad THEN 1 END), 0) AS BIGINT) AS n_outliers
+      |FROM dv JOIN mad t ON dv.grp IS NOT DISTINCT FROM t.grp
+      |GROUP BY dv.grp ORDER BY dv.grp""".stripMargin) { (s, d) =>
+    graft.operators.Profiling.madOutliers(
+        t(s, d, "orders"), "o_totalprice", "o_orderstatus", zCut = 3.5)
       .orderBy("grp")
   }
 

@@ -211,15 +211,19 @@ object FuzzyJoin {
         org.apache.spark.sql.types.StringType, nullable = true),
       org.apache.spark.sql.types.StructField("_rank",
         org.apache.spark.sql.types.LongType, nullable = false)))
-    val ranked = sel.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    // rank via the RDD's INTRINSIC partition index, not
+    // TaskContext.getPartitionId: the latter is stage-local, and when two
+    // ranked frames union into one stage (multi-pass SNM) the second
+    // frame's partitions renumber past its offsets array
+    val rankedRdd = sel.rdd.mapPartitionsWithIndex { (pid, it) =>
       var rank = bc.value(pid)
       it.map { r =>
         val out = org.apache.spark.sql.Row(r.getLong(0), r.getString(1), rank)
         rank += 1
         out
       }
-    }(org.apache.spark.sql.Encoders.row(rankedSchema))
+    }
+    val ranked = df.sparkSession.createDataFrame(rankedRdd, rankedSchema)
 
     // candidates: row at rank j meets rows at ranks j+1 … j+w-1 via a
     // bounded explode + equi-join on the dense rank — never a full sort
@@ -231,6 +235,28 @@ object FuzzyJoin {
       col("_id").as("id_b"), col("_s").as("_sb"))
     a.join(b, Seq("_t"))
       .select(col("id_a"), col("id_b"), col("_sa"), col("_sb"))
+  }
+
+  /** Multi-pass SNM — the standard recall fix for single-key sorted
+    * neighborhoods: a pair far apart under one sort key (typo in the
+    * leading character) is usually adjacent under another (e.g. the
+    * REVERSED string), so run one pass per key and union. Pairs
+    * canonicalize to (min id, max id) before the dedup so the same pair
+    * found in different passes (possibly in opposite rank order) counts
+    * once. Cost is exactly #passes × the single-pass bound ((w-1)·n
+    * candidates each) — still never a global window or product. */
+  def sortedNeighborhoodMultiPass(df: DataFrame, idCol: String,
+      strCol: String, sortKeys: Seq[Column], window: Int, maxDist: Int,
+      partitions: Int = 0): DataFrame = {
+    require(sortKeys.nonEmpty, "need at least one sort key")
+    sortKeys.map { k =>
+      sortedNeighborhoodJoin(df, idCol, strCol, k, window, maxDist, partitions)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("dist"))
+    }.reduce(_ unionByName _)
+      .groupBy("id_a", "id_b")
+      // dist is pair-intrinsic — min() is just the dedup fold
+      .agg(min(col("dist")).as("dist"))
   }
 
   /** SNM pairing verified by Jaro–Winkler instead of Levenshtein — the

@@ -47,7 +47,6 @@ object Packing {
       StructField("start_offset", LongType, nullable = false),
       StructField("pack_id", LongType, nullable = false),
       StructField("offset_in_pack", LongType, nullable = false)))
-    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
 
     // phase 1: one (partitionIndex, tokenSum) row per partition
     val partSums = toks.rdd.mapPartitionsWithIndex { (i, it) =>
@@ -62,16 +61,20 @@ object Packing {
     while (i < offsets.length) { offsets(i) += offsets(i - 1); i += 1 }
     val bc = spark.sparkContext.broadcast(offsets)
 
-    // phase 2: local running sum + the partition's global offset
-    toks.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    // phase 2: local running sum + the partition's global offset. The
+    // offset index is the RDD's INTRINSIC partition index, not
+    // TaskContext.getPartitionId — the latter is stage-local and
+    // renumbers when a consumer unions two such frames into one stage
+    // (the bug the multi-pass SNM rank surfaced in FuzzyJoin)
+    val packed = toks.rdd.mapPartitionsWithIndex { (pid, it) =>
       var running = bc.value(pid)
       it.map { r =>
         val start = running
         running += r.getLong(1)
         Row(r.getLong(0), r.getLong(1), start, start / budget, start % budget)
       }
-    }(encoder)
+    }
+    spark.createDataFrame(packed, outSchema)
   }
 
   /** Overlapping fixed-size token-window chunking (RAG / long-doc

@@ -235,6 +235,51 @@ object Profiling {
         sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_high"))
   }
 
+  /** Per-group robust (MAD) outlier profile — the Iglewicz–Hoaglin
+    * modified z-score: a point is an outlier when
+    * 0.6745·|v − median| > zCut·MAD, with both the median and the MAD
+    * taken as TYPE-1 (discrete) quantiles so every fence input is a
+    * data value (or an exact double difference of two data values) and
+    * the boundary comparisons replay bit-equal — the [[iqrOutliers]]
+    * discipline applied to the estimator that tolerates 50% gross
+    * contamination where Tukey fences tolerate 25%. MAD = 0 (a majority
+    * of identical values) flags nothing — strict inequality, the
+    * textbook convention. Null values are ignored.
+    *
+    * Shape: two group-keyed rank windows (values, then absolute
+    * deviations — deviation ties break by value then rank stays total),
+    * fences broadcast back. Exact per-group medians need the per-group
+    * sort; [[graft.operators.Sampling.histogramQuantiles]] is the
+    * bounded-state approx swap. */
+  def madOutliers(df: DataFrame, valueCol: String, byCol: String,
+      zCut: Double = 3.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(zCut > 0, s"zCut must be positive, got $zCut")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(byCol).as("grp"), col(valueCol).cast("double").as("v"))
+    val wv = Window.partitionBy("grp").orderBy("v")
+    val med = vals
+      .withColumn("rn", row_number().over(wv))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      .filter(col("rn") === ceil(col("n") * 0.5))
+      .groupBy("grp").agg(min(col("v")).as("med"), max(col("n")).as("n"))
+      .withColumnRenamed("grp", "_mgrp")
+    val devs = vals.join(broadcast(med), col("grp") <=> col("_mgrp"))
+      .withColumn("d", abs(col("v") - col("med")))
+    val wd = Window.partitionBy("grp").orderBy(col("d"), col("v"))
+    val mad = devs
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === ceil(col("n") * 0.5))
+      .groupBy("grp").agg(min(col("d")).as("mad"))
+      .withColumnRenamed("grp", "_dgrp")
+    devs.join(broadcast(mad), col("grp") <=> col("_dgrp"))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(lit(0.6745) * col("d") > lit(zCut) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Chi-square test of independence between two categorical columns:
     * observed grid (one keyed count — the only data-sized shuffle), row
     * and column totals as aggregates OF the grid, the FULL expected grid

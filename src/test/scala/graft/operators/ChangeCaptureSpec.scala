@@ -230,6 +230,21 @@ class ChangeCaptureSpec extends SparkTestBase {
       (Some("g"), 1L, 1.0, 1.0, 0L, 0L)))
   }
 
+  test("madOutliers: hand-checked median/MAD/fence, zero-MAD flags nothing") {
+    // 1..9 + 100: n=10, type-1 median = 5; deviations sorted (ties by v)
+    // put rank-5 at d=2 -> MAD 2; only d=95 beats 0.6745*d > 3.5*2
+    val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ (("g", 100.0)))
+      .toDF("grp", "v")
+    val out = Profiling.madOutliers(df, "v", "grp")
+      .as[(String, Long, Double, Double, Long)].head()
+    assert(out == (("g", 10L, 5.0, 2.0, 1L)))
+    // constant group: MAD 0, strict inequality flags nothing
+    val const = Seq.fill(6)(("c", 7.0)).toDF("grp", "v")
+    val out2 = Profiling.madOutliers(const, "v", "grp")
+      .as[(String, Long, Double, Double, Long)].head()
+    assert(out2 == (("c", 6L, 7.0, 0.0, 0L)))
+  }
+
   test("chiSquare: zero for an exactly independent 2x2, dof counts null levels") {
     // perfectly independent: o(a,b) = ra*cb/n for every cell -> chi2 = 0
     val ind = Seq.fill(4)(("x", "u")) ++ Seq.fill(4)(("y", "u")) ++

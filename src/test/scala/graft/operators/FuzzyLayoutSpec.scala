@@ -165,6 +165,26 @@ class FuzzyLayoutSpec extends SparkTestBase {
     assert(out == Seq((1L, 2L, 1L)))
   }
 
+  test("sortedNeighborhoodMultiPass: the reverse pass recalls the leading-char typo") {
+    // "aaaaaz" vs "baaaaz" (dist 1) sort far apart FORWARD (fillers
+    // between); reversed ("zaaaaa"/"zaaaab") they are adjacent. A single
+    // forward pass must miss the pair; the multi-pass must find it.
+    val fillers = (0 until 20).map(i => (100L + i, f"am$i%03d"))
+    val rows = (Seq((1L, "aaaaaz"), (2L, "baaaaz")) ++ fillers).toDF("id", "s")
+    val single = FuzzyJoin.sortedNeighborhoodJoin(
+        rows, "id", "s", col("s"), window = 3, maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(!single.contains((1L, 2L, 1L)), "forward pass should miss it")
+    val multi = FuzzyJoin.sortedNeighborhoodMultiPass(
+        rows, "id", "s", Seq(col("s"), reverse(col("s"))),
+        window = 3, maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(multi.contains((1L, 2L, 1L)), s"reverse pass should recall it: $multi")
+    // canonicalized union is a superset of the single pass
+    assert(single.map(t => (math.min(t._1, t._2), math.max(t._1, t._2), t._3))
+      .subsetOf(multi))
+  }
+
   // ------------------------------------------------------- jaro-winkler
 
   test("JaroWinkler matches DuckDB's jaro_winkler_similarity on pinned cases") {
