@@ -73,6 +73,8 @@ object ClusterCheck {
     "q_graph_triangles",          // persisted oriented edges + literal re-frame (r6d)
     "q_text_tfidf_pairs",         // weighted inverted self-join across executors (r6d)
     "q_join_jarowinkler",         // JaroWinkler StaticInvoke on executor JVMs (r6d)
+    "q_join_snm_multipass",       // unioned two-phase ranks: intrinsic partition ids (r6d)
+    "q_profile_outliers_mad",     // null-safe broadcast fence joins across JVMs (r6d)
   )
 
   private def runAll(master: String, sfDir: String): Map[String, Seq[String]] = {

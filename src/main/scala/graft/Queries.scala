@@ -3556,6 +3556,45 @@ object Queries {
 
   // ------------------------------------------------------------ §2.K event analytics (r6)
 
+  q("q_events_funnel_windowed",
+    // conversion-window funnel: each step must land STRICTLY after AND
+    // within 3 days of the previous step's chosen timestamp (greedy
+    // semantics, consistent with the unbounded funnel — a slow journey
+    // does not convert). Same cascaded keyed min-agg plan + one gap
+    // predicate; the oracle replays the cascade with the bound
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS ts_1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, max(s1.ts_1) AS ts_1, min(e.ts) AS ts_2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.ts_1
+      |    AND epoch_us(e.ts) - epoch_us(s1.ts_1) <= 259200000000
+      |  WHERE e.event_type = 'view' GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, max(s2.ts_1) AS ts_1, min(e.ts) AS ts_3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.ts_2
+      |    AND epoch_us(e.ts) - epoch_us(s2.ts_2) <= 259200000000
+      |  WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS step_idx, 'signup' AS step, count(*) AS n_users,
+      |    CAST(round(CAST(CAST((CAST(sum(epoch_us(ts_1) - epoch_us(ts_1)) AS DOUBLE) / count(*) / 1000000.0) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS avg_secs_to_reach
+      |  FROM s1
+      |  UNION ALL
+      |  SELECT 2, 'view', count(*),
+      |    CAST(round(CAST(CAST((CAST(sum(epoch_us(ts_2) - epoch_us(ts_1)) AS DOUBLE) / count(*) / 1000000.0) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE)
+      |  FROM s2
+      |  UNION ALL
+      |  SELECT 3, 'purchase', count(*),
+      |    CAST(round(CAST(CAST((CAST(sum(epoch_us(ts_3) - epoch_us(ts_1)) AS DOUBLE) / count(*) / 1000000.0) AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE)
+      |  FROM s3)
+      |ORDER BY step_idx""".stripMargin) { (s, d) =>
+    graft.operators.EventAnalytics.funnelSummary(
+        t(s, d, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"),
+        maxStepGapUs = 3L * 24 * 3600 * 1000000)
+      .orderBy("step_idx")
+  }
+
   q("q_events_funnel",
     // strict ordered conversion funnel (signup → view → purchase): each
     // step's timestamp must come STRICTLY after the previous step's. The

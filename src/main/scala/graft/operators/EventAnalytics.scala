@@ -38,9 +38,11 @@ object EventAnalytics {
     * user per step.
     */
   def funnelUsers(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): Seq[DataFrame] = {
+      typeCol: String, steps: Seq[String],
+      maxStepGapUs: Long = Long.MaxValue): Seq[DataFrame] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
+    require(maxStepGapUs > 0, s"maxStepGapUs must be positive, got $maxStepGapUs")
     val reserved = (1 to steps.size).map(i => s"ts_$i").toSet + "_t"
     require(!events.columns.exists(reserved), s"funnelUsers reserves ${reserved.mkString(", ")}")
     var cur = events.filter(col(typeCol) === steps.head)
@@ -50,11 +52,19 @@ object EventAnalytics {
       val k = i + 2
       val nxt = events.filter(col(typeCol) === st)
         .select(col(userCol), col(tsCol).as("_t"))
+      // conversion-window bound (GREEDY semantics, consistent with the
+      // unbounded form: each step converts from the PREVIOUS step's
+      // chosen — earliest — timestamp; a user who would only convert via
+      // a later step occurrence does not count)
+      val inWindow =
+        if (maxStepGapUs == Long.MaxValue) lit(true)
+        else unix_micros(col("_t")) -
+          unix_micros(col(s"ts_${k - 1}")) <= maxStepGapUs
       // carried ts_j are functionally dependent on the user key; max()
       // re-exposes them through the groupBy without widening the key
       val carried = (1 until k).map(j => max(col(s"ts_$j")).as(s"ts_$j"))
       cur = nxt.join(cur, Seq(userCol))
-        .filter(col("_t") > col(s"ts_${k - 1}"))
+        .filter(col("_t") > col(s"ts_${k - 1}") && inWindow)
         .groupBy(col(userCol))
         .agg(carried.head, (carried.tail :+ min(col("_t")).as(s"ts_$k")): _*)
       frames += cur
@@ -69,8 +79,10 @@ object EventAnalytics {
     * in arrival order).
     */
   def funnelSummary(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
-    val frames = funnelUsers(events, userCol, tsCol, typeCol, steps)
+      typeCol: String, steps: Seq[String],
+      maxStepGapUs: Long = Long.MaxValue): DataFrame = {
+    val frames =
+      funnelUsers(events, userCol, tsCol, typeCol, steps, maxStepGapUs)
     frames.zipWithIndex.map { case (f, i) =>
       val k = i + 1
       f.agg(

@@ -42,6 +42,28 @@ class EventGraphSpec extends SparkTestBase {
     assert(summary.toSeq == Seq((3L, 0.0), (1L, 3600.0), (1L, 7200.0)))
   }
 
+  test("windowed funnel: boundary gap kept, over-window dropped, greedy from earliest") {
+    val ev = Seq(
+      // user 1: signup t10, view t70 — gap 60 == window exactly -> converts
+      (1L, 1L, ts("2024-01-01 00:00:10"), "signup"),
+      (2L, 1L, ts("2024-01-01 00:01:10"), "view"),
+      // user 2: signup t10, view t71 — gap 61 > window -> does NOT convert
+      (3L, 2L, ts("2024-01-01 00:00:10"), "signup"),
+      (4L, 2L, ts("2024-01-01 00:01:11"), "view"),
+      // user 3: GREEDY subtlety — signups at t10 and t100, view at t120.
+      // From the EARLIEST signup (t10) the gap is 110 > window; the later
+      // signup would convert, but greedy semantics do not re-anchor
+      (5L, 3L, ts("2024-01-01 00:00:10"), "signup"),
+      (6L, 3L, ts("2024-01-01 00:01:40"), "signup"),
+      (7L, 3L, ts("2024-01-01 00:02:00"), "view"),
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val frames = EventAnalytics.funnelUsers(ev, "user_id", "ts", "event_type",
+      Seq("signup", "view"), maxStepGapUs = 60L * 1000000)
+    assert(frames.head.count() == 3)
+    val converted = frames(1).select("user_id").as[Long].collect().toSet
+    assert(converted == Set(1L), s"only the boundary-gap user converts: $converted")
+  }
+
   test("funnel picks the EARLIEST qualifying timestamp per step") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), "signup"),
