@@ -3556,6 +3556,33 @@ object Queries {
 
   // ------------------------------------------------------------ §2.K event analytics (r6)
 
+  q("q_events_twap",
+    // per-(user, day) TIME-weighted average of value: each observation
+    // holds until the next event, the last until midnight (the TWAP
+    // carry convention). Exact integer-µs weights; the weighted sum adds
+    // through DECIMAL(38,12) per-term casts (order-independent), and the
+    // final division bridge-rounds — bit-equal replay
+    """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+      |             CAST(value AS DOUBLE) AS v
+      |           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |d AS (SELECT user_id, day, v,
+      |        coalesce(epoch_us(lead(ts) OVER
+      |            (PARTITION BY user_id, day ORDER BY ts, event_id)),
+      |          epoch_us(CAST(day + 1 AS TIMESTAMP))) - epoch_us(ts) AS dt
+      |      FROM b),
+      |a AS (SELECT user_id, day,
+      |        sum(CAST(CAST(v * CAST(dt AS DOUBLE) AS VARCHAR) AS DECIMAL(38,12))) AS wsum,
+      |        sum(dt) AS sum_dt
+      |      FROM d GROUP BY 1, 2)
+      |SELECT user_id, day,
+      |  CAST(round(CAST(CAST((CAST(wsum AS DOUBLE) / CAST(sum_dt AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS twap,
+      |  CAST(sum_dt AS BIGINT) AS sum_dt
+      |FROM a ORDER BY user_id, day""".stripMargin) { (s, d) =>
+    graft.operators.EventAnalytics.timeWeightedAvg(
+        t(s, d, "events"), "user_id", "ts", "value", tieBreakCol = "event_id")
+      .orderBy("user_id", "day")
+  }
+
   q("q_events_funnel_windowed",
     // conversion-window funnel: each step must land STRICTLY after AND
     // within 3 days of the previous step's chosen timestamp (greedy

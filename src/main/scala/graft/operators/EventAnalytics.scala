@@ -217,6 +217,46 @@ object EventAnalytics {
         round(col("n").cast("double") / col("_t"), 6).as("p"))
   }
 
+  /** Per-(user, day) time-weighted average of `valueCol` — each
+    * observation holds until the user's next event that day, the last
+    * until midnight (the standard TWAP carry convention). Weights are
+    * EXACT integer microseconds; the weighted sum goes through a
+    * DECIMAL(38,12) cast per term so it adds order-independently and
+    * the final double division replays bit-equal in an external engine
+    * (the chi-square bridge discipline — a plain double sum would
+    * depend on partitioning).
+    *
+    * Shape: one (user, day)-keyed window for the lead timestamp (the
+    * only exchange — high-cardinality key, spreads at any scale), then
+    * an ordinary partial+final agg. Null values/timestamps drop out. */
+  def timeWeightedAvg(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, tieBreakCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("day"),
+        col(tsCol).as("_ts"), col(tieBreakCol).as("_tb"),
+        col(valueCol).cast("double").as("_v"))
+    // same-ts ties pair each value with ITS dt by the total order —
+    // without the tie-break the lead() pairing is nondeterministic
+    val w = Window.partitionBy("user_id", "day").orderBy("_ts", "_tb")
+    val dayEnd = unix_micros(
+      date_add(col("day"), 1).cast("timestamp"))
+    val dt = coalesce(unix_micros(lead(col("_ts"), 1).over(w)), dayEnd) -
+      unix_micros(col("_ts"))
+    base
+      .withColumn("_dt", dt)
+      .groupBy("user_id", "day")
+      .agg(
+        sum((col("_v") * col("_dt").cast("double")).cast("decimal(38,12)"))
+          .as("_wsum"),
+        sum(col("_dt")).as("sum_dt"))
+      .select(col("user_id"), col("day"),
+        round(col("_wsum").cast("double") / col("sum_dt").cast("double"), 6)
+          .as("twap"),
+        col("sum_dt"))
+  }
+
   /** Top user-journey prefixes: each user's first `pathLen` events (by
     * `tsCol`, then `idCol` as the total-order tie-break) concatenated
     * into a path string "a>b>c", counted across users, top `topN` paths

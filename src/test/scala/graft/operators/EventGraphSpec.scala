@@ -42,6 +42,23 @@ class EventGraphSpec extends SparkTestBase {
     assert(summary.toSeq == Seq((3L, 0.0), (1L, 3600.0), (1L, 7200.0)))
   }
 
+  test("timeWeightedAvg: carry-to-midnight weights, hand arithmetic, tie pairing") {
+    val ev = Seq(
+      // user 1: value 10 holds 6h, value 20 holds 18h -> twap 17.5
+      (1L, 1L, ts("2024-01-02 00:00:00"), 10.0),
+      (2L, 1L, ts("2024-01-02 06:00:00"), 20.0),
+      // user 2: same-ts tie — event_id order pairs v=5 with dt 0 and
+      // v=7 with the full remaining day -> twap 7.0
+      (3L, 2L, ts("2024-01-02 12:00:00"), 5.0),
+      (4L, 2L, ts("2024-01-02 12:00:00"), 7.0),
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = EventAnalytics.timeWeightedAvg(ev, "user_id", "ts", "value", "event_id")
+      .orderBy("user_id")
+      .as[(Long, java.sql.Date, Double, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._3, r._4)) == Seq(
+      (1L, 17.5, 86400000000L), (2L, 7.0, 43200000000L)))
+  }
+
   test("windowed funnel: boundary gap kept, over-window dropped, greedy from earliest") {
     val ev = Seq(
       // user 1: signup t10, view t70 — gap 60 == window exactly -> converts
