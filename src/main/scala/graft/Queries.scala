@@ -3449,6 +3449,63 @@ object Queries {
     (s.table(s"graft_bkt_orders_$suf"), s.table(s"graft_bkt_customer_$suf"))
   }
 
+  private def csvRoundtripPath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "csvrt") { p =>
+      // LazySimpleSerDe shape: comma-delimited, no header, no quoting
+      t(s, d, "orders").write.option("header", "false")
+        .mode("overwrite").csv(p)
+    }
+
+  /** Orders with any zone-less timestamp normalized to the catalog's
+    * canonical datetime (TimestampType) — the agnostic grammar has ONE
+    * datetime, so NTZ parquet reads normalize at ingestion (the events
+    * loader's discipline); spark-avro would otherwise refuse to read a
+    * local-timestamp column against the declared TIMESTAMP schema. */
+  private def ordersDatetimeNormalized(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+    orders.select(orders.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        col(f.name).cast("timestamp").as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+  }
+
+  private def avroRoundtripPath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "avrort") { p =>
+      graft.sources.AvroFiles.write(
+        ordersDatetimeNormalized(s, d), p, mode = "overwrite")
+    }
+
+  q("q_scan_csv_roundtrip",
+    // FORMAT-FIDELITY oracle for the csv reader (previously spec-only):
+    // orders written as LazySimpleSerDe-shaped CSV, read back through
+    // GraftCatalog.readTable with a fromSparkSchema TableMeta, and
+    // hash-compared against the PARQUET original — dates, doubles
+    // (shortest-roundtrip text), and key order must all survive the
+    // text round trip bit-exactly
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val orders = t(s, d, "orders")
+    val meta = graft.meta.TableMeta.fromSparkSchema(
+      "orders_csv", "orders_csv/", orders.schema, dataFormat = "csv")
+    graft.catalog.GraftCatalog.readTable(s, meta, csvRoundtripPath(s, d))
+      .orderBy("o_orderkey")
+  }
+
+  q("q_scan_avro_roundtrip",
+    // same fidelity oracle for the avro container source (AvroFiles:
+    // logical date/timestamp-micros types, union-nullable fields)
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val orders = ordersDatetimeNormalized(s, d)
+    val meta = graft.meta.TableMeta.fromSparkSchema(
+      "orders_avro", "orders_avro/", orders.schema, dataFormat = "avro")
+    graft.catalog.GraftCatalog.readTable(s, meta, avroRoundtripPath(s, d))
+      .orderBy("o_orderkey")
+  }
+
   q("q_scan_partition_prune",
     // the oracle replays on the flat fixture — same rows by definition;
     // what the partitioned layout adds is PROOF the predicate prunes at

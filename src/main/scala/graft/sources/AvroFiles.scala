@@ -38,6 +38,7 @@ object AvroFiles {
     case Schema.Type.LONG =>
       s.getLogicalType match {
         case _: LogicalTypes.TimestampMicros | _: LogicalTypes.TimestampMillis => TimestampType
+        case _: LogicalTypes.LocalTimestampMicros => TimestampNTZType
         case _ => LongType
       }
     case Schema.Type.FLOAT => FloatType
@@ -81,6 +82,10 @@ object AvroFiles {
       LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
     case TimestampType =>
       LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case TimestampNTZType =>
+      // zone-less timestamps (Spark 4 parquet NTZ reads) map to avro's
+      // local-timestamp-micros logical type
+      LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
     case d: DecimalType =>
       LogicalTypes.decimal(d.precision, d.scale).addToSchema(Schema.create(Schema.Type.BYTES))
     case st: StructType =>
@@ -122,6 +127,11 @@ object AvroFiles {
           v.asInstanceOf[Long], java.time.temporal.ChronoUnit.MICROS))
       case Schema.Type.LONG if s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMillis] =>
         new java.sql.Timestamp(v.asInstanceOf[Long])
+      case Schema.Type.LONG if s.getLogicalType.isInstanceOf[LogicalTypes.LocalTimestampMicros] =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(v.asInstanceOf[Long], 1000000L),
+          (Math.floorMod(v.asInstanceOf[Long], 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
       case Schema.Type.BYTES =>
         val buf = v.asInstanceOf[java.nio.ByteBuffer]
         val arr = new Array[Byte](buf.remaining()); buf.duplicate().get(arr)
@@ -162,6 +172,9 @@ object AvroFiles {
         // timestamps with fractional seconds (getNanos is always >= 0)
         val t = v.asInstanceOf[java.sql.Timestamp]
         Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos.toLong / 1000L
+      case Schema.Type.LONG if s.getLogicalType.isInstanceOf[LogicalTypes.LocalTimestampMicros] =>
+        val dt = v.asInstanceOf[java.time.LocalDateTime]
+        dt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + dt.getNano.toLong / 1000L
       case Schema.Type.BYTES =>
         s.getLogicalType match {
           case d: LogicalTypes.Decimal =>
