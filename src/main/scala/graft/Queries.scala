@@ -4866,7 +4866,9 @@ object Queries {
     "q_dedup_containment" -> Seq("shingles"),
     "q_join_bucketed" -> Seq("bkt_tables"),
     "q_text_bm25_indexed" -> Seq("txt_index"),
-    "q_text_bm25_index_build" -> Seq("txt_index"))
+    "q_text_bm25_index_build" -> Seq("txt_index"),
+    "q_scan_csv_roundtrip" -> Seq("csv_rt"),
+    "q_scan_avro_roundtrip" -> Seq("avro_rt"))
 
   /** Force-materialize an ANN index OUTSIDE query timing. Bench runs
     * these before the first consuming query and reports the build
@@ -4882,5 +4884,7 @@ object Queries {
     "pq_index" -> ((s, d) => { pqIndexPath(s, d); () }),
     "orders_part" -> ((s, d) => { partitionedOrdersPath(s, d); () }),
     "bkt_tables" -> ((s, d) => { bucketedOrdersCustomer(s, d); () }),
-    "txt_index" -> ((s, d) => { textIndexPath(s, d); () }))
+    "txt_index" -> ((s, d) => { textIndexPath(s, d); () }),
+    "csv_rt" -> ((s, d) => { csvRoundtripPath(s, d); () }),
+    "avro_rt" -> ((s, d) => { avroRoundtripPath(s, d); () }))
 }
