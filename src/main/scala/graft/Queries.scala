@@ -543,10 +543,27 @@ object Queries {
         col("l_linestatus").asc_nulls_first)
   }
 
-  // HLL sketches differ across engines — no hash oracle, rows-only check.
-  qNoOracle("q_agg_approx_distinct") { (s, d) =>
+  q("q_agg_approx_distinct",
+    // HLL register layouts differ across engines, so the estimate itself
+    // can never hash-match — SURVEY §2.E prescribes the tolerance compare
+    // instead: the oracle replays the EXACT distinct (so the exact side
+    // is fully DuckDB-checked) plus the literal band verdict TRUE; the
+    // engine must land its HLL++ estimate inside 3·rsd of that exact
+    // count (rsd 0.05 → ±15 %, comfortably wide for bias-corrected
+    // HLL++ yet a real check — a broken sketch is orders off) or the
+    // boolean hash-fails. Deterministic per dataset: approx_count_distinct
+    // is a pure function of the input set.
+    """SELECT o_orderstatus,
+      |  count(DISTINCT o_custkey) AS exact_cust,
+      |  TRUE AS within_band
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
     t(s, d, "orders").groupBy("o_orderstatus")
-      .agg(approx_count_distinct("o_custkey").as("approx_cust"))
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_cust"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.05).as("__approx"))
+      .select(col("o_orderstatus"), col("exact_cust"),
+        (abs(col("__approx") - col("exact_cust")) <=
+          col("exact_cust") * lit(3 * 0.05)).as("within_band"))
       .orderBy("o_orderstatus")
   }
 
@@ -3506,6 +3523,132 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  // ------- format-fidelity round trips for the remaining declared serdes
+  // (specs/json_specific.json, specs/orc_specific.json,
+  // specs/csv_quoted_nodate_specific.json, specs/regex_specific.json):
+  // orders written THROUGH GraftCatalog.writeTable in the serde's shape,
+  // read back THROUGH GraftCatalog.readTable, and hash-compared against
+  // the PARQUET original — so sink and source fidelity gate together,
+  // exactly the q_scan_csv_roundtrip discipline.
+
+  private def jsonRoundtripPath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "jsonrt") { p =>
+      // JsonSerDe over newline-delimited JSON; datetime normalized to the
+      // catalog's one canonical TimestampType (the avro path's discipline)
+      val orders = ordersDatetimeNormalized(s, d)
+      val meta = graft.meta.TableMeta.fromSparkSchema(
+        "orders_json", "orders_json/", orders.schema, dataFormat = "json")
+      graft.catalog.GraftCatalog.writeTable(orders, meta, p, mode = "overwrite")
+    }
+
+  private def orcRoundtripPath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "orcrt") { p =>
+      val orders = ordersDatetimeNormalized(s, d)
+      val meta = graft.meta.TableMeta.fromSparkSchema(
+        "orders_orc", "orders_orc/", orders.schema, dataFormat = "orc")
+      graft.catalog.GraftCatalog.writeTable(orders, meta, p, mode = "overwrite")
+    }
+
+  /** OpenCSVSerde fixture: the serde family is all-strings (the reference
+    * names it csv_quoted_NODATE because Athena's OpenCSVSerde cannot carry
+    * date/timestamp types), so the datetime renders to a string column
+    * with a format pinned IDENTICALLY in both engines; `o_note` embeds
+    * quotes AND the separator — the exact payloads the quote/escape
+    * machinery must round-trip. */
+  private def csvqFixture(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate_str"),
+      concat(lit("pri=\""), col("o_orderpriority"), lit("\", key="),
+        col("o_orderkey")).as("o_note"))
+
+  private def csvqRoundtripPath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "csvqrt") { p =>
+      val fx = csvqFixture(s, d)
+      val meta = graft.meta.TableMeta.fromSparkSchema(
+        "orders_csvq", "orders_csvq/", fx.schema,
+        dataFormat = "csv_quoted_nodate")
+      graft.catalog.GraftCatalog.writeTable(fx, meta, p, mode = "overwrite")
+    }
+
+  /** One `([^|]*)` capture group per data column, `(.*)` for the last —
+    * the RegexSerDe contract (one group per column,
+    * specs/regex_specific.json:1-15). */
+  private def regexRoundtripRe(nCols: Int): String =
+    (Seq.fill(nCols - 1)("([^|]*)") :+ "(.*)").mkString("\\|")
+
+  private def regexRoundtripPath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "regexrt") { p =>
+      // RegexSerDe tables are read-side serdes (TextInputFormat); the
+      // fixture renders each row as one pipe-delimited text line via the
+      // same string casts the read-back reverses
+      val orders = t(s, d, "orders")
+      orders.select(concat_ws("|",
+          orders.columns.map(c => col(c).cast("string")).toSeq: _*).as("value"))
+        .write.mode("overwrite").text(p)
+    }
+
+  q("q_scan_json_roundtrip",
+    // FORMAT-FIDELITY oracle for the json reader+sink (previously
+    // spec-only): longs, doubles (shortest-roundtrip text), strings and
+    // the datetime must survive the JSON text round trip bit-exactly
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val orders = ordersDatetimeNormalized(s, d)
+    val meta = graft.meta.TableMeta.fromSparkSchema(
+      "orders_json", "orders_json/", orders.schema, dataFormat = "json")
+    graft.catalog.GraftCatalog.readTable(s, meta, jsonRoundtripPath(s, d))
+      .orderBy("o_orderkey")
+  }
+
+  q("q_scan_orc_roundtrip",
+    // same fidelity oracle for the orc reader+sink (OrcSerde analog)
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val orders = ordersDatetimeNormalized(s, d)
+    val meta = graft.meta.TableMeta.fromSparkSchema(
+      "orders_orc", "orders_orc/", orders.schema, dataFormat = "orc")
+    graft.catalog.GraftCatalog.readTable(s, meta, orcRoundtripPath(s, d))
+      .orderBy("o_orderkey")
+  }
+
+  q("q_scan_csvq_roundtrip",
+    // OpenCSVSerde fidelity: all-strings-then-cast read semantics over a
+    // quoted/escaped write — embedded separators and quote chars in
+    // o_note are the payloads LazySimpleSerDe csv CANNOT carry and this
+    // serde exists to carry
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_str,
+      |  'pri="' || o_orderpriority || '", key=' || CAST(o_orderkey AS VARCHAR)
+      |    AS o_note
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val fx = csvqFixture(s, d)
+    val meta = graft.meta.TableMeta.fromSparkSchema(
+      "orders_csvq", "orders_csvq/", fx.schema,
+      dataFormat = "csv_quoted_nodate")
+    graft.catalog.GraftCatalog.readTable(s, meta, csvqRoundtripPath(s, d))
+      .orderBy("o_orderkey")
+  }
+
+  q("q_scan_regex_roundtrip",
+    // RegexSerDe fidelity: capture-group extraction + declared-type casts
+    // must reverse the text render bit-exactly
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val orders = t(s, d, "orders")
+    val meta = graft.meta.TableMeta.fromSparkSchema(
+        "orders_rx", "orders_rx/", orders.schema, dataFormat = "regex")
+      .copy(glueSpecific = Map("StorageDescriptor" -> Map("SerdeInfo" ->
+        Map("Parameters" -> Map(
+          "input.regex" -> regexRoundtripRe(orders.columns.length))))))
+    graft.catalog.GraftCatalog.readTable(s, meta, regexRoundtripPath(s, d))
+      .orderBy("o_orderkey")
+  }
+
   q("q_scan_partition_prune",
     // the oracle replays on the flat fixture — same rows by definition;
     // what the partitioned layout adds is PROOF the predicate prunes at
@@ -4204,6 +4347,49 @@ object Queries {
       .orderBy("column_name")
   }
 
+  q("q_profile_columns_approx",
+    // the documented 100 TB swap (Profiling.profileColumns
+    // approxDistinct=true: HLL++ instead of the Expand-based exact
+    // multi-distinct) made driver-visible under the gate with the
+    // q_agg_approx_distinct tolerance discipline: the oracle replays
+    // every EXACT stat plus the literal verdict TRUE; the approx path's
+    // estimate must land within 3·rsd (rsd 0.05 → ±15 %) of the exact
+    // distinct per column or the boolean hash-fails. The exact twin here
+    // is the correctness harness, not the operator: at scale a user runs
+    // ONLY the approx profile.
+    """WITH o AS (SELECT * FROM orders)
+      |SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+      |  count(*) - count(o_custkey) AS n_nulls,
+      |  count(DISTINCT o_custkey) AS n_distinct,
+      |  TRUE AS within_band
+      |FROM o
+      |UNION ALL
+      |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+      |  count(DISTINCT o_orderpriority), TRUE
+      |FROM o
+      |UNION ALL
+      |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+      |  count(DISTINCT o_orderstatus), TRUE
+      |FROM o
+      |UNION ALL
+      |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+      |  count(DISTINCT o_totalprice), TRUE
+      |FROM o
+      |ORDER BY column_name""".stripMargin) { (s, d) =>
+    val cols = Seq("o_custkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+    val exact = graft.operators.Profiling.profileColumns(t(s, d, "orders"), cols)
+      .select("column_name", "n_rows", "n_nulls", "n_distinct")
+    val approx = graft.operators.Profiling
+      .profileColumns(t(s, d, "orders"), cols, approxDistinct = true)
+      .select(col("column_name"), col("n_distinct").as("__approx"))
+    exact.join(approx, "column_name")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"),
+        (abs(col("__approx") - col("n_distinct")) <=
+          col("n_distinct") * lit(3 * 0.05)).as("within_band"))
+      .orderBy("column_name")
+  }
+
   q("q_text_bm25",
     // BM25 keyword retrieval (lexical complement to the ANN family):
     // probe terms = the 3 highest-df terms of length >= 6 (self-derived,
@@ -4868,7 +5054,11 @@ object Queries {
     "q_text_bm25_indexed" -> Seq("txt_index"),
     "q_text_bm25_index_build" -> Seq("txt_index"),
     "q_scan_csv_roundtrip" -> Seq("csv_rt"),
-    "q_scan_avro_roundtrip" -> Seq("avro_rt"))
+    "q_scan_avro_roundtrip" -> Seq("avro_rt"),
+    "q_scan_json_roundtrip" -> Seq("json_rt"),
+    "q_scan_orc_roundtrip" -> Seq("orc_rt"),
+    "q_scan_csvq_roundtrip" -> Seq("csvq_rt"),
+    "q_scan_regex_roundtrip" -> Seq("regex_rt"))
 
   /** Force-materialize an ANN index OUTSIDE query timing. Bench runs
     * these before the first consuming query and reports the build
@@ -4886,5 +5076,9 @@ object Queries {
     "bkt_tables" -> ((s, d) => { bucketedOrdersCustomer(s, d); () }),
     "txt_index" -> ((s, d) => { textIndexPath(s, d); () }),
     "csv_rt" -> ((s, d) => { csvRoundtripPath(s, d); () }),
-    "avro_rt" -> ((s, d) => { avroRoundtripPath(s, d); () }))
+    "avro_rt" -> ((s, d) => { avroRoundtripPath(s, d); () }),
+    "json_rt" -> ((s, d) => { jsonRoundtripPath(s, d); () }),
+    "orc_rt" -> ((s, d) => { orcRoundtripPath(s, d); () }),
+    "csvq_rt" -> ((s, d) => { csvqRoundtripPath(s, d); () }),
+    "regex_rt" -> ((s, d) => { regexRoundtripPath(s, d); () }))
 }
