@@ -61,7 +61,7 @@ object ClusterCheck {
     "q_profile_columns",          // Expand-based multi-distinct agg + struct-array pivot (r6c)
     "q_text_bm25",                // TopKAgg heaps fed by broadcast probe/const frames (r6c)
     "q_join_interval",            // double-sided bin explode + canonical-bin dedup (r6c)
-    "q_join_fuzzy",               // rare-gram prefix arrays + broadcast df across JVMs (r6c)
+    "q_join_fuzzy_qgram",         // rare-gram prefix arrays + broadcast df + short fallback (r7)
     "q_layout_zorder",            // 32-term bit interleave in codegen on executors (r6c)
     "q_join_fuzzy",               // DeletionVariants StaticInvoke explode across JVMs (r6d)
     "q_join_sorted_neighborhood", // prefix-sum offsets broadcast + mapPartitions rank (r6d)

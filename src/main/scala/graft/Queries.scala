@@ -4623,6 +4623,42 @@ object Queries {
       .orderBy("c_custkey", "r_key")
   }
 
+  q("q_join_fuzzy_qgram",
+    // the OTHER fuzzy blocking scheme as a registered query: q-gram
+    // rare-prefix blocking over HIGH-entropy word-salad part names (its
+    // home turf — deletion blocking owns the low-entropy serials in
+    // q_join_fuzzy), on a 1-in-4 partkey stratum to keep the brute
+    // oracle quadratic small. The 25 four-char nation prefixes (≤ q·d
+    // distinct grams) exercise the short-string fallback block — the
+    // r7 pigeonhole fix — so a recall regression at EITHER length
+    // stratum fails the brute-theta-join hash
+    """WITH l AS (
+      |  SELECT p_partkey AS lid, p_name AS ls FROM part WHERE p_partkey % 4 = 1
+      |  UNION ALL
+      |  SELECT n_nationkey + 10000000, substr(n_name, 1, 4) FROM nation),
+      |r AS (
+      |  SELECT lid AS rid,
+      |    substr(ls, 1, CAST(lid % length(ls) AS INT))
+      |      || substr(ls, CAST(lid % length(ls) AS INT) + 2) AS rs
+      |  FROM l)
+      |SELECT l.lid, r.rid, CAST(levenshtein(l.ls, r.rs) AS BIGINT) AS dist
+      |FROM l JOIN r ON levenshtein(l.ls, r.rs) <= 1
+      |ORDER BY lid, rid""".stripMargin) { (s, d) =>
+    val parts = t(s, d, "part").filter(col("p_partkey") % 4 === 1)
+      .select(col("p_partkey").cast("long").as("lid"), col("p_name").as("ls"))
+    val shorts = t(s, d, "nation")
+      .select((col("n_nationkey") + 10000000L).as("lid"),
+        substring(col("n_name"), 1, 4).as("ls"))
+    val left = parts.unionByName(shorts)
+    val right = left.select(col("lid").as("rid"),
+      expr("""concat(
+        substring(ls, 1, cast(lid % length(ls) as int)),
+        substring(ls, cast(lid % length(ls) as int) + 2))""").as("rs"))
+    graft.operators.FuzzyJoin.qgramFuzzyJoin(
+        left, right, "lid", "ls", "rid", "rs", maxDist = 1)
+      .orderBy("lid", "rid")
+  }
+
   q("q_join_sorted_neighborhood",
     // sorted-neighborhood ER (the OTHER classic blocking): one total
     // order on (c_name, c_custkey), each row meets its 9 successors,

@@ -36,7 +36,30 @@ object FuzzyJoin {
       sequence(lit(1), greatest(length(s) - (q - 1), lit(1))),
       i => substring(s, i, lit(q))))
 
-  /** @param left    rows with `lId` (unique) and the string `lStr`
+  /** The pigeonhole guarantee above is really an OCCURRENCE argument: d
+    * edits alter at most q·d gram occurrences, and destroying a gram
+    * TYPE costs at least one altered occurrence per type — so among any
+    * q·d+1 distinct types one survives, and when a string has FEWER
+    * distinct types than that, all of them can vanish only if its total
+    * occurrence count len-q+1 is ≤ q·d, i.e. len ≤ q·(d+1)-1. Gram
+    * blocking alone would silently drop true pairs exactly for those
+    * SHORT left strings (e.g. 'abcde' vs 'abde' at q=3, d=1 share no
+    * gram); long low-entropy strings are safe — repeated grams make
+    * their types expensive to destroy. Short left rows route through a
+    * SECOND guaranteed block — the deletion-neighborhood scheme
+    * ([[deletionFuzzyJoin]]) against the right rows short enough to be
+    * within distance d of them (length ≤ q·(d+1)-1+d) — so the combined
+    * join keeps the no-false-negative guarantee at EVERY length. The
+    * fallback's variant cost is bounded by that length cap, and the two
+    * paths partition the left side, so no pair is found twice.
+    *
+    * Null contract: rows whose string is NULL are excluded from both
+    * paths (a NULL key has no well-defined edit distance, and `explode`
+    * of a NULL gram array emits nothing) — same exclusion the brute
+    * theta join's `levenshtein(a,b) <= d` predicate makes, so oracles
+    * replay it for free.
+    *
+    * @param left    rows with `lId` (unique) and the string `lStr`
     * @param right   rows with `rId` (unique) and the string `rStr`
     * @param maxDist inclusive Levenshtein bound (≥ 0)
     * @param q       gram width (default 3)
@@ -49,6 +72,20 @@ object FuzzyJoin {
     require(lId != rId, "left and right id columns must have distinct names")
     val prefixLen = q * maxDist + 1
 
+    // left split by LENGTH: strings longer than q·(d+1)-1 carry more
+    // than q·d gram occurrences, so the occurrence pigeonhole holds;
+    // at or below it the whole gram set can be edited away
+    val lenCap = q * (maxDist + 1) - 1
+    val lOk = left.filter(length(col(lStr)) > lenCap)
+    val shortPairs = if (maxDist == 0) None else {
+      // d = 0 has no short set (equal strings share every gram);
+      // otherwise: deletion blocking over the length-capped short strata
+      Some(deletionFuzzyJoin(
+        left.filter(length(col(lStr)) <= lenCap),
+        right.filter(length(col(rStr)) <= lenCap + maxDist),
+        lId, lStr, rId, rStr, maxDist, maxLen = lenCap + maxDist))
+    }
+
     val rGrams = right.select(col(rId), explode(qgrams(col(rStr), q)).as("_g"))
     // right-side gram document frequency: the rarity ranking. Tiny next
     // to the corpus (gram space ≤ distinct substrings), broadcast back.
@@ -58,7 +95,7 @@ object FuzzyJoin {
     // join: unseen grams get df 0 — they are the rarest of all), sort by
     // (df, gram) and keep the first q·d+1. The per-row list is O(|s|),
     // so sort+slice is a map-side array op, not a shuffle.
-    val lGrams = left.select(col(lId), explode(qgrams(col(lStr), q)).as("_g"))
+    val lGrams = lOk.select(col(lId), explode(qgrams(col(lStr), q)).as("_g"))
       .join(broadcast(df), Seq("_g"), "left")
       .na.fill(0L, Seq("_df"))
     val lPrefix = lGrams
@@ -71,12 +108,13 @@ object FuzzyJoin {
     val candidates = lPrefix.join(rGrams, Seq("_g"))
       .select(col(lId), col(rId)).distinct()
 
-    candidates
+    val gramPairs = candidates
       .join(left.select(col(lId), col(lStr)), Seq(lId))
       .join(right.select(col(rId), col(rStr)), Seq(rId))
       .withColumn("dist", levenshtein(col(lStr), col(rStr)).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col(lId), col(rId), col("dist"))
+    shortPairs.fold(gramPairs)(gramPairs.unionByName(_))
   }
 
   /** Deletion-neighborhood fuzzy join (the FastSS / SymSpell scheme):
@@ -108,6 +146,12 @@ object FuzzyJoin {
     * shuffled as 8-byte xxhash64 keys), one equi-join on the variant
     * hash, pair dedup, and the exact Levenshtein verify on candidates
     * only — never |L|·|R|.
+    *
+    * Null contract: rows whose string is NULL are excluded (NULL has no
+    * deletion neighborhood and no well-defined edit distance; `explode`
+    * of the NULL variant array emits nothing) — identical to the brute
+    * theta join's `levenshtein(a,b) <= d` predicate, which is never true
+    * on NULL, so brute-force oracles replay the exclusion exactly.
     *
     * @return (lId, rId, dist) for every pair with dist ≤ maxDist */
   def deletionFuzzyJoin(left: DataFrame, right: DataFrame,
@@ -183,10 +227,15 @@ object FuzzyJoin {
     val spark = df.sparkSession
     val nPart =
       if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    // the id stays in its ORIGINAL type end-to-end: the rank pipeline only
+    // needs it as an opaque payload plus a deterministic tie-break, and a
+    // cast("long") here would silently turn a non-numeric string id
+    // (common in ER) into all-NULLs and exclude every row
+    val idType = df.schema(idCol).dataType
     // localCheckpoint freezes the layout so the count phase and the
     // rank-emit phase see the SAME partitions (Packing discipline)
     val sel = df
-      .select(col(idCol).cast("long").as("_id"), col(strCol).as("_s"),
+      .select(col(idCol).as("_id"), col(strCol).as("_s"),
         sortKey.cast("string").as("_k"))
       .filter(col("_k").isNotNull && col("_id").isNotNull)
       .repartitionByRange(nPart, col("_k"), col("_id"))
@@ -205,8 +254,7 @@ object FuzzyJoin {
 
     // phase 2: global rank = partition offset + local position
     val rankedSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_id", idType, nullable = false),
       org.apache.spark.sql.types.StructField("_s",
         org.apache.spark.sql.types.StringType, nullable = true),
       org.apache.spark.sql.types.StructField("_rank",
@@ -218,7 +266,7 @@ object FuzzyJoin {
     val rankedRdd = sel.rdd.mapPartitionsWithIndex { (pid, it) =>
       var rank = bc.value(pid)
       it.map { r =>
-        val out = org.apache.spark.sql.Row(r.getLong(0), r.getString(1), rank)
+        val out = org.apache.spark.sql.Row(r.get(0), r.getString(1), rank)
         rank += 1
         out
       }

@@ -57,6 +57,46 @@ class FuzzyLayoutSpec extends SparkTestBase {
     assert(out == Seq((1L, 10L, 0L)))
   }
 
+  test("qgramFuzzyJoin finds short-string pairs below the pigeonhole bound") {
+    // the r7 falsifier: 'abcde' has grams {abc,bcd,cde}, 'abde' has
+    // {abd,bde} — NO shared gram, yet lev = 1. The pigeonhole guarantee
+    // (some of q·d+1 distinct grams survives d edits) needs > q·d
+    // distinct grams to exist; left strings at or below that bound must
+    // route through the guaranteed deletion-neighborhood fallback or the
+    // pair is silently dropped (the pre-r7 behavior).
+    val left = Seq((1L, "abcde"), (2L, "ab"), (3L, "x")).toDF("lid", "ls")
+    val right = Seq((10L, "abde"), (11L, "b"), (12L, "xy"), (13L, "qqqq"))
+      .toDF("rid", "rs")
+    val fast = FuzzyJoin.qgramFuzzyJoin(left, right, "lid", "ls", "rid", "rs", 1)
+      .orderBy("lid", "rid").as[(Long, Long, Long)].collect().toSeq
+    val brute = left.crossJoin(right)
+      .withColumn("dist", levenshtein(col("ls"), col("rs")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select("lid", "rid", "dist")
+      .orderBy("lid", "rid").as[(Long, Long, Long)].collect().toSeq
+    assert(fast == brute)
+    assert(fast.contains((1L, 10L, 1L)), "the no-shared-gram pair must be found")
+  }
+
+  test("qgramFuzzyJoin equals brute on an ALL-short corpus (fallback-only path)") {
+    // every left string is at/below the q·(d+1)-1 length cap, so the
+    // whole join flows through the fallback block — mixed lengths on the
+    // right check the length cap keeps true partners
+    val left = (0 until 26).map(i => (i.toLong, ('a' + i).toChar.toString * 3))
+      .toDF("lid", "ls")
+    val right = (0 until 26).map(i => (100L + i, ('a' + i).toChar.toString * 4))
+      .toDF("rid", "rs")
+    val fast = FuzzyJoin.qgramFuzzyJoin(left, right, "lid", "ls", "rid", "rs", 1)
+      .orderBy("lid", "rid").as[(Long, Long, Long)].collect().toSeq
+    val brute = left.crossJoin(right)
+      .withColumn("dist", levenshtein(col("ls"), col("rs")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select("lid", "rid", "dist")
+      .orderBy("lid", "rid").as[(Long, Long, Long)].collect().toSeq
+    assert(fast == brute)
+    assert(fast.size == 26)
+  }
+
   // ------------------------------------------- deletion-neighborhood join
 
   test("DeletionVariants: zero-runs collapse, k<=d levels, maxLen throws loudly") {
@@ -163,6 +203,23 @@ class FuzzyLayoutSpec extends SparkTestBase {
     val out = FuzzyJoin.sortedNeighborhoodJoin(rows, "id", "s", col("s"), 2, 1)
       .as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((1L, 2L, 1L)))
+  }
+
+  test("sortedNeighborhood keeps NON-NUMERIC string ids intact (r7 falsifier)") {
+    // pre-r7 the id column was cast("long"): a string id like "cust-a"
+    // became NULL, every row was excluded, and the join silently
+    // returned empty instead of erroring. The id is an opaque payload —
+    // it must survive in its original type.
+    val rows = Seq(("cust-a", "alpha"), ("cust-b", "alphb"), ("cust-z", "zzzz"))
+      .toDF("id", "s")
+    val out = FuzzyJoin.sortedNeighborhoodJoin(rows, "id", "s", col("s"), 2, 1)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("cust-a", "cust-b", 1L)))
+    // multi-pass canonicalization (least/greatest) works on strings too
+    val multi = FuzzyJoin.sortedNeighborhoodMultiPass(
+        rows, "id", "s", Seq(col("s"), reverse(col("s"))), 2, 1)
+      .as[(String, String, Long)].collect().toSeq
+    assert(multi == Seq(("cust-a", "cust-b", 1L)))
   }
 
   test("sortedNeighborhoodMultiPass: the reverse pass recalls the leading-char typo") {
