@@ -2702,8 +2702,23 @@ object Queries {
   // accumulate multi-hundred-directory index trees in java.io.tmpdir
   private val annTmpRoots =
     java.util.Collections.synchronizedList(new java.util.ArrayList[java.nio.file.Path]())
+  // catalog tables created for bucketed fixtures (saveAsTable) — unlike
+  // temp views these live in the session catalog until dropped, so a
+  // long-lived session cycling fixture dirs would otherwise accumulate
+  // dead entries pointing at deleted paths. Weak session refs: a GC'd
+  // session's catalog died with it, nothing to drop.
+  private val catalogTables =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(java.lang.ref.WeakReference[SparkSession], String)]())
   private lazy val annCleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      catalogTables.forEach { case (ref, name) =>
+        try {
+          val s = ref.get()
+          if (s != null && !s.sparkContext.isStopped)
+            s.sql(s"DROP TABLE IF EXISTS `$name`")
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
       annTmpRoots.forEach { root =>
         try {
           import scala.jdk.CollectionConverters._
@@ -3461,6 +3476,9 @@ object Queries {
       t(s, d, "customer").select("c_custkey", "c_mktsegment")
         .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
         .option("path", s"$p/customer").saveAsTable(s"graft_bkt_customer_$suf")
+      Seq(s"graft_bkt_orders_$suf", s"graft_bkt_customer_$suf").foreach { n =>
+        catalogTables.add((new java.lang.ref.WeakReference(s), n))
+      }
     }
     val suf = java.lang.Integer.toHexString(base.hashCode)
     (s.table(s"graft_bkt_orders_$suf"), s.table(s"graft_bkt_customer_$suf"))
@@ -4800,9 +4818,11 @@ object Queries {
     // top user-journey prefixes: first 3 events per user (ts, event_id
     // order) as "a>b>c", counted, top 20. Engine = bounded-heap
     // min-k-rows per user (≤ 3 rows/user/mapper cross the exchange) +
-    // TakeOrdered — the oracle's window replays the heap's selection
+    // TakeOrdered — the oracle's window replays the heap's selection.
+    // coalesce sentinel = topPaths' null contract (string_agg would
+    // otherwise skip the element, as array_join would)
     """WITH r AS (
-      |  SELECT user_id, event_type,
+      |  SELECT user_id, coalesce(event_type, '(null)') AS event_type,
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       |  FROM events),
       |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path

@@ -262,6 +262,11 @@ object EventAnalytics {
     * into a path string "a>b>c", counted across users, top `topN` paths
     * by user count (ties by path ascending — deterministic).
     *
+    * Null contract: a NULL event type renders as the literal sentinel
+    * `(null)` in the path — WITHOUT it, array_join silently skips null
+    * elements and "a>NULL>c" collapses to the indistinguishable "a>c".
+    * SQL replay: `string_agg(coalesce(type, '(null)'), '>')`.
+    *
     * Scale shape: the per-user "first k" is ONE bounded-heap
     * [[graft.functions.MinKByAgg.minKRowsAgg]] — ≤ pathLen rows per user
     * per mapper cross the user exchange, never a per-user window sort of
@@ -280,7 +285,8 @@ object EventAnalytics {
         struct(col(tsCol).as("ts"), col(idCol).as("eid"),
           col(typeCol).as("t")), pathLen).as("_seq"))
       // minKRowsAgg emits ascending (ts, eid) — already journey order
-      .select(array_join(transform(col("_seq"), e => e("t")), ">").as("path"))
+      .select(array_join(transform(col("_seq"), e => e("t")), ">", "(null)")
+        .as("path"))
       .groupBy("path").agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("path"))
       .limit(topN)

@@ -160,7 +160,13 @@ object Profiling {
     * depth/width: est(key) = min over j of counter[j][hash_j(key)],
     * missing buckets counting 0. The counters frame broadcasts (≤
     * depth·width rows by construction); the probe side stays
-    * distributed, so estimating ANY number of probe keys is map-side. */
+    * distributed, so estimating ANY number of probe keys is map-side.
+    *
+    * Null contract: a NULL probe key estimates 0 — the sketch never
+    * counts nulls ([[cmsCounters]] skips them: md5 of NULL is NULL, no
+    * bucket), so 0 is the sketch-consistent answer, matching the
+    * over-count-only guarantee (0 ≥ the true null count of 0 ingested).
+    * Callers tracking null keys should count them separately. */
   def cmsEstimates(counters: DataFrame, probes: DataFrame,
       probeKeyCol: String, depth: Int = 4, width: Int = 256): DataFrame = {
     require(depth >= 1 && width >= 2 && (width & (width - 1)) == 0,

@@ -182,15 +182,15 @@ object TextAnalysis {
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count() // corpus size: one scalar, the only driver value
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val len = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(len, "doc_id").join(df, "term")
+      .crossJoin(broadcast(corpusSize(docs)))
       .withColumn("tfidf",
-        round(col("tf") / col("len") * log(lit(n.toDouble) / col("df")), 6))
+        round(col("tf") / col("len") * log(col("_n") / col("df")), 6))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("rk", row_number().over(w))
@@ -216,7 +216,6 @@ object TextAnalysis {
     * decimal bridge. */
   def tfIdfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxTermDf: Long = 1000L): DataFrame = {
-    val n = docs.count() // corpus size: one scalar, the only driver value
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -224,9 +223,10 @@ object TextAnalysis {
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxTermDf)
     val w = tf.join(dft, Seq("term")).join(len, Seq("doc_id"))
+      .crossJoin(broadcast(corpusSize(docs)))
       .select(col("doc_id"), col("term"),
         (col("tf").cast("double") / col("len") *
-          log(lit(n.toDouble) / col("df"))).as("w"))
+          log(col("_n") / col("df"))).as("w"))
     val norms = w.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
     val a = w.select(col("term"), col("doc_id").as("id_a"), col("w").as("wa"))
@@ -400,6 +400,14 @@ object TextAnalysis {
   private def vocabSize(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(tokens(lower(col(textCol)))).as("w"))
       .agg(countDistinct(col("w")).as("v"))
+
+  /** One-row corpus size N for the idf numerator — same discipline as
+    * [[vocabSize]]: a broadcast one-row frame instead of an eager
+    * `docs.count()`, so composing a tf-idf operator into a multi-op
+    * pipeline adds no extra corpus scan at plan-build time. DOUBLE
+    * because every consumer divides it. */
+  private def corpusSize(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).cast("double").as("_n"))
 
   /** Incremental form of [[bigramLogProb]] (the
     * [[graft.operators.Dedup.dedupAgainstCorpus]] discipline applied to

@@ -272,6 +272,26 @@ class ChangeCaptureSpec extends SparkTestBase {
     assert(math.abs(out.head._3 - 1.0) < 1e-12)
   }
 
+  test("tf-idf plan construction is LAZY — no Spark job at build time (r7)") {
+    // pre-r7 both tf-idf operators ran an eager docs.count() per CALL —
+    // one duplicate corpus scan every time the operator composed into a
+    // pipeline. N now rides as a broadcast one-row frame, so building
+    // the plan must launch zero jobs.
+    // 3 docs so the shared term's idf ln(N/df) = ln(3/2) is nonzero
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "delta eps"))
+      .toDF("doc_id", "text")
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val pairs = graft.operators.TextAnalysis.tfIdfCosinePairs(
+      docs, "doc_id", "text", threshold = 0.1, maxTermDf = 100L)
+    val top = graft.operators.TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text")
+    assert(tracker.getJobIdsForGroup(null).length == before,
+      "plan construction must not run jobs")
+    // and the plans still evaluate correctly once an action runs
+    assert(pairs.count() == 1L)
+    assert(top.count() == 6L)
+  }
+
   // --------------------------------------------------------- join key stats
 
   test("joinKeyStats: orphans, overlap and fanout on a hand frame with nulls") {
