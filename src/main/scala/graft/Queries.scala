@@ -4450,6 +4450,19 @@ object Queries {
         t(s, d, "documents"), "doc_id", "text", p, nBuckets = 64)
     }
 
+  /** Incremental-index fixture: build on the 80 % stratum (doc_id % 5
+    * ≠ 0), then refresh with the held-out 20 % — the refreshed index
+    * must serve probes identically to one built over everything. */
+  private def textRefreshIndexPath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "txtrefresh") { p =>
+      val docs = t(s, d, "documents")
+      graft.operators.TextAnalysis.buildTextIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", p,
+        nBuckets = 64)
+      graft.operators.TextAnalysis.refreshTextIndex(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", p)
+    }
+
   q("q_text_bm25_index_build",
     // one-off inverted-index materialization charged separately from the
     // probes (the ANN index_build discipline): postings = distinct
@@ -4500,6 +4513,44 @@ object Queries {
       |FROM top WHERE rk <= 10 ORDER BY term, rk""".stripMargin) { (s, d) =>
     graft.operators.TextAnalysis.bm25TopDocsIndexed(
         s, textIndexPath(s, d),
+        nTerms = 3, minTermLen = 6, k1 = 1.2, b = 0.75, topK = 10)
+      .orderBy("term", "rk")
+  }
+
+  q("q_text_bm25_index_refresh",
+    // incremental index maintenance (the dedupAgainstCorpus discipline
+    // for the index family): built on 80 % of the corpus, refreshed with
+    // the held-out 20 % — postings appended only into the new terms'
+    // buckets, df merged vocab-sized, consts advanced by deltas. The
+    // oracle is the FULL scoring replay over ALL documents, so a refresh
+    // that loses postings, double-counts df, or leaves consts stale
+    // fails the hash exactly as a stale index would
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |consts AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      |probes AS (
+      |  SELECT term, df FROM dft WHERE length(term) >= 6
+      |  ORDER BY df DESC, term LIMIT 3),
+      |scored AS (
+      |  SELECT p.term, tf.doc_id,
+      |    ln(1.0 + (CAST(c.n_docs AS DOUBLE) - p.df + 0.5) / (CAST(p.df AS DOUBLE) + 0.5))
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf.tf AS DOUBLE) + 1.2 *
+      |         (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) *
+      |          (CAST(c.n_docs AS DOUBLE) / CAST(c.sum_dl AS DOUBLE)))) AS score
+      |  FROM tf JOIN probes p USING (term) JOIN dl USING (doc_id) CROSS JOIN consts c),
+      |top AS (
+      |  SELECT term, doc_id, score,
+      |    row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rk
+      |  FROM scored)
+      |SELECT term, CAST(rk AS BIGINT) AS rk, doc_id, round(score, 6) AS score
+      |FROM top WHERE rk <= 10 ORDER BY term, rk""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.bm25TopDocsIndexed(
+        s, textRefreshIndexPath(s, d),
         nTerms = 3, minTermLen = 6, k1 = 1.2, b = 0.75, topK = 10)
       .orderBy("term", "rk")
   }
@@ -5109,6 +5160,7 @@ object Queries {
     "q_join_bucketed" -> Seq("bkt_tables"),
     "q_text_bm25_indexed" -> Seq("txt_index"),
     "q_text_bm25_index_build" -> Seq("txt_index"),
+    "q_text_bm25_index_refresh" -> Seq("txt_refresh_index"),
     "q_scan_csv_roundtrip" -> Seq("csv_rt"),
     "q_scan_avro_roundtrip" -> Seq("avro_rt"),
     "q_scan_json_roundtrip" -> Seq("json_rt"),
@@ -5131,6 +5183,7 @@ object Queries {
     "orders_part" -> ((s, d) => { partitionedOrdersPath(s, d); () }),
     "bkt_tables" -> ((s, d) => { bucketedOrdersCustomer(s, d); () }),
     "txt_index" -> ((s, d) => { textIndexPath(s, d); () }),
+    "txt_refresh_index" -> ((s, d) => { textRefreshIndexPath(s, d); () }),
     "csv_rt" -> ((s, d) => { csvRoundtripPath(s, d); () }),
     "avro_rt" -> ((s, d) => { avroRoundtripPath(s, d); () }),
     "json_rt" -> ((s, d) => { jsonRoundtripPath(s, d); () }),

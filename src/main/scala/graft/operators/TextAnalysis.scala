@@ -544,6 +544,98 @@ object TextAnalysis {
     out.close()
   }
 
+  /** Read + validate the `_text_index_meta.json` of a [[buildTextIndex]]
+    * layout (shared by probe and refresh — both must fail loudly on a
+    * foreign tokenizer or a non-index path). */
+  private def readTextIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, TextIndexMetaFile)
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath), s"no $TextIndexMetaFile under $path — not a text index")
+    val metaJson = {
+      val in = fs.open(metaPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    require(metaJson.contains("\"tokenizer\": \"ws-lower\""),
+      s"text index at $path was built with a different tokenizer: $metaJson")
+    metaJson
+  }
+
+  /** Incremental maintenance for a [[buildTextIndex]] layout — the
+    * [[Dedup.dedupAgainstCorpus]] discipline applied to the index family:
+    * fold `newDocs` in WITHOUT touching the existing corpus's postings.
+    * Cost is proportional to the NEW docs (their tokenization + tf
+    * shuffle) plus the vocab-sized terms merge — never a rebuild's
+    * full-corpus scan; at 100 TB an append-heavy corpus refreshes at the
+    * marginal cost of its appends. Postings files land only in the new
+    * terms' bucket partitions (append), the (term, df) table merges via
+    * one vocab-sized full-outer join, and consts advance by the new
+    * docs' deltas. The result is bit-identical to rebuilding over
+    * old ∪ new (spec-pinned: refresh ≡ rebuild).
+    *
+    * Precondition: `newDocs` ids must be DISJOINT from the indexed docs —
+    * re-ingesting an already-indexed doc would double its postings.
+    * `checkDisjoint = true` verifies (one postings-scan anti-join — the
+    * honest check, priced like a rebuild's scan, so off by default;
+    * callers with an append-only id discipline skip it).
+    *
+    * Atomicity: the three sub-writes (postings append, terms overwrite,
+    * consts overwrite) are not transactional — a refresh that dies
+    * between them leaves the index stale-but-detectable (postings ahead
+    * of consts); re-run the refresh only after a rebuild, or wrap the
+    * path swap in the caller's own staging discipline. */
+  def refreshTextIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String, checkDisjoint: Boolean = false): Unit = {
+    val spark = newDocs.sparkSession
+    val metaJson = readTextIndexMeta(spark, path)
+    val nBuckets = """"nBuckets":\s*(\d+)""".r.findFirstMatchIn(metaJson)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"text index meta at $path has no nBuckets: $metaJson"))
+    if (checkDisjoint) {
+      val overlap = spark.read.parquet(s"$path/postings")
+        .select(col("doc_id")).distinct()
+        .join(newDocs.select(col(idCol).as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi").count()
+      require(overlap == 0,
+        s"$overlap of the new doc ids are already indexed at $path — " +
+          "refresh requires disjoint ids (rebuild instead)")
+    }
+    val toks = newDocs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val bucket = pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
+    // shared stage: tf feeds the postings write, the df merge AND (via
+    // dl) the consts delta — persist once, not three tokenizations
+    tf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      tf.join(dl, Seq("doc_id"))
+        .withColumn("bucket", bucket)
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+      // vocab-sized merge; localCheckpoint materializes BEFORE the
+      // overwrite deletes the directory being read
+      val merged = spark.read.parquet(s"$path/terms")
+        .select(col("term"), col("df"))
+        .join(tf.groupBy("term").agg(count(lit(1)).as("df_new")),
+          Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("df_new"), lit(0L)))
+            .as("df"))
+        .withColumn("bucket", bucket)
+        .localCheckpoint()
+      merged.write.mode("overwrite").parquet(s"$path/terms")
+      val delta = dl.agg(count(lit(1)).as("dn"),
+        coalesce(sum(col("dl")), lit(0L)).as("ds")).head()
+      val old = spark.read.parquet(s"$path/consts").head()
+      import spark.implicits._
+      Seq((old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1)))
+        .toDF("n_docs", "sum_dl")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/consts")
+    } finally tf.unpersist()
+  }
+
   /** BM25 probe against a [[buildTextIndex]] layout: probe terms are the
     * `nTerms` highest-df vocab terms of length ≥ `minTermLen` (the
     * [[bm25TopDocs]] derivation — a vocab-table TakeOrdered, never a
@@ -554,15 +646,7 @@ object TextAnalysis {
   def bm25TopDocsIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, nTerms: Int = 3, minTermLen: Int = 6, k1: Double = 1.2,
       b: Double = 0.75, topK: Int = 10): DataFrame = {
-    val metaPath = new org.apache.hadoop.fs.Path(path, TextIndexMetaFile)
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(metaPath), s"no $TextIndexMetaFile under $path — not a text index")
-    val metaJson = {
-      val in = fs.open(metaPath)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    }
-    require(metaJson.contains("\"tokenizer\": \"ws-lower\""),
-      s"text index at $path was built with a different tokenizer: $metaJson")
+    readTextIndexMeta(spark, path)
 
     val probes = spark.read.parquet(s"$path/terms")
       .filter(length(col("term")) >= minTermLen)

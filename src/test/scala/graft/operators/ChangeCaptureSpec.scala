@@ -365,4 +365,37 @@ class ChangeCaptureSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       "probe terms / consts should broadcast")
   }
+
+  test("refreshTextIndex ≡ rebuild over old ∪ new: postings, terms, consts, probes") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val full = java.nio.file.Files.createTempDirectory("txtidx_full").toString
+    val inc = java.nio.file.Files.createTempDirectory("txtidx_inc").toString
+    TextAnalysis.buildTextIndex(docs, "doc_id", "text", full, nBuckets = 8)
+    TextAnalysis.buildTextIndex(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", inc, nBuckets = 8)
+    TextAnalysis.refreshTextIndex(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", inc)
+
+    def rows(p: String, cols: String*): Set[Seq[Any]] =
+      spark.read.parquet(p).select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    assert(rows(s"$inc/postings", "doc_id", "term", "tf", "dl", "bucket")
+      == rows(s"$full/postings", "doc_id", "term", "tf", "dl", "bucket"))
+    assert(rows(s"$inc/terms", "term", "df", "bucket")
+      == rows(s"$full/terms", "term", "df", "bucket"))
+    assert(rows(s"$inc/consts", "n_docs", "sum_dl")
+      == rows(s"$full/consts", "n_docs", "sum_dl"))
+    // and a probe against the refreshed index is bit-identical
+    val a = TextAnalysis.bm25TopDocsIndexed(spark, full, nTerms = 2, topK = 5)
+      .orderBy("term", "rk").collect().toSeq
+    val b = TextAnalysis.bm25TopDocsIndexed(spark, inc, nTerms = 2, topK = 5)
+      .orderBy("term", "rk").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // the disjointness guard catches a re-ingest
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.refreshTextIndex(
+        docs.limit(1), "doc_id", "text", inc, checkDisjoint = true)
+    }
+    assert(e.getMessage.contains("already indexed"))
+  }
 }
