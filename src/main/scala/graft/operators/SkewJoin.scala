@@ -24,4 +24,41 @@ object SkewJoin {
       .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     leftSalted.join(rightSalted, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** The salting go/no-go, decided from the numbers
+    * [[Profiling.keySkewTopK]] produces: the share of the left side's
+    * rows held by its single hottest key. Salting costs a saltFactor×
+    * replication of the right side — worth paying only when one reducer
+    * would otherwise receive a topKeyShare fraction of the join's rows. */
+  final case class SaltDecision(topKeyCount: Long, nRows: Long,
+      topKeyShare: Double, salted: Boolean, saltFactor: Int)
+
+  /** Profile `left.key` (one keyed count + a k=1 bounded-heap top — the
+    * keySkewTopK shape) and decide. The profile is ONE eager pass over
+    * the left side; at 100 TB run it once per ingest and cache the
+    * decision, not once per join. */
+  def decide(left: DataFrame, key: String, topShareThreshold: Double = 0.2,
+      saltFactor: Int = 16): SaltDecision = {
+    require(topShareThreshold > 0 && topShareThreshold <= 1,
+      s"topShareThreshold must be in (0,1], got $topShareThreshold")
+    val row = Profiling.keySkewTopK(left.select(col(key)), key, k = 1).head()
+    val top = row.getAs[Long]("cnt")
+    val n = row.getAs[Long]("n_rows")
+    val share = if (n == 0) 0.0 else top.toDouble / n
+    SaltDecision(top, n, share, share >= topShareThreshold, saltFactor)
+  }
+
+  /** Inner join that reads the skew profile and picks its own physical
+    * shape: plain equi-join when the hottest key's row share is below
+    * `topShareThreshold` (AQE handles mild skew fine), the salted form
+    * past it (one key dominating a reducer is the case AQE's spill
+    * splitting cannot always fix — a hash-aggregate or broadcast-miss
+    * hot key needs the key space itself split). Same rows either way;
+    * only the exchange shape differs. */
+  def autoSalted(left: DataFrame, right: DataFrame, key: String,
+      topShareThreshold: Double = 0.2, saltFactor: Int = 16): DataFrame = {
+    val d = decide(left, key, topShareThreshold, saltFactor)
+    if (d.salted) saltedInnerJoin(left, right, key, d.saltFactor)
+    else left.join(right, Seq(key))
+  }
 }

@@ -198,6 +198,35 @@ class EventGraphSpec extends SparkTestBase {
     assert(r2 == ((6L, 6L, 1L)))
   }
 
+  test("sparsified triangle estimator: 64x sample estimate lands within the σ band") {
+    // q_graph_triangles runs the EXACT operator on a deterministic
+    // 1/4-node sample (partkey ≡ 0 mod 4) and scales by 1/p³ = 64 — the
+    // standard unbiased node-sparsification estimator (every triangle
+    // survives iff all 3 nodes survive: p³). Its sampling σ under the
+    // independent-triangle approximation is sqrt(T·(1/p³ − 1)) =
+    // sqrt(63·T); triangles sharing sampled nodes are positively
+    // correlated, so the honest band is a few multiples of that. This
+    // spec pins the fixture estimate inside 3σ of the exact full-graph
+    // count — the minhash_est ~2σ discipline applied to the graph family.
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    def edges(df: org.apache.spark.sql.DataFrame) = {
+      val a = df.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+      val b = df.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+      a.join(b, Seq("ok")).filter(col("pa") < col("pb")).select("pa", "pb")
+    }
+    val exact = LinkGraph.triangleCount(edges(li), "pa", "pb")
+      .as[(Long, Long, Long)].head()._3
+    val sampled = LinkGraph.triangleCount(
+        edges(li.filter(col("l_partkey") % 4 === 0)), "pa", "pb")
+      .as[(Long, Long, Long)].head()._3
+    val est = 64.0 * sampled
+    val sigma = math.sqrt(63.0 * exact)
+    info(f"exact=$exact est=$est%.0f sigma=$sigma%.1f dev=${(est - exact) / sigma}%.2f sigma")
+    assert(math.abs(est - exact) <= 3 * sigma,
+      f"estimate $est%.0f vs exact $exact — outside 3σ ($sigma%.1f)")
+  }
+
   test("topPaths: first-k order, tie-break by event_id, top-N tie order") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val ev = Seq(

@@ -52,6 +52,32 @@ class JoinOpsSpec extends SparkTestBase {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("autoSalted consumes the skew profile: salts the hot key, not the uniform key (r7)") {
+    // hot fixture: one key holds 80% of the rows — decide() must read
+    // that share from the keySkewTopK numbers and choose salting
+    val hot = (1 to 1000).map(i => (if (i <= 800) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val dim = (1L to 1000L).map(k => (k, s"n$k")).toDF("k", "name")
+    val dHot = SkewJoin.decide(hot, "k", topShareThreshold = 0.2)
+    assert(dHot.salted && math.abs(dHot.topKeyShare - 0.8) < 1e-9,
+      s"hot key share must be 0.8 and trigger salting: $dHot")
+    // uniform fixture: top share 1/1000 — plain join
+    val uni = (1 to 1000).map(i => (i.toLong, i)).toDF("k", "v")
+    val dUni = SkewJoin.decide(uni, "k", topShareThreshold = 0.2)
+    assert(!dUni.salted && dUni.topKeyShare == 0.001, s"uniform must stay plain: $dUni")
+    // same rows on both physical shapes
+    val plainHot = hot.join(dim, Seq("k")).select("k", "v", "name")
+    val auto = SkewJoin.autoSalted(hot, dim, "k", topShareThreshold = 0.2)
+      .select("k", "v", "name")
+    assert(auto.exceptAll(plainHot).isEmpty && plainHot.exceptAll(auto).isEmpty)
+    // and the salted path really engaged: the join key carries the salt
+    assert(auto.queryExecution.analyzed.toString.contains("_salt"),
+      "hot-side autoSalted must route through the salted join")
+    assert(!SkewJoin.autoSalted(uni, dim, "k", topShareThreshold = 0.2)
+      .queryExecution.analyzed.toString.contains("_salt"),
+      "uniform-side autoSalted must stay a plain equi-join")
+  }
+
   test("binnedRangeJoinCapped equals the row_number-window formulation, including ties") {
     import org.apache.spark.sql.expressions.Window
     // 40 left rows x dense right side: windows overlap, duplicate right
