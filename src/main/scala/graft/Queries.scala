@@ -3385,6 +3385,60 @@ object Queries {
       pqCodebooks(s, d), embProbe(s, d), k = 10)
   }
 
+  // ---- refreshed-index twins (r7): each ANN index built on a 2/3
+  // stratum then refreshed with the held-out 1/3 — the probes against
+  // the refreshed layout must hash-equal the SAME full-corpus oracles
+  // the full builds use, making refresh ≡ rebuild driver-visible for
+  // the whole index family (the q_text_bm25_index_refresh discipline)
+  private def lshRefreshPath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "lshrefresh") { p =>
+      val emb = t(s, d, "embeddings").filter(col("vec_id") =!= 0)
+      graft.operators.Similarity.buildLshIndex(
+        emb.filter(col("vec_id") % 3 =!= 1), "vec_id", "embedding", p, dim = 64)
+      graft.operators.Similarity.refreshLshIndex(
+        emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", p)
+    }
+
+  private def ivfRefreshPath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "ivfrefresh") { p =>
+      val emb = t(s, d, "embeddings").filter(col("vec_id") =!= 0)
+      graft.operators.Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") % 3 =!= 1), "vec_id", "embedding",
+        ivfCentroids(s, d), p)
+      // refresh reads the bit-exact centroid sidecar — no caller state
+      graft.operators.Similarity.refreshIvfIndex(
+        emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", p)
+    }
+
+  private def pqRefreshPath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "pqrefresh") { p =>
+      val emb = t(s, d, "embeddings").filter(col("vec_id") =!= 0)
+      graft.operators.Similarity.buildPqIndex(
+        emb.filter(col("vec_id") % 3 =!= 1), "vec_id", "embedding",
+        pqCodebooks(s, d), p)
+      graft.operators.Similarity.refreshPqIndex(
+        emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding",
+        pqCodebooks(s, d), p)
+    }
+
+  q("q_sim_lsh_index_refresh", lshOracleSql(dim = 64, nBits = 6, nTables = 12,
+    seed = 7L, k = 10)) { (s, d) =>
+    graft.operators.Similarity.lshTopKIndexed(
+      s, lshRefreshPath(s, d), "vec_id", "embedding", embProbe(s, d), k = 10)
+  }
+
+  q("q_sim_ivf_index_refresh", ivfOracleSql) { (s, d) =>
+    graft.operators.Similarity.ivfTopKIndexed(
+      s, ivfRefreshPath(s, d), "vec_id", "embedding", ivfCentroids(s, d),
+      embProbe(s, d), k = 10, nprobe = 2)
+  }
+
+  q("q_sim_pq_index_refresh", pqAdcOracleSql) { (s, d) =>
+    graft.operators.Similarity.adcTopKIndexed(
+      s, pqRefreshPath(s, d), "vec_id",
+      pqCodebooks(s, d), embProbe(s, d), k = 10)
+  }
+
   // ---- ANN index builds as first-class inventory entries. The one-off
   // partitionBy materialization is the expensive half of every *_indexed
   // query; registering the builds separately (named to sort BEFORE their
@@ -5161,6 +5215,9 @@ object Queries {
     "q_text_bm25_indexed" -> Seq("txt_index"),
     "q_text_bm25_index_build" -> Seq("txt_index"),
     "q_text_bm25_index_refresh" -> Seq("txt_refresh_index"),
+    "q_sim_lsh_index_refresh" -> Seq("lsh_refresh_index"),
+    "q_sim_ivf_index_refresh" -> Seq("ivf_refresh_index"),
+    "q_sim_pq_index_refresh" -> Seq("pq_refresh_index"),
     "q_scan_csv_roundtrip" -> Seq("csv_rt"),
     "q_scan_avro_roundtrip" -> Seq("avro_rt"),
     "q_scan_json_roundtrip" -> Seq("json_rt"),
@@ -5184,6 +5241,9 @@ object Queries {
     "bkt_tables" -> ((s, d) => { bucketedOrdersCustomer(s, d); () }),
     "txt_index" -> ((s, d) => { textIndexPath(s, d); () }),
     "txt_refresh_index" -> ((s, d) => { textRefreshIndexPath(s, d); () }),
+    "lsh_refresh_index" -> ((s, d) => { lshRefreshPath(s, d); () }),
+    "ivf_refresh_index" -> ((s, d) => { ivfRefreshPath(s, d); () }),
+    "pq_refresh_index" -> ((s, d) => { pqRefreshPath(s, d); () }),
     "csv_rt" -> ((s, d) => { csvRoundtripPath(s, d); () }),
     "avro_rt" -> ((s, d) => { avroRoundtripPath(s, d); () }),
     "json_rt" -> ((s, d) => { jsonRoundtripPath(s, d); () }),

@@ -213,12 +213,79 @@ object Similarity {
     * decoded (vs [[ivfTopK]], which still scans all rows to re-derive
     * cells). */
   def buildIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Array[Float]], path: String): Unit =
+      centroids: Seq[Array[Float]], path: String): Unit = {
     assignCells(embeddings.select(col(idCol), col(vecCol)), vecCol, centroids)
       // cluster by the partition key so each cell dir is written by one
       // task (see buildLshIndex — avoids tasks × K open files)
       .repartition(col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    writeIvfMeta(embeddings.sparkSession, path, centroids)
+  }
+
+  private final val IvfMetaFile = "_ivf_index_meta.json"
+
+  /** The fitted centroids persisted NEXT TO the index as raw float bits
+    * (exact round trip — a decimal render could perturb a cell
+    * assignment): cell ids in the table are only meaningful against the
+    * EXACT centroids that assigned them, and [[refreshIvfIndex]] must
+    * assign new vectors with those, not a refit (the buildLshIndex /
+    * buildPqIndex metadata contract applied to IVF). */
+  private def writeIvfMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, centroids: Seq[Array[Float]]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, IvfMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bits = centroids.map(_.map(java.lang.Float.floatToRawIntBits)
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"k":${centroids.size},"dim":${centroids.head.length},"bits":$bits}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Centroids read back from a [[buildIvfIndex]] metadata sidecar —
+    * bit-exact. None for a pre-metadata index. */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Seq[Array[Float]]] = {
+    val p = new org.apache.hadoop.fs.Path(path, IvfMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val bits = """"bits"\s*:\s*\[(.*)\]\s*\}""".r.findFirstMatchIn(raw)
+        .getOrElse(throw new IllegalArgumentException(
+          s"malformed IVF meta at $path: $raw")).group(1)
+      Some("""\[([^\[\]]*)\]""".r.findAllMatchIn(bits).map(m =>
+        m.group(1).split(",").map(s =>
+          java.lang.Float.intBitsToFloat(s.trim.toInt))).toSeq)
+    }
+  }
+
+  /** Incremental maintenance for a [[buildIvfIndex]] layout — the
+    * [[graft.operators.TextAnalysis.refreshTextIndex]] discipline for
+    * the ANN family: assign ONLY the new vectors (with the bit-exact
+    * stored centroids) and append into their cells' partitions; the
+    * existing corpus is never rescanned, so an append-heavy embedding
+    * table refreshes at the marginal cost of its appends. Cell
+    * assignment is per-row independent, so refresh ≡ rebuild over
+    * old ∪ new exactly (spec-pinned). Precondition: new ids disjoint
+    * from the indexed ids (same contract as every refresh). Requires
+    * the metadata sidecar — refusing to guess centroids is the point. */
+  def refreshIvfIndex(newEmbeddings: DataFrame, idCol: String,
+      vecCol: String, path: String): Unit = {
+    val centroids = readIvfCentroids(newEmbeddings.sparkSession, path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no $IvfMetaFile under $path — pre-metadata IVF indexes cannot " +
+          "refresh (their build centroids are unknown); rebuild instead"))
+    assignCells(newEmbeddings.select(col(idCol), col(vecCol)), vecCol, centroids)
+      .repartition(col("cell_id"))
+      .write.mode("append").partitionBy("cell_id").parquet(path)
+  }
 
   /** Top-k over a [[buildIvfIndex]] table. The `cell_id IN (...)` predicate
     * is a partition filter (cell_id is a directory column), so the plan's
@@ -389,6 +456,39 @@ object Similarity {
       val kv = """"(\w+)"\s*:\s*(-?\d+)""".r
       Some(kv.findAllMatchIn(raw).map(m => m.group(1) -> m.group(2).toLong).toMap)
     }
+  }
+
+  /** Incremental maintenance for a [[buildLshIndex]] layout: the stored
+    * (dim, nBits, nTables, seed) regenerate the SAME planes, new vectors
+    * explode into their nTables (table, bucket) assignments, and the
+    * files append into only those buckets' partitions — per-row
+    * independent signatures make refresh ≡ rebuild over old ∪ new
+    * exactly (spec-pinned). Requires the metadata sidecar (a guessed
+    * seed would sign against different planes and corrupt the buckets
+    * silently). Precondition: new ids disjoint from the indexed ids. */
+  def refreshLshIndex(newEmbeddings: DataFrame, idCol: String,
+      vecCol: String, path: String): Unit = {
+    val spark = newEmbeddings.sparkSession
+    val meta = readLshMeta(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no $LshMetaFile under $path — pre-metadata LSH indexes cannot " +
+          "refresh (their plane parameters are unknown); rebuild instead"))
+    val d = meta("dim").toInt
+    val nBits = meta("nBits").toInt
+    val nTables = meta("nTables").toInt
+    val seed = meta("seed")
+    val assignments = (0 until nTables).map { t =>
+      val planes = signPlanes(d, nBits, seed + t)
+      struct(lit(t).as("table"),
+        lshSignature(col(vecCol), planes).as("bucket"))
+    }
+    newEmbeddings.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol),
+        explode(array(assignments: _*)).as("tb"))
+      .select(col(idCol), col(vecCol),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      .repartition(col("table"), col("bucket"))
+      .write.mode("append").partitionBy("table", "bucket").parquet(path)
   }
 
   /** Top-k over a [[buildLshIndex]] table: the probe's nTables
@@ -773,6 +873,47 @@ object Similarity {
     finally out.close()
   }
 
+  /** Stored codebook fingerprint of a [[buildPqIndex]] table (None for
+    * a pre-metadata table). */
+  private def readPqFingerprint(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, PqMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      """"fp"\s*:\s*"([0-9a-f]+)"""".r.findFirstMatchIn(raw).map(_.group(1))
+    }
+  }
+
+  /** Incremental maintenance for a [[buildPqIndex]] table: encode ONLY
+    * the new vectors and append their packed code rows — the existing
+    * code table is never rescanned. The caller's codebooks are
+    * fingerprint-validated against the index metadata first (REQUIRED
+    * here, unlike the probe's best-effort check: appending codes
+    * assigned by foreign codebooks corrupts the table for every later
+    * probe). Per-row independent encoding makes refresh ≡ rebuild over
+    * old ∪ new exactly (spec-pinned). Precondition: new ids disjoint
+    * from the indexed ids. */
+  def refreshPqIndex(newEmbeddings: DataFrame, idCol: String,
+      vecCol: String, codebooks: Seq[Seq[Array[Float]]], path: String): Unit = {
+    val fp = readPqFingerprint(newEmbeddings.sparkSession, path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no $PqMetaFile under $path — pre-metadata PQ tables cannot " +
+          "refresh (their codebook fingerprint is unknown); rebuild instead"))
+    require(fp == pqFingerprint(codebooks),
+      s"refreshPqIndex: codebooks do not match the index at $path " +
+        s"(built with fingerprint $fp) — appending foreign-coded rows " +
+        "would corrupt every later probe")
+    pqPackedCodes(newEmbeddings, idCol, vecCol, codebooks)
+      .write.mode("append").parquet(path)
+  }
+
   /** [[adcTopKFromCodes]] over a [[buildPqIndex]] table, with the
     * codebook fingerprint validated against the index metadata (probing
     * a code table with codebooks other than the ones that assigned the
@@ -781,19 +922,10 @@ object Similarity {
   def adcTopKIndexed(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, idCol: String,
       codebooks: Seq[Seq[Array[Float]]], probe: Array[Float], k: Int): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(indexPath, PqMetaFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val raw =
-        try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      val fp = """"fp"\s*:\s*"([0-9a-f]+)"""".r.findFirstMatchIn(raw).map(_.group(1))
-      require(fp.contains(pqFingerprint(codebooks)),
+    readPqFingerprint(spark, indexPath).foreach { fp =>
+      require(fp == pqFingerprint(codebooks),
         s"adcTopKIndexed: codebooks do not match the index at $indexPath " +
-          s"(built with fingerprint ${fp.getOrElse("?")}) — its codes were " +
+          s"(built with fingerprint $fp) — its codes were " +
           "assigned by different codebooks and would score wrong neighbors")
     }
     adcTopKFromCodes(spark.read.parquet(indexPath), idCol, "codes",

@@ -910,6 +910,74 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("ANN index refresh ≡ rebuild (lsh/ivf/pq): append-only, same probes, meta-guarded") {
+    // the refreshTextIndex discipline applied to the ANN family: build on
+    // a 2/3 stratum, refresh with the held-out 1/3, and the index must be
+    // row-identical to one built over everything (per-row-independent
+    // assignments make this exact, not approximate)
+    val oldE = emb.filter(col("vec_id") % 3 =!= 0)
+    val newE = emb.filter(col("vec_id") % 3 === 0)
+    val root = java.nio.file.Files.createTempDirectory("ann_refresh")
+    def rows(p: String, cols: String*): Set[Seq[Any]] =
+      spark.read.parquet(p).select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    try {
+      // ---- LSH
+      val lshFull = root.resolve("lsh_full").toString
+      val lshInc = root.resolve("lsh_inc").toString
+      Similarity.buildLshIndex(emb, "vec_id", "embedding", lshFull)
+      Similarity.buildLshIndex(oldE, "vec_id", "embedding", lshInc)
+      Similarity.refreshLshIndex(newE, "vec_id", "embedding", lshInc)
+      assert(rows(lshInc, "vec_id", "table", "bucket")
+        == rows(lshFull, "vec_id", "table", "bucket"))
+      val probe = emb.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+      assert(Similarity.lshTopKIndexed(spark, lshInc, "vec_id", "embedding",
+          probe, 10).collect().toSeq
+        == Similarity.lshTopKIndexed(spark, lshFull, "vec_id", "embedding",
+          probe, 10).collect().toSeq)
+      // ---- IVF (centroids persisted bit-exactly in the sidecar)
+      val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+      val ivfFull = root.resolve("ivf_full").toString
+      val ivfInc = root.resolve("ivf_inc").toString
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", centroids, ivfFull)
+      assert(Similarity.readIvfCentroids(spark, ivfFull).get
+        .map(_.toSeq) == centroids.map(_.toSeq), "sidecar must round-trip bit-exactly")
+      Similarity.buildIvfIndex(oldE, "vec_id", "embedding", centroids, ivfInc)
+      Similarity.refreshIvfIndex(newE, "vec_id", "embedding", ivfInc)
+      assert(rows(ivfInc, "vec_id", "cell_id") == rows(ivfFull, "vec_id", "cell_id"))
+      assert(Similarity.ivfTopKIndexed(spark, ivfInc, "vec_id", "embedding",
+          centroids, probe, 10, nprobe = 2).collect().toSeq
+        == Similarity.ivfTopKIndexed(spark, ivfFull, "vec_id", "embedding",
+          centroids, probe, 10, nprobe = 2).collect().toSeq)
+      // ---- PQ (fingerprint REQUIRED on refresh — foreign codes corrupt)
+      val (_, codebooks) = pqFixture
+      val pqFull = root.resolve("pq_full").toString
+      val pqInc = root.resolve("pq_inc").toString
+      Similarity.buildPqIndex(emb, "vec_id", "embedding", codebooks, pqFull)
+      Similarity.buildPqIndex(oldE, "vec_id", "embedding", codebooks, pqInc)
+      Similarity.refreshPqIndex(newE, "vec_id", "embedding", codebooks, pqInc)
+      assert(rows(pqInc, "vec_id", "codes") == rows(pqFull, "vec_id", "codes"))
+      val foreign = codebooks.map(_.map(_.map(_ + 1.0f)))
+      assert(intercept[IllegalArgumentException] {
+        Similarity.refreshPqIndex(newE, "vec_id", "embedding", foreign, pqInc)
+      }.getMessage.contains("fingerprint"))
+      // ---- pre-metadata layouts refuse to refresh rather than guess
+      val bare = root.resolve("bare").toString
+      newE.select("vec_id", "embedding").write.parquet(bare)
+      assert(intercept[IllegalArgumentException] {
+        Similarity.refreshIvfIndex(newE, "vec_id", "embedding", bare)
+      }.getMessage.contains("rebuild instead"))
+      assert(intercept[IllegalArgumentException] {
+        Similarity.refreshLshIndex(newE, "vec_id", "embedding", bare)
+      }.getMessage.contains("rebuild instead"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("fused PqAssign equals the composed per-subspace reference form") {
     val (_, codebooks) = pqFixture
     val subDim = codebooks.head.head.length
