@@ -75,6 +75,9 @@ object ClusterCheck {
     "q_join_jarowinkler",         // JaroWinkler StaticInvoke on executor JVMs (r6d)
     "q_join_snm_multipass",       // unioned two-phase ranks: intrinsic partition ids (r6d)
     "q_profile_outliers_mad",     // null-safe broadcast fence joins across JVMs (r6d)
+    "q_text_bm25_index_refresh",  // executor-side postings append + vocab merge + consts delta (r7)
+    "q_sim_ivf_index_refresh",    // bit-exact centroid sidecar read + append assignment (r7)
+    "q_scan_csvq_roundtrip",      // OpenCSVSerde quote/escape write+read across executors (r7)
   )
 
   private def runAll(master: String, sfDir: String): Map[String, Seq[String]] = {
