@@ -222,11 +222,16 @@ object TextAnalysis {
     val len = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxTermDf)
+    // the weight frame is consumed FOUR times (both self-join sides +
+    // two norm joins) — persist it once (the bigramLogProb shared-stage
+    // discipline) so the tokenize→tf→df→N subtree runs once, not four
+    // times, and the plan keeps exactly one one-row N broadcast
     val w = tf.join(dft, Seq("term")).join(len, Seq("doc_id"))
       .crossJoin(broadcast(corpusSize(docs)))
       .select(col("doc_id"), col("term"),
         (col("tf").cast("double") / col("len") *
           log(col("_n") / col("df"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = w.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
     val a = w.select(col("term"), col("doc_id").as("id_a"), col("w").as("wa"))
@@ -404,8 +409,11 @@ object TextAnalysis {
   /** One-row corpus size N for the idf numerator — same discipline as
     * [[vocabSize]]: a broadcast one-row frame instead of an eager
     * `docs.count()`, so composing a tf-idf operator into a multi-op
-    * pipeline adds no extra corpus scan at plan-build time. DOUBLE
-    * because every consumer divides it. */
+    * pipeline adds no extra corpus scan at plan-build time. Consumers
+    * attach it with crossJoin(broadcast(..)) — a one-row-build
+    * BroadcastNestedLoopJoin, the intended shape (a constant-key equi
+    * join folds back to the same plan under ConstantPropagation).
+    * DOUBLE because every consumer divides it. */
   private def corpusSize(docs: DataFrame): DataFrame =
     docs.agg(count(lit(1)).cast("double").as("_n"))
 

@@ -649,8 +649,22 @@ class PlanQualitySpec extends SparkTestBase {
 
   test("q_text_tfidf_pairs: inverted self-join on terms — no cartesian, df prefilter aggregates") {
     val p = plan("q_text_tfidf_pairs")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct"),
       s"sparse cosine must pair via the term index:\n$p")
+    // r7: N rides as a lazily-built one-row broadcast INSIDE the
+    // persisted shared weight stage (replacing the former eager
+    // docs.count()), so the join tree OUTSIDE the cached stage must be
+    // pure equi-joins — tree-walk the executed plan (string counting
+    // would see the one cached BNLJ re-printed per InMemoryTableScan)
+    val exec = SparkEntry.queries("q_text_tfidf_pairs")(spark, sf())
+      .queryExecution.executedPlan
+    val outerBnlj = exec.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(outerBnlj.isEmpty,
+      s"pair/norm joins must be equi-joins; nested loops belong only in the cached N stage:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the shared weight stage must be persisted (4 consumers):\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"tf/df aggregates should combine partially:\n$p")
   }
