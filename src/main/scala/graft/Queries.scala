@@ -4748,15 +4748,21 @@ object Queries {
 
   q("q_join_fuzzy_qgram",
     // the OTHER fuzzy blocking scheme as a registered query: q-gram
-    // rare-prefix blocking over HIGH-entropy word-salad part names (its
-    // home turf — deletion blocking owns the low-entropy serials in
-    // q_join_fuzzy), on a 1-in-4 partkey stratum to keep the brute
-    // oracle quadratic small. The 25 four-char nation prefixes (≤ q·d
-    // distinct grams) exercise the short-string fallback block — the
-    // r7 pigeonhole fix — so a recall regression at EITHER length
-    // stratum fails the brute-theta-join hash
+    // rare-prefix blocking over word-salad part names (deletion blocking
+    // owns the low-entropy serials in q_join_fuzzy), on a 1-in-20
+    // partkey stratum. The stratum is the SELECTIVITY budget, not just
+    // oracle thrift: part names draw from a ~90-word vocabulary, so
+    // gram document frequency grows linearly with the indexed side and
+    // candidates grow ~n·df — at a full-table sf1 that measured
+    // runaway-quadratic (the r6c lesson re-learned on a new fixture).
+    // Blocked joins are only as good as their key selectivity; the
+    // registered stratum keeps df bounded at every gate scale while
+    // still quadratic-checking recall against the brute oracle. The 25
+    // four-char nation prefixes (≤ q·d distinct grams) exercise the
+    // short-string fallback block — the r7 pigeonhole fix — so a recall
+    // regression at EITHER length stratum fails the hash
     """WITH l AS (
-      |  SELECT p_partkey AS lid, p_name AS ls FROM part WHERE p_partkey % 4 = 1
+      |  SELECT p_partkey AS lid, p_name AS ls FROM part WHERE p_partkey % 20 = 1
       |  UNION ALL
       |  SELECT n_nationkey + 10000000, substr(n_name, 1, 4) FROM nation),
       |r AS (
@@ -4767,7 +4773,7 @@ object Queries {
       |SELECT l.lid, r.rid, CAST(levenshtein(l.ls, r.rs) AS BIGINT) AS dist
       |FROM l JOIN r ON levenshtein(l.ls, r.rs) <= 1
       |ORDER BY lid, rid""".stripMargin) { (s, d) =>
-    val parts = t(s, d, "part").filter(col("p_partkey") % 4 === 1)
+    val parts = t(s, d, "part").filter(col("p_partkey") % 20 === 1)
       .select(col("p_partkey").cast("long").as("lid"), col("p_name").as("ls"))
     val shorts = t(s, d, "nation")
       .select((col("n_nationkey") + 10000000L).as("lid"),
