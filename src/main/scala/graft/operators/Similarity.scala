@@ -282,6 +282,11 @@ object Similarity {
       .getOrElse(throw new IllegalArgumentException(
         s"no $IvfMetaFile under $path — pre-metadata IVF indexes cannot " +
           "refresh (their build centroids are unknown); rebuild instead"))
+    // plain append: measured AGAINST a staging+file-move variant
+    // (BASELINE.md r7) — Spark's append neither lists live partitions
+    // nor reads existing footers, so its cost is the new files'
+    // committer work alone; the staged variant paid a second committer
+    // pass plus per-file driver renames and lost 2-3×
     assignCells(newEmbeddings.select(col(idCol), col(vecCol)), vecCol, centroids)
       .repartition(col("cell_id"))
       .write.mode("append").partitionBy("cell_id").parquet(path)
@@ -482,6 +487,8 @@ object Similarity {
       struct(lit(t).as("table"),
         lshSignature(col(vecCol), planes).as("bucket"))
     }
+    // plain append (see refreshIvfIndex — measured faster than a
+    // staging+move variant; append touches only the new files)
     newEmbeddings.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol),
         explode(array(assignments: _*)).as("tb"))
