@@ -64,6 +64,70 @@ object CorpusIngest {
       .start()
   }
 
+  /** Streaming BM25 index maintenance — [[ingestDocuments]]'s discipline
+    * composed with [[graft.operators.TextAnalysis.refreshTextIndex]]:
+    * each micro-batch of new documents is exact-deduped (within itself
+    * and against the corpus-so-far), appended to the corpus, AND folded
+    * into the live inverted index incrementally. The index is built on
+    * the first surviving batch and refreshed on every later one, so at
+    * any trigger boundary it serves probes over exactly the corpus
+    * written so far — no rebuild ever runs.
+    *
+    * Scale shape per trigger: the ingest cost of [[ingestDocuments]]
+    * plus refreshTextIndex's new-docs-proportional work (batch
+    * tokenization + tf shuffle, vocab-sized df merge, one-row consts
+    * delta). The refresh's disjoint-id precondition is discharged
+    * STRUCTURALLY: only dedup survivors — ids not yet in the corpus —
+    * reach the index, so no anti-join guard is needed.
+    *
+    * Exactly-once caveat: foreachBatch gives at-least-once across
+    * crash/retry; a replayed batch would violate the disjoint-id
+    * contract. The exact-against-corpus anti-join makes replays
+    * harmless for the CORPUS; for the INDEX, a torn trigger needs the
+    * caller's staging discipline or a rebuild — same contract as
+    * refreshTextIndex itself. */
+  def ingestWithTextIndex(spark: SparkSession, sourceDir: String,
+      corpusDir: String, indexDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 64,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val srcSchema = schema.getOrElse(spark.read.parquet(sourceDir).schema)
+    spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh = Dedup.exactDedup(batch, idCol, textCol)
+        val survivors =
+          if (!hasParquet(corpusDir)) fresh
+          else Dedup.exactAgainstCorpus(fresh, spark.read.parquet(corpusDir), textCol)
+        // localCheckpoint — NOT persist: the corpus append below calls
+        // refreshByPath(corpusDir), which UNCACHES any cached plan whose
+        // lineage reads that path; a merely-persisted survivor set would
+        // silently recompute against the post-append listing, where every
+        // survivor matches itself, and hand the index an EMPTY refresh
+        // (caught by the streaming-ingest spec). The checkpoint cuts the
+        // lineage to materialized blocks with no file dependency, so both
+        // sinks read the SAME pinned rows.
+        val pinned = survivors.localCheckpoint()
+        if (pinned.count() > 0) {
+          pinned.write.mode("append").parquet(corpusDir)
+          if (new java.io.File(indexDir, "_text_index_meta.json").exists())
+            graft.operators.TextAnalysis.refreshTextIndex(
+              pinned, idCol, textCol, indexDir)
+          else
+            graft.operators.TextAnalysis.buildTextIndex(
+              pinned, idCol, textCol, indexDir, nBuckets)
+        }
+        ()
+      }
+      .start()
+  }
+
   private def hasParquet(dir: String): Boolean = {
     val p = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(p)) return false

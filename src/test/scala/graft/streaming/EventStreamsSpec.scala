@@ -216,6 +216,37 @@ class EventStreamsSpec extends SparkTestBase {
       "corpus accumulated duplicate texts")
   }
 
+  test("streaming index ingest: live BM25 index == rebuild over the final corpus (r7)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("idx_ingest")
+    val src = root.resolve("incoming").toString
+    // two micro-batches; batch B re-sends one of A's texts under a new
+    // id (must NOT reach corpus or index) plus genuinely new docs
+    val a = (1L to 8L).map(i => (i, s"alpha document body number $i shared corpus"))
+    val b = Seq((11L, "alpha document body number 1 shared corpus")) ++
+      (12L to 16L).map(i => (i, s"beta document body number $i shared corpus"))
+    a.toDF("doc_id", "text").repartition(1).write.parquet(s"$src/f=a")
+    b.toDF("doc_id", "text").repartition(1).write.parquet(s"$src/f=b")
+    val corpus = root.resolve("corpus").toString
+    val index = root.resolve("index").toString
+    val q = CorpusIngest.ingestWithTextIndex(spark, src, corpus, index,
+      root.resolve("ckpt").toString, nBuckets = 8)
+    q.awaitTermination()
+    val got = spark.read.parquet(corpus)
+    assert(got.count() == 13, s"expected 13 survivors, got ${got.count()}")
+    // the incrementally-maintained index serves probes identically to a
+    // from-scratch rebuild over the final corpus
+    val rebuilt = root.resolve("rebuilt").toString
+    graft.operators.TextAnalysis.buildTextIndex(got, "doc_id", "text",
+      rebuilt, nBuckets = 8)
+    val live = graft.operators.TextAnalysis.bm25TopDocsIndexed(
+      spark, index, nTerms = 2, topK = 5).orderBy("term", "rk").collect().toSeq
+    val ref = graft.operators.TextAnalysis.bm25TopDocsIndexed(
+      spark, rebuilt, nTerms = 2, topK = 5).orderBy("term", "rk").collect().toSeq
+    assert(live == ref && live.nonEmpty,
+      s"live index diverged from rebuild: $live vs $ref")
+  }
+
   test("stateful streaming funnel equals the batch cascade") {
     val steps = Seq("signup", "view", "purchase")
     val s = EventStreams.runAvailableNow(spark,
