@@ -74,4 +74,62 @@ object Layout {
       .withColumn("bin", floor(col("_cum") / lit(targetSize)).cast("long"))
       .select(col(partCol), col(sizeCol), col("bin"))
   }
+
+  /** The inventory SOURCE for [[compactionPlan]]: every data file under
+    * `root` as (file, bytes, mtime_ms), `file` relative to the root so
+    * plans are location-portable. The listing is DISTRIBUTED: top-level
+    * entries enumerate on the driver (one RPC), then each task walks its
+    * subtree — at 100 TB a table has millions of files across thousands
+    * of partition dirs, and a driver-only recursive walk is the hidden
+    * serial bottleneck of naive maintenance jobs (Spark's own
+    * InMemoryFileIndex parallelizes the same way past a threshold).
+    * Hidden files and commit markers (`_SUCCESS`, dotfiles) are skipped.
+    * Output is metadata-sized; feed it straight to [[compactionPlan]]
+    * (bins by bytes) — files sorted by relative path keeps partition
+    * siblings adjacent, so bins respect directory locality. */
+  def fileInventory(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = rootPath.getFileSystem(conf.value)
+    val rootUri = fs.makeQualified(rootPath).toUri
+    val top = fs.listStatus(rootPath).toSeq
+    val (dirs, files) = top.partition(_.isDirectory)
+    def rel(p: Path): String =
+      rootUri.relativize(p.toUri).getPath
+    def keep(name: String): Boolean =
+      !name.startsWith("_") && !name.startsWith(".")
+    val topRows = files.filter(f => keep(f.getPath.getName))
+      .map(f => (rel(f.getPath), f.getLen, f.getModificationTime))
+    val dirStrs = dirs.filter(d => keep(d.getPath.getName))
+      .map(_.getPath.toString)
+    val subRows = spark.sparkContext
+      .parallelize(dirStrs, math.max(1, math.min(dirStrs.size, 64)))
+      .flatMap { dir =>
+        val p = new Path(dir)
+        val dfs = p.getFileSystem(conf.value)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        val it = dfs.listFiles(p, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (keep(f.getPath.getName))
+            out += ((rootUri.relativize(f.getPath.toUri).getPath,
+              f.getLen, f.getModificationTime))
+        }
+        out
+      }
+    import spark.implicits._
+    (spark.createDataset(topRows) union subRows.toDS())
+      .toDF("file", "bytes", "mtime_ms")
+  }
+
+  /** End-to-end small-file maintenance plan for a table directory:
+    * [[fileInventory]] → [[compactionPlan]] binned by bytes. Each
+    * output row is (file, bytes, bin); the rewrite is then "read the
+    * files of each bin, write one output file per bin". */
+  def compactionPlanForPath(spark: org.apache.spark.sql.SparkSession,
+      root: String, targetBytes: Long): DataFrame =
+    compactionPlan(fileInventory(spark, root), "file", "bytes", targetBytes)
 }

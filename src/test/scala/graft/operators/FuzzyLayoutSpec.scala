@@ -335,6 +335,34 @@ class FuzzyLayoutSpec extends SparkTestBase {
 
   // ------------------------------------------------------------ compaction
 
+  test("fileInventory: distributed listing equals the java.nio walk; plan binning composes (r7)") {
+    val root = java.nio.file.Files.createTempDirectory("inv").toString
+    // a partitioned-table-shaped tree: two partition dirs + a top-level
+    // file + commit markers that must be skipped
+    spark.range(100).withColumn("p", col("id") % 2)
+      .write.partitionBy("p").parquet(s"$root/t")
+    val inv = Layout.fileInventory(spark, s"$root/t")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // reference: plain recursive walk
+    import scala.jdk.CollectionConverters._
+    val expected = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/t"))
+      .iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p))
+      .filterNot(p => p.getFileName.toString.startsWith("_")
+        || p.getFileName.toString.startsWith("."))
+      .map(p => (java.nio.file.Paths.get(s"$root/t").relativize(p).toString,
+        java.nio.file.Files.size(p)))
+      .toMap
+    assert(inv == expected, s"inventory mismatch:\n$inv\nvs\n$expected")
+    assert(inv.nonEmpty && inv.keys.forall(_.startsWith("p=")),
+      s"relative partition-dir paths expected: ${inv.keys}")
+    // the end-to-end plan bins every file exactly once
+    val plan = Layout.compactionPlanForPath(spark, s"$root/t", targetBytes = 1L << 20)
+      .collect()
+    assert(plan.map(_.getString(0)).toSet == expected.keySet)
+    assert(plan.forall(_.getLong(2) == 0L), "tiny fixture fits one bin")
+  }
+
   test("compactionPlan: greedy running-total binning in partition order") {
     val inv = Seq(("p1", 10L), ("p2", 10L), ("p3", 10L), ("p4", 10L))
       .toDF("part", "n")
