@@ -3293,6 +3293,39 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  q("q_embed_drift",
+    // per-dimension distribution drift between two embedding snapshots
+    // (vec_id parity = the synthetic old/new split): the encoder-change
+    // monitor. One posexplode + d-group agg per side; sums add through
+    // per-term DECIMAL(38,12) casts (order-independent), divisions and
+    // rounds follow the q_events_twap VARCHAR→DECIMAL bridge
+    """WITH o AS (
+      |  SELECT generate_subscripts(embedding, 1) AS dim1,
+      |         unnest(embedding)::DOUBLE AS v
+      |  FROM embeddings WHERE vec_id % 2 = 0 AND embedding IS NOT NULL),
+      |n AS (
+      |  SELECT generate_subscripts(embedding, 1) AS dim1,
+      |         unnest(embedding)::DOUBLE AS v
+      |  FROM embeddings WHERE vec_id % 2 = 1 AND embedding IS NOT NULL),
+      |os AS (SELECT dim1, count(*) AS n_old,
+      |         sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,12))) AS so
+      |       FROM o GROUP BY dim1),
+      |ns AS (SELECT dim1, count(*) AS n_new,
+      |         sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,12))) AS sn
+      |       FROM n GROUP BY dim1)
+      |SELECT CAST(os.dim1 - 1 AS BIGINT) AS dim, n_old, n_new,
+      |  CAST(round(CAST(CAST((CAST(so AS DOUBLE) / CAST(n_old AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mean_old,
+      |  CAST(round(CAST(CAST((CAST(sn AS DOUBLE) / CAST(n_new AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mean_new,
+      |  CAST(round(CAST(CAST((CAST(sn AS DOUBLE) / CAST(n_new AS DOUBLE)
+      |    - CAST(so AS DOUBLE) / CAST(n_old AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS shift
+      |FROM os JOIN ns USING (dim1) ORDER BY dim""".stripMargin) { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    graft.operators.Similarity.embeddingDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "embedding")
+      .orderBy("dim")
+  }
+
   // ------------------------------------------------ product quantization
 
   /** PQ fixture convention (mirrors [[ivfCentroids]]): codebooks are the

@@ -156,6 +156,41 @@ object Similarity {
       transform(v, x => round(x.cast("double") * 127 / mxn).cast("byte")).as("q"))
   }
 
+  /** Per-dimension distribution drift between two embedding snapshots —
+    * the monitoring twin of the CDC family for the EMBEDDING column: a
+    * re-run encoder, a changed normalization, or a shifted corpus mix
+    * shows up as per-dimension mean shift long before retrieval quality
+    * visibly degrades. Output: one row per dimension with both
+    * populations' counts and means and the mean shift (new − old).
+    *
+    * Scale shape: each side is ONE posexplode + keyed partial+final agg
+    * into d groups (d rows cross the wire per side, corpus never
+    * re-shuffles); the d-row frames join on dimension. Sums add through
+    * per-term DECIMAL(38,12) casts so they are partition-order-
+    * independent and replay bit-equal (the q_events_twap bridge
+    * discipline); divisions and rounds follow the same bridge. Null
+    * vectors are skipped on both sides. */
+  def embeddingDrift(oldE: DataFrame, newE: DataFrame,
+      vecCol: String): DataFrame = {
+    def dimStats(df: DataFrame, nCol: String, sCol: String) = df
+      .filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)))
+      .groupBy("pos")
+      .agg(count(lit(1)).as(nCol),
+        sum(col("col").cast("double").cast("decimal(38,12)")).as(sCol))
+    dimStats(oldE, "n_old", "_so")
+      .join(dimStats(newE, "n_new", "_sn"), Seq("pos"))
+      .select(col("pos").cast("long").as("dim"),
+        col("n_old"), col("n_new"),
+        round(col("_so").cast("double") / col("n_old").cast("double"), 6)
+          .as("mean_old"),
+        round(col("_sn").cast("double") / col("n_new").cast("double"), 6)
+          .as("mean_new"),
+        round(col("_sn").cast("double") / col("n_new").cast("double")
+          - col("_so").cast("double") / col("n_old").cast("double"), 6)
+          .as("shift"))
+  }
+
   /** Distributed Lloyd's (spherical) k-means for IVF centroid fitting.
     * Init = deterministic hash-ordered sample of k vectors; each iteration
     * assigns cells map-side against the broadcast centroid literal, then

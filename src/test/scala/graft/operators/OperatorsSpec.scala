@@ -910,6 +910,28 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("embeddingDrift: identical snapshots shift 0, a planted offset surfaces exactly (r7)") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(3.0f, 2.0f, 1.0f)),
+      (3L, Array(2.0f, 2.0f, 2.0f)), (4L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "vec")
+    val same = Similarity.embeddingDrift(base, base, "vec")
+      .orderBy("dim").collect()
+    assert(same.length == 3, "null vectors must be skipped, 3 dims profiled")
+    assert(same.forall(r => r.getDouble(5) == 0.0),
+      s"identical snapshots must shift 0: ${same.toSeq}")
+    assert(same.forall(r => r.getLong(1) == 3 && r.getLong(2) == 3))
+    // plant +0.5 on dimension 1 only
+    val shifted = base.filter(col("vec").isNotNull).select(col("id"),
+      transform(col("vec"), (x, i) =>
+        when(i === 1, x + 0.5f).otherwise(x)).as("vec"))
+    val drift = Similarity.embeddingDrift(base, shifted, "vec")
+      .orderBy("dim").collect()
+    assert(drift.map(_.getDouble(5)).toSeq == Seq(0.0, 0.5, 0.0),
+      s"planted +0.5 on dim 1 must surface exactly: ${drift.toSeq}")
+  }
+
   test("ANN index refresh ≡ rebuild (lsh/ivf/pq): append-only, same probes, meta-guarded") {
     // the refreshTextIndex discipline applied to the ANN family: build on
     // a 2/3 stratum, refresh with the held-out 1/3, and the index must be
