@@ -3326,6 +3326,37 @@ object Queries {
       .orderBy("dim")
   }
 
+  q("q_text_vocab_drift",
+    // vocabulary drift between corpus snapshots (doc_id parity split):
+    // the text twin of q_embed_drift. Counts are exact integers; the
+    // frequency shift is a flat rational round, so the oracle replays
+    // it through the VARCHAR→DECIMAL bridge (the percent_rank
+    // discipline)
+    """WITH o AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |n AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |oc AS (SELECT term, count(*) AS c_old FROM o GROUP BY term),
+      |nc AS (SELECT term, count(*) AS c_new FROM n GROUP BY term),
+      |t AS (SELECT (SELECT sum(c_old) FROM oc) AS t_old,
+      |             (SELECT sum(c_new) FROM nc) AS t_new),
+      |j AS (
+      |  SELECT coalesce(oc.term, nc.term) AS term,
+      |    coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+      |  FROM oc FULL JOIN nc ON oc.term = nc.term)
+      |SELECT term, c_old, c_new,
+      |  CAST(round(CAST(CAST((CAST(c_new AS DOUBLE) / t_new
+      |    - CAST(c_old AS DOUBLE) / t_old) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS freq_shift
+      |FROM j CROSS JOIN t
+      |ORDER BY c_old + c_new DESC, term LIMIT 40""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    graft.operators.TextAnalysis.vocabDrift(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "text", topK = 40)
+  }
+
   // ------------------------------------------------ product quantization
 
   /** PQ fixture convention (mirrors [[ivfCentroids]]): codebooks are the

@@ -250,6 +250,40 @@ object TextAnalysis {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Vocabulary drift between two corpus snapshots — the text twin of
+    * [[Similarity.embeddingDrift]]: per-term occurrence counts and
+    * relative-frequency shift for the `topK` highest-combined-count
+    * terms (ties by term ascending — deterministic). A changed source
+    * mix, a new boilerplate pattern, or a tokenization regression shows
+    * up as frequency shift on head terms; a term present in only one
+    * snapshot surfaces with a zero count on the other side.
+    *
+    * Scale shape: one tokenize + keyed count per side (the only
+    * corpus-sized shuffles), totals as broadcast one-row frames, a
+    * vocab-sized full-outer join, and TakeOrdered for the top-k — the
+    * corpus never re-shuffles. Frequencies are exact rationals
+    * (count/total of the SAME integers in both engines), rounded at
+    * 6 dp. */
+  def vocabDrift(oldDocs: DataFrame, newDocs: DataFrame, textCol: String,
+      topK: Int = 50): DataFrame = {
+    require(topK >= 1, s"topK must be positive, got $topK")
+    def counts(df: DataFrame, cCol: String) = df
+      .select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as(cCol))
+    val o = counts(oldDocs, "c_old")
+    val n = counts(newDocs, "c_new")
+    val totals = o.agg(coalesce(sum("c_old"), lit(0L)).as("_to"))
+      .crossJoin(n.agg(coalesce(sum("c_new"), lit(0L)).as("_tn")))
+    o.join(n, Seq("term"), "full_outer")
+      .na.fill(0L, Seq("c_old", "c_new"))
+      .crossJoin(broadcast(totals))
+      .select(col("term"), col("c_old"), col("c_new"),
+        round(col("c_new").cast("double") / col("_tn")
+          - col("c_old").cast("double") / col("_to"), 6).as("freq_shift"))
+      .orderBy((col("c_old") + col("c_new")).desc, col("term"))
+      .limit(topK)
+  }
+
   /** HTML entities decoded by [[stripHtml]], applied via literal
     * `replace` (no regex): `&amp;` LAST so double-encoded text
     * (`&amp;lt;`) decodes one level per pass, the standard behavior. */

@@ -366,6 +366,25 @@ class ChangeCaptureSpec extends SparkTestBase {
       "probe terms / consts should broadcast")
   }
 
+  test("vocabDrift: stable head is flat, a planted term shifts, one-sided terms get zero counts (r7)") {
+    import spark.implicits._
+    val oldDocs = Seq((1L, "alpha beta gamma alpha"), (2L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq((3L, "alpha beta gamma NOVEL"), (4L, "alpha beta NOVEL"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabDrift(oldDocs, newDocs, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byTerm = out.map(t => t._1 -> t).toMap
+    // totals: old 7 tokens, new 7 tokens
+    assert(byTerm("alpha") == (("alpha", 3L, 2L, math.rint((2.0/7 - 3.0/7)*1e6)/1e6)))
+    assert(byTerm("novel")._2 == 0L && byTerm("novel")._3 == 2L,
+      s"one-sided term must get a zero old count: ${byTerm("novel")}")
+    assert(byTerm("delta")._3 == 0L)
+    assert(byTerm("beta")._4 == 0.0, "stable term must shift 0")
+    // ordering: highest combined count first, ties by term ascending
+    assert(out.head._1 == "alpha" && out(1)._1 == "beta")
+  }
+
   test("refreshTextIndex ≡ rebuild over old ∪ new: postings, terms, consts, probes") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val full = java.nio.file.Files.createTempDirectory("txtidx_full").toString
