@@ -4958,6 +4958,49 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  q("q_sketch_cms_join_estimate",
+    // count–min INNER-PRODUCT join-size estimate (AMS/CM): est |orders ⋈
+    // customer on custkey| = min over rows j of Σ_b O[j][b]·C[j][b] —
+    // the O(d·w)-state answer to "will this join explode?" vs
+    // q_profile_joinstats' exact (full-shuffle) histograms. Entirely
+    // deterministic: the oracle replays both grids and the min-of-inner-
+    // products exactly; the paired exact join count makes the
+    // over-estimate-only guarantee driver-visible (est >= exact always)
+    """WITH ho AS (
+      |  SELECT md5_number_lower(CAST(o_custkey AS VARCHAR))::HUGEINT AS lo,
+      |         md5_number_upper(CAST(o_custkey AS VARCHAR))::HUGEINT AS hi
+      |  FROM orders WHERE o_custkey IS NOT NULL),
+      |hc AS (
+      |  SELECT md5_number_lower(CAST(c_custkey AS VARCHAR))::HUGEINT AS lo,
+      |         md5_number_upper(CAST(c_custkey AS VARCHAR))::HUGEINT AS hi
+      |  FROM customer WHERE c_custkey IS NOT NULL),
+      |co AS (SELECT j, ((lo + j*hi) % 18446744073709551616::HUGEINT) % 256 AS b,
+      |         count(*) AS ca
+      |       FROM ho, range(4) t(j) GROUP BY 1, 2),
+      |cc AS (SELECT j, ((lo + j*hi) % 18446744073709551616::HUGEINT) % 256 AS b,
+      |         count(*) AS cb
+      |       FROM hc, range(4) t(j) GROUP BY 1, 2),
+      |ip AS (SELECT co.j, sum(ca * cb) AS ip
+      |       FROM co JOIN cc ON co.j = cc.j AND co.b = cc.b GROUP BY co.j),
+      |ex AS (SELECT count(*) AS exact_rows
+      |       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+      |SELECT CAST(min(ip) AS BIGINT) AS est_join_rows,
+      |  (SELECT exact_rows FROM ex) AS exact_rows,
+      |  min(ip) >= (SELECT exact_rows FROM ex) AS over_estimate_only
+      |FROM ip""".stripMargin) { (s, d) =>
+    val est = graft.operators.Profiling.cmsJoinSizeEstimate(
+      graft.operators.Profiling.cmsCounters(
+        t(s, d, "orders"), col("o_custkey"), depth = 4, width = 256),
+      graft.operators.Profiling.cmsCounters(
+        t(s, d, "customer"), col("c_custkey"), depth = 4, width = 256))
+    val exact = t(s, d, "orders").join(t(s, d, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("exact_rows"))
+    est.crossJoin(broadcast(exact))
+      .select(col("est_join_rows"), col("exact_rows"),
+        (col("est_join_rows") >= col("exact_rows")).as("over_estimate_only"))
+  }
+
   q("q_sketch_cms",
     // count–min sketch: 4×256 counters over l_partkey via the
     // engine-neutral Carter–Wegman hashes (lower64 + j·upper64, low 8

@@ -187,6 +187,28 @@ object Profiling {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
+  /** Equi-join OUTPUT-SIZE estimate from two [[cmsCounters]] grids built
+    * with the same depth/width: |A ⋈ B| = Σ_k fA(k)·fB(k), estimated by
+    * the count–min inner product min_j Σ_b A[j][b]·B[j][b] (AMS/CM
+    * sketch join-size estimation — over-estimates only, like the point
+    * estimates: colliding buckets add non-negative cross terms). This
+    * is the O(d·w)-state alternative to [[joinKeyStats]]' exact
+    * histograms: at 100 TB the exact diagnostic costs a full keyed
+    * shuffle of BOTH sides, while two sketch scans + this grid-sized
+    * join answer "is this join going to explode?" before any plan
+    * commits. Fully deterministic — the whole estimate replays in SQL.
+    *
+    * Null keys: never sketched ([[cmsCounters]] skips them), matching
+    * equi-join semantics (null joins nothing). */
+  def cmsJoinSizeEstimate(countersA: DataFrame,
+      countersB: DataFrame): DataFrame = {
+    val a = countersA.select(col("j"), col("bucket"), col("cnt").as("_ca"))
+    val b = countersB.select(col("j"), col("bucket"), col("cnt").as("_cb"))
+    a.join(b, Seq("j", "bucket"))
+      .groupBy("j").agg(sum(col("_ca") * col("_cb")).as("_ip"))
+      .agg(min(col("_ip")).as("est_join_rows"))
+  }
+
   /** Pre-join key diagnostics between `left.lKey` and `right.rKey`: the
     * one-row report that decides join strategy BEFORE paying for the
     * join — distinct key counts each side, the key overlap, per-side

@@ -366,6 +366,30 @@ class ChangeCaptureSpec extends SparkTestBase {
       "probe terms / consts should broadcast")
   }
 
+  test("cmsJoinSizeEstimate: exact on collision-free hand data, over-estimates only, near-exact on the fixture (r7)") {
+    import spark.implicits._
+    // hand data: keys {1:3 rows, 2:1} x {1:2, 3:5} -> exact join = 3*2 = 6;
+    // 3 distinct keys in 256 buckets ~ collision-free -> estimate == 6
+    val a = Seq(1L, 1L, 1L, 2L).toDF("k")
+    val b = Seq(1L, 1L, 3L, 3L, 3L, 3L, 3L).toDF("k")
+    val est = Profiling.cmsJoinSizeEstimate(
+      Profiling.cmsCounters(a, col("k")), Profiling.cmsCounters(b, col("k")))
+      .head().getLong(0)
+    assert(est == 6L, s"collision-free estimate must be exact: $est")
+    // fixture: orders x customer on custkey — over-estimate-only, and at
+    // 1500 keys over 4x256 counters the collision inflation stays small
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val customer = spark.read.parquet(s"${sf()}/customer.parquet")
+    val fEst = Profiling.cmsJoinSizeEstimate(
+      Profiling.cmsCounters(orders, col("o_custkey")),
+      Profiling.cmsCounters(customer, col("c_custkey")))
+      .head().getLong(0)
+    val exact = orders.join(customer, col("o_custkey") === col("c_custkey")).count()
+    assert(fEst >= exact, s"CM inner product must over-estimate: $fEst vs $exact")
+    assert(fEst <= exact * 3,
+      s"estimate too loose for the fixture's cardinality: $fEst vs $exact")
+  }
+
   test("vocabDrift: stable head is flat, a planted term shifts, one-sided terms get zero counts (r7)") {
     import spark.implicits._
     val oldDocs = Seq((1L, "alpha beta gamma alpha"), (2L, "alpha beta delta"))
