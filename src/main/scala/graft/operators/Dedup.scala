@@ -474,13 +474,22 @@ object Dedup {
     * — with plain equality a null hash compares unknown and every batch's
     * null-text row would survive the anti-join forever. */
   def exactAgainstCorpus(newDocs: DataFrame, existingDocs: DataFrame,
-      textCol: String): DataFrame = {
-    val existingHashes = existingDocs
-      .select(md5(col(textCol)).as("corpus_content_hash")).distinct()
-    newDocs.join(existingHashes,
-      md5(newDocs(textCol)) <=> existingHashes("corpus_content_hash"),
+      textCol: String): DataFrame =
+    exactAgainstHashes(newDocs,
+      existingDocs.select(md5(col(textCol)).as("corpus_content_hash")).distinct(),
+      textCol)
+
+  /** [[exactAgainstCorpus]] against a PRE-MATERIALIZED hash frame (one
+    * `corpus_content_hash` column) — the steady-state ingest shape: a
+    * maintained hash index costs a narrow column scan per batch where
+    * re-hashing the corpus text costs the full text scan
+    * ([[graft.streaming.CorpusIngest]] maintains one). Same null-safe
+    * semantics. */
+  def exactAgainstHashes(newDocs: DataFrame, hashes: DataFrame,
+      textCol: String): DataFrame =
+    newDocs.join(hashes,
+      md5(newDocs(textCol)) <=> hashes("corpus_content_hash"),
       "left_anti")
-  }
 
   def dedupAgainstCorpus(newDocs: DataFrame, existingDocs: DataFrame,
       idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.8,

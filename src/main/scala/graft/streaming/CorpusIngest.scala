@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.md5
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.Dedup
 
@@ -28,16 +29,25 @@ object CorpusIngest {
     *   starts before the first file lands (the natural deployment order);
     *   inferred from existing files when None.
     * @param maxFilesPerTrigger micro-batch size in files. Each trigger
-    *   anti-joins against the corpus-so-far (a column-pruned text→md5
-    *   scan), so a large backlog ingests cheapest in FEW big batches; a
-    *   production deployment materializes the corpus hash/band index
-    *   alongside the corpus instead of re-hashing per trigger. */
+    *   anti-joins against the corpus-so-far, so a large backlog ingests
+    *   cheapest in FEW big batches.
+    * @param hashIndex maintain a content-hash index at
+    *   `corpusDir/_hash_index` (underscore prefix — invisible to corpus
+    *   parquet reads) and dedup each batch against THAT instead of
+    *   re-hashing the corpus text: per-trigger cost drops from a full
+    *   text scan to a narrow 32-byte-column scan — the materialize-the-
+    *   index discipline the scaladoc previously only recommended. The
+    *   exact-dedup semantics are identical ([[Dedup.exactAgainstHashes]]);
+    *   `nearDupThreshold` still needs the corpus text and ignores the
+    *   index for its near-dup pass. */
   def ingestDocuments(spark: SparkSession, sourceDir: String, corpusDir: String,
       checkpointDir: String, idCol: String = "doc_id", textCol: String = "text",
       nearDupThreshold: Option[Double] = None,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1,
+      hashIndex: Boolean = false): StreamingQuery = {
     val srcSchema = schema.getOrElse(spark.read.parquet(sourceDir).schema)
+    val hashDir = s"$corpusDir/_hash_index"
     spark.readStream
       .schema(srcSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger) // bounded micro-batches
@@ -49,16 +59,25 @@ object CorpusIngest {
         val fresh = Dedup.exactDedup(batch, idCol, textCol)
         val survivors =
           if (!hasParquet(corpusDir)) fresh
-          else {
-            val corpus = spark.read.parquet(corpusDir)
-            nearDupThreshold match {
-              case Some(t) =>
-                Dedup.dedupAgainstCorpus(fresh, corpus, idCol, textCol, threshold = t)
-              case None =>
-                Dedup.exactAgainstCorpus(fresh, corpus, textCol)
-            }
+          else nearDupThreshold match {
+            case Some(t) =>
+              Dedup.dedupAgainstCorpus(fresh, spark.read.parquet(corpusDir),
+                idCol, textCol, threshold = t)
+            case None if hashIndex && hasParquet(hashDir) =>
+              Dedup.exactAgainstHashes(fresh, spark.read.parquet(hashDir), textCol)
+            case None =>
+              Dedup.exactAgainstCorpus(fresh, spark.read.parquet(corpusDir), textCol)
           }
-        survivors.write.mode("append").parquet(corpusDir)
+        if (hashIndex) {
+          // two sinks (corpus + hash index) — localCheckpoint cuts the
+          // file lineage BEFORE the appends (the refreshByPath lesson:
+          // a path append uncaches path-dependent plans, and a lazily
+          // re-evaluated survivor set would re-dedup against itself)
+          val pinned = survivors.localCheckpoint()
+          pinned.write.mode("append").parquet(corpusDir)
+          pinned.select(md5(pinned(textCol)).as("corpus_content_hash"))
+            .write.mode("append").parquet(hashDir)
+        } else survivors.write.mode("append").parquet(corpusDir)
         ()
       }
       .start()

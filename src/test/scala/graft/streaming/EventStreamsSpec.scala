@@ -216,6 +216,29 @@ class EventStreamsSpec extends SparkTestBase {
       "corpus accumulated duplicate texts")
   }
 
+  test("hash-indexed ingest: same survivors as the text-scan path, index invisible to corpus reads (r7)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ingest_hi")
+    val src = root.resolve("incoming").toString
+    val a = (1L to 10L).map(i => (i, s"document body number $i"))
+    val b = (11L to 15L).map(i => (i, s"document body number ${i - 10}")) ++
+      (16L to 20L).map(i => (i, s"document body number $i"))
+    a.toDF("doc_id", "text").repartition(1).write.parquet(s"$src/f=a")
+    b.toDF("doc_id", "text").repartition(1).write.parquet(s"$src/f=b")
+    val corpus = root.resolve("corpus").toString
+    val q = CorpusIngest.ingestDocuments(spark, src, corpus,
+      root.resolve("ckpt").toString, hashIndex = true)
+    q.awaitTermination()
+    val got = spark.read.parquet(corpus)
+    // identical dedup semantics to the text-scan path's fixture result
+    assert(got.count() == 15 && got.select("text").distinct().count() == 15)
+    // the maintained index holds exactly the corpus' distinct hashes and
+    // stays invisible to plain corpus reads (underscore prefix)
+    val hashes = spark.read.parquet(s"$corpus/_hash_index")
+    assert(hashes.distinct().count() == 15)
+    assert(!got.columns.contains("corpus_content_hash"))
+  }
+
   test("streaming index ingest: live BM25 index == rebuild over the final corpus (r7)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("idx_ingest")
