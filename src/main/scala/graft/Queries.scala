@@ -4581,6 +4581,19 @@ object Queries {
         docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", p)
     }
 
+  /** Delete-lifecycle fixture: build on EVERYTHING, tombstone the 1-in-7
+    * stratum, compact — the compacted index must serve probes
+    * identically to one built over the survivors. */
+  private def textDeleteIndexPath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "txtdelete") { p =>
+      val docs = t(s, d, "documents")
+      graft.operators.TextAnalysis.buildTextIndex(
+        docs, "doc_id", "text", p, nBuckets = 64)
+      graft.operators.TextAnalysis.deleteFromTextIndex(
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id", p)
+      graft.operators.TextAnalysis.compactTextIndex(s, p)
+    }
+
   q("q_text_bm25_index_build",
     // one-off inverted-index materialization charged separately from the
     // probes (the ANN index_build discipline): postings = distinct
@@ -4669,6 +4682,44 @@ object Queries {
       |FROM top WHERE rk <= 10 ORDER BY term, rk""".stripMargin) { (s, d) =>
     graft.operators.TextAnalysis.bm25TopDocsIndexed(
         s, textRefreshIndexPath(s, d),
+        nTerms = 3, minTermLen = 6, k1 = 1.2, b = 0.75, topK = 10)
+      .orderBy("term", "rk")
+  }
+
+  q("q_text_bm25_index_deleted",
+    // the delete half of the index lifecycle (tombstone → compact, the
+    // Lucene merge discipline): built over everything, 1-in-7 docs
+    // tombstoned, compacted FROM THE POSTINGS (one postings scan — the
+    // model rebuilds without touching raw text). The oracle scores the
+    // SURVIVING documents from scratch, so a compaction that leaks
+    // deleted postings, keeps stale df, or mis-advances consts fails
+    // the hash
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |consts AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      |probes AS (
+      |  SELECT term, df FROM dft WHERE length(term) >= 6
+      |  ORDER BY df DESC, term LIMIT 3),
+      |scored AS (
+      |  SELECT p.term, tf.doc_id,
+      |    ln(1.0 + (CAST(c.n_docs AS DOUBLE) - p.df + 0.5) / (CAST(p.df AS DOUBLE) + 0.5))
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf.tf AS DOUBLE) + 1.2 *
+      |         (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) *
+      |          (CAST(c.n_docs AS DOUBLE) / CAST(c.sum_dl AS DOUBLE)))) AS score
+      |  FROM tf JOIN probes p USING (term) JOIN dl USING (doc_id) CROSS JOIN consts c),
+      |top AS (
+      |  SELECT term, doc_id, score,
+      |    row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rk
+      |  FROM scored)
+      |SELECT term, CAST(rk AS BIGINT) AS rk, doc_id, round(score, 6) AS score
+      |FROM top WHERE rk <= 10 ORDER BY term, rk""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.bm25TopDocsIndexed(
+        s, textDeleteIndexPath(s, d),
         nTerms = 3, minTermLen = 6, k1 = 1.2, b = 0.75, topK = 10)
       .orderBy("term", "rk")
   }
@@ -5328,6 +5379,7 @@ object Queries {
     "q_text_bm25_indexed" -> Seq("txt_index"),
     "q_text_bm25_index_build" -> Seq("txt_index"),
     "q_text_bm25_index_refresh" -> Seq("txt_refresh_index"),
+    "q_text_bm25_index_deleted" -> Seq("txt_delete_index"),
     "q_sim_lsh_index_refresh" -> Seq("lsh_refresh_index"),
     "q_sim_ivf_index_refresh" -> Seq("ivf_refresh_index"),
     "q_sim_pq_index_refresh" -> Seq("pq_refresh_index"),
@@ -5354,6 +5406,7 @@ object Queries {
     "bkt_tables" -> ((s, d) => { bucketedOrdersCustomer(s, d); () }),
     "txt_index" -> ((s, d) => { textIndexPath(s, d); () }),
     "txt_refresh_index" -> ((s, d) => { textRefreshIndexPath(s, d); () }),
+    "txt_delete_index" -> ((s, d) => { textDeleteIndexPath(s, d); () }),
     "lsh_refresh_index" -> ((s, d) => { lshRefreshPath(s, d); () }),
     "ivf_refresh_index" -> ((s, d) => { ivfRefreshPath(s, d); () }),
     "pq_refresh_index" -> ((s, d) => { pqRefreshPath(s, d); () }),

@@ -678,13 +678,73 @@ object TextAnalysis {
     } finally tf.unpersist()
   }
 
+  /** Mark documents DELETED in a [[buildTextIndex]] layout — the Lucene
+    * tombstone discipline: postings are term-major, so physically
+    * removing one document's rows would cost a full postings scan; a
+    * delete instead appends the ids to `path/tombstones` (O(ids)), and
+    * probes anti-join them out. Between a delete and the next
+    * [[compactTextIndex]], probe VISIBILITY is exact (a deleted doc is
+    * never returned) but the scoring statistics (N, df, avgdl) still
+    * include the deleted docs — the standard stale-stats window every
+    * tombstone index accepts; compaction restores exact stats. */
+  def deleteFromTextIndex(docIds: DataFrame, idCol: String,
+      path: String): Unit = {
+    readTextIndexMeta(docIds.sparkSession, path)
+    docIds.select(col(idCol).as("doc_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** Fold tombstones in and rewrite the index — the merge half of the
+    * tombstone discipline. Everything rebuilds from the POSTINGS
+    * themselves (they carry doc_id, term, tf, dl — the whole model), so
+    * compaction costs one postings scan + the usual aggregates, never a
+    * corpus re-tokenization; after it the index is BIT-IDENTICAL to one
+    * built over the surviving documents (spec-pinned), and the
+    * tombstone set is cleared. Surviving postings write to a staging
+    * dir first and swap in via one directory rename (a self-overwrite
+    * would delete what it is reading). */
+  def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    readTextIndexMeta(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val postings = spark.read.parquet(s"$path/postings")
+    val surviving =
+      if (!fs.exists(tombPath)) postings
+      else postings.join(spark.read.parquet(s"$path/tombstones"),
+        Seq("doc_id"), "left_anti")
+    // bucket is read back as a partition column — reuse it verbatim
+    surviving.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings_compacting")
+    val compacted = spark.read.parquet(s"$path/postings_compacting")
+    // terms/consts recompute from the COMPACTED copy (no self-reference)
+    val bucket = col("bucket")
+    compacted.groupBy("term")
+      .agg(count(lit(1)).as("df"), first(bucket).as("bucket"))
+      .write.mode("overwrite").parquet(s"$path/terms")
+    compacted.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/consts")
+    val livePath = new org.apache.hadoop.fs.Path(s"$path/postings")
+    fs.delete(livePath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(s"$path/postings_compacting"),
+        livePath))
+      throw new java.io.IOException(
+        s"compactTextIndex: staging swap failed under $path")
+    fs.delete(tombPath, true)
+  }
+
   /** BM25 probe against a [[buildTextIndex]] layout: probe terms are the
     * `nTerms` highest-df vocab terms of length ≥ `minTermLen` (the
     * [[bm25TopDocs]] derivation — a vocab-table TakeOrdered, never a
     * corpus scan), their (term, df, bucket) rows come to the driver
     * (nTerms-sized), and the postings scan reads ONLY the probed
     * buckets' partitions. Scores and output shape are identical to
-    * [[bm25TopDocs]] on the same corpus. */
+    * [[bm25TopDocs]] on the same corpus. Tombstoned docs
+    * ([[deleteFromTextIndex]]) are anti-joined out — exact visibility,
+    * stats stale until [[compactTextIndex]]. */
   def bm25TopDocsIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, nTerms: Int = 3, minTermLen: Int = 6, k1: Double = 1.2,
       b: Double = 0.75, topK: Int = 10): DataFrame = {
@@ -704,8 +764,14 @@ object TextAnalysis {
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("df",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    val postings = spark.read.parquet(s"$path/postings")
+    val rawPostings = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*))
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val tombFs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val postings =
+      if (!tombFs.exists(tombPath)) rawPostings
+      else rawPostings.join(spark.read.parquet(s"$path/tombstones"),
+        Seq("doc_id"), "left_anti")
     val consts = spark.read.parquet(s"$path/consts")
     val scored = postings
       .join(broadcast(probeDf), Seq("term"))

@@ -409,6 +409,40 @@ class ChangeCaptureSpec extends SparkTestBase {
     assert(out.head._1 == "alpha" && out(1)._1 == "beta")
   }
 
+  test("tombstone delete: exact visibility immediately, compaction ≡ rebuild over survivors (r7)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("txtidx_del").toString
+    TextAnalysis.buildTextIndex(docs, "doc_id", "text", idx, nBuckets = 8)
+    val deleted = docs.filter(col("doc_id") % 7 === 0)
+    val survivors = docs.filter(col("doc_id") % 7 =!= 0)
+    TextAnalysis.deleteFromTextIndex(deleted.select("doc_id"), "doc_id", idx)
+    // visibility is exact BEFORE compaction: no deleted doc ever returned
+    val deletedIds = deleted.select("doc_id").collect().map(_.getLong(0)).toSet
+    val preCompact = TextAnalysis.bm25TopDocsIndexed(spark, idx, nTerms = 3, topK = 10)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(preCompact.nonEmpty && preCompact.forall(!deletedIds.contains(_)),
+      "tombstoned docs must never surface in probe results")
+    // compaction restores exact stats: index ≡ a rebuild over survivors
+    TextAnalysis.compactTextIndex(spark, idx)
+    val rebuilt = java.nio.file.Files.createTempDirectory("txtidx_ref").toString
+    TextAnalysis.buildTextIndex(survivors, "doc_id", "text", rebuilt, nBuckets = 8)
+    def rows(p: String, cols: String*): Set[Seq[Any]] =
+      spark.read.parquet(p).select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    assert(rows(s"$idx/postings", "doc_id", "term", "tf", "dl", "bucket")
+      == rows(s"$rebuilt/postings", "doc_id", "term", "tf", "dl", "bucket"))
+    assert(rows(s"$idx/terms", "term", "df", "bucket")
+      == rows(s"$rebuilt/terms", "term", "df", "bucket"))
+    assert(rows(s"$idx/consts", "n_docs", "sum_dl")
+      == rows(s"$rebuilt/consts", "n_docs", "sum_dl"))
+    assert(TextAnalysis.bm25TopDocsIndexed(spark, idx, nTerms = 3, topK = 10)
+        .orderBy("term", "rk").collect().toSeq
+      == TextAnalysis.bm25TopDocsIndexed(spark, rebuilt, nTerms = 3, topK = 10)
+        .orderBy("term", "rk").collect().toSeq)
+    // tombstones cleared by the compaction
+    assert(!new java.io.File(s"$idx/tombstones").exists())
+  }
+
   test("refreshTextIndex ≡ rebuild over old ∪ new: postings, terms, consts, probes") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val full = java.nio.file.Files.createTempDirectory("txtidx_full").toString
