@@ -3485,6 +3485,43 @@ object Queries {
         pqCodebooks(s, d), p)
     }
 
+  /** Delete-lifecycle fixture for the ANN family (the txtdelete twin):
+    * full build, tombstone the vec_id ≡ 2 (mod 5) stratum, compact. */
+  private def ivfDeletePath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "ivfdelete") { p =>
+      val emb = t(s, d, "embeddings").filter(col("vec_id") =!= 0)
+      graft.operators.Similarity.buildIvfIndex(
+        emb, "vec_id", "embedding", ivfCentroids(s, d), p)
+      graft.operators.Similarity.deleteFromAnnIndex(
+        emb.filter(col("vec_id") % 5 === 2).select("vec_id"), "vec_id", p)
+      graft.operators.Similarity.compactAnnIndex(s, p, "vec_id", Seq("cell_id"))
+    }
+
+  q("q_sim_ivf_index_deleted",
+    // tombstone → compact for the ANN family, driver-visible: the oracle
+    // re-derives assignments over the SURVIVING vectors only (centroids
+    // are parameters and keep the full fixture), so a compaction that
+    // leaks deleted vectors or loses survivors fails the hash
+    """WITH cent AS (
+      |  SELECT vec_id AS c, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id < 8),
+      |probe AS (SELECT embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id = 0),
+      |pcells AS (
+      |  SELECT c FROM cent, probe
+      |  ORDER BY list_cosine_similarity(pv, ce) DESC, c LIMIT 2),
+      |assigned AS (
+      |  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+      |    (SELECT c FROM cent
+      |     ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], ce), 9) DESC, c
+      |     LIMIT 1) AS cell
+      |  FROM embeddings e WHERE e.vec_id <> 0 AND e.vec_id % 5 <> 2)
+      |SELECT vec_id, round(list_cosine_similarity(v, (SELECT pv FROM probe)), 6) AS cos
+      |FROM assigned WHERE cell IN (SELECT c FROM pcells)
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    graft.operators.Similarity.ivfTopKIndexed(
+      s, ivfDeletePath(s, d), "vec_id", "embedding", ivfCentroids(s, d),
+      embProbe(s, d), k = 10, nprobe = 2)
+  }
+
   q("q_sim_lsh_index_refresh", lshOracleSql(dim = 64, nBits = 6, nTables = 12,
     seed = 7L, k = 10)) { (s, d) =>
     graft.operators.Similarity.lshTopKIndexed(
@@ -5382,6 +5419,7 @@ object Queries {
     "q_text_bm25_index_deleted" -> Seq("txt_delete_index"),
     "q_sim_lsh_index_refresh" -> Seq("lsh_refresh_index"),
     "q_sim_ivf_index_refresh" -> Seq("ivf_refresh_index"),
+    "q_sim_ivf_index_deleted" -> Seq("ivf_delete_index"),
     "q_sim_pq_index_refresh" -> Seq("pq_refresh_index"),
     "q_scan_csv_roundtrip" -> Seq("csv_rt"),
     "q_scan_avro_roundtrip" -> Seq("avro_rt"),
@@ -5409,6 +5447,7 @@ object Queries {
     "txt_delete_index" -> ((s, d) => { textDeleteIndexPath(s, d); () }),
     "lsh_refresh_index" -> ((s, d) => { lshRefreshPath(s, d); () }),
     "ivf_refresh_index" -> ((s, d) => { ivfRefreshPath(s, d); () }),
+    "ivf_delete_index" -> ((s, d) => { ivfDeletePath(s, d); () }),
     "pq_refresh_index" -> ((s, d) => { pqRefreshPath(s, d); () }),
     "csv_rt" -> ((s, d) => { csvRoundtripPath(s, d); () }),
     "avro_rt" -> ((s, d) => { avroRoundtripPath(s, d); () }),

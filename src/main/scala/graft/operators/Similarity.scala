@@ -333,8 +333,10 @@ object Similarity {
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       idCol: String, vecCol: String, centroids: Seq[Array[Float]],
       probe: Array[Float], k: Int, nprobe: Int = 2): DataFrame =
-    spark.read.parquet(indexPath)
-      .filter(col("cell_id").isin(nearestCells(centroids, probe, nprobe): _*))
+    annVisible(spark, indexPath,
+        spark.read.parquet(indexPath)
+          .filter(col("cell_id").isin(nearestCells(centroids, probe, nprobe): _*)),
+        idCol)
       .select(col(idCol), round(cosine(col(vecCol), typedLit(probe.toSeq)), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
@@ -498,6 +500,70 @@ object Similarity {
     }
   }
 
+  private final val AnnTombstoneDir = "_tombstones"
+
+  /** Tombstone delete for ANY materialized ANN layout ([[buildIvfIndex]]
+    * / [[buildLshIndex]] / [[buildPqIndex]]) — the
+    * [[TextAnalysis.deleteFromTextIndex]] discipline: the layouts are
+    * partition-major (cell / table+bucket) or unpartitioned, so physical
+    * removal of one vector costs a partition rewrite; a delete instead
+    * appends ids to `path/_tombstones` (O(ids); the underscore keeps it
+    * invisible to plain parquet reads of the index), probes anti-join
+    * them out (exact visibility immediately), and [[compactAnnIndex]]
+    * folds them in physically. Ids are stored under the INDEX's id
+    * column name — pass the same `idCol` the index was built with. */
+  def deleteFromAnnIndex(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol)).distinct()
+      .write.mode("append").parquet(s"$path/$AnnTombstoneDir")
+
+  /** Anti-join a layout's tombstones out, if any (shared by the three
+    * indexed probes). */
+  private def annVisible(spark: org.apache.spark.sql.SparkSession,
+      path: String, rows: DataFrame, idCol: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$AnnTombstoneDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) rows
+    else rows.join(spark.read.parquet(s"$path/$AnnTombstoneDir"),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Fold tombstones in and rewrite an ANN layout — one scan of the
+    * index (never the raw embedding table), staged and swapped in with
+    * one directory rename, tombstones cleared. `partitionCols` must
+    * match the layout (`cell_id` for IVF, `table`/`bucket` for LSH,
+    * empty for the PQ code table); assignments are per-row, so the
+    * compacted index is row-identical to one built over the survivors
+    * (spec-pinned). */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, partitionCols: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/$AnnTombstoneDir")
+    val surviving = annVisible(spark, path, spark.read.parquet(path), idCol)
+    val staging = s"${path}_compacting"
+    val w0 = (if (partitionCols.nonEmpty)
+        surviving.repartition(partitionCols.map(col): _*)
+      else surviving)
+      .write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0)
+      .parquet(staging)
+    // metadata sidecars (_lsh/_ivf/_pq meta json) live INSIDE the dir and
+    // are invisible to the parquet scan — carry them over before the swap
+    val metaFiles = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_")
+        && s.getPath.getName.endsWith(".json"))
+    metaFiles.foreach { m =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, m.getPath, fs,
+        new org.apache.hadoop.fs.Path(staging, m.getPath.getName),
+        false, spark.sparkContext.hadoopConfiguration)
+    }
+    val live = new org.apache.hadoop.fs.Path(path)
+    fs.delete(live, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), live))
+      throw new java.io.IOException(s"compactAnnIndex: staging swap failed under $path")
+    fs.delete(tombPath, true)
+  }
+
   /** Incremental maintenance for a [[buildLshIndex]] layout: the stored
     * (dim, nBits, nTables, seed) regenerate the SAME planes, new vectors
     * explode into their nTables (table, bucket) assignments, and the
@@ -558,8 +624,8 @@ object Similarity {
       val sig = probeSignature(signPlanes(probe.length, nBits, seed + t), probe)
       col("table") === t && col("bucket") === sig
     }.reduce(_ || _)
-    spark.read.parquet(indexPath)
-      .filter(pred)
+    annVisible(spark, indexPath,
+        spark.read.parquet(indexPath).filter(pred), idCol)
       .dropDuplicates(idCol)
       .select(col(idCol), round(cosine(col(vecCol), typedLit(probe.toSeq)), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
@@ -970,8 +1036,9 @@ object Similarity {
           s"(built with fingerprint $fp) — its codes were " +
           "assigned by different codebooks and would score wrong neighbors")
     }
-    adcTopKFromCodes(spark.read.parquet(indexPath), idCol, "codes",
-      codebooks, probe, k)
+    adcTopKFromCodes(
+      annVisible(spark, indexPath, spark.read.parquet(indexPath), idCol),
+      idCol, "codes", codebooks, probe, k)
   }
 
   /** Distributed per-subspace Lloyd's fitting for PQ codebooks (the

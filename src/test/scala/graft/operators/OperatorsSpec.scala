@@ -1000,6 +1000,70 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("ANN tombstone delete: exact visibility now, compaction ≡ rebuild over survivors (r7)") {
+    val keep = emb.filter(col("vec_id") % 5 =!= 2)
+    val drop = emb.filter(col("vec_id") % 5 === 2)
+    val dropIds = drop.select("vec_id").collect().map(_.getLong(0)).toSet
+    val probe = emb.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val root = java.nio.file.Files.createTempDirectory("ann_del")
+    def rows(p: String, cols: String*): Set[Seq[Any]] =
+      spark.read.parquet(p).select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    try {
+      // ---- LSH
+      val lsh = root.resolve("lsh").toString
+      val lshRef = root.resolve("lsh_ref").toString
+      Similarity.buildLshIndex(emb, "vec_id", "embedding", lsh)
+      Similarity.deleteFromAnnIndex(drop.select("vec_id"), "vec_id", lsh)
+      val pre = Similarity.lshTopKIndexed(spark, lsh, "vec_id", "embedding",
+        probe, 20).collect().map(_.getLong(0))
+      assert(pre.nonEmpty && pre.forall(!dropIds.contains(_)),
+        "tombstoned vectors must never surface")
+      Similarity.compactAnnIndex(spark, lsh, "vec_id", Seq("table", "bucket"))
+      Similarity.buildLshIndex(keep, "vec_id", "embedding", lshRef)
+      assert(rows(lsh, "vec_id", "table", "bucket")
+        == rows(lshRef, "vec_id", "table", "bucket"))
+      // meta survived the swap: probes still run (and match the rebuild)
+      assert(Similarity.lshTopKIndexed(spark, lsh, "vec_id", "embedding",
+          probe, 10).collect().toSeq
+        == Similarity.lshTopKIndexed(spark, lshRef, "vec_id", "embedding",
+          probe, 10).collect().toSeq)
+      // ---- IVF
+      val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+      val ivf = root.resolve("ivf").toString
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", centroids, ivf)
+      Similarity.deleteFromAnnIndex(drop.select("vec_id"), "vec_id", ivf)
+      Similarity.compactAnnIndex(spark, ivf, "vec_id", Seq("cell_id"))
+      val ivfRef = root.resolve("ivf_ref").toString
+      Similarity.buildIvfIndex(keep, "vec_id", "embedding", centroids, ivfRef)
+      assert(rows(ivf, "vec_id", "cell_id") == rows(ivfRef, "vec_id", "cell_id"))
+      assert(Similarity.readIvfCentroids(spark, ivf).isDefined,
+        "the centroid sidecar must survive compaction")
+      // ---- PQ (unpartitioned code table)
+      val (_, codebooks) = pqFixture
+      val pq = root.resolve("pq").toString
+      Similarity.buildPqIndex(emb, "vec_id", "embedding", codebooks, pq)
+      Similarity.deleteFromAnnIndex(drop.select("vec_id"), "vec_id", pq)
+      val prePq = Similarity.adcTopKIndexed(spark, pq, "vec_id", codebooks,
+        probe, 20).collect().map(_.getLong(0))
+      assert(prePq.nonEmpty && prePq.forall(!dropIds.contains(_)))
+      Similarity.compactAnnIndex(spark, pq, "vec_id", Seq.empty)
+      val pqRef = root.resolve("pq_ref").toString
+      Similarity.buildPqIndex(keep, "vec_id", "embedding", codebooks, pqRef)
+      assert(rows(pq, "vec_id", "codes") == rows(pqRef, "vec_id", "codes"))
+      assert(Similarity.adcTopKIndexed(spark, pq, "vec_id", codebooks,
+          probe, 10).collect().toSeq
+        == Similarity.adcTopKIndexed(spark, pqRef, "vec_id", codebooks,
+          probe, 10).collect().toSeq,
+        "the fingerprint meta must survive compaction and probes match")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("fused PqAssign equals the composed per-subspace reference form") {
     val (_, codebooks) = pqFixture
     val subDim = codebooks.head.head.length
