@@ -1787,6 +1787,29 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  q("q_decontaminate_semantic",
+    // the EMBEDDING-space contamination check (a paraphrased eval item
+    // shares no 3-gram but sits next to its source in embedding space):
+    // corpus vectors (vec_id >= 50) with cosine >= 0.35 to ANY eval
+    // vector (vec_id < 50). Exact by construction — decontamination
+    // must not hinge on blocking recall — the small eval side
+    // broadcasts and the corpus never shuffles
+    """SELECT c.vec_id, count(*) AS n_hits,
+      |  max(round(list_cosine_similarity(c.embedding::DOUBLE[],
+      |    e.embedding::DOUBLE[]), 6)) AS max_cos
+      |FROM embeddings c JOIN embeddings e
+      |  ON c.vec_id >= 50 AND e.vec_id < 50
+      | AND round(list_cosine_similarity(c.embedding::DOUBLE[],
+      |       e.embedding::DOUBLE[]), 6) >= 0.35
+      |GROUP BY c.vec_id ORDER BY c.vec_id""".stripMargin) { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    graft.operators.Similarity.semanticContaminationHits(
+        emb.filter(col("vec_id") >= 50),
+        emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", threshold = 0.35)
+      .orderBy("vec_id")
+  }
+
   q("q_decontaminate_bloom",
     // same contamination semantics through the Bloom semi-join reduction:
     // ~10 bits/shingle broadcast + map-side might-contain prefilter, so

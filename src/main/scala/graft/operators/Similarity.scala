@@ -848,6 +848,29 @@ object Similarity {
       .select("id_new", "id_old", "cos")
   }
 
+  /** Semantic decontamination hits: corpus vectors whose cosine to ANY
+    * eval-set vector reaches `threshold` — the embedding-space
+    * complement of [[Dedup.contaminationHits]]' n-gram check (a
+    * paraphrased eval item shares no 3-gram but sits next to its source
+    * in embedding space). EXACT by construction: decontamination must
+    * not hinge on a blocking scheme's recall, so the (small, by
+    * definition) eval side broadcasts and every corpus vector scores
+    * against all of it map-side — one corpus scan, |eval|× codegen'd
+    * cosines per row, zero shuffle of the corpus (the
+    * [[batchTopK]] probe discipline). Returns (id, n_hits, max_cos)
+    * for contaminated corpus rows only. */
+  def semanticContaminationHits(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val probes = broadcast(evalSet.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).as("_ev")))
+    corpus.filter(col(vecCol).isNotNull)
+      .crossJoin(probes)
+      .withColumn("_cos", round(cosine(col(vecCol), col("_ev")), 6))
+      .filter(col("_cos") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), max(col("_cos")).as("max_cos"))
+  }
+
   /** SemDeDup-style semantic deduplication: cosine near-dup pairs →
     * connected components → keep only each component's min-id root (plus
     * every row in no component). Returns the surviving rows of `emb`

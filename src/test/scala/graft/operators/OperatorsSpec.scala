@@ -621,6 +621,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(6L).isNullAt(1) && out(6L).isNullAt(2))
   }
 
+  test("semanticContaminationHits equals the brute cross-join formulation") {
+    val corpus = emb.filter(col("vec_id") >= 50)
+    val evalSet = emb.filter(col("vec_id") < 50)
+    val got = Similarity.semanticContaminationHits(
+        corpus, evalSet, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute reference: unbroadcast cross join + the same rounded cosine
+    val brute = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(evalSet.select(col("embedding").as("_e")))
+      .withColumn("_c", round(Similarity.cosine(col("embedding"), col("_e")), 6))
+      .filter(col("_c") >= 0.35)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n"), max(col("_c")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "fixture split should contain contamination hits")
+    // null eval vectors are excluded, not propagated as null cosines
+    val withNull = evalSet.select(col("vec_id"),
+      when(col("vec_id") === 0, lit(null)).otherwise(col("embedding")).as("embedding"))
+    val gotNull = Similarity.semanticContaminationHits(
+        corpus, withNull, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotNull.subsetOf(got))
+  }
+
   test("broadcast brute pairs equal the join-based formulation exactly") {
     val a = Similarity.bruteNearDupPairs(emb, "vec_id", "embedding", 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
