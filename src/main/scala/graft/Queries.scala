@@ -5007,6 +5007,91 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  // Fellegi–Sunter model constants for q_er_fs_score — driver-computed
+  // once, interpolated as shortest-roundtrip double literals into BOTH
+  // the Spark plan and the oracle SQL so the weight sums are bit-equal
+  // (same literals, same fold order).
+  private val fsComps = Seq(
+    graft.operators.RecordLinkage.FsJaroWinkler("name", "c_name", "d_name",
+      minSim = 0.95, m = 0.95, u = 0.02),
+    graft.operators.RecordLinkage.FsExact("bal", "c_acctbal", "d_acctbal",
+      m = 0.9, u = 0.001),
+    graft.operators.RecordLinkage.FsExact("seg", "c_mktsegment", "d_mktsegment",
+      m = 0.85, u = 0.2))
+  private val fsLambda = 0.01
+  private val fsPrior = math.log(fsLambda / (1 - fsLambda)) / math.log(2.0)
+
+  q("q_er_fs_score",
+    // probabilistic record linkage (Fellegi–Sunter): customers vs a
+    // deterministically-dirtied copy (one-char name substitution for
+    // key%3, reversed name for key%7, NULLed balance for key%5,
+    // corrupted segment for key%2), blocked on (nation, name-suffix),
+    // scored as log2 Bayes factors with a λ=0.01 prior. JW is
+    // bit-compatible with DuckDB; weights are shared literals; the
+    // threshold filters on the RAW weight, output rounds via the bridge
+    s"""WITH dirty AS (
+      |  SELECT c_custkey AS d_custkey,
+      |    CASE WHEN c_custkey % 3 = 0
+      |           THEN substr(c_name, 1, 9) || 'X' || substr(c_name, 11)
+      |         WHEN c_custkey % 7 = 0 THEN reverse(c_name)
+      |         ELSE c_name END AS d_name,
+      |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS d_acctbal,
+      |    CASE WHEN c_custkey % 2 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS d_mktsegment,
+      |    c_nationkey AS d_nationkey
+      |  FROM customer),
+      |scored AS (
+      |  SELECT l.c_custkey AS id_l, r.d_custkey AS id_r,
+      |    CASE WHEN l.c_name IS NULL OR r.d_name IS NULL THEN NULL
+      |         WHEN jaro_winkler_similarity(l.c_name, r.d_name) >= 0.95
+      |           THEN 1 ELSE 0 END AS g_name,
+      |    CASE WHEN l.c_acctbal IS NULL OR r.d_acctbal IS NULL THEN NULL
+      |         WHEN l.c_acctbal = r.d_acctbal THEN 1 ELSE 0 END AS g_bal,
+      |    CASE WHEN l.c_mktsegment IS NULL OR r.d_mktsegment IS NULL THEN NULL
+      |         WHEN l.c_mktsegment = r.d_mktsegment THEN 1 ELSE 0 END AS g_seg
+      |  FROM customer l JOIN dirty r
+      |    ON l.c_nationkey = r.d_nationkey
+      |   AND substr(l.c_name, 16, 3) = substr(r.d_name, 16, 3)),
+      |w AS (
+      |  SELECT id_l, id_r, g_name, g_bal, g_seg,
+      |    ((($fsPrior
+      |      + CASE WHEN g_name IS NULL THEN 0.0
+      |             WHEN g_name = 1 THEN ${fsComps(0).agreeWeight}
+      |             ELSE ${fsComps(0).disagreeWeight} END)
+      |      + CASE WHEN g_bal IS NULL THEN 0.0
+      |             WHEN g_bal = 1 THEN ${fsComps(1).agreeWeight}
+      |             ELSE ${fsComps(1).disagreeWeight} END)
+      |      + CASE WHEN g_seg IS NULL THEN 0.0
+      |             WHEN g_seg = 1 THEN ${fsComps(2).agreeWeight}
+      |             ELSE ${fsComps(2).disagreeWeight} END) AS mw
+      |  FROM scored)
+      |SELECT id_l, id_r, g_name, g_bal, g_seg,
+      |  CAST(round(CAST(CAST(mw AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS match_weight
+      |FROM w WHERE mw >= 0.0 ORDER BY id_l, id_r""".stripMargin) { (s, d) =>
+    val cust = t(s, d, "customer")
+    val key = col("c_custkey")
+    val dirty = cust.select(
+      key.as("d_custkey"),
+      when(key % 3 === 0,
+          concat(substring(col("c_name"), 1, 9), lit("X"),
+            expr("substring(c_name, 11)")))
+        .when(key % 7 === 0, reverse(col("c_name")))
+        .otherwise(col("c_name")).as("d_name"),
+      when(key % 5 === 0, lit(null).cast("double"))
+        .otherwise(col("c_acctbal")).as("d_acctbal"),
+      when(key % 2 === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("d_mktsegment"),
+      col("c_nationkey").as("d_nationkey"))
+    graft.operators.RecordLinkage.fsScorePairs(
+        cust.withColumn("blk", substring(col("c_name"), 16, 3)),
+        dirty.withColumn("blk", substring(col("d_name"), 16, 3)),
+        "c_custkey", "d_custkey",
+        blockOn = Seq(("c_nationkey", "d_nationkey"), ("blk", "blk")),
+        comparisons = fsComps, lambda = fsLambda, minWeight = 0.0)
+      .select(col("id_l"), col("id_r"), col("g_name"), col("g_bal"),
+        col("g_seg"), round(col("match_weight"), 6).as("match_weight"))
+      .orderBy("id_l", "id_r")
+  }
+
   q("q_join_snm_multipass",
     // multi-pass SNM: one pass sorted by name, one by REVERSED name —
     // the standard recall fix (a leading-character typo lands far away
