@@ -2059,6 +2059,53 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  q("q_sample_split_leakage_safe",
+    // leakage-safe split: a plain content-hash split puts a paraphrase
+    // in train and its near-dup twin in test (the eval then measures
+    // memorization). Here the split key is the dedup-CLUSTER ROOT, so
+    // whole near-dup clusters move together; singletons root at their
+    // own id. Oracle replays the closure + the same md5-threshold rule
+    s"""WITH RECURSIVE words AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w)-1, 1))])) AS s
+      |  FROM words),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |shared AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 100),
+      |cp AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM (SELECT * FROM sh WHERE s IN (SELECT s FROM shared)) a
+      |  JOIN (SELECT * FROM sh WHERE s IN (SELECT s FROM shared)) b USING (s)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM cp
+      |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.8),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |labels AS (
+      |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+      |rooted AS (
+      |  SELECT d.doc_id,
+      |    coalesce(l.cluster_id, d.doc_id) AS split_root,
+      |    substr(md5(CAST(coalesce(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 8) AS h8
+      |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+      |SELECT doc_id, split_root, h8,
+      |  CASE WHEN h8 < '${graft.operators.Sampling.thresholdHex(0.04)}' THEN 'test'
+      |       WHEN h8 < '${graft.operators.Sampling.thresholdHex(0.08)}' THEN 'val'
+      |       ELSE 'train' END AS split
+      |FROM rooted ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Sampling.leakageSafeSplit(
+        t(s, d, "documents"), "doc_id", sharedClusterLabels(s, d),
+        bounds = Seq("test" -> 0.04, "val" -> 0.08))
+      .select(col("doc_id"), col("split_root"), col("h8"), col("split"))
+      .orderBy("doc_id")
+  }
+
   q("q_sample_stratified",
     // per-source deterministic downsampling: the rate map compiles to a
     // CASE threshold on the content hash — map-side filter, no join, no
@@ -5500,6 +5547,7 @@ object Queries {
     "q_dedup_ngram" -> Seq("shingles"),
     "q_dedup_clusters" -> Seq("shingles", "clusters"),
     "q_dedup_keep_best" -> Seq("shingles", "clusters"),
+    "q_sample_split_leakage_safe" -> Seq("shingles", "clusters"),
     "q_decontaminate" -> Seq("shingles"),
     "q_decontaminate_bloom" -> Seq("shingles"),
     "q_dedup_incremental" -> Seq("shingles"),

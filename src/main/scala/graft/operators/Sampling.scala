@@ -53,6 +53,39 @@ object Sampling {
       .filter(col("h8") < thr)
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents NEVER
+    * straddle a split boundary. A plain content-hash split ([[graft]]'s
+    * q_sample_split) leaks — a paraphrase lands in train while its twin
+    * lands in test, and the eval silently measures memorization. Here
+    * each row's split is decided by the hash of its dedup-CLUSTER ROOT
+    * (the `Dedup.dedupClusters` min-id label; rows absent from the
+    * label frame are singletons rooted at their own id), so whole
+    * near-dup clusters move together. `bounds` are cumulative
+    * fractions in split order, e.g. `("test" → 0.04, "val" → 0.08)`
+    * puts h8 < 4 % in test, [4 %, 8 %) in val, the rest in `restName`.
+    *
+    * Scale (100 TB): the cluster-label frame is proportional to the
+    * CLUSTERED rows only (near-dup graphs are tiny next to the corpus),
+    * so the join broadcasts or, past that, shuffles both sides once on
+    * the id; the md5 CASE is map-side. Output keeps root + h8 so the
+    * assignment is auditable. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+      bounds: Seq[(String, Double)], restName: String = "train"): DataFrame = {
+    require(bounds.nonEmpty, "at least one split bound required")
+    require(bounds.map(_._2) == bounds.map(_._2).sorted,
+      s"bounds must be cumulative (non-decreasing): $bounds")
+    val labels = clusters.select(col("doc_id").as(idCol),
+      col("cluster_id").as("_root"))
+    val rooted = df.join(labels, Seq(idCol), "left")
+      .withColumn("split_root", coalesce(col("_root"), col(idCol)))
+      .drop("_root")
+      .withColumn("h8", substring(md5(col("split_root").cast("string")), 1, 8))
+    val split = bounds.foldRight(lit(restName): Column) { case ((name, frac), rest) =>
+      when(col("h8") < thresholdHex(frac), name).otherwise(rest)
+    }
+    rooted.withColumn("split", split)
+  }
+
   /** The mixture loop closed end-to-end: compute [[mixtureWeights]] and
     * APPLY each group's `sample_rate` as the same deterministic md5-prefix
     * rule [[stratifiedSample]] uses, in one distributed pass. The

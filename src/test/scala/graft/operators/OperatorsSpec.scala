@@ -621,6 +621,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(6L).isNullAt(1) && out(6L).isNullAt(2))
   }
 
+  test("leakageSafeSplit: near-dup clusters never straddle a split boundary") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val clusters = Dedup.dedupClusters(pairs)
+    val split = Sampling.leakageSafeSplit(docs, "doc_id", clusters,
+      Seq("test" -> 0.04, "val" -> 0.08))
+    // the leakage invariant: one split per cluster
+    val straddles = split.join(clusters, Seq("doc_id"))
+      .groupBy("cluster_id").agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count()
+    assert(straddles == 0)
+    assert(clusters.count() > 0, "fixture should contain near-dup clusters")
+    // singletons root at their own id
+    val single = split.join(clusters, Seq("doc_id"), "left_anti")
+      .filter(col("split_root") =!= col("doc_id")).count()
+    assert(single == 0)
+    // every input row is assigned exactly once
+    assert(split.count() == docs.count())
+    // non-cumulative bounds are refused
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(docs, "doc_id", clusters,
+        Seq("test" -> 0.08, "val" -> 0.04))
+    }
+  }
+
   test("semanticContaminationHits equals the brute cross-join formulation") {
     val corpus = emb.filter(col("vec_id") >= 50)
     val evalSet = emb.filter(col("vec_id") < 50)
