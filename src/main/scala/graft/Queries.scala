@@ -2895,6 +2895,39 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  q("q_text_normalize",
+    // Unicode NFC normalization — the pre-hash canonicalization every
+    // corpus dedup needs ("café" composed vs decomposed escapes exact
+    // dedup otherwise). Fixture plants BOTH directions: combining-mark
+    // sequences (doc_id%3=0: e + U+0301) that must compose, and
+    // precomposed letters (%3=1: U+00E1) that must stay. Both engines
+    // implement UAX #15 NFC, so the outputs hash-compare exactly
+    """WITH dirty AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'e' || chr(769))
+      |         WHEN doc_id % 3 = 1 THEN replace(text, 'a', chr(225))
+      |         ELSE text END AS t
+      |  FROM documents)
+      |SELECT doc_id, nfc_normalize(t) AS norm,
+      |  length(t) AS n_raw, length(nfc_normalize(t)) AS n_norm
+      |FROM dirty ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.UnicodeNormalize
+    val dirty = t(s, d, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+          // decomposed: "e" + U+0301 combining acute (explicit escape — a
+          // source-file glyph would be ambiguous between the two forms)
+          regexp_replace(col("text"), lit("e"), lit("e\u0301")))
+        .when(col("doc_id") % 3 === 1,
+          // precomposed U+00E1
+          regexp_replace(col("text"), lit("a"), lit("\u00e1")))
+        .otherwise(col("text")).as("t"))
+    dirty.select(col("doc_id"),
+        UnicodeNormalize.nfcCol(col("t")).as("norm"),
+        length(col("t")).as("n_raw"),
+        length(UnicodeNormalize.nfcCol(col("t"))).as("n_norm"))
+      .orderBy("doc_id")
+  }
+
   q("q_text_fingerprint",
     """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
