@@ -2895,6 +2895,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  q("q_text_bpe_pairs",
+    // BPE tokenizer induction, driver-visible surface: the weighted
+    // adjacent-character pair counts the FIRST merge maximizes. The
+    // corpus appears only through the word-frequency table (the one
+    // distributed scan BPE training needs — the fastBPE discipline);
+    // the full merge loop is vocab-sized driver work, spec-pinned
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> t <> '')) AS word
+      |  FROM documents),
+      |wc AS (SELECT word, count(*) AS freq FROM toks GROUP BY 1),
+      |pairs AS (
+      |  SELECT unnest([substr(word, i, 2) for i in range(1, length(word))]) AS pair,
+      |    freq
+      |  FROM wc)
+      |SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY 1
+      |ORDER BY pair""".stripMargin) { (s, d) =>
+    graft.operators.BpeTokenizer.pairCounts(t(s, d, "documents"), "text")
+      .orderBy("pair")
+  }
+
   q("q_text_normalize",
     // Unicode NFC normalization — the pre-hash canonicalization every
     // corpus dedup needs ("café" composed vs decomposed escapes exact
