@@ -2916,6 +2916,44 @@ object Queries {
       .orderBy("pair")
   }
 
+  q("q_sample_dsir",
+    // DSIR importance-resampling data selection (Xie et al. 2023):
+    // target = the English docs, raw pool = everything else; each raw
+    // doc scored by the add-one-smoothed hashed-unigram log likelihood
+    // ratio (1024 md5 buckets — engine-neutral), top-100 kept. The
+    // per-doc sum rides the DECIMAL(38,12) bridge so it is
+    // order-independent before the round-6 boundary
+    """WITH toks AS (
+      |  SELECT doc_id, lang = 'en' AS tgt,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      w -> w <> '')) AS w
+      |  FROM documents),
+      |bag AS (
+      |  SELECT doc_id, tgt,
+      |    CAST((md5_number_lower(w) >> 32) % 1024 AS BIGINT) AS b,
+      |    count(*) AS c
+      |  FROM toks GROUP BY 1, 2, 3),
+      |bc AS (SELECT b,
+      |    sum(CASE WHEN tgt THEN c ELSE 0 END) AS c_t,
+      |    sum(CASE WHEN NOT tgt THEN c ELSE 0 END) AS c_r
+      |  FROM bag GROUP BY 1),
+      |tot AS (SELECT sum(c_t) AS n_t, sum(c_r) AS n_r FROM bc),
+      |r AS (SELECT b,
+      |    ln((c_t + 1.0) / (n_t + 1024.0)) -
+      |    ln((c_r + 1.0) / (n_r + 1024.0)) AS lr
+      |  FROM bc CROSS JOIN tot),
+      |dw AS (SELECT bag.doc_id,
+      |    sum(CAST(CAST(bag.c AS DOUBLE) * r.lr AS DECIMAL(38,12))) AS s
+      |  FROM bag JOIN r USING (b) WHERE NOT bag.tgt GROUP BY 1)
+      |SELECT d.doc_id, round(coalesce(CAST(dw.s AS DOUBLE), 0.0), 6) AS log_w
+      |FROM documents d LEFT JOIN dw USING (doc_id)
+      |WHERE d.lang <> 'en'
+      |ORDER BY log_w DESC, d.doc_id LIMIT 100""".stripMargin) { (s, d) =>
+    graft.operators.DataSelection.dsirSelect(
+      t(s, d, "documents"), "doc_id", "text",
+      col("lang") === "en", k = 100, nBuckets = 1024)
+  }
+
   q("q_text_normalize",
     // Unicode NFC normalization — the pre-hash canonicalization every
     // corpus dedup needs ("café" composed vs decomposed escapes exact
