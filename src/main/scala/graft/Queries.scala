@@ -2954,6 +2954,111 @@ object Queries {
       col("lang") === "en", k = 100, nBuckets = 1024)
   }
 
+  // learnable, ~balanced planted label for the LR trainer: does the doc
+  // say 'join' more often than 'scan'? LR must discover opposite-sign
+  // weights on exactly those two hashed buckets
+  private def joinGtScan: Column =
+    size(filter(split(lower(col("text")), "\\s+"), w => w === "join")) >
+      size(filter(split(lower(col("text")), "\\s+"), w => w === "scan"))
+
+  /** Generated oracle for the quantized-LR training loop: `iterations`
+    * unrolled GD steps as chained CTEs over `trainFilter`ed documents.
+    * Mirrors [[graft.operators.ClassifierTrain.trainQuantized]]
+    * term-for-term (same association order, same DECIMAL bridge, same
+    * micro-unit quantization); the caller appends the final SELECT. */
+  private def logregTrainCtes(trainFilter: String, iterations: Int): String = {
+    val label =
+      """len(list_filter(string_split_regex(lower(text), '\s+'), w -> w = 'join')) >
+        |      len(list_filter(string_split_regex(lower(text), '\s+'), w -> w = 'scan'))""".stripMargin
+    val head =
+      raw"""WITH toks AS (
+         |  SELECT doc_id, $label AS y,
+         |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+         |      w -> w <> '')) AS w
+         |  FROM documents$trainFilter),
+         |bag AS (
+         |  SELECT doc_id, y, CAST(md5_number_lower(w) & 255 AS BIGINT) AS b,
+         |    count(*) AS c
+         |  FROM toks GROUP BY 1, 2, 3),
+         |nt AS (SELECT doc_id, sum(c) AS n FROM bag GROUP BY 1),
+         |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM bag),
+         |w0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w
+         |  WHERE false)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      val pw = s"w${k - 1}"
+      s"""m$k AS (
+         |  SELECT bag.doc_id, nt.n, sum(bag.c * coalesce($pw.w, 0)) AS m
+         |  FROM bag JOIN nt USING (doc_id) LEFT JOIN $pw USING (b)
+         |  GROUP BY 1, 2),
+         |p$k AS (SELECT doc_id,
+         |    1.0::DOUBLE / (1.0::DOUBLE + exp(-(CAST(m AS DOUBLE) / (n * 1000000.0)))) AS p
+         |  FROM m$k),
+         |g$k AS (
+         |  SELECT bag.b, sum(CAST((CASE WHEN bag.y THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+         |      - p$k.p) * bag.c / nt.n / nd.nd AS DECIMAL(38,12))) AS g
+         |  FROM bag JOIN nt USING (doc_id) JOIN p$k USING (doc_id) CROSS JOIN nd
+         |  GROUP BY 1),
+         |w$k AS (
+         |  SELECT coalesce($pw.b, g$k.b) AS b,
+         |    coalesce($pw.w, 0) +
+         |      CAST(round(1000.0::DOUBLE * CAST(coalesce(g$k.g, 0) AS DOUBLE)
+         |        * 1000000.0) AS BIGINT) AS w
+         |  FROM $pw FULL OUTER JOIN g$k ON $pw.b = g$k.b)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
+  q("q_ml_logreg_train",
+    // distributed quality-classifier TRAINING (the TextClassifier
+    // inference twin): 4 full-batch mean-gradient GD steps on md5-hashed
+    // unigram features, the model QUANTIZED to integer micro-units after
+    // every step — margins are exact integer sums at each iteration
+    // boundary, so the whole loop unrolls as generated CTE chains
+    // (step 1 is float-free: w=0 -> p=0.5 exactly; later sigmoids feed
+    // DECIMAL-bridged gradient sums)
+    logregTrainCtes("", 4) +
+      "\nSELECT b AS bucket, w AS w_micro FROM w4 ORDER BY bucket") { (s, d) =>
+    graft.operators.ClassifierTrain.trainQuantized(
+        t(s, d, "documents"), "doc_id", "text",
+        joinGtScan, buckets = 256, iterations = 4, lr = 1000.0)
+      .select(col("_b").as("bucket"), col("_w").as("w_micro"))
+      .orderBy("bucket")
+  }
+
+  q("q_ml_logreg_confusion",
+    // the trained filter evaluated where it matters: fit on EVEN doc_ids,
+    // confusion counts on held-out ODD docs (the leakage-safe split
+    // discipline). Predictions are integer-margin sign tests — every
+    // output cell is an exact count
+    logregTrainCtes(" WHERE doc_id % 2 = 0", 4) +
+      """
+        |, ho AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), w -> w = 'join')) >
+        |      len(list_filter(string_split_regex(lower(text), '\s+'), w -> w = 'scan')) AS y,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w <> '')) AS w
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |hbag AS (
+        |  SELECT doc_id, y, CAST(md5_number_lower(w) & 255 AS BIGINT) AS b,
+        |    count(*) AS c
+        |  FROM ho GROUP BY 1, 2, 3),
+        |hm AS (
+        |  SELECT hbag.doc_id, any_value(hbag.y) AS y,
+        |    sum(hbag.c * coalesce(w4.w, 0)) AS m
+        |  FROM hbag LEFT JOIN w4 USING (b) GROUP BY 1)
+        |SELECT y AS label, m > 0 AS pred, count(*) AS n
+        |FROM hm GROUP BY 1, 2 ORDER BY label, pred""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val w = graft.operators.ClassifierTrain.trainQuantized(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      joinGtScan, buckets = 256, iterations = 4, lr = 1000.0)
+    graft.operators.ClassifierTrain.confusion(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        joinGtScan, w, buckets = 256)
+      .orderBy("label", "pred")
+  }
+
   q("q_text_normalize",
     // Unicode NFC normalization — the pre-hash canonicalization every
     // corpus dedup needs ("café" composed vs decomposed escapes exact
