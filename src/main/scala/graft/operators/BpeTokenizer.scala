@@ -38,7 +38,7 @@ object BpeTokenizer {
 
     def encodeWord(word: String): Seq[String] = {
       if (word.isEmpty) return Seq.empty
-      var syms = word.map(_.toString).toArray
+      var syms = codepointSyms(word)
       var done = false
       while (!done && syms.length > 1) {
         var best = Int.MaxValue
@@ -69,6 +69,22 @@ object BpeTokenizer {
 
   private def words(textCol: Column): Column =
     filter(split(lower(textCol), "\\s+"), w => w =!= "")
+
+  /** Initial symbol array: one symbol per Unicode CODEPOINT, matching the
+    * codepoint semantics of the engine-side `substr`/`length` ([[pairCounts]]
+    * and the [[tokenCounts]] fallback) — splitting on UTF-16 chars would
+    * halve supplementary-plane characters (emoji, rare CJK) into surrogate
+    * pairs and diverge driver training from the distributed oracle. */
+  private def codepointSyms(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
 
   /** Corpus word-frequency table — the ONE distributed scan BPE training
     * needs. Map-side tokenize + partial aggregation; output is
@@ -104,7 +120,7 @@ object BpeTokenizer {
         .orderBy(col("freq").desc, col("word"))
         .limit(maxVocab)
         .collect()
-        .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+        .map(r => (codepointSyms(r.getString(0)), r.getLong(1)))
     val merges = Seq.newBuilder[(String, String)]
     val work = vocab.map { case (s, f) => (scala.collection.mutable.ArrayBuffer(s: _*), f) }
     var k = 0

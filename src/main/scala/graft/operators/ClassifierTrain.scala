@@ -110,7 +110,14 @@ object ClassifierTrain {
       w.unpersist()
       w = next
     }
-    w
+    // the model is O(buckets) — pin it via localCheckpoint (lineage cut to
+    // materialized blocks, released when the frame is GC'd) so the
+    // corpus-sized bag stage can be unpersisted HERE instead of leaking
+    // cached blocks into a long-lived session with no handle to release
+    val out = w.localCheckpoint()
+    w.unpersist()
+    bags.unpersist()
+    out
   }
 
   /** Confusion counts of the quantized model on `docs` (predict

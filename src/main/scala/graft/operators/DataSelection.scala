@@ -84,10 +84,16 @@ object DataSelection {
       .groupBy(col(idCol))
       .agg(sum((col("_c").cast("double") * col("_lr"))
         .cast("decimal(38,12)")).as("_s"))
-    docs.filter(!isTarget).select(col(idCol))
+    val out = docs.filter(!isTarget).select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         round(coalesce(col("_s").cast("double"), lit(0.0)), 6).as("log_w"))
+      // narrow (id, log_w) rows — localCheckpoint pins them (blocks
+      // released on GC) so the corpus-sized bag stage can be unpersisted
+      // HERE rather than leaking cached blocks into a long-lived session
+      .localCheckpoint()
+    db.unpersist()
+    out
   }
 
   /** Top-`k` raw documents by DSIR weight (weight desc, id asc — fully

@@ -41,11 +41,16 @@ object SkewJoin {
       saltFactor: Int = 16): SaltDecision = {
     require(topShareThreshold > 0 && topShareThreshold <= 1,
       s"topShareThreshold must be in (0,1], got $topShareThreshold")
-    val row = Profiling.keySkewTopK(left.select(col(key)), key, k = 1).head()
-    val top = row.getAs[Long]("cnt")
-    val n = row.getAs[Long]("n_rows")
-    val share = if (n == 0) 0.0 else top.toDouble / n
-    SaltDecision(top, n, share, share >= topShareThreshold, saltFactor)
+    // keySkewTopK emits no row for an empty (or all-null-key) left side —
+    // that's the "no hot key" case, not an error: share 0, no salting
+    Profiling.keySkewTopK(left.select(col(key)), key, k = 1).head(1) match {
+      case Array(row) =>
+        val top = row.getAs[Long]("cnt")
+        val n = row.getAs[Long]("n_rows")
+        val share = if (n == 0) 0.0 else top.toDouble / n
+        SaltDecision(top, n, share, share >= topShareThreshold, saltFactor)
+      case _ => SaltDecision(0L, 0L, 0.0, salted = false, saltFactor)
+    }
   }
 
   /** Inner join that reads the skew profile and picks its own physical

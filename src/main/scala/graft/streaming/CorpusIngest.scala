@@ -48,6 +48,15 @@ object CorpusIngest {
       hashIndex: Boolean = false): StreamingQuery = {
     val srcSchema = schema.getOrElse(spark.read.parquet(sourceDir).schema)
     val hashDir = s"$corpusDir/_hash_index"
+    // once per stream START (not per trigger): if the corpus predates the
+    // hash index — ingested before hashIndex was enabled, or with it
+    // toggled off for a while — the index is missing hashes for those
+    // docs, and dedup against it would silently re-ingest their
+    // duplicates from the second trigger on. Backfill the DELTA (corpus
+    // hashes anti-join indexed hashes — a narrow md5 projection, one
+    // corpus text scan) so the index covers the whole corpus before the
+    // first batch trusts it.
+    var hashBackfillDone = false
     spark.readStream
       .schema(srcSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger) // bounded micro-batches
@@ -56,14 +65,30 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (hashIndex && !hashBackfillDone) {
+          if (hasParquet(spark, corpusDir)) {
+            val corpusHashes = spark.read.parquet(corpusDir)
+              .select(md5(org.apache.spark.sql.functions.col(textCol))
+                .as("corpus_content_hash"))
+            val missing =
+              if (hasParquet(spark, hashDir))
+                corpusHashes.join(spark.read.parquet(hashDir),
+                  Seq("corpus_content_hash"), "left_anti")
+              else corpusHashes
+            // pin before the append: the anti-join reads hashDir, and the
+            // same lineage must not re-list the dir mid-write
+            missing.localCheckpoint().write.mode("append").parquet(hashDir)
+          }
+          hashBackfillDone = true
+        }
         val fresh = Dedup.exactDedup(batch, idCol, textCol)
         val survivors =
-          if (!hasParquet(corpusDir)) fresh
+          if (!hasParquet(spark, corpusDir)) fresh
           else nearDupThreshold match {
             case Some(t) =>
               Dedup.dedupAgainstCorpus(fresh, spark.read.parquet(corpusDir),
                 idCol, textCol, threshold = t)
-            case None if hashIndex && hasParquet(hashDir) =>
+            case None if hashIndex && hasParquet(spark, hashDir) =>
               Dedup.exactAgainstHashes(fresh, spark.read.parquet(hashDir), textCol)
             case None =>
               Dedup.exactAgainstCorpus(fresh, spark.read.parquet(corpusDir), textCol)
@@ -122,7 +147,7 @@ object CorpusIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val fresh = Dedup.exactDedup(batch, idCol, textCol)
         val survivors =
-          if (!hasParquet(corpusDir)) fresh
+          if (!hasParquet(spark, corpusDir)) fresh
           else Dedup.exactAgainstCorpus(fresh, spark.read.parquet(corpusDir), textCol)
         // localCheckpoint — NOT persist: the corpus append below calls
         // refreshByPath(corpusDir), which UNCACHES any cached plan whose
@@ -135,7 +160,12 @@ object CorpusIngest {
         val pinned = survivors.localCheckpoint()
         if (pinned.count() > 0) {
           pinned.write.mode("append").parquet(corpusDir)
-          if (new java.io.File(indexDir, "_text_index_meta.json").exists())
+          // Hadoop FS probe, NOT java.io.File: a File check is always
+          // false for hdfs:// / s3a:// / file: URIs, which would send
+          // every batch down the buildTextIndex branch — whose
+          // mode("overwrite") silently replaces the index with one
+          // covering only that batch
+          if (fileExists(spark, s"$indexDir/_text_index_meta.json"))
             graft.operators.TextAnalysis.refreshTextIndex(
               pinned, idCol, textCol, indexDir)
           else
@@ -147,11 +177,18 @@ object CorpusIngest {
       .start()
   }
 
-  private def hasParquet(dir: String): Boolean = {
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(p)) return false
-    val st = java.nio.file.Files.list(p)
-    try st.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
-    finally st.close()
+  // Hadoop FileSystem probes (matching the index code's readTextIndexMeta
+  // discipline) — java.nio/java.io paths are local-filesystem-only and
+  // silently report "absent" for hdfs:// / s3a:// / file: URIs
+  private def fileExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
 }

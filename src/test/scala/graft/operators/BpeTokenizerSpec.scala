@@ -56,6 +56,30 @@ class BpeTokenizerSpec extends SparkTestBase {
     assert(compressed > 25, s"only $compressed/50 head words compressed")
   }
 
+  test("supplementary-plane text splits by CODEPOINT, matching engine substr/length semantics (r8)") {
+    // U+1F600 is a surrogate PAIR in UTF-16: a char-based split would
+    // halve it and diverge from the engine's codepoint-based substr/length
+    val emoji = "😀" // 😀
+    assert(BpeModel(Seq.empty).encodeWord(s"${emoji}ab") ==
+      Seq(emoji, "a", "b"), "zero-merge split must be by codepoint")
+    // training: the hottest pair must be (😀, a) — codepoint-adjacent —
+    // never a surrogate half; and the engine-side pairCounts agrees
+    val corpus = Seq(s"${emoji}a ${emoji}a ${emoji}a xy").toDF("text")
+    val model = bpeTrain(corpus, "text", nMerges = 1)
+    assert(model.merges == Seq((emoji, "a")), s"got ${model.merges}")
+    val enginePairs = pairCounts(corpus, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(enginePairs(s"${emoji}a") == 3L,
+      s"engine pairCounts must count the codepoint pair: $enginePairs")
+    assert(model.encodeWord(s"${emoji}a${emoji}a") ==
+      Seq(s"${emoji}a", s"${emoji}a"))
+    // tokenCounts fallback (length = codepoints) agrees with the driver
+    val tc = tokenCounts(corpus.withColumn("doc_id", lit(1L)),
+      "doc_id", "text", model).collect()
+    assert(tc.head.getLong(1) == 3L + 2L, // 3×merged "😀a" + "x","y"
+      s"tokenCounts diverged on non-BMP text: ${tc.toSeq}")
+  }
+
   test("tokenCounts: per-doc sums match a driver replay on a sample") {
     val model = bpeTrain(docs, "text", nMerges = 100, maxVocab = 5000)
     val got = tokenCounts(docs, "doc_id", "text", model)

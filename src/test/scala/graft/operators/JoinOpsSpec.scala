@@ -78,6 +78,22 @@ class JoinOpsSpec extends SparkTestBase {
       "uniform-side autoSalted must stay a plain equi-join")
   }
 
+  test("decide on an empty or all-null-key left side: share 0, no salting (r8)") {
+    val dim = Seq((1L, "x")).toDF("k", "name")
+    val empty = Seq.empty[(Long, Int)].toDF("k", "v")
+    val dEmpty = SkewJoin.decide(empty, "k")
+    assert(dEmpty == SkewJoin.SaltDecision(0L, 0L, 0.0, salted = false, 16),
+      s"empty left must decide share 0 without throwing: $dEmpty")
+    // all-null keys: keySkewTopK has no key to count — same no-salt outcome
+    val nulls = Seq((null.asInstanceOf[java.lang.Long], 1),
+      (null.asInstanceOf[java.lang.Long], 2)).toDF("k", "v")
+    val dNull = SkewJoin.decide(nulls, "k")
+    assert(!dNull.salted && dNull.topKeyShare == 0.0,
+      s"all-null keys must decide share 0: $dNull")
+    // and autoSalted on the empty side still produces the (empty) join
+    assert(SkewJoin.autoSalted(empty, dim, "k").count() == 0)
+  }
+
   test("binnedRangeJoinCapped equals the row_number-window formulation, including ties") {
     import org.apache.spark.sql.expressions.Window
     // 40 left rows x dense right side: windows overlap, duplicate right

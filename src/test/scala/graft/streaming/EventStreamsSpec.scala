@@ -239,6 +239,37 @@ class EventStreamsSpec extends SparkTestBase {
     assert(!got.columns.contains("corpus_content_hash"))
   }
 
+  test("hash index switched on over a pre-existing corpus: backfilled, not trusted incomplete (r8)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ingest_bf")
+    val src1 = root.resolve("incoming1").toString
+    val corpus = root.resolve("corpus").toString
+    // phase 1: ingest WITHOUT the hash index — corpus exists, no index
+    (1L to 10L).map(i => (i, s"document body number $i"))
+      .toDF("doc_id", "text").repartition(1).write.parquet(s"$src1/f=a")
+    CorpusIngest.ingestDocuments(spark, src1, corpus,
+      root.resolve("ckpt1").toString).awaitTermination()
+    assert(spark.read.parquet(corpus).count() == 10)
+    // phase 2: hashIndex on; trigger 1 (f=c) carries a fresh doc — after
+    // it, a HALF-built index (survivor hashes only) would exist; trigger 2
+    // (f=d) re-sends a PHASE-1 text under a new id. Without the start-of-
+    // stream backfill, trigger 2's anti-join against the incomplete index
+    // misses the phase-1 hash and re-ingests the duplicate.
+    val src2 = root.resolve("incoming2").toString
+    Seq((21L, "document body number 21"))
+      .toDF("doc_id", "text").repartition(1).write.parquet(s"$src2/f=c")
+    Seq((22L, "document body number 3"), (23L, "document body number 23"))
+      .toDF("doc_id", "text").repartition(1).write.parquet(s"$src2/f=d")
+    CorpusIngest.ingestDocuments(spark, src2, corpus,
+      root.resolve("ckpt2").toString, hashIndex = true).awaitTermination()
+    val got = spark.read.parquet(corpus)
+    assert(got.count() == 12, s"expected 12 survivors, got ${got.count()}: " +
+      "a phase-1 duplicate slipped past the backfilled hash index")
+    assert(got.select("text").distinct().count() == 12)
+    // the backfilled index now covers the WHOLE corpus
+    assert(spark.read.parquet(s"$corpus/_hash_index").distinct().count() == 12)
+  }
+
   test("streaming index ingest: live BM25 index == rebuild over the final corpus (r7)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("idx_ingest")
