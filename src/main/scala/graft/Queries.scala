@@ -5060,6 +5060,48 @@ object Queries {
       .orderBy("a_id", "b_id")
   }
 
+  q("q_join_interval_capped",
+    // bounded-output interval overlap: the 3 MOST-overlapping purchase
+    // windows per view window. The interval join is the inventory's one
+    // output-bound (~sf²) family; the bounded-heap cap (map-side partial
+    // agg, ≤k rows per left interval per mapper) returns it to
+    // O(k·|left|) when top-k semantics suffice — the binnedRangeJoinCapped
+    // move applied to variable-length intervals. Selection is
+    // deterministic (overlap desc, then right cols by name asc) so the
+    // oracle replays it with the equivalent row_number window.
+    """WITH a AS (
+      |  SELECT event_id AS a_id, epoch_us(ts) AS a_s,
+      |    epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS a_e
+      |  FROM events WHERE event_type = 'view'),
+      |b AS (
+      |  SELECT event_id AS b_id, epoch_us(ts) AS b_s,
+      |    epoch_us(ts) + (event_id % 5 + 1) * 60000000 AS b_e
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT a_id, b_id,
+      |    least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us,
+      |    row_number() OVER (PARTITION BY a_id
+      |      ORDER BY least(a_e, b_e) - greatest(a_s, b_s) DESC,
+      |               b_e, b_id, b_s) AS rn
+      |  FROM a JOIN b ON a_s <= b_e AND b_s <= a_e)
+      |SELECT a_id, b_id, overlap_us FROM j WHERE rn <= 3
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+    val a = ev.filter(col("event_type") === "view").select(
+      col("event_id").as("a_id"),
+      unix_micros(col("ts")).as("a_s"),
+      (unix_micros(col("ts")) + (col("event_id") % 7 + 1) * 60000000L).as("a_e"))
+    val b = ev.filter(col("event_type") === "purchase").select(
+      col("event_id").as("b_id"),
+      unix_micros(col("ts")).as("b_s"),
+      (unix_micros(col("ts")) + (col("event_id") % 5 + 1) * 60000000L).as("b_e"))
+    graft.operators.RangeJoin.intervalOverlapJoinCapped(
+        a, b, "a_s", "a_e", "b_s", "b_e", binUnits = 600L * 1000000L,
+        leftKey = Seq("a_id"), k = 3)
+      .select("a_id", "b_id", "overlap_us")
+      .orderBy("a_id", "b_id")
+  }
+
   q("q_profile_skew",
     // key-skew profile for a join key (the go/no-go numbers for salting
     // or AQE skew handling): per-key counts in one partial+final agg,

@@ -132,4 +132,81 @@ object Layout {
   def compactionPlanForPath(spark: org.apache.spark.sql.SparkSession,
       root: String, targetBytes: Long): DataFrame =
     compactionPlan(fileInventory(spark, root), "file", "bytes", targetBytes)
+
+  /** EXECUTE the compaction plan: rewrite the parquet table under `root`
+    * so each output file holds exactly one plan bin (~`targetBytes` of
+    * input), with the staged-swap discipline of
+    * [[TextAnalysis.compactTextIndex]] — write to a staging sibling,
+    * verify nothing mid-flight serves from it, swap in with one
+    * directory rename, leave no tombstones behind. Returns the executed
+    * plan (file, bytes, bin — pinned before the rewrite, since the old
+    * inventory is unreadable after it).
+    *
+    * Shape: ONE distributed job — every row tags itself with its source
+    * file ([[org.apache.spark.sql.functions.input_file_name]]), joins
+    * the broadcast metadata-sized plan for its bin, and the write
+    * clusters by bin (`repartition(bin)` + dynamic `partitionBy`), so
+    * each bin's file is written by exactly one task — never a driver
+    * loop over the table's data. The only driver-side file work is the
+    * flatten renames, one per OUTPUT file (totalBytes/targetBytes — the
+    * minimum any compactor pays) plus the single swap rename.
+    *
+    * Semantics notes: row identity is exact (spec-pinned hash-equal
+    * read-back). A Hive-partitioned input is supported, but its
+    * partition COLUMNS materialize into the compacted files (the
+    * directory encoding flattens — schema-on-read is unchanged);
+    * callers wanting to keep a partitioned layout compact each
+    * partition directory separately, exactly as the reference scopes
+    * destructive maintenance to one partition path
+    * (`etl_manager/meta.py:769-791` delete_data_in_database). Crash
+    * safety: a failure before the swap leaves `root` untouched and the
+    * staging sibling is rebuilt from scratch on the next run
+    * (mode=overwrite); the delete→rename window is the same one every
+    * staged swap in this repo accepts. */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession,
+      root: String, targetBytes: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pin the plan BEFORE the rewrite: its lineage lists the files being
+    // replaced, and a lazy re-evaluation after the swap would read the
+    // compacted listing instead
+    val plan = compactionPlanForPath(spark, root, targetBytes).localCheckpoint()
+    if (plan.isEmpty) return plan
+    val rootUri = fs.makeQualified(rootPath).toUri
+    // input_file_name() is a url-encoded URI ("file:///…", "hdfs://nn/…");
+    // the plan's paths are decoded and root-relative — normalize the same
+    // way: strip scheme+authority, url-decode, drop the root prefix
+    val relFile = substring(
+      url_decode(regexp_replace(input_file_name(),
+        "^[a-zA-Z0-9+.\\-]+:(//[^/]*)?", "")),
+      rootUri.getPath.length + 2, Int.MaxValue)
+    val staging = s"${root.stripSuffix("/")}_compacting"
+    spark.read.parquet(root)
+      .withColumn("_cf_file", relFile)
+      .join(broadcast(plan.select(col("file").as("_cf_file"),
+        col("bin").as("_cf_bin"))), Seq("_cf_file"))
+      .drop("_cf_file")
+      .repartition(col("_cf_bin"))
+      .write.mode("overwrite").partitionBy("_cf_bin").parquet(staging)
+    // flatten: each bin dir holds exactly one file (clustered write);
+    // rename it to a deterministic top-level name, drop the bin dirs
+    val stagingPath = new Path(staging)
+    fs.listStatus(stagingPath).filter(_.isDirectory).foreach { d =>
+      val bin = d.getPath.getName.stripPrefix("_cf_bin=").toLong
+      val parts = fs.listStatus(d.getPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      require(parts.length == 1,
+        s"compactFiles: bin $bin wrote ${parts.length} files, expected 1")
+      if (!fs.rename(parts.head.getPath,
+          new Path(stagingPath, f"part-$bin%06d.parquet")))
+        throw new java.io.IOException(
+          s"compactFiles: flatten rename failed for bin $bin under $staging")
+      fs.delete(d.getPath, true)
+    }
+    if (!fs.delete(rootPath, true) || !fs.rename(stagingPath, rootPath))
+      throw new java.io.IOException(
+        s"compactFiles: staging swap failed under $root")
+    plan
+  }
 }

@@ -109,6 +109,54 @@ object RangeJoin {
       .drop("_lbin", "_rbin")
   }
 
+  /** [[intervalOverlapJoin]] with bounded output: at most `k` matches per
+    * left interval, keeping the LARGEST overlaps (ties broken by the
+    * right columns in name order ascending — a total order when the
+    * right side carries a unique id, so external engines replay the
+    * selection with `row_number() OVER (PARTITION BY leftKey ORDER BY
+    * overlap DESC, <right cols sorted>) <= k`).
+    *
+    * The interval join is the inventory's one remaining output-bound
+    * family (~sf² by problem definition — BASELINE.md sf10: 39.5 s, all
+    * of it pair emission), and at 100 TB a user usually wants "the k
+    * most-overlapping partners", not every one. Same discipline as
+    * [[binnedRangeJoinCapped]]: the cap is a bounded-heap aggregate
+    * ([[graft.functions.MinKByAgg]]) with map-side partial aggregation,
+    * so each mapper contributes ≤ k rows per left interval to the
+    * exchange and nothing is ever sorted but the final k — output
+    * returns to O(k·|left|) instead of O(|pairs|).
+    *
+    * Grouping is by ALL left columns (valid because `leftKey` uniquely
+    * identifies a left row — the rest are functionally dependent).
+    */
+  def intervalOverlapJoinCapped(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binUnits: Long, leftKey: Seq[String], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(leftKey.nonEmpty, "leftKey must name the columns identifying a left row")
+    require(leftKey.forall(left.columns.contains),
+      s"leftKey ${leftKey.mkString(",")} must be left-side columns")
+    val joined = intervalOverlapJoin(left, right, lStart, lEnd, rStart, rEnd,
+      binUnits)
+    val reserved = Set("_ij_neg", "_ij_top", "_ij_m")
+    require(!joined.columns.exists(reserved),
+      s"intervalOverlapJoinCapped reserves column names ${reserved.mkString(", ")}")
+    // sort key: negated overlap (ascending = overlap DESC) then the right
+    // columns by name — one struct per candidate doubles as the payload
+    // (the fused minKRowsAgg shape, see binnedRangeJoinCapped)
+    val ordCols = (-col("overlap_us")).as("_ij_neg") +:
+      right.columns.sorted.map(c => col(c).as(c)) :+
+      col("overlap_us").as("overlap_us")
+    joined
+      .groupBy(left.columns.map(col): _*)
+      .agg(graft.functions.MinKByAgg
+        .minKRowsAgg(struct(ordCols: _*), k).as("_ij_top"))
+      .withColumn("_ij_m", explode(col("_ij_top")))
+      .select(left.columns.map(col) ++
+        right.columns.map(c => col("_ij_m").getField(c).as(c)) :+
+        col("_ij_m").getField("overlap_us").as("overlap_us"): _*)
+  }
+
   /** [[binnedRangeJoin]] with bounded output: at most `k` matches per
     * left row, keeping the EARLIEST right rows by `rightTs` (ties broken
     * by the remaining right columns ascending, so the selection is fully

@@ -177,6 +177,91 @@ object CorpusIngest {
       .start()
   }
 
+  /** Which ANN layout [[ingestWithAnnIndex]] maintains, with its build
+    * parameters (used only for the FIRST surviving batch's build — every
+    * later batch refreshes from the index's own metadata sidecar, so the
+    * stream and a cold rebuild can never disagree on parameters). */
+  sealed trait AnnIndexSpec
+  /** IVF: centroids are fitted on the first surviving batch and pinned
+    * bit-exact in the index sidecar; refreshes assign against THOSE
+    * (the [[graft.operators.Similarity.refreshIvfIndex]] contract). */
+  final case class IvfIngest(k: Int, iterations: Int = 5) extends AnnIndexSpec
+  /** Multi-table sign-projection LSH: planes regenerate from
+    * (dim, nBits, nTables, seed) — fully deterministic. */
+  final case class LshIngest(nBits: Int = 6, nTables: Int = 12,
+      seed: Long = 7L) extends AnnIndexSpec
+
+  /** Streaming ANN index maintenance — [[ingestWithTextIndex]]'s
+    * discipline for the embedding side: each micro-batch of new vectors
+    * is deduped (within itself by id, then against the corpus-so-far by
+    * anti-join on a column-pruned id scan), appended to the corpus, AND
+    * folded into the live ANN index incrementally
+    * ([[graft.operators.Similarity.refreshIvfIndex]] /
+    * [[graft.operators.Similarity.refreshLshIndex]] — per-row-independent
+    * assignments, so the live index stays row-identical to a rebuild
+    * over the corpus written so far). The index is built on the first
+    * surviving batch and refreshed on every later one.
+    *
+    * The same `localCheckpoint` pin as the text twin guards the same
+    * trap: the corpus append fires `refreshByPath(corpusDir)`, uncaching
+    * any plan whose lineage reads that path — a merely-persisted
+    * survivor set would lazily re-dedup against the post-append listing
+    * (every survivor matches itself) and hand the index an EMPTY
+    * refresh. Exactly-once caveat: identical to [[ingestWithTextIndex]]
+    * (replayed batches are harmless for the corpus, need the caller's
+    * staging discipline for the index). */
+  def ingestWithAnnIndex(spark: SparkSession, sourceDir: String,
+      corpusDir: String, indexPath: String, checkpointDir: String,
+      index: AnnIndexSpec,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    import graft.operators.Similarity
+    val srcSchema = schema.getOrElse(spark.read.parquet(sourceDir).schema)
+    val metaFile = index match {
+      case _: IvfIngest => "_ivf_index_meta.json"
+      case _: LshIngest => "_lsh_index_meta.json"
+    }
+    spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh = batch.dropDuplicates(idCol)
+        val survivors =
+          if (!hasParquet(spark, corpusDir)) fresh
+          else fresh.join(
+            spark.read.parquet(corpusDir)
+              .select(org.apache.spark.sql.functions.col(idCol)),
+            Seq(idCol), "left_anti")
+        val pinned = survivors.localCheckpoint()
+        if (pinned.count() > 0) {
+          pinned.write.mode("append").parquet(corpusDir)
+          val exists = fileExists(spark, s"$indexPath/$metaFile")
+          index match {
+            case IvfIngest(k, iters) =>
+              if (exists)
+                Similarity.refreshIvfIndex(pinned, idCol, vecCol, indexPath)
+              else
+                Similarity.buildIvfIndex(pinned, idCol, vecCol,
+                  Similarity.fitCentroids(pinned, idCol, vecCol, k, iters),
+                  indexPath)
+            case LshIngest(nBits, nTables, seed) =>
+              if (exists)
+                Similarity.refreshLshIndex(pinned, idCol, vecCol, indexPath)
+              else
+                Similarity.buildLshIndex(pinned, idCol, vecCol, indexPath,
+                  nBits, nTables, seed)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   // Hadoop FileSystem probes (matching the index code's readTextIndexMeta
   // discipline) — java.nio/java.io paths are local-filesystem-only and
   // silently report "absent" for hdfs:// / s3a:// / file: URIs

@@ -363,6 +363,78 @@ class FuzzyLayoutSpec extends SparkTestBase {
     assert(plan.forall(_.getLong(2) == 0L), "tiny fixture fits one bin")
   }
 
+  test("compactFiles executes the plan: row-identical rewrite, one file per bin (r8)") {
+    val root = java.nio.file.Files.createTempDirectory("cf").toString + "/t"
+    // 40 small files of a flat table — the accumulated-increments shape
+    spark.range(20000).select(col("id"), (col("id") % 97).as("v"),
+        concat(lit("row"), col("id")).as("s"))
+      .repartition(40).write.parquet(root)
+    val before = spark.read.parquet(root).orderBy("id").collect().toSeq
+    // per-bin expected row counts, derived from the pre-rewrite files
+    val planRows = Layout.compactionPlanForPath(spark, root, targetBytes = 64L << 10)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val nBins = planRows.values.toSet.size
+    assert(nBins > 1 && nBins < 40,
+      s"fixture must genuinely coalesce: $nBins bins from 40 files")
+    val rowsPerFile = spark.read.parquet(root)
+      .groupBy(input_file_name().as("f")).count().collect()
+      .map(r => r.getString(0).split("/").last -> r.getLong(1)).toMap
+    val expectedPerBin = planRows.groupBy(_._2)
+      .map { case (bin, fs) =>
+        bin -> fs.keys.toSeq.map(f => rowsPerFile(f.split("/").last)).sum }
+    val executed = Layout.compactFiles(spark, root, targetBytes = 64L << 10)
+    // the returned plan was pinned pre-rewrite
+    assert(executed.collect().map(r => r.getString(0) -> r.getLong(2)).toMap == planRows)
+    // (a) row identity — hash-equal read-back
+    val after = spark.read.parquet(root).orderBy("id").collect().toSeq
+    assert(after == before, "compaction changed the data")
+    // (b) the physical layout matches the plan's bins exactly: one
+    // deterministically-named file per bin, holding that bin's rows
+    val inv = Layout.fileInventory(spark, root).collect().map(_.getString(0)).toSeq
+    assert(inv.sorted == planRows.values.toSet.toSeq.sorted.map(b => f"part-$b%06d.parquet"),
+      s"post-rewrite inventory $inv does not match the plan's bins")
+    val afterPerFile = spark.read.parquet(root)
+      .groupBy(input_file_name().as("f")).count().collect()
+      .map(r => r.getString(0).split("/").last.stripPrefix("part-")
+        .stripSuffix(".parquet").toLong -> r.getLong(1)).toMap
+    assert(afterPerFile == expectedPerBin,
+      s"per-bin row counts diverged: $afterPerFile vs $expectedPerBin")
+  }
+
+  test("compactFiles: crash debris before the swap leaves the original readable; rerun converges (r8)") {
+    val root = java.nio.file.Files.createTempDirectory("cfc").toString + "/t"
+    spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
+      .repartition(10).write.parquet(root)
+    val before = spark.read.parquet(root).orderBy("id").collect().toSeq
+    // simulate a run that died between staging write and swap: a stale
+    // staging sibling full of half-written junk
+    val staging = s"${root}_compacting"
+    spark.range(13).write.parquet(s"$staging/_cf_bin=0")
+    // the live table is untouched by the debris
+    assert(spark.read.parquet(root).orderBy("id").collect().toSeq == before)
+    // rerun rebuilds staging from scratch (mode=overwrite) and completes
+    Layout.compactFiles(spark, root, targetBytes = 1L << 20)
+    assert(spark.read.parquet(root).orderBy("id").collect().toSeq == before)
+    assert(!new java.io.File(staging).exists(), "staging must be swapped away")
+    assert(Layout.fileInventory(spark, root).count() == 1L,
+      "tiny table compacts to the plan's single bin")
+  }
+
+  test("compactFiles on a Hive-partitioned input materializes partition columns, keeps rows (r8)") {
+    val root = java.nio.file.Files.createTempDirectory("cfp").toString + "/t"
+    spark.range(2000).select(col("id"), (col("id") % 3).as("p"))
+      .repartition(8).write.partitionBy("p").parquet(root)
+    val before = spark.read.parquet(root).select("id", "p")
+      .orderBy("id").collect().toSeq
+    Layout.compactFiles(spark, root, targetBytes = 1L << 20)
+    // schema-on-read unchanged; the partition column now lives IN the files
+    val after = spark.read.parquet(root).select("id", "p")
+      .orderBy("id").collect().toSeq
+    assert(after == before, "partitioned-input compaction lost rows or partition values")
+    val inv = Layout.fileInventory(spark, root).collect().map(_.getString(0))
+    assert(inv.forall(!_.contains("=")), s"directories flattened: ${inv.toSeq}")
+  }
+
   test("compactionPlan: greedy running-total binning in partition order") {
     val inv = Seq(("p1", 10L), ("p2", 10L), ("p3", 10L), ("p4", 10L))
       .toDF("part", "n")

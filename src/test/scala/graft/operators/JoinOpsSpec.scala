@@ -136,6 +136,35 @@ class JoinOpsSpec extends SparkTestBase {
     assert(out == Seq("a", "b", "z"))
   }
 
+  test("intervalOverlapJoinCapped equals the row_number-window formulation, largest overlaps kept (r8)") {
+    import org.apache.spark.sql.expressions.Window
+    // dense interval fixture: variable lengths both sides, many overlaps
+    // per left interval, equal-overlap ties forcing the right-column
+    // tie-break path
+    val a = (1 to 40).map(i => (i.toLong, i * 50L, i * 50L + (i % 9 + 1) * 100L))
+      .toDF("a_id", "a_s", "a_e")
+    val b = (1 to 300).map(j => (j.toLong, j * 7L, j * 7L + (j % 5 + 1) * 60L))
+      .toDF("b_id", "b_s", "b_e")
+    val k = 3
+    val capped = RangeJoin.intervalOverlapJoinCapped(a, b,
+      "a_s", "a_e", "b_s", "b_e", binUnits = 200L, leftKey = Seq("a_id"), k = k)
+    // replay: overlap DESC, then right columns by NAME asc (b_e, b_id, b_s)
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("overlap_us").desc, col("b_e").asc, col("b_id").asc, col("b_s").asc)
+    val windowed = RangeJoin.intervalOverlapJoin(a, b,
+        "a_s", "a_e", "b_s", "b_e", binUnits = 200L)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    assert(capped.exceptAll(windowed).isEmpty && windowed.exceptAll(capped).isEmpty,
+      "capped interval join diverged from the row_number replay")
+    assert(capped.count() == windowed.count() && capped.count() > 0)
+    // the bound binds: no left interval exceeds k matches; short groups keep all
+    val sizes = capped.groupBy("a_id").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= k) && sizes.nonEmpty)
+    // output columns preserved: left, right, overlap_us
+    assert(capped.columns.toSeq ==
+      Seq("a_id", "a_s", "a_e", "b_id", "b_s", "b_e", "overlap_us"))
+  }
+
   test("intervalOverlapJoin: containment, touching endpoints, disjoint — closed semantics") {
     val a = Seq((1L, 100L, 200L), (2L, 300L, 400L), (3L, 500L, 500L))
       .toDF("a_id", "a_s", "a_e")

@@ -270,6 +270,86 @@ class EventStreamsSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$corpus/_hash_index").distinct().count() == 12)
   }
 
+  test("streaming ANN ingest: live IVF index == rebuild with the stored centroids (r8)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ann_ingest_ivf")
+    val src = root.resolve("incoming").toString
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(8)(d => math.sin(i * 31.0 + d).toFloat)
+    // two micro-batches; batch B re-sends id 5 (must NOT re-enter) plus
+    // genuinely new vectors
+    (1L to 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .repartition(1).write.parquet(s"$src/f=a")
+    ((41L to 60L).map(i => (i, vec(i))) :+ ((5L, vec(999L))))
+      .toDF("vec_id", "embedding")
+      .repartition(1).write.parquet(s"$src/f=b")
+    val corpus = root.resolve("corpus").toString
+    val idx = root.resolve("ivf_idx").toString
+    CorpusIngest.ingestWithAnnIndex(spark, src, corpus, idx,
+      root.resolve("ckpt").toString, CorpusIngest.IvfIngest(k = 4))
+      .awaitTermination()
+    val got = spark.read.parquet(corpus)
+    assert(got.count() == 60, s"expected 60 survivors, got ${got.count()}")
+    assert(got.select("vec_id").distinct().count() == 60)
+    // rebuild over the final corpus with the LIVE index's stored
+    // centroids: assignments are per-row independent, so the
+    // incrementally-maintained index must be row-identical
+    val cents = graft.operators.Similarity.readIvfCentroids(spark, idx).get
+    val rebuilt = root.resolve("rebuilt").toString
+    graft.operators.Similarity.buildIvfIndex(got, "vec_id", "embedding",
+      cents, rebuilt)
+    def rows(p: String) = spark.read.parquet(p)
+      .select("vec_id", "cell_id").orderBy("vec_id").collect().toSeq
+    assert(rows(idx) == rows(rebuilt) && rows(idx).size == 60,
+      "live IVF index diverged from rebuild")
+    // and probes agree
+    val probe = vec(7L)
+    val live = graft.operators.Similarity.ivfTopKIndexed(
+      spark, idx, "vec_id", "embedding", cents, probe, k = 5).collect().toSeq
+    val ref = graft.operators.Similarity.ivfTopKIndexed(
+      spark, rebuilt, "vec_id", "embedding", cents, probe, k = 5).collect().toSeq
+    assert(live == ref && live.nonEmpty)
+  }
+
+  test("streaming ANN ingest: live LSH index == rebuild over the final corpus (r8)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ann_ingest_lsh")
+    val src = root.resolve("incoming").toString
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(8)(d => math.cos(i * 17.0 + 2 * d).toFloat)
+    (1L to 30L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .repartition(1).write.parquet(s"$src/f=a")
+    ((31L to 50L).map(i => (i, vec(i))) :+ ((3L, vec(888L))))
+      .toDF("vec_id", "embedding")
+      .repartition(1).write.parquet(s"$src/f=b")
+    val corpus = root.resolve("corpus").toString
+    val idx = root.resolve("lsh_idx").toString
+    CorpusIngest.ingestWithAnnIndex(spark, src, corpus, idx,
+      root.resolve("ckpt").toString,
+      CorpusIngest.LshIngest(nBits = 4, nTables = 3, seed = 11L))
+      .awaitTermination()
+    val got = spark.read.parquet(corpus)
+    assert(got.count() == 50 && got.select("vec_id").distinct().count() == 50)
+    // LSH planes regenerate deterministically from the stored params, so
+    // a cold rebuild with the same params must match row-for-row
+    val rebuilt = root.resolve("rebuilt").toString
+    graft.operators.Similarity.buildLshIndex(got, "vec_id", "embedding",
+      rebuilt, nBits = 4, nTables = 3, seed = 11L)
+    def rows(p: String) = spark.read.parquet(p)
+      .select("vec_id", "table", "bucket").orderBy("vec_id", "table")
+      .collect().toSeq
+    assert(rows(idx) == rows(rebuilt) && rows(idx).size == 150,
+      "live LSH index diverged from rebuild")
+    val probe = vec(9L)
+    val live = graft.operators.Similarity.lshTopKIndexed(spark, idx,
+      "vec_id", "embedding", probe, k = 5, nBits = 4, nTables = 3,
+      seed = 11L).collect().toSeq
+    val ref = graft.operators.Similarity.lshTopKIndexed(spark, rebuilt,
+      "vec_id", "embedding", probe, k = 5, nBits = 4, nTables = 3,
+      seed = 11L).collect().toSeq
+    assert(live == ref && live.nonEmpty)
+  }
+
   test("streaming index ingest: live BM25 index == rebuild over the final corpus (r7)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("idx_ingest")
