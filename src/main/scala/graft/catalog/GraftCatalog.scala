@@ -249,6 +249,48 @@ object GraftCatalog {
     }
   }
 
+  /** update_glue_database analog against the REAL metastore
+    * (meta.py:812-844 `update_glue_database` → `glue_client.update_table`):
+    * upsert — tables missing from the catalog are created; existing ones
+    * are re-registered from the (possibly changed) TableMeta only when
+    * `updateTablesIfExist` (the reference's `update_tables_if_exist`
+    * flag, default False there and here). A re-registration is a
+    * definition REPLACEMENT, so a changed serde property (separator,
+    * skip-header), schema, or location takes effect immediately — and
+    * because the catalog is shared, sibling sessions
+    * (`spark.newSession()`) see the updated definition without any
+    * re-registration of their own (spec-pinned). */
+  def updateDatabasePersistent(spark: SparkSession, db: DatabaseMeta,
+      warehouseRoot: String, updateTablesIfExist: Boolean = false): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `${db.name}`")
+    db.tables.foreach { t =>
+      val exists = spark.catalog.tableExists(s"${db.name}.${t.name}")
+      if (!exists || updateTablesIfExist) {
+        if (exists) {
+          // glue update_table replaces the whole definition; the old
+          // entry may be view-backed (regex/OpenCSV) even if the new
+          // format isn't — drop whichever objects are actually there
+          dropCatalogEntry(spark, db, t.name)
+          dropCatalogEntry(spark, db, s"${t.name}_raw")
+        }
+        createCatalogTable(spark, db, t, db.tablePath(warehouseRoot, t.name))
+        if (t.partitions.nonEmpty) refreshPartitions(spark, db, t.name)
+      }
+    }
+  }
+
+  /** Drop a catalog table OR view by name, whichever it is (DROP TABLE
+    * on a view — and vice versa — is an error, and the serde-view
+    * formats register one of each). */
+  private def dropCatalogEntry(spark: SparkSession, db: DatabaseMeta,
+      name: String): Unit =
+    if (spark.catalog.tableExists(s"${db.name}.$name")) {
+      val kind =
+        if (spark.catalog.getTable(db.name, name).tableType == "VIEW") "VIEW"
+        else "TABLE"
+      spark.sql(s"DROP $kind IF EXISTS ${qualified(db, name)}")
+    }
+
   private def createCatalogTable(spark: SparkSession, db: DatabaseMeta,
       t: TableMeta, path: String): Unit = {
     val partClause =

@@ -137,6 +137,78 @@ object RecordLinkage {
           / (pow(lit(2.0), col("match_weight")) + lit(1.0)))
   }
 
+  /** Outcome of the pre-blocking size check: the sketch-estimated pair
+    * count for a candidate blocking, the bound it was judged against,
+    * and whether it was accepted. */
+  final case class BlockingDecision(blockOn: Seq[(String, String)],
+      estPairs: Long, maxPairs: Long, accepted: Boolean)
+
+  /** Sketch-estimate the blocked-pair count for `blockOn` WITHOUT
+    * materializing a single pair: two count–min grids over the combined
+    * blocking key (one map-side scan per side, O(depth·width) state) and
+    * the [[Profiling.cmsJoinSizeEstimate]] inner product. Over-estimates
+    * only (bucket collisions add non-negative cross terms), so an
+    * accepted blocking really is within the bound. Rows with a NULL in
+    * any blocking column match nothing in [[fsAgreementVectors]] and are
+    * excluded from the sketch the same way. */
+  def blockingPairsEstimate(left: DataFrame, right: DataFrame,
+      blockOn: Seq[(String, String)], depth: Int = 4,
+      width: Int = 1024): Long = {
+    require(blockOn.nonEmpty, "blocking keys required")
+    def key(side: DataFrame, pick: ((String, String)) => String): Column =
+      when(blockOn.map(b => col(pick(b)).isNull).reduce(_ || _), lit(null))
+        .otherwise(concat_ws("\u0001",
+          blockOn.map(b => col(pick(b)).cast("string")): _*))
+    val cL = Profiling.cmsCounters(left, key(left, _._1), depth, width)
+    val cR = Profiling.cmsCounters(right, key(right, _._2), depth, width)
+    Profiling.cmsJoinSizeEstimate(cL, cR).head(1) match {
+      case Array(row) if !row.isNullAt(0) => row.getLong(0)
+      case _ => 0L // no shared buckets — the join is provably empty
+    }
+  }
+
+  /** [[fsScorePairs]] behind a size guard — the [[SkewJoin.decide]]
+    * profile-then-decide discipline composed with the count–min join-size
+    * estimator: a skewed blocking key (everyone blocked on "smith", a
+    * default country code...) is the classic ER blow-up, and the
+    * estimate answers "will this blocking explode?" for O(depth·width)
+    * state BEFORE any pair materializes. The primary blocking is scored
+    * only if its estimated pair count is ≤ `maxPairs`; past the bound,
+    * each `fallbackBlockOn` candidate (typically finer keys — more
+    * columns, a added prefix) is estimated in order and the first
+    * acceptable one scores instead; if none fits, the call REFUSES with
+    * the estimates in the message rather than launching an |L|·|R|-class
+    * join. Returns the decision trail alongside the scored pairs so
+    * pipelines can log which blocking actually ran. */
+  def fsScorePairsGuarded(left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      blockOn: Seq[(String, String)],
+      comparisons: Seq[FsComparison],
+      maxPairs: Long,
+      fallbackBlockOn: Seq[Seq[(String, String)]] = Nil,
+      lambda: Double = 0.5,
+      minWeight: Double = Double.NegativeInfinity,
+      depth: Int = 4, width: Int = 1024): (Seq[BlockingDecision], DataFrame) = {
+    require(maxPairs > 0, s"maxPairs must be positive, got $maxPairs")
+    val decisions = scala.collection.mutable.ArrayBuffer.empty[BlockingDecision]
+    (blockOn +: fallbackBlockOn).foreach { candidate =>
+      if (!decisions.exists(_.accepted)) {
+        val est = blockingPairsEstimate(left, right, candidate, depth, width)
+        decisions += BlockingDecision(candidate, est, maxPairs, est <= maxPairs)
+      }
+    }
+    decisions.find(_.accepted) match {
+      case Some(d) =>
+        (decisions.toSeq, fsScorePairs(left, right, leftId, rightId,
+          d.blockOn, comparisons, lambda, minWeight))
+      case None => throw new IllegalArgumentException(
+        "fsScorePairsGuarded: every candidate blocking exceeds maxPairs=" +
+          s"$maxPairs — ${decisions.map(d => s"${d.blockOn.map(_._1).mkString("+")}≈${d.estPairs}")
+            .mkString(", ")}; supply a finer blocking (more columns, key " +
+          "prefixes) instead of launching the pair join")
+    }
+  }
+
   /** Fitted FS parameters. `m`/`u` are keyed by comparison name. */
   final case class FsParams(lambda: Double, m: Map[String, Double],
       u: Map[String, Double], iterations: Int, logLikelihood: Double)

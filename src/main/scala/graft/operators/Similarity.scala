@@ -327,6 +327,77 @@ object Similarity {
       .write.mode("append").partitionBy("cell_id").parquet(path)
   }
 
+  /** The refresh-vs-refit go/no-go, decided from the numbers
+    * [[embeddingDrift]] produces ([[SkewJoin.decide]]'s
+    * profile-then-decide discipline applied to index maintenance):
+    * [[refreshIvfIndex]] deliberately reuses the build-time centroids
+    * (bit-exact sidecar — cell ids are only meaningful against them),
+    * which is exactly right while the embedding distribution holds and
+    * exactly wrong once it shifts — new vectors then straddle stale cell
+    * boundaries, nprobe cells stop covering the true neighbors, and
+    * recall decays silently (spec-measured on a planted-offset fixture).
+    * The decision stat is the max per-dimension |mean shift| between the
+    * INDEXED vectors and the incoming batch — d rows per side cross the
+    * wire, nothing corpus-sized. */
+  final case class RefitDecision(maxAbsShift: Double, meanAbsShift: Double,
+      threshold: Double, refit: Boolean)
+
+  def refitDecide(newEmbeddings: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, shiftThreshold: Double = 0.05): RefitDecision = {
+    require(shiftThreshold > 0, s"shiftThreshold must be positive, got $shiftThreshold")
+    val spark = newEmbeddings.sparkSession
+    val indexed = annVisible(spark, indexPath,
+      spark.read.parquet(indexPath), idCol)
+    val row = embeddingDrift(indexed, newEmbeddings, vecCol)
+      .agg(max(abs(col("shift"))).as("mx"), avg(abs(col("shift"))).as("mn"))
+      .head()
+    // null aggregates = no common dimensions (empty side) — nothing to
+    // measure, keep the cheap refresh path
+    val mx = Option(row.getAs[Double]("mx")).getOrElse(0.0)
+    val mn = Option(row.getAs[Double]("mn")).getOrElse(0.0)
+    RefitDecision(mx, mn, shiftThreshold, mx >= shiftThreshold)
+  }
+
+  /** Incremental IVF maintenance that reads the drift profile and picks
+    * its own physical shape (the [[SkewJoin.autoSalted]] analog): below
+    * `shiftThreshold` the cheap [[refreshIvfIndex]] append (stored
+    * centroids, new-rows-only cost); at or past it a full REFIT —
+    * re-fit k centroids over survivors ∪ new (same k as the stored
+    * sidecar), rebuild into a staging sibling, swap in with one rename,
+    * tombstones folded and cleared. Either way the index afterwards
+    * covers old ∪ new exactly; only cell geometry differs. Returns the
+    * decision so callers can log/alert on refits. Precondition: new ids
+    * disjoint from the indexed ids (the refresh contract). */
+  def refreshIvfIndexAuto(newEmbeddings: DataFrame, idCol: String,
+      vecCol: String, path: String, shiftThreshold: Double = 0.05,
+      iterations: Int = 5): RefitDecision = {
+    val spark = newEmbeddings.sparkSession
+    val decision = refitDecide(newEmbeddings, idCol, vecCol, path, shiftThreshold)
+    if (!decision.refit) refreshIvfIndex(newEmbeddings, idCol, vecCol, path)
+    else {
+      val k = readIvfCentroids(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no $IvfMetaFile under $path — rebuild instead")).size
+      val all = annVisible(spark, path, spark.read.parquet(path), idCol)
+        .select(col(idCol), col(vecCol))
+        .unionByName(newEmbeddings.select(col(idCol), col(vecCol)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cents = fitCentroids(all, idCol, vecCol, k, iterations)
+        val staging = s"${path}_refitting"
+        buildIvfIndex(all, idCol, vecCol, cents, staging)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val live = new org.apache.hadoop.fs.Path(path)
+        fs.delete(live, true)
+        if (!fs.rename(new org.apache.hadoop.fs.Path(staging), live))
+          throw new java.io.IOException(
+            s"refreshIvfIndexAuto: staging swap failed under $path")
+      } finally all.unpersist()
+    }
+    decision
+  }
+
   /** Top-k over a [[buildIvfIndex]] table. The `cell_id IN (...)` predicate
     * is a partition filter (cell_id is a directory column), so the plan's
     * scan carries `PartitionFilters` and touches nprobe/K of the files. */

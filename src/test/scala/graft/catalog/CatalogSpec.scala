@@ -175,6 +175,60 @@ class CatalogSpec extends SparkTestBase {
       "Cannot find database in catalogue. Doing nothing.")
   }
 
+  test("persistent upsert: changed serde property round-trips to a sibling session; missing table created (r8)") {
+    val root = tmp()
+    def glueSep(sep: String): Map[String, Any] =
+      Map("StorageDescriptor" -> Map("SerdeInfo" ->
+        Map("Parameters" -> Map("field.delim" -> sep))))
+    val t1 = TableMeta("feed", "feed/", Seq(
+      ColumnMeta("id", "int"), ColumnMeta("v", "character")),
+      glueSpecific = glueSep("|"))
+    val dbV1 = DatabaseMeta("upsdb", "b", tables = Seq(t1))
+    write(dbV1.tablePath(root, "feed"), "part-0.csv", Seq("1|alpha", "2|beta"))
+    GraftCatalog.registerDatabasePersistent(spark, dbV1, root)
+    try {
+      val sibling = spark.newSession()
+      assert(sibling.sql("SELECT v FROM upsdb.feed ORDER BY id")
+        .collect().map(_.getString(0)).toSeq == Seq("alpha", "beta"))
+
+      // the upstream delivery switches separator; metadata v2 changes the
+      // glue_specific serde property and ADDS a table
+      write(dbV1.tablePath(root, "feed"), "part-0.csv", Seq("1;alpha", "2;beta"))
+      val t2 = t1.copy(glueSpecific = glueSep(";"))
+      val extra = TableMeta("extra", "extra/", Seq(
+        ColumnMeta("k", "int")), dataFormat = "parquet")
+      import spark.implicits._
+      val dbV2 = dbV1.copy(tables = Seq(t2, extra))
+      GraftCatalog.writeTable(Seq(7, 8).toDF("k").repartition(1),
+        extra, dbV2.tablePath(root, "extra"), mode = "overwrite")
+
+      // update_tables_if_exist=false (the reference default): the missing
+      // table is CREATED, the existing definition is left alone — the old
+      // "|" serde now misparses the ";" file (whole line, failed int cast)
+      spark.catalog.refreshTable("upsdb.feed") // drop cached ";" file listing/content
+      GraftCatalog.updateDatabasePersistent(spark, dbV2, root)
+      assert(sibling.sql("SELECT k FROM upsdb.extra ORDER BY k")
+        .collect().map(_.getInt(0)).toSeq == Seq(7, 8),
+        "upsert must create the missing table")
+      val stale = sibling.sql("SELECT id FROM upsdb.feed").collect()
+      assert(stale.forall(_.isNullAt(0)),
+        s"without update_tables_if_exist the old serde must persist: ${stale.toSeq}")
+
+      // update_tables_if_exist=true: the definition is replaced; the
+      // SIBLING session sees the new serde with no action of its own
+      GraftCatalog.updateDatabasePersistent(spark, dbV2, root,
+        updateTablesIfExist = true)
+      val fixed = sibling.sql("SELECT id, v FROM upsdb.feed ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(fixed == Seq((1, "alpha"), (2, "beta")),
+        s"sibling must see the upserted serde: $fixed")
+      // idempotent: re-running the same upsert changes nothing
+      GraftCatalog.updateDatabasePersistent(spark, dbV2, root,
+        updateTablesIfExist = true)
+      assert(sibling.sql("SELECT count(*) FROM upsdb.feed").head().getLong(0) == 2L)
+    } finally GraftCatalog.unregisterDatabasePersistent(spark, dbV1)
+  }
+
   test("MSCK analog: out-of-band partition becomes visible after refreshPartitions") {
     val root = tmp()
     import spark.implicits._

@@ -23,6 +23,61 @@ class ClassifierTrainSpec extends SparkTestBase {
     assert(!conf.contains((true, false)) && !conf.contains((false, true)))
   }
 
+  test("semantic quality gate: held-out accuracy and AUC floors; a negated lr fails them (r8)") {
+    // planted signal under shared filler noise: ~1/3 of each doc's tokens
+    // are class-indicative, the rest draw from a shared 20-word filler
+    // vocabulary — unlike the disjoint-vocabulary fixture this is not
+    // trivially separable, so a useless-but-replayable training change
+    // (sign flip, lr typo) cannot hide behind a symmetric oracle
+    val posWords = Vector("good", "nice", "fine", "great", "solid")
+    val negWords = Vector("bad", "ugly", "worse", "awful", "poor")
+    val filler = (0 until 20).map(k => s"fill$k").toVector
+    def h(i: Long, j: Int): Int =
+      math.abs(scala.util.hashing.MurmurHash3.stringHash(s"$i:$j"))
+    def doc(i: Long): (Long, String, Boolean) = {
+      val pos = i % 2 == 0
+      val toks = (0 until 12).map { j =>
+        if (h(i, j) % 3 == 0) {
+          val cls = if (pos) posWords else negWords
+          cls(h(i, j + 100) % cls.size)
+        } else filler(h(i, j + 200) % filler.size)
+      }
+      (i, toks.mkString(" "), pos)
+    }
+    val docs = (0L until 400L).map(doc).toDF("doc_id", "text", "y")
+    val train = docs.filter(col("doc_id") < 300)
+    val test = docs.filter(col("doc_id") >= 300)
+    val w = trainQuantized(train, "doc_id", "text", col("y"),
+      buckets = 256, iterations = 4, lr = 1000.0)
+    def accuracy(weights: org.apache.spark.sql.DataFrame): Double = {
+      val conf = confusion(test, "doc_id", "text", col("y"), weights, 256)
+        .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+      val correct = conf.getOrElse((true, true), 0L) + conf.getOrElse((false, false), 0L)
+      correct.toDouble / conf.values.sum
+    }
+    val acc = accuracy(w)
+    assert(acc >= 0.9, s"held-out accuracy gate: $acc < 0.9")
+    // AUC from per-doc integer margins (hashedBags ⋈ weights — the same
+    // inference the confusion uses, kept visible for ranking quality)
+    val margins = hashedBags(test, "doc_id", "text", col("y"), 256)
+      .join(w, Seq("_b"), "left")
+      .groupBy("doc_id", "_y")
+      .agg(sum(col("_c") * coalesce(col("_w"), lit(0L))).as("m"))
+      .collect().map(r => (r.getBoolean(1), r.getLong(2)))
+    val posM = margins.filter(_._1).map(_._2)
+    val negM = margins.filter(!_._1).map(_._2)
+    val auc = posM.flatMap(p => negM.map(n =>
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0)).sum / (posM.length * negM.length)
+    assert(auc >= 0.9, s"held-out AUC gate: $auc < 0.9")
+    // FALSIFIER: a sign-flipped learning rate replays numerically but
+    // trains an anti-classifier — the gate must catch it
+    val wBad = trainQuantized(train, "doc_id", "text", col("y"),
+      buckets = 256, iterations = 4, lr = -1000.0)
+    val accBad = accuracy(wBad)
+    assert(accBad < 0.9, s"negated-lr model must fail the gate: $accBad")
+    assert(accBad <= 0.5, s"anti-classifier should be at or below chance: $accBad")
+  }
+
   test("weights match an exact driver replay of the quantized GD loop") {
     val fixture = Seq(
       (0L, "a b a", true), (1L, "a b", true),

@@ -1049,6 +1049,95 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("drift-triggered IVF refit: stable batch keeps centroids, planted offset refits and restores recall (r8)") {
+    import spark.implicits._
+    val dim = 8
+    // hash-based noise: genuinely independent per (id, dim) — a phase-
+    // parameterized sin would make near neighbors share EVERY dim's
+    // noise, including the cell-deciding ones, and hide the scatter
+    def noise(i: Long, d: Int, tag: Int, a: Double): Double =
+      (scala.util.hashing.MurmurHash3.stringHash(s"$i:$d:$tag").toDouble /
+        Int.MaxValue) * a
+    // base population: 4 axis-aligned clusters (e0..e3)
+    def baseVec(i: Long): Array[Float] = {
+      val c = (i % 4).toInt
+      Array.tabulate(dim)(d =>
+        ((if (d == c) 1.0 else 0.0) + noise(i, d, 1, 0.3)).toFloat)
+    }
+    // planted offset: clusters move to dims 4..7 (orthogonal to every
+    // stale centroid), 4x the base mass. Similarity between new vectors
+    // is carried by the STRONG dims (unit axis + 0.5 noise on 4..7)
+    // while the stale-cell argmax is decided by the tiny independent
+    // noise on dims 0..3 — so a probe's true neighbors scatter across
+    // stale cells and nprobe=1 recall collapses, the silent decay mode
+    // refitDecide exists to catch
+    def shiftVec(i: Long): Array[Float] = {
+      val c = (i % 4).toInt
+      Array.tabulate(dim)(d =>
+        ((if (d == 4 + c) 1.0 else 0.0) +
+          (if (d < 4) noise(i, d, 2, 0.05) else noise(i, d, 2, 0.5))).toFloat)
+    }
+    val base = (0L until 400L).map(i => (i, baseVec(i)))
+      .toDF("vec_id", "embedding")
+    val stable = (1000L until 1200L).map(i => (i, baseVec(i)))
+      .toDF("vec_id", "embedding")
+    val shifted = (2000L until 3600L).map(i => (i, shiftVec(i)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("ivf_refit")
+    // exact axis centroids (a perfectly-fitted base): zero residual in
+    // dims 4..7, so the stale assignment of a shifted vector is decided
+    // ONLY by its independent weak-dim noise — the scatter under test
+    val cents0: Seq[Array[Float]] =
+      (0 until 4).map(c => Array.tabulate(dim)(d => if (d == c) 1f else 0f))
+
+    // ---- keep branch: same distribution → cheap refresh, centroids untouched
+    val keepIdx = root.resolve("keep").toString
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", cents0, keepIdx)
+    val dKeep = Similarity.refreshIvfIndexAuto(stable, "vec_id", "embedding",
+      keepIdx, shiftThreshold = 0.1)
+    assert(!dKeep.refit && dKeep.maxAbsShift < 0.1,
+      s"stable batch must keep the stored centroids: $dKeep")
+    assert(Similarity.readIvfCentroids(spark, keepIdx).get.map(_.toSeq)
+      == cents0.map(_.toSeq), "keep branch must not touch the sidecar")
+    assert(spark.read.parquet(keepIdx).count() == 600)
+
+    // ---- refit branch: planted offset → decision fires, index rebuilt
+    val staleIdx = root.resolve("stale").toString
+    val autoIdx = root.resolve("auto").toString
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", cents0, staleIdx)
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", cents0, autoIdx)
+    Similarity.refreshIvfIndex(shifted, "vec_id", "embedding", staleIdx) // forced stale
+    val dShift = Similarity.refreshIvfIndexAuto(shifted, "vec_id", "embedding",
+      autoIdx, shiftThreshold = 0.1)
+    assert(dShift.refit && dShift.maxAbsShift >= 0.1,
+      s"planted offset must trigger a refit: $dShift")
+    val centsAuto = Similarity.readIvfCentroids(spark, autoIdx).get
+    assert(centsAuto.map(_.toSeq) != cents0.map(_.toSeq),
+      "refit must re-fit the centroids")
+    assert(spark.read.parquet(autoIdx).count() == 2000,
+      "refit index must cover old ∪ new")
+
+    // ---- recall@10 from the NEW population: stale cells scatter its
+    // clusters, the refit co-locates them (the recall_report derivation:
+    // |ann ∩ brute| / 10 against the exact baseline)
+    val all = base.unionByName(shifted)
+    val probes = Seq(2003L, 2106L, 2209L, 2312L, 2415L).map(i => shiftVec(i))
+    def recall(idxPath: String, cents: Seq[Array[Float]]): Double =
+      probes.map { p =>
+        val truth = Similarity.bruteForceTopK(all, "vec_id", "embedding", p, 10)
+          .collect().map(_.getLong(0)).toSet
+        val got = Similarity.ivfTopKIndexed(spark, idxPath, "vec_id",
+          "embedding", cents, p, k = 10, nprobe = 1)
+          .collect().map(_.getLong(0)).toSet
+        (truth intersect got).size / 10.0
+      }.sum / probes.size
+    val rStale = recall(staleIdx, cents0)
+    val rRefit = recall(autoIdx, centsAuto)
+    assert(rRefit > rStale + 0.2,
+      s"refit must restore recall: stale $rStale vs refit $rRefit")
+    assert(rRefit >= 0.8, s"post-refit recall@10 too low: $rRefit")
+  }
+
   test("ANN tombstone delete: exact visibility now, compaction ≡ rebuild over survivors (r7)") {
     val keep = emb.filter(col("vec_id") % 5 =!= 2)
     val drop = emb.filter(col("vec_id") % 5 === 2)

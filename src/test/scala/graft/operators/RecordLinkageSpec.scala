@@ -106,6 +106,59 @@ class RecordLinkageSpec extends SparkTestBase {
     assert(rebound.map(_.u) == mTrue.indices.map(i => fit.u(s"f$i")))
   }
 
+  test("guarded scoring: hot blocking key refused and re-blocked, uniform scored directly (r8)") {
+    // hot fixture: 2000×2000 rows share ONE surname block ("smith") —
+    // the classic ER blow-up (4M pairs); each row also carries a finer
+    // (surname, zip) key with ~200 rows per block (~2000·200 pairs
+    // via 20 zips... actually 2000/20=100 per zip → 100·100·20 = 200k)
+    val hotL = (1L to 2000L).map(i => (i, "smith", s"z${i % 20}", s"fn$i"))
+      .toDF("lid", "la", "lzip", "lname")
+    val hotR = (1L to 2000L).map(i => (i + 10000L, "smith", s"z${i % 20}", s"fn$i"))
+      .toDF("rid", "ra", "rzip", "rname")
+    val cmp = Seq(FsExact("name", "lname", "rname", m = 0.9, u = 0.01))
+    val (decisions, scored) = fsScorePairsGuarded(
+      hotL, hotR, "lid", "rid",
+      blockOn = Seq(("la", "ra")), comparisons = cmp,
+      maxPairs = 1000000L,
+      fallbackBlockOn = Seq(Seq(("la", "ra"), ("lzip", "rzip"))))
+    // primary estimated ≥ true 4M (over-estimate only) and refused
+    assert(decisions.head.blockOn == Seq(("la", "ra")))
+    assert(!decisions.head.accepted && decisions.head.estPairs >= 4000000L,
+      s"hot block must be refused: ${decisions.head}")
+    // fallback accepted and actually scored: pair count = Σ_zip 100·100
+    assert(decisions(1).accepted && decisions(1).estPairs >= 200000L,
+      s"finer blocking must be accepted: ${decisions(1)}")
+    assert(scored.count() == 200000L)
+    // uniform fixture: distinct keys → primary accepted first try
+    val uniL = (1L to 500L).map(i => (i, s"k$i", s"fn$i")).toDF("lid", "la", "lname")
+    val uniR = (1L to 500L).map(i => (i + 9000L, s"k$i", s"fn$i")).toDF("rid", "ra", "rname")
+    val (uniDec, uniScored) = fsScorePairsGuarded(uniL, uniR, "lid", "rid",
+      Seq(("la", "ra")), cmp, maxPairs = 10000L)
+    assert(uniDec.size == 1 && uniDec.head.accepted)
+    assert(uniScored.count() == 500L)
+    // every candidate refused → loud refusal, never an |L|·|R| launch
+    val err = intercept[IllegalArgumentException] {
+      fsScorePairsGuarded(hotL, hotR, "lid", "rid",
+        Seq(("la", "ra")), cmp, maxPairs = 10L)
+    }
+    assert(err.getMessage.contains("finer blocking"), err.getMessage)
+  }
+
+  test("blockingPairsEstimate: over-estimates only, exact on clean buckets, null blocks excluded (r8)") {
+    val l = Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "b", "x"),
+      (4L, null.asInstanceOf[String], "x")).toDF("lid", "lk", "lv")
+    val r = Seq((10L, "a", "x"), (11L, "b", "x"), (12L, "b", "x"),
+      (13L, null.asInstanceOf[String], "x")).toDF("rid", "rk", "rv")
+    // true pairs: a: 2·1 + b: 1·2 = 4; nulls never pair
+    val est = blockingPairsEstimate(l, r, Seq(("lk", "rk")))
+    assert(est >= 4L, s"sketch must never under-estimate: $est")
+    val truth = fsAgreementVectors(l, r, "lid", "rid", Seq(("lk", "rk")),
+      Seq(FsExact("v", "lv", "rv", 0.9, 0.1))).count()
+    assert(truth == 4L)
+    // tiny key space, wide sketch → collision-free, exact
+    assert(est == 4L, s"clean buckets should be exact: $est")
+  }
+
   test("FsJaroWinkler / FsLevenshtein agreement semantics") {
     val left = Seq((1L, "Customer#000000021", "k"))
       .toDF("lid", "la", "lk")
