@@ -115,6 +115,15 @@ class PlanQualitySpec extends SparkTestBase {
       s"no map-side partial cap — every candidate pair crosses the exchange:\n$p")
   }
 
+  test("q_join_interval_capped caps via heap aggregate — no window over the ~sf² pair set (r8)") {
+    val p = plan("q_join_interval_capped")
+    assert(!p.contains("Window"),
+      s"capped interval join regressed to a row_number window over all overlap pairs:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"no bounded-heap aggregate:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"no map-side partial cap — every overlap pair crosses the exchange:\n$p")
+  }
+
   test("q_sample_cap_source caps via heap aggregate — no window, text column pruned") {
     val p = plan("q_sample_cap_source")
     assert(!p.contains("Window"), s"window row_number snuck into the cap plan:\n$p")
