@@ -2916,6 +2916,58 @@ object Queries {
       .orderBy("pair")
   }
 
+  /** Generated oracle for the ENCODED corpus: `m` unrolled BPE merge
+    * steps as chained CTEs, then the token histogram of the final
+    * segmentation. Each word is a chr(31)-wrapped space-joined symbol
+    * string (chr(31) sorts below every corpus character, so ORDER BY
+    * pair ASC in the delimited space IS the driver loop's lexicographic
+    * (a, b) tie-break; symbols never contain space or chr(31), so
+    * `replace` is collision-free and its left-to-right non-overlapping
+    * scan is exactly [[graft.operators.BpeTokenizer.BpeModel.encodeWord]]'s
+    * merge-every-occurrence pass). Rank-order replay ≡ greedy encoding
+    * under the `mergesAreReplayOrderSafe` property (spec-pinned). */
+  private def bpeEncodeOracle(m: Int): String = {
+    val head =
+      """WITH wc AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> '')) AS word
+        |    FROM documents) GROUP BY 1),
+        |w0 AS (
+        |  SELECT freq,
+        |    array_to_string(list_transform(string_split(word, ''),
+        |      c -> chr(31) || c || chr(31)), ' ') AS rep
+        |  FROM wc)""".stripMargin
+    val steps = (1 to m).map { k =>
+      s"""p$k AS (
+         |  SELECT unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS pair, freq
+         |  FROM (SELECT string_split(rep, ' ') AS l, freq FROM w${k - 1}) WHERE len(l) >= 2),
+         |b$k AS (SELECT pair FROM p$k GROUP BY pair ORDER BY sum(freq) DESC, pair ASC LIMIT 1),
+         |w$k AS (SELECT freq,
+         |    replace(rep, b.pair, replace(b.pair, chr(31) || ' ' || chr(31), '')) AS rep
+         |  FROM w${k - 1} CROSS JOIN b$k b)""".stripMargin
+    }
+    val tail =
+      s"""SELECT replace(tok, chr(31), '') AS token, CAST(sum(freq) AS BIGINT) AS n
+         |FROM (SELECT unnest(string_split(rep, ' ')) AS tok, freq FROM w$m)
+         |GROUP BY 1 ORDER BY token""".stripMargin
+    (head +: steps).mkString(",\n") + "\n" + tail
+  }
+
+  q("q_text_bpe_encode",
+    // the ENCODED-corpus surface q_text_bpe_pairs stops short of: train
+    // 8 merges (driver loop over the vocab-sized word-count frame — the
+    // one distributed scan), then the corpus token histogram under the
+    // trained model. Encoding runs once per DISTINCT word; the oracle
+    // replays the full merge loop as 8 unrolled CTE steps and must
+    // agree token-for-token, count-for-count
+    bpeEncodeOracle(8)) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val model = graft.operators.BpeTokenizer.bpeTrain(docs, "text", nMerges = 8)
+    graft.operators.BpeTokenizer.tokenHistogram(docs, "text", model)
+      .orderBy("token")
+  }
+
   q("q_sample_dsir",
     // DSIR importance-resampling data selection (Xie et al. 2023):
     // target = the English docs, raw pool = everything else; each raw
@@ -3057,6 +3109,37 @@ object Queries {
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
         joinGtScan, w, buckets = 256)
       .orderBy("label", "pred")
+  }
+
+  q("q_ml_logreg_apply",
+    // the DEPLOYMENT step the train/confusion pair stops short of: fit
+    // on even doc_ids, then score the WHOLE corpus and keep the top-100
+    // by margin — the "train a small quality filter, rank 100 TB by it"
+    // pipeline shape. Margins are exact integer micro-unit sums, so the
+    // ranking (margin desc, doc_id asc) replays bit-equal
+    logregTrainCtes(" WHERE doc_id % 2 = 0", 4) +
+      """
+        |, sbag AS (
+        |  SELECT doc_id, CAST(md5_number_lower(w) & 255 AS BIGINT) AS b,
+        |    count(*) AS c
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |        w -> w <> '')) AS w
+        |    FROM documents) GROUP BY 1, 2),
+        |sm AS (
+        |  SELECT sbag.doc_id, sum(sbag.c * coalesce(w4.w, 0)) AS m
+        |  FROM sbag LEFT JOIN w4 USING (b) GROUP BY 1)
+        |SELECT doc_id, CAST(m AS BIGINT) AS margin_micro
+        |FROM sm ORDER BY margin_micro DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val w = graft.operators.ClassifierTrain.trainQuantized(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      joinGtScan, buckets = 256, iterations = 4, lr = 1000.0)
+    graft.operators.ClassifierTrain.scoreQuantized(
+        docs, "doc_id", "text", w, buckets = 256)
+      .orderBy(col("margin_micro").desc, col("doc_id"))
+      .limit(100)
   }
 
   q("q_text_normalize",
@@ -3880,6 +3963,39 @@ object Queries {
         // task, not tasks × statuses open files (buildLshIndex discipline)
         .repartition(col("o_orderstatus"))
         .write.mode("overwrite").partitionBy("o_orderstatus").parquet(p)
+    }
+
+  /** Fixture for the EXECUTED Z-order rewrite: a copy of orders written
+    * as 8 files with NO correlation to the clustering key (round-robin
+    * repartition), then clustered in place by
+    * [[graft.operators.Layout.zorderCluster]] on the Morton key over
+    * (days since epoch-of-dataset, totalprice/160) — both dimensions
+    * bounded < 2^12 at any sf by the data model, so bits=12 needs no
+    * per-dataset scaling. Built once per (session, dir); Bench charges
+    * the rewrite as an index build, not query time. */
+  private def zorderExecPath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "zorder_exec") { p =>
+      t(s, d, "orders").repartition(8).write.mode("overwrite").parquet(p)
+      graft.operators.Layout.zorderCluster(s, p,
+        df => graft.operators.Layout.zorderKey(
+          datediff(to_date(df("o_orderdate")), lit("1992-01-01")).cast("long"),
+          floor(df("o_totalprice") / 160).cast("long"), bits = 12),
+        nFiles = 8)
+    }
+
+  /** Fixture for the EXECUTED compaction: a copy of orders deliberately
+    * fragmented into 16 files, then compacted by
+    * [[graft.operators.Layout.compactFiles]] with target = ~quarter of
+    * the table's bytes (derived from the inventory — metadata-sized —
+    * so the fixture self-scales with sf). */
+  private def compactExecPath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "compact_exec") { p =>
+      t(s, d, "orders").repartition(16).write.mode("overwrite").parquet(p)
+      val total = graft.operators.Layout.fileInventory(s, p)
+        .agg(sum(col("bytes"))).head.getLong(0)
+      graft.operators.Layout.compactFiles(s, p,
+        targetBytes = math.max(1L, total / 4 + 1))
+      ()
     }
 
   /** Bucketed twin tables for the co-located join: orders and customer
@@ -5175,6 +5291,45 @@ object Queries {
       .orderBy("part_month")
   }
 
+  q("q_layout_zorder_exec",
+    // EXECUTED Z-order clustered rewrite (the piece q_layout_zorder only
+    // planned): a copy of orders, initially laid out in 8
+    // key-uncorrelated files, is range-partitioned and within-file
+    // sorted by the Morton key over (order day, price bucket) — both
+    // naturally bounded at ANY sf, so the interleave needs no
+    // per-dataset scaling — then swapped in with the staged-rename
+    // discipline. The oracle is ROW IDENTITY: the clustered copy must
+    // read back exactly as the original table, every column bit-equal
+    // through the shuffle + sort + swap. Clustering QUALITY (per-file
+    // bounding boxes shrinking on both dimensions, row-group pruning
+    // measurably engaging) is pinned by FuzzyLayoutSpec, where the file
+    // boundaries are controlled
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    s.read.parquet(zorderExecPath(s, d))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  q("q_layout_compact_exec",
+    // EXECUTED small-file compaction (Layout.compactFiles, the
+    // maintenance half of the reference's delete/relocate surface,
+    // meta.py:769-791): a 16-file copy of orders is rewritten so each
+    // output file holds one greedy ~quarter-of-total bin, via the
+    // staged-swap rename. Same row-identity oracle as the zorder
+    // rewrite: compaction must be invisible to readers. Bin-count /
+    // crash-safety / partitioned-input behavior is spec-pinned
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    s.read.parquet(compactExecPath(s, d))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
   q("q_join_fuzzy",
     // blocked fuzzy join (entity resolution): customers matched to
     // deterministically corrupted name variants (one char deleted at a
@@ -5816,6 +5971,8 @@ object Queries {
     "q_sim_ivf_index_refresh" -> Seq("ivf_refresh_index"),
     "q_sim_ivf_index_deleted" -> Seq("ivf_delete_index"),
     "q_sim_pq_index_refresh" -> Seq("pq_refresh_index"),
+    "q_layout_zorder_exec" -> Seq("zorder_exec"),
+    "q_layout_compact_exec" -> Seq("compact_exec"),
     "q_scan_csv_roundtrip" -> Seq("csv_rt"),
     "q_scan_avro_roundtrip" -> Seq("avro_rt"),
     "q_scan_json_roundtrip" -> Seq("json_rt"),
@@ -5844,6 +6001,8 @@ object Queries {
     "ivf_refresh_index" -> ((s, d) => { ivfRefreshPath(s, d); () }),
     "ivf_delete_index" -> ((s, d) => { ivfDeletePath(s, d); () }),
     "pq_refresh_index" -> ((s, d) => { pqRefreshPath(s, d); () }),
+    "zorder_exec" -> ((s, d) => { zorderExecPath(s, d); () }),
+    "compact_exec" -> ((s, d) => { compactExecPath(s, d); () }),
     "csv_rt" -> ((s, d) => { csvRoundtripPath(s, d); () }),
     "avro_rt" -> ((s, d) => { avroRoundtripPath(s, d); () }),
     "json_rt" -> ((s, d) => { jsonRoundtripPath(s, d); () }),

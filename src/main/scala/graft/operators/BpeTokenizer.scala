@@ -161,6 +161,45 @@ object BpeTokenizer {
     BpeModel(merges.result())
   }
 
+  /** Corpus token HISTOGRAM under `model` — the encoded-corpus surface
+    * (vocab utilization, fertility, OOV mass are all derived from it).
+    * Same split as [[tokenCounts]]: the corpus contributes one
+    * distributed word-count scan; encoding runs once per DISTINCT word
+    * over the vocab-sized frame, and the histogram is a keyed sum of
+    * that tiny frame — nothing corpus-sized is re-touched. Output:
+    * (token, n) where n is occurrence count weighted by word frequency.
+    *
+    * Replayability note (the property the driver oracle leans on): for
+    * a [[bpeTrain]]-learned model, greedy lowest-rank-first encoding
+    * ([[BpeModel.encodeWord]]) is equivalent to applying the merges in
+    * rank order, each exhaustively — a later merge can only create
+    * pairs involving its product string, and no earlier merge refers to
+    * a later product unless the product STRING collides with a
+    * pre-existing symbol. [[mergesAreReplayOrderSafe]] checks exactly
+    * that collision, and the spec pins it for the fixture corpora. */
+  def tokenHistogram(docs: DataFrame, textCol: String,
+      model: BpeModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    wordCounts(docs, textCol).as[(String, Long)]
+      .flatMap { case (w, f) => model.encodeWord(w).map(t => (t, f)) }
+      .toDF("token", "freq")
+      .groupBy("token").agg(sum("freq").as("n"))
+  }
+
+  /** True iff no merge's product string equals an operand of an
+    * EARLIER-rank merge — the condition under which greedy
+    * lowest-rank-first encoding and rank-order-exhaustive replay (what
+    * a SQL replace chain expresses) coincide. O(M²) over the merge
+    * list (M ≤ nMerges, driver-sized). */
+  def mergesAreReplayOrderSafe(model: BpeModel): Boolean =
+    model.merges.zipWithIndex.forall { case ((a, b), j) =>
+      val product = a + b
+      model.merges.take(j).forall { case (ak, bk) =>
+        ak != product && bk != product
+      }
+    }
+
   /** Per-document BPE token counts under `model`. Corpus-sized work is
     * all codegen'd (tokenize → broadcast dictionary join → keyed sum);
     * the merge loop runs once per DISTINCT word on the vocab-sized

@@ -120,6 +120,20 @@ object ClassifierTrain {
     out
   }
 
+  /** Score `docs` under the quantized model — the DEPLOYMENT surface
+    * (train once, filter the whole corpus): per-doc integer micro-unit
+    * margin `Σ c·w`, exact under any accumulation order, so ranking and
+    * thresholding replay bit-equal in any engine. One corpus-sized
+    * hashed-bag pass + a keyed join against the O(buckets) model frame
+    * (auto-broadcast while small) + a keyed sum — the classifier is
+    * never a driver-side vector here either. Token-less docs carry no
+    * features and are excluded (the [[hashedBags]] contract). */
+  def scoreQuantized(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int): DataFrame =
+    margins(hashedBags(docs, idCol, textCol, lit(false), buckets),
+      idCol, weights)
+      .select(col(idCol), col("_m").as("margin_micro"))
+
   /** Confusion counts of the quantized model on `docs` (predict
     * positive when the integer margin > 0): one row per
     * (label, prediction) cell with its count — all integers, exact. */

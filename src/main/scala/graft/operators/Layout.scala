@@ -163,6 +163,68 @@ object Layout {
     * staging sibling is rebuilt from scratch on the next run
     * (mode=overwrite); the delete→rename window is the same one every
     * staged swap in this repo accepts. */
+  /** EXECUTE a Z-order clustered rewrite of the parquet table under
+    * `root`: range-partition the rows by their Morton key (so each of
+    * the `nFiles` output files owns one contiguous Z-range), sort
+    * within each file by the same key (so parquet ROW-GROUP min/max
+    * stats are tight, not just file-level), and swap the clustered copy
+    * in with the staged-rename discipline of [[compactFiles]]. After
+    * the rewrite a selective predicate on EITHER interleaved dimension
+    * prunes most files/row-groups — the within-partition data-skipping
+    * complement to the reference's directory pruning
+    * (`etl_manager/meta.py:473-479`), and the piece
+    * [[zorderBucketStats]] only PLANNED until now.
+    *
+    * Shape: one distributed `repartitionByRange` + per-partition sort —
+    * range boundaries come from Spark's reservoir sample over the key
+    * (metadata-sized), the shuffle is the one any clustering rewrite
+    * pays, and nothing table-sized touches the driver. Schema is
+    * unchanged: the key is recomputed as an expression on both sides of
+    * the exchange, never materialized as a column. Crash safety as in
+    * [[compactFiles]]: failure before the swap leaves `root` untouched;
+    * the staging sibling is rebuilt from scratch on the next run.
+    *
+    * `zKey` builds the Morton key from the table's own columns (compose
+    * [[zorderKey]] with the caller's normalize-then-interleave scaling —
+    * both dimensions must span comparable bit widths or Z-order
+    * degenerates on the narrow axis).
+    */
+  def zorderCluster(spark: org.apache.spark.sql.SparkSession,
+      root: String, zKey: DataFrame => Column, nFiles: Int): Unit = {
+    require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = s"${root.stripSuffix("/")}_zordering"
+    val df = spark.read.parquet(root)
+    val z = zKey(df)
+    df.repartitionByRange(nFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(staging)
+    val stagingPath = new Path(staging)
+    if (!fs.delete(rootPath, true) || !fs.rename(stagingPath, rootPath))
+      throw new java.io.IOException(
+        s"zorderCluster: staging swap failed under $root")
+  }
+
+  /** Per-FILE clustering evidence for an executed layout: group rows by
+    * their source file ([[org.apache.spark.sql.functions.input_file_name]])
+    * and report each file's row count and (x, y) bounding box — the
+    * exact min/max the parquet footer exposes to the scan pruner, read
+    * back from the data itself. Sum of per-file box areas ÷ (global
+    * area × files) is the fraction of the key space a random
+    * point-predicate still has to scan; [[zorderCluster]] drives it
+    * toward 1/nFiles on both dimensions at once, where a single-column
+    * sort only shrinks one. One projection + one keyed agg, file-count
+    * sized output. */
+  def zorderFileStats(df: DataFrame, x: Column, y: Column): DataFrame =
+    df.select(input_file_name().as("file"),
+        x.cast("long").as("_x"), y.cast("long").as("_y"))
+      .groupBy("file")
+      .agg(count(lit(1)).as("n"),
+        min("_x").as("min_x"), max("_x").as("max_x"),
+        min("_y").as("min_y"), max("_y").as("max_y"))
+
   def compactFiles(spark: org.apache.spark.sql.SparkSession,
       root: String, targetBytes: Long): DataFrame = {
     import org.apache.hadoop.fs.Path

@@ -262,6 +262,116 @@ object CorpusIngest {
       .start()
   }
 
+  /** Streaming NEAR-DUP index maintenance — the MinHash-LSH member of
+    * the [[ingestWithTextIndex]]/[[ingestWithAnnIndex]] family, closing
+    * the triangle: per-trigger near-dup cost drops from
+    * [[ingestDocuments]]'s full corpus TEXT scan
+    * ([[Dedup.dedupAgainstCorpus]]) to a probe of a persisted
+    * signature/band index — a few hundred bytes per corpus doc, the
+    * text never re-read.
+    *
+    * Index layout under the corpus (underscore dirs — invisible to
+    * corpus parquet reads):
+    *   - `_minhash_sigs`:  (doc_id, content_hash, signature) — md5 text
+    *     hash for EXACT dedup + the [[Dedup.minHashSignatures]] sketch.
+    *     `signature` is null for docs too short to shingle (< n words);
+    *     those are protected by the hash column alone — the same split
+    *     [[Dedup.dedupAgainstCorpus]] makes between its (a) and (b)
+    *     passes.
+    *   - `_minhash_bands`: (doc_id, band, bucket) — [[Dedup.minHashBands]]
+    *     of the non-null signatures, the LSH probe side.
+    *
+    * Per trigger: within-batch exact dedup, then (1) anti-join on
+    * content_hash vs the sigs index, (2) band-bucket join of the batch's
+    * bands vs the bands index ([[Dedup.minHashCandidatesAgainst]] — new
+    * × corpus only, never corpus × corpus), (3) sketch-ONLY verify: the
+    * slot-agreement Jaccard estimate of [[Dedup.minHashJaccardEstimates]]
+    * between batch and indexed signatures, drop at `est >= threshold`.
+    * Survivors append to the corpus AND both index tables, so at every
+    * trigger boundary the index covers exactly the corpus written so
+    * far. The same `localCheckpoint` pin as the text/ANN twins guards
+    * the same `refreshByPath` re-dedup trap on the multi-sink appends.
+    *
+    * Exactly-once caveat: as [[ingestWithTextIndex]] — replays are
+    * harmless for the corpus (the hash anti-join), the index tables
+    * need the caller's staging discipline across a torn trigger. */
+  def ingestWithNearDupIndex(spark: SparkSession, sourceDir: String,
+      corpusDir: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.8, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val srcSchema = schema.getOrElse(spark.read.parquet(sourceDir).schema)
+    val sigsDir = s"$corpusDir/_minhash_sigs"
+    val bandsDir = s"$corpusDir/_minhash_bands"
+    spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh = Dedup.exactDedup(batch, idCol, textCol).localCheckpoint()
+        // batch-sized: one shingle pass -> (doc_id, content_hash,
+        // signature|null); reused by the probe AND the index append
+        val sigsNew = fresh
+          .select(col(idCol).as("doc_id"), md5(col(textCol)).as("content_hash"))
+          .join(Dedup.minHashSignatures(fresh, idCol, textCol, n, numHashes),
+            Seq("doc_id"), "left")
+          .localCheckpoint()
+        val survivorIds =
+          if (!hasParquet(spark, sigsDir)) sigsNew.select("doc_id")
+          else {
+            val sigIdx = spark.read.parquet(sigsDir)
+            val exactIds = sigsNew.join(
+              sigIdx.select("content_hash"), Seq("content_hash"), "left_anti")
+              .select("doc_id")
+            // a corpus of only too-short-to-shingle docs has sigs but no
+            // bands yet — nothing to band-probe against
+            if (!hasParquet(spark, bandsDir)) exactIds
+            else {
+            val bandsNew = Dedup.minHashBands(
+              sigsNew.join(exactIds, Seq("doc_id"))
+                .filter(col("signature").isNotNull)
+                .select("doc_id", "signature"), numHashes, bands)
+            val cands = Dedup.minHashCandidatesAgainst(bandsNew,
+              spark.read.parquet(bandsDir))
+            val agree = aggregate(
+              zip_with(col("_sa"), col("_sb"), (x, y) => (x === y).cast("int")),
+              lit(0), (acc, v) => acc + v)
+            val matched = cands
+              .join(sigsNew.select(col("doc_id").as("id_new"),
+                col("signature").as("_sa")), Seq("id_new"))
+              .join(sigIdx.select(col("doc_id").as("id_old"),
+                col("signature").as("_sb")), Seq("id_old"))
+              .filter((agree.cast("double") / lit(numHashes.toDouble))
+                >= threshold)
+              .select(col("id_new").as("doc_id")).distinct()
+            exactIds.join(matched, Seq("doc_id"), "left_anti")
+            }
+          }
+        val pinned = fresh
+          .join(survivorIds.withColumnRenamed("doc_id", idCol), Seq(idCol))
+          .localCheckpoint()
+        if (pinned.count() > 0) {
+          pinned.write.mode("append").parquet(corpusDir)
+          val survSigs = sigsNew
+            .join(pinned.select(col(idCol).as("doc_id")), Seq("doc_id"))
+            .localCheckpoint()
+          survSigs.write.mode("append").parquet(sigsDir)
+          Dedup.minHashBands(
+            survSigs.filter(col("signature").isNotNull)
+              .select("doc_id", "signature"), numHashes, bands)
+            .write.mode("append").parquet(bandsDir)
+        }
+        ()
+      }
+      .start()
+  }
+
   // Hadoop FileSystem probes (matching the index code's readTextIndexMeta
   // discipline) — java.nio/java.io paths are local-filesystem-only and
   // silently report "absent" for hdfs:// / s3a:// / file: URIs

@@ -93,4 +93,37 @@ class BpeTokenizerSpec extends SparkTestBase {
     }
     assert(got.size == docs.count())
   }
+
+  test("tokenHistogram: mass conservation + driver replay; trained merges are replay-order safe (r8)") {
+    val model = bpeTrain(docs, "text", nMerges = 8)
+    // the q_text_bpe_encode oracle replays the merges as a rank-order
+    // replace chain — valid iff no later product collides with an
+    // earlier operand. Pin the property for the fixture corpus.
+    assert(mergesAreReplayOrderSafe(model),
+      s"rank-order replay unsafe for ${model.merges}")
+    val hist = tokenHistogram(docs, "text", model)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // mass conservation: total characters across tokens = total corpus
+    // characters (tokens partition every word)
+    val tokChars = hist.map { case (t, n) => t.length.toLong * n }.sum
+    val corpusChars = docs.select(
+        sum(length(concat_ws("", filter(split(lower(col("text")), "\\s+"),
+          w => w =!= "")))))
+      .head().getLong(0)
+    assert(tokChars == corpusChars,
+      s"token mass $tokChars != corpus mass $corpusChars")
+    // driver replay over the full (tiny) vocabulary
+    val wc = wordCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val expected = scala.collection.mutable.Map.empty[String, Long]
+    wc.foreach { case (w, f) =>
+      model.encodeWord(w).foreach(t =>
+        expected(t) = expected.getOrElse(t, 0L) + f)
+    }
+    assert(hist == expected.toMap)
+    // and every learned merge's product actually surfaces as a token
+    val present = model.merges.count { case (a, b) => hist.contains(a + b) }
+    assert(present >= model.merges.size / 2,
+      s"only $present/${model.merges.size} merged tokens appear — merges not applied?")
+  }
 }

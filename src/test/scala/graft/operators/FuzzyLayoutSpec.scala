@@ -333,6 +333,73 @@ class FuzzyLayoutSpec extends SparkTestBase {
     assert(ay < gy * 0.8, s"avg file suppkey width $ay vs global $gy")
   }
 
+  test("zorderCluster executes the rewrite: row identity, per-file boxes shrink on both axes (r8)") {
+    val root = java.nio.file.Files.createTempDirectory("zc").toString + "/t"
+    // uniform (x, y) over [0,1024)^2 written in 8 key-UNCORRELATED files:
+    // every file starts out covering the full box on both axes
+    val df = spark.range(40000).select(col("id"),
+      pmod(hash(col("id")), lit(1024)).as("x"),
+      pmod(hash(col("id") + 500000), lit(1024)).as("y"))
+    df.repartition(8).write.parquet(root)
+    val before = spark.read.parquet(root).orderBy("id").collect().toSeq
+    val preScan = {
+      val q = spark.read.parquet(root).filter(col("x").between(0, 127))
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    assert(preScan > 35000L,
+      s"uncorrelated layout must defeat row-group pruning, scan read $preScan")
+    Layout.zorderCluster(spark, root,
+      t => Layout.zorderKey(t("x"), t("y"), 10), nFiles = 8)
+    // (a) row identity — the rewrite is invisible to readers
+    val after = spark.read.parquet(root).orderBy("id").collect().toSeq
+    assert(after == before, "z-order rewrite changed the data")
+    assert(!new java.io.File(s"${root}_zordering").exists(),
+      "staging must be swapped away")
+    // (b) per-file bounding boxes now cover a small fraction of the key
+    // space on BOTH axes — the footer stats the scan pruner sees
+    val stats = Layout.zorderFileStats(spark.read.parquet(root),
+        col("x"), col("y"))
+      .withColumn("area", (col("max_x") - col("min_x") + 1) *
+        (col("max_y") - col("min_y") + 1))
+    assert(stats.count() == 8L, "clustered rewrite must keep nFiles files")
+    import org.apache.spark.sql.Row
+    val Row(avgArea: Double) = stats.agg(avg("area")).head()
+    assert(avgArea < 1024.0 * 1024.0 * 0.35,
+      s"files not clustered: avg box area $avgArea of ${1024 * 1024}")
+    // (c) a selective slice on ONE dimension now touches few files and
+    // parquet min/max stats skip most row groups at scan time
+    val sliceFiles = spark.read.parquet(root).filter(col("x").between(0, 127))
+      .select(input_file_name()).distinct().count()
+    assert(sliceFiles <= 4L, s"x-slice touched $sliceFiles of 8 files")
+    val postScan = {
+      val q = spark.read.parquet(root).filter(col("x").between(0, 127))
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    assert(postScan < 20000L,
+      s"row-group pruning did not engage after clustering: scan read $postScan")
+  }
+
+  test("zorderCluster: crash debris before the swap leaves the original readable; rerun converges (r8)") {
+    val root = java.nio.file.Files.createTempDirectory("zcc").toString + "/t"
+    spark.range(1000).select(col("id"),
+      pmod(hash(col("id")), lit(64)).as("x"),
+      pmod(hash(col("id") + 7), lit(64)).as("y"))
+      .repartition(4).write.parquet(root)
+    val before = spark.read.parquet(root).orderBy("id").collect().toSeq
+    // a run that died between staging write and swap
+    spark.range(13).write.parquet(s"${root}_zordering")
+    assert(spark.read.parquet(root).orderBy("id").collect().toSeq == before)
+    Layout.zorderCluster(spark, root,
+      t => Layout.zorderKey(t("x"), t("y"), 6), nFiles = 2)
+    assert(spark.read.parquet(root).orderBy("id").collect().toSeq == before)
+    assert(!new java.io.File(s"${root}_zordering").exists(),
+      "stale staging must be rebuilt and swapped away")
+  }
+
   // ------------------------------------------------------------ compaction
 
   test("fileInventory: distributed listing equals the java.nio walk; plan binning composes (r7)") {

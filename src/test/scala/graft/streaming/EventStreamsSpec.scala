@@ -350,6 +350,65 @@ class EventStreamsSpec extends SparkTestBase {
     assert(live == ref && live.nonEmpty)
   }
 
+  test("streaming near-dup ingest: sketch-index dedup drops exact, near and short dups; live index == rebuild (r8)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("nd_ingest")
+    val src = root.resolve("incoming").toString
+    def body(i: Long): String =
+      (0 until 40).map(w => s"w${(i * 7 + w * 3) % 200}").mkString(" ")
+    // batch A: 8 long docs + one SHORT doc (< 3 words — unshingleable)
+    val a = (1L to 8L).map(i => (i, body(i))) :+ ((9L, "tiny doc"))
+    // batch B: (a) exact dup of A's text under a new id, (b) near-dup of
+    // doc 2 (one word changed out of 40), (c) exact dup of the SHORT doc
+    // (only the hash column can catch it), (d) three novel docs
+    val nearDup = body(2L).split(" ").updated(20, "CHANGED").mkString(" ")
+    val b = Seq((21L, body(1L)), (22L, nearDup), (23L, "tiny doc"),
+      (24L, body(101L)), (25L, body(102L)), (26L, "another small one"))
+    a.toDF("doc_id", "text").repartition(1).write.parquet(s"$src/f=a")
+    b.toDF("doc_id", "text").repartition(1).write.parquet(s"$src/f=b")
+    val corpus = root.resolve("corpus").toString
+    CorpusIngest.ingestWithNearDupIndex(spark, src, corpus,
+      root.resolve("ckpt").toString, threshold = 0.7)
+      .awaitTermination()
+    val got = spark.read.parquet(corpus)
+    val ids = got.select("doc_id").as[Long].collect().toSet
+    assert(ids == (1L to 9L).toSet ++ Set(24L, 25L, 26L),
+      s"survivors wrong: $ids — 21 (exact), 22 (near), 23 (short exact) must drop")
+    // the live sigs/bands index covers exactly the final corpus,
+    // row-identical to a from-scratch derivation
+    val sigs = spark.read.parquet(s"$corpus/_minhash_sigs")
+    val expectedSigs = got
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .join(graft.operators.Dedup.minHashSignatures(got, "doc_id", "text"),
+        Seq("doc_id"), "left")
+    assert(sigs.orderBy("doc_id").collect().toSeq ==
+      expectedSigs.orderBy("doc_id").collect().toSeq,
+      "live sigs index diverged from rebuild")
+    // doc 9 ("tiny doc", 2 words) is unshingleable at n=3; doc 26 has
+    // exactly 3 words — one shingle, a real signature
+    assert(sigs.filter(col("signature").isNull)
+      .select("doc_id").as[Long].collect().toSet == Set(9L),
+      "short docs must carry null signatures, hash-protected only")
+    val bandsIdx = spark.read.parquet(s"$corpus/_minhash_bands")
+    val expectedBands = graft.operators.Dedup.minHashBands(
+      expectedSigs.filter(col("signature").isNotNull)
+        .select("doc_id", "signature"))
+    assert(bandsIdx.orderBy("doc_id", "band").collect().toSeq ==
+      expectedBands.orderBy("doc_id", "band").collect().toSeq,
+      "live bands index diverged from rebuild")
+    // the near-dup pair genuinely rode the sketch path: estimate >= 0.7
+    val shing = graft.operators.Dedup.shingleExplode(
+      got.select(col("doc_id"), col("text"))
+        .union(Seq((22L, nearDup)).toDF("doc_id", "text")),
+      "doc_id", "text", 3)
+    val est = graft.operators.Dedup.minHashJaccardEstimates(shing)
+      .filter((col("id_a") === 2L && col("id_b") === 22L) ||
+        (col("id_a") === 22L && col("id_b") === 2L))
+      .select("est_jaccard").as[Double].collect()
+    assert(est.nonEmpty && est.head >= 0.7,
+      s"fixture must be a banded candidate above threshold, est=${est.toSeq}")
+  }
+
   test("streaming index ingest: live BM25 index == rebuild over the final corpus (r7)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("idx_ingest")
