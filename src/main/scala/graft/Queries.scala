@@ -5462,6 +5462,37 @@ object Queries {
   private val fsLambda = 0.01
   private val fsPrior = math.log(fsLambda / (1 - fsLambda)) / math.log(2.0)
 
+  /** FS scoring of `customer` vs a dirtied-copy CTE as two chained CTEs
+    * (`outName`_g = blocked agreement vectors, `outName` = ids of pairs
+    * whose match weight clears 0) — the q_er_fs_score arithmetic,
+    * factored so q_er_clusters can score TWO snapshots without
+    * duplicating the weight literal block. */
+  private def fsMatchedCte(dirtyName: String, outName: String): String =
+    s"""${outName}_g AS (
+       |  SELECT l.c_custkey AS id_l, r.d_custkey AS id_r,
+       |    CASE WHEN l.c_name IS NULL OR r.d_name IS NULL THEN NULL
+       |         WHEN jaro_winkler_similarity(l.c_name, r.d_name) >= 0.95
+       |           THEN 1 ELSE 0 END AS g_name,
+       |    CASE WHEN l.c_acctbal IS NULL OR r.d_acctbal IS NULL THEN NULL
+       |         WHEN l.c_acctbal = r.d_acctbal THEN 1 ELSE 0 END AS g_bal,
+       |    CASE WHEN l.c_mktsegment IS NULL OR r.d_mktsegment IS NULL THEN NULL
+       |         WHEN l.c_mktsegment = r.d_mktsegment THEN 1 ELSE 0 END AS g_seg
+       |  FROM customer l JOIN $dirtyName r
+       |    ON l.c_nationkey = r.d_nationkey
+       |   AND substr(l.c_name, 16, 3) = substr(r.d_name, 16, 3)),
+       |$outName AS (
+       |  SELECT id_l, id_r FROM ${outName}_g
+       |  WHERE ((($fsPrior
+       |      + CASE WHEN g_name IS NULL THEN 0.0
+       |             WHEN g_name = 1 THEN ${fsComps(0).agreeWeight}
+       |             ELSE ${fsComps(0).disagreeWeight} END)
+       |      + CASE WHEN g_bal IS NULL THEN 0.0
+       |             WHEN g_bal = 1 THEN ${fsComps(1).agreeWeight}
+       |             ELSE ${fsComps(1).disagreeWeight} END)
+       |      + CASE WHEN g_seg IS NULL THEN 0.0
+       |             WHEN g_seg = 1 THEN ${fsComps(2).agreeWeight}
+       |             ELSE ${fsComps(2).disagreeWeight} END) >= 0.0)""".stripMargin
+
   q("q_er_fs_score",
     // probabilistic record linkage (Fellegi–Sunter): customers vs a
     // deterministically-dirtied copy (one-char name substitution for
@@ -5531,6 +5562,92 @@ object Queries {
       .select(col("id_l"), col("id_r"), col("g_name"), col("g_bal"),
         col("g_seg"), round(col("match_weight"), 6).as("match_weight"))
       .orderBy("id_l", "id_r")
+  }
+
+  q("q_er_clusters",
+    // ENTITY RESOLUTION end-to-end: the step q_er_fs_score stops short
+    // of. Two independently-dirtied snapshots of customer are FS-scored
+    // against the clean table (same blocking/weights as q_er_fs_score),
+    // matched pairs become edges in a tri-partite graph (clean node =
+    // custkey, snapshot A node = key + 1e9, snapshot B node = key +
+    // 2e9), and connected components assign one entity_id per real-world
+    // customer — A and B records of the same entity unite TRANSITIVELY
+    // through the clean node, never compared to each other. Engine =
+    // the O(log d) pointer-jumping / budget-gated union-find of
+    // Dedup.dedupClusters; oracle = recursive transitive closure
+    s"""WITH RECURSIVE dirty_a AS (
+      |  SELECT c_custkey AS d_custkey,
+      |    CASE WHEN c_custkey % 3 = 0
+      |           THEN substr(c_name, 1, 9) || 'X' || substr(c_name, 11)
+      |         WHEN c_custkey % 7 = 0 THEN reverse(c_name)
+      |         ELSE c_name END AS d_name,
+      |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS d_acctbal,
+      |    CASE WHEN c_custkey % 2 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS d_mktsegment,
+      |    c_nationkey AS d_nationkey
+      |  FROM customer),
+      |dirty_b AS (
+      |  SELECT c_custkey AS d_custkey,
+      |    CASE WHEN c_custkey % 4 = 0
+      |           THEN substr(c_name, 1, 11) || 'Q' || substr(c_name, 13)
+      |         ELSE c_name END AS d_name,
+      |    CASE WHEN c_custkey % 6 = 0 THEN NULL ELSE c_acctbal END AS d_acctbal,
+      |    CASE WHEN c_custkey % 3 = 0 THEN 'CORRUPT' ELSE c_mktsegment END AS d_mktsegment,
+      |    c_nationkey AS d_nationkey
+      |  FROM customer),
+      |${fsMatchedCte("dirty_a", "match_a")},
+      |${fsMatchedCte("dirty_b", "match_b")},
+      |pairs AS (
+      |  SELECT id_l AS id_a, id_r + 1000000000 AS id_b FROM match_a
+      |  UNION ALL
+      |  SELECT id_l, id_r + 2000000000 FROM match_b),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |labels AS (
+      |  SELECT u AS node_id, least(u, min(v)) AS entity_id FROM reach GROUP BY u)
+      |SELECT node_id, entity_id FROM labels ORDER BY node_id""".stripMargin) { (s, d) =>
+    val cust = t(s, d, "customer")
+    val key = col("c_custkey")
+    def block(df: DataFrame, name: String): DataFrame =
+      df.withColumn("blk", substring(col(name), 16, 3))
+    val dirtyA = cust.select(
+      key.as("d_custkey"),
+      when(key % 3 === 0,
+          concat(substring(col("c_name"), 1, 9), lit("X"),
+            expr("substring(c_name, 11)")))
+        .when(key % 7 === 0, reverse(col("c_name")))
+        .otherwise(col("c_name")).as("d_name"),
+      when(key % 5 === 0, lit(null).cast("double"))
+        .otherwise(col("c_acctbal")).as("d_acctbal"),
+      when(key % 2 === 0, lit("UNKNOWN"))
+        .otherwise(col("c_mktsegment")).as("d_mktsegment"),
+      col("c_nationkey").as("d_nationkey"))
+    val dirtyB = cust.select(
+      key.as("d_custkey"),
+      when(key % 4 === 0,
+          concat(substring(col("c_name"), 1, 11), lit("Q"),
+            expr("substring(c_name, 13)")))
+        .otherwise(col("c_name")).as("d_name"),
+      when(key % 6 === 0, lit(null).cast("double"))
+        .otherwise(col("c_acctbal")).as("d_acctbal"),
+      when(key % 3 === 0, lit("CORRUPT"))
+        .otherwise(col("c_mktsegment")).as("d_mktsegment"),
+      col("c_nationkey").as("d_nationkey"))
+    def matched(dirty: DataFrame): DataFrame =
+      graft.operators.RecordLinkage.fsScorePairs(
+        block(cust, "c_name"), block(dirty, "d_name"),
+        "c_custkey", "d_custkey",
+        blockOn = Seq(("c_nationkey", "d_nationkey"), ("blk", "blk")),
+        comparisons = fsComps, lambda = fsLambda, minWeight = 0.0)
+    val edges = matched(dirtyA)
+      .select(col("id_l").as("id_a"), (col("id_r") + lit(1000000000L)).as("id_b"))
+      .unionByName(matched(dirtyB)
+        .select(col("id_l").as("id_a"), (col("id_r") + lit(2000000000L)).as("id_b")))
+    graft.operators.Dedup.dedupClusters(edges)
+      .select(col("doc_id").as("node_id"), col("cluster_id").as("entity_id"))
+      .orderBy("node_id")
   }
 
   q("q_join_snm_multipass",
