@@ -2327,6 +2327,91 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  q("q_corpus_mix_temperature",
+    // temperature-scaled mixture (the multilingual-sampling move:
+    // share ∝ tokens^α, α=0.5 upsamples low-resource languages): the
+    // target shares are DERIVED from the corpus instead of caller-
+    // supplied — same output columns as q_corpus_mix, so the same
+    // applyMixture consumers read either. share rounds to 6 dp BEFORE
+    // floor(share·budget), so with the power-of-ten budget the product
+    // is an exact integer-valued double and the floor replays bit-equal;
+    // weight/rate/epochs are then exact-integer ratios. One
+    // low-cardinality groupBy + a one-row broadcast total.
+    """WITH g AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY lang),
+      |tt AS (SELECT sum(pow(CAST(tokens AS DOUBLE), 0.5)) AS tot FROM g),
+      |s AS (
+      |  SELECT lang, n_docs, tokens,
+      |    CASE WHEN tot = 0 THEN 0.0
+      |         ELSE round(pow(CAST(tokens AS DOUBLE), 0.5) / tot, 6) END AS target_share
+      |  FROM g, tt),
+      |w AS (
+      |  SELECT lang, n_docs, tokens, target_share,
+      |    CAST(floor(target_share * 1000000) AS BIGINT) AS target_tokens
+      |  FROM s)
+      |SELECT lang, n_docs, tokens, target_share, target_tokens,
+      |  CASE WHEN tokens = 0 THEN NULL
+      |       ELSE round(target_tokens * 1.0 / tokens, 6) END AS weight,
+      |  CASE WHEN tokens = 0 THEN NULL
+      |       ELSE least(round(target_tokens * 1.0 / tokens, 6), 1.0) END AS sample_rate,
+      |  CASE WHEN tokens = 0 THEN NULL
+      |       ELSE greatest(round(target_tokens * 1.0 / tokens, 6), 1.0) END AS epochs
+      |FROM w ORDER BY lang""".stripMargin) { (s, d) =>
+    graft.operators.Sampling.mixtureWeightsTemperature(
+        t(s, d, "documents"), "lang", "text",
+        alpha = 0.5, budgetTokens = 1000000L)
+      .orderBy("lang")
+  }
+
+  q("q_sample_token_budget",
+    // greedy token-budget selection — "spend a fixed token budget on the
+    // best data", the step every curated pretraining mix ends with:
+    // docs in (quality DESC, doc_id ASC) order until the running token
+    // count reaches the budget; the boundary-crossing doc is kept. The
+    // oracle replays the keep rule as a window cumsum; the engine runs
+    // the packChunks two-phase prefix sum instead (range-repartition on
+    // the priority order, per-partition sums to the driver — one row per
+    // partition — offsets broadcast back), so nothing serializes into a
+    // single task and partitions past the budget skip their input
+    // entirely. 12k tokens against sf0.01's ~20k whitespace tokens
+    // exercises both keep and drop; at sf1 the same budget keeps only
+    // the top slice — the cap binds at every scale.
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks,
+      |    length(text)::DOUBLE AS n_chars,
+      |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE AS punct
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id,
+      |    round((round((n_chars - punct * 2) / greatest(n_chars, 1.0), 4)
+      |      + round(least(len(list_intersect(
+      |          list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''),
+      |          ['the','and','of','to','in','is','that','it','for','was']))::DOUBLE
+      |        / greatest(len(toks), 1) * 5, 1.0), 4)
+      |      + round(least(len(toks) / 100.0, 1.0), 4)) / 3, 4) AS quality,
+      |    len(toks)::BIGINT AS n_tok
+      |  FROM base),
+      |c AS (
+      |  SELECT doc_id, quality, n_tok,
+      |    CAST(sum(n_tok) OVER (ORDER BY quality DESC, doc_id) - n_tok AS BIGINT) AS start_offset
+      |  FROM sc WHERE quality IS NOT NULL)
+      |SELECT doc_id, quality, n_tok AS n_tokens, start_offset
+      |FROM c WHERE start_offset < 12000 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val scored = graft.operators.TextAnalysis
+      .qualityScore(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"),
+        coalesce(size(graft.operators.TextAnalysis.tokens(col("text"))), lit(0))
+          .cast("long").as("n_tok")), Seq("doc_id"))
+    graft.operators.Sampling.tokenBudgetSample(
+        scored, "doc_id", "quality", "n_tok", budgetTokens = 12000L)
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("start_offset"))
+      .orderBy("doc_id")
+  }
+
   q("q_corpus_report",
     // one-pass corpus health report (the dashboard row an ingest run
     // publishes): doc/lang/source counts, token mass + percentiles,

@@ -396,4 +396,125 @@ object Sampling {
         round(col("col.score"), 6).as("wkey"),
         (col("pos") + 1).cast("long").as("rk"))
   }
+
+  /** Greedy token-budget selection: take rows in (`priorityCol` DESC,
+    * `idCol` ASC) order — best first, id-tiebroken so the order is total —
+    * until the running token count reaches `budgetTokens`; the row that
+    * CROSSES the boundary is kept (classic budget fill: the selection
+    * always reaches the budget when the pool can), everything after it is
+    * dropped. This is the "spend a fixed token budget on the best data"
+    * step every curated pretraining mix ends with — priority can be a
+    * quality score, a DSIR log-weight, or a hash (budget-capped shuffle).
+    *
+    * Scale (100 TB): a global running total in a deterministic order is
+    * the one thing a plain `ORDER BY` window serializes into a single
+    * task — so this is [[Packing.packChunks]]'s two-phase prefix sum on
+    * the (priority, id) key instead: range-repartition (partition k holds
+    * a contiguous slice of the priority order), per-partition token sums
+    * come back to the driver (ONE row per partition), their exclusive
+    * prefix broadcasts back, and each partition emits its local running
+    * totals plus its offset. Partitions whose offset already exceeds the
+    * budget return without consuming their input — only the winning
+    * prefix of the corpus does row work.
+    *
+    * Contract: `idCol` must be castable to long and unique; rows with a
+    * NULL priority or id are excluded (they have no place in the order);
+    * a NULL token count reads as 0 (a zero-length doc costs nothing).
+    *
+    * @return (idCol, priorityCol, n_tokens, start_offset) for the kept
+    *         rows — start_offset is the tokens spent BEFORE this row, so
+    *         `start_offset < budgetTokens` is the keep rule an external
+    *         engine replays with a window cumsum. */
+  def tokenBudgetSample(scored: DataFrame, idCol: String, priorityCol: String,
+      tokenCol: String, budgetTokens: Long, partitions: Int = 0): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val spark = scored.sparkSession
+    val nPart =
+      if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    // localCheckpoint freezes the range layout so phase 1's sums and
+    // phase 2's emit see the SAME partitions (the packChunks discipline)
+    val base = scored
+      .filter(col(priorityCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id"),
+        col(priorityCol).cast("double").as("_p"),
+        coalesce(col(tokenCol).cast("long"), lit(0L)).as("_n"))
+      .repartitionByRange(nPart, col("_p").desc, col("_id").asc)
+      .sortWithinPartitions(col("_p").desc, col("_id").asc)
+      .localCheckpoint()
+    val partSums = base.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(2))
+      Iterator.single((i, s))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](partSums.length + 1)
+    partSums.foreach { case (i, s) => offsets(i + 1) = s }
+    var i = 1
+    while (i < offsets.length) { offsets(i) += offsets(i - 1); i += 1 }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_p",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("start_offset",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val kept = base.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var running = bc.value(pid)
+      if (running >= budgetTokens) Iterator.empty // past the budget: skip
+      else it.map { r =>
+        val start = running
+        running += r.getLong(2)
+        org.apache.spark.sql.Row(r.getLong(0), r.getDouble(1), r.getLong(2), start)
+      }.takeWhile(_.getLong(3) < budgetTokens)
+    }
+    spark.createDataFrame(kept, outSchema)
+      .withColumnRenamed("_id", idCol)
+      .withColumnRenamed("_p", priorityCol)
+  }
+
+  /** Temperature-scaled mixture weighting (the multilingual-sampling
+    * move: share_g ∝ tokens_g^alpha, alpha < 1 flattens the distribution
+    * toward low-resource groups, alpha = 1 is proportional, alpha → 0
+    * approaches uniform) — [[mixtureWeights]] with the target shares
+    * DERIVED from the corpus itself instead of caller-supplied. Output
+    * columns match [[mixtureWeights]] exactly, so the same
+    * [[applyMixture]]-style consumers read either.
+    *
+    * Determinism: target_share is rounded to 6 dp BEFORE target_tokens =
+    * floor(share · budget), so with a power-of-ten budget the product is
+    * an exact integer-valued double and the floor replays bit-equal in
+    * any engine; weight/sample_rate/epochs are then ratios of exact
+    * integers, the [[mixtureWeights]] contract.
+    *
+    * Scale: one low-cardinality groupBy with map-side partial agg; the
+    * normalizing total is a one-row broadcast (the scalar crossJoin
+    * pattern), nothing corpus-sized moves. */
+  def mixtureWeightsTemperature(docs: DataFrame, groupCol: String,
+      textCol: String, alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val grouped = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.bpeishTokenCount(col(textCol))).as("tokens"))
+      .withColumn("_pw", pow(col("tokens").cast("double"), lit(alpha)))
+    val tot = grouped.agg(sum("_pw").as("_tot"))
+    grouped.crossJoin(broadcast(tot))
+      // an all-empty corpus has no defined shares: 0, not NaN
+      .withColumn("target_share",
+        when(col("_tot") === 0.0, lit(0.0))
+          .otherwise(round(col("_pw") / col("_tot"), 6)))
+      .withColumn("target_tokens",
+        floor(col("target_share") * budgetTokens).cast("long"))
+      .withColumn("weight", when(col("tokens") === 0, lit(null).cast("double"))
+        .otherwise(round(col("target_tokens").cast("double") / col("tokens"), 6)))
+      .withColumn("sample_rate",
+        when(col("tokens") === 0, lit(null).cast("double"))
+          .otherwise(least(col("weight"), lit(1.0))))
+      .withColumn("epochs",
+        when(col("tokens") === 0, lit(null).cast("double"))
+          .otherwise(greatest(col("weight"), lit(1.0))))
+      .drop("_pw", "_tot")
+  }
 }

@@ -474,6 +474,83 @@ class OperatorsSpec extends SparkTestBase {
     assert(w("b") == ((1L, 10L, 0.75, 30L, 3.0, 1.0, 3.0)))
   }
 
+  test("tokenBudgetSample: greedy fill, boundary doc kept, nulls excluded") {
+    import spark.implicits._
+    // priority order: id1(5 tok) -> id2(4) -> id3(3, tie with id2 broken
+    // by id) -> id4(10). budget 10: id3 starts at 9 (< 10, the boundary-
+    // crossing doc is KEPT), id4 starts at 12 (dropped). A null-priority
+    // row has no place in the order; a null token count costs 0.
+    val scored = Seq(
+      (1L, Some(3.0), Some(5L)), (2L, Some(2.0), Some(4L)),
+      (3L, Some(2.0), Some(3L)), (4L, Some(1.0), Some(10L)),
+      (5L, None: Option[Double], Some(2L)), (6L, Some(0.5), None: Option[Long]))
+      .toDF("id", "prio", "n_tok")
+    // partitions=7 forces the multi-partition two-phase path (most
+    // partitions empty or fully-skipped — the offsets must still line up)
+    val out = Sampling.tokenBudgetSample(scored, "id", "prio", "n_tok",
+        budgetTokens = 10L, partitions = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 5L, 3L -> 9L))
+    // the zero-cost doc rides free once the order reaches it
+    val big = Sampling.tokenBudgetSample(scored, "id", "prio", "n_tok",
+        budgetTokens = 23L, partitions = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(big == Set(1L, 2L, 3L, 4L, 6L)) // null-prio id5 still excluded
+  }
+
+  test("tokenBudgetSample two-phase prefix == the window formulation") {
+    // the falsifier the oracle leans on: the distributed two-phase prefix
+    // sum must select EXACTLY the rows a global window cumsum selects
+    val scored = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"),
+        coalesce(size(TextAnalysis.tokens(col("text"))), lit(0))
+          .cast("long").as("n_tok")), Seq("doc_id"))
+    val budget = 2000L
+    val viaPrefix = Sampling.tokenBudgetSample(
+        scored, "doc_id", "quality", "n_tok", budget, partitions = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val viaWindow = scored.filter(col("quality").isNotNull)
+      .withColumn("start", sum("n_tok").over(w) - col("n_tok"))
+      .filter(col("start") < budget)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start"))).toSet
+    assert(viaPrefix == viaWindow)
+    assert(viaPrefix.nonEmpty)
+    // the budget binds: kept mass reaches it (the pool is larger)
+    val kept = viaPrefix.toSeq.map(_._2).max
+    assert(kept < budget)
+  }
+
+  test("mixtureWeightsTemperature: alpha=1 proportional, alpha<1 flattens") {
+    import spark.implicits._
+    val ten = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    val d = Seq(("a", ten), ("a", ten), ("b", ten), ("c", ""))
+      .toDF("src", "text")
+    def shares(alpha: Double) =
+      Sampling.mixtureWeightsTemperature(d, "src", "text", alpha, 30L)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val prop = shares(1.0)
+    // alpha=1 is plain proportional: a 20/30, b 10/30, zero-token c 0
+    assert(math.abs(prop("a") - 0.666667) < 1e-9)
+    assert(math.abs(prop("b") - 0.333333) < 1e-9)
+    assert(prop("c") == 0.0)
+    val flat = shares(0.5)
+    // temperature flattening: the low-resource group gains share, the
+    // high-resource one loses it; shares still sum to ~1
+    assert(flat("b") > prop("b") && flat("a") < prop("a"))
+    assert(math.abs(flat("a") + flat("b") - 1.0) < 2e-6)
+    // zero-token group: share 0 and the mixtureWeights null contract
+    val cRow = Sampling.mixtureWeightsTemperature(d, "src", "text", 0.5, 30L)
+      .filter(col("src") === "c").collect().head
+    assert(cRow.getDouble(3) == 0.0 && cRow.isNullAt(5) && cRow.isNullAt(6)
+      && cRow.isNullAt(7))
+    // derived columns follow the mixtureWeights arithmetic exactly
+    val a1 = Sampling.mixtureWeightsTemperature(d, "src", "text", 1.0, 30L)
+      .filter(col("src") === "a").collect().head
+    assert(a1.getLong(4) == 20L && a1.getDouble(5) == 1.0) // floor(.666667*30)
+  }
+
   test("contaminationHits counts distinct shared shingles vs the eval set") {
     import spark.implicits._
     // "quick brown fox" appears in BOTH eval docs: the eval-side distinct
