@@ -2327,6 +2327,56 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  q("q_corpus_mix_apply_epochs",
+    // the mixture loop closed in BOTH directions: applyMixture can only
+    // downsample, but weight > 1 means the mix wants the group REPEATED.
+    // Every doc gets floor(weight) whole copies plus one more iff h8
+    // clears the threshold for the fractional part — expected group mass
+    // lands on weight × actual exactly, and weight < 1 degenerates to
+    // applyMixture's selection (spec-pinned equality). The 20k budget
+    // against sf0.01's lang masses exercises every branch: zh weight
+    // ≈2.41 (two whole copies + a 41% third), es ≈1.01 (one + 1%),
+    // en/de fractional-only, fr share-0 dropped. Weights broadcast; the
+    // explode is map-side and output-bound — no shuffle, no collect.
+    """WITH g AS (
+      |  SELECT lang,
+      |    CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY lang),
+      |w AS (
+      |  SELECT lang,
+      |    CASE WHEN tokens = 0 THEN NULL
+      |         ELSE round(CAST(floor(
+      |             CAST(CASE lang WHEN 'en' THEN 0.2 WHEN 'zh' THEN 0.5
+      |                            WHEN 'de' THEN 0.1 WHEN 'es' THEN 0.2
+      |                            ELSE 0.0 END AS DOUBLE)
+      |             * 20000) AS BIGINT) * 1.0 / tokens, 6) END AS weight
+      |  FROM g),
+      |t AS (
+      |  SELECT lang, CAST(floor(weight) AS BIGINT) AS copies,
+      |    CASE WHEN weight - floor(weight) <= 0 THEN '00000000'
+      |         ELSE lpad(lower(hex(least(CAST(floor((weight - floor(weight)) * 4294967296.0) AS BIGINT), 4294967295))), 8, '0')
+      |    END AS thr
+      |  FROM w WHERE weight IS NOT NULL),
+      |sel AS (
+      |  SELECT d.doc_id, d.lang, substr(md5(coalesce(d.text, '')), 1, 8) AS h8,
+      |    t.copies, t.thr
+      |  FROM documents d JOIN t ON d.lang = t.lang),
+      |e AS (
+      |  SELECT doc_id, lang, h8, copies, thr,
+      |    unnest(range(0, copies + 1)) AS epoch
+      |  FROM sel)
+      |SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch, h8
+      |FROM e WHERE epoch < copies OR h8 < thr
+      |ORDER BY doc_id, epoch""".stripMargin) { (s, d) =>
+    graft.operators.Sampling.applyMixtureEpochs(
+        t(s, d, "documents"), "lang", "text",
+        targetShares = Map("en" -> 0.2, "zh" -> 0.5, "de" -> 0.1,
+          "es" -> 0.2),
+        budgetTokens = 20000L)
+      .select("doc_id", "lang", "epoch", "h8")
+      .orderBy("doc_id", "epoch")
+  }
+
   q("q_corpus_mix_temperature",
     // temperature-scaled mixture (the multilingual-sampling move:
     // share ∝ tokens^α, α=0.5 upsamples low-resource languages): the

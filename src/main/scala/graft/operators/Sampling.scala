@@ -118,6 +118,54 @@ object Sampling {
       .drop("__mix_group", "sample_rate")
   }
 
+  /** The mixture loop closed in BOTH directions: [[applyMixture]] can only
+    * downsample (it thresholds each doc once by `sample_rate`), but an
+    * under-represented group's weight > 1 means the mix wants the group
+    * REPEATED — `epochs` passes over it. This twin materializes the full
+    * prescription from `weight` alone: every doc gets `floor(weight)`
+    * whole copies (epoch 0..floor−1) plus one more iff its h8 clears the
+    * threshold for the FRACTIONAL part (the [[thresholdHex]] keep rule on
+    * weight − floor(weight)), so expected token mass per group lands on
+    * `weight × actual` exactly — and for weight < 1 the zero whole copies
+    * + fractional threshold reduce to [[applyMixture]]'s selection, one
+    * rule for both directions. Zero-token groups (null weight) and
+    * share-0 groups (weight 0) emit nothing.
+    *
+    * Determinism: the copy count and the fractional threshold derive from
+    * the 6-dp `weight`; `weight − floor(weight)` is an exact double op,
+    * so the whole selection replays bit-equal in an external engine.
+    *
+    * Scale (100 TB): weights broadcast-join onto the corpus (group-count
+    * sized), the explode emits `floor(weight)+1` rows per doc map-side —
+    * output-bound by the epochs the caller asked for, no shuffle, no
+    * driver collect. Output: input columns + `epoch` (0-based copy
+    * index) + `h8`. */
+  def applyMixtureEpochs(docs: DataFrame, groupCol: String, textCol: String,
+      targetShares: Map[String, Double], budgetTokens: Long): DataFrame = {
+    require(!docs.columns.contains("h8"),
+      "input already has an h8 column; rename it before applyMixtureEpochs")
+    require(!docs.columns.contains("epoch"),
+      "input already has an epoch column; rename it before applyMixtureEpochs")
+    val w = mixtureWeights(docs, groupCol, textCol, targetShares, budgetTokens)
+      .select(col(groupCol).as("__mix_group"), col("weight"))
+      .filter(col("weight").isNotNull)
+    val copies = floor(col("weight")).cast("long")
+    val frac = col("weight") - floor(col("weight"))
+    // same clamp-and-render as applyMixture's thr (frac < 1 by
+    // construction, but the 2^32-1 clamp keeps the rendering total)
+    val thrFrac = when(frac <= 0.0, lit("00000000"))
+      .otherwise(lpad(lower(hex(least(
+        floor(frac * 4294967296.0).cast("long"),
+        lit(4294967295L)))), 8, "0"))
+    docs.join(broadcast(w), col(groupCol) === col("__mix_group"))
+      .withColumn("h8", substring(md5(coalesce(col(textCol), lit(""))), 1, 8))
+      .withColumn("__copies", copies)
+      .withColumn("__thr", thrFrac)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies"))))
+      .filter(col("epoch") < col("__copies") || col("h8") < col("__thr"))
+      .drop("__mix_group", "weight", "__copies", "__thr")
+  }
+
   /** Per-group cap: keep at most `k` rows per group, chosen by descending
     * engine-neutral hash rank of `idCol` (ties broken by ascending id) — a
     * deterministic, seed-free uniform sample. The "at most N docs per

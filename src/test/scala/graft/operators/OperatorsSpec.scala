@@ -551,6 +551,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(a1.getLong(4) == 20L && a1.getDouble(5) == 1.0) // floor(.666667*30)
   }
 
+  test("applyMixtureEpochs: whole copies, fractional copy, applyMixture degenerate") {
+    import spark.implicits._
+    val ten = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    // a: 1 doc / 10 tokens; b: 20 docs / 200 tokens; c absent from the
+    // shares (weight 0); d zero-token (weight null)
+    val d = (Seq(("a", "a0", ten)) ++
+        (0 until 20).map(i => ("b", s"b$i", ten + s" x$i")) ++
+        Seq(("c", "c0", ten), ("d", "d0", "")))
+      .toDF("src", "id", "text")
+    // budget 40, shares a=0.75, b=0.25: a weight = 30/10 = 3.0 (exactly
+    // three whole epochs, frac 0 — no fourth row), b weight = 10/220 ≈
+    // 0.045455 (zero whole copies, fractional threshold only)
+    val out = Sampling.applyMixtureEpochs(d, "src", "text",
+        targetShares = Map("a" -> 0.75, "b" -> 0.25), budgetTokens = 40L)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(r.fieldIndex("epoch"))))
+    assert(out.filter(_._1 == "a").map(_._3).sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(out.filter(_._1 == "b").forall(_._3 == 0L))
+    // share-0 and zero-token groups emit nothing
+    assert(!out.exists(r => r._1 == "c" || r._1 == "d"))
+    // weight < 1 degenerates to applyMixture's exact selection
+    val viaEpochs = out.filter(_._1 == "b").map(_._2).toSet
+    val viaRate = Sampling.applyMixture(d, "src", "text",
+        targetShares = Map("a" -> 0.75, "b" -> 0.25), budgetTokens = 40L)
+      .filter(col("src") === "b").collect().map(_.getString(1)).toSet
+    assert(viaEpochs == viaRate)
+  }
+
   test("contaminationHits counts distinct shared shingles vs the eval set") {
     import spark.implicits._
     // "quick brown fox" appears in BOTH eval docs: the eval-side distinct
