@@ -6174,6 +6174,110 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  // --- retrieval fusion (EXTENSION §2.K: Retrieval.scala) -------------------
+
+  q("q_search_hybrid_rrf",
+    // reciprocal-rank fusion of the BM25 lexical ranking (probe term =
+    // highest-df term >= 6 chars over the corpus minus the probe doc)
+    // and the dense cosine ranking vs probe vec_id=0. Ranks are
+    // integers; the fused score is exactly two IEEE divisions added in
+    // fixed order, so it replays bit-identically with no rounding.
+    """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id <> 0),
+      |toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+      |  FROM corpus),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |consts AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      |probes AS (
+      |  SELECT term, df FROM dft WHERE length(term) >= 6
+      |  ORDER BY df DESC, term LIMIT 1),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    ln(1.0 + (CAST(c.n_docs AS DOUBLE) - p.df + 0.5) / (CAST(p.df AS DOUBLE) + 0.5))
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf.tf AS DOUBLE) + 1.2 *
+      |         (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) *
+      |          (CAST(c.n_docs AS DOUBLE) / CAST(c.sum_dl AS DOUBLE)))) AS score
+      |  FROM tf JOIN probes p USING (term) JOIN dl USING (doc_id) CROSS JOIN consts c),
+      |lex AS (
+      |  SELECT doc_id, lex_rk FROM (
+      |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rk
+      |    FROM scored) WHERE lex_rk <= 20),
+      |vecs AS (
+      |  SELECT vec_id AS doc_id,
+      |    round(list_cosine_similarity(embedding::DOUBLE[],
+      |      (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS cos
+      |  FROM embeddings WHERE vec_id <> 0),
+      |vrank AS (
+      |  SELECT doc_id, vec_rk FROM (
+      |    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rk
+      |    FROM vecs) WHERE vec_rk <= 20)
+      |SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rk, v.vec_rk,
+      |  coalesce(1.0::DOUBLE / (60.0::DOUBLE + lex_rk), 0.0::DOUBLE) +
+      |  coalesce(1.0::DOUBLE / (60.0::DOUBLE + vec_rk), 0.0::DOUBLE) AS rrf
+      |FROM lex l FULL OUTER JOIN vrank v ON l.doc_id = v.doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+    graft.operators.Retrieval.hybridRrf(
+        t(s, d, "documents"), "doc_id", "text",
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        probeId = 0L, minTermLen = 6, k1 = 1.2, b = 0.75,
+        poolK = 20, rrfK = 60, topK = 10)
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  /** MMR greedy-selection oracle: each step k unrolls as
+    * candidate-score → argmax-pick → selected-set CTEs (the
+    * [[graft.operators.ClassifierTrain]] unrolled-oracle discipline).
+    * λ and (1−λ) interpolate as full-precision double literals — the
+    * Scala-side `1.0 - 0.7` is 0.30000000000000004, and writing `0.3`
+    * in the SQL would diverge in the 17th digit and flip near-ties. */
+  private def mmrOracleSql(lambda: Double, poolK: Int, topK: Int): String = {
+    val lam = s"${lambda}::DOUBLE"
+    val oneMinus = s"${1.0 - lambda}::DOUBLE"
+    val head =
+      s"""WITH pool0 AS (
+         |  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS vec,
+         |    round(list_cosine_similarity(embedding::DOUBLE[],
+         |      (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS rel
+         |  FROM embeddings WHERE vec_id <> 0),
+         |pool AS (
+         |  SELECT doc_id, vec, rel FROM (
+         |    SELECT *, row_number() OVER (ORDER BY rel DESC, doc_id) AS prk
+         |    FROM pool0) WHERE prk <= $poolK),
+         |sims AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b,
+         |    round(list_cosine_similarity(a.vec, b.vec), 6) AS sim
+         |  FROM pool a JOIN pool b ON a.doc_id <> b.doc_id),
+         |pick1 AS (
+         |  SELECT doc_id, $lam * rel AS mmr FROM pool
+         |  ORDER BY $lam * rel DESC, doc_id LIMIT 1),
+         |sel1 AS (SELECT 1::BIGINT AS rk, doc_id, mmr FROM pick1)""".stripMargin
+    val steps = (2 to topK).map { k =>
+      s"""cand$k AS (
+         |  SELECT p.doc_id,
+         |    $lam * p.rel - $oneMinus * (
+         |      SELECT max(s.sim) FROM sims s
+         |      WHERE s.a = p.doc_id
+         |        AND s.b IN (SELECT doc_id FROM sel${k - 1})) AS mmr
+         |  FROM pool p
+         |  WHERE p.doc_id NOT IN (SELECT doc_id FROM sel${k - 1})),
+         |pick$k AS (SELECT doc_id, mmr FROM cand$k ORDER BY mmr DESC, doc_id LIMIT 1),
+         |sel$k AS (SELECT * FROM sel${k - 1}
+         |  UNION ALL SELECT $k::BIGINT, doc_id, mmr FROM pick$k)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT rk, doc_id, mmr FROM sel$topK ORDER BY rk"
+  }
+
+  q("q_search_mmr", mmrOracleSql(lambda = 0.7, poolK = 20, topK = 5)) { (s, d) =>
+    graft.operators.Retrieval.mmrRerank(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        probeId = 0L, lambda = 0.7, poolK = 20, topK = 5)
+      .orderBy("rk")
+  }
+
   // --------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = registry.map { case (k, (f, _)) => k -> f }.toMap

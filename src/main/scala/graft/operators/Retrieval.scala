@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Retrieval fusion over the two index families the engine already ships:
+  * lexical BM25 ([[TextAnalysis.bm25TopDocs]] / its materialized inverted
+  * index) and dense cosine ANN ([[Similarity]]). The reference delegates
+  * retrieval entirely to Athena SQL (`/root/reference/README.md:55`), so
+  * both rankers and their fusion are EXTENSION operators (SURVEY.md §2.K)
+  * — but fusion is what a real RAG / training-data mining pipeline runs:
+  * neither ranker alone survives vocabulary mismatch (lexical) or
+  * out-of-domain embeddings (dense).
+  *
+  * Scale shape (100 TB): each ranker reduces the corpus to a ≤ poolK-row
+  * frame via its own one-pass bounded-heap plan (BM25: one (doc,term)
+  * shuffle or a partition-pruned index probe; dense: one map-side scored
+  * scan). Fusion then operates ONLY on those k-row frames — a full-outer
+  * join of two ≤ poolK-row inputs and a TakeOrdered — so its cost is
+  * O(poolK) regardless of corpus size. Nothing corpus-sized reaches the
+  * fusion stage, the driver, or a second shuffle.
+  */
+object Retrieval {
+
+  /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009: the robust
+    * zero-tuning fusion baseline) of one BM25 ranking and one dense
+    * cosine ranking: rrf(d) = Σ_lists 1/(rrfK + rank_list(d)), docs
+    * absent from a list contribute 0 for it.
+    *
+    * The probe document `probeId` supplies the dense query vector and is
+    * excluded from BOTH rankings (self-retrieval is trivially rank 1 and
+    * would only displace a real result); the lexical probe term is the
+    * corpus's highest-df term of length ≥ `minTermLen` — the same
+    * self-contained derivation as [[TextAnalysis.bm25TopDocs]], so the
+    * operator is deterministic on any fixture without an external query
+    * string.
+    *
+    * Determinism: ranks are integers (ties broken by doc id under
+    * 6-dp-rounded scores, the house rule), and the fused score is exactly
+    * two IEEE terms added in a fixed order — 1.0/(rrfK + lex_rk) +
+    * 1.0/(rrfK + vec_rk) — so it replays bit-identically in the oracle
+    * with no rounding needed. (This is also why the public API fuses two
+    * rankers rather than N: a groupBy-sum over a variable number of
+    * float contributions would have engine-dependent addition order.
+    * Fusing more rankers = fold this pairwise, each fold deterministic.)
+    *
+    * Output: (doc_id, lex_rk, vec_rk, rrf) — ranks null when the doc is
+    * absent from that list — top `topK` by fused score desc, id asc.
+    */
+  def hybridRrf(docs: DataFrame, idCol: String, textCol: String,
+      embeddings: DataFrame, vidCol: String, vecCol: String,
+      probeId: Long, minTermLen: Int = 6, k1: Double = 1.2, b: Double = 0.75,
+      poolK: Int = 20, rrfK: Int = 60, topK: Int = 10): DataFrame = {
+    val lex = TextAnalysis.bm25TopDocs(
+        docs.filter(col(idCol) =!= probeId), idCol, textCol,
+        nTerms = 1, minTermLen = minTermLen, k1 = k1, b = b, topK = poolK)
+      .select(col("doc_id"), col("rk").as("lex_rk"))
+    fuse(lex, denseRanks(embeddings, vidCol, vecCol, probeId, poolK),
+      rrfK, topK)
+  }
+
+  /** [[hybridRrf]] with the lexical side served from a materialized
+    * inverted index ([[TextAnalysis.buildTextIndex]]) instead of a corpus
+    * scan — identical output (the index is an execution layout, not a
+    * semantics change; spec-pinned), but the lexical ranker becomes a
+    * partition-pruned point lookup, which is what makes interactive
+    * fusion viable at corpus scale. The index must have been built over
+    * the corpus WITHOUT the probe document (the scan form excludes it). */
+  def hybridRrfIndexed(spark: SparkSession, textIndexPath: String,
+      embeddings: DataFrame, vidCol: String, vecCol: String,
+      probeId: Long, minTermLen: Int = 6, k1: Double = 1.2, b: Double = 0.75,
+      poolK: Int = 20, rrfK: Int = 60, topK: Int = 10): DataFrame = {
+    val lex = TextAnalysis.bm25TopDocsIndexed(spark, textIndexPath,
+        nTerms = 1, minTermLen = minTermLen, k1 = k1, b = b, topK = poolK)
+      .select(col("doc_id"), col("rk").as("lex_rk"))
+    fuse(lex, denseRanks(embeddings, vidCol, vecCol, probeId, poolK),
+      rrfK, topK)
+  }
+
+  /** Dense ranking: one map-side scored corpus pass into the bounded
+    * heap ([[graft.functions.TopKAgg]]) — ≤ poolK rows per mapper cross
+    * the wire, never a global sort. Cosine rounded to 6 dp BEFORE
+    * ranking (the [[Similarity.batchTopK]] rule) so rank ties are
+    * decided on oracle-replayable values. */
+  private def denseRanks(embeddings: DataFrame, vidCol: String,
+      vecCol: String, probeId: Long, poolK: Int): DataFrame = {
+    val probe = broadcast(embeddings.filter(col(vidCol) === probeId)
+      .select(col(vecCol).as("probe_vec")))
+    embeddings.filter(col(vidCol) =!= probeId)
+      .crossJoin(probe)
+      .select(col(vidCol).cast("long").as("__nid"),
+        round(Similarity.cosine(col(vecCol), col("probe_vec")), 6).as("cos"))
+      .agg(graft.functions.SketchAggregates.topKAgg(
+        col("cos"), col("__nid"), poolK).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("vec_rk"))
+  }
+
+  private def fuse(lex: DataFrame, dense: DataFrame,
+      rrfK: Int, topK: Int): DataFrame = {
+    // both inputs are ≤ poolK rows by construction: the full-outer join
+    // is O(poolK) whatever strategy Spark picks, and the final order-by
+    // is a TakeOrdered on ≤ 2·poolK rows
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rk"), col("vec_rk"),
+        (coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("lex_rk").cast("double")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("vec_rk").cast("double")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick `topK` of the probe's `poolK` nearest
+    * neighbours, each step maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) (max over the empty
+    * selected set = 0, so step 1 picks the most relevant doc). Turns a
+    * redundant nearest-neighbour list into a diverse one — the standard
+    * rerank between retrieval and a context window / eval-set sample.
+    *
+    * Execution split: the CORPUS-sized work (relevance scoring, pool
+    * selection) is the one-pass bounded-heap scan; the pool's pairwise
+    * similarity is a self-join of a poolK-row frame (poolK² ≤ 400 rows
+    * here — bounded by contract, not by luck); only then does the
+    * inherently sequential greedy loop run on the driver over those
+    * bounded frames — the [[BpeTokenizer]] discipline: the driver touches
+    * vocab/pool-sized state only, never the corpus. rel and sim are
+    * 6-dp-rounded IN the engine before collection, so the driver loop's
+    * λ·rel − (1−λ)·maxSim arithmetic is plain IEEE ops on
+    * oracle-replayable operands and the whole greedy trace unrolls as
+    * chained CTEs (the [[ClassifierTrain]] oracle discipline).
+    *
+    * Output: (rk, doc_id, mmr) — selection order 1..topK.
+    */
+  def mmrRerank(embeddings: DataFrame, vidCol: String, vecCol: String,
+      probeId: Long, lambda: Double = 0.7, poolK: Int = 20,
+      topK: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    val probe = broadcast(embeddings.filter(col(vidCol) === probeId)
+      .select(col(vecCol).as("probe_vec")))
+    // pool: one corpus pass -> bounded heap -> poolK rows with vectors.
+    // The heap carries ids; vectors re-attach via a semi-join so heap
+    // state stays (score, id)-sized even for wide embeddings.
+    val scored = embeddings.filter(col(vidCol) =!= probeId)
+      .crossJoin(probe)
+      .select(col(vidCol).cast("long").as("doc_id"), col(vecCol).as("vec"),
+        round(Similarity.cosine(col(vecCol), col("probe_vec")), 6).as("rel"))
+    val poolIds = scored
+      .agg(graft.functions.SketchAggregates.topKAgg(
+        col("rel"), col("doc_id"), poolK).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.id").as("doc_id"))
+    val pool = scored.join(broadcast(poolIds), Seq("doc_id")) // poolK rows
+    // pairwise cosine within the pool: poolK² rows, engine-side so the
+    // 6-dp round is the same `round` the oracle replays
+    val a = pool.select(col("doc_id").as("a"), col("vec").as("va"))
+    val b = pool.select(col("doc_id").as("b"), col("vec").as("vb"))
+    val sims = a.join(b, col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("sim"))
+    val relRows = pool.select(col("doc_id"), col("rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap // poolK entries
+    val simRows = sims.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap // poolK²
+    // greedy selection over the bounded pool
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ relRows.keys
+    while (selected.length < topK && remaining.nonEmpty) {
+      // argmax of λ·rel − (1−λ)·maxSim, ties to the smallest id (the
+      // SortedSet iteration order + strict > keeps the first maximum)
+      var bestId = -1L
+      var bestScore = Double.NegativeInfinity
+      remaining.foreach { id =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map { case (s, _) => simRows((id, s)) }.max
+        val mmr = lambda * relRows(id) - (1.0 - lambda) * maxSim
+        if (mmr > bestScore) { bestScore = mmr; bestId = id }
+      }
+      selected += ((bestId, bestScore))
+      remaining -= bestId
+    }
+    val rows = selected.zipWithIndex.map { case ((id, s), i) =>
+      Row((i + 1).toLong, id, s)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField("rk", LongType, nullable = false),
+        StructField("doc_id", LongType, nullable = false),
+        StructField("mmr", DoubleType, nullable = false))))
+  }
+}

