@@ -6176,12 +6176,16 @@ object Queries {
 
   // --- retrieval fusion (EXTENSION §2.K: Retrieval.scala) -------------------
 
-  q("q_search_hybrid_rrf",
-    // reciprocal-rank fusion of the BM25 lexical ranking (probe term =
-    // highest-df term >= 6 chars over the corpus minus the probe doc)
-    // and the dense cosine ranking vs probe vec_id=0. Ranks are
-    // integers; the fused score is exactly two IEEE divisions added in
-    // fixed order, so it replays bit-identically with no rounding.
+  // reciprocal-rank fusion of the BM25 lexical ranking (probe term =
+  // highest-df term >= 6 chars over the corpus minus the probe doc)
+  // and the dense cosine ranking vs probe vec_id=0. Ranks are
+  // integers; the fused score is exactly two IEEE divisions added in
+  // fixed order, so it replays bit-identically with no rounding.
+  // Shared by the scan and indexed forms: the index is an execution
+  // layout, not a semantics change, so BOTH hash against the same
+  // full from-raw-documents replay — a stale or mis-bucketed index
+  // fails the indexed form's hash exactly as q_text_bm25_indexed does.
+  private val hybridRrfOracleSql: String =
     """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id <> 0),
       |toks AS (
       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
@@ -6218,9 +6222,31 @@ object Queries {
       |  coalesce(1.0::DOUBLE / (60.0::DOUBLE + lex_rk), 0.0::DOUBLE) +
       |  coalesce(1.0::DOUBLE / (60.0::DOUBLE + vec_rk), 0.0::DOUBLE) AS rrf
       |FROM lex l FULL OUTER JOIN vrank v ON l.doc_id = v.doc_id
-      |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
+  q("q_search_hybrid_rrf", hybridRrfOracleSql) { (s, d) =>
     graft.operators.Retrieval.hybridRrf(
         t(s, d, "documents"), "doc_id", "text",
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        probeId = 0L, minTermLen = 6, k1 = 1.2, b = 0.75,
+        poolK = 20, rrfK = 60, topK = 10)
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  /** Inverted index over corpus-minus-probe (the scan form's exclusion
+    * rule, baked in at build time): the lexical ranker becomes nTerms
+    * partition-pruned point lookups, which is what makes interactive
+    * fusion viable at corpus scale. */
+  private def hybridTextIndexPath(s: SparkSession, d: String): String =
+    annIndexPath(s, d, "hyb") { p =>
+      graft.operators.TextAnalysis.buildTextIndex(
+        t(s, d, "documents").filter(col("doc_id") =!= 0L),
+        "doc_id", "text", p, nBuckets = 64)
+    }
+
+  q("q_search_hybrid_rrf_indexed", hybridRrfOracleSql) { (s, d) =>
+    graft.operators.Retrieval.hybridRrfIndexed(
+        s, hybridTextIndexPath(s, d),
         t(s, d, "embeddings"), "vec_id", "embedding",
         probeId = 0L, minTermLen = 6, k1 = 1.2, b = 0.75,
         poolK = 20, rrfK = 60, topK = 10)
@@ -6278,6 +6304,68 @@ object Queries {
       .orderBy("rk")
   }
 
+  q("q_search_eval", {
+    // retrieval-quality audit: precision@10 + MRR of the lexical,
+    // IVF-approx, and RRF-fused rankings vs the EXACT dense top-10
+    // (the recall_report ground-truth convention). Every metric is
+    // integers + ONE IEEE division (hits/10, 1/first-hit-rank) — no
+    // float sums, no rounding, bit-exact across engines. The ivf and
+    // rrf rankings nest their registered oracles verbatim, so this
+    // audit inherits their full replays.
+    val brute =
+      """SELECT b.vec_id AS doc_id FROM embeddings b WHERE b.vec_id <> 0
+        |  ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) DESC, b.vec_id
+        |  LIMIT 10""".stripMargin
+    val lex =
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id <> 0),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+        |  FROM corpus),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |consts AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |probes AS (
+        |  SELECT term, df FROM dft WHERE length(term) >= 6
+        |  ORDER BY df DESC, term LIMIT 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (CAST(c.n_docs AS DOUBLE) - p.df + 0.5) / (CAST(p.df AS DOUBLE) + 0.5))
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 *
+        |         (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) *
+        |          (CAST(c.n_docs AS DOUBLE) / CAST(c.sum_dl AS DOUBLE)))) AS score
+        |  FROM tf JOIN probes p USING (term) JOIN dl USING (doc_id) CROSS JOIN consts c)
+        |SELECT doc_id, rk FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        |  FROM scored) WHERE rk <= 10""".stripMargin
+    s"""WITH brute AS ($brute),
+       |lexrk AS (SELECT doc_id, rk FROM ($lex)),
+       |ivfrk AS (
+       |  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rk
+       |  FROM ($ivfOracleSql)),
+       |rrfrk AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk
+       |  FROM ($hybridRrfOracleSql))
+       |SELECT CAST(10 AS INTEGER) AS k,
+       |  (SELECT count(*) FROM lexrk WHERE doc_id IN (SELECT doc_id FROM brute)) AS hits_lex,
+       |  (SELECT count(*) FROM lexrk WHERE doc_id IN (SELECT doc_id FROM brute))::DOUBLE / 10.0::DOUBLE AS prec_lex,
+       |  coalesce(1.0::DOUBLE / (SELECT min(rk) FROM lexrk WHERE doc_id IN (SELECT doc_id FROM brute)), 0.0::DOUBLE) AS mrr_lex,
+       |  (SELECT count(*) FROM ivfrk WHERE doc_id IN (SELECT doc_id FROM brute)) AS hits_ivf,
+       |  (SELECT count(*) FROM ivfrk WHERE doc_id IN (SELECT doc_id FROM brute))::DOUBLE / 10.0::DOUBLE AS prec_ivf,
+       |  coalesce(1.0::DOUBLE / (SELECT min(rk) FROM ivfrk WHERE doc_id IN (SELECT doc_id FROM brute)), 0.0::DOUBLE) AS mrr_ivf,
+       |  (SELECT count(*) FROM rrfrk WHERE doc_id IN (SELECT doc_id FROM brute)) AS hits_rrf,
+       |  (SELECT count(*) FROM rrfrk WHERE doc_id IN (SELECT doc_id FROM brute))::DOUBLE / 10.0::DOUBLE AS prec_rrf,
+       |  coalesce(1.0::DOUBLE / (SELECT min(rk) FROM rrfrk WHERE doc_id IN (SELECT doc_id FROM brute)), 0.0::DOUBLE) AS mrr_rrf""".stripMargin
+  }) { (s, d) =>
+    graft.operators.Retrieval.searchEval(
+        t(s, d, "documents"), "doc_id", "text",
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        probeId = 0L, centroids = ivfCentroids(s, d), nprobe = 2,
+        minTermLen = 6, k1 = 1.2, b = 0.75, poolK = 20, rrfK = 60, k = 10)
+  }
+
   // --------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = registry.map { case (k, (f, _)) => k -> f }.toMap
@@ -6321,6 +6409,7 @@ object Queries {
     "q_join_bucketed" -> Seq("bkt_tables"),
     "q_text_bm25_indexed" -> Seq("txt_index"),
     "q_text_bm25_index_build" -> Seq("txt_index"),
+    "q_search_hybrid_rrf_indexed" -> Seq("hyb_index"),
     "q_text_bm25_index_refresh" -> Seq("txt_refresh_index"),
     "q_text_bm25_index_deleted" -> Seq("txt_delete_index"),
     "q_sim_lsh_index_refresh" -> Seq("lsh_refresh_index"),
@@ -6351,6 +6440,7 @@ object Queries {
     "orders_part" -> ((s, d) => { partitionedOrdersPath(s, d); () }),
     "bkt_tables" -> ((s, d) => { bucketedOrdersCustomer(s, d); () }),
     "txt_index" -> ((s, d) => { textIndexPath(s, d); () }),
+    "hyb_index" -> ((s, d) => { hybridTextIndexPath(s, d); () }),
     "txt_refresh_index" -> ((s, d) => { textRefreshIndexPath(s, d); () }),
     "txt_delete_index" -> ((s, d) => { textDeleteIndexPath(s, d); () }),
     "lsh_refresh_index" -> ((s, d) => { lshRefreshPath(s, d); () }),

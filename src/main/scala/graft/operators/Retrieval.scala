@@ -112,6 +112,68 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Retrieval-quality audit for the fusion path — the
+    * [[Similarity]] recall-report discipline extended with rank-aware
+    * metrics: precision@k and MRR of (a) the lexical BM25 ranking,
+    * (b) the IVF-probed approximate dense ranking, and (c) the RRF
+    * fusion, each against the EXACT dense top-k as ground truth (the
+    * standard proxy when no human labels exist; same convention as
+    * q_sim_recall_report). One row out — the number the pipeline
+    * owner watches per round to catch ranker/index drift.
+    *
+    * Metric arithmetic is oracle-replayable by construction: hits and
+    * ranks are integers, precision = hits/k and MRR = 1/first-hit-rank
+    * are each ONE IEEE division of an integer — no sums of floats, no
+    * rounding needed. (nDCG was deliberately left out: its Σ 1/log2(i+1)
+    * sums ULP-drift across engines and accumulation orders; with k
+    * graded by the same cosine both sides, prec@k + MRR carry the same
+    * signal without the unreplayable log sums.)
+    *
+    * Scale shape: each ranking is its own one-pass bounded plan (see
+    * [[hybridRrf]]); ranks attach via a window over the ≤ k-row frames
+    * (never the corpus) and the metric joins touch ≤ k rows each.
+    */
+  def searchEval(docs: DataFrame, idCol: String, textCol: String,
+      embeddings: DataFrame, vidCol: String, vecCol: String,
+      probeId: Long, centroids: Seq[Array[Float]], nprobe: Int = 2,
+      minTermLen: Int = 6, k1: Double = 1.2, b: Double = 0.75,
+      poolK: Int = 20, rrfK: Int = 60, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probe: Array[Float] = embeddings.filter(col(vidCol) === probeId)
+      .select(vecCol).head().getSeq[Float](0).toArray // one row by contract
+    val corpus = embeddings.filter(col(vidCol) =!= probeId)
+    val ideal = Similarity.bruteForceTopK(corpus, vidCol, vecCol, probe, k)
+      .select(col(vidCol).cast("long").as("doc_id"))
+    val kRows = Window.orderBy(col("cos").desc, col("doc_id"))
+    val lex = TextAnalysis.bm25TopDocs(
+        docs.filter(col(idCol) =!= probeId), idCol, textCol,
+        nTerms = 1, minTermLen = minTermLen, k1 = k1, b = b, topK = k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"))
+    val ivf = Similarity.ivfTopK(corpus, vidCol, vecCol, centroids,
+        probe, k, nprobe)
+      .select(col(vidCol).cast("long").as("doc_id"), col("cos"))
+      .withColumn("rk", row_number().over(kRows).cast("long"))
+      .select("doc_id", "rk")
+    val fused = hybridRrf(docs, idCol, textCol, embeddings, vidCol, vecCol,
+        probeId, minTermLen, k1, b, poolK, rrfK, topK = k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rk")
+    def metrics(ranked: DataFrame, name: String): DataFrame =
+      ranked.join(ideal, Seq("doc_id"), "leftsemi")
+        .agg(count(lit(1)).as(s"hits_$name"), min(col("rk")).as("__first"))
+        .select(col(s"hits_$name"),
+          (col(s"hits_$name") / lit(k.toDouble)).as(s"prec_$name"),
+          coalesce(lit(1.0) / col("__first"), lit(0.0)).as(s"mrr_$name"))
+    metrics(lex, "lex")
+      .crossJoin(metrics(ivf, "ivf"))
+      .crossJoin(metrics(fused, "rrf"))
+      .select(lit(k).as("k"),
+        col("hits_lex"), col("prec_lex"), col("mrr_lex"),
+        col("hits_ivf"), col("prec_ivf"), col("mrr_ivf"),
+        col("hits_rrf"), col("prec_rrf"), col("mrr_rrf"))
+  }
+
   /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
     * 1998): greedily pick `topK` of the probe's `poolK` nearest
     * neighbours, each step maximizing

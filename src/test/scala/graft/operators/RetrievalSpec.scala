@@ -59,6 +59,50 @@ class RetrievalSpec extends SparkTestBase {
     assert(scan.toSeq == indexed.toSeq)
   }
 
+  test("searchEval: hits/precision/MRR match an independent re-derivation " +
+      "from the component rankings (zero-hit branch live for lexical)") {
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    val out = Retrieval.searchEval(docs, "doc_id", "text",
+      emb, "vec_id", "embedding", probeId = 0L, centroids = centroids,
+      nprobe = 2, poolK = 20, rrfK = 60, k = 10).head()
+    val probe = emb.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val ideal = Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", probe, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    // independent metric re-derivation per ranking (ordered id lists)
+    def expect(ranked: Seq[Long]): (Long, Double, Double) = {
+      val hits = ranked.count(ideal)
+      val first = ranked.zipWithIndex.collectFirst {
+        case (id, i) if ideal(id) => i + 1 }
+      (hits.toLong, hits / 10.0, first.map(1.0 / _).getOrElse(0.0))
+    }
+    val lexIds = TextAnalysis.bm25TopDocs(
+        docs.filter(col("doc_id") =!= 0L), "doc_id", "text",
+        nTerms = 1, minTermLen = 6, topK = 10)
+      .orderBy("rk").collect().map(_.getAs[Long]("doc_id")).toSeq
+    val ivfIds = Similarity.ivfTopK(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", centroids, probe, k = 10, nprobe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val rrfIds = Retrieval.hybridRrf(docs, "doc_id", "text",
+        emb, "vec_id", "embedding", probeId = 0L, poolK = 20, topK = 10)
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    for ((name, ids) <- Seq("lex" -> lexIds, "ivf" -> ivfIds, "rrf" -> rrfIds)) {
+      val (hits, prec, mrr) = expect(ids)
+      assert(out.getAs[Long](s"hits_$name") == hits, s"hits_$name")
+      assert(out.getAs[Double](s"prec_$name") == prec, s"prec_$name")
+      assert(out.getAs[Double](s"mrr_$name") == mrr, s"mrr_$name")
+    }
+    // fixture property this audit exists to surface: the synthetic
+    // embeddings are NOT text-derived, so lexical and dense disagree
+    // completely — which also keeps the zero-hit MRR branch live
+    assert(out.getAs[Long]("hits_lex") == 0L)
+    assert(out.getAs[Double]("mrr_lex") == 0.0)
+    assert(out.getAs[Long]("hits_ivf") > 0L)
+  }
+
   test("mmrRerank: step 1 is the nearest neighbour; later steps trade " +
       "relevance for diversity") {
     val out = Retrieval.mmrRerank(emb, "vec_id", "embedding",
