@@ -1147,6 +1147,161 @@ object Queries {
         .as("revenue"))
   }
 
+  // The fixture carries no l_commitdate/l_receiptdate/l_shipmode/c_phone
+  // and no partsupp table, so the Q4/Q12/Q13/Q21/Q22 SHAPES below keep
+  // their decorrelation structure (EXISTS semi, NOT EXISTS anti,
+  // conditional case-sums, left-join histogram, scalar-avg subquery)
+  // with lateness re-expressed as shipdate-vs-orderdate and country
+  // code as a nationkey residue. The Catalyst paths exercised —
+  // ExistenceJoin rewrite, null-aware anti, outer-join aggregation —
+  // are the point, not the literal TPC-H constants.
+
+  q("q_tpch4",
+    // order-priority checking (Q4 shape): correlated EXISTS — at least
+    // one line shipped > 30 days after the order date. Catalyst must
+    // decorrelate to a left-semi with the datediff predicate in the
+    // join condition, never a per-order subquery
+    """SELECT o.o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND date_diff('day', o.o_orderdate, l.l_shipdate) > 30)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val o = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val l = t(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        datediff(l("l_shipdate"), o("o_orderdate")) > 30, "leftsemi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  q("q_tpch12",
+    // shipping-mode priority split (Q12 shape): one join feeding two
+    // conditional counts — map-side partial aggregation of both sums in
+    // a single pass, returnflag standing in for shipmode
+    """SELECT l.l_returnflag,
+      |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val o = t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+    val l = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  q("q_tpch13",
+    // customer order-count distribution (Q13 shape): LEFT join with the
+    // filter INSIDE the join condition (a WHERE would drop the
+    // zero-order customers the histogram exists to count), then a
+    // second aggregation over the first's output
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |    AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      |  GROUP BY c.c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer").select("c_custkey")
+    val o = t(s, d, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    c.join(o, c("c_custkey") === o("o_custkey") &&
+        o("o_orderpriority") =!= "4-NOT SPECIFIED", "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  q("q_tpch21",
+    // waiting-supplier (Q21 shape): the inventory's heaviest
+    // decorrelation — EXISTS (another supplier on the order) AND NOT
+    // EXISTS (another supplier shipped later): l1 is the order's
+    // LAST-shipping line and the order is genuinely multi-supplier.
+    // Catalyst plans semi + anti joins on the same key; the anti's
+    // extra inequality rides in the join condition
+    """SELECT s.s_name, count(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE o.o_orderstatus = 'F' AND n.n_nationkey < 13
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    val l1 = li.as("l1"); val l2 = li.as("l2"); val l3 = li.as("l3")
+    val waited = l1
+      .join(l2, col("l1.l_orderkey") === col("l2.l_orderkey") &&
+        col("l1.l_suppkey") =!= col("l2.l_suppkey"), "leftsemi")
+      .join(l3, col("l1.l_orderkey") === col("l3.l_orderkey") &&
+        col("l1.l_suppkey") =!= col("l3.l_suppkey") &&
+        col("l3.l_shipdate") > col("l1.l_shipdate"), "leftanti")
+    val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+      .select("o_orderkey")
+    val sup = t(s, d, "supplier")
+    val n = t(s, d, "nation").filter(col("n_nationkey") < 13)
+    waited.join(o, col("l1.l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), col("l1.l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  q("q_tpch22",
+    // lapsed high-balance customers (Q22 shape): scalar AVG subquery as
+    // the threshold (2-dp bridge-rounded so the engines' summation
+    // orders cannot flip a boundary customer) + NOT EXISTS recent
+    // orders as a null-free anti join; country code = nationkey mod 5
+    """WITH avgbal AS (
+      |  SELECT round(avg(c_acctbal), 2) AS a FROM customer
+      |  WHERE c_acctbal > 0.0 AND c_nationkey % 5 IN (0, 1, 2))
+      |SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal FROM (
+      |  SELECT c.c_nationkey % 5 AS cntrycode, c.c_acctbal
+      |  FROM customer c
+      |  WHERE c.c_nationkey % 5 IN (0, 1, 2)
+      |    AND c.c_acctbal > (SELECT a FROM avgbal)
+      |    AND NOT EXISTS (SELECT 1 FROM orders o
+      |                    WHERE o.o_custkey = c.c_custkey
+      |                      AND o.o_orderdate >= TIMESTAMP '1999-01-01'))
+      |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer")
+      .filter((col("c_nationkey") % 5).isin(0, 1, 2))
+    val avgbal = c.filter(col("c_acctbal") > 0.0)
+      .agg(round(avg(col("c_acctbal")), 2).as("__avgbal"))
+    val recent = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select("o_custkey")
+    c.crossJoin(broadcast(avgbal)) // one-row scalar broadcast
+      .filter(col("c_acctbal") > col("__avgbal"))
+      .join(recent, col("c_custkey") === recent("o_custkey"), "leftanti")
+      .select((col("c_nationkey") % 5).as("cntrycode"), col("c_acctbal"))
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
   q("q_fn_bitwise",
     """SELECT o_orderkey,
       |  o_orderkey & 255 AS band,

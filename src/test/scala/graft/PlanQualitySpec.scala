@@ -710,4 +710,48 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected the TopKAgg object-hash aggregate:\n$p")
   }
 
+  test("q_tpch21 decorrelates to semi + anti equi-joins on the order key — " +
+      "no nested loop over the lineitem self-join (r8)") {
+    val p = plan("q_tpch21")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
+    // the inequality (suppkey <>, shipdate >) must ride the equi-join's
+    // condition, never force a nested-loop pair scan
+    assert(!p.contains("CartesianProduct"), s"pair scan leaked:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"self-join fell back to nested loop:\n$p")
+  }
+
+  test("q_tpch4's correlated EXISTS is a semi join with the lateness " +
+      "predicate in the condition — orders scan prunes to 3 columns (r8)") {
+    val p = plan("q_tpch4")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"decorrelation failed:\n$p")
+    assert(!p.contains("o_totalprice"), "orders column pruning failed")
+  }
+
+  test("q_tpch22: one-row avg broadcasts as the scalar threshold; recent " +
+      "orders anti-join on the customer key (r8)") {
+    val p = plan("q_tpch22")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the one-row avg should broadcast, not shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"scalar join degenerated:\n$p")
+  }
+
+  test("q_search_hybrid_rrf: both rankers heap-aggregate; the dense probe " +
+      "broadcasts; no window over anything corpus-sized (r8)") {
+    val p = plan("q_search_hybrid_rrf")
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected the TopKAgg bounded heap on the dense side:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"probe vector / probe term should broadcast:\n$p")
+    // the only Window is none at all: ranks come from heap positions
+    assert(!p.contains("Window"),
+      s"corpus-sized window leaked into the fusion plan:\n$p")
+  }
+
 }
