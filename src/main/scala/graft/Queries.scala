@@ -1704,6 +1704,72 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  // --- privacy / disclosure-risk audits (EXT §2.K: Privacy.scala) ----------
+  // q_redact enforces the MASKING half of the reference's sensitivity
+  // metadata (meta.py:211-220); these audit the unmasked remainder.
+
+  q("q_privacy_kanon",
+    // k-anonymity audit (k=5): quasi-identifier classes (nation, segment,
+    // 2000-wide acctbal band) small enough to re-identify. All-integer
+    // output; floor(c_acctbal/2000) is the same IEEE division+floor in
+    // both engines (negative balances land in the -2000 band identically)
+    """SELECT c_nationkey, c_mktsegment,
+      |  CAST(floor(c_acctbal / 2000) * 2000 AS BIGINT) AS acctbal_band,
+      |  count(*) AS n
+      |FROM customer
+      |GROUP BY 1, 2, 3 HAVING count(*) < 5
+      |ORDER BY n, c_nationkey, c_mktsegment, acctbal_band""".stripMargin) { (s, d) =>
+    graft.operators.Privacy.kAnonymityAudit(
+      t(s, d, "customer").withColumn("acctbal_band",
+        (floor(col("c_acctbal") / 2000) * 2000).cast("long"))
+        .select("c_nationkey", "c_mktsegment", "acctbal_band"),
+      Seq("c_nationkey", "c_mktsegment", "acctbal_band"), k = 5)
+  }
+
+  q("q_privacy_ldiv",
+    // l-diversity audit (l=4) over the joined sensitive attribute: QI
+    // classes whose members' order priorities take < 4 distinct values —
+    // membership alone leaks the sensitive column there, even where
+    // k-anonymity holds
+    """SELECT c_nationkey, c_mktsegment,
+      |  CAST(floor(c_acctbal / 2000) * 2000 AS BIGINT) AS acctbal_band,
+      |  count(DISTINCT o_orderpriority) AS distinct_sensitive, count(*) AS n
+      |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY 1, 2, 3 HAVING count(DISTINCT o_orderpriority) < 4
+      |ORDER BY distinct_sensitive, n, c_nationkey, c_mktsegment, acctbal_band""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer").withColumn("acctbal_band",
+      (floor(col("c_acctbal") / 2000) * 2000).cast("long"))
+    graft.operators.Privacy.lDiversityAudit(
+      c.join(t(s, d, "orders"), c("c_custkey") === col("o_custkey"))
+        .select("c_nationkey", "c_mktsegment", "acctbal_band",
+          "o_orderpriority"),
+      Seq("c_nationkey", "c_mktsegment", "acctbal_band"),
+      sensitive = "o_orderpriority", l = 4)
+  }
+
+  q("q_privacy_ladder",
+    // generalization ladder: ONE pass evaluating every candidate acctbal
+    // bucket width; per width the class count, k=5 violations, smallest
+    // class, and row mass needing suppression — the table a data owner
+    // reads to pick the cheapest anonymizing width (500 here: 0
+    // violations where width=100 suppresses 1083 rows at sf0.01)
+    """WITH classes AS (
+      |  SELECT w.width, c.c_mktsegment,
+      |    CAST(floor(c.c_acctbal / w.width) * w.width AS BIGINT) AS bucket,
+      |    count(*) AS n
+      |  FROM customer c CROSS JOIN (SELECT unnest([100::BIGINT, 500::BIGINT, 2500::BIGINT, 12500::BIGINT]) AS width) w
+      |  GROUP BY 1, 2, 3)
+      |SELECT width, count(*) AS classes,
+      |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS violating_classes,
+      |  min(n) AS min_class,
+      |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS suppressed_rows
+      |FROM classes GROUP BY width ORDER BY width""".stripMargin) { (s, d) =>
+    graft.operators.Privacy.generalizationLadder(
+      t(s, d, "customer").select("c_mktsegment", "c_acctbal"),
+      Seq("c_mktsegment"), numCol = "c_acctbal",
+      widths = Seq(100L, 500L, 2500L, 12500L), k = 5)
+  }
+
   // catalog-shape query: cross-table type alignment over inferred schemas
   // (meta.py:878-916 semantics over the fixture warehouse). The oracle
   // replays it with DuckDB's own schema introspection (DESCRIBE on the
