@@ -1154,7 +1154,13 @@ object Queries {
   // with lateness re-expressed as shipdate-vs-orderdate and country
   // code as a nationkey residue. The Catalyst paths exercised —
   // ExistenceJoin rewrite, null-aware anti, outer-join aggregation —
-  // are the point, not the literal TPC-H constants.
+  // are the point, not the literal TPC-H constants. The r8 batch below
+  // (Q2/6/7/8/9/11/15/16/17/20 shapes) completes all 22: partsupp-based
+  // predicates re-express over lineitem's (partkey, suppkey) pairs, and
+  // ps_supplycost as a retailprice fraction. Comparisons that gate rows
+  // (Q11 HAVING, Q15 max, Q17/Q20 correlated thresholds) run in exact
+  // DECIMAL with integer scaling instead of division, so no float
+  // boundary can flip membership between the engines.
 
   q("q_tpch4",
     // order-priority checking (Q4 shape): correlated EXISTS — at least
@@ -1300,6 +1306,421 @@ object Queries {
       .agg(count(lit(1)).as("numcust"),
         round(sum(col("c_acctbal")), 2).as("totacctbal"))
       .orderBy("cntrycode")
+  }
+
+  q("q_tpch6",
+    // forecast-revenue change (Q6): the pure scan-side query — every
+    // predicate pushes to the parquet reader, the aggregate is one
+    // map-side partial + one-row final. Sum runs in DECIMAL (exact
+    // under any accumulation order); the discount band compares the
+    // stored doubles against the same parsed literals in both engines
+    """SELECT cast(round(sum(cast(l_extendedprice AS DECIMAL(18,2))
+      |                      * cast(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")), 2)
+        .cast("double").as("revenue"))
+  }
+
+  q("q_tpch7",
+    // volume shipping (Q7): the symmetric nation-pair join — both
+    // directions of (supp_nation, cust_nation) ride ONE plan with the
+    // disjunctive pair predicate evaluated after the two broadcast
+    // nation joins; revenue per (pair, ship year)
+    """SELECT supp_nation, cust_nation, l_year,
+      |       cast(round(sum(volume), 2) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         year(l.l_shipdate) AS l_year,
+      |         cast(l.l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - cast(l.l_discount AS DECIMAL(18,2))) AS volume
+      |  FROM supplier s
+      |  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l.l_shipdate < TIMESTAMP '1998-01-01')
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+    val l = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val o = t(s, d, "orders").select("o_orderkey", "o_custkey")
+    val c = t(s, d, "customer").select("c_custkey", "c_nationkey")
+    val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+    val n1 = t(s, d, "nation")
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = t(s, d, "nation")
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n1), sup("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), c("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2)
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  q("q_tpch8",
+    // national market share (Q8): one nation's share of a region's
+    // import volume per order year — the conditional-sum-over-sum ratio
+    // computed inside ONE aggregation pass over the 7-way star join
+    // (both sums in exact DECIMAL, divided once as doubles at the end)
+    """SELECT o_year,
+      |  round(cast(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |        / cast(sum(volume) AS DOUBLE), 6) AS mkt_share
+      |FROM (
+      |  SELECT year(o.o_orderdate) AS o_year,
+      |         cast(l.l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - cast(l.l_discount AS DECIMAL(18,2))) AS volume,
+      |         n2.n_name AS nation
+      |  FROM part p
+      |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+      |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |  WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY')
+      |GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, d) =>
+    val p = t(s, d, "part").filter(col("p_type") === "ECONOMY")
+      .select("p_partkey")
+    val l = t(s, d, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount")
+    val o = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    val c = t(s, d, "customer").select("c_custkey", "c_nationkey")
+    val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+    val n1 = t(s, d, "nation")
+      .select(col("n_nationkey").as("n1_key"), col("n_regionkey"))
+    val n2 = t(s, d, "nation")
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("nation"))
+    val r = t(s, d, "region").filter(col("r_name") === "EUROPE")
+    val vol = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("volume")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n1), c("c_nationkey") === col("n1_key"))
+      .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+      .join(broadcast(n2), sup("s_nationkey") === col("n2_key"))
+      .select(year(col("o_orderdate")).as("o_year"), vol, col("nation"))
+      .groupBy("o_year")
+      .agg(round(
+        sum(when(col("nation") === "NATION_3", col("volume"))
+          .otherwise(lit("0.00").cast("decimal(18,2)"))).cast("double") /
+          sum(col("volume")).cast("double"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  q("q_tpch9",
+    // product-type profit (Q9 shape): profit per supplier nation × order
+    // year over the '%bolt%' part family; ps_supplycost (no partsupp in
+    // the fixture) re-expressed as a fixed retail-price fraction, rounded
+    // to cents BEFORE the decimal bridge so the per-unit cost is the
+    // identical exact decimal in both engines
+    """SELECT nation, o_year, cast(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+      |    cast(l.l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l.l_discount AS DECIMAL(18,2)))
+      |      - cast(round(p.p_retailprice * 0.1, 2) AS DECIMAL(18,2)) * cast(l.l_quantity AS DECIMAL(18,2)) AS amount
+      |  FROM part p
+      |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  WHERE p.p_name LIKE '%bolt%')
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin) { (s, d) =>
+    val p = t(s, d, "part").filter(col("p_name").like("%bolt%"))
+      .select("p_partkey", "p_retailprice")
+    val l = t(s, d, "lineitem")
+    val o = t(s, d, "orders").select("o_orderkey", "o_orderdate")
+    val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+    val n = t(s, d, "nation")
+    val amount =
+      (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))) -
+      (round(col("p_retailprice") * 0.1, 2).cast("decimal(18,2)") *
+        col("l_quantity").cast("decimal(18,2)"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .select(n("n_name").as("nation"), year(o("o_orderdate")).as("o_year"),
+        amount.as("amount"))
+      .groupBy("nation", "o_year")
+      .agg(round(sum(col("amount")), 2).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  q("q_tpch2",
+    // min-cost supplier (Q2 shape): the correlated scalar-MIN subquery —
+    // for each size-15 part, the EUROPE suppliers whose line price equals
+    // the part's EUROPE-wide minimum. Catalyst decorrelates to a
+    // per-part min aggregate joined back on (partkey, price-equality);
+    // equality is between stored doubles (min returns a member of the
+    // set), so no rounding can split the engines. DISTINCT because one
+    // (part, supplier) pair can hit the minimum on several lines
+    """SELECT DISTINCT p.p_partkey, p.p_brand, s.s_name,
+      |       l.l_extendedprice AS price
+      |FROM part p
+      |JOIN lineitem l ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+      |  AND l.l_extendedprice = (
+      |    SELECT min(l2.l_extendedprice)
+      |    FROM lineitem l2
+      |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY p_partkey, s_name""".stripMargin) { (s, d) =>
+    val p = t(s, d, "part").filter(col("p_size") === 15)
+      .select("p_partkey", "p_brand")
+    val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey", "s_name")
+    val n = t(s, d, "nation").select("n_nationkey", "n_regionkey")
+    val r = t(s, d, "region").filter(col("r_name") === "EUROPE")
+      .select("r_regionkey")
+    // one shared EUROPE-restricted line view; the min aggregates it per
+    // part, the outer joins back on price equality — the decorrelated plan
+    def euroLines = t(s, d, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val minp = euroLines.groupBy(col("l_partkey").as("mp_partkey"))
+      .agg(min("l_extendedprice").as("min_price"))
+    euroLines
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(minp, col("p_partkey") === col("mp_partkey") &&
+        col("l_extendedprice") === col("min_price"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"),
+        col("l_extendedprice").as("price"))
+      .distinct()
+      .orderBy("p_partkey", "s_name")
+  }
+
+  q("q_tpch11",
+    // important-stock (Q11 shape, partsupp value re-expressed as shipped
+    // line value from ASIA suppliers): per-part value sums kept only when
+    // above 1/1000 of the REGION TOTAL — the scalar-aggregate HAVING.
+    // The threshold compares exact decimals via integer scaling
+    // (sum*1000 > total), never a divided float
+    """WITH v AS (
+      |  SELECT l.l_partkey AS partkey,
+      |         cast(l.l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - cast(l.l_discount AS DECIMAL(18,2))) AS val
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  WHERE r.r_name = 'ASIA')
+      |SELECT partkey, cast(round(sum(val), 2) AS DOUBLE) AS part_value
+      |FROM v GROUP BY partkey
+      |HAVING sum(val) * 1000 > (SELECT sum(val) FROM v)
+      |ORDER BY part_value DESC, partkey""".stripMargin) { (s, d) =>
+    val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+    val n = t(s, d, "nation").select("n_nationkey", "n_regionkey")
+    val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+      .select("r_regionkey")
+    val v = t(s, d, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("l_partkey").as("partkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("val"))
+    // v feeds both the total and the per-part sums inside ONE plan —
+    // identical subtrees, so AQE reuses the exchange rather than
+    // rescanning; no persist (a cached block here would leak across a
+    // long-lived session, the ClassifierTrain lesson)
+    val total = v.agg(sum("val").as("__total"))
+    val out = v.groupBy("partkey").agg(sum("val").as("sval"))
+      .crossJoin(broadcast(total)) // one-row scalar broadcast
+      .filter(col("sval") * 1000 > col("__total"))
+      .select(col("partkey"), round(col("sval"), 2).cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("partkey"))
+    out
+  }
+
+  q("q_tpch15",
+    // top supplier (Q15): revenue view over one quarter, suppliers whose
+    // revenue EQUALS the view's max — the scalar-max-over-aggregate
+    // shape; equality is between exact decimal sums, so ties (the reason
+    // Q15 is specified with = not LIMIT 1) surface identically
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         sum(cast(l_extendedprice AS DECIMAL(18,2))
+      |             * (1 - cast(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name,
+      |       cast(round(r.total_revenue, 2) AS DOUBLE) AS total_revenue
+      |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val rev = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("total_revenue"))
+    // rev feeds the max and the equality probe in ONE plan (identical
+    // agg subtrees -> exchange reuse); persist would leak cached blocks
+    val mx = rev.agg(max("total_revenue").as("__max_rev"))
+    rev.crossJoin(broadcast(mx)) // one-row scalar broadcast
+      .filter(col("total_revenue") === col("__max_rev"))
+      .join(t(s, d, "supplier"), col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total_revenue"), 2).cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  q("q_tpch16",
+    // parts/supplier relationship (Q16 shape over lineitem pairs): count
+    // DISTINCT suppliers per (brand, type, size) bucket, excluding
+    // negative-balance suppliers via NOT IN — the null-free anti join —
+    // with the IN-list size filter pushed to the part scan
+    """SELECT p.p_brand, p.p_type, p.p_size,
+      |       count(DISTINCT l.l_suppkey) AS supplier_cnt
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand <> 'Brand#45'
+      |  AND p.p_type NOT IN ('PROMO', 'LARGE')
+      |  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |  AND l.l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p.p_brand, p.p_type, p.p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+    val p = t(s, d, "part")
+      .filter(col("p_brand") =!= "Brand#45" &&
+        !col("p_type").isin("PROMO", "LARGE") &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val bad = t(s, d, "supplier").filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey").as("bad_suppkey"))
+    t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("bad_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  q("q_tpch17",
+    // small-quantity-order revenue (Q17): the correlated scalar-AVG
+    // threshold — lines under 20% of their part's mean quantity. The
+    // comparison clears denominators (qty*5*count < sum) so it runs in
+    // exact integer-valued decimals; only the final /7.0 is float
+    """SELECT round(cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#23' AND p.p_type = 'MEDIUM'
+      |  AND cast(l.l_quantity AS DECIMAL(18,2)) * 5
+      |      * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+      |    < (SELECT sum(cast(l3.l_quantity AS DECIMAL(18,2)))
+      |       FROM lineitem l3 WHERE l3.l_partkey = p.p_partkey)""".stripMargin) { (s, d) =>
+    val p = t(s, d, "part")
+      .filter(col("p_brand") === "Brand#23" && col("p_type") === "MEDIUM")
+      .select("p_partkey")
+    val perPart = t(s, d, "lineitem")
+      .groupBy(col("l_partkey").as("pp_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+    t(s, d, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("p_partkey") === col("pp_partkey"))
+      .filter(col("l_quantity").cast("decimal(18,2)") * 5 * col("cnt")
+        < col("sum_qty"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double") / 7.0, 2).as("avg_yearly"))
+  }
+
+  q("q_tpch20",
+    // potential-promotion suppliers (Q20 shape): the nested-IN chain —
+    // suppliers (regions 1-3) whose 1997 shipped quantity of some 'small%'
+    // part exceeds TWICE the mean per-supplier quantity of that part
+    // (sq·npairs > 2·total — denominators cleared so the comparison is
+    // exact integer-valued decimals, and the 2×-mean criterion keeps a
+    // stable ~3% tail at EVERY sf, unlike a fixed volume share that
+    // dilutes as suppliers-per-part grows). partsupp availability
+    // becomes the (suppkey, partkey) pair aggregate; the correlated
+    // threshold is an aggregate OVER the grouped subquery — Catalyst
+    // plans semi(semi(agg join agg)) with no per-row subquery
+    """SELECT s.s_name, s.s_suppkey
+      |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE n.n_regionkey IN (1, 2, 3)
+      |  AND s.s_suppkey IN (
+      |    SELECT sp.l_suppkey FROM (
+      |      SELECT l.l_suppkey, l.l_partkey,
+      |             sum(cast(l.l_quantity AS DECIMAL(18,2))) AS sq
+      |      FROM lineitem l
+      |      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      |        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      |        AND l.l_partkey IN (
+      |          SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      |      GROUP BY l.l_suppkey, l.l_partkey) sp
+      |    JOIN (
+      |      SELECT l_partkey, sum(sq2) AS tq, count(*) AS np FROM (
+      |        SELECT l.l_partkey, l.l_suppkey,
+      |               sum(cast(l.l_quantity AS DECIMAL(18,2))) AS sq2
+      |        FROM lineitem l
+      |        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      |          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      |          AND l.l_partkey IN (
+      |            SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      |        GROUP BY 1, 2)
+      |      GROUP BY l_partkey) tot ON sp.l_partkey = tot.l_partkey
+      |    WHERE sp.sq * tot.np > 2 * tot.tq)
+      |ORDER BY s_name, s_suppkey""".stripMargin) { (s, d) =>
+    val smallParts = t(s, d, "part").filter(col("p_name").like("small%"))
+      .select("p_partkey")
+    val pairs = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+    // aggregate OF the pair aggregate — both consumers share the identical
+    // pair subtree inside one plan, so the shuffle is reused, not recomputed
+    val totals = pairs
+      .groupBy(col("l_partkey").as("tp_partkey"))
+      .agg(sum(col("sq")).as("tq"), count(lit(1)).as("np"))
+    val qualifying = pairs
+      .join(totals, col("l_partkey") === col("tp_partkey"))
+      .filter(col("sq") * col("np") > col("tq") * 2)
+      .select(col("l_suppkey").as("q_suppkey")).distinct()
+    val n = t(s, d, "nation").filter(col("n_regionkey").isin(1, 2, 3))
+      .select("n_nationkey")
+    t(s, d, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .join(qualifying, col("s_suppkey") === col("q_suppkey"), "left_semi")
+      .select("s_name", "s_suppkey")
+      .orderBy("s_name", "s_suppkey")
   }
 
   q("q_fn_bitwise",

@@ -741,6 +741,42 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"scalar join degenerated:\n$p")
   }
 
+  test("q_tpch2: the correlated scalar MIN decorrelates to a per-part " +
+      "aggregate joined back on price equality — no window, no pair scan (r8)") {
+    val p = plan("q_tpch2")
+    assert(!p.contains("Window"),
+      s"per-part min must be an aggregate, not a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"decorrelation failed:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the dim joins (supplier/nation/region/part) should broadcast:\n$p")
+  }
+
+  test("q_tpch16: NOT IN over non-null supplier keys plans as a broadcast " +
+      "anti join; distinct suppliers via two-phase aggregate, no window (r8)") {
+    val p = plan("q_tpch16")
+    assert(p.contains("LeftAnti"), s"NOT IN must plan as an anti join:\n$p")
+    assert(!p.contains("Window"), s"count-distinct must not window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pair scan leaked:\n$p")
+  }
+
+  test("q_tpch17: the correlated avg threshold joins the per-part " +
+      "aggregate — exact decimal compare, no division, no window (r8)") {
+    val p = plan("q_tpch17")
+    assert(!p.contains("Window"), s"threshold must come from an agg join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"decorrelation failed:\n$p")
+  }
+
+  test("q_tpch20: the nested-IN chain is semi joins end to end — the pair " +
+      "aggregate feeds probe and mean without a cartesian (r8)") {
+    val p = plan("q_tpch20")
+    assert(p.contains("LeftSemi"), s"IN chains must plan as semi joins:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"decorrelation failed:\n$p")
+    assert(!p.contains("Window"), s"threshold must come from an agg join:\n$p")
+  }
+
   test("q_search_hybrid_rrf: both rankers heap-aggregate; the dense probe " +
       "broadcasts; no window over anything corpus-sized (r8)") {
     val p = plan("q_search_hybrid_rrf")
