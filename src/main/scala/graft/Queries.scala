@@ -527,6 +527,47 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  q("q_agg_incremental_merge",
+    // incremental aggregate maintenance (materialized-view discipline):
+    // the engine side NEVER aggregates the full table — it builds two
+    // partial-aggregate STATES (history: shipdate < 1997; delta: the
+    // rest, nulls included) and folds them with a state-sized merge
+    // (IncrementalAgg.merge: union + keyed re-agg of algebraic
+    // accumulators). The oracle is the FULL RECOMPUTE over the whole
+    // table — passing proves merge(state(a), state(b)) == state(a ∪ b)
+    // exactly, the self-maintainability contract that lets a 100 TB
+    // pipeline maintain rollups by scanning only each day's delta.
+    // Sums run in DECIMAL(28,4) (order-independent); the sum/avg bridge
+    // via VARCHAR follows the q_tpch1 lesson (DuckDB's direct
+    // DECIMAL→DOUBLE double-rounds past 2^53)
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      |  cast(cast(sum(cast(l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_l_quantity,
+      |  round(cast(cast(sum(cast(l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) / count(l_quantity), 6) AS avg_l_quantity,
+      |  cast(min(cast(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS min_l_quantity,
+      |  cast(max(cast(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS max_l_quantity,
+      |  cast(cast(sum(cast(l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_l_extendedprice,
+      |  round(cast(cast(sum(cast(l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) / count(l_extendedprice), 6) AS avg_l_extendedprice,
+      |  cast(min(cast(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS min_l_extendedprice,
+      |  cast(max(cast(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS max_l_extendedprice
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    import graft.operators.IncrementalAgg
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val measures = Seq("l_quantity", "l_extendedprice")
+    val li = t(s, d, "lineitem")
+    val cut = lit("1997-01-01").cast("date")
+    val history = li.filter(col("l_shipdate") < cut)
+    // complement INCLUDING null shipdates — the two states must
+    // partition the table exactly
+    val delta = li.filter(!coalesce(col("l_shipdate") < cut, lit(false)))
+    val merged = IncrementalAgg.merge(keys, measures,
+      IncrementalAgg.state(history, keys, measures),
+      IncrementalAgg.state(delta, keys, measures))
+    IncrementalAgg.finish(merged, keys, measures)
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   q("q_agg_gsets",
     """SELECT l_returnflag, l_linestatus, count(*) AS n
       |FROM lineitem
@@ -1348,8 +1389,8 @@ object Queries {
       |  JOIN customer c ON c.c_custkey = o.o_custkey
       |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
       |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3'))
       |    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
       |    AND l.l_shipdate < TIMESTAMP '1998-01-01')
       |GROUP BY supp_nation, cust_nation, l_year
@@ -1369,8 +1410,8 @@ object Queries {
       .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(n1), sup("s_nationkey") === col("n1_key"))
       .join(broadcast(n2), c("c_nationkey") === col("n2_key"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_3"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
       .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
@@ -5314,6 +5355,51 @@ object Queries {
       .orderBy("event_type", "day")
   }
 
+  q("q_events_interpolate",
+    // calendar resample with LINEAR interpolation (same 1%-thinned sparse
+    // series as q_events_gapfill): a missing day takes the straight-line
+    // value between the nearest observed days on each side; leading /
+    // trailing gaps clamp to the nearest observation. Endpoints aggregate
+    // in DECIMAL so both engines interpolate from bit-identical doubles;
+    // the formula is written identically on both sides
+    // (pv + (nv-pv) * (Δprev / Δspan))
+    """WITH obs AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+      |    cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |  FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2),
+      |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY 1),
+      |spine AS (
+      |  SELECT event_type, CAST(unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span),
+      |g AS (SELECT s.event_type, s.day, o.n, o.v
+      |      FROM spine s LEFT JOIN obs o USING (event_type, day)),
+      |w AS (SELECT event_type, day, coalesce(n, 0) AS n, v,
+      |        last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+      |          ORDER BY day ROWS UNBOUNDED PRECEDING) AS pv,
+      |        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+      |          OVER (PARTITION BY event_type ORDER BY day
+      |            ROWS UNBOUNDED PRECEDING) AS pd,
+      |        first_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+      |          ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+      |          OVER (PARTITION BY event_type ORDER BY day
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      |      FROM g)
+      |SELECT event_type, day, n,
+      |  round(CASE WHEN v IS NOT NULL THEN v
+      |             WHEN pv IS NULL THEN nv
+      |             WHEN nv IS NULL THEN pv
+      |             ELSE pv + (nv - pv) *
+      |                  (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+      |        END, 4) AS value
+      |FROM w ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    graft.operators.EventAnalytics.interpolateDaily(
+        t(s, d, "events").filter(col("event_id") % 97 === 0),
+        "event_type", "ts", "value")
+      .withColumn("value", round(col("value"), 4))
+      .orderBy("event_type", "day")
+  }
+
   q("q_events_rolling_active",
     // trailing 7-day distinct active users per day (DAU/WAU family):
     // each (user, activity-day) replicates onto <= 7 trailing calendar
@@ -6563,6 +6649,83 @@ object Queries {
       .orderBy("probe_key")
   }
 
+  q("q_sketch_kmv_setops",
+    // KMV set algebra (Beyer et al. 2007) between order-status segments:
+    // each segment's customer set collapses to its k=64 smallest distinct
+    // md5 hashes in ONE scan (map-side-merged KmvSketchAgg); union /
+    // intersection / Jaccard between every segment pair then compute on
+    // the k-sized arrays alone — the merged sketch (k smallest of A∪B) is
+    // itself a valid union sketch, and the fraction of it present in both
+    // sides estimates Jaccard. Nothing segment-sized ever joins or
+    // re-scans: at 100 TB the sketches are KBs per segment and every
+    // pairwise overlap question is answered without touching the data
+    // again. Engine-neutral like q_agg_approx_distinct_kmv: the oracle
+    // replays every hash, the merged sketch, the membership counts, and
+    // the one u64→double conversion exactly — this is a HASH-EXACT row,
+    // not a tolerance band
+    """WITH h AS (
+      |  SELECT DISTINCT o_orderstatus AS seg,
+      |         md5_number_lower(CAST(o_custkey AS VARCHAR)) AS hv
+      |  FROM orders WHERE o_custkey IS NOT NULL),
+      |r AS (SELECT seg, hv,
+      |        row_number() OVER (PARTITION BY seg ORDER BY hv) AS rn
+      |      FROM h),
+      |sk AS (SELECT seg, hv FROM r WHERE rn <= 64),
+      |segs AS (SELECT DISTINCT seg FROM sk),
+      |pairs AS (SELECT a.seg AS sa, b.seg AS sb
+      |          FROM segs a JOIN segs b ON a.seg < b.seg),
+      |u AS (SELECT p.sa, p.sb, s.hv
+      |      FROM pairs p JOIN sk s ON s.seg IN (p.sa, p.sb)
+      |      GROUP BY 1, 2, 3),
+      |ur AS (SELECT sa, sb, hv,
+      |         row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn,
+      |         count(*) OVER (PARTITION BY sa, sb) AS un
+      |       FROM u),
+      |merged AS (SELECT sa, sb, hv, un FROM ur WHERE rn <= 64),
+      |flags AS (SELECT m.sa, m.sb, m.hv, m.un,
+      |            max(CASE WHEN s.seg = m.sa THEN 1 ELSE 0 END) AS ina,
+      |            max(CASE WHEN s.seg = m.sb THEN 1 ELSE 0 END) AS inb
+      |          FROM merged m
+      |          JOIN sk s ON s.seg IN (m.sa, m.sb) AND s.hv = m.hv
+      |          GROUP BY 1, 2, 3, 4),
+      |est AS (SELECT sa, sb, max(un) AS un, count(*) AS mk,
+      |          CASE WHEN max(un) < 64 THEN CAST(max(un) AS DOUBLE)
+      |               ELSE 63 * 18446744073709551616.0 /
+      |                    CAST(max(hv) AS DOUBLE) END AS union_est,
+      |          sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS nboth
+      |        FROM flags GROUP BY 1, 2)
+      |SELECT sa AS seg_a, sb AS seg_b,
+      |  round(union_est, 4) AS union_est,
+      |  round(CAST(nboth AS DOUBLE) * union_est / mk, 4) AS inter_est,
+      |  round(CAST(nboth AS DOUBLE) / mk, 4) AS jaccard_est
+      |FROM est ORDER BY seg_a, seg_b""".stripMargin) { (s, d) =>
+    val k = 64
+    val sk = t(s, d, "orders")
+      .groupBy(col("o_orderstatus").as("seg"))
+      .agg(graft.functions.SketchAggregates.kmvSketch(
+        col("o_custkey").cast("string"), k).as("sk"))
+    val pairs = sk.select(col("seg").as("seg_a"), col("sk").as("ska"))
+      .join(sk.select(col("seg").as("seg_b"), col("sk").as("skb")),
+        col("seg_a") < col("seg_b"))
+    pairs
+      .withColumn("comb", array_sort(array_union(col("ska"), col("skb"))))
+      .withColumn("un", size(col("comb")))
+      .withColumn("merged", slice(col("comb"), 1, k))
+      .withColumn("mk", least(col("un"), lit(k)))
+      .withColumn("nboth", size(array_intersect(
+        array_intersect(col("merged"), col("ska")), col("skb"))))
+      .withColumn("union_est",
+        when(col("un") < k, col("un").cast("double"))
+          .otherwise(lit(63.0 * 18446744073709551616.0) /
+            element_at(col("merged"), k).cast("double")))
+      .select(col("seg_a"), col("seg_b"),
+        round(col("union_est"), 4).as("union_est"),
+        round(col("nboth").cast("double") * col("union_est") / col("mk"), 4)
+          .as("inter_est"),
+        round(col("nboth").cast("double") / col("mk"), 4).as("jaccard_est"))
+      .orderBy("seg_a", "seg_b")
+  }
+
   q("q_events_paths",
     // top user-journey prefixes: first 3 events per user (ts, event_id
     // order) as "a>b>c", counted, top 20. Engine = bounded-heap
@@ -6682,6 +6845,42 @@ object Queries {
       .select("pa", "pb")
     graft.operators.LinkGraph.triangleCount(edges, "pa", "pb")
       .withColumn("est_total", col("n_triangles") * 64)
+  }
+
+  q("q_graph_jaccard",
+    // common-neighbor Jaccard link prediction (Liben-Nowell & Kleinberg
+    // 2003) over the supplier—part bipartite graph: suppliers are
+    // similar when they ship the same parts. Engine = inverted-index
+    // wedge self-join grouped by the shared part — NEVER an all-pairs
+    // supplier scan — with hub parts (degree > 200) dropped BEFORE the
+    // join, the dedup family's hot-shingle df cap: a part shared by d
+    // suppliers costs d² wedge rows and carries ~no signal. Degrees and
+    // the union denominator count over the SAME capped universe, so the
+    // result is exact-by-definition and fully replayable
+    """WITH e AS (
+      |  SELECT DISTINCT l_suppkey AS n, l_partkey AS nbr FROM lineitem
+      |  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |keep AS (SELECT nbr FROM e GROUP BY nbr HAVING count(*) <= 200),
+      |k AS (SELECT e.n, e.nbr FROM e JOIN keep USING (nbr)),
+      |deg AS (SELECT n, count(*) AS deg FROM k GROUP BY n),
+      |c AS (SELECT a.n AS sa, b.n AS sb, count(*) AS n_common
+      |      FROM k a JOIN k b USING (nbr) WHERE a.n < b.n
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |j AS (SELECT sa, sb, n_common,
+      |        da.deg + db.deg - n_common AS n_union,
+      |        CAST(n_common AS DOUBLE) / (da.deg + db.deg - n_common) AS jac
+      |      FROM c JOIN deg da ON sa = da.n JOIN deg db ON sb = db.n)
+      |SELECT sa AS supp_a, sb AS supp_b, n_common, n_union,
+      |  round(jac, 6) AS jaccard
+      |FROM j ORDER BY jac DESC, supp_a, supp_b LIMIT 20""".stripMargin) { (s, d) =>
+    graft.operators.LinkGraph.jaccardNeighbors(
+        t(s, d, "lineitem"), "l_suppkey", "l_partkey",
+        maxNeighborDegree = 200, minCommon = 2)
+      .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
+      .limit(20)
+      .select(col("node_a").as("supp_a"), col("node_b").as("supp_b"),
+        col("n_common"), col("n_union"),
+        round(col("jaccard"), 6).as("jaccard"))
   }
 
   q("q_stat_chisq",
@@ -6937,6 +7136,80 @@ object Queries {
     }
     (head +: steps).mkString(",\n") +
       s"\nSELECT rk, doc_id, mmr FROM sel$topK ORDER BY rk"
+  }
+
+  q("q_search_prf",
+    // pseudo-relevance-feedback expansion (Rocchio): per seed term (the
+    // 2 top-df terms, the q_text_bm25 derivation), take the BM25 top-5
+    // as pseudo-relevant, mine the 3 strongest co-occurring terms
+    // (Σ tf·idf, decimal-bridged), re-score the corpus with seed@1.0 +
+    // expansions@0.5 and keep the top 10. Per-(seed,doc) contributions
+    // sum through DECIMAL(38,18) so fused scores are order-independent;
+    // final ordering compares the SAME one-step-rounded double in both
+    // engines (VARCHAR bridge on the oracle side, q_tpch1 lesson)
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |consts AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      |seeds AS (
+      |  SELECT term, df FROM dft WHERE length(term) >= 6
+      |  ORDER BY df DESC, term LIMIT 2),
+      |s1 AS (
+      |  SELECT p.term AS seed, tf.doc_id,
+      |    ln(1.0 + (CAST(c.n_docs AS DOUBLE) - p.df + 0.5) / (CAST(p.df AS DOUBLE) + 0.5))
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf.tf AS DOUBLE) + 1.2 *
+      |         (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) *
+      |          (CAST(c.n_docs AS DOUBLE) / CAST(c.sum_dl AS DOUBLE)))) AS score
+      |  FROM tf JOIN seeds p USING (term) JOIN dl USING (doc_id) CROSS JOIN consts c),
+      |fb AS (SELECT seed, doc_id FROM (
+      |    SELECT seed, doc_id,
+      |      row_number() OVER (PARTITION BY seed ORDER BY score DESC, doc_id) AS rn
+      |    FROM s1) WHERE rn <= 5),
+      |cw AS (
+      |  SELECT f.seed, tf.term,
+      |    sum(CAST(CAST(tf.tf * ln(1.0 + (CAST(c.n_docs AS DOUBLE) - d.df + 0.5)
+      |      / (CAST(d.df AS DOUBLE) + 0.5)) AS VARCHAR) AS DECIMAL(38,18))) AS w
+      |  FROM fb f JOIN tf ON tf.doc_id = f.doc_id
+      |  JOIN dft d ON d.term = tf.term CROSS JOIN consts c
+      |  WHERE length(tf.term) >= 6 AND tf.term <> f.seed
+      |  GROUP BY 1, 2),
+      |expd AS (
+      |  SELECT seed, term, CAST(0.5 AS DOUBLE) AS wt FROM (
+      |    SELECT seed, term,
+      |      row_number() OVER (PARTITION BY seed ORDER BY w DESC, term) AS rn
+      |    FROM cw) WHERE rn <= 3
+      |  UNION ALL SELECT term AS seed, term, CAST(1.0 AS DOUBLE) AS wt FROM seeds),
+      |fs AS (
+      |  SELECT e.seed, tf.doc_id,
+      |    sum(CAST(CAST(e.wt *
+      |      (ln(1.0 + (CAST(c.n_docs AS DOUBLE) - d.df + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+      |       * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |       / (CAST(tf.tf AS DOUBLE) + 1.2 *
+      |          (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) *
+      |           (CAST(c.n_docs AS DOUBLE) / CAST(c.sum_dl AS DOUBLE)))))
+      |      AS VARCHAR) AS DECIMAL(38,18))) AS fscore
+      |  FROM tf JOIN expd e ON e.term = tf.term
+      |  JOIN dft d ON d.term = tf.term
+      |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN consts c
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT seed, doc_id,
+      |    CAST(CAST(fscore AS VARCHAR) AS DOUBLE) AS fd,
+      |    row_number() OVER (PARTITION BY seed
+      |      ORDER BY CAST(CAST(fscore AS VARCHAR) AS DOUBLE) DESC, doc_id) AS rk
+      |  FROM fs)
+      |SELECT seed AS seed_term, CAST(rk AS BIGINT) AS rk, doc_id,
+      |  round(fd, 6) AS score
+      |FROM top WHERE rk <= 10 ORDER BY seed_term, rk""".stripMargin) { (s, d) =>
+    graft.operators.Retrieval.prfSearch(
+        t(s, d, "documents"), "doc_id", "text",
+        nSeeds = 2, minTermLen = 6, fbDocs = 5, nExpand = 3,
+        beta = 0.5, k1 = 1.2, b = 0.75, topK = 10)
+      .orderBy("seed_term", "rk")
   }
 
   q("q_search_mmr", mmrOracleSql(lambda = 0.7, poolK = 20, topK = 5)) { (s, d) =>

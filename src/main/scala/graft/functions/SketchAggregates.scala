@@ -380,6 +380,95 @@ case class KmvDistinctAgg(
     copy(child = newChildren.head)
 }
 
+/** KMV sketch VALUE aggregate — same buffer discipline as
+  * [[KmvDistinctAgg]] but eval returns the sketch itself (the k smallest
+  * distinct unsigned md5 hashes, ascending, as DECIMAL(20,0)) instead of
+  * collapsing it to one estimate. The point is SET ALGEBRA: KMV sketches
+  * are mergeable and composable (Beyer et al., SIGMOD 2007) — the k
+  * smallest of the union of two sketches is a valid sketch of the union,
+  * and the fraction of that merged sketch present in both sides estimates
+  * the Jaccard coefficient, so union / intersection cardinalities between
+  * segments ship as k·16-byte rows, never re-scanning either side.
+  * DECIMAL(20,0) (not LongType) so the unsigned ordering survives into
+  * plain `array_sort` / comparison semantics on the SQL surface AND an
+  * external engine's `md5_number_lower` (a UBIGINT/HUGEINT) compares
+  * identically — the same engine-neutrality argument as [[KmvDistinctAgg]].
+  * Scale: one corpus scan builds every segment's sketch with map-side
+  * partial merge; all pairwise set arithmetic happens on k-sized arrays. */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] {
+
+  require(k >= 2, s"kmv needs k >= 2, got $k")
+
+  private val elemType = org.apache.spark.sql.types.DecimalType(20, 0)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(elemType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kmv_sketch needs a string input, got ${other.sql}")
+    }
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(NeutralHash.lower64(v.asInstanceOf[UTF8String]))
+    buf
+  }
+
+  override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = {
+    var i = 0
+    while (i < b.size) { a.add(b.hashes(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: KmvBuffer): Any = {
+    val vs = java.util.Arrays.copyOf(buf.hashes, buf.size)
+    // ascending UNSIGNED: flip the sign bit, sort signed, values decode
+    // back on conversion (toUnsignedString reads the raw bits)
+    val flipped = vs.map(_ ^ Long.MinValue).sorted
+    new GenericArrayData(flipped.map { f =>
+      org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(
+          java.lang.Long.toUnsignedString(f ^ Long.MinValue)), 20, 0)
+    })
+  }
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + buf.size * 8)
+    bb.putInt(buf.k); bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) { bb.putLong(buf.hashes(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val kk = bb.getInt; val n = bb.getInt
+    val buf = new KmvBuffer(kk)
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketchAgg =
+    copy(child = newChildren.head)
+}
+
 /** Max-at-root heap of the k smallest DISTINCT unsigned longs. */
 final class KmvBuffer(val k: Int) extends Serializable {
   val hashes = new Array[Long](k)
@@ -439,5 +528,12 @@ object SketchAggregates {
   def kmvDistinct(value: Column, k: Int): Column =
     GraftSqlBridge.column(
       KmvDistinctAgg(GraftSqlBridge.expression(value), k)
+        .toAggregateExpression())
+
+  /** The KMV sketch itself (k smallest distinct md5 hashes, ascending,
+    * DECIMAL(20,0)) — the mergeable form for cross-segment set algebra. */
+  def kmvSketch(value: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      KmvSketchAgg(GraftSqlBridge.expression(value), k)
         .toAggregateExpression())
 }

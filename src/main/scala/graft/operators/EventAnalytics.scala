@@ -164,6 +164,53 @@ object EventAnalytics {
         last(col("day_value"), ignoreNulls = true).over(w).as("ffill_value"))
   }
 
+  /** Daily series with LINEAR interpolation across gaps — the numeric
+    * upgrade of [[gapFillDaily]]'s forward-fill: missing days take the
+    * value on the straight line between the nearest observed days on
+    * each side; leading/trailing gaps clamp to the nearest observation
+    * (no extrapolation). Shape: one keyed daily aggregate (map-side
+    * combined), a per-key calendar spine (sequence + explode, bounded by
+    * the key's own span), and two frame-bounded window passes (previous /
+    * next non-null observation) — |keys|·|days| rows, one shuffle on the
+    * key, nothing driver-side. Values aggregate in DECIMAL first so both
+    * engines interpolate from bit-identical endpoints.
+    *
+    * @return (key, day, n, value): n = observed event count that day
+    *         (0 for filled rows), value = observed or interpolated daily
+    *         sum — raw double; round at the consumption site */
+  def interpolateDaily(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val observed = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("v"))
+    val spine = observed.groupBy(col(keyCol))
+      .agg(min("day").as("_d0"), max("day").as("_d1"))
+      .select(col(keyCol), explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wNext = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val obsDay = when(col("v").isNotNull, col("day"))
+    spine.join(observed, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"), col("v"),
+        last(col("v"), ignoreNulls = true).over(wPrev).as("pv"),
+        last(obsDay, ignoreNulls = true).over(wPrev).as("pd"),
+        first(col("v"), ignoreNulls = true).over(wNext).as("nv"),
+        first(obsDay, ignoreNulls = true).over(wNext).as("nd"))
+      .select(col(keyCol), col("day"), col("n"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (datediff(col("day"), col("pd")).cast("double") /
+              datediff(col("nd"), col("pd")).cast("double")))
+          .as("value"))
+  }
+
   /** Rolling 7-day distinct active users per day (the DAU/WAU family):
     * the (user, day) distinct frame — ONE shuffle of the events, then
     * |users|·|days| rows at most — replicates each activity day onto the

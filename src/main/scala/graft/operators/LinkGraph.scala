@@ -87,6 +87,57 @@ object LinkGraph {
     ranks
   }
 
+  /** Common-neighbor Jaccard similarity between left-side nodes of a
+    * (bipartite or general) edge set — link prediction / co-occurrence
+    * similarity: suppliers similar because they ship the same parts,
+    * hosts similar because they link the same targets (Liben-Nowell &
+    * Kleinberg 2003's strongest unsupervised predictor family).
+    *
+    * Distributed shape: an inverted-index self-join, NOT an all-pairs
+    * scan — group edges by the shared neighbor, emit wedge pairs, count
+    * per pair. A neighbor shared by d nodes yields d² wedge rows, so the
+    * classic blow-up is a hub neighbor; `maxNeighborDegree` drops hub
+    * neighbors BEFORE the join (the hot-shingle df cap from the dedup
+    * family — hubs carry near-zero similarity signal and quadratic cost).
+    * Degrees and the Jaccard denominator are computed over the SAME
+    * capped edge set, so the result is exact for the declared universe
+    * and the oracle replays it relationally.
+    *
+    * @return (node_a, node_b, n_common, n_union, jaccard) for pairs with
+    *         >= minCommon shared neighbors; jaccard left unrounded */
+  def jaccardNeighbors(edges: DataFrame, srcCol: String, dstCol: String,
+      maxNeighborDegree: Long, minCommon: Long): DataFrame = {
+    val e = edges
+      .select(col(srcCol).as("n"), col(dstCol).as("nbr"))
+      .where(col("n").isNotNull && col("nbr").isNotNull)
+      .distinct()
+    // cap hub neighbors before the wedge join (d² rows per neighbor)
+    // NOT persisted: kept is consumed three times (deg + both wedge
+    // sides) but its lineage is one scan + one keyed count — recomputing
+    // beats pinning executor memory for a frame the caller can't
+    // unpersist (the r7 ADVICE cache-leak class)
+    val kept = e.join(
+        e.groupBy("nbr").agg(count(lit(1)).as("ndeg"))
+          .filter(col("ndeg") <= maxNeighborDegree)
+          .select("nbr"),
+        Seq("nbr"))
+    val deg = kept.groupBy("n").agg(count(lit(1)).as("deg"))
+    val common = kept.select(col("nbr"), col("n").as("node_a"))
+      .join(kept.select(col("nbr"), col("n").as("node_b")), Seq("nbr"))
+      .filter(col("node_a") < col("node_b"))
+      .groupBy("node_a", "node_b")
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    val out = common
+      .join(deg.select(col("n").as("node_a"), col("deg").as("deg_a")), Seq("node_a"))
+      .join(deg.select(col("n").as("node_b"), col("deg").as("deg_b")), Seq("node_b"))
+      .select(col("node_a"), col("node_b"), col("n_common"),
+        (col("deg_a") + col("deg_b") - col("n_common")).as("n_union"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / col("n_union"))
+    out
+  }
+
   /** Exact triangle count over an undirected graph — the degree-ordered
     * edge-iterator algorithm: canonicalize and dedup edges, orient each
     * edge from its lower-(degree, node) endpoint to the higher, then

@@ -196,6 +196,91 @@ object Retrieval {
     *
     * Output: (rk, doc_id, mmr) — selection order 1..topK.
     */
+  /** Pseudo-relevance-feedback query expansion (Rocchio 1971 /
+    * Robertson's probabilistic PRF): run BM25 for each seed term, treat
+    * its top `fbDocs` results as pseudo-relevant, mine the `nExpand`
+    * strongest co-occurring terms from them (Σ tf·idf over the feedback
+    * set), then re-score the corpus against the expanded term set — seed
+    * at weight 1, expansions at `beta`. The classic recall lever when
+    * the query vocabulary and the corpus vocabulary diverge.
+    *
+    * Shape: the (doc, term) tf frame is built ONCE and drives all three
+    * passes (seed scoring, candidate mining, final scoring) — identical
+    * subtrees, so exchange reuse dedups the shuffle; seeds / expansion
+    * terms / weights all ride tiny broadcast frames; both top-k cuts are
+    * bounded heaps ([[graft.functions.TopKAgg]]), never a corpus sort.
+    * The only window is over expansion CANDIDATES of ≤ nSeeds·|fb vocab|
+    * rows — vocab-bounded, not corpus-bounded.
+    *
+    * Determinism: per-(seed, doc) score contributions sum through the
+    * DECIMAL(38,18) bridge (order-independent under any partitioning —
+    * the q_stat_chisq discipline); ranks tie-break on doc id; BM25's ln
+    * keeps every rounded value off the half-point.
+    *
+    * @return (seed_term, rk, doc_id, score): top `topK` docs per seed
+    *         under the expanded query, score = 6-dp fused BM25 */
+  def prfSearch(docs: DataFrame, idCol: String, textCol: String,
+      nSeeds: Int = 2, minTermLen: Int = 6, fbDocs: Int = 5, nExpand: Int = 3,
+      beta: Double = 0.5, k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val consts = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    def idf(dfc: org.apache.spark.sql.Column) =
+      log(lit(1.0) + (col("n_docs").cast("double") - dfc + lit(0.5)) /
+        (dfc.cast("double") + lit(0.5)))
+    def bm25(tfc: org.apache.spark.sql.Column, dfc: org.apache.spark.sql.Column,
+        dlc: org.apache.spark.sql.Column) =
+      idf(dfc) * (tfc.cast("double") * lit(k1 + 1.0)) /
+        (tfc.cast("double") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * dlc.cast("double") *
+            (col("n_docs").cast("double") / col("sum_dl").cast("double"))))
+    val seeds = dft.filter(length(col("term")) >= minTermLen)
+      .orderBy(col("df").desc, col("term"))
+      .limit(nSeeds) // TakeOrdered → an nSeeds-row broadcast frame
+    val s1 = tf.join(broadcast(seeds), Seq("term"))
+      .join(dl, Seq("doc_id")).crossJoin(broadcast(consts))
+      .select(col("term").as("seed"), col("doc_id"),
+        bm25(col("tf"), col("df"), col("dl")).as("score"))
+    val fb = s1.groupBy("seed")
+      .agg(graft.functions.SketchAggregates.topKAgg(
+        col("score"), col("doc_id"), fbDocs).as("top"))
+      .select(col("seed"), explode(col("top")).as("e"))
+      .select(col("seed"), col("e.id").as("doc_id"))
+    // candidate expansion terms: everything in the feedback docs except
+    // the seed itself; weight = Σ_fb tf·idf, decimal-bridged
+    val cw = fb.join(tf, Seq("doc_id"))
+      .filter(length(col("term")) >= minTermLen && col("term") =!= col("seed"))
+      .join(dft, Seq("term")).crossJoin(broadcast(consts))
+      .select(col("seed"), col("term"),
+        (col("tf").cast("double") * idf(col("df")))
+          .cast("decimal(38,18)").as("wc"))
+      .groupBy("seed", "term").agg(sum(col("wc")).as("w"))
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("seed").orderBy(col("w").desc, col("term"))
+    val expanded = cw.withColumn("rn", row_number().over(wWin))
+      .filter(col("rn") <= nExpand)
+      .select(col("seed"), col("term"), lit(beta).as("wt"))
+      .unionByName(seeds.select(col("term").as("seed"), col("term"),
+        lit(1.0).as("wt")))
+    val fs = tf.join(broadcast(expanded), Seq("term"))
+      .join(dft, Seq("term"))
+      .join(dl, Seq("doc_id")).crossJoin(broadcast(consts))
+      .select(col("seed"), col("doc_id"),
+        (col("wt") * bm25(col("tf"), col("df"), col("dl")))
+          .cast("decimal(38,18)").as("contrib"))
+      .groupBy("seed", "doc_id").agg(sum(col("contrib")).as("fscore"))
+    fs.groupBy("seed")
+      .agg(graft.functions.SketchAggregates.topKAgg(
+        col("fscore").cast("double"), col("doc_id"), topK).as("top"))
+      .select(col("seed").as("seed_term"), posexplode(col("top")))
+      .select(col("seed_term"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"), round(col("col.score"), 6).as("score"))
+  }
+
   def mmrRerank(embeddings: DataFrame, vidCol: String, vecCol: String,
       probeId: Long, lambda: Double = 0.7, poolK: Int = 20,
       topK: Int = 5): DataFrame = {

@@ -37,6 +37,39 @@ class KmvDistinctSpec extends SparkTestBase {
     }
   }
 
+  test("kmv SKETCH: sorted k smallest distinct hashes; set algebra exact below k") {
+    import spark.implicits._
+    // two overlapping segments, both under k=64 distinct -> every sketch
+    // is the exhaustive value set, so union/intersection/Jaccard from the
+    // sketches must be EXACT, and the arrays sorted ascending
+    val df = ((0 until 40).map(i => ("a", s"v$i")) ++
+      (20 until 50).map(i => ("b", s"v$i"))).toDF("seg", "v")
+    val sk = df.groupBy("seg")
+      .agg(SketchAggregates.kmvSketch(col("v"), 64).as("sk"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[java.math.BigDecimal](1).map(_.toBigInteger)).toMap
+    assert(sk("a").size == 40 && sk("b").size == 30)
+    assert(sk("a") == sk("a").sorted, "ascending")
+    assert(sk("b") == sk("b").sorted, "ascending")
+    val inter = sk("a").toSet.intersect(sk("b").toSet)
+    // md5 is injective on this tiny domain in practice; the 20-value
+    // overlap must survive as exactly 20 shared hashes
+    assert(inter.size == 20)
+    assert(sk("a").toSet.union(sk("b").toSet).size == 50)
+  }
+
+  test("kmv SKETCH saturates at k and equals the k smallest of the exact hash set") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => s"x$i").toDF("v")
+    val got = df.agg(SketchAggregates.kmvSketch(col("v"), 64).as("sk"))
+      .collect()(0).getSeq[java.math.BigDecimal](0).map(_.toBigInteger)
+    val all = (0 until 500).map { i =>
+      new java.math.BigInteger(java.lang.Long.toUnsignedString(
+        NeutralHash.lower64(s"x$i")))
+    }.distinct.sorted.take(64)
+    assert(got.toList == all.toList)
+  }
+
   test("kmv via SQL registration equals the Column form") {
     graft.GraftExtensions.register(spark)
     val docs = Tables.load(spark, sf(), "documents")

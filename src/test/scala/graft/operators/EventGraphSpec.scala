@@ -198,6 +198,57 @@ class EventGraphSpec extends SparkTestBase {
     assert(r2 == ((6L, 6L, 1L)))
   }
 
+  test("interpolateDaily: straight-line gap values, edge clamping, observed rows untouched") {
+    val ev = Seq(
+      ("a", "2024-01-01 10:00:00", 4.0), ("a", "2024-01-01 11:00:00", 6.0),
+      ("a", "2024-01-04 09:00:00", 40.0),
+      ("a", "2024-01-06 09:00:00", 10.0),
+      ("b", "2024-01-02 00:00:00", 7.0))
+      .toDF("k", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val got = EventAnalytics.interpolateDaily(ev, "k", "ts", "v")
+      .orderBy("k", "day")
+      .as[(String, java.sql.Date, Long, Double)].collect().toList
+      .map { case (k, d, n, v) => (k, d.toString, n, v) }
+    assert(got == List(
+      ("a", "2024-01-01", 2L, 10.0),            // observed (4+6)
+      ("a", "2024-01-02", 0L, 20.0),            // 10 + 30·(1/3)
+      ("a", "2024-01-03", 0L, 30.0),            // 10 + 30·(2/3)
+      ("a", "2024-01-04", 1L, 40.0),            // observed
+      ("a", "2024-01-05", 0L, 25.0),            // 40 + (10-40)·(1/2)
+      ("a", "2024-01-06", 1L, 10.0),            // observed
+      ("b", "2024-01-02", 1L, 7.0)))            // single-point key
+  }
+
+  test("jaccardNeighbors: hand bipartite graph, hub cap, minCommon floor") {
+    // suppliers 1,2,3 over parts: 1→{a,b,c}, 2→{b,c,d}, 3→{c,d,e,f}
+    // J(1,2) = 2/4, J(2,3) = 2/5, J(1,3) = 1/6 (< minCommon=2 → dropped)
+    val edges = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "b"), (2L, "c"), (2L, "d"),
+      (3L, "c"), (3L, "d"), (3L, "e"), (3L, "f"),
+      (2L, "c") // duplicate edge must not double-count
+    ).toDF("s", "p")
+    val got = LinkGraph.jaccardNeighbors(edges, "s", "p",
+        maxNeighborDegree = 100, minCommon = 2)
+      .orderBy("node_a", "node_b")
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    assert(got == List((1L, 2L, 2L, 4L, 0.5), (2L, 3L, 2L, 5L, 0.4)))
+
+    // a hub part shared by everyone (cap=2) is dropped BEFORE the wedge
+    // join: degrees shrink too — J(1,2) recomputes over the capped
+    // universe as 1/3 ({b} of {a,b} ∪ {b,d})
+    val withHub = edges.union(Seq((1L, "hub"), (2L, "hub"), (3L, "hub"))
+      .toDF("s", "p"))
+    val capped = LinkGraph.jaccardNeighbors(withHub, "s", "p",
+        maxNeighborDegree = 2, minCommon = 1)
+      .orderBy("node_a", "node_b")
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    // kept parts: those with <=2 suppliers → a(1), b(1,2), d(2,3), e(3), f(3)
+    // ... c and hub dropped. 1:{a,b} 2:{b,d} 3:{d,e,f}
+    assert(capped == List(
+      (1L, 2L, 1L, 3L, 1.0 / 3), (2L, 3L, 1L, 4L, 0.25)))
+  }
+
   test("sparsified triangle estimator: 64x sample estimate lands within the σ band") {
     // q_graph_triangles runs the EXACT operator on a deterministic
     // 1/4-node sample (partkey ≡ 0 mod 4) and scales by 1/p³ = 64 — the
