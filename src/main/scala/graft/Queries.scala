@@ -4461,6 +4461,42 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  q("q_embed_standardize",
+    // per-dimension z-score standardization (diagonal whitening): the
+    // d-group (n, Σx, Σx²) pass with DECIMAL(38,12) per-term sums, then
+    // a broadcast join back onto the vectors. Verified on the probe
+    // slice vec_id < 5 (the stats still come from the FULL corpus);
+    // decimal→double crossings ride the VARCHAR bridge, z rounds via the
+    // DECIMAL(38,20) route (q_embed_drift discipline)
+    """WITH x AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim1,
+      |         unnest(embedding)::DOUBLE AS v
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |st AS (SELECT dim1, count(*) AS n,
+      |         sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,12))) AS s,
+      |         sum(CAST(CAST(v * v AS VARCHAR) AS DECIMAL(38,12))) AS ss
+      |       FROM x GROUP BY dim1),
+      |m AS (SELECT dim1,
+      |        CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |        sqrt(greatest(
+      |          CAST(CAST(ss AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+      |            - (CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+      |              * (CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)),
+      |          0.0)) AS sd
+      |      FROM st)
+      |SELECT x.vec_id, CAST(x.dim1 - 1 AS BIGINT) AS dim,
+      |  CAST(round(CAST(CAST(
+      |    CASE WHEN m.sd = 0.0 THEN 0.0 ELSE (x.v - m.mean) / m.sd END
+      |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS z
+      |FROM x JOIN m USING (dim1) WHERE x.vec_id < 5
+      |ORDER BY vec_id, dim""".stripMargin) { (s, d) =>
+    graft.operators.Similarity.standardizeDims(
+        t(s, d, "embeddings"), "vec_id", "embedding")
+      .filter(col("vec_id") < 5)
+      .withColumn("z", round(col("z"), 6))
+      .orderBy("vec_id", "dim")
+  }
+
   q("q_embed_drift",
     // per-dimension distribution drift between two embedding snapshots
     // (vec_id parity = the synthetic old/new split): the encoder-change
@@ -6906,6 +6942,32 @@ object Queries {
       |  CAST(round(sum(CAST(CAST(contrib AS VARCHAR) AS DECIMAL(38,18))), 6) AS DOUBLE) AS chi2
       |FROM c""".stripMargin) { (s, d) =>
     graft.operators.Profiling.chiSquare(t(s, d, "documents"), "lang", "source")
+  }
+
+  q("q_profile_histogram",
+    // 10-bin equi-width histogram of o_totalprice (the ANALYZE-histogram
+    // distribution profile): exact [min,max] envelope broadcast, one
+    // map-side binning pass, nBins-sized aggregate. Bin assignment and
+    // edges are ONE fixed double expression replayed verbatim — floor of
+    // the same IEEE division lands in the same bin in both engines
+    """WITH mm AS (
+      |  SELECT min(CAST(o_totalprice AS DOUBLE)) AS mn,
+      |         max(CAST(o_totalprice AS DOUBLE)) AS mx
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |b AS (
+      |  SELECT CASE WHEN mx = mn THEN 0
+      |         ELSE least(CAST(floor((CAST(o_totalprice AS DOUBLE) - mn)
+      |                / ((mx - mn) / 10)) AS BIGINT), 9) END AS bin,
+      |    mn, mx
+      |  FROM orders, mm WHERE o_totalprice IS NOT NULL)
+      |SELECT bin,
+      |  round(mn + bin * ((mx - mn) / 10), 4) AS lo,
+      |  round(mn + (bin + 1) * ((mx - mn) / 10), 4) AS hi,
+      |  count(*) AS n
+      |FROM b GROUP BY bin, mn, mx ORDER BY bin""".stripMargin) { (s, d) =>
+    graft.operators.Profiling.histogramEquiWidth(
+        t(s, d, "orders"), "o_totalprice", nBins = 10)
+      .orderBy("bin")
   }
 
   q("q_profile_outliers",

@@ -335,6 +335,38 @@ object Profiling {
         round(sum(contrib.cast("decimal(38,18)")), 6).cast("double").as("chi2"))
   }
 
+  /** Equi-width histogram of a numeric column — the CBO-style
+    * distribution profile behind ANALYZE-histogram statistics (the stats
+    * [[graft.catalog.GraftCatalog]]'s ANALYZE row says the optimizer
+    * wants) and the human one behind "is this column skewed?". Two scans:
+    * one for the exact [min, max] envelope (a one-row broadcast), one
+    * map-side binning pass feeding a nBins-cardinality aggregate —
+    * nothing row-cardinality-sized shuffles at any table size. Bin edges
+    * and assignments are pure double arithmetic with one fixed
+    * expression shape, so an external engine replays every count
+    * exactly. A constant column collapses to bin 0 (width 0 guard).
+    * Empty bins are simply absent — the caller can spine-join them in.
+    *
+    * @return (bin, lo, hi, n): bin ∈ [0, nBins), lo/hi 4-dp edges */
+  def histogramEquiWidth(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"histogram needs nBins >= 1, got $nBins")
+    val v = col(valueCol).cast("double")
+    val mm = df.where(v.isNotNull).agg(min(v).as("_mn"), max(v).as("_mx"))
+    val width = (col("_mx") - col("_mn")) / lit(nBins)
+    df.select(v.as("_v")).where(col("_v").isNotNull)
+      .crossJoin(broadcast(mm))
+      .select(
+        when(col("_mx") === col("_mn"), lit(0L))
+          .otherwise(least(floor((col("_v") - col("_mn")) / width),
+            lit(nBins - 1L))).as("bin"),
+        col("_mn"), col("_mx"))
+      .groupBy("bin", "_mn", "_mx").agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        round(col("_mn") + col("bin") * width, 4).as("lo"),
+        round(col("_mn") + (col("bin") + 1) * width, 4).as("hi"),
+        col("n"))
+  }
+
   def joinKeyStats(left: DataFrame, lKey: String,
       right: DataFrame, rKey: String): DataFrame = {
     val lh = left.groupBy(col(lKey).as("_lk")).agg(count(lit(1)).as("_lc"))

@@ -191,6 +191,45 @@ object Similarity {
           .as("shift"))
   }
 
+  /** Per-dimension z-score standardization of an embedding column —
+    * diagonal whitening, the standard pre-ANN / pre-clustering
+    * normalization when dimensions carry different scales (a cosine or
+    * L2 metric otherwise lets the widest dimension dominate).
+    *
+    * Scale shape: ONE posexplode + d-group partial+final aggregate
+    * computes every dimension's (n, Σx, Σx²) — d rows of state cross the
+    * wire regardless of corpus size — then the d-row stats frame
+    * broadcast-joins back onto the exploded vectors; no corpus-sized
+    * shuffle anywhere. Sums ride the [[embeddingDrift]] DECIMAL(38,12)
+    * per-term cast (order-independent, engine-replayable); mean and
+    * σ = √(E[x²] − E[x]²) derive in doubles with one fixed expression
+    * shape. A zero-variance dimension standardizes to 0 rather than
+    * NaN-ing the whole vector.
+    *
+    * @return (idCol, dim, z) — z unrounded; round at the consumption
+    *         site */
+  def standardizeDims(embeddings: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val exploded = embeddings.filter(col(vecCol).isNotNull)
+      .select(col(idCol), posexplode(col(vecCol)))
+    val xd = col("col").cast("double")
+    val stats = exploded
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(xd.cast("decimal(38,12)")).as("_s"),
+        sum((xd * xd).cast("decimal(38,12)")).as("_ss"))
+    val mean = col("_s").cast("double") / col("n").cast("double")
+    val sd = sqrt(greatest(
+      col("_ss").cast("double") / col("n").cast("double") - mean * mean,
+      lit(0.0)))
+    exploded
+      .join(broadcast(stats.select(col("pos"), mean.as("_mean"), sd.as("_sd"))),
+        Seq("pos"))
+      .select(col(idCol), col("pos").cast("long").as("dim"),
+        when(col("_sd") === 0.0, lit(0.0))
+          .otherwise((xd - col("_mean")) / col("_sd")).as("z"))
+  }
+
   /** Distributed Lloyd's (spherical) k-means for IVF centroid fitting.
     * Init = deterministic hash-ordered sample of k vectors; each iteration
     * assigns cells map-side against the broadcast centroid literal, then

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Hand-arithmetic checks for the round-8 profiling additions:
+  * equi-width histogram and embedding standardization. */
+class ProfilingExtraSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("histogramEquiWidth: hand bins, max lands in the LAST bin, width-0 guard") {
+    // values 0..10 over [0,10] with 5 bins of width 2: 0,1→bin0 … 8,9→bin4,
+    // and the max value 10 clamps into bin 4 (not a phantom bin 5)
+    val df = (0 to 10).map(_.toDouble).toDF("v")
+    val got = Profiling.histogramEquiWidth(df, "v", nBins = 5)
+      .orderBy("bin")
+      .as[(Long, Double, Double, Long)].collect().toList
+    assert(got == List(
+      (0L, 0.0, 2.0, 2L), (1L, 2.0, 4.0, 2L), (2L, 4.0, 6.0, 2L),
+      (3L, 6.0, 8.0, 2L), (4L, 8.0, 10.0, 3L)))
+
+    // constant column: one bin, zero width, all rows
+    val const = Seq(7.0, 7.0, 7.0).toDF("v")
+    val g2 = Profiling.histogramEquiWidth(const, "v", nBins = 4)
+      .as[(Long, Double, Double, Long)].collect().toList
+    assert(g2 == List((0L, 7.0, 7.0, 3L)))
+
+    // nulls are excluded from both the envelope and the counts
+    val withNull = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    assert(Profiling.histogramEquiWidth(withNull, "v", nBins = 2)
+      .agg(sum("n")).as[Long].head() == 2L)
+  }
+
+  test("standardizeDims: hand z-scores; standardized dims have mean 0 and sd 1") {
+    // dim 0: values 1, 3 → mean 2, sd 1 → z = -1, +1
+    // dim 1: values 5, 5 → sd 0 → z = 0 (guard, not NaN)
+    val e = Seq((1L, Seq(1.0f, 5.0f)), (2L, Seq(3.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val z = Similarity.standardizeDims(e, "vec_id", "embedding")
+      .orderBy("vec_id", "dim")
+      .as[(Long, Long, Double)].collect().toList
+    assert(z == List((1L, 0L, -1.0), (1L, 1L, 0.0), (2L, 0L, 1.0), (2L, 1L, 0.0)))
+
+    // on real data: every non-constant dimension re-profiles to
+    // mean ≈ 0, population sd ≈ 1
+    val emb = graft.sources.Tables.load(spark, sf(), "embeddings")
+    val stats = Similarity.standardizeDims(emb, "vec_id", "embedding")
+      .groupBy("dim")
+      .agg(avg("z").as("m"),
+        sqrt(avg(col("z") * col("z")) - avg("z") * avg("z")).as("sd"))
+      .agg(max(abs(col("m"))).as("worst_mean"),
+        max(abs(col("sd") - 1.0)).as("worst_sd"))
+      .as[(Double, Double)].head()
+    assert(stats._1 < 1e-9, s"standardized mean drifted: ${stats._1}")
+    assert(stats._2 < 1e-6, s"standardized sd drifted: ${stats._2}")
+  }
+}
