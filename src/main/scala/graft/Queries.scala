@@ -6919,6 +6919,42 @@ object Queries {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  q("q_stat_ks",
+    // two-sample Kolmogorov–Smirnov over o_totalprice between the 'O'
+    // and 'F' order populations — the whole-distribution drift monitor
+    // (embed_drift = per-dim means, vocab_drift = head terms, this =
+    // any shape change). Engine: each side collapses to its value
+    // histogram, then running CDFs via the Packing two-phase prefix sum
+    // — never a global single-task window. D and its location are
+    // integer-count arithmetic + one fixed double expression
+    """WITH av AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, count(*) AS ca
+      |            FROM orders WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL
+      |            GROUP BY 1),
+      |bv AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, count(*) AS cb
+      |       FROM orders WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+      |       GROUP BY 1),
+      |m AS (SELECT v, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      |      FROM av FULL JOIN bv USING (v)),
+      |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM m),
+      |c AS (SELECT v,
+      |        sum(ca) OVER (ORDER BY v) AS cuma,
+      |        sum(cb) OVER (ORDER BY v) AS cumb
+      |      FROM m),
+      |d AS (SELECT v,
+      |        abs(CAST(cuma AS DOUBLE) / t.na - CAST(cumb AS DOUBLE) / t.nb) AS dd
+      |      FROM c CROSS JOIN t),
+      |mx AS (SELECT max(dd) AS dmax FROM d)
+      |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+      |  round(mx.dmax, 6) AS d_stat,
+      |  (SELECT min(v) FROM d WHERE dd = mx.dmax) AS d_at
+      |FROM t CROSS JOIN mx""".stripMargin) { (s, d) =>
+    val orders = t(s, d, "orders")
+    graft.operators.Profiling.ksTwoSample(
+      orders.filter(col("o_orderstatus") === "O"),
+      orders.filter(col("o_orderstatus") === "F"),
+      "o_totalprice")
+  }
+
   q("q_stat_chisq",
     // chi-square independence test lang × source over documents: the
     // full expected grid (zero-observed cells contribute), statistic

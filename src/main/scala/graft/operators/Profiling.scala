@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -365,6 +365,80 @@ object Profiling {
         round(col("_mn") + col("bin") * width, 4).as("lo"),
         round(col("_mn") + (col("bin") + 1) * width, 4).as("hi"),
         col("n"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic — the whole-distribution
+    * drift monitor completing the family (embeddingDrift = per-dimension
+    * means, vocabDrift = head terms; this = ANY shape change in a numeric
+    * column between two populations): D = sup_x |F_a(x) − F_b(x)|,
+    * evaluated right-continuously at the pooled sample points.
+    *
+    * Scale shape: each side collapses to its VALUE HISTOGRAM (one keyed
+    * count, map-side combined), the histograms merge on value, and the
+    * running CDFs come from the [[Packing]] two-phase prefix sum —
+    * range-repartition by value, per-partition subtotal rows to the
+    * driver (ONE row per partition), offsets broadcast back, local
+    * running sums. No global-window single-task sort at any cardinality;
+    * the sequential dependency rides the partition-count-sized offset
+    * array. D and its location are exact integer-count arithmetic plus
+    * one fixed double expression, so the oracle replays them bit-equal.
+    *
+    * @return one row: (n_a, n_b, d_stat, d_at) — d_stat 6-dp, d_at =
+    *         smallest value attaining the supremum */
+  def ksTwoSample(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val spark = a.sparkSession
+    def hist(df: DataFrame, cnt: String, zero: String) = df
+      .select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as(cnt))
+      .withColumn(zero, lit(0L))
+    val merged = hist(a, "ca", "cb").select("v", "ca", "cb")
+      .unionByName(hist(b, "cb", "ca").select("v", "ca", "cb"))
+      .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
+    val nPart = math.max(1, spark.sparkContext.defaultParallelism)
+    // freeze the range layout so both phases see the same partitions
+    val sorted = merged.repartitionByRange(nPart, col("v"))
+      .sortWithinPartitions("v")
+      .select(col("v"), col("ca").cast("long").as("ca"),
+        col("cb").cast("long").as("cb"))
+      .localCheckpoint()
+    // phase 1: one (partition, Σca, Σcb) row each
+    val partSums = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var sa = 0L; var sb = 0L
+      it.foreach { r => sa += r.getLong(1); sb += r.getLong(2) }
+      Iterator.single((i, sa, sb))
+    }.collect().sortBy(_._1)
+    val offA = new Array[Long](partSums.length + 1)
+    val offB = new Array[Long](partSums.length + 1)
+    partSums.foreach { case (i, sa, sb) => offA(i + 1) = sa; offB(i + 1) = sb }
+    var i = 1
+    while (i < offA.length) { offA(i) += offA(i - 1); offB(i) += offB(i - 1); i += 1 }
+    val nA = offA.last
+    val nB = offB.last
+    require(nA > 0 && nB > 0, "ksTwoSample needs non-empty sides")
+    val bcA = spark.sparkContext.broadcast(offA)
+    val bcB = spark.sparkContext.broadcast(offB)
+    // phase 2: local running sums + the partition's global offset
+    val cdf = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var ra = bcA.value(pid); var rb = bcB.value(pid)
+      it.map { r =>
+        ra += r.getLong(1); rb += r.getLong(2)
+        Row(r.getDouble(0), ra, rb)
+      }
+    }
+    val cdfDf = spark.createDataFrame(cdf, StructType(Seq(
+        StructField("v", DoubleType, nullable = false),
+        StructField("cuma", LongType, nullable = false),
+        StructField("cumb", LongType, nullable = false))))
+      .select(col("v"),
+        abs(col("cuma").cast("double") / lit(nA) -
+          col("cumb").cast("double") / lit(nB)).as("dd"))
+    val dmax = cdfDf.agg(max(col("dd")).as("dmax"))
+    cdfDf.crossJoin(broadcast(dmax))
+      .filter(col("dd") === col("dmax"))
+      .agg(min(col("v")).as("d_at"), max(col("dd")).as("_d"))
+      .select(lit(nA).as("n_a"), lit(nB).as("n_b"),
+        round(col("_d"), 6).as("d_stat"), col("d_at"))
   }
 
   def joinKeyStats(left: DataFrame, lKey: String,

@@ -31,6 +31,48 @@ class ProfilingExtraSpec extends SparkTestBase {
       .agg(sum("n")).as[Long].head() == 2L)
   }
 
+  test("ksTwoSample: hand D, first-attaining location, zero on identical samples") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    // F_a - F_b peaks at 0.5 first reached at v=2
+    val r = Profiling.ksTwoSample(a, b, "v")
+      .as[(Long, Long, Double, Double)].head()
+    assert(r == ((4L, 4L, 0.5, 2.0)))
+    val same = Profiling.ksTwoSample(a, a, "v")
+      .as[(Long, Long, Double, Double)].head()
+    assert(same._3 == 0.0)
+  }
+
+  test("ksTwoSample two-phase prefix sum equals a single-window reference on real data") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = graft.sources.Tables.load(spark, sf(), "orders")
+    val a = orders.filter(col("o_orderstatus") === "O")
+    val b = orders.filter(col("o_orderstatus") === "F")
+    val got = Profiling.ksTwoSample(a, b, "o_totalprice")
+      .as[(Long, Long, Double, Double)].head()
+    // reference: plain global window (fine at test scale, the thing the
+    // operator exists to avoid at 100 TB)
+    def h(df: org.apache.spark.sql.DataFrame, c: String, z: String) =
+      df.select(col("o_totalprice").cast("double").as("v"))
+        .where(col("v").isNotNull).groupBy("v")
+        .agg(count(lit(1)).as(c)).withColumn(z, lit(0L))
+    val m = h(a, "ca", "cb").select("v", "ca", "cb")
+      .unionByName(h(b, "cb", "ca").select("v", "ca", "cb"))
+      .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
+    val na = m.agg(sum("ca")).as[Long].head()
+    val nb = m.agg(sum("cb")).as[Long].head()
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val dd = m.select(col("v"),
+      abs(sum("ca").over(w).cast("double") / na -
+        sum("cb").over(w).cast("double") / nb).as("dd"))
+    val dmax = dd.agg(max("dd")).as[Double].head()
+    val dat = dd.filter(col("dd") === dmax).agg(min("v")).as[Double].head()
+    assert(got._1 == na && got._2 == nb)
+    assert(got._3 == math.rint(dmax * 1e6) / 1e6 || got._3 == BigDecimal(dmax)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got._4 == dat)
+  }
+
   test("standardizeDims: hand z-scores; standardized dims have mean 0 and sd 1") {
     // dim 0: values 1, 3 → mean 2, sd 1 → z = -1, +1
     // dim 1: values 5, 5 → sd 0 → z = 0 (guard, not NaN)
