@@ -112,10 +112,14 @@ object LinkGraph {
       .where(col("n").isNotNull && col("nbr").isNotNull)
       .distinct()
     // cap hub neighbors before the wedge join (d² rows per neighbor)
-    // NOT persisted: kept is consumed three times (deg + both wedge
-    // sides) but its lineage is one scan + one keyed count — recomputing
-    // beats pinning executor memory for a frame the caller can't
-    // unpersist (the r7 ADVICE cache-leak class)
+    // deliberately NOT pinned: kept feeds three consumers (deg + both
+    // wedge sides) and the formatted plan shows the subtree per consumer
+    // — but AQE's runtime stage reuse already absorbs the recompute,
+    // and a localCheckpoint was MEASURED WORSE at sf5 (82 → 134 s: the
+    // materialized 29 M-row frame breaks whole-stage pipelining into the
+    // wedge join). Simpler shape kept with the numbers recorded
+    // (BASELINE.md r8 batch 2) — and no caller-side unpersist contract
+    // (the r7 ADVICE cache-leak class) is created either
     val kept = e.join(
         e.groupBy("nbr").agg(count(lit(1)).as("ndeg"))
           .filter(col("ndeg") <= maxNeighborDegree)

@@ -225,6 +225,11 @@ object Retrieval {
       topK: Int = 10): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+    // tf drives all three passes (seed scoring, candidate mining, final
+    // scoring) plus dl/df/consts. Deliberately NOT pinned: AQE's runtime
+    // stage reuse absorbs the repeated tokenize+count subtree, and a
+    // localCheckpoint measured WORSE at sf5 (13.6 → 14.3 s) — the same
+    // result as the jaccard wedge join (BASELINE.md r8 batch 2)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
