@@ -4530,6 +4530,37 @@ object Queries {
       .orderBy("dim")
   }
 
+  q("q_text_zipf",
+    // Zipf-law head fit (corpus-shape diagnostic: slope ≈ −1 is healthy
+    // natural text; duplication bends the head, template spam flattens
+    // it): OLS over the top-100 (ln rank, ln freq) points. One tokenize
+    // + keyed count scan, TakeOrdered head cut, regression sums through
+    // DECIMAL(38,18) per-term casts (order-independent)
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+      |  FROM documents),
+      |tc AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+      |top AS (SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT 100),
+      |pts AS (SELECT
+      |    ln(CAST(row_number() OVER (ORDER BY cnt DESC, term) AS DOUBLE)) AS x,
+      |    ln(CAST(cnt AS DOUBLE)) AS y
+      |  FROM top),
+      |s AS (SELECT count(*) AS n,
+      |    CAST(CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(sum(CAST(CAST(y AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(sum(CAST(CAST(x * y AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sxy,
+      |    CAST(CAST(sum(CAST(CAST(x * x AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sxx
+      |  FROM pts)
+      |SELECT n AS n_terms,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+      |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept
+      |FROM s""".stripMargin) { (s, d) =>
+    graft.operators.TextAnalysis.zipfFit(t(s, d, "documents"), "text", topN = 100)
+      .select(col("n_terms"),
+        round(col("slope"), 4).as("slope"),
+        round(col("intercept"), 4).as("intercept"))
+  }
+
   q("q_text_vocab_drift",
     // vocabulary drift between corpus snapshots (doc_id parity split):
     // the text twin of q_embed_drift. Counts are exact integers; the
@@ -6917,6 +6948,65 @@ object Queries {
       .select(col("node_a").as("supp_a"), col("node_b").as("supp_b"),
         col("n_common"), col("n_union"),
         round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  q("q_stat_assoc",
+    // pair association rules over order baskets (Apriori's workhorse
+    // surface): support >= 2 orders (the fixture's basket keys repeat a
+    // pair at most a handful of times even at sf1 — measured max 2
+    // there), directional confidence P(b|a), symmetric lift.
+    // The pair generator self-joins on the BASKET key,
+    // so each order contributes C(|basket|,2) rows — bounded by basket
+    // size, never by catalog size; all metrics are integer counts + two
+    // IEEE divisions, replayed exactly
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |nb AS (SELECT count(DISTINCT bk) AS n FROM items),
+      |ic AS (SELECT i, count(*) AS ci FROM items GROUP BY 1),
+      |p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_both
+      |      FROM items a JOIN items b USING (bk) WHERE a.i < b.i
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |r AS (SELECT item_a, item_b, n_both,
+      |        CAST(n_both AS DOUBLE) / ca.ci AS conf,
+      |        CAST(n_both AS DOUBLE) * nb.n / (ca.ci * cb.ci) AS lift
+      |      FROM p JOIN ic ca ON item_a = ca.i
+      |      JOIN ic cb ON item_b = cb.i CROSS JOIN nb)
+      |SELECT item_a, item_b, n_both,
+      |  round(conf, 6) AS conf_a_to_b, round(lift, 6) AS lift
+      |FROM r ORDER BY lift DESC, item_a, item_b LIMIT 20""".stripMargin) { (s, d) =>
+    graft.operators.MarketBasket.pairRules(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2)
+      .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+      .limit(20)
+      .select(col("item_a"), col("item_b"), col("n_both"),
+        round(col("conf_a_to_b"), 6).as("conf_a_to_b"),
+        round(col("lift"), 6).as("lift"))
+  }
+
+  q("q_sketch_hist_merge",
+    // histogram-sketch MERGEABILITY as a driver-visible query: per-shard
+    // bin counters (o_custkey%4 shards) merged by per-bin addition, then
+    // the first-bin-reaching-p·total quantile rule. The oracle computes
+    // the UNSHARDED histogram directly — hash equality proves
+    // merge(shard counters) == global counters, the IncrementalAgg
+    // contract applied to quantile sketches
+    """WITH h AS (
+      |  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 10000) AS BIGINT) AS hb,
+      |         count(*) AS hn
+      |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+      |c AS (SELECT hb, hn,
+      |        sum(hn) OVER (ORDER BY hb) AS hcum,
+      |        sum(hn) OVER () AS htot
+      |      FROM h)
+      |SELECT
+      |  min(CASE WHEN CAST(hcum AS DOUBLE) >= htot * 0.5 THEN (hb + 1) * 10000.0 END) AS p50,
+      |  min(CASE WHEN CAST(hcum AS DOUBLE) >= htot * 0.9 THEN (hb + 1) * 10000.0 END) AS p90,
+      |  min(CASE WHEN CAST(hcum AS DOUBLE) >= htot * 0.99 THEN (hb + 1) * 10000.0 END) AS p99
+      |FROM c""".stripMargin) { (s, d) =>
+    graft.operators.Sampling.mergedHistogramQuantiles(
+      t(s, d, "orders"), col("o_custkey") % 4, "o_totalprice",
+      binWidth = 10000.0, probs = Seq(0.5, 0.9, 0.99))
   }
 
   q("q_stat_ks",

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Association-rule mining over baskets (EXTENSION, SURVEY.md §2.K) —
+  * the Apriori support/confidence/lift surface for pairs, the form that
+  * actually runs at warehouse scale (longer itemsets explode
+  * combinatorially and pair rules carry most of the actionable signal).
+  *
+  * Scale shape: baskets are deduped to DISTINCT (basket, item) once;
+  * the pair generator is a self-join keyed on the BASKET id, so each
+  * basket contributes C(|basket|, 2) wedge rows — bounded by the basket
+  * size contract (a retail order has a handful of line items), never by
+  * the catalog or basket count. Pair counts, item counts and the basket
+  * total are all map-side-combined keyed aggregates; the rule metrics
+  * are pure integer-count arithmetic finished with two IEEE divisions,
+  * so an external engine replays every rule exactly.
+  */
+object MarketBasket {
+
+  /** Pair association rules with support ≥ `minSupport` baskets.
+    *
+    * @return (item_a, item_b, n_both, conf_a_to_b, lift) — one row per
+    *         unordered pair (a < b); confidence is directional (P(b|a)),
+    *         lift symmetric; both left unrounded for the caller */
+  def pairRules(baskets: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val items = baskets
+      .select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .where(col("b").isNotNull && col("i").isNotNull)
+      .distinct()
+    val nBaskets = items.agg(countDistinct(col("b")).as("n_baskets"))
+    val itemCounts = items.groupBy("i").agg(count(lit(1)).as("ci"))
+    val pairs = items.select(col("b"), col("i").as("item_a"))
+      .join(items.select(col("b"), col("i").as("item_b")), Seq("b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+    pairs
+      .join(itemCounts.select(col("i").as("item_a"), col("ci").as("ca")), Seq("item_a"))
+      .join(itemCounts.select(col("i").as("item_b"), col("ci").as("cb")), Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_both"),
+        (col("n_both").cast("double") / col("ca")).as("conf_a_to_b"),
+        (col("n_both").cast("double") * col("n_baskets") /
+          (col("ca") * col("cb"))).as("lift"))
+  }
+}

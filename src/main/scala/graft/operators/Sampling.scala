@@ -339,6 +339,43 @@ object Sampling {
     cum.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The MERGEABILITY half of [[histogramQuantiles]]: per-SHARD bin
+    * counters (the form a fleet persists per shard/day/partition) merged
+    * by plain per-bin addition, then the same first-bin-reaching-p·total
+    * selection — proving histogram sketches compose like any algebraic
+    * state ([[IncrementalAgg]]'s contract, applied to quantiles). A
+    * 100 TB pipeline stores each day's counters (range/binWidth rows,
+    * metadata-sized) and answers global quantiles over any day span by
+    * summing counters — no value-level rescan. The windows here run over
+    * BIN-cardinality rows (bounded by range/binWidth by contract, same
+    * as histogramQuantiles' per-group window), never over values.
+    *
+    * @return ONE row with a `p<NN>` column per requested prob */
+  def mergedHistogramQuantiles(df: DataFrame, shardCol: Column,
+      valueCol: String, binWidth: Double, probs: Seq[Double]): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(probs.nonEmpty && probs == probs.sorted && probs.distinct == probs
+        && probs.forall(p => p > 0 && p < 1),
+      s"probs must be strictly increasing inside (0,1), got $probs")
+    import org.apache.spark.sql.expressions.Window
+    val bin = floor(col(valueCol).cast("double") / lit(binWidth)).cast("long")
+    val perShard = df.filter(col(valueCol).isNotNull)
+      .groupBy(shardCol.as("__shard"), bin.as("__hb"))
+      .agg(count(lit(1)).as("__hn"))
+    // the merge: per-bin addition of shard counters
+    val merged = perShard.groupBy("__hb").agg(sum(col("__hn")).as("__hn"))
+    val w = Window.orderBy("__hb").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = merged
+      .withColumn("__hcum", sum(col("__hn")).over(w))
+      .withColumn("__htot", sum(col("__hn")).over(
+        Window.partitionBy(lit(1))))
+    val aggs = probs.map { p =>
+      min(when(col("__hcum").cast("double") >= col("__htot") * p,
+        (col("__hb") + 1L).cast("double") * binWidth)).as(s"p${(p * 100).round}")
+    }
+    cum.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** CASE group WHEN k1 THEN v1 ... ELSE default END, empty-map safe
     * (collapses to the default literal). */
   private def caseOver[T](group: Column, entries: Map[String, T],

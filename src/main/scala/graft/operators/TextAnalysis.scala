@@ -264,6 +264,45 @@ object TextAnalysis {
     * corpus never re-shuffles. Frequencies are exact rationals
     * (count/total of the SAME integers in both engines), rounded at
     * 6 dp. */
+  /** Zipf-law fit over the head of the term-frequency distribution —
+    * the corpus-shape diagnostic (a healthy natural-language corpus has
+    * ln(freq) ≈ intercept − s·ln(rank) with s ≈ 1; heavy boilerplate or
+    * duplication bends the head, template spam flattens it). OLS on the
+    * top `topN` (ln rank, ln freq) points.
+    *
+    * Scale shape: ONE tokenize + keyed count scan (map-side combined);
+    * the head cut is a TakeOrdered (per-task heap, never a vocab sort);
+    * ranks and the regression run over topN rows. The four regression
+    * sums go through per-term DECIMAL(38,18) casts so they are
+    * accumulation-order-independent; slope/intercept finish in doubles
+    * with one fixed expression shape.
+    *
+    * @return one row: (n_terms, slope, intercept) — unrounded */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"zipfFit needs topN >= 2, got $topN")
+    val counts = docs
+      .select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(topN) // TakeOrdered: a topN-row frame
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term")) // topN rows — bounded
+    val pts = counts
+      .withColumn("x", log(row_number().over(w).cast("double")))
+      .withColumn("y", log(col("cnt").cast("double")))
+    val dec = (c: Column) => c.cast("decimal(38,18)")
+    val s = pts.agg(
+      count(lit(1)).as("n_terms"),
+      sum(dec(col("x"))).cast("double").as("sx"),
+      sum(dec(col("y"))).cast("double").as("sy"),
+      sum(dec(col("x") * col("y"))).cast("double").as("sxy"),
+      sum(dec(col("x") * col("x"))).cast("double").as("sxx"))
+    val slope = (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+      (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("n_terms"), slope.as("slope"),
+      ((col("sy") - slope * col("sx")) / col("n_terms")).as("intercept"))
+  }
+
   def vocabDrift(oldDocs: DataFrame, newDocs: DataFrame, textCol: String,
       topK: Int = 50): DataFrame = {
     require(topK >= 1, s"topK must be positive, got $topK")
