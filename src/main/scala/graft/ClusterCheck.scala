@@ -78,6 +78,10 @@ object ClusterCheck {
     "q_text_bm25_index_refresh",  // executor-side postings append + vocab merge + consts delta (r7)
     "q_sim_ivf_index_refresh",    // bit-exact centroid sidecar read + append assignment (r7)
     "q_scan_csvq_roundtrip",      // OpenCSVSerde quote/escape write+read across executors (r7)
+    "q_sketch_kmv_setops",        // KmvSketchAgg ARRAY eval + decimal array ops across JVMs (r8)
+    "q_stat_ks",                  // two-phase CDF prefix sum: offsets broadcast to executors (r8)
+    "q_search_prf",               // three-pass tf reuse + TopKAgg heaps + decimal fusion (r8)
+    "q_agg_incremental_merge",    // decimal state union-merge across real executor JVMs (r8)
   )
 
   private def runAll(master: String, sfDir: String): Map[String, Seq[String]] = {

@@ -5741,6 +5741,53 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  q("q_cdc_incremental_agg",
+    // CDC-aware view maintenance — the HARD half (deletes, not just
+    // appends): counts/sums retract exactly from the changeset alone;
+    // min/max recompute ONLY for groups whose deleted values touch the
+    // candidate boundary (semi-join-pruned snapshot scan — proportional
+    // to dirty groups' data, never the table). The oracle is the full
+    // recompute over the post-change snapshot, so passing proves
+    // applyCdc(state(S), ins, del, S') == state(S') exactly. Changes:
+    // delete every orderkey%10 row, insert shifted copies of orderkey%7
+    // rows with +100 quantity (moves maxima through the insert path
+    // while the deletes hit minima through the recompute path)
+    """WITH ins AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         l_quantity + 100 AS l_quantity, l_extendedprice
+      |  FROM lineitem WHERE l_orderkey % 7 = 0),
+      |snap AS (
+      |  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice
+      |  FROM lineitem WHERE l_orderkey % 10 <> 0
+      |  UNION ALL SELECT * FROM ins)
+      |SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      |  cast(cast(sum(cast(l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_l_quantity,
+      |  round(cast(cast(sum(cast(l_quantity AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) / count(l_quantity), 6) AS avg_l_quantity,
+      |  cast(min(cast(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS min_l_quantity,
+      |  cast(max(cast(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS max_l_quantity,
+      |  cast(cast(sum(cast(l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_l_extendedprice,
+      |  round(cast(cast(sum(cast(l_extendedprice AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) / count(l_extendedprice), 6) AS avg_l_extendedprice,
+      |  cast(min(cast(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS min_l_extendedprice,
+      |  cast(max(cast(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS max_l_extendedprice
+      |FROM snap
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    import graft.operators.IncrementalAgg
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val measures = Seq("l_quantity", "l_extendedprice")
+    val li = t(s, d, "lineitem")
+    val deletes = li.filter(col("l_orderkey") % 10 === 0)
+    val inserts = li.filter(col("l_orderkey") % 7 === 0)
+      .withColumn("l_orderkey", col("l_orderkey") + lit(3000000000L))
+      .withColumn("l_quantity", col("l_quantity") + lit(100.0))
+    val snapshot = li.filter(col("l_orderkey") % 10 =!= 0).unionByName(inserts)
+    val maintained = IncrementalAgg.applyCdc(
+      IncrementalAgg.state(li, keys, measures),
+      keys, measures, inserts, deletes, snapshot)
+    IncrementalAgg.finish(maintained, keys, measures)
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   q("q_cdc_scd2",
     // SCD-type-2 history build from the events change log: per user, the
     // event_type attribute's runs of equal consecutive values collapse

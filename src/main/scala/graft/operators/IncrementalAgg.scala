@@ -72,6 +72,85 @@ object IncrementalAgg {
     u.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** CDC-aware maintenance — the HARD half of view maintenance: deletes
+    * and updates, not just appends. Counts and sums are groups under
+    * retraction (subtract exactly, in the same DECIMAL), so they
+    * maintain from the changeset alone; min/max are NOT retractable —
+    * deleting the boundary value gives the state no way to know the
+    * runner-up. The standard production answer (and ours): detect the
+    * groups whose deleted values TOUCH the current boundary and
+    * recompute min/max for exactly those groups from the post-change
+    * snapshot — a semi-join-pruned scan proportional to the dirty
+    * groups' data, not the table. Updates are modeled as delete(old) +
+    * insert(new), the CDC-native decomposition.
+    *
+    * Exactness: merge arithmetic is all longs and decimals, the dirty
+    * test is conservative (any delete at or beyond the candidate
+    * boundary triggers recompute — duplicates of the boundary value are
+    * handled by construction), and groups whose row count reaches zero
+    * drop out. `applyCdc(state(S), ins, del, S') == state(S')` exactly,
+    * which the spec pins with a planted boundary deletion that would
+    * falsify any skipped recompute.
+    *
+    * @param snapshot the POST-change table (the maintenance job always
+    *        has it — it is what the view describes); read only for the
+    *        dirty groups via a semi-join */
+  def applyCdc(state: DataFrame, keys: Seq[String], measures: Seq[String],
+      inserts: DataFrame, deletes: DataFrame, snapshot: DataFrame): DataFrame = {
+    val insState = this.state(inserts, keys, measures)
+    val delState = this.state(deletes, keys, measures)
+    def sfx(df: DataFrame, suffix: String) =
+      df.columns.foldLeft(df) { (d, c) =>
+        if (keys.contains(c)) d else d.withColumnRenamed(c, c + suffix)
+      }
+    val joined = sfx(state, "")
+      .join(sfx(insState, "_i"), keys, "full_outer")
+      .join(sfx(delState, "_d"), keys, "full_outer")
+    val zeroDec = lit(java.math.BigDecimal.ZERO).cast("decimal(28,4)")
+    val nRows = coalesce(col("n_rows"), lit(0L)) +
+      coalesce(col("n_rows_i"), lit(0L)) - coalesce(col("n_rows_d"), lit(0L))
+    // null-safe least/greatest over (state, inserts)
+    def nsLeast(a: Column, b: Column) = coalesce(least(a, b), a, b)
+    def nsGreatest(a: Column, b: Column) = coalesce(greatest(a, b), a, b)
+    val withCand = joined
+      .withColumn("n_rows__new", nRows)
+      .filter(col("n_rows__new") > 0)
+    val candCols = measures.foldLeft(withCand) { (d, m) =>
+      d.withColumn(s"sum_${m}__new",
+          (coalesce(col(s"sum_$m"), zeroDec) + coalesce(col(s"sum_${m}_i"), zeroDec)
+            - coalesce(col(s"sum_${m}_d"), zeroDec)).cast("decimal(28,4)"))
+        .withColumn(s"cnt_${m}__new",
+          coalesce(col(s"cnt_$m"), lit(0L)) + coalesce(col(s"cnt_${m}_i"), lit(0L))
+            - coalesce(col(s"cnt_${m}_d"), lit(0L)))
+        .withColumn(s"min_${m}__cand", nsLeast(col(s"min_$m"), col(s"min_${m}_i")))
+        .withColumn(s"max_${m}__cand", nsGreatest(col(s"max_$m"), col(s"max_${m}_i")))
+        // dirty: a deleted value sits at or beyond the candidate boundary
+        // (or the candidate itself is gone) — the runner-up is unknown
+        .withColumn(s"__dirty_$m",
+          col(s"cnt_${m}_d").isNotNull && (
+            col(s"min_${m}__cand").isNull ||
+            col(s"min_${m}_d") <= col(s"min_${m}__cand") ||
+            col(s"max_${m}_d") >= col(s"max_${m}__cand")))
+    }
+    val dirty = candCols
+      .filter(measures.map(m => col(s"__dirty_$m")).reduce(_ || _))
+      .select(keys.map(col): _*)
+    // recompute min/max ONLY for dirty groups, from the new snapshot
+    val recomputed = sfx(
+      this.state(snapshot.join(dirty, keys, "left_semi"), keys, measures), "_r")
+    val finalCols = keys.map(col) ++ Seq(col("n_rows__new").as("n_rows")) ++
+      measures.flatMap { m =>
+        Seq(
+          col(s"sum_${m}__new").as(s"sum_$m"),
+          col(s"cnt_${m}__new").as(s"cnt_$m"),
+          when(col(s"__dirty_$m"), col(s"min_${m}_r"))
+            .otherwise(col(s"min_${m}__cand")).as(s"min_$m"),
+          when(col(s"__dirty_$m"), col(s"max_${m}_r"))
+            .otherwise(col(s"max_${m}__cand")).as(s"max_$m"))
+      }
+    candCols.join(recomputed, keys, "left").select(finalCols: _*)
+  }
+
   /** Read-time projection: exact decimal accumulators to stable DOUBLEs
     * plus the derived averages (sum/cnt — NOT maintained in state). */
   def finish(state: DataFrame, keys: Seq[String], measures: Seq[String]): DataFrame = {

@@ -61,6 +61,54 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(canon(viaState) == canon(scratch))
   }
 
+  test("applyCdc == from-scratch state over the post-change snapshot (real data)") {
+    val base = li
+    val deletes = base.filter(col("l_orderkey") % 10 === 0)
+    val inserts = base.filter(col("l_orderkey") % 7 === 0)
+      .withColumn("l_orderkey", col("l_orderkey") + lit(3000000000L))
+      .withColumn("l_quantity", col("l_quantity") + lit(100.0))
+    val snapshot = base.filter(col("l_orderkey") % 10 =!= 0).unionByName(inserts)
+    val maintained = IncrementalAgg.applyCdc(
+      IncrementalAgg.state(base, keys, measures),
+      keys, measures, inserts, deletes, snapshot)
+    val scratch = IncrementalAgg.state(snapshot, keys, measures)
+    assert(canon(maintained) == canon(scratch))
+  }
+
+  test("applyCdc: deleting THE boundary row forces the min recompute — a skipped recompute is falsified") {
+    import spark.implicits._
+    val mk = (rows: Seq[(String, String, Double, Double)]) =>
+      rows.toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+    // group (A,x): min quantity 1.0 lives on exactly ONE row; runner-up 5.0
+    val base = mk(Seq(("A", "x", 1.0, 10.0), ("A", "x", 5.0, 20.0),
+      ("A", "x", 9.0, 30.0)))
+    val deletes = mk(Seq(("A", "x", 1.0, 10.0)))
+    val snapshot = mk(Seq(("A", "x", 5.0, 20.0), ("A", "x", 9.0, 30.0)))
+    val out = IncrementalAgg.applyCdc(
+      IncrementalAgg.state(base, keys, measures), keys, measures,
+      inserts = snapshot.limit(0), deletes = deletes, snapshot = snapshot)
+    val row = IncrementalAgg.finish(out, keys, measures)
+      .select("n_rows", "min_l_quantity", "max_l_quantity").as[(Long, Double, Double)].head()
+    // the candidate (stale) min would be 1.0; correct is the runner-up 5.0
+    assert(row == ((2L, 5.0, 9.0)))
+  }
+
+  test("applyCdc: fully-deleted groups vanish; insert-only groups appear") {
+    import spark.implicits._
+    val mk = (rows: Seq[(String, String, Double, Double)]) =>
+      rows.toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+    val base = mk(Seq(("A", "x", 1.0, 1.0), ("B", "y", 2.0, 2.0)))
+    val deletes = mk(Seq(("B", "y", 2.0, 2.0)))
+    val inserts = mk(Seq(("C", "z", 3.0, 3.0)))
+    val snapshot = mk(Seq(("A", "x", 1.0, 1.0), ("C", "z", 3.0, 3.0)))
+    val out = IncrementalAgg.applyCdc(
+      IncrementalAgg.state(base, keys, measures), keys, measures,
+      inserts, deletes, snapshot)
+    assert(canon(out) == canon(IncrementalAgg.state(snapshot, keys, measures)))
+    val groups = out.select("l_returnflag").as[String].collect().toSet
+    assert(groups == Set("A", "C"))
+  }
+
   test("groups present in only one delta survive the merge intact") {
     import spark.implicits._
     val a = Seq(("A", "x", 1.0, 10.0), ("B", "y", 2.0, 20.0))
