@@ -5195,6 +5195,40 @@ object Queries {
       .orderBy("media_id", "frame_no")
   }
 
+  q("q_multimodal_features",
+    // batched per-partition feature extraction over opaque payloads
+    // (the mixed-modality table's fallback path, made driver-visible):
+    // 16-dim byte statistics from EXACT integer sums + one fixed
+    // double→float32 rounding, so every feature replays bit-for-bit.
+    // The oracle walks the same bytes via codepoints (the fixture is
+    // ASCII by construction — the same caveat class as the \s+
+    // tokenizer note; a real blob column replays via hex as in
+    // q_multimodal_frames). Limited to doc_id < 100 probe rows; the
+    // extraction itself runs the full mapPartitions batch shape
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+      |b0 AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+      |       FROM docs),
+      |b AS (
+      |  SELECT doc_id, (i - 1) % 16 AS dim,
+      |         ord(substr(text, CAST(i AS INTEGER), 1)) AS byte
+      |  FROM b0),
+      |s AS (SELECT doc_id, dim, sum(byte) AS sb FROM b GROUP BY 1, 2),
+      |spine AS (SELECT doc_id, unnest(range(16)) AS dim FROM docs),
+      |d AS (SELECT doc_id, greatest(1, length(text) // 16) AS den FROM docs)
+      |SELECT spine.doc_id AS media_id, CAST(spine.dim AS BIGINT) AS dim,
+      |  CAST(CAST(CAST(coalesce(s.sb, 0) AS DOUBLE) / 255.0 / d.den AS FLOAT) AS DOUBLE) AS f
+      |FROM spine LEFT JOIN s ON spine.doc_id = s.doc_id AND spine.dim = s.dim
+      |JOIN d ON spine.doc_id = d.doc_id
+      |ORDER BY media_id, dim""".stripMargin) { (s, d) =>
+    graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.mediaFromDocuments(
+          t(s, d, "documents").filter(col("doc_id") < 100)))
+      .select(col("media_id"), posexplode(col("features")))
+      .select(col("media_id"), col("pos").cast("long").as("dim"),
+        col("col").cast("double").as("f"))
+      .orderBy("media_id", "dim")
+  }
+
   // ------------------------------------------------------------ §2.K event analytics (r6)
 
   q("q_events_twap",

@@ -87,18 +87,26 @@ object Multimodal {
 
   /** Fallback features for payloads NO codec claims (text/audio/video
     * blobs): deterministic byte statistics with the same `featureDim`
-    * shape, so mixed-modality tables extract in one pass. */
+    * shape, so mixed-modality tables extract in one pass. Bytes
+    * accumulate as EXACT integer sums (order-free) and each feature is
+    * one fixed double expression rounded once to float32 — so an
+    * external engine replays every feature bit-for-bit (q_multimodal
+    * family discipline). */
   private[operators] def byteStatFeatures(payload: Array[Byte]): Array[Float] = {
     val out = new Array[Float](featureDim)
     if (payload != null) {
+      val sums = new Array[Long](featureDim)
       var i = 0
       while (i < payload.length) {
-        out(i % featureDim) += (payload(i) & 0xFF) / 255.0f
+        sums(i % featureDim) += (payload(i) & 0xFF)
         i += 1
       }
       val n = math.max(1, payload.length / featureDim)
       var j = 0
-      while (j < featureDim) { out(j) /= n; j += 1 }
+      while (j < featureDim) {
+        out(j) = (sums(j) / 255.0 / n).toFloat
+        j += 1
+      }
     }
     out
   }

@@ -385,15 +385,24 @@ object Profiling {
     *
     * @return one row: (n_a, n_b, d_stat, d_at) — d_stat 6-dp, d_at =
     *         smallest value attaining the supremum */
-  def ksTwoSample(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
-    val spark = a.sparkSession
-    def hist(df: DataFrame, cnt: String, zero: String) = df
-      .select(col(valueCol).cast("double").as("v"))
-      .where(col("v").isNotNull)
-      .groupBy("v").agg(count(lit(1)).as(cnt))
-      .withColumn(zero, lit(0L))
-    val merged = hist(a, "ca", "cb").select("v", "ca", "cb")
-      .unionByName(hist(b, "cb", "ca").select("v", "ca", "cb"))
+  def ksTwoSample(a: DataFrame, b: DataFrame, valueCol: String): DataFrame =
+    ksFromHistograms(valueHistogram(a, valueCol), valueHistogram(b, valueCol))
+
+  /** The (value, count) histogram a population collapses to before any
+    * distribution test — also the PERSISTABLE reference form for the
+    * streaming drift monitor (store the histogram once, compare every
+    * arriving batch against it without re-reading the reference data). */
+  def valueHistogram(df: DataFrame, valueCol: String): DataFrame = df
+    .select(col(valueCol).cast("double").as("v"))
+    .where(col("v").isNotNull)
+    .groupBy("v").agg(count(lit(1)).as("cnt"))
+
+  /** KS over two pre-collapsed (v, cnt) histograms — the mergeable-state
+    * half of [[ksTwoSample]], exposed so references can be persisted. */
+  def ksFromHistograms(ha: DataFrame, hb: DataFrame): DataFrame = {
+    val spark = ha.sparkSession
+    val merged = ha.select(col("v"), col("cnt").as("ca"), lit(0L).as("cb"))
+      .unionByName(hb.select(col("v"), lit(0L).as("ca"), col("cnt").as("cb")))
       .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
     val nPart = math.max(1, spark.sparkContext.defaultParallelism)
     // freeze the range layout so both phases see the same partitions

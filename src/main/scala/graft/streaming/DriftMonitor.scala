@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.Profiling
+
+/** Streaming distribution-drift monitor — the continuous twin of
+  * [[graft.operators.Profiling.ksTwoSample]]: a REFERENCE population is
+  * collapsed once to its (value, count) histogram and persisted; every
+  * arriving micro-batch is KS-tested against that stored histogram and
+  * one drift row per trigger is APPENDED to `outDir`. The encoder-rerun
+  * / upstream-schema-change / corpus-mix alarms the batch drift family
+  * answers retrospectively, answered per trigger instead.
+  *
+  * Scale shape per trigger: one scan of the BATCH into its histogram +
+  * a KS over (reference ∪ batch) distinct values via the two-phase
+  * prefix sum — the reference DATA is never re-read (the
+  * materialize-the-index discipline: the histogram IS the index). The
+  * reference histogram is value-cardinality-sized; for a continuous
+  * column at 100 TB the caller bins values upstream (the
+  * histogramEquiWidth form) — the monitor is agnostic to that choice.
+  */
+object DriftMonitor {
+
+  /** @param reference the baseline population (read once at start; its
+    *        histogram is persisted to `outDir/_reference_hist` and
+    *        reused on restart)
+    * @return one appended row per trigger:
+    *         (batch_id, n_batch, d_stat, d_at) */
+  def monitorKs(spark: SparkSession, sourceDir: String, outDir: String,
+      checkpointDir: String, valueCol: String, reference: DataFrame,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val srcSchema = schema.getOrElse(spark.read.parquet(sourceDir).schema)
+    val refDir = s"$outDir/_reference_hist"
+    if (!hasParquet(spark, refDir))
+      Profiling.valueHistogram(reference, valueCol)
+        .write.mode("overwrite").parquet(refDir)
+    spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val stat = Profiling.ksFromHistograms(
+            spark.read.parquet(refDir),
+            Profiling.valueHistogram(batch, valueCol))
+          .select(lit(batchId).as("batch_id"),
+            col("n_b").as("n_batch"), col("d_stat"), col("d_at"))
+        stat.write.mode("append").parquet(s"$outDir/drift")
+        ()
+      }
+      .start()
+  }
+
+  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+}
