@@ -420,6 +420,59 @@ object Queries {
       .orderBy("p_event", "s_event")
   }
 
+  q("q_join_advisor",
+    // profile-then-decide composed end to end: ONE row of pre-join
+    // diagnostics (key histograms, hottest-key share via the k=1 heap,
+    // CM-sketch join-size over-estimate) plus the strategy a planner
+    // would act on — broadcast under the row budget, salted past the
+    // hot-key share threshold, shuffle otherwise. Every input is a
+    // distributively-computed integer, the decision a CASE over them,
+    // so the oracle replays the whole recommendation including the
+    // sketch arithmetic
+    """WITH lh AS (SELECT o_custkey AS k, count(*) AS lc FROM orders GROUP BY 1),
+      |rh AS (SELECT c_custkey AS k, count(*) AS rc FROM customer GROUP BY 1),
+      |j AS (SELECT lh.k AS lk, lc, rh.k AS rk, rc
+      |      FROM lh FULL JOIN rh ON lh.k = rh.k),
+      |stats AS (SELECT
+      |    CAST(coalesce(sum(lc), 0) AS BIGINT) AS n_left_rows,
+      |    CAST(coalesce(sum(rc), 0) AS BIGINT) AS n_right_rows,
+      |    count(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN 1 END) AS n_common_keys,
+      |    CAST(coalesce(max(lc * rc), 0) AS BIGINT) AS max_key_fanout
+      |  FROM j),
+      |top AS (SELECT coalesce(max(c), 0) AS topc
+      |        FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey)),
+      |ho AS (
+      |  SELECT md5_number_lower(CAST(o_custkey AS VARCHAR))::HUGEINT AS lo,
+      |         md5_number_upper(CAST(o_custkey AS VARCHAR))::HUGEINT AS hi
+      |  FROM orders WHERE o_custkey IS NOT NULL),
+      |hc AS (
+      |  SELECT md5_number_lower(CAST(c_custkey AS VARCHAR))::HUGEINT AS lo,
+      |         md5_number_upper(CAST(c_custkey AS VARCHAR))::HUGEINT AS hi
+      |  FROM customer WHERE c_custkey IS NOT NULL),
+      |co AS (SELECT j, ((lo + j*hi) % 18446744073709551616::HUGEINT) % 256 AS b,
+      |         count(*) AS ca
+      |       FROM ho, range(4) t(j) GROUP BY 1, 2),
+      |cc AS (SELECT j, ((lo + j*hi) % 18446744073709551616::HUGEINT) % 256 AS b,
+      |         count(*) AS cb
+      |       FROM hc, range(4) t(j) GROUP BY 1, 2),
+      |ip AS (SELECT co.j, sum(ca * cb) AS ip
+      |       FROM co JOIN cc ON co.j = cc.j AND co.b = cc.b GROUP BY co.j),
+      |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_rows FROM ip)
+      |SELECT s.n_left_rows, s.n_right_rows, s.n_common_keys, s.max_key_fanout,
+      |  CASE WHEN s.n_left_rows = 0 THEN 0.0
+      |       ELSE CAST(t.topc AS DOUBLE) / s.n_left_rows END AS top_key_share,
+      |  e.est_join_rows,
+      |  CASE WHEN s.n_right_rows <= 10000 THEN 'broadcast'
+      |       WHEN (CASE WHEN s.n_left_rows = 0 THEN 0.0
+      |             ELSE CAST(t.topc AS DOUBLE) / s.n_left_rows END) >= 0.2
+      |         THEN 'salted'
+      |       ELSE 'shuffle' END AS strategy
+      |FROM stats s CROSS JOIN top t CROSS JOIN est e""".stripMargin) { (s, d) =>
+    graft.operators.SkewJoin.advise(
+      t(s, d, "orders"), "o_custkey", t(s, d, "customer"), "c_custkey",
+      broadcastMaxRows = 10000, topShareThreshold = 0.2)
+  }
+
   q("q_join_skew",
     // explicit salted join for hot keys AQE can't split (a single key
     // overwhelming one reducer): left rows get a content-hash salt in

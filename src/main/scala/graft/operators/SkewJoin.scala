@@ -53,6 +53,42 @@ object SkewJoin {
     }
   }
 
+  /** Join ADVISOR — the profile-then-decide pattern composed end to end
+    * (the r7 SkewJoin.decide / cmsJoinSizeEstimate discipline, unified):
+    * one row of pre-join diagnostics + the physical-strategy
+    * recommendation a planner (or a human) would act on. Everything
+    * derives distributively — key histograms ([[Profiling.joinKeyStats]]),
+    * the hottest-key share (k=1 bounded heap), the CM-sketch join-size
+    * over-estimate — and the decision itself is a CASE over those
+    * integers, so an external engine replays the whole recommendation:
+    * `broadcast` when the build side fits the row budget, `salted` when
+    * one left key would own a reducer past the share threshold,
+    * `shuffle` otherwise (AQE handles mild skew).
+    *
+    * @return ONE row: (n_left_rows, n_right_rows, n_common_keys,
+    *         max_key_fanout, top_key_share, est_join_rows, strategy) */
+  def advise(left: DataFrame, lKey: String, right: DataFrame, rKey: String,
+      broadcastMaxRows: Long = 10000, topShareThreshold: Double = 0.2): DataFrame = {
+    val stats = Profiling.joinKeyStats(left, lKey, right, rKey)
+      .select("n_left_rows", "n_right_rows", "n_common_keys", "max_key_fanout")
+    // aggregate the k=1 heap output so an empty/all-null left still
+    // yields one row (the decide() headOption lesson, kept plan-side)
+    val top = Profiling.keySkewTopK(left.select(col(lKey)), lKey, k = 1)
+      .agg(coalesce(max(col("cnt")), lit(0L)).as("_top_cnt"))
+    val est = Profiling.cmsJoinSizeEstimate(
+      Profiling.cmsCounters(left, col(lKey), depth = 4, width = 256),
+      Profiling.cmsCounters(right, col(rKey), depth = 4, width = 256))
+    stats.crossJoin(broadcast(top)).crossJoin(broadcast(est))
+      .withColumn("top_key_share",
+        when(col("n_left_rows") === 0, lit(0.0))
+          .otherwise(col("_top_cnt").cast("double") / col("n_left_rows")))
+      .select(col("n_left_rows"), col("n_right_rows"), col("n_common_keys"),
+        col("max_key_fanout"), col("top_key_share"), col("est_join_rows"),
+        when(col("n_right_rows") <= broadcastMaxRows, lit("broadcast"))
+          .when(col("top_key_share") >= topShareThreshold, lit("salted"))
+          .otherwise(lit("shuffle")).as("strategy"))
+  }
+
   /** Inner join that reads the skew profile and picks its own physical
     * shape: plain equi-join when the hottest key's row share is below
     * `topShareThreshold` (AQE handles mild skew fine), the salted form

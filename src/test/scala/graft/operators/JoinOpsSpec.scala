@@ -78,6 +78,28 @@ class JoinOpsSpec extends SparkTestBase {
       "uniform-side autoSalted must stay a plain equi-join")
   }
 
+  test("advise recommends broadcast / salted / shuffle from the planted profiles (r8)") {
+    val smallDim = (1L to 50L).map(k => (k, s"n$k")).toDF("k", "name")
+    val bigDim = (1L to 2000L).map(k => (k, s"n$k")).toDF("k", "name")
+    val hot = (1 to 1000).map(i => (if (i <= 800) 1L else i.toLong, i)).toDF("k", "v")
+    val uni = (1 to 1000).map(i => (i.toLong, i)).toDF("k", "v")
+    def strat(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      SkewJoin.advise(l, "k", r, "k",
+          broadcastMaxRows = 100, topShareThreshold = 0.2)
+        .select("strategy", "top_key_share", "est_join_rows", "n_common_keys")
+        .as[(String, Double, Long, Long)].head()
+    val b = strat(uni, smallDim)
+    assert(b._1 == "broadcast" && b._4 == 50, s"small dim must broadcast: $b")
+    val sa = strat(hot, bigDim)
+    assert(sa._1 == "salted" && math.abs(sa._2 - 0.8) < 1e-9,
+      s"hot key past the share threshold must salt: $sa")
+    val sh = strat(uni, bigDim)
+    assert(sh._1 == "shuffle" && sh._2 == 0.001, s"uniform big join shuffles: $sh")
+    // the CMS estimate keeps its over-estimate-only contract: the real
+    // join size is |uni ⋈ bigDim| = 1000
+    assert(sh._3 >= 1000L, s"est_join_rows must over-estimate: ${sh._3}")
+  }
+
   test("decide on an empty or all-null-key left side: share 0, no salting (r8)") {
     val dim = Seq((1L, "x")).toDF("k", "name")
     val empty = Seq.empty[(Long, Int)].toDF("k", "v")
