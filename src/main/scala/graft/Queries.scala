@@ -765,6 +765,22 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  q("q_fn_percentile_rank",
+    // WINDOW-FREE cume_dist at corpus scale (the percentile-rank
+    // feature transform: quality score → percentile for curriculum /
+    // filtering): value histogram + the two-phase prefix sum + one
+    // value-keyed join-back — semantics identical to SQL cume_dist
+    // (count(x ≤ v)/n) without the single-task global window its plan
+    // degenerates to. The oracle IS that window form, so the hash match
+    // proves the distributed plan computes the textbook function
+    """SELECT o_orderkey,
+      |  round(cume_dist() OVER (ORDER BY CAST(o_totalprice AS DOUBLE)), 6) AS pct
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    graft.operators.Profiling.cumeDistBy(t(s, d, "orders"), "o_totalprice")
+      .select(col("o_orderkey"), round(col("cume_dist"), 6).as("pct"))
+      .orderBy("o_orderkey")
+  }
+
   q("q_win_distribution",
     // partitioned by o_custkey (high cardinality): at 100 TB this spreads
     // across the cluster, unlike the 3-value o_orderstatus key which would

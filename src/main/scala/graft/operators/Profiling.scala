@@ -397,6 +397,52 @@ object Profiling {
     .where(col("v").isNotNull)
     .groupBy("v").agg(count(lit(1)).as("cnt"))
 
+  /** Window-free cume_dist at corpus scale: the percentile-rank feature
+    * transform (quality-score → percentile is the standard
+    * curriculum/filter input) computed WITHOUT the single-task global
+    * window that `cume_dist() OVER (ORDER BY v)` plans into. Shape: the
+    * value histogram (one keyed count), running counts via the same
+    * two-phase prefix sum as [[ksTwoSample]], then one value-keyed join
+    * back onto the rows — every stage partition-parallel. Identical
+    * semantics to SQL cume_dist: count(x ≤ v) / n.
+    *
+    * @return input rows + `cume_dist` (unrounded double) */
+  def cumeDistBy(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val hist = valueHistogram(df, valueCol)
+    val nPart = math.max(1, spark.sparkContext.defaultParallelism)
+    val sorted = hist.repartitionByRange(nPart, col("v"))
+      .sortWithinPartitions("v")
+      .select(col("v"), col("cnt").cast("long").as("cnt"))
+      .localCheckpoint()
+    val partSums = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(1))
+      Iterator.single((i, s))
+    }.collect().sortBy(_._1)
+    val off = new Array[Long](partSums.length + 1)
+    partSums.foreach { case (i, s) => off(i + 1) = s }
+    var i = 1
+    while (i < off.length) { off(i) += off(i - 1); i += 1 }
+    val n = off.last
+    val bc = spark.sparkContext.broadcast(off)
+    val cdf = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bc.value(pid)
+      it.map { r => run += r.getLong(1); Row(r.getDouble(0), run) }
+    }
+    // internal names prefixed so an input column called "v" can't
+    // collide with the CDF frame's join key
+    val cdfDf = spark.createDataFrame(cdf, StructType(Seq(
+      StructField("__cdf_v", DoubleType, nullable = false),
+      StructField("__cum", LongType, nullable = false))))
+    df.withColumn("__v", col(valueCol).cast("double"))
+      .join(cdfDf, col("__v") === col("__cdf_v"), "left")
+      .withColumn("cume_dist",
+        when(col("__v").isNull, lit(null).cast("double"))
+          .otherwise(col("__cum").cast("double") / lit(n)))
+      .drop("__v", "__cdf_v", "__cum")
+  }
+
   /** KS over two pre-collapsed (v, cnt) histograms — the mergeable-state
     * half of [[ksTwoSample]], exposed so references can be persisted. */
   def ksFromHistograms(ha: DataFrame, hb: DataFrame): DataFrame = {

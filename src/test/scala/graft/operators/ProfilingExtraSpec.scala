@@ -73,6 +73,25 @@ class ProfilingExtraSpec extends SparkTestBase {
     assert(got._4 == dat)
   }
 
+  test("cumeDistBy equals window cume_dist, ties and nulls included") {
+    import org.apache.spark.sql.expressions.Window
+    // ties: two 5.0s share cume 0.75; null value gets null cume
+    val df = Seq(Some(1.0), Some(5.0), Some(5.0), Some(9.0), None).toDF("v")
+    val got = Profiling.cumeDistBy(df, "v")
+      .select(col("v"), col("cume_dist")).orderBy(asc_nulls_first("v"))
+      .as[(Option[Double], Option[Double])].collect().toList
+    assert(got == List(
+      (None, None), (Some(1.0), Some(0.25)), (Some(5.0), Some(0.75)),
+      (Some(5.0), Some(0.75)), (Some(9.0), Some(1.0))))
+
+    val orders = graft.sources.Tables.load(spark, sf(), "orders")
+    val mine = Profiling.cumeDistBy(orders, "o_totalprice")
+      .select(col("o_orderkey").as("k"), col("cume_dist").as("c"))
+    val window = orders.select(col("o_orderkey").as("k"),
+      cume_dist().over(Window.orderBy(col("o_totalprice").cast("double"))).as("c"))
+    assert(mine.exceptAll(window).isEmpty && window.exceptAll(mine).isEmpty)
+  }
+
   test("standardizeDims: hand z-scores; standardized dims have mean 0 and sd 1") {
     // dim 0: values 1, 3 → mean 2, sd 1 → z = -1, +1
     // dim 1: values 5, 5 → sd 0 → z = 0 (guard, not NaN)
