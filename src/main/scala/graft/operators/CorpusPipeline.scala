@@ -73,4 +73,100 @@ object CorpusPipeline {
 
     kept.join(quality, Seq(idCol), "left")
   }
+
+  /** Right-to-be-forgotten erasure across a corpus AND every derived
+    * artifact — the composed maintenance surface a data-subject request
+    * actually needs (the reference's `delete_data_in_database` removes
+    * table data, `/root/reference/etl_manager/meta.py:769-791`; this
+    * extends that contract to the indexes the data leaked into):
+    *
+    *   1. corpus parquet: survivors staged, verified, swapped in (only
+    *      the top-level data FILES are replaced — underscore sidecar
+    *      dirs like `_hash_index` survive the swap untouched);
+    *   2. `_hash_index` / `_minhash_sigs` / `_minhash_bands` sidecars
+    *      (the streaming-ingest dedup indexes): forgotten docs' hashes
+    *      and signatures removed, so a re-submission of forgotten
+    *      CONTENT is treated as brand new — "forgotten" means as if
+    *      never ingested, not silently deduped against a ghost;
+    *   3. BM25 inverted index: tombstone + compact (physical removal —
+    *      a tombstone alone would leave the forgotten text recoverable
+    *      from its postings);
+    *   4. ANN layouts: tombstone + compact, same argument.
+    *
+    * Everything derives distributively; the one eager materialization
+    * is the survivor frame (its lineage reads the files the swap
+    * replaces — the refreshByPath lesson applied at design time).
+    *
+    * @param annIndexes (path, partitionCols) per ANN layout — cell_id
+    *        for IVF, table/bucket for LSH, empty for PQ
+    * @return number of corpus rows erased */
+  def forgetDocuments(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, idCol: String, corpusDir: String,
+      textCol: String = "text",
+      textIndexDir: Option[String] = None,
+      annIndexes: Seq[(String, Seq[String])] = Nil): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasParquet(dir: String): Boolean = {
+      val p = new Path(dir)
+      fs.exists(p) && fs.listStatus(p).exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    /** Replace a dir's parquet data files with `rows`, staged + verified
+      * first; sidecar subdirectories inside `dir` are left untouched. */
+    def swapIn(rows: DataFrame, dir: String, expected: Long): Unit = {
+      val staging = s"${dir.stripSuffix("/")}_forgetting"
+      rows.write.mode("overwrite").parquet(staging)
+      val got = spark.read.parquet(staging).count()
+      require(got == expected,
+        s"forgetDocuments: staged $staging has $got rows, expected $expected")
+      val dirPath = new Path(dir)
+      fs.listStatus(dirPath).filter(_.isFile)
+        .foreach(s => fs.delete(s.getPath, false))
+      fs.listStatus(new Path(staging)).filter(_.isFile).foreach { s =>
+        if (!fs.rename(s.getPath, new Path(dirPath, s.getPath.getName)))
+          throw new java.io.IOException(
+            s"forgetDocuments: swap rename failed for ${s.getPath}")
+      }
+      fs.delete(new Path(staging), true)
+    }
+    val gone = ids.select(col(idCol)).distinct().localCheckpoint()
+    val corpus = spark.read.parquet(corpusDir)
+    // forgotten docs' content hashes — read BEFORE the corpus rewrite
+    val goneHashes = corpus.join(gone, Seq(idCol), "left_semi")
+      .select(md5(col(textCol)).as("corpus_content_hash"))
+      .distinct().localCheckpoint()
+    val nGone = corpus.join(gone, Seq(idCol), "left_semi").count()
+    val nAll = corpus.count()
+    // pin survivors: their lineage lists the files being replaced
+    val survivors = corpus.join(gone, Seq(idCol), "left_anti").localCheckpoint()
+    swapIn(survivors, corpusDir, nAll - nGone)
+
+    val hashDir = s"$corpusDir/_hash_index"
+    if (hasParquet(hashDir)) {
+      val hashes = spark.read.parquet(hashDir)
+      val keep = hashes.join(goneHashes, Seq("corpus_content_hash"), "left_anti")
+        .localCheckpoint()
+      swapIn(keep, hashDir, keep.count())
+    }
+    Seq(s"$corpusDir/_minhash_sigs", s"$corpusDir/_minhash_bands").foreach { d =>
+      if (hasParquet(d)) {
+        val rows = spark.read.parquet(d)
+        val keep = rows.join(gone.select(col(idCol).as("doc_id")),
+          Seq("doc_id"), "left_anti").localCheckpoint()
+        swapIn(keep, d, keep.count())
+      }
+    }
+    textIndexDir.foreach { idx =>
+      TextAnalysis.deleteFromTextIndex(gone.select(col(idCol).as("doc_id")),
+        "doc_id", idx)
+      TextAnalysis.compactTextIndex(spark, idx)
+    }
+    annIndexes.foreach { case (path, partitionCols) =>
+      Similarity.deleteFromAnnIndex(gone, idCol, path)
+      Similarity.compactAnnIndex(spark, path, idCol, partitionCols)
+    }
+    nGone
+  }
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Right-to-be-forgotten erasure across the corpus and every derived
+  * artifact: data files swapped, dedup sidecars scrubbed (re-submitted
+  * content is NEW, not deduped against a ghost), indexes physically
+  * compacted. */
+class ForgetSpec extends SparkTestBase {
+
+  test("forgetDocuments erases corpus, hash sidecar, BM25 postings and IVF rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft-forget")
+    val corpusDir = s"$root/corpus"
+    val textIdx = s"$root/textidx"
+    val ivfIdx = s"$root/ivfidx"
+
+    val docs = Tables.load(spark, sf(), "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 40)
+    docs.write.parquet(corpusDir)
+    // the streaming ingester's hash sidecar
+    spark.read.parquet(corpusDir)
+      .select(md5(col("text")).as("corpus_content_hash"))
+      .write.parquet(s"$corpusDir/_hash_index")
+    TextAnalysis.buildTextIndex(docs, "doc_id", "text", textIdx, nBuckets = 8)
+    val emb = Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .filter(col("doc_id") < 40)
+    val centroids = Similarity.fitCentroids(emb, "doc_id", "embedding",
+      k = 4, iterations = 2)
+    Similarity.buildIvfIndex(emb, "doc_id", "embedding", centroids, ivfIdx)
+
+    import spark.implicits._
+    val goneIds = Seq(3L, 7L, 11L).toDF("doc_id")
+    val forgottenTexts = docs.join(goneIds, Seq("doc_id"), "left_semi")
+      .select("text").as[String].collect()
+    val nBefore = spark.read.parquet(corpusDir).count()
+
+    val n = CorpusPipeline.forgetDocuments(spark, goneIds, "doc_id",
+      corpusDir, "text", textIndexDir = Some(textIdx),
+      annIndexes = Seq((ivfIdx, Seq("cell_id"))))
+    assert(n == 3)
+
+    // 1. corpus: rows gone, everything else intact
+    val after = spark.read.parquet(corpusDir)
+    assert(after.count() == nBefore - 3)
+    assert(after.join(goneIds, Seq("doc_id"), "left_semi").count() == 0)
+
+    // 2. hash sidecar scrubbed: a re-submission of forgotten CONTENT
+    //    passes the exact-dedup gate as brand-new
+    val resub = Seq((1000L, forgottenTexts.head)).toDF("doc_id", "text")
+    val surviving = Dedup.exactAgainstHashes(resub,
+      spark.read.parquet(s"$corpusDir/_hash_index"), "text")
+    assert(surviving.count() == 1,
+      "forgotten content must re-ingest as new, not dedup against a ghost")
+    // while still-present content stays deduped
+    val dupOfLive = after.select("text").limit(1).as[String].collect()
+    val resubLive = Seq((1001L, dupOfLive.head)).toDF("doc_id", "text")
+    assert(Dedup.exactAgainstHashes(resubLive,
+      spark.read.parquet(s"$corpusDir/_hash_index"), "text").count() == 0)
+
+    // 3. BM25 index physically compacted: no forgotten postings, no
+    //    tombstones left behind, probes still serve
+    val postings = spark.read.parquet(s"$textIdx/postings")
+    assert(postings.join(goneIds, Seq("doc_id"), "left_semi").count() == 0)
+    assert(!new java.io.File(s"$textIdx/tombstones").exists())
+    assert(TextAnalysis.bm25TopDocsIndexed(spark, textIdx, nTerms = 1,
+      minTermLen = 4, topK = 5).count() > 0)
+
+    // 4. IVF layout compacted the same way
+    val ivfRows = spark.read.parquet(ivfIdx)
+    assert(ivfRows.join(goneIds, Seq("doc_id"), "left_semi").count() == 0)
+    assert(ivfRows.count() == emb.count() - 3)
+  }
+}
