@@ -80,9 +80,11 @@ object CorpusPipeline {
     * table data, `/root/reference/etl_manager/meta.py:769-791`; this
     * extends that contract to the indexes the data leaked into):
     *
-    *   1. corpus parquet: survivors staged, verified, swapped in (only
-    *      the top-level data FILES are replaced — underscore sidecar
-    *      dirs like `_hash_index` survive the swap untouched);
+    *   1. corpus parquet: FILE-PRUNED rewrite — a column-pruned id scan
+    *      locates the data files that actually hold a forgotten row,
+    *      only those files' survivors are staged, verified and swapped
+    *      in, and every other data file (and underscore sidecar dir)
+    *      is left untouched on disk;
     *   2. `_hash_index` / `_minhash_sigs` / `_minhash_bands` sidecars
     *      (the streaming-ingest dedup indexes): forgotten docs' hashes
     *      and signatures removed, so a re-submission of forgotten
@@ -138,10 +140,44 @@ object CorpusPipeline {
       .select(md5(col(textCol)).as("corpus_content_hash"))
       .distinct().localCheckpoint()
     val nGone = corpus.join(gone, Seq(idCol), "left_semi").count()
-    val nAll = corpus.count()
-    // pin survivors: their lineage lists the files being replaced
-    val survivors = corpus.join(gone, Seq(idCol), "left_anti").localCheckpoint()
-    swapIn(survivors, corpusDir, nAll - nGone)
+
+    // FILE-PRUNED corpus rewrite: locate the files that actually hold a
+    // forgotten row (a column-pruned id scan), rewrite ONLY those files'
+    // survivors, and leave every other data file untouched on disk — at
+    // 100 TB erasing k documents costs the id scan plus the affected
+    // files' rewrite, never a corpus-wide rewrite. Staged file names are
+    // prefixed so they cannot collide with the kept originals.
+    val withFile = corpus.withColumn("__file", input_file_name())
+    val affected = withFile.join(gone, Seq(idCol), "left_semi")
+      .select("__file").distinct()
+      .collect().map(_.getString(0)).toSet // file-list-sized, metadata
+    if (affected.nonEmpty) {
+      val affectedRows = withFile
+        .filter(col("__file").isin(affected.toSeq: _*))
+      val expected = affectedRows.count() - nGone
+      // pin survivors: their lineage lists the files being deleted
+      val survivors = affectedRows.join(gone, Seq(idCol), "left_anti")
+        .drop("__file").localCheckpoint()
+      val staging = s"${corpusDir.stripSuffix("/")}_forgetting"
+      survivors.write.mode("overwrite").parquet(staging)
+      require(spark.read.parquet(staging).count() == expected,
+        s"forgetDocuments: staged survivor count mismatch under $staging")
+      affected.foreach { uri =>
+        val p = new Path(new java.net.URI(uri))
+        if (!fs.delete(p, false))
+          throw new java.io.IOException(s"forgetDocuments: delete failed: $p")
+      }
+      val dirPath = new Path(corpusDir)
+      fs.listStatus(new Path(staging))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach { s =>
+          val target = new Path(dirPath, s"forget-${s.getPath.getName}")
+          if (!fs.rename(s.getPath, target))
+            throw new java.io.IOException(
+              s"forgetDocuments: swap rename failed for ${s.getPath}")
+        }
+      fs.delete(new Path(staging), true)
+    }
 
     val hashDir = s"$corpusDir/_hash_index"
     if (hasParquet(hashDir)) {

@@ -16,9 +16,11 @@ class ForgetSpec extends SparkTestBase {
     val textIdx = s"$root/textidx"
     val ivfIdx = s"$root/ivfidx"
 
+    // range-clustered multi-file layout so the file-pruned rewrite has
+    // untouched files to preserve (ids 3/7/11 all land low)
     val docs = Tables.load(spark, sf(), "documents")
       .select("doc_id", "text").filter(col("doc_id") < 40)
-    docs.write.parquet(corpusDir)
+    docs.repartitionByRange(4, col("doc_id")).write.parquet(corpusDir)
     // the streaming ingester's hash sidecar
     spark.read.parquet(corpusDir)
       .select(md5(col("text")).as("corpus_content_hash"))
@@ -37,6 +39,11 @@ class ForgetSpec extends SparkTestBase {
       .select("text").as[String].collect()
     val nBefore = spark.read.parquet(corpusDir).count()
 
+    def dataFiles() = new java.io.File(corpusDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val filesBefore = dataFiles()
+
     val n = CorpusPipeline.forgetDocuments(spark, goneIds, "doc_id",
       corpusDir, "text", textIndexDir = Some(textIdx),
       annIndexes = Seq((ivfIdx, Seq("cell_id"))))
@@ -46,6 +53,17 @@ class ForgetSpec extends SparkTestBase {
     val after = spark.read.parquet(corpusDir)
     assert(after.count() == nBefore - 3)
     assert(after.join(goneIds, Seq("doc_id"), "left_semi").count() == 0)
+
+    // 1b. FILE-PRUNED: files without forgotten ids survive byte-untouched
+    //     (same name, same mtime); at least one file was rewritten
+    val filesAfter = dataFiles()
+    val untouched = filesBefore.keySet.intersect(filesAfter.keySet)
+    assert(untouched.nonEmpty, "range layout should leave unaffected files")
+    untouched.foreach { f =>
+      assert(filesBefore(f) == filesAfter(f), s"unaffected file $f was rewritten")
+    }
+    assert(filesAfter.keySet.exists(_.startsWith("forget-")),
+      "the affected files' survivors must come back under staged names")
 
     // 2. hash sidecar scrubbed: a re-submission of forgotten CONTENT
     //    passes the exact-dedup gate as brand-new
