@@ -790,4 +790,52 @@ class PlanQualitySpec extends SparkTestBase {
       s"corpus-sized window leaked into the fusion plan:\n$p")
   }
 
+  test("q_fn_percentile_rank: the whole point — NO window anywhere in the plan (r8)") {
+    // ORDER BY on the output is a Sort, fine; a WindowExec would mean the
+    // operator regressed to the single-task global cume_dist it replaces
+    val p = plan("q_fn_percentile_rank")
+    assert(!p.contains("Window"),
+      s"window-free cume_dist regressed to a global window:\n$p")
+  }
+
+  test("q_graph_jaccard: hub cap join + wedge count partial-aggregate; no cartesian (r8)") {
+    val p = plan("q_graph_jaccard")
+    assert(!p.contains("CartesianProduct"),
+      s"wedge join must stay an equi-join on the shared neighbor:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"wedge counts must combine map-side before the exchange:\n$p")
+  }
+
+  test("q_search_prf: seeds/expansions ride broadcasts; top-k cuts are heaps; " +
+      "the one window is candidate-sized (r8)") {
+    val p = plan("q_search_prf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"seed/expansion term frames must broadcast onto tf:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected TopKAgg bounded heaps for the feedback and final cuts:\n$p")
+  }
+
+  test("q_sketch_kmv_setops: sketches partial-aggregate; pairing is sketch-sized (r8)") {
+    val p = plan("q_sketch_kmv_setops")
+    assert(p.contains("ObjectHashAggregate") && p.toLowerCase.contains("partial"),
+      s"KmvSketchAgg must combine map-side before the exchange:\n$p")
+  }
+
+  test("q_agg_incremental_merge: both delta states partial-aggregate; " +
+      "merge is a keyed re-agg, no window (r8)") {
+    val p = plan("q_agg_incremental_merge")
+    assert(!p.contains("Window"), s"state merge must stay aggregate-shaped:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"delta states must combine map-side:\n$p")
+  }
+
+  test("q_events_interpolate windows are PARTITIONED by the series key (r8)") {
+    val p = plan("q_events_interpolate")
+    // a global (unpartitioned) window prints an empty partition spec;
+    // the series windows must carry the key
+    assert(p.contains("Window"), s"expected the prev/next observation windows:\n$p")
+    assert(p.contains("windowspecdefinition(event_type"),
+      s"interpolation window lost its partition key:\n$p")
+  }
+
 }
