@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{KmvDistinctAgg, MinHashAgg, SimHashAgg, TopKAgg, VectorDot, VectorNorm, VectorQuantStats}
+import graft.functions.{KmvDistinctAgg, KmvSketchAgg, MinHashAgg, SimHashAgg, TopKAgg, VectorDot, VectorNorm, VectorQuantStats}
 
 /** SparkSessionExtensions entry point: makes graft's custom expressions
   * callable from SQL (`SELECT vec_dot(a.embedding, b.embedding) ...`).
@@ -59,6 +59,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity(args, 2, "kmv_distinct")
         KmvDistinctAgg(args(0), litInt(args(1), "k")) }),
+    (FunctionIdentifier("kmv_sketch"),
+      info("kmv_sketch",
+        "kmv_sketch(value, k) - the KMV sketch itself (k smallest " +
+          "distinct md5 hashes, ascending DECIMAL(20,0)) for " +
+          "cross-segment union/intersection/Jaccard set algebra"),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "kmv_sketch")
+        KmvSketchAgg(args(0), litInt(args(1), "k")) }),
     (FunctionIdentifier("word_shingles"),
       info("word_shingles",
         "word_shingles(text, n) - distinct lowercase word n-grams"),

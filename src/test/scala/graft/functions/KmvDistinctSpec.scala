@@ -70,6 +70,21 @@ class KmvDistinctSpec extends SparkTestBase {
     assert(got.toList == all.toList)
   }
 
+  test("kmv_sketch via SQL registration equals the Column form") {
+    graft.GraftExtensions.register(spark)
+    val docs = Tables.load(spark, sf(), "documents")
+    docs.createOrReplaceTempView("kmvsk_docs")
+    val viaSql = spark.sql(
+      "SELECT lang, kmv_sketch(source, 16) AS sk FROM kmvsk_docs GROUP BY lang")
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[java.math.BigDecimal](1).toList).toMap
+    val viaCol = docs.groupBy("lang")
+      .agg(SketchAggregates.kmvSketch(col("source"), 16).as("sk"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[java.math.BigDecimal](1).toList).toMap
+    assert(viaSql == viaCol)
+  }
+
   test("kmv via SQL registration equals the Column form") {
     graft.GraftExtensions.register(spark)
     val docs = Tables.load(spark, sf(), "documents")
