@@ -7134,6 +7134,42 @@ object Queries {
         round(col("lift"), 6).as("lift"))
   }
 
+  q("q_rec_items",
+    // item-item collaborative filtering ("customers who bought X also
+    // bought", Linden et al. 2003): each part's top-3 co-purchase
+    // partners by lift over the q_stat_assoc rule set. The per-item cut
+    // is the MinKByAgg bounded heap on (-lift, partner) — never a window
+    // over the full rule set; the oracle's per-item window replays the
+    // heap's total order exactly
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |nb AS (SELECT count(DISTINCT bk) AS n FROM items),
+      |ic AS (SELECT i, count(*) AS ci FROM items GROUP BY 1),
+      |p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_both
+      |      FROM items a JOIN items b USING (bk) WHERE a.i < b.i
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |r AS (SELECT item_a, item_b, n_both,
+      |        CAST(n_both AS DOUBLE) * nb.n / (ca.ci * cb.ci) AS lift
+      |      FROM p JOIN ic ca ON item_a = ca.i
+      |      JOIN ic cb ON item_b = cb.i CROSS JOIN nb),
+      |d AS (SELECT item_a AS item, item_b AS rec_item, n_both, lift FROM r
+      |      UNION ALL
+      |      SELECT item_b, item_a, n_both, lift FROM r),
+      |t AS (SELECT item, rec_item, n_both, lift,
+      |        row_number() OVER (PARTITION BY item
+      |          ORDER BY lift DESC, rec_item) AS rk
+      |      FROM d)
+      |SELECT item, CAST(rk AS BIGINT) AS rk, rec_item, n_both,
+      |  round(lift, 6) AS lift
+      |FROM t WHERE rk <= 3 ORDER BY item, rk""".stripMargin) { (s, d) =>
+    graft.operators.MarketBasket.itemRecommendations(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 2, topN = 3)
+      .withColumn("lift", round(col("lift"), 6))
+      .orderBy("item", "rk")
+  }
+
   q("q_sketch_hist_merge",
     // histogram-sketch MERGEABILITY as a driver-visible query: per-shard
     // bin counters (o_custkey%4 shards) merged by per-bin addition, then

@@ -48,4 +48,35 @@ object MarketBasket {
         (col("n_both").cast("double") * col("n_baskets") /
           (col("ca") * col("cb"))).as("lift"))
   }
+
+  /** Item-item collaborative filtering over [[pairRules]]: each item's
+    * top `topN` co-purchase recommendations by lift — the classic
+    * "customers who bought X also bought" surface (Linden et al., IEEE
+    * Internet Computing 2003: item-item scales where user-user cannot,
+    * because the pair statistics are exactly the basket-bounded wedge
+    * counts above). The per-item cut is a bounded heap, never a window
+    * over the full rule set; ties break on lift desc, then partner asc.
+    *
+    * @return (item, rk, rec_item, n_both, lift) — lift unrounded */
+  def itemRecommendations(baskets: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Long, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val rules = pairRules(baskets, basketCol, itemCol, minSupport)
+    // symmetrize: a recommendation list exists for BOTH pair members
+    val directed = rules.select(col("item_a").as("item"),
+        col("item_b").as("rec_item"), col("n_both"), col("lift"))
+      .unionByName(rules.select(col("item_b").as("item"),
+        col("item_a").as("rec_item"), col("n_both"), col("lift")))
+    directed
+      .groupBy("item")
+      .agg(graft.functions.MinKByAgg.minKRowsAgg(
+        struct(
+          (-col("lift")).as("s0"), col("rec_item").as("s1"),
+          col("n_both").as("p0"), col("lift").as("p1")),
+        topN).as("top"))
+      .select(col("item"), posexplode(col("top")))
+      .select(col("item"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.s1").as("rec_item"), col("col.p0").as("n_both"),
+        col("col.p1").as("lift"))
+  }
 }

@@ -27,6 +27,34 @@ class MiningSpec extends SparkTestBase {
     assert(!r.exists(x => x._1 == "a" && x._2 == "c"))
   }
 
+  test("itemRecommendations: symmetric lists, lift-desc order, heap cut binds") {
+    // baskets make (a,b) support 3, (b,c) 2, (a,c) 2; with N=5 baskets:
+    // lift(a,b) = 3·5/(4·4) = 0.9375, lift(b,c) = 2·5/(4·2) = 1.25,
+    // lift(a,c) = 2·5/(4·2) = 1.25
+    val b = Seq(
+      (1, "a"), (1, "b"), (1, "c"),
+      (2, "a"), (2, "b"), (2, "c"),
+      (3, "a"), (3, "b"),
+      (4, "b"), (4, "c"), // (b,c) 3rd co-occurrence? no: (b,c) in 1,2,4 = 3
+      (5, "a")).toDF("bk", "i")
+    // recompute by hand: c(a)=4 c(b)=4 c(c)=3; (a,b)=3 (a,c)=2 (b,c)=3
+    // lift(a,b)=3·5/16=0.9375  lift(a,c)=2·5/12≈0.8333  lift(b,c)=3·5/12=1.25
+    val got = MarketBasket.itemRecommendations(b, "bk", "i",
+        minSupport = 2, topN = 1)
+      .orderBy("item")
+      .as[(String, Long, String, Long, Double)].collect().toList
+    // top-1 per item: a→b (0.9375 > 0.8333), b→c (1.25), c→b (1.25)
+    assert(got.map(r => (r._1, r._3)) == List(("a", "b"), ("b", "c"), ("c", "b")))
+    assert(got.forall(_._2 == 1L))
+    // full lists respect lift-desc, partner-asc within each item
+    val full = MarketBasket.itemRecommendations(b, "bk", "i",
+        minSupport = 2, topN = 5)
+      .orderBy("item", "rk")
+      .as[(String, Long, String, Long, Double)].collect().toList
+    val aList = full.filter(_._1 == "a").map(_._3)
+    assert(aList == List("b", "c"))
+  }
+
   test("mergedHistogramQuantiles equals the unsharded histogramQuantiles") {
     val orders = graft.sources.Tables.load(spark, sf(), "orders")
     val merged = Sampling.mergedHistogramQuantiles(
