@@ -322,6 +322,47 @@ object Queries {
       .orderBy("event_id")
   }
 
+  q("q_join_pit",
+    // point-in-time multi-table feature assembly (the feature-store
+    // join): each purchase picks up the user's latest VIEW value within
+    // 3 days AND latest CLICK value within 1 day — per-table staleness
+    // bounds, no feature leakage (feature_ts <= label_ts by
+    // construction). Engine folds asofBackwardWithin once per feature
+    // table; the oracle chains DuckDB ASOF LEFT JOINs with the same
+    // tolerance CASEs
+    """WITH spine AS (
+      |  SELECT event_id AS label_id, user_id, ts AS label_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+      |j1 AS (
+      |  SELECT s.label_id, s.user_id, s.label_ts,
+      |    CASE WHEN s.label_ts - v.ts <= INTERVAL 3 DAY THEN v.value END AS f_view_value
+      |  FROM spine s ASOF LEFT JOIN v
+      |    ON s.user_id = v.user_id AND s.label_ts >= v.ts),
+      |j2 AS (
+      |  SELECT j1.label_id, j1.user_id, j1.f_view_value,
+      |    CASE WHEN j1.label_ts - c.ts <= INTERVAL 1 DAY THEN c.value END AS f_click_value
+      |  FROM j1 ASOF LEFT JOIN c
+      |    ON j1.user_id = c.user_id AND j1.label_ts >= c.ts)
+      |SELECT label_id, user_id, f_view_value, f_click_value
+      |FROM j2 ORDER BY label_id""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+    val spine = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("label_id"), col("user_id"),
+        col("ts").as("label_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value").as("f_view_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("f_click_value"))
+    graft.operators.AsOfJoin.pointInTimeFeatures(
+        spine, "user_id", "label_ts", Seq(
+          (views, "ts", Map("f_view_value" -> "f_view_value"), 3L * 86400000000L),
+          (clicks, "ts", Map("f_click_value" -> "f_click_value"), 86400000000L)))
+      .select("label_id", "user_id", "f_view_value", "f_click_value")
+      .orderBy("label_id")
+  }
+
   q("q_join_asof_tolerance",
     // tolerance-bounded as-of: latest signup at-or-before the purchase
     // AND within 7 days — a stale match is no match (the ASOF TOLERANCE

@@ -61,6 +61,25 @@ object AsOfJoin {
     }.drop("__asof_mts")
   }
 
+  /** Point-in-time multi-table feature assembly — the feature-store
+    * join: a label spine (entity, label_ts) picks up, from EACH feature
+    * table, the latest value at-or-before the label time and within
+    * that table's own staleness bound. Folding [[asofBackwardWithin]]
+    * per table gives the two guarantees feature stores exist for: no
+    * feature leakage (feature_ts ≤ label_ts, per row, by construction)
+    * and bounded staleness (older features surface as NULL, never as a
+    * silently stale value). Each fold is one union + one keyed
+    * carry-forward window — the spine never re-shuffles between tables
+    * beyond its entity key.
+    *
+    * @param features (table, tsCol, carriedVals, toleranceUs) per
+    *        feature table; carried names must be globally distinct */
+  def pointInTimeFeatures(spine: DataFrame, key: String, spineTs: String,
+      features: Seq[(DataFrame, String, Map[String, String], Long)]): DataFrame =
+    features.foldLeft(spine) { case (acc, (ft, ftTs, vals, tolUs)) =>
+      asofBackwardWithin(acc, ft, key, spineTs, ftTs, vals, tolUs)
+    }
+
   private def asofImpl(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
       rightVals: Map[String, String], forward: Boolean): DataFrame = {
