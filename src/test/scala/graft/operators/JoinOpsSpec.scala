@@ -78,6 +78,27 @@ class JoinOpsSpec extends SparkTestBase {
       "uniform-side autoSalted must stay a plain equi-join")
   }
 
+  test("pointInTimeFeatures: per-table staleness bounds, no leakage, independent folds (r8)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val spine = Seq((1L, ts("2024-01-10 00:00:00"), 100L))
+      .toDF("user_id", "label_ts", "label_id")
+    // view history: one fresh (inside 3d), one future (leakage bait)
+    val views = Seq(
+      (1L, ts("2024-01-08 00:00:00"), 5.0),
+      (1L, ts("2024-01-11 00:00:00"), 99.0)) // AFTER the label — must not leak
+      .toDF("user_id", "ts", "f_view")
+    // click history: latest is 2 days old — OUTSIDE the 1-day bound
+    val clicks = Seq((1L, ts("2024-01-08 00:00:00"), 7.0))
+      .toDF("user_id", "ts", "f_click")
+    val out = AsOfJoin.pointInTimeFeatures(spine, "user_id", "label_ts", Seq(
+        (views, "ts", Map("f_view" -> "f_view"), 3L * 86400000000L),
+        (clicks, "ts", Map("f_click" -> "f_click"), 86400000000L)))
+      .select("label_id", "f_view", "f_click")
+      .as[(Long, Option[Double], Option[Double])].head()
+    assert(out == ((100L, Some(5.0), None)),
+      s"fresh view carried, future view ignored, stale click nulled: $out")
+  }
+
   test("advise recommends broadcast / salted / shuffle from the planted profiles (r8)") {
     val smallDim = (1L to 50L).map(k => (k, s"n$k")).toDF("k", "name")
     val bigDim = (1L to 2000L).map(k => (k, s"n$k")).toDF("k", "name")
