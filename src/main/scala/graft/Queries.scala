@@ -4070,6 +4070,52 @@ object Queries {
       .limit(100)
   }
 
+  q("q_ml_calibration",
+    // the deployment question confusion matrices don't answer: when the
+    // model says 0.8, is it right 80 % of the time? Fit on even doc_ids,
+    // score EVERYTHING, bin p = sigmoid(margin/(n_tok·1e6)) into 10
+    // widths, compare mean prediction vs empirical positive rate per
+    // bin. Margins are exact integer sums, mean-p rides the
+    // DECIMAL(38,12) bridge, sigmoid's exp keeps rounds off half-points
+    logregTrainCtes(" WHERE doc_id % 2 = 0", 4) +
+      """
+        |, sbag AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), w -> w = 'join')) >
+        |      len(list_filter(string_split_regex(lower(text), '\s+'), w -> w = 'scan')) AS y,
+        |    CAST(md5_number_lower(w) & 255 AS BIGINT) AS b,
+        |    count(*) AS c
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |        w -> w <> '')) AS w
+        |    FROM documents) GROUP BY 1, 2, 3),
+        |snt AS (SELECT doc_id, sum(c) AS n FROM sbag GROUP BY 1),
+        |sm AS (
+        |  SELECT sbag.doc_id, sbag.y, snt.n,
+        |    sum(sbag.c * coalesce(w4.w, 0)) AS m
+        |  FROM sbag JOIN snt USING (doc_id) LEFT JOIN w4 USING (b)
+        |  GROUP BY 1, 2, 3),
+        |sp AS (
+        |  SELECT y,
+        |    1.0::DOUBLE / (1.0::DOUBLE + exp(-(CAST(m AS DOUBLE) / (n * 1000000.0)))) AS p
+        |  FROM sm),
+        |sb AS (SELECT y, p,
+        |    least(CAST(floor(p * 10) AS BIGINT), 9) AS bin FROM sp)
+        |SELECT bin, count(*) AS n,
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  round(CAST(CAST(sum(CAST(CAST(p AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS mean_p,
+        |  round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pos_rate
+        |FROM sb GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val w = graft.operators.ClassifierTrain.trainQuantized(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      joinGtScan, buckets = 256, iterations = 4, lr = 1000.0)
+    graft.operators.ClassifierTrain.calibration(
+        docs, "doc_id", "text", joinGtScan, w, buckets = 256, nBins = 10)
+      .orderBy("bin")
+  }
+
   q("q_text_normalize",
     // Unicode NFC normalization — the pre-hash canonicalization every
     // corpus dedup needs ("café" composed vs decomposed escapes exact

@@ -134,6 +134,35 @@ object ClassifierTrain {
       idCol, weights)
       .select(col(idCol), col("_m").as("margin_micro"))
 
+  /** Reliability (calibration) report — the deployment question the
+    * confusion matrix doesn't answer: when the model says 0.8, is it
+    * right 80 % of the time? Predicted probability
+    * p = σ(margin / (n_tok · 1e6)) bins into `nBins` equal widths; each
+    * bin reports its count, mean prediction and empirical positive
+    * rate. One scoring pass + an nBins-cardinality aggregate; mean-p
+    * sums ride per-term DECIMAL(38,12) casts (order-independent), and
+    * σ's exp keeps every rounded value off half-points — the same
+    * determinism arguments as the training loop itself. */
+  def calibration(docs: DataFrame, idCol: String, textCol: String,
+      label: Column, weights: DataFrame, buckets: Int,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"calibration needs nBins >= 2, got $nBins")
+    val m = margins(hashedBags(docs, idCol, textCol, label, buckets),
+      idCol, weights)
+    val p = lit(1.0) / (lit(1.0) +
+      exp(-(col("_m").cast("double") / (col("_n") * lit(1000000.0)))))
+    m.select(col("_y").as("y"), p.as("p"))
+      .withColumn("bin",
+        least(floor(col("p") * nBins), lit(nBins - 1L)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast("long")).as("n_pos"),
+        sum(col("p").cast("decimal(38,12)")).as("_sp"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("_sp").cast("double") / col("n"), 6).as("mean_p"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"))
+  }
+
   /** Confusion counts of the quantized model on `docs` (predict
     * positive when the integer margin > 0): one row per
     * (label, prediction) cell with its count — all integers, exact. */

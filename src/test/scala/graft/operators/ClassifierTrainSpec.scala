@@ -23,6 +23,28 @@ class ClassifierTrainSpec extends SparkTestBase {
     assert(!conf.contains((true, false)) && !conf.contains((false, true)))
   }
 
+  test("calibration: bins partition the corpus; the separable fixture is sharp at both ends (r8)") {
+    val mk = (i: Long, pos: Boolean) =>
+      (i, if (pos) "good nice fine good" else "bad ugly worse bad", pos)
+    val docs = (0L until 40L).map(i => mk(i, i % 2 == 0)).toDF("doc_id", "text", "y")
+    val w = trainQuantized(docs.filter(col("doc_id") < 20), "doc_id", "text",
+      col("y"), buckets = 64, iterations = 4, lr = 1000.0)
+    val cal = calibration(docs, "doc_id", "text", col("y"), w, buckets = 64)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(cal.map(_._2).sum == 40L, "bins must partition every scored doc")
+    cal.foreach { case (bin, _, _, meanP, rate) =>
+      assert(meanP >= bin / 10.0 - 1e-9 && meanP <= (bin + 1) / 10.0 + 1e-9,
+        s"mean_p $meanP outside bin $bin")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // perfectly separable: the occupied extreme bins are pure
+    val lo = cal.head; val hi = cal.last
+    assert(lo._5 == 0.0, s"lowest occupied bin must be all-negative: $lo")
+    assert(hi._5 == 1.0, s"highest occupied bin must be all-positive: $hi")
+  }
+
   test("semantic quality gate: held-out accuracy and AUC floors; a negated lr fails them (r8)") {
     // planted signal under shared filler noise: ~1/3 of each doc's tokens
     // are class-indicative, the rest draw from a shared 20-word filler
