@@ -102,6 +102,22 @@ object Queries {
     sharedFrame(sharedShingleCache, s, dir)(
       graft.operators.Dedup.shingleExplode(t(s, dir, "documents"), "doc_id", "text", n = 3))
 
+  /** The even-doc_id-trained quality-filter model shared by the ML
+    * DEPLOYMENT family (q_ml_logreg_confusion / _apply /
+    * q_ml_calibration) — same caching contract as [[sharedShingles]]:
+    * the 4-iteration GD loop is the expensive common prefix, and the
+    * model itself is a 256-row frame. q_ml_logreg_train deliberately
+    * keeps its own fit (different fixture: the FULL corpus). */
+  private val sharedModelCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]())
+
+  private def sharedLogregModel(s: SparkSession, dir: String): DataFrame =
+    sharedFrame(sharedModelCache, s, dir)(
+      graft.operators.ClassifierTrain.trainQuantized(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === 0), "doc_id",
+        "text", joinGtScan, buckets = 256, iterations = 4, lr = 1000.0))
+
   /** The positional 5-word span explosion shared by the span-dedup pair
     * (q_dedup_spans / q_dedup_spans_strip) — same caching contract as
     * [[sharedShingles]]; each operator also consumes it on both sides of
@@ -4030,9 +4046,7 @@ object Queries {
         |SELECT y AS label, m > 0 AS pred, count(*) AS n
         |FROM hm GROUP BY 1, 2 ORDER BY label, pred""".stripMargin) { (s, d) =>
     val docs = t(s, d, "documents")
-    val w = graft.operators.ClassifierTrain.trainQuantized(
-      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-      joinGtScan, buckets = 256, iterations = 4, lr = 1000.0)
+    val w = sharedLogregModel(s, d)
     graft.operators.ClassifierTrain.confusion(
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
         joinGtScan, w, buckets = 256)
@@ -4061,9 +4075,7 @@ object Queries {
         |SELECT doc_id, CAST(m AS BIGINT) AS margin_micro
         |FROM sm ORDER BY margin_micro DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
     val docs = t(s, d, "documents")
-    val w = graft.operators.ClassifierTrain.trainQuantized(
-      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-      joinGtScan, buckets = 256, iterations = 4, lr = 1000.0)
+    val w = sharedLogregModel(s, d)
     graft.operators.ClassifierTrain.scoreQuantized(
         docs, "doc_id", "text", w, buckets = 256)
       .orderBy(col("margin_micro").desc, col("doc_id"))
@@ -4108,9 +4120,7 @@ object Queries {
         |  round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pos_rate
         |FROM sb GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
     val docs = t(s, d, "documents")
-    val w = graft.operators.ClassifierTrain.trainQuantized(
-      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-      joinGtScan, buckets = 256, iterations = 4, lr = 1000.0)
+    val w = sharedLogregModel(s, d)
     graft.operators.ClassifierTrain.calibration(
         docs, "doc_id", "text", joinGtScan, w, buckets = 256, nBins = 10)
       .orderBy("bin")
@@ -7772,6 +7782,9 @@ object Queries {
     "q_dedup_spans_strip" -> Seq("spans"),
     "q_dedup_embed" -> Seq("embed_pairs"),
     "q_dedup_semantic" -> Seq("embed_pairs"),
+    "q_ml_logreg_confusion" -> Seq("logreg_model"),
+    "q_ml_logreg_apply" -> Seq("logreg_model"),
+    "q_ml_calibration" -> Seq("logreg_model"),
     // index builds: cold flag = the timing includes the one-off
     // partitionBy materialization (annIndexPath)
     "q_sim_ivf_indexed" -> Seq("ivf_index"),
