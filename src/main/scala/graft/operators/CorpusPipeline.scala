@@ -89,7 +89,9 @@ object CorpusPipeline {
     *      (the streaming-ingest dedup indexes): forgotten docs' hashes
     *      and signatures removed, so a re-submission of forgotten
     *      CONTENT is treated as brand new — "forgotten" means as if
-    *      never ingested, not silently deduped against a ghost;
+    *      never ingested, not silently deduped against a ghost. A hash
+    *      whose content ALSO lives in a surviving document is kept:
+    *      still-present content stays deduped;
     *   3. BM25 inverted index: tombstone + compact (physical removal —
     *      a tombstone alone would leave the forgotten text recoverable
     *      from its postings);
@@ -116,7 +118,12 @@ object CorpusPipeline {
         s.isFile && s.getPath.getName.endsWith(".parquet"))
     }
     /** Replace a dir's parquet data files with `rows`, staged + verified
-      * first; sidecar subdirectories inside `dir` are left untouched. */
+      * first; sidecar subdirectories inside `dir` are left untouched.
+      * Swap order is RENAME-THEN-DELETE: the staged survivors move in
+      * under `forget-` prefixed names (collision-free against the kept
+      * originals by construction) BEFORE the replaced originals are
+      * deleted, so a crash mid-swap leaves transient DUPLICATES a re-run
+      * can detect — never silently missing rows. */
     def swapIn(rows: DataFrame, dir: String, expected: Long): Unit = {
       val staging = s"${dir.stripSuffix("/")}_forgetting"
       rows.write.mode("overwrite").parquet(staging)
@@ -124,21 +131,36 @@ object CorpusPipeline {
       require(got == expected,
         s"forgetDocuments: staged $staging has $got rows, expected $expected")
       val dirPath = new Path(dir)
-      fs.listStatus(dirPath).filter(_.isFile)
-        .foreach(s => fs.delete(s.getPath, false))
-      fs.listStatus(new Path(staging)).filter(_.isFile).foreach { s =>
-        if (!fs.rename(s.getPath, new Path(dirPath, s.getPath.getName)))
-          throw new java.io.IOException(
-            s"forgetDocuments: swap rename failed for ${s.getPath}")
+      // capture the replaced originals BEFORE renaming survivors in
+      val originals = fs.listStatus(dirPath).filter(_.isFile).map(_.getPath)
+      fs.listStatus(new Path(staging))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach { s =>
+          val target = new Path(dirPath, s"forget-${s.getPath.getName}")
+          if (!fs.rename(s.getPath, target))
+            throw new java.io.IOException(
+              s"forgetDocuments: swap rename failed for ${s.getPath}")
+        }
+      originals.foreach { p =>
+        if (!fs.delete(p, false))
+          throw new java.io.IOException(s"forgetDocuments: delete failed: $p")
       }
       fs.delete(new Path(staging), true)
     }
     val gone = ids.select(col(idCol)).distinct().localCheckpoint()
     val corpus = spark.read.parquet(corpusDir)
     // forgotten docs' content hashes — read BEFORE the corpus rewrite
-    val goneHashes = corpus.join(gone, Seq(idCol), "left_semi")
-      .select(md5(col(textCol)).as("corpus_content_hash"))
-      .distinct().localCheckpoint()
+    val corpusHashes = corpus
+      .select(col(idCol), md5(col(textCol)).as("corpus_content_hash"))
+    val goneHashes = corpusHashes.join(gone, Seq(idCol), "left_semi")
+      .select("corpus_content_hash").distinct().localCheckpoint()
+    // hashes whose content ALSO lives in a surviving document must stay
+    // in the hash index: "forgotten" erases the subject's rows, but
+    // still-present identical content keeps its exact-dedup protection —
+    // scrubbing it would let a re-submission re-ingest a duplicate
+    val keptDupHashes = corpusHashes.join(gone, Seq(idCol), "left_anti")
+      .join(goneHashes, Seq("corpus_content_hash"), "left_semi")
+      .select("corpus_content_hash").distinct().localCheckpoint()
     val nGone = corpus.join(gone, Seq(idCol), "left_semi").count()
 
     // FILE-PRUNED corpus rewrite: locate the files that actually hold a
@@ -162,11 +184,10 @@ object CorpusPipeline {
       survivors.write.mode("overwrite").parquet(staging)
       require(spark.read.parquet(staging).count() == expected,
         s"forgetDocuments: staged survivor count mismatch under $staging")
-      affected.foreach { uri =>
-        val p = new Path(new java.net.URI(uri))
-        if (!fs.delete(p, false))
-          throw new java.io.IOException(s"forgetDocuments: delete failed: $p")
-      }
+      // RENAME-THEN-DELETE: survivors move in (forget- prefix, collision-
+      // free vs the kept originals) BEFORE the affected originals go, so
+      // a crash in the swap window leaves transient duplicates a re-run
+      // detects — never surviving rows silently missing from the corpus
       val dirPath = new Path(corpusDir)
       fs.listStatus(new Path(staging))
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -176,13 +197,20 @@ object CorpusPipeline {
             throw new java.io.IOException(
               s"forgetDocuments: swap rename failed for ${s.getPath}")
         }
+      affected.foreach { uri =>
+        val p = new Path(new java.net.URI(uri))
+        if (!fs.delete(p, false))
+          throw new java.io.IOException(s"forgetDocuments: delete failed: $p")
+      }
       fs.delete(new Path(staging), true)
     }
 
     val hashDir = s"$corpusDir/_hash_index"
     if (hasParquet(hashDir)) {
+      val scrub = goneHashes
+        .join(keptDupHashes, Seq("corpus_content_hash"), "left_anti")
       val hashes = spark.read.parquet(hashDir)
-      val keep = hashes.join(goneHashes, Seq("corpus_content_hash"), "left_anti")
+      val keep = hashes.join(scrub, Seq("corpus_content_hash"), "left_anti")
         .localCheckpoint()
       swapIn(keep, hashDir, keep.count())
     }

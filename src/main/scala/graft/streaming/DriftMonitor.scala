@@ -26,8 +26,10 @@ object DriftMonitor {
   /** @param reference the baseline population (read once at start; its
     *        histogram is persisted to `outDir/_reference_hist` and
     *        reused on restart)
-    * @return one appended row per trigger:
-    *         (batch_id, n_batch, d_stat, d_at) */
+    * @return one row per trigger under `outDir/drift`, PARTITIONED by
+    *         batch_id (n_batch, d_stat, d_at payload): an at-least-once
+    *         foreachBatch replay overwrites its own partition, so the
+    *         output is exactly-once per batch at read time */
   def monitorKs(spark: SparkSession, sourceDir: String, outDir: String,
       checkpointDir: String, valueCol: String, reference: DataFrame,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
@@ -50,7 +52,16 @@ object DriftMonitor {
             Profiling.valueHistogram(batch, valueCol))
           .select(lit(batchId).as("batch_id"),
             col("n_b").as("n_batch"), col("d_stat"), col("d_at"))
-        stat.write.mode("append").parquet(s"$outDir/drift")
+        // IDEMPOTENT per batch: foreachBatch is at-least-once, so a torn
+        // trigger replays with the SAME batchId — partitioning the output
+        // by batch_id and dynamically overwriting only that partition
+        // makes the replay rewrite its own row instead of appending a
+        // duplicate (the AggMaintenance replay caveat, mitigated rather
+        // than documented)
+        stat.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$outDir/drift")
         ()
       }
       .start()

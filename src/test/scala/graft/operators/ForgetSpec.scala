@@ -17,9 +17,15 @@ class ForgetSpec extends SparkTestBase {
     val ivfIdx = s"$root/ivfidx"
 
     // range-clustered multi-file layout so the file-pruned rewrite has
-    // untouched files to preserve (ids 3/7/11 all land low)
-    val docs = Tables.load(spark, sf(), "documents")
+    // untouched files to preserve (ids 2/3/7 all land low); doc 900 is a
+    // PLANTED exact duplicate of doc 2 — forgetting 2 while 900 survives
+    // exercises the shared-content hash-scrub guard
+    import spark.implicits._
+    val fixture = Tables.load(spark, sf(), "documents")
       .select("doc_id", "text").filter(col("doc_id") < 40)
+    val doc2Text = fixture.filter(col("doc_id") === 2)
+      .select("text").as[String].collect().head
+    val docs = fixture.union(Seq((900L, doc2Text)).toDF("doc_id", "text"))
     docs.repartitionByRange(4, col("doc_id")).write.parquet(corpusDir)
     // the streaming ingester's hash sidecar
     spark.read.parquet(corpusDir)
@@ -33,10 +39,10 @@ class ForgetSpec extends SparkTestBase {
       k = 4, iterations = 2)
     Similarity.buildIvfIndex(emb, "doc_id", "embedding", centroids, ivfIdx)
 
-    import spark.implicits._
-    val goneIds = Seq(3L, 7L, 11L).toDF("doc_id")
-    val forgottenTexts = docs.join(goneIds, Seq("doc_id"), "left_semi")
-      .select("text").as[String].collect()
+    val goneIds = Seq(2L, 3L, 7L).toDF("doc_id")
+    val uniqueForgotten = docs.filter(col("doc_id") === 3)
+      .select("text").as[String].collect().head
+    val sharedForgotten = doc2Text
     val nBefore = spark.read.parquet(corpusDir).count()
 
     def dataFiles() = new java.io.File(corpusDir).listFiles()
@@ -67,7 +73,7 @@ class ForgetSpec extends SparkTestBase {
 
     // 2. hash sidecar scrubbed: a re-submission of forgotten CONTENT
     //    passes the exact-dedup gate as brand-new
-    val resub = Seq((1000L, forgottenTexts.head)).toDF("doc_id", "text")
+    val resub = Seq((1000L, uniqueForgotten)).toDF("doc_id", "text")
     val surviving = Dedup.exactAgainstHashes(resub,
       spark.read.parquet(s"$corpusDir/_hash_index"), "text")
     assert(surviving.count() == 1,
@@ -77,6 +83,13 @@ class ForgetSpec extends SparkTestBase {
     val resubLive = Seq((1001L, dupOfLive.head)).toDF("doc_id", "text")
     assert(Dedup.exactAgainstHashes(resubLive,
       spark.read.parquet(s"$corpusDir/_hash_index"), "text").count() == 0)
+    // 2b. forgotten doc 2's text ALSO lives in surviving doc 900: its hash
+    //     must SURVIVE the scrub — still-present content stays deduped
+    //     even when a duplicate holder was erased
+    val resubShared = Seq((1002L, sharedForgotten)).toDF("doc_id", "text")
+    assert(Dedup.exactAgainstHashes(resubShared,
+        spark.read.parquet(s"$corpusDir/_hash_index"), "text").count() == 0,
+      "content shared with a surviving doc must keep its dedup protection")
 
     // 3. BM25 index physically compacted: no forgotten postings, no
     //    tombstones left behind, probes still serve

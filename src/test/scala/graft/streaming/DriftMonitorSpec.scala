@@ -27,10 +27,22 @@ class DriftMonitorSpec extends SparkTestBase {
       s"$root/chk", "value", reference, maxFilesPerTrigger = 1)
     q.awaitTermination()
 
-    val drift = spark.read.parquet(s"$root/out/drift")
+    def readDrift() = spark.read.parquet(s"$root/out/drift")
+      .select(col("batch_id").cast("long"), col("n_batch"),
+        col("d_stat"), col("d_at"))
       .orderBy("batch_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val drift = readDrift()
     assert(drift.length == 2, s"expected 2 trigger rows, got ${drift.length}")
+
+    // IDEMPOTENCE: replaying the same batches (fresh checkpoint, same
+    // batch ids) must overwrite the per-batch partitions, not append —
+    // the at-least-once foreachBatch contract mitigated
+    val q2 = DriftMonitor.monitorKs(spark, srcDir, s"$root/out",
+      s"$root/chk2", "value", reference, maxFilesPerTrigger = 1)
+    q2.awaitTermination()
+    assert(readDrift().length == 2,
+      "a torn-trigger replay must rewrite its batch partition, not duplicate it")
 
     // each trigger row equals the batch operator on the same slice —
     // match rows to slices by their n (file→trigger order is not
