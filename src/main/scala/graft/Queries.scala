@@ -7197,6 +7197,43 @@ object Queries {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  q("q_graph_jaccard_topk",
+    // the 100 TB-bounded form of q_graph_jaccard: each canonical left
+    // supplier keeps its k=5 best pairs, so output is <= k·|suppliers|
+    // whatever the similarity-graph density. Engine = ONE bounded-heap
+    // aggregate (MinKByAgg, map-side partial: <= k rows per node per
+    // mapper reach the shuffle) over the same capped wedge pairs; the
+    // oracle replays the selection as the window it is semantically
+    // equivalent to — ranking key is an exact IEEE division of integer
+    // counts, so the order replays bit-equally
+    """WITH e AS (
+      |  SELECT DISTINCT l_suppkey AS n, l_partkey AS nbr FROM lineitem
+      |  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+      |keep AS (SELECT nbr FROM e GROUP BY nbr HAVING count(*) <= 200),
+      |k AS (SELECT e.n, e.nbr FROM e JOIN keep USING (nbr)),
+      |deg AS (SELECT n, count(*) AS deg FROM k GROUP BY n),
+      |c AS (SELECT a.n AS sa, b.n AS sb, count(*) AS n_common
+      |      FROM k a JOIN k b USING (nbr) WHERE a.n < b.n
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |j AS (SELECT sa, sb, n_common,
+      |        da.deg + db.deg - n_common AS n_union,
+      |        CAST(n_common AS DOUBLE) / (da.deg + db.deg - n_common) AS jac
+      |      FROM c JOIN deg da ON sa = da.n JOIN deg db ON sb = db.n),
+      |r AS (SELECT sa, sb, n_common, n_union, jac,
+      |        row_number() OVER (PARTITION BY sa ORDER BY jac DESC, sb) AS rk
+      |      FROM j)
+      |SELECT sa AS supp_a, rk AS rank, sb AS supp_b, n_common, n_union,
+      |  round(jac, 6) AS jaccard
+      |FROM r WHERE rk <= 5 ORDER BY supp_a, rank""".stripMargin) { (s, d) =>
+    graft.operators.LinkGraph.jaccardNeighborsTopK(
+        t(s, d, "lineitem"), "l_suppkey", "l_partkey",
+        maxNeighborDegree = 200, minCommon = 2, k = 5)
+      .select(col("node_a").as("supp_a"), col("rank"),
+        col("node_b").as("supp_b"), col("n_common"), col("n_union"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("supp_a", "rank")
+  }
+
   q("q_stat_assoc",
     // pair association rules over order baskets (Apriori's workhorse
     // surface): support >= 2 orders (the fixture's basket keys repeat a

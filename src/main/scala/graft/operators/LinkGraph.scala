@@ -142,6 +142,39 @@ object LinkGraph {
     out
   }
 
+  /** [[jaccardNeighbors]] with a per-node result bound — the 100 TB
+    * registered form: each canonical left node keeps only its k BEST
+    * pairs (jaccard descending, node_b ascending tie-break), so the
+    * result is ≤ k·|nodes| rows no matter how dense the similarity
+    * graph gets. The selection runs as ONE bounded-heap aggregate
+    * ([[graft.functions.MinKByAgg]]) with map-side partial aggregation —
+    * the shuffle into the final ranking carries at most k rows per node
+    * per mapper, where the window formulation
+    * (`row_number() OVER (PARTITION BY node_a ORDER BY ...) <= k`)
+    * would shuffle and sort EVERY surviving pair. The jaccard ranking
+    * key is an exact IEEE division of exact integer counts, so an
+    * external engine replays the selection with that window bit-equally.
+    *
+    * @return (node_a, rank, node_b, n_common, n_union, jaccard): rank is
+    *         1-based within node_a in (jaccard desc, node_b asc) order */
+  def jaccardNeighborsTopK(edges: DataFrame, srcCol: String, dstCol: String,
+      maxNeighborDegree: Long, minCommon: Long, k: Int): DataFrame = {
+    require(k >= 1, s"jaccardNeighborsTopK needs k >= 1, got $k")
+    val pairs = jaccardNeighbors(edges, srcCol, dstCol,
+      maxNeighborDegree, minCommon)
+    pairs.groupBy(col("node_a"))
+      .agg(graft.functions.MinKByAgg.minKByAgg(
+        // ascending (-jaccard, node_b) == jaccard desc, node_b asc;
+        // double negation is exact, so the rank order replays anywhere
+        struct((-col("jaccard")).as("nj"), col("node_b").as("tb")),
+        struct(col("node_b"), col("n_common"), col("n_union"),
+          col("jaccard")), k).as("_top"))
+      .select(col("node_a"), posexplode(col("_top")).as(Seq("_pos", "_p")))
+      .select(col("node_a"), (col("_pos") + 1).cast("long").as("rank"),
+        col("_p.node_b").as("node_b"), col("_p.n_common").as("n_common"),
+        col("_p.n_union").as("n_union"), col("_p.jaccard").as("jaccard"))
+  }
+
   /** Exact triangle count over an undirected graph — the degree-ordered
     * edge-iterator algorithm: canonicalize and dedup edges, orient each
     * edge from its lower-(degree, node) endpoint to the higher, then

@@ -249,6 +249,53 @@ class EventGraphSpec extends SparkTestBase {
       (1L, 2L, 1L, 3L, 1.0 / 3), (2L, 3L, 1L, 4L, 0.25)))
   }
 
+  test("jaccard hub cap BINDS: a planted hub would explode the pair set; the cap removes it") {
+    // FALSIFIER for the maxNeighborDegree knob (the q_graph_jaccard scale
+    // guard): 400 suppliers all share one hub part (degree 400 = 8× the
+    // cap), plus a sparse normal layer (each supplier i also ships parts
+    // pi and p(i+1) — a chain, so consecutive suppliers share exactly one
+    // normal part). Uncapped, the hub alone manufactures C(400,2) =
+    // 79,800 wedge pairs; capped at 50 the hub is dropped BEFORE the
+    // self-join and only the chain's 399 one-common pairs remain — the
+    // d² blow-up is real on this fixture and the knob demonstrably
+    // removes it (cost AND semantics, since degrees recount over the
+    // capped universe).
+    val n = 400L
+    val hub = spark.range(n).select(col("id").as("s"), lit("hub").as("p"))
+    val chain = spark.range(n)
+      .select(col("id").as("s"), concat(lit("p"), col("id")).as("p"))
+      .union(spark.range(n)
+        .select(col("id").as("s"), concat(lit("p"), col("id") + 1).as("p")))
+    val edges = hub.union(chain)
+    val uncapped = LinkGraph.jaccardNeighbors(edges, "s", "p",
+      maxNeighborDegree = 1000000, minCommon = 1)
+    val capped = LinkGraph.jaccardNeighbors(edges, "s", "p",
+      maxNeighborDegree = 50, minCommon = 1)
+    val nUncapped = uncapped.count()
+    val nCapped = capped.count()
+    // uncapped: every supplier pair shares the hub → the full quadratic set
+    assert(nUncapped == n * (n - 1) / 2,
+      s"planted hub must produce the all-pairs set, got $nUncapped")
+    // capped: only the 399 chain adjacencies survive — superlinear drop
+    assert(nCapped == n - 1, s"capped pair set should be the chain, got $nCapped")
+    assert(nCapped * 100 < nUncapped,
+      "the cap must cut the pair set by >100x on a planted hub")
+    // and the top-k bound composes: ≤ k rows per canonical left node
+    val topk = LinkGraph.jaccardNeighborsTopK(edges, "s", "p",
+      maxNeighborDegree = 1000000, minCommon = 1, k = 3)
+    val perNode = topk.groupBy("node_a").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(perNode <= 3, s"topK must bound per-node output at k, got $perNode")
+    assert(topk.count() <= 3 * n, "topK output must be <= k * |nodes|")
+    // rank order inside a node: jaccard desc, node_b asc
+    val r0 = topk.filter(col("node_a") === 0L).orderBy("rank")
+      .select("rank", "node_b", "jaccard").collect()
+    assert(r0.map(_.getLong(0)).toSeq == (1 to r0.length).map(_.toLong),
+      "ranks must be 1..k")
+    val jacs = r0.map(_.getDouble(2)).toSeq
+    assert(jacs == jacs.sorted.reverse, "ranking must be jaccard descending")
+  }
+
   test("sparsified triangle estimator: 64x sample estimate lands within the σ band") {
     // q_graph_triangles runs the EXACT operator on a deterministic
     // 1/4-node sample (partkey ≡ 0 mod 4) and scales by 1/p³ = 64 — the
