@@ -15,14 +15,15 @@ import graft.functions.NeutralHash
   * full-batch gradient descent on md5-hashed word-unigram features,
   * with the model QUANTIZED to integer micro-units after every step.
   *
-  * Scale shape (100 TB): the model lives as a DataFrame (bucket →
-  * weight) — never a driver-side vector — so `buckets` can be 2^20+
-  * without touching driver memory; Spark auto-broadcasts it while it is
-  * small. Each iteration is two keyed joins + two aggregations over the
-  * persisted per-doc bag stage (doc, bucket, count), which is
-  * pre-aggregated map-side so a document contributes at most its
-  * distinct-bucket count per iteration. Gradients are per-bucket keyed
-  * sums — the parameter-server-free Spark formulation.
+  * Scale shape (100 TB): gradients are per-bucket keyed sums — the
+  * parameter-server-free Spark formulation — over a persisted per-doc
+  * feature stage built once. For practical hash spaces (<= 2^16
+  * buckets) the model rides each iteration as a broadcast map literal
+  * against per-doc sparse feature maps: one map-side projection + one
+  * `buckets`-group partial aggregate per step, no joins. For 2^20+
+  * buckets the model stays a DataFrame (bucket → weight) end to end —
+  * never a driver-side vector — at the cost of two keyed joins per
+  * iteration. Both paths produce bit-identical integer weights.
   *
   * Determinism / engine-neutral replay: weights are integers at every
   * iteration boundary, so margins `Σ c·w` are EXACT integer sums under
@@ -39,6 +40,27 @@ object ClassifierTrain {
   private def words(textCol: Column): Column =
     filter(split(lower(textCol), "\\s+"), w => w =!= "")
 
+  /** The (id, label, bucket, count) token shuffle — the corpus-sized
+    * stage under both bag forms (map-side combined by the groupBy).
+    * The label is evaluated in its OWN projection before the explode:
+    * folded into the explode-select, Catalyst places it after the
+    * Generate and re-evaluates the (potentially text-scanning) label
+    * expression once per TOKEN row instead of once per document —
+    * measured 11× on the fixture corpus. */
+  private def bag(docs: DataFrame, idCol: String, textCol: String,
+      label: Column, buckets: Int): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    docs
+      .select(col(idCol), label.cast("boolean").as("_y"), col(textCol))
+      .select(col(idCol), col("_y"), explode(words(col(textCol))).as("_w"))
+      .select(col(idCol), col("_y"),
+        (NeutralHash.lower64Col(col("_w"))
+          .bitwiseAND(lit((buckets - 1).toLong))).as("_b"))
+      .groupBy(col(idCol), col("_y"), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+  }
+
   /** Per-doc hashed-unigram bag (id, label, bucket, count, n_tok) —
     * the one corpus-sized stage, shared by every iteration. `buckets`
     * must be a power of two (bucket = md5lower64 & (buckets-1), the
@@ -47,18 +69,9 @@ object ClassifierTrain {
     * carry no features and are excluded. */
   def hashedBags(docs: DataFrame, idCol: String, textCol: String,
       label: Column, buckets: Int): DataFrame = {
-    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
-      s"buckets must be a power of two, got $buckets")
-    val bag = docs
-      .select(col(idCol), label.cast("boolean").as("_y"),
-        explode(words(col(textCol))).as("_w"))
-      .select(col(idCol), col("_y"),
-        (NeutralHash.lower64Col(col("_w"))
-          .bitwiseAND(lit((buckets - 1).toLong))).as("_b"))
-      .groupBy(col(idCol), col("_y"), col("_b"))
-      .agg(count(lit(1)).as("_c"))
-    val nTok = bag.groupBy(col(idCol)).agg(sum("_c").as("_n"))
-    bag.join(nTok, Seq(idCol))
+    val b = bag(docs, idCol, textCol, label, buckets)
+    val nTok = b.groupBy(col(idCol)).agg(sum("_c").as("_n"))
+    b.join(nTok, Seq(idCol))
   }
 
   /** Per-doc integer margin `Σ c·w` under the quantized `weights`
@@ -70,14 +83,146 @@ object ClassifierTrain {
       .groupBy(col(idCol), col("_y"), col("_n"))
       .agg(sum(col("_c") * coalesce(col("_w"), lit(0L))).as("_m"))
 
+  /** The model collected for the join-free margin path, when small
+    * enough ([[CompactMaxBuckets]]); None → frame-join path. The probe
+    * is a limit-bounded collect, so an oversized model costs one bounded
+    * read, never a driver blow-up. */
+  private def smallModel(weights: DataFrame): Option[Map[Long, Long]] = {
+    val head = weights.select(col("_b"), col("_w"))
+      .limit(CompactMaxBuckets + 1).collect()
+    if (head.length > CompactMaxBuckets) None
+    else Some(head.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
+  /** Per-doc (id, _y, _n, _m) under `weights`, choosing the cheapest
+    * margin plan: a small model folds into the bag aggregation itself as
+    * a broadcast map literal — margin, label and token count all come
+    * out of the ONE corpus shuffle, no nTok join, no weight join. Margin
+    * stays an exact integer sum either way, so both plans are bit-equal. */
+  private def marginsAny(docs: DataFrame, idCol: String, textCol: String,
+      label: Column, buckets: Int, weights: DataFrame): DataFrame =
+    smallModel(weights) match {
+      case Some(m) =>
+        val wlit = typedLit(m)
+        bag(docs, idCol, textCol, label, buckets)
+          .groupBy(col(idCol))
+          .agg(max(col("_y")).as("_y"), sum(col("_c")).as("_n"),
+            sum(col("_c") * coalesce(element_at(wlit, col("_b")), lit(0L)))
+              .as("_m"))
+          .select(col(idCol), col("_y"), col("_n"), col("_m"))
+      case None =>
+        margins(hashedBags(docs, idCol, textCol, label, buckets),
+          idCol, weights)
+          .select(col(idCol), col("_y"), col("_n"), col("_m"))
+    }
+
+  /** Bucket-count ceiling for the compact training path: the model is
+    * collected per iteration (8 B/bucket → 512 KB at the ceiling), far
+    * under any driver budget, while 2^20+ hash spaces stay on the
+    * frame-join path. */
+  private val CompactMaxBuckets = 1 << 16
+
+  /** Spark's `round(double)` (HALF_UP on the shortest decimal form),
+    * replicated exactly so the compact path's driver-side weight update
+    * is bit-equal to the frame path's `round(...).cast("long")`. */
+  private def roundHalfUp(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
   /** Train `iterations` full-batch GD steps; returns the quantized
     * model as (_b, _w) integer micro-unit weights over every observed
     * bucket. `lr` is the learning rate on the mean-normalized feature
-    * scale (margin/1e6/n_tok). */
+    * scale (margin/1e6/n_tok).
+    *
+    * Two equivalent execution paths (same integer weights — margins are
+    * exact integer sums, gradient terms ride per-term DECIMAL(38,12)
+    * casts, the quantizing round is HALF_UP in both):
+    *   - buckets <= 2^16: ONE corpus pass builds a per-doc sparse
+    *     feature map; each iteration is then a single map-side projection
+    *     over that cached frame (margin = fold over the map against the
+    *     broadcast weight literal — no join) + a `buckets`-group partial
+    *     aggregate + an O(buckets) collect. The O(T·corpus) join/shuffle
+    *     chain of the naive loop collapses to T scans of a one-row-per-
+    *     doc frame.
+    *   - larger hash spaces: the model stays a DataFrame end to end
+    *     (never driver-side), two keyed joins + two aggregations per
+    *     iteration over the persisted bag stage. */
   def trainQuantized(docs: DataFrame, idCol: String, textCol: String,
       label: Column, buckets: Int = 256, iterations: Int = 4,
       lr: Double = 1000.0): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    if (buckets <= CompactMaxBuckets)
+      trainQuantizedCompact(docs, idCol, textCol, label, buckets, iterations, lr)
+    else
+      trainQuantizedFrames(docs, idCol, textCol, label, buckets, iterations, lr)
+  }
+
+  /** Compact path: per-doc sparse feature maps + a driver-held integer
+    * weight vector (bounded by [[CompactMaxBuckets]]). */
+  private[operators] def trainQuantizedCompact(docs: DataFrame, idCol: String,
+      textCol: String, label: Column, buckets: Int, iterations: Int,
+      lr: Double): DataFrame = {
+    val spark = docs.sparkSession
+    // ONE corpus-sized stage: (doc, y, {bucket -> count}, n_tok) — one
+    // row per doc, shared by every iteration; n_tok folds out of the
+    // same aggregation (no nTok join)
+    val compact = bag(docs, idCol, textCol, label, buckets)
+      .groupBy(col(idCol))
+      .agg(max(col("_y")).as("_y"),
+        map_from_entries(collect_list(struct(col("_b"), col("_c")))).as("_f"),
+        sum(col("_c")).as("_n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nd = compact.count() // training-doc count (the mean-grad divisor)
+    var w = Map.empty[Long, Long]
+    for (_ <- 0 until iterations) {
+      val wmap = typedLit(w)
+      // per-doc integer margin: fold the sparse map against the
+      // broadcast weight literal — exact at any fold order, no join
+      val mExpr = aggregate(map_entries(col("_f")), lit(0L),
+        (acc, e) => acc + e.getField("value") *
+          coalesce(element_at(wmap, e.getField("key")), lit(0L)))
+      val p = lit(1.0) / (lit(1.0) +
+        exp(-(mExpr.cast("double") / (col("_n") * lit(Micro)))))
+      // grad[b] = Σ_docs (y − p)·c/n/N — same term shape and DECIMAL
+      // bridge as the frame path; map-side partials collapse the shuffle
+      // to <= `buckets` rows per mapper
+      val grad = compact
+        .select(col("_y"), col("_n"), p.as("_p"),
+          explode(map_entries(col("_f"))).as("_e"))
+        .select(col("_e.key").as("_b"),
+          ((when(col("_y"), lit(1.0)).otherwise(lit(0.0)) - col("_p"))
+            * col("_e.value") / col("_n") / lit(nd))
+            .cast("decimal(38,12)").as("_t"))
+        .groupBy(col("_b"))
+        .agg(sum(col("_t")).as("_g"))
+        .collect()
+      w = w ++ grad.map { r =>
+        val b = r.getLong(0)
+        val g = Option(r.getDecimal(1)).map(_.doubleValue).getOrElse(0.0)
+        b -> (w.getOrElse(b, 0L) + roundHalfUp(lr * g * Micro))
+      }
+    }
+    compact.unpersist()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_b",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_w",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = w.toSeq.sortBy(_._1).map { case (b, wt) =>
+      org.apache.spark.sql.Row(b, wt): org.apache.spark.sql.Row
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Frame path: the model lives as a DataFrame (bucket -> weight) end
+    * to end — the 2^20+-bucket form where collecting per iteration would
+    * put the hash space on the driver. */
+  private[operators] def trainQuantizedFrames(docs: DataFrame, idCol: String,
+      textCol: String, label: Column, buckets: Int, iterations: Int,
+      lr: Double): DataFrame = {
     val bags = hashedBags(docs, idCol, textCol, label, buckets)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // MEAN gradient (÷ training-doc count) makes `lr` scale-free: the
@@ -130,8 +275,7 @@ object ClassifierTrain {
     * features and are excluded (the [[hashedBags]] contract). */
   def scoreQuantized(docs: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, buckets: Int): DataFrame =
-    margins(hashedBags(docs, idCol, textCol, lit(false), buckets),
-      idCol, weights)
+    marginsAny(docs, idCol, textCol, lit(false), buckets, weights)
       .select(col(idCol), col("_m").as("margin_micro"))
 
   /** Reliability (calibration) report — the deployment question the
@@ -147,8 +291,7 @@ object ClassifierTrain {
       label: Column, weights: DataFrame, buckets: Int,
       nBins: Int = 10): DataFrame = {
     require(nBins >= 2, s"calibration needs nBins >= 2, got $nBins")
-    val m = margins(hashedBags(docs, idCol, textCol, label, buckets),
-      idCol, weights)
+    val m = marginsAny(docs, idCol, textCol, label, buckets, weights)
     val p = lit(1.0) / (lit(1.0) +
       exp(-(col("_m").cast("double") / (col("_n") * lit(1000000.0)))))
     m.select(col("_y").as("y"), p.as("p"))
@@ -168,7 +311,7 @@ object ClassifierTrain {
     * (label, prediction) cell with its count — all integers, exact. */
   def confusion(docs: DataFrame, idCol: String, textCol: String,
       label: Column, weights: DataFrame, buckets: Int): DataFrame =
-    margins(hashedBags(docs, idCol, textCol, label, buckets), idCol, weights)
+    marginsAny(docs, idCol, textCol, label, buckets, weights)
       .select(col("_y").as("label"), (col("_m") > 0L).as("pred"))
       .groupBy("label", "pred").agg(count(lit(1)).as("n"))
 }

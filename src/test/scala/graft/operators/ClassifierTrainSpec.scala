@@ -23,6 +23,30 @@ class ClassifierTrainSpec extends SparkTestBase {
     assert(!conf.contains((true, false)) && !conf.contains((false, true)))
   }
 
+  test("compact and frame training paths produce bit-identical integer weights (r9)") {
+    // the compact path (per-doc sparse maps + driver-held weights) and
+    // the frame path (model as a DataFrame, two joins per iteration)
+    // must quantize to the SAME model: margins are exact integer sums,
+    // gradient terms ride DECIMAL(38,12), and the compact path's
+    // HALF_UP driver round replicates Spark's round(double) exactly —
+    // a real corpus slice (messy token mix) exercises negative
+    // gradients and half-point rounds the toy fixtures miss
+    val docs = graft.sources.Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id") < 300)
+    val label = size(filter(split(lower(col("text")), "\\s+"),
+      w => w === "join")) >
+      size(filter(split(lower(col("text")), "\\s+"), w => w === "scan"))
+    def collectW(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val compact = collectW(ClassifierTrain.trainQuantizedCompact(
+      docs, "doc_id", "text", label, buckets = 256, iterations = 3, lr = 1000.0))
+    val frames = collectW(ClassifierTrain.trainQuantizedFrames(
+      docs, "doc_id", "text", label, buckets = 256, iterations = 3, lr = 1000.0))
+    assert(compact.nonEmpty, "fixture must observe at least one bucket")
+    assert(compact == frames,
+      s"paths diverged: ${compact.diff(frames).take(3)} vs ${frames.diff(compact).take(3)}")
+  }
+
   test("calibration: bins partition the corpus; the separable fixture is sharp at both ends (r8)") {
     val mk = (i: Long, pos: Boolean) =>
       (i, if (pos) "good nice fine good" else "bad ugly worse bad", pos)
