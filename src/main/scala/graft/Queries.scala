@@ -1441,6 +1441,49 @@ object Queries {
       .limit(100)
   }
 
+  q("q_tpch21_bucketed",
+    // Q21 over the BUCKETED fact tables: lineitem and orders both
+    // pre-bucketed (8 buckets, sorted) on the order key, so the two
+    // lineitem self-joins AND the orders join are exchange-free
+    // sort-merge joins over co-located buckets — the repeated-join
+    // mechanism at 100 TB (write-time shuffle amortized over every
+    // later Q21-shaped query; PlanQualitySpec asserts the no-exchange
+    // plan). Same rows as q_tpch21 by definition; the oracle replays
+    // on the flat fixture
+    """SELECT s.s_name, count(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE o.o_orderstatus = 'F' AND n.n_nationkey < 13
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (s, d) =>
+    val (li, ob) = bucketedLineitemOrders(s, d)
+    val l1 = li.as("l1"); val l2 = li.as("l2"); val l3 = li.as("l3")
+    val waited = l1
+      .join(l2, col("l1.l_orderkey") === col("l2.l_orderkey") &&
+        col("l1.l_suppkey") =!= col("l2.l_suppkey"), "leftsemi")
+      .join(l3, col("l1.l_orderkey") === col("l3.l_orderkey") &&
+        col("l1.l_suppkey") =!= col("l3.l_suppkey") &&
+        col("l3.l_shipdate") > col("l1.l_shipdate"), "leftanti")
+    val o = ob.filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val sup = t(s, d, "supplier")
+    val n = t(s, d, "nation").filter(col("n_nationkey") < 13)
+    waited.join(o, col("l1.l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), col("l1.l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   q("q_tpch22",
     // lapsed high-balance customers (Q22 shape): scalar AVG subquery as
     // the threshold (2-dp bridge-rounded so the engines' summation
@@ -5073,6 +5116,28 @@ object Queries {
     (s.table(s"graft_bkt_orders_$suf"), s.table(s"graft_bkt_customer_$suf"))
   }
 
+  /** Bucketed lineitem + orders on the ORDER key — the Q21 fixture: both
+    * lineitem self-joins AND the orders join run exchange-free when the
+    * fact table is pre-bucketed on its hot join key (the pay-the-shuffle-
+    * once-at-write-time discipline, applied where BASELINE.md measured
+    * the canonical Q21 profile: two lineitem exchanges at 25×/sf5). */
+  private def bucketedLineitemOrders(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = annIndexPath(s, d, "bktq21") { p =>
+      val suf = java.lang.Integer.toHexString(p.hashCode)
+      t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$p/lineitem").saveAsTable(s"graft_bkt_lineitem_$suf")
+      t(s, d, "orders").select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$p/orders").saveAsTable(s"graft_bkt_q21orders_$suf")
+      Seq(s"graft_bkt_lineitem_$suf", s"graft_bkt_q21orders_$suf").foreach { n =>
+        catalogTables.add((new java.lang.ref.WeakReference(s), n))
+      }
+    }
+    val suf = java.lang.Integer.toHexString(base.hashCode)
+    (s.table(s"graft_bkt_lineitem_$suf"), s.table(s"graft_bkt_q21orders_$suf"))
+  }
+
   private def csvRoundtripPath(s: SparkSession, d: String): String =
     annIndexPath(s, d, "csvrt") { p =>
       // LazySimpleSerDe shape: comma-delimited, no header, no quoting
@@ -7833,6 +7898,7 @@ object Queries {
     "q_scan_partition_prune" -> Seq("orders_part"),
     "q_dedup_containment" -> Seq("shingles"),
     "q_join_bucketed" -> Seq("bkt_tables"),
+    "q_tpch21_bucketed" -> Seq("bkt_q21_tables"),
     "q_text_bm25_indexed" -> Seq("txt_index"),
     "q_text_bm25_index_build" -> Seq("txt_index"),
     "q_search_hybrid_rrf_indexed" -> Seq("hyb_index"),
@@ -7865,6 +7931,7 @@ object Queries {
     "pq_index" -> ((s, d) => { pqIndexPath(s, d); () }),
     "orders_part" -> ((s, d) => { partitionedOrdersPath(s, d); () }),
     "bkt_tables" -> ((s, d) => { bucketedOrdersCustomer(s, d); () }),
+    "bkt_q21_tables" -> ((s, d) => { bucketedLineitemOrders(s, d); () }),
     "txt_index" -> ((s, d) => { textIndexPath(s, d); () }),
     "hyb_index" -> ((s, d) => { hybridTextIndexPath(s, d); () }),
     "txt_refresh_index" -> ((s, d) => { textRefreshIndexPath(s, d); () }),

@@ -600,6 +600,22 @@ class PlanQualitySpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_tpch21_bucketed: both self-joins and the orders join exchange-free over buckets") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // keep supplier/nation broadcasts (they carry explicit hints) but
+      // stop the planner broadcasting the order-key joins at fixture
+      // scale — the bucketed co-location must be what kills the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val p = plan("q_tpch21_bucketed")
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge over buckets:\n$p")
+      assert(p.contains("SelectedBucketsCount"), s"scans are not bucket-aware:\n$p")
+      assert(!p.contains("hashpartitioning(l_orderkey")
+        && !p.contains("hashpartitioning(o_orderkey"),
+        s"order-key join re-shuffled — bucketing not exploited:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_sketch_cms: grid-sized partial agg, counters broadcast onto probes") {
     val p = plan("q_sketch_cms")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
