@@ -90,6 +90,41 @@ object Bench {
       s""""shared_stage_hit":$sharedFlags,"queries":$qs,"sf":${jstr(sfDir)}}"""
   }
 
+  /** Stdout-budgeted final line. The harness that captures our stdout
+    * keeps only a ~2 KB TAIL, so the 267-query full line arrives
+    * mid-truncated and parses as nothing. This line keeps the driver's
+    * schema (metric/value/unit/errors/queries/sf) but trims `queries` to
+    * every FAILED query plus the slowest successes that fit the budget —
+    * the entries a per-round delta reader actually wants — and points at
+    * `detail` (the sibling file carrying the untrimmed JSON). */
+  def renderCompactJson(results: Seq[QueryResult], sfDir: String,
+      indexBuilds: Seq[(String, Double)], detailPath: String,
+      budgetBytes: Int = 1800): String = {
+    val total = results.map(_.sec).sum + indexBuilds.map(_._2).sum
+    val errors = results.count(_.err.isDefined)
+    def entry(r: QueryResult): String = r.err match {
+      case None => "\"" + r.name + "\":" + r.sec
+      case Some(m) => "\"" + r.name + "\":" +
+        s"""{"sec":${r.sec},"err":${jstr(m.take(80))}}"""
+    }
+    val ordered = results.filter(_.err.isDefined) ++
+      results.filter(_.err.isEmpty).sortBy(-_.sec)
+    def render(qs: Seq[String], omitted: Int): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,""" +
+        s""""queries_total":${results.size},"queries_omitted":$omitted,""" +
+        s""""detail":${jstr(detailPath)},""" +
+        s""""queries":${qs.mkString("{", ",", "}")},"sf":${jstr(sfDir)}}"""
+    // grow the included set until the rendered line would exceed budget
+    val kept = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < ordered.length &&
+        render(kept.toSeq :+ entry(ordered(i)),
+          results.size - kept.size - 1).length <= budgetBytes) {
+      kept += entry(ordered(i)); i += 1
+    }
+    render(kept.toSeq, results.size - kept.size)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -121,7 +156,13 @@ object Bench {
     spark.read.parquet(s"${sfDir.stripSuffix("/")}/region.parquet")
       .write.format("noop").mode("overwrite").save()
     val (results, builds) = runQueries(spark, sfDir, SparkEntry.selectedQueries)
-    println(renderJson(results, sfDir, builds))
+    // full per-query detail goes to a FILE (survives any stdout tailing);
+    // stdout carries the budget-bounded line the capture window can hold
+    val detail = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_full.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(detail),
+      (renderJson(results, sfDir, builds) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(renderCompactJson(results, sfDir, builds, detail))
     spark.stop()
   }
 }
