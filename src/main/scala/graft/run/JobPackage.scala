@@ -20,7 +20,8 @@ final class JobPackage(
     val stageRoot: String,
     jobNameOverride: Option[String] = None,
     val jobId: String = "0",
-    val includeSharedJobResources: Boolean = true) {
+    val includeSharedJobResources: Boolean = true,
+    fetchZip: String => Path = JobPackage.localFetch) {
 
   /** Folder contract (etl.py:45-74):
     * {{{
@@ -170,13 +171,7 @@ final class JobPackage(
     * flat resource set + job.py, and mirror the `meta_data/` tree beneath
     * the staging folder. Returns the staged file paths. */
   def syncToStage(): Seq[Path] = {
-    val githubResources = githubZipRefs.map { ref =>
-      val p = Paths.get(ref.stripPrefix("file:"))
-      if (!Files.exists(p)) throw new IllegalArgumentException(
-        s"github zip ref $ref must resolve to a local zip file " +
-          "(no network egress at package time)")
-      unnestGithubZip(p)
-    }
+    val githubResources = githubZipRefs.map(ref => unnestGithubZip(fetchZip(ref)))
     try {
       val filesToSync = githubResources ++ pyResources ++ resources ++ jars :+ jobPath
       checkNondupResources(filesToSync)
@@ -230,5 +225,22 @@ final class JobPackage(
     try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(Files.deleteIfExists(_))
     finally walk.close()
+  }
+}
+
+object JobPackage {
+  /** Default zip-ref resolver — the INJECTION POINT for the reference's
+    * github download step (`etl.py:457-476` fetches the zipball over the
+    * network before unnesting). This engine runs in zero-egress
+    * environments, so the default accepts only refs that already resolve
+    * locally (`file:`-prefixed or plain paths); a deployment with egress
+    * supplies its own `fetchZip` (download to a temp file, return the
+    * path) and gets the reference's full flow, unnesting included. */
+  val localFetch: String => Path = { ref =>
+    val p = Paths.get(ref.stripPrefix("file://").stripPrefix("file:"))
+    if (!Files.exists(p)) throw new IllegalArgumentException(
+      s"github zip ref $ref must resolve to a local zip file " +
+        "(no network egress at package time)")
+    p
   }
 }

@@ -118,6 +118,43 @@ class JobPackageSpec extends AnyFunSuite {
     assert(!Files.exists(zipPath.getParent.resolve("mylib_new.zip")))
   }
 
+  test("zip refs resolve through the pluggable fetch hook; file:// spec via the default") {
+    val (_, job) = fixture()
+    def mkZip(dir: java.nio.file.Path, name: String): java.nio.file.Path = {
+      val p = dir.resolve(name)
+      val zout = new java.util.zip.ZipOutputStream(Files.newOutputStream(p))
+      Seq("repo-main/", s"repo-main/$name.py").foreach { n =>
+        zout.putNextEntry(new java.util.zip.ZipEntry(n))
+        if (!n.endsWith("/")) zout.write("code".getBytes)
+        zout.closeEntry()
+      }
+      zout.close(); p
+    }
+    // default fetch: a file:// URL spec resolves like a plain path
+    val local = mkZip(tmp(), "viaurl.zip")
+    touch(job.resolve("glue_py_resources").resolve("github_zip_urls.txt"),
+      s"file://$local\n")
+    val stage1 = tmp()
+    val p1 = new JobPackage(job.toString, stage1.toString, jobId = "11")
+    p1.syncToStage()
+    assert(Files.exists(stage1.resolve("_GraftJobs_").resolve("simple_etl_job")
+      .resolve("11").resolve("resources").resolve("viaurl_new.zip")))
+    // custom hook: a remote-shaped ref resolves through the injected
+    // fetch (the etl.py:457-476 download step's injection point) — the
+    // hook "downloads" by materializing a zip for the requested ref
+    val store = tmp()
+    val fetched = scala.collection.mutable.ArrayBuffer[String]()
+    touch(job.resolve("glue_py_resources").resolve("github_zip_urls.txt"),
+      "https://github.test/org/repo/zipball/main\n")
+    val stage2 = tmp()
+    val p2 = new JobPackage(job.toString, stage2.toString, jobId = "12",
+      fetchZip = { ref => fetched += ref; mkZip(store, "fetched.zip") })
+    p2.syncToStage()
+    assert(fetched.toList == List("https://github.test/org/repo/zipball/main"))
+    assert(Files.exists(stage2.resolve("_GraftJobs_").resolve("simple_etl_job")
+      .resolve("12").resolve("resources").resolve("fetched_new.zip")))
+  }
+
   test("cleanup removes the staged job; deleteStageFolder only this run") {
     val (_, job) = fixture()
     val stage = tmp()
