@@ -379,6 +379,32 @@ object Queries {
       .orderBy("label_id")
   }
 
+  q("q_feature_latest",
+    // the feature-store STATE table (the online twin of q_join_pit's
+    // offline assembly): each user's latest view-event feature tuple.
+    // Engine = one keyed max over the (ts, value, event_id) struct — a
+    // total order, so the oracle replays it as the rk=1 window; the
+    // streaming maintenance (FeatureStore.maintainLatest) folds into
+    // exactly this state per trigger, spec-pinned
+    """WITH v AS (
+      |  SELECT user_id, ts, value, event_id FROM events
+      |  WHERE event_type = 'view' AND ts IS NOT NULL),
+      |r AS (SELECT user_id, ts, value, event_id,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts DESC, value DESC, event_id DESC) AS rk
+      |      FROM v)
+      |SELECT user_id, ts AS feature_ts, value AS f_value,
+      |  event_id AS f_event
+      |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    val views = t(s, d, "events").filter(col("event_type") === "view")
+      .select("user_id", "ts", "value", "event_id")
+    graft.streaming.FeatureStore.latestState(
+        views, Seq("user_id"), "ts", Seq("value", "event_id"))
+      .select(col("user_id"), col("ts").as("feature_ts"),
+        col("value").as("f_value"), col("event_id").as("f_event"))
+      .orderBy("user_id")
+  }
+
   q("q_join_asof_tolerance",
     // tolerance-bounded as-of: latest signup at-or-before the purchase
     // AND within 7 days — a stale match is no match (the ASOF TOLERANCE
