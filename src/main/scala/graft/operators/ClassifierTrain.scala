@@ -94,20 +94,28 @@ object ClassifierTrain {
     else Some(head.map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  /** Dense 1-based weight lookup array for `element_at` — O(1) per
+    * lookup where a map literal scans linearly; unobserved buckets
+    * weigh 0, keys outside [0, buckets) cannot occur (bucket =
+    * hash & (buckets−1)) and are dropped. */
+  private def weightArrayLit(w: Map[Long, Long], buckets: Int): Column =
+    typedLit((0 until buckets).map(b => w.getOrElse(b.toLong, 0L)))
+
   /** Per-doc (id, _y, _n, _m) under `weights`, choosing the cheapest
     * margin plan: a small model folds into the bag aggregation itself as
-    * a broadcast map literal — margin, label and token count all come
-    * out of the ONE corpus shuffle, no nTok join, no weight join. Margin
-    * stays an exact integer sum either way, so both plans are bit-equal. */
+    * a broadcast dense-array literal — margin, label and token count all
+    * come out of the ONE corpus shuffle, no nTok join, no weight join.
+    * Margin stays an exact integer sum either way, so both plans are
+    * bit-equal. */
   private def marginsAny(docs: DataFrame, idCol: String, textCol: String,
       label: Column, buckets: Int, weights: DataFrame): DataFrame =
-    smallModel(weights) match {
+    smallModel(weights).filter(_ => buckets <= CompactMaxBuckets) match {
       case Some(m) =>
-        val wlit = typedLit(m)
+        val warr = weightArrayLit(m, buckets)
         bag(docs, idCol, textCol, label, buckets)
           .groupBy(col(idCol))
           .agg(max(col("_y")).as("_y"), sum(col("_c")).as("_n"),
-            sum(col("_c") * coalesce(element_at(wlit, col("_b")), lit(0L)))
+            sum(col("_c") * element_at(warr, (col("_b") + 1).cast("int")))
               .as("_m"))
           .select(col(idCol), col("_y"), col("_n"), col("_m"))
       case None =>
@@ -177,19 +185,27 @@ object ClassifierTrain {
     val nd = compact.count() // training-doc count (the mean-grad divisor)
     var w = Map.empty[Long, Long]
     for (_ <- 0 until iterations) {
-      val wmap = typedLit(w)
+      // DENSE weight array literal: element_at on an array is O(1) where
+      // a map literal lookup scans its entries linearly — per-token cost,
+      // so the linear form multiplies into the whole corpus
+      val warr = weightArrayLit(w, buckets)
       // per-doc integer margin: fold the sparse map against the
       // broadcast weight literal — exact at any fold order, no join
       val mExpr = aggregate(map_entries(col("_f")), lit(0L),
         (acc, e) => acc + e.getField("value") *
-          coalesce(element_at(wmap, e.getField("key")), lit(0L)))
+          element_at(warr, e.getField("key").cast("int") + 1))
       val p = lit(1.0) / (lit(1.0) +
         exp(-(mExpr.cast("double") / (col("_n") * lit(Micro)))))
+      // p gets its OWN projection before the explode (the bag() label
+      // lesson): folded into the explode-select, Catalyst re-evaluates
+      // the O(|doc map|) margin fold once per map ENTRY instead of once
+      // per doc — measured 14× on the generated sf5 corpus
+      val scored = compact.select(col("_y"), col("_n"), col("_f"), p.as("_p"))
       // grad[b] = Σ_docs (y − p)·c/n/N — same term shape and DECIMAL
       // bridge as the frame path; map-side partials collapse the shuffle
       // to <= `buckets` rows per mapper
-      val grad = compact
-        .select(col("_y"), col("_n"), p.as("_p"),
+      val grad = scored
+        .select(col("_y"), col("_n"), col("_p"),
           explode(map_entries(col("_f"))).as("_e"))
         .select(col("_e.key").as("_b"),
           ((when(col("_y"), lit(1.0)).otherwise(lit(0.0)) - col("_p"))
