@@ -82,6 +82,11 @@ object ClusterCheck {
     "q_stat_ks",                  // two-phase CDF prefix sum: offsets broadcast to executors (r8)
     "q_search_prf",               // three-pass tf reuse + TopKAgg heaps + decimal fusion (r8)
     "q_agg_incremental_merge",    // decimal state union-merge across real executor JVMs (r8)
+    "q_graph_jaccard_topk",       // MinKByAgg pair-form heaps over the wedge exchange (r9)
+    "q_tpch21_bucketed",          // executor-side bucketed fact write + exchange-free SMJs (r9)
+    "q_feature_latest",           // struct-max latest-state agg across executor JVMs (r9)
+    "q_ml_logreg_train",          // compact-loop: HOF margin fold + dense weight-array literal
+                                  // + decimal grad collect, per-iteration, across JVMs (r9)
   )
 
   private def runAll(master: String, sfDir: String): Map[String, Seq[String]] = {
