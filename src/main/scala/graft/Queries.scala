@@ -5146,15 +5146,18 @@ object Queries {
     * lineitem self-joins AND the orders join run exchange-free when the
     * fact table is pre-bucketed on its hot join key (the pay-the-shuffle-
     * once-at-write-time discipline, applied where BASELINE.md measured
-    * the canonical Q21 profile: two lineitem exchanges at 25×/sf5). */
+    * the canonical Q21 profile: two lineitem exchanges at 25×/sf5).
+    * 32 buckets, not q_join_bucketed's demo 8: bucket count CAPS scan
+    * parallelism on the exchange-free side, so a fact-table fixture sizes
+    * it to the box's cores (production: ≈ cluster parallelism). */
   private def bucketedLineitemOrders(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val base = annIndexPath(s, d, "bktq21") { p =>
       val suf = java.lang.Integer.toHexString(p.hashCode)
       t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .write.mode("overwrite").bucketBy(32, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$p/lineitem").saveAsTable(s"graft_bkt_lineitem_$suf")
       t(s, d, "orders").select("o_orderkey", "o_orderstatus")
-        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .write.mode("overwrite").bucketBy(32, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$p/orders").saveAsTable(s"graft_bkt_q21orders_$suf")
       Seq(s"graft_bkt_lineitem_$suf", s"graft_bkt_q21orders_$suf").foreach { n =>
         catalogTables.add((new java.lang.ref.WeakReference(s), n))
