@@ -109,7 +109,7 @@ object ClassifierTrain {
     * bit-equal. */
   private def marginsAny(docs: DataFrame, idCol: String, textCol: String,
       label: Column, buckets: Int, weights: DataFrame): DataFrame =
-    smallModel(weights).filter(_ => buckets <= CompactMaxBuckets) match {
+    (if (buckets <= CompactMaxBuckets) smallModel(weights) else None) match {
       case Some(m) =>
         val warr = weightArrayLit(m, buckets)
         bag(docs, idCol, textCol, label, buckets)
