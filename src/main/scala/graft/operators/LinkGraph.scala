@@ -158,10 +158,16 @@ object LinkGraph {
     * @return (node_a, rank, node_b, n_common, n_union, jaccard): rank is
     *         1-based within node_a in (jaccard desc, node_b asc) order */
   def jaccardNeighborsTopK(edges: DataFrame, srcCol: String, dstCol: String,
-      maxNeighborDegree: Long, minCommon: Long, k: Int): DataFrame = {
-    require(k >= 1, s"jaccardNeighborsTopK needs k >= 1, got $k")
-    val pairs = jaccardNeighbors(edges, srcCol, dstCol,
-      maxNeighborDegree, minCommon)
+      maxNeighborDegree: Long, minCommon: Long, k: Int): DataFrame =
+    jaccardTopKFromPairs(
+      jaccardNeighbors(edges, srcCol, dstCol, maxNeighborDegree, minCommon), k)
+
+  /** The top-k cut alone, over an existing [[jaccardNeighbors]] pair
+    * frame — so a caller that computes (or persists) the pair set once
+    * can serve both the full ranking and the bounded form from ONE wedge
+    * join (the pair set is the expensive stage; the heap is O(pairs)). */
+  def jaccardTopKFromPairs(pairs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"jaccardTopKFromPairs needs k >= 1, got $k")
     pairs.groupBy(col("node_a"))
       .agg(graft.functions.MinKByAgg.minKByAgg(
         // ascending (-jaccard, node_b) == jaccard desc, node_b asc;
