@@ -2427,6 +2427,39 @@ object Queries {
       widths = Seq(100L, 500L, 2500L, 12500L), k = 5)
   }
 
+  q("q_privacy_pseudonym",
+    // deterministic keyed pseudonymization — the TRANSFORM half of the
+    // privacy family (audits find the risk, redaction destroys joins,
+    // this preserves them): the same salted md5 token replaces the
+    // customer key in BOTH tables, and the join/aggregation runs on
+    // tokens alone — raw keys never reach the output. Top customers by
+    // order count, keyed only by token; the oracle replays the salted
+    // hash (identical canonical integer-to-string cast both engines)
+    """WITH c AS (
+      |  SELECT md5('graft-r9:' || CAST(c_custkey AS VARCHAR)) AS cust_token,
+      |    c_mktsegment
+      |  FROM customer),
+      |o AS (
+      |  SELECT md5('graft-r9:' || CAST(o_custkey AS VARCHAR)) AS cust_token
+      |  FROM orders)
+      |SELECT c.cust_token AS cust_token, c.c_mktsegment, count(*) AS n_orders
+      |FROM o JOIN c ON o.cust_token = c.cust_token
+      |GROUP BY 1, 2
+      |ORDER BY n_orders DESC, c.cust_token LIMIT 50""".stripMargin) { (s, d) =>
+    val c = graft.operators.Privacy.pseudonymize(
+        t(s, d, "customer").select(col("c_custkey").as("cust_token"),
+          col("c_mktsegment")),
+        Seq("cust_token"), salt = "graft-r9")
+    val o = graft.operators.Privacy.pseudonymize(
+        t(s, d, "orders").select(col("o_custkey").as("cust_token")),
+        Seq("cust_token"), salt = "graft-r9")
+    o.join(c, Seq("cust_token"))
+      .groupBy("cust_token", "c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("cust_token"))
+      .limit(50)
+  }
+
   // catalog-shape query: cross-table type alignment over inferred schemas
   // (meta.py:878-916 semantics over the fixture warehouse). The oracle
   // replays it with DuckDB's own schema introspection (DESCRIBE on the

@@ -52,6 +52,31 @@ object Privacy {
       .orderBy(col("distinct_sensitive") +: col("n") +: qi(qiCols): _*)
   }
 
+  /** Deterministic keyed pseudonymization: each listed column is
+    * replaced by `md5(salt || ':' || value)` — the same (salt, value)
+    * always maps to the same token, so joins, grouping and dedup across
+    * tables SURVIVE the transform (the property plain redaction destroys)
+    * while the raw identifier never leaves the engine. NULLs stay NULL
+    * (no token leaks "this row had no value" as a constant). The salt is
+    * the secret: without it the token space cannot be enumerated from
+    * known identifiers (rainbow-style reversal of an unsalted hash).
+    * Values are stringified with Spark's canonical cast — for
+    * cross-engine replay restrict to string/integer identifier columns
+    * (float formatting is engine-specific).
+    *
+    * Scale shape: a pure codegen'd projection — zero shuffle, zero UDF;
+    * composes with [[graft.validate.Validate.redactedView]] (mask what
+    * downstream never needs, pseudonymize what it joins on). */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize needs at least one column")
+    require(salt.nonEmpty, "pseudonymize needs a non-empty salt")
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).isNull, lit(null))
+          .otherwise(md5(concat_ws(":", lit(salt), col(c).cast("string")))))
+    }
+  }
+
   /** Generalization ladder: for each candidate bucket `width` over the
     * numeric quasi-identifier `numCol` (ascending widths = coarser
     * generalization), report how many equivalence classes the release

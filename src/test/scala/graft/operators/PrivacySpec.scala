@@ -64,6 +64,38 @@ class PrivacySpec extends SparkTestBase {
       s"expected exactly one explode:\n$plan")
   }
 
+  test("pseudonymize: deterministic, null-preserving, join-preserving, salt-sensitive") {
+    import spark.implicits._
+    val left = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "payload")
+    val right = Seq((1L, 10.0), (1L, 11.0), (3L, 30.0), (4L, 40.0)).toDF("k", "v")
+    val joinBefore = left.join(right, Seq("k")).count()
+    val pl = Privacy.pseudonymize(left, Seq("k"), salt = "s")
+    val pr = Privacy.pseudonymize(right, Seq("k"), salt = "s")
+    // joins survive: same (salt, value) -> same token across frames
+    assert(pl.join(pr, Seq("k")).count() == joinBefore)
+    // tokens are md5 hex, not the raw key
+    val toks = pl.select("k").as[String].collect()
+    assert(toks.forall(t => t.matches("[0-9a-f]{32}")))
+    assert(toks.distinct.length == 3, "distinct inputs keep distinct tokens")
+    // determinism: rebuilding yields the same tokens
+    assert(Privacy.pseudonymize(left, Seq("k"), "s").select("k")
+      .as[String].collect().toSeq == toks.toSeq)
+    // a different salt produces a disjoint token space
+    val other = Privacy.pseudonymize(left, Seq("k"), "t")
+      .select("k").as[String].collect().toSet
+    assert(toks.toSet.intersect(other).isEmpty)
+    // NULL stays NULL (no constant md5(salt) token leaking null-ness)
+    val withNull = Seq((Some(1L), "x"), (None, "y"))
+      .toDF("k", "payload")
+    val pn = Privacy.pseudonymize(withNull, Seq("k"), "s")
+    assert(pn.filter(col("k").isNull).count() == 1)
+    // untouched columns pass through
+    assert(pn.select("payload").as[String].collect().toSet == Set("x", "y"))
+    // pure projection: no shuffle, no UDF in the plan
+    val plan = pn.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pseudonymize must not shuffle:\n$plan")
+  }
+
   test("audits validate their floors") {
     import spark.implicits._
     val df = Seq(("a", 1.0)).toDF("g", "v")
