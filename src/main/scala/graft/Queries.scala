@@ -1469,7 +1469,7 @@ object Queries {
 
   q("q_tpch21_bucketed",
     // Q21 over the BUCKETED fact tables: lineitem and orders both
-    // pre-bucketed (8 buckets, sorted) on the order key, so the two
+    // pre-bucketed (32 buckets, sorted) on the order key, so the two
     // lineitem self-joins AND the orders join are exchange-free
     // sort-merge joins over co-located buckets — the repeated-join
     // mechanism at 100 TB (write-time shuffle amortized over every
@@ -2430,17 +2430,17 @@ object Queries {
   q("q_privacy_pseudonym",
     // deterministic keyed pseudonymization — the TRANSFORM half of the
     // privacy family (audits find the risk, redaction destroys joins,
-    // this preserves them): the same salted md5 token replaces the
+    // this preserves them): the same salted sha-256 token replaces the
     // customer key in BOTH tables, and the join/aggregation runs on
     // tokens alone — raw keys never reach the output. Top customers by
     // order count, keyed only by token; the oracle replays the salted
     // hash (identical canonical integer-to-string cast both engines)
     """WITH c AS (
-      |  SELECT md5('graft-r9:' || CAST(c_custkey AS VARCHAR)) AS cust_token,
+      |  SELECT sha256('graft-r9:' || CAST(c_custkey AS VARCHAR)) AS cust_token,
       |    c_mktsegment
       |  FROM customer),
       |o AS (
-      |  SELECT md5('graft-r9:' || CAST(o_custkey AS VARCHAR)) AS cust_token
+      |  SELECT sha256('graft-r9:' || CAST(o_custkey AS VARCHAR)) AS cust_token
       |  FROM orders)
       |SELECT c.cust_token AS cust_token, c.c_mktsegment, count(*) AS n_orders
       |FROM o JOIN c ON o.cust_token = c.cust_token

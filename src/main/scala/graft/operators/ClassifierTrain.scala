@@ -86,9 +86,19 @@ object ClassifierTrain {
   /** The model collected for the join-free margin path, when small
     * enough ([[CompactMaxBuckets]]); None → frame-join path. The probe
     * is a limit-bounded collect, so an oversized model costs one bounded
-    * read, never a driver blow-up. */
+    * read, never a driver blow-up.
+    *
+    * Normalized to the FRAME-JOIN semantics first, because public APIs
+    * (scoreQuantized / calibration / confusion) accept arbitrary weight
+    * frames: a null `_w` contributes 0 (the join path's
+    * `coalesce(_w, 0)`), duplicate `_b` rows SUM (an equi-join
+    * duplicates the bag row per weight row, so contributions add), and
+    * a null `_b` matches nothing (null never equi-joins). */
   private def smallModel(weights: DataFrame): Option[Map[Long, Long]] = {
-    val head = weights.select(col("_b"), col("_w"))
+    val head = weights
+      .filter(col("_b").isNotNull)
+      .groupBy(col("_b"))
+      .agg(sum(coalesce(col("_w"), lit(0L))).as("_w"))
       .limit(CompactMaxBuckets + 1).collect()
     if (head.length > CompactMaxBuckets) None
     else Some(head.map(r => r.getLong(0) -> r.getLong(1)).toMap)

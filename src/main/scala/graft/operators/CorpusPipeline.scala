@@ -74,6 +74,101 @@ object CorpusPipeline {
     kept.join(quality, Seq(idCol), "left")
   }
 
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  private def manifestPath(dir: Path) = new Path(dir, "_forget_manifest")
+
+  /** Persist the swap plan BEFORE any destructive step: staging dir, the
+    * staged→target rename pairs, and the original files to delete — so a
+    * crash anywhere in the rename/delete window is REPLAYABLE, not just
+    * detectable. Written to a temp name then renamed in (atomic on local
+    * fs/HDFS); underscore-prefixed so corpus readers never see it. */
+  private[operators] def writeSwapManifest(fs: FileSystem, dir: Path,
+      staging: Path, renames: Seq[(String, String)],
+      deletes: Seq[String]): Unit = {
+    val body = new StringBuilder
+    body ++= s"staging\t${staging.toUri}\n"
+    renames.foreach { case (src, tgt) => body ++= s"rename\t$src\t$tgt\n" }
+    deletes.foreach { uri => body ++= s"delete\t$uri\n" }
+    val tmp = new Path(dir, "_forget_manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val mf = manifestPath(dir)
+    if (fs.exists(mf)) fs.delete(mf, false)
+    if (!fs.rename(tmp, mf))
+      throw new java.io.IOException(s"forgetDocuments: manifest rename failed: $mf")
+  }
+
+  /** Replay a crashed swap recorded in `dir/_forget_manifest` to
+    * COMPLETION: finish outstanding renames from the recorded staging dir,
+    * delete the recorded originals that still exist, drop staging and the
+    * manifest. Idempotent (every step checks current state first); called
+    * at forgetDocuments entry for the corpus and each sidecar BEFORE any
+    * read, so the crash window can never leak duplicate survivor rows
+    * into a re-run's input. */
+  private[operators] def completePendingSwap(fs: FileSystem, dir: Path): Unit = {
+    val mf = manifestPath(dir)
+    if (!fs.exists(mf)) return
+    val in = fs.open(mf)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val staging = lines.collectFirst {
+      case l if l.startsWith("staging\t") =>
+        new Path(new java.net.URI(l.stripPrefix("staging\t")))
+    }.getOrElse(throw new java.io.IOException(
+      s"forgetDocuments: manifest $mf has no staging line"))
+    lines.foreach { l =>
+      l.split('\t') match {
+        case Array("rename", src, tgt) =>
+          val target = new Path(dir, tgt)
+          if (!fs.exists(target)) {
+            val source = new Path(staging, src)
+            if (!fs.exists(source))
+              throw new java.io.IOException(
+                s"forgetDocuments: manifest replay lost $src (neither $target nor $source exists)")
+            if (!fs.rename(source, target))
+              throw new java.io.IOException(
+                s"forgetDocuments: manifest replay rename failed: $source")
+          }
+        case Array("delete", uri) =>
+          val p = new Path(new java.net.URI(uri))
+          if (fs.exists(p) && !fs.delete(p, false))
+            throw new java.io.IOException(
+              s"forgetDocuments: manifest replay delete failed: $p")
+        case _ => // staging line / blank
+      }
+    }
+    if (fs.exists(staging)) fs.delete(staging, true)
+    fs.delete(mf, false)
+  }
+
+  /** The one swap primitive: manifest first, then rename survivors in
+    * under collision-free `forget-` names, then delete the replaced
+    * originals, then drop staging + manifest. A crash at ANY point is
+    * replayed to completion by [[completePendingSwap]] on the next run. */
+  private def manifestedSwap(fs: FileSystem, dir: Path, staging: Path,
+      originals: Seq[Path]): Unit = {
+    val staged = fs.listStatus(staging)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSeq
+    val renames = staged.map(n => n -> s"forget-$n")
+    writeSwapManifest(fs, dir, staging, renames,
+      originals.map(_.toUri.toString))
+    renames.foreach { case (src, tgt) =>
+      if (!fs.rename(new Path(staging, src), new Path(dir, tgt)))
+        throw new java.io.IOException(
+          s"forgetDocuments: swap rename failed for $staging/$src")
+    }
+    originals.foreach { p =>
+      if (!fs.delete(p, false))
+        throw new java.io.IOException(s"forgetDocuments: delete failed: $p")
+    }
+    fs.delete(staging, true)
+    fs.delete(manifestPath(dir), false)
+  }
+
   /** Right-to-be-forgotten erasure across a corpus AND every derived
     * artifact — the composed maintenance surface a data-subject request
     * actually needs (the reference's `delete_data_in_database` removes
@@ -109,9 +204,20 @@ object CorpusPipeline {
       textCol: String = "text",
       textIndexDir: Option[String] = None,
       annIndexes: Seq[(String, Seq[String])] = Nil): Long = {
-    import org.apache.hadoop.fs.Path
     val fs = new Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hashDir = s"$corpusDir/_hash_index"
+    val sigDirs = Seq(s"$corpusDir/_minhash_sigs", s"$corpusDir/_minhash_bands")
+    // FIRST: replay any crashed swap (this run's or a predecessor's) to
+    // completion, so every read below sees exactly one copy of each row —
+    // a crash between rename-in and the originals' delete would otherwise
+    // leave the crashed run's forget-* survivor files duplicating the
+    // originals, and a naive re-run would re-stage those survivors a
+    // second time (the duplicates would become permanent)
+    (corpusDir +: hashDir +: sigDirs).foreach { d =>
+      val p = new Path(d)
+      if (fs.exists(p)) completePendingSwap(fs, p)
+    }
     def hasParquet(dir: String): Boolean = {
       val p = new Path(dir)
       fs.exists(p) && fs.listStatus(p).exists(s =>
@@ -119,11 +225,10 @@ object CorpusPipeline {
     }
     /** Replace a dir's parquet data files with `rows`, staged + verified
       * first; sidecar subdirectories inside `dir` are left untouched.
-      * Swap order is RENAME-THEN-DELETE: the staged survivors move in
-      * under `forget-` prefixed names (collision-free against the kept
-      * originals by construction) BEFORE the replaced originals are
-      * deleted, so a crash mid-swap leaves transient DUPLICATES a re-run
-      * can detect — never silently missing rows. */
+      * Swap order is manifest → rename-in (`forget-` prefixed, collision-
+      * free vs the kept originals) → delete originals; a crash anywhere
+      * in that window is REPLAYED to completion at the next
+      * forgetDocuments entry via the persisted manifest. */
     def swapIn(rows: DataFrame, dir: String, expected: Long): Unit = {
       val staging = s"${dir.stripSuffix("/")}_forgetting"
       rows.write.mode("overwrite").parquet(staging)
@@ -132,20 +237,8 @@ object CorpusPipeline {
         s"forgetDocuments: staged $staging has $got rows, expected $expected")
       val dirPath = new Path(dir)
       // capture the replaced originals BEFORE renaming survivors in
-      val originals = fs.listStatus(dirPath).filter(_.isFile).map(_.getPath)
-      fs.listStatus(new Path(staging))
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .foreach { s =>
-          val target = new Path(dirPath, s"forget-${s.getPath.getName}")
-          if (!fs.rename(s.getPath, target))
-            throw new java.io.IOException(
-              s"forgetDocuments: swap rename failed for ${s.getPath}")
-        }
-      originals.foreach { p =>
-        if (!fs.delete(p, false))
-          throw new java.io.IOException(s"forgetDocuments: delete failed: $p")
-      }
-      fs.delete(new Path(staging), true)
+      val originals = fs.listStatus(dirPath).filter(_.isFile).map(_.getPath).toSeq
+      manifestedSwap(fs, dirPath, new Path(staging), originals)
     }
     val gone = ids.select(col(idCol)).distinct().localCheckpoint()
     val corpus = spark.read.parquet(corpusDir)
@@ -184,28 +277,15 @@ object CorpusPipeline {
       survivors.write.mode("overwrite").parquet(staging)
       require(spark.read.parquet(staging).count() == expected,
         s"forgetDocuments: staged survivor count mismatch under $staging")
-      // RENAME-THEN-DELETE: survivors move in (forget- prefix, collision-
-      // free vs the kept originals) BEFORE the affected originals go, so
-      // a crash in the swap window leaves transient duplicates a re-run
-      // detects — never surviving rows silently missing from the corpus
-      val dirPath = new Path(corpusDir)
-      fs.listStatus(new Path(staging))
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .foreach { s =>
-          val target = new Path(dirPath, s"forget-${s.getPath.getName}")
-          if (!fs.rename(s.getPath, target))
-            throw new java.io.IOException(
-              s"forgetDocuments: swap rename failed for ${s.getPath}")
-        }
-      affected.foreach { uri =>
-        val p = new Path(new java.net.URI(uri))
-        if (!fs.delete(p, false))
-          throw new java.io.IOException(s"forgetDocuments: delete failed: $p")
-      }
-      fs.delete(new Path(staging), true)
+      // manifest → rename-in (forget- prefix, collision-free vs the kept
+      // originals) → delete the affected originals: a crash anywhere in
+      // that window is replayed to completion from the persisted manifest
+      // at the next forgetDocuments entry — never silently-missing rows,
+      // never permanently-duplicated survivors
+      manifestedSwap(fs, new Path(corpusDir), new Path(staging),
+        affected.toSeq.map(uri => new Path(new java.net.URI(uri))))
     }
 
-    val hashDir = s"$corpusDir/_hash_index"
     if (hasParquet(hashDir)) {
       val scrub = goneHashes
         .join(keptDupHashes, Seq("corpus_content_hash"), "left_anti")
@@ -214,7 +294,7 @@ object CorpusPipeline {
         .localCheckpoint()
       swapIn(keep, hashDir, keep.count())
     }
-    Seq(s"$corpusDir/_minhash_sigs", s"$corpusDir/_minhash_bands").foreach { d =>
+    sigDirs.foreach { d =>
       if (hasParquet(d)) {
         val rows = spark.read.parquet(d)
         val keep = rows.join(gone.select(col(idCol).as("doc_id")),

@@ -53,13 +53,15 @@ object Privacy {
   }
 
   /** Deterministic keyed pseudonymization: each listed column is
-    * replaced by `md5(salt || ':' || value)` — the same (salt, value)
+    * replaced by `sha256(salt || ':' || value)` — the same (salt, value)
     * always maps to the same token, so joins, grouping and dedup across
     * tables SURVIVE the transform (the property plain redaction destroys)
     * while the raw identifier never leaves the engine. NULLs stay NULL
     * (no token leaks "this row had no value" as a constant). The salt is
     * the secret: without it the token space cannot be enumerated from
     * known identifiers (rainbow-style reversal of an unsalted hash).
+    * SHA-256, not md5: md5 is collision-broken, and an engineered
+    * collision would silently MERGE two identities into one token.
     * Values are stringified with Spark's canonical cast — for
     * cross-engine replay restrict to string/integer identifier columns
     * (float formatting is engine-specific).
@@ -73,7 +75,7 @@ object Privacy {
     cols.foldLeft(df) { (d, c) =>
       d.withColumn(c,
         when(col(c).isNull, lit(null))
-          .otherwise(md5(concat_ws(":", lit(salt), col(c).cast("string")))))
+          .otherwise(sha2(concat_ws(":", lit(salt), col(c).cast("string")), 256)))
     }
   }
 

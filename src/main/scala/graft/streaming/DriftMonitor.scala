@@ -9,7 +9,10 @@ import graft.operators.Profiling
   * [[graft.operators.Profiling.ksTwoSample]]: a REFERENCE population is
   * collapsed once to its (value, count) histogram and persisted; every
   * arriving micro-batch is KS-tested against that stored histogram and
-  * one drift row per trigger is APPENDED to `outDir`. The encoder-rerun
+  * one drift row per trigger lands under `outDir/drift` as its own
+  * batch_id=N partition (dynamic overwrite ⇒ idempotent replay — NOT a
+  * plain append; see [[readDrift]] for the read-side contract). The
+  * encoder-rerun
   * / upstream-schema-change / corpus-mix alarms the batch drift family
   * answers retrospectively, answered per trigger instead.
   *
@@ -66,6 +69,17 @@ object DriftMonitor {
       }
       .start()
   }
+
+  /** The read-side contract for `outDir/drift`. Because batch_id is a
+    * PARTITION directory (that's what makes replays idempotent), a naive
+    * `spark.read.parquet` sees it as an INFERRED partition column —
+    * IntegerType, last in schema — not the LongType data column a
+    * foreachBatch append would have produced. This helper pins the
+    * public schema: (batch_id LONG, n_batch LONG, d_stat, d_at). */
+  def readDrift(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/drift")
+      .select(col("batch_id").cast("long"), col("n_batch"),
+        col("d_stat"), col("d_at"))
 
   private def hasParquet(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)

@@ -47,6 +47,47 @@ class ClassifierTrainSpec extends SparkTestBase {
       s"paths diverged: ${compact.diff(frames).take(3)} vs ${frames.diff(compact).take(3)}")
   }
 
+  test("small-model and frame-join scoring agree on malformed external weight frames (r10)") {
+    // scoreQuantized is a public API accepting ARBITRARY weight frames:
+    // the collected small-model path must normalize to the frame-join
+    // semantics — null _w scores 0 (the join's coalesce), duplicate _b
+    // rows ADD (a join duplicates the bag row per weight row), null _b
+    // matches nothing — instead of NPE-ing or silently deduping
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val buckets = 256
+    // messy model: a null weight, a duplicated bucket, a null bucket
+    val bucketed = ClassifierTrain.hashedBags(docs, "doc_id", "text",
+      lit(false), buckets).select("_b").distinct()
+      .as[Long].collect().sorted
+    val messy = Seq(
+      (Option(bucketed(0)), Option(5L)),
+      (Option(bucketed(0)), Option(7L)),   // duplicate _b: contributions add
+      (Option(bucketed(1)), Option.empty[Long]), // null _w: scores 0
+      (Option.empty[Long], Option(99L))    // null _b: matches nothing
+    ).toDF("_b", "_w")
+    // ground truth = the equi-join semantics, replayed driver-side over
+    // the bag frame: null _b never matches, null _w coalesces to 0,
+    // duplicate _b rows each contribute (so weights add per bucket)
+    val wSum = Map(bucketed(0) -> (5L + 7L), bucketed(1) -> 0L)
+    val expect = ClassifierTrain.hashedBags(docs, "doc_id", "text",
+        lit(false), buckets)
+      .select("doc_id", "_b", "_c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map { case (_, b, c) => c * wSum.getOrElse(b, 0L) }.sum)
+      .toMap
+    val small = ClassifierTrain.scoreQuantized(docs, "doc_id", "text",
+        messy, buckets)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(small.nonEmpty)
+    small.foreach { case (id, m) =>
+      assert(m == expect(id),
+        s"doc $id: small-model margin $m != join-semantics ${expect(id)}")
+    }
+  }
+
   test("calibration: bins partition the corpus; the separable fixture is sharp at both ends (r8)") {
     val mk = (i: Long, pos: Boolean) =>
       (i, if (pos) "good nice fine good" else "bad ugly worse bad", pos)

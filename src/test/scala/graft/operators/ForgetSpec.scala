@@ -104,4 +104,68 @@ class ForgetSpec extends SparkTestBase {
     assert(ivfRows.join(goneIds, Seq("doc_id"), "left_semi").count() == 0)
     assert(ivfRows.count() == emb.count() - 3)
   }
+
+  /** Fabricate the exact crash state the manifest exists for — staged
+    * survivors written, manifest persisted, renames partially (or fully)
+    * done, originals NOT yet deleted — and prove a re-run replays the
+    * swap to completion instead of permanently duplicating the crashed
+    * run's survivor rows (the pre-manifest failure mode: the re-run's
+    * file-pruned scan only finds files still holding forgotten ids, so
+    * orphaned forget-* files were invisible to it). */
+  test("forgetDocuments replays a crashed swap window without duplicating survivors") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fixture = Tables.load(spark, sf(), "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 40)
+
+    // crashPoint = how many of the staged renames completed before the
+    // "crash": 1 = mid-rename, Int.MaxValue = all renamed, deletes not run
+    for ((crashPoint, tag) <- Seq(1 -> "mid-rename", Int.MaxValue -> "pre-delete")) {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-forget-crash")
+      val corpusDir = s"$root/corpus"
+      fixture.repartitionByRange(4, col("doc_id")).write.parquet(corpusDir)
+      val fs = new Path(corpusDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val gone = Seq(2L, 3L, 7L).toDF("doc_id")
+      val nBefore = spark.read.parquet(corpusDir).count()
+
+      // fabricate the crashed run, step for step with the operator
+      val withFile = spark.read.parquet(corpusDir)
+        .withColumn("__file", input_file_name())
+      val affected = withFile.join(gone, Seq("doc_id"), "left_semi")
+        .select("__file").distinct().as[String].collect().toSeq
+      assert(affected.nonEmpty && affected.size < 4,
+        "range layout must localize the forgotten ids to a strict file subset")
+      val survivors = withFile.filter(col("__file").isin(affected: _*))
+        .join(gone, Seq("doc_id"), "left_anti").drop("__file")
+        .localCheckpoint()
+      val staging = new Path(s"${corpusDir}_forgetting")
+      survivors.write.mode("overwrite").parquet(staging.toString)
+      val staged = fs.listStatus(staging)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName).toSeq
+      val renames = staged.map(n => n -> s"forget-$n")
+      CorpusPipeline.writeSwapManifest(fs, new Path(corpusDir), staging,
+        renames, affected.map(u => new Path(new java.net.URI(u)).toUri.toString))
+      renames.take(crashPoint).foreach { case (src, tgt) =>
+        assert(fs.rename(new Path(staging, src), new Path(corpusDir, tgt)))
+      }
+      // crash here: originals all still present, manifest on disk
+
+      // the re-run must first replay the manifest (finish renames, delete
+      // the recorded originals), then find nothing left to forget
+      val n = CorpusPipeline.forgetDocuments(spark, gone, "doc_id",
+        corpusDir, "text")
+      assert(n == 0, s"[$tag] replay should erase the ids before the scan")
+      val after = spark.read.parquet(corpusDir)
+      assert(after.count() == nBefore - 3,
+        s"[$tag] corpus must end at exactly nBefore-3 rows, no duplicates")
+      assert(after.select("doc_id").distinct().count() == after.count(),
+        s"[$tag] crashed run's survivor files must not duplicate rows")
+      assert(after.join(gone, Seq("doc_id"), "left_semi").count() == 0)
+      assert(!fs.exists(new Path(corpusDir, "_forget_manifest")),
+        s"[$tag] replay must clear the manifest")
+      assert(!fs.exists(staging), s"[$tag] replay must clear staging")
+    }
+  }
 }

@@ -73,9 +73,10 @@ class PrivacySpec extends SparkTestBase {
     val pr = Privacy.pseudonymize(right, Seq("k"), salt = "s")
     // joins survive: same (salt, value) -> same token across frames
     assert(pl.join(pr, Seq("k")).count() == joinBefore)
-    // tokens are md5 hex, not the raw key
+    // tokens are sha-256 hex, not the raw key (md5 rejected: collision-
+    // broken hashes could merge two identities into one token)
     val toks = pl.select("k").as[String].collect()
-    assert(toks.forall(t => t.matches("[0-9a-f]{32}")))
+    assert(toks.forall(t => t.matches("[0-9a-f]{64}")))
     assert(toks.distinct.length == 3, "distinct inputs keep distinct tokens")
     // determinism: rebuilding yields the same tokens
     assert(Privacy.pseudonymize(left, Seq("k"), "s").select("k")
@@ -84,7 +85,7 @@ class PrivacySpec extends SparkTestBase {
     val other = Privacy.pseudonymize(left, Seq("k"), "t")
       .select("k").as[String].collect().toSet
     assert(toks.toSet.intersect(other).isEmpty)
-    // NULL stays NULL (no constant md5(salt) token leaking null-ness)
+    // NULL stays NULL (no constant sha256(salt) token leaking null-ness)
     val withNull = Seq((Some(1L), "x"), (None, "y"))
       .toDF("k", "payload")
     val pn = Privacy.pseudonymize(withNull, Seq("k"), "s")

@@ -27,9 +27,9 @@ class DriftMonitorSpec extends SparkTestBase {
       s"$root/chk", "value", reference, maxFilesPerTrigger = 1)
     q.awaitTermination()
 
-    def readDrift() = spark.read.parquet(s"$root/out/drift")
-      .select(col("batch_id").cast("long"), col("n_batch"),
-        col("d_stat"), col("d_at"))
+    // the library's typed reader is the read-side contract (batch_id is
+    // an inferred partition dir on disk; readDrift pins it back to LONG)
+    def readDrift() = DriftMonitor.readDrift(spark, s"$root/out")
       .orderBy("batch_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
     val drift = readDrift()
