@@ -270,11 +270,16 @@ object Queries {
   }
 
   q("q_join_anti",
+    // customers with NO premium (>400k) order — the 400k floor keeps the
+    // gate NON-VACUOUS at every fixture SF (every sf0.01 customer has at
+    // least one order, so the unfiltered form returned 0 rows and its
+    // hash match was 0==0: a gate that could never fail)
     """SELECT c_custkey, c_name FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
     val c = t(s, d, "customer")
-    val o = t(s, d, "orders")
+    val o = t(s, d, "orders").filter(col("o_totalprice") > 400000)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name").orderBy("c_custkey")
   }
@@ -1031,11 +1036,17 @@ object Queries {
   }
 
   q("q_except",
-    """SELECT c_nationkey AS nk FROM customer
-      |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin) { (s, d) =>
-    t(s, d, "customer").select(col("c_nationkey").as("nk"))
-      .except(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
-      .orderBy("nk")
+    // custkeys that never placed a >300k order — suppliers cover every
+    // nation at sf>=0.01, so the old nationkey form returned 0 rows and
+    // its hash match was vacuous; this difference is non-empty at every
+    // fixture SF (3 / 30 / 308 rows)
+    """SELECT c_custkey AS ck FROM customer
+      |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+      |ORDER BY ck""".stripMargin) { (s, d) =>
+    t(s, d, "customer").select(col("c_custkey").as("ck"))
+      .except(t(s, d, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("ck")))
+      .orderBy("ck")
   }
 
   q("q_limit_offset",
@@ -1077,12 +1088,15 @@ object Queries {
   }
 
   q("q_subquery_scalar",
+    // 1.9x, not 2x: the fixture's max/avg price ratio sits just under 2
+    // at sf>=0.01, so the 2x form returned 0 rows and the gate was
+    // vacuous; 1.9x selects 74 / 713 / 7351 rows across the fixture SFs
     """SELECT o_orderkey, o_totalprice FROM orders
-      |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+      |WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders)
       |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     t(s, d, "orders").createOrReplaceTempView("subq_orders")
     s.sql("""SELECT o_orderkey, o_totalprice FROM subq_orders
-             WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM subq_orders)
+             WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM subq_orders)
              ORDER BY o_orderkey""")
   }
 
@@ -2572,6 +2586,38 @@ object Queries {
     graft.operators.Dedup.ngramJaccardPairsFrom(
         sharedShingles(s, d), threshold = 0.8, maxShingleDf = 100L)
       .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("id_a", "id_b")
+  }
+
+  q("q_join_setsim",
+    // EXACT set-similarity self-join (PPJoin prefix filtering): every
+    // document pair whose token-set Jaccard >= 19/20, with the exact
+    // similarity — the deterministic complement of q_dedup_minhash
+    // (which trades recall for banding speed) and of q_dedup_ngram
+    // (which blocks on shared shingles with a df cap, an approximation
+    // under hot shingles). The oracle replays BRUTE FORCE — all pairs,
+    // no prefix filter — so a pass certifies the pigeonhole bound loses
+    // nothing, boundary pairs included (the threshold is the rational
+    // 19/20 and both engines gate in cleared-denominator integers, so
+    // no float rounding can flip a pair at exactly 0.95)
+    """WITH sets AS (
+      |  SELECT doc_id, list_distinct(
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS toks
+      |  FROM documents),
+      |ne AS (
+      |  SELECT doc_id, toks, len(toks)::BIGINT AS sz FROM sets WHERE len(toks) > 0),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.toks, b.toks))::BIGINT AS ix,
+      |    a.sz AS sz_a, b.sz AS sz_b
+      |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, ix, sz_a, sz_b,
+      |  CAST(round(CAST(CAST((ix * 1.0 / (sz_a + sz_b - ix)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS jaccard
+      |FROM pairs
+      |WHERE ix * 20 >= 19 * (sz_a + sz_b - ix)
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.SetSimJoin.jaccardJoin(
+        t(s, d, "documents"), "doc_id", "text", tNum = 19, tDen = 20)
       .orderBy("id_a", "id_b")
   }
 

@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
   *      length sz − ceil(t·sz) + 1. Pigeonhole: a qualifying pair
   *      (Jaccard ≥ t ⟹ overlap ≥ t·max(|a|,|b|)) that shared NO prefix
   *      token could overlap at most ceil(t·sz) − 1 < ceil(t·sz) tokens —
-  *      contradiction — so the prefix join loses nothing (spec-falsified
-  *      against brute force, including exact-boundary pairs);
+  *      contradiction — so the prefix join loses nothing. Verified two
+  *      ways: SetSimJoinSpec falsifies against [[jaccardJoinBrute]] on
+  *      the corpus fixture AND an adversarial fixture whose boundary
+  *      pairs (J exactly = t) share only their most-frequent tokens, and
+  *      the registered q_join_setsim's DuckDB oracle replays brute force
+  *      at 19/20, so the gate itself certifies no-loss every round;
   *   4. equi-join prefixes on token (id_a < id_b, plus the size filter
   *      t·|a| ≤ |b| ≤ |a|/t both ways) → DISTINCT candidate pairs;
   *   5. verify candidates exactly: array_intersect of the full token
@@ -72,11 +76,11 @@ object SetSimJoin {
     val pref = sorted.select(col("doc_id"), col("sz"),
       explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
     val a = pref.select(col("doc_id").as("id_a"), col("sz").as("pa_sz"),
-      col("tok"))
+      col("tok").as("tok_a"))
     val b = pref.select(col("doc_id").as("id_b"), col("sz").as("pb_sz"),
-      col("tok"))
+      col("tok").as("tok_b"))
     val cand = a.join(b,
-        a("tok") === b("tok") && col("id_a") < col("id_b") &&
+        col("tok_a") === col("tok_b") && col("id_a") < col("id_b") &&
           // size filter: J ≥ t forces t·|a| ≤ |b| and t·|b| ≤ |a|
           col("pb_sz") * tDen >= col("pa_sz") * tNum &&
           col("pa_sz") * tDen >= col("pb_sz") * tNum)
@@ -97,8 +101,9 @@ object SetSimJoin {
   }
 
   /** The unfiltered brute-force twin — O(n²) pair verification with the
-    * SAME tokenizer and gate; exists solely so specs can falsify the
-    * prefix filter's no-loss claim on small fixtures. Not registered. */
+    * SAME tokenizer and gate; exists so SetSimJoinSpec can falsify the
+    * prefix filter's no-loss claim on small fixtures (q_join_setsim's
+    * DuckDB oracle is this query in SQL form). Not registered. */
   def jaccardJoinBrute(docs: DataFrame, idCol: String, textCol: String,
       tNum: Int, tDen: Int): DataFrame = {
     val sets = docs.select(col(idCol).as("doc_id"),
