@@ -349,9 +349,11 @@ object Similarity {
     * assignment is per-row independent, so refresh ≡ rebuild over
     * old ∪ new exactly (spec-pinned). Precondition: new ids disjoint
     * from the indexed ids (same contract as every refresh). Requires
-    * the metadata sidecar — refusing to guess centroids is the point. */
+    * the metadata sidecar — refusing to guess centroids is the point.
+    * Every `autoCompactEvery`-th refresh folds the per-cell file
+    * accumulation via [[maybeAutoCompact]]; 0 disables. */
   def refreshIvfIndex(newEmbeddings: DataFrame, idCol: String,
-      vecCol: String, path: String): Unit = {
+      vecCol: String, path: String, autoCompactEvery: Int = 8): Unit = {
     val centroids = readIvfCentroids(newEmbeddings.sparkSession, path)
       .getOrElse(throw new IllegalArgumentException(
         s"no $IvfMetaFile under $path — pre-metadata IVF indexes cannot " +
@@ -364,6 +366,8 @@ object Similarity {
     assignCells(newEmbeddings.select(col(idCol), col(vecCol)), vecCol, centroids)
       .repartition(col("cell_id"))
       .write.mode("append").partitionBy("cell_id").parquet(path)
+    maybeAutoCompact(newEmbeddings.sparkSession, path, idCol,
+      Seq("cell_id"), autoCompactEvery)
   }
 
   /** The refresh-vs-refit go/no-go, decided from the numbers
@@ -612,6 +616,58 @@ object Similarity {
 
   private final val AnnTombstoneDir = "_tombstones"
 
+  /** Refresh counter sidecar — `.json`-suffixed so [[compactAnnIndex]]'s
+    * metadata carry-over keeps it across swaps. */
+  private final val RefreshCountFile = "_refresh_count.json"
+
+  private def readRefreshCount(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path, RefreshCountFile)
+    if (!fs.exists(p)) 0
+    else {
+      val in = fs.open(p)
+      val raw =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      """"refreshes"\s*:\s*(\d+)""".r.findFirstMatchIn(raw)
+        .map(_.group(1).toInt).getOrElse(0)
+    }
+  }
+
+  private def writeRefreshCount(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, n: Int): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, RefreshCountFile), true)
+    try out.write(s"""{"refreshes":$n}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The Lucene merge discipline for append-style index refreshes:
+    * every refresh appends at least one file per touched partition
+    * (measured: an sf0.1 LSH refresh adds one file to each of the
+    * touched (table, bucket) dirs), so a refresh-heavy corpus
+    * accumulates small files WITHOUT BOUND until something folds them.
+    * This bumps the persisted refresh counter and, every
+    * `autoCompactEvery`-th refresh, runs [[compactAnnIndex]] (which
+    * also folds tombstones) and resets the counter — the reset is
+    * written BEFORE the compaction so the carried-over sidecar in the
+    * swapped-in layout already reads 0. Counter rides a sidecar, not
+    * memory: refreshes from different sessions/jobs still converge. */
+  private def maybeAutoCompact(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, partitionCols: Seq[String],
+      autoCompactEvery: Int): Unit = {
+    if (autoCompactEvery <= 0) return
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = readRefreshCount(fs, path) + 1
+    if (n >= autoCompactEvery) {
+      writeRefreshCount(fs, path, 0)
+      compactAnnIndex(spark, path, idCol, partitionCols)
+    } else writeRefreshCount(fs, path, n)
+  }
+
   /** Tombstone delete for ANY materialized ANN layout ([[buildIvfIndex]]
     * / [[buildLshIndex]] / [[buildPqIndex]]) — the
     * [[TextAnalysis.deleteFromTextIndex]] discipline: the layouts are
@@ -681,9 +737,15 @@ object Similarity {
     * independent signatures make refresh ≡ rebuild over old ∪ new
     * exactly (spec-pinned). Requires the metadata sidecar (a guessed
     * seed would sign against different planes and corrupt the buckets
-    * silently). Precondition: new ids disjoint from the indexed ids. */
+    * silently). Precondition: new ids disjoint from the indexed ids.
+    *
+    * Every `autoCompactEvery`-th refresh triggers [[compactAnnIndex]]
+    * ([[maybeAutoCompact]]): each append adds a file per touched
+    * (table, bucket) partition, so without periodic folding a
+    * refresh-heavy corpus degrades every later probe's listing/open
+    * cost. 0 disables (callers owning their own compaction cadence). */
   def refreshLshIndex(newEmbeddings: DataFrame, idCol: String,
-      vecCol: String, path: String): Unit = {
+      vecCol: String, path: String, autoCompactEvery: Int = 8): Unit = {
     val spark = newEmbeddings.sparkSession
     val meta = readLshMeta(spark, path).getOrElse(
       throw new IllegalArgumentException(
@@ -707,6 +769,8 @@ object Similarity {
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
       .repartition(col("table"), col("bucket"))
       .write.mode("append").partitionBy("table", "bucket").parquet(path)
+    maybeAutoCompact(spark, path, idCol, Seq("table", "bucket"),
+      autoCompactEvery)
   }
 
   /** Top-k over a [[buildLshIndex]] table: the probe's nTables

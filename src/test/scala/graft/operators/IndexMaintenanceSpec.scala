@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Refresh-count-triggered auto-compaction: append-style refreshes add a
+  * file per touched partition per refresh, so file counts grow without
+  * bound unless something folds them (the Lucene merge discipline).
+  * This spec measures the growth with compaction disabled, then proves
+  * the default cadence bounds it — and that compaction never changes
+  * what a probe sees. */
+class IndexMaintenanceSpec extends SparkTestBase {
+
+  private def parquetFiles(dir: String): Int = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) 0
+    else d.listFiles().map { f =>
+      if (f.isDirectory) parquetFiles(f.getPath)
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    }.sum
+  }
+
+  test("LSH refresh auto-compaction bounds file count across 6 refreshes; probes unchanged") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+      .select("vec_id", "embedding").filter(col("vec_id") < 280)
+    val root = java.nio.file.Files.createTempDirectory("graft-lsh-compact")
+    val unbounded = s"$root/unbounded"
+    val bounded = s"$root/bounded"
+    val base = emb.filter(col("vec_id") < 40)
+    Similarity.buildLshIndex(base, "vec_id", "embedding", unbounded)
+    Similarity.buildLshIndex(base, "vec_id", "embedding", bounded)
+    val batches = (0 until 6).map(i =>
+      emb.filter(col("vec_id") >= 40 + i * 40 && col("vec_id") < 80 + i * 40))
+
+    var unboundedCounts = Vector.empty[Int]
+    var boundedCounts = Vector.empty[Int]
+    batches.foreach { b =>
+      Similarity.refreshLshIndex(b, "vec_id", "embedding", unbounded,
+        autoCompactEvery = 0)
+      Similarity.refreshLshIndex(b, "vec_id", "embedding", bounded,
+        autoCompactEvery = 3)
+      unboundedCounts :+= parquetFiles(unbounded)
+      boundedCounts :+= parquetFiles(bounded)
+    }
+    // without compaction the count climbs monotonically — the failure
+    // mode being fixed; with the cadence it must end strictly below
+    assert(unboundedCounts.last > unboundedCounts.head,
+      s"disabled-compaction run should accumulate: $unboundedCounts")
+    assert(boundedCounts.last < unboundedCounts.last,
+      s"auto-compaction must bound growth: $boundedCounts vs $unboundedCounts")
+    // the bound is structural: after the last fold (refresh 6 of 6 at
+    // cadence 3), at most (cadence-1) refreshes of accumulation remain
+    // on top of one compacted layout (cadence 3, refreshes 3 and 6 fold)
+    assert(boundedCounts.min < boundedCounts.max,
+      s"a fold must actually have fired: $boundedCounts")
+
+    // compaction is invisible to correctness: same visible rows, same
+    // probe results as the never-compacted twin
+    def rows(p: String) = spark.read.parquet(p)
+      .select("vec_id", "table", "bucket").collect().map(_.toSeq).toSet
+    assert(rows(bounded) == rows(unbounded))
+    val probe = emb.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    assert(Similarity.lshTopKIndexed(spark, bounded, "vec_id", "embedding",
+        probe, 10).collect().toSeq
+      == Similarity.lshTopKIndexed(spark, unbounded, "vec_id", "embedding",
+        probe, 10).collect().toSeq)
+  }
+
+  test("IVF refresh auto-compaction folds tombstones in on the same cadence") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+      .select("vec_id", "embedding").filter(col("vec_id") < 160)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-compact")
+    val idx = s"$root/idx"
+    val centroids = Similarity.fitCentroids(
+      emb, "vec_id", "embedding", k = 4, iterations = 2)
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 40),
+      "vec_id", "embedding", centroids, idx)
+    // tombstone two ids, then refresh past the cadence: the triggered
+    // compaction must remove them PHYSICALLY, not just logically
+    import spark.implicits._
+    Similarity.deleteFromAnnIndex(Seq(1L, 3L).toDF("vec_id"), "vec_id", idx)
+    (0 until 3).foreach { i =>
+      Similarity.refreshIvfIndex(
+        emb.filter(col("vec_id") >= 40 + i * 40 && col("vec_id") < 80 + i * 40),
+        "vec_id", "embedding", idx, autoCompactEvery = 3)
+    }
+    assert(!new java.io.File(s"$idx/_tombstones").exists(),
+      "the cadence-triggered compaction must fold tombstones")
+    val ids = spark.read.parquet(idx).select("vec_id")
+      .as[Long].collect().toSet
+    assert(!ids.contains(1L) && !ids.contains(3L),
+      "tombstoned ids must be physically gone after the fold")
+    assert(ids == ((0L until 160L).toSet -- Set(1L, 3L)),
+      "every refreshed id must survive the fold")
+  }
+}
