@@ -78,6 +78,71 @@ object FeatureStore {
       .start()
   }
 
+  /** Streaming point-in-time TRAINING-row assembly — the third leg of
+    * the feature-store surface (offline assembly =
+    * [[graft.operators.AsOfJoin.pointInTimeFeatures]], online serving =
+    * [[latestState]]/[[maintainLatest]]; this maintains the TRAINING
+    * table incrementally): each arriving label micro-batch is assembled
+    * against the feature history AS INGESTED AT TRIGGER TIME — the exact
+    * batch PIT join of that label slice (leakage-free feature_ts ≤
+    * label_ts, per-table staleness bounds), landing as its own batch_id
+    * partition with dynamic overwrite, so an at-least-once foreachBatch
+    * replay rewrites its rows instead of duplicating them (the
+    * [[DriftMonitor]] idempotence discipline).
+    *
+    * Semantics contract, stated not hidden: a feature row ingested AFTER
+    * a label batch was assembled does not retro-update the emitted rows —
+    * training rows reflect what was available at assembly time, which is
+    * what an online model would have seen. When feature ingestion stays
+    * ahead of label arrival (the operating mode; enforce upstream),
+    * streaming output == the batch PIT join over the same slices,
+    * spec-pinned. Re-assemble offline for research reproducibility.
+    *
+    * Per-trigger cost: the label BATCH + one keyed carry-forward pass
+    * over each feature table's history (never the emitted output) — at
+    * corpus scale the feature histories are the big side, and they ride
+    * the same single-shuffle as-of plan the batch join uses.
+    *
+    * @param features (featureDir, tsCol, carriedVals, toleranceUs) per
+    *        feature table — the [[graft.operators.AsOfJoin.pointInTimeFeatures]]
+    *        tuple with the DataFrame replaced by its parquet dir, read
+    *        fresh at every trigger */
+  def assembleTrainingRows(spark: SparkSession, labelSourceDir: String,
+      outDir: String, checkpointDir: String,
+      key: String, labelTs: String,
+      features: Seq[(String, String, Map[String, String], Long)],
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    require(features.nonEmpty, "assembleTrainingRows needs >= 1 feature table")
+    val srcSchema = schema.getOrElse(spark.read.parquet(labelSourceDir).schema)
+    spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(labelSourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fts = features.map { case (dir, tsCol, vals, tolUs) =>
+          (spark.read.parquet(dir), tsCol, vals, tolUs)
+        }
+        graft.operators.AsOfJoin.pointInTimeFeatures(batch, key, labelTs, fts)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        ()
+      }
+      .start()
+  }
+
+  /** Read-side contract for [[assembleTrainingRows]] output: batch_id is
+    * an inferred partition dir (the idempotence mechanism, not a feature)
+    * — drop it so the training surface is exactly the batch PIT schema. */
+  def readTrainingRows(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir).drop("batch_id")
+
   private def hasParquet(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

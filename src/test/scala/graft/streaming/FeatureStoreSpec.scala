@@ -68,4 +68,68 @@ class FeatureStoreSpec extends SparkTestBase {
     assert(canon(spark.read.parquet(stateDir)) == canon(scratch2),
       "replaying every batch into existing state must be a no-op")
   }
+
+  test("streaming PIT training assembly == batch pointInTimeFeatures on the same slices (r10)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pit-stream")
+    val labelDir = s"$root/labels"
+    val viewDir = s"$root/f_views"
+    val clickDir = s"$root/f_clicks"
+    val outDir = s"$root/training"
+    val ev = Tables.load(spark, sf(), "events")
+      .filter(col("user_id") < 60)
+    // feature histories: views carry value, clicks carry event_id; the
+    // 3-day click staleness bound leaves some labels NULL (exercised,
+    // not vacuous — asserted below)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value").as("f_view"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("f_click"))
+    views.write.parquet(viewDir)
+    clicks.write.parquet(clickDir)
+    // labels: purchases, in three files → three triggers
+    val labels = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("label_id"), col("user_id"),
+        col("ts").as("label_ts"))
+    (0 until 3).foreach { i =>
+      labels.filter(col("label_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(labelDir)
+    }
+    val day = 86400000000L
+    val feats = Seq(
+      (viewDir, "ts", Map("f_view" -> "f_view"), 30L * day),
+      (clickDir, "ts", Map("f_click" -> "f_click"), 3L * day))
+
+    val q = FeatureStore.assembleTrainingRows(spark, labelDir, outDir,
+      s"$root/chk", key = "user_id", labelTs = "label_ts", feats,
+      maxFilesPerTrigger = 1)
+    q.awaitTermination()
+
+    // streaming == batch: the features were fully ingested before the
+    // labels streamed (the stated operating mode), so every trigger's
+    // PIT slice must union to the one-shot batch assembly
+    val streamed = FeatureStore.readTrainingRows(spark, outDir)
+    val batch = graft.operators.AsOfJoin.pointInTimeFeatures(
+      labels, "user_id", "label_ts",
+      Seq((spark.read.parquet(viewDir), "ts", Map("f_view" -> "f_view"), 30L * day),
+        (spark.read.parquet(clickDir), "ts", Map("f_click" -> "f_click"), 3L * day)))
+    assert(streamed.columns.sorted.toSeq == batch.columns.sorted.toSeq)
+    assert(canon(streamed.select(batch.columns.map(col): _*)) == canon(batch))
+    assert(streamed.count() == labels.count(), "assembly keeps the spine 1:1")
+    // the staleness bound actually bit: some click features are NULL
+    // while the same rows carry a view feature (3d vs 30d tolerance)
+    assert(streamed.filter(col("f_click").isNull && col("f_view").isNotNull)
+      .count() > 0, "fixture must exercise the staleness bound")
+    assert(streamed.filter(col("f_view").isNotNull).count() > 0)
+
+    // REPLAY falsifier: fresh checkpoint reprocesses all three label
+    // files with the same batch ids — dynamic partition overwrite must
+    // rewrite, not duplicate
+    val q2 = FeatureStore.assembleTrainingRows(spark, labelDir, outDir,
+      s"$root/chk_replay", "user_id", "label_ts", feats,
+      maxFilesPerTrigger = 1)
+    q2.awaitTermination()
+    assert(canon(FeatureStore.readTrainingRows(spark, outDir)
+      .select(batch.columns.map(col): _*)) == canon(batch),
+      "a full replay must leave the training table bit-identical")
+  }
 }
