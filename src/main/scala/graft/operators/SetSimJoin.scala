@@ -69,9 +69,11 @@ object SetSimJoin {
       .select(col("doc_id"),
         expr("transform(ts, x -> x.tok)").as("toks"),
         size(col("ts")).cast("long").as("sz"))
-    // prefixLen = sz − ceil(sz·tNum/tDen) + 1, ceil in integers
+    // prefixLen = sz − ceil(sz·tNum/tDen) + 1, ceil via INTEGRAL div —
+    // a double division would round past 2^53 and a rounded-up quotient
+    // shortens the prefix, which silently LOSES qualifying pairs
     val prefixLen =
-      (col("sz") - (col("sz") * tNum + (tDen - 1)).divide(tDen).cast("long") + 1)
+      (col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) div $tDen") + 1)
         .cast("int")
     val pref = sorted.select(col("doc_id"), col("sz"),
       explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
