@@ -3,45 +3,61 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Exact set-similarity self-join via prefix filtering — the
-  * AllPairs/PPJoin discipline (Bayardo et al., WWW 2007; Xiao et al.,
-  * WWW 2008): find every document pair whose token-set Jaccard meets a
-  * threshold, WITHOUT the all-pairs comparison and WITHOUT the
-  * approximation of MinHash banding ([[Dedup.minHashBands]] trades
-  * recall for speed; this operator is exact in both directions).
+/** Exact set-similarity self-join: every document pair whose token-set
+  * Jaccard meets a threshold, WITHOUT the all-pairs comparison and
+  * WITHOUT the approximation of MinHash banding ([[Dedup.minHashBands]]
+  * trades recall for speed; this operator is exact in both directions).
   *
   * EXTENSION operator (SURVEY §2.K): the reference's dedup surface is
   * hash-exact only; this closes the "exact near-dup join" gap between
   * [[Dedup.exactDedup]] and the probabilistic MinHash family.
   *
-  * Plan shape (all declarative — Catalyst owns the join strategies):
-  *   1. one tokenize scan → distinct (doc, token) pairs;
-  *   2. global document-frequency count → a rare-first total order on
-  *      tokens (df asc, token asc — deterministic, no hash tiebreak);
-  *   3. per doc: tokens sorted by that order, keep only the PREFIX of
-  *      length sz − ceil(t·sz) + 1. Pigeonhole: a qualifying pair
-  *      (Jaccard ≥ t ⟹ overlap ≥ t·max(|a|,|b|)) that shared NO prefix
-  *      token could overlap at most ceil(t·sz) − 1 < ceil(t·sz) tokens —
-  *      contradiction — so the prefix join loses nothing. Verified two
-  *      ways: SetSimJoinSpec falsifies against [[jaccardJoinBrute]] on
-  *      the corpus fixture AND an adversarial fixture whose boundary
-  *      pairs (J exactly = t) share only their most-frequent tokens, and
-  *      the registered q_join_setsim's DuckDB oracle replays brute force
-  *      at 19/20, so the gate itself certifies no-loss every round;
-  *   4. equi-join prefixes on token (id_a < id_b, plus the size filter
-  *      t·|a| ≤ |b| ≤ |a|/t both ways) → DISTINCT candidate pairs;
-  *   5. verify candidates exactly: array_intersect of the full token
-  *      arrays; the threshold gate runs with CLEARED DENOMINATORS
-  *      (ix·tDen ≥ tNum·(|a|+|b|−ix)) in pure integers, so no float
-  *      rounding can flip a boundary pair — the q_tpch17 discipline.
+  * TWO exact strategies, chosen by a profile-then-decide probe (the
+  * [[SkewJoin.advise]] discipline applied to candidate generation),
+  * because each degenerates exactly where the other shines:
   *
-  * 100 TB story: the only shuffles are the token df count, the per-doc
-  * sort-collect, and the prefix equi-join — all keyed, no pair
-  * materialization beyond candidates. Rare-first ordering makes prefix
-  * tokens the LOW-df ones, so candidate fan-out per token is small by
-  * construction; the brute quadratic path is unreachable. The threshold
-  * is a rational (tNum/tDen) rather than a double so the gate (and the
-  * prefix length arithmetic) is exact at any scale.
+  *   - [[jaccardJoinDeletion]] (FastSS deletion neighborhoods — the
+  *     [[FuzzyJoin]] edit-distance discipline lifted to sets): at high
+  *     thresholds each side of a qualifying pair misses at most
+  *     k = sz − ceil(t·sz) tokens of the intersection, so hashing every
+  *     drop-≤k subset of each doc's sorted token array and equi-joining
+  *     on the hash finds EXACTLY the near-dup candidates — candidate
+  *     volume tracks the true output, never token frequencies. Data
+  *     amplification is Σ_{j≤k} C(sz, j) per doc, so this path is gated
+  *     to kMax ≤ 1 (amplification sz+1) where it is unbeatable — and
+  *     crucially it is IMMUNE to hot tokens (a stop-word-dense corpus
+  *     with a tiny vocabulary breaks any token-blocked join; measured:
+  *     the sf0.1 documents fixture has a 31-token vocabulary and the
+  *     prefix path produced 13.4 M candidates for a ~200 k-pair answer,
+  *     49 s — the deletion path generates candidates only where near-dup
+  *     structure exists).
+  *   - [[jaccardJoinPrefix]] (AllPairs/PPJoin prefix filtering, Bayardo
+  *     et al. WWW 2007; Xiao et al. WWW 2008): at lower thresholds k
+  *     grows and deletion neighborhoods explode combinatorially, while
+  *     the prefix bound stays linear in sz: tokens sorted by a RARE-FIRST
+  *     global order (df asc, tok asc), each doc keeps the prefix of
+  *     length sz − ceil(t·sz) + 1, and the pigeonhole argument makes the
+  *     prefix equi-join lossless: a qualifying pair (overlap ≥
+  *     ceil(t·max(|a|,|b|))) sharing NO prefix token could overlap at
+  *     most ceil(t·sz) − 1 tokens — contradiction.
+  *
+  * Both paths verify candidates EXACTLY (array_intersect of the full
+  * token arrays) with the threshold gate in CLEARED-DENOMINATOR integers
+  * (ix·tDen ≥ tNum·(|a|+|b|−ix)) — no float rounding can flip a boundary
+  * pair (the q_tpch17 discipline), and all prefix/deletion arithmetic is
+  * integral (ceil via `div` — a double divide rounds past 2^53 and would
+  * silently LOSE pairs). Verified three ways: SetSimJoinSpec falsifies
+  * BOTH strategies against [[jaccardJoinBrute]] (corpus fixture + an
+  * adversarial exact-boundary fixture whose shared tokens are the most
+  * frequent), and the registered q_join_setsim's DuckDB oracle replays
+  * brute force at 19/20 — the gate itself certifies no-loss every round.
+  *
+  * 100 TB story: every stage is a keyed shuffle (tokenize, df count /
+  * signature explode, candidate equi-join, verify join-back) — no pair
+  * materialization beyond candidates, no broadcast of anything
+  * corpus-sized. The threshold is a rational (tNum/tDen), never a
+  * double, so the strategy gate, the prefix length and the verify gate
+  * are exact at any scale.
   */
 object SetSimJoin {
 
@@ -51,15 +67,116 @@ object SetSimJoin {
   private def tokenSet(textCol: Column): Column =
     array_distinct(filter(split(lower(textCol), "\\s+"), t => t =!= ""))
 
+  /** ceil(sz·tNum/tDen) in exact integers (sz a LongType column). */
+  private def ceilMul(sz: String, tNum: Int, tDen: Int): Column =
+    expr(s"($sz * $tNum + ${tDen - 1}) div $tDen")
+
+  /** (doc_id, toks sorted lexicographically, sz) — the shared base of
+    * both strategies and the verify stage. Lexicographic order is
+    * enough everywhere except the prefix path, which re-sorts by df. */
+  private def tokenFrames(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokenSet(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), array_sort(col("toks")).as("toks"),
+        size(col("toks")).cast("long").as("sz"))
+
+  /** Exact verification of candidate (id_a, id_b) pairs + the output
+    * projection shared by every strategy: join the full token arrays
+    * back (the sets frame is doc-count-sized — far smaller than the
+    * candidate set — so Catalyst broadcasts it while it fits),
+    * intersect, gate in integers, emit the 6-dp similarity. */
+  private def verifyPairs(cand: DataFrame, sets: DataFrame,
+      tNum: Int, tDen: Int): DataFrame = {
+    val ix = size(array_intersect(col("ta"), col("tb"))).cast("long")
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("toks").as("ta"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("toks").as("tb"),
+        col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), ix.as("ix"), col("sz_a"), col("sz_b"))
+      // exact integer gate — never a float comparison
+      .filter(col("ix") * tDen >= lit(tNum.toLong) *
+        (col("sz_a") + col("sz_b") - col("ix")))
+      .select(col("id_a"), col("id_b"), col("ix"), col("sz_a"), col("sz_b"),
+        round(col("ix").cast("double") /
+          (col("sz_a") + col("sz_b") - col("ix")), 6).as("jaccard"))
+  }
+
   /** All pairs (id_a < id_b) with token-set Jaccard ≥ tNum/tDen, with
     * the exact similarity. Output: (id_a, id_b, ix, sz_a, sz_b,
-    * jaccard = round(ix/(sz_a+sz_b−ix), 6)). */
+    * jaccard = round(ix/(sz_a+sz_b−ix), 6)).
+    *
+    * Strategy dispatch: one metadata-sized aggregate computes
+    * kMax = max(sz − ceil(t·sz)) over the corpus; kMax ≤ 1 → deletion
+    * neighborhoods (hot-token immune, candidates ≈ true near-dups),
+    * else prefix filtering (no combinatorial signature blowup). */
   def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
       tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0,1]: $tNum/$tDen")
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(tokenSet(col(textCol))).as("tok"))
+    val sets = tokenFrames(docs, idCol, textCol)
+    // profile-then-decide: one cheap aggregate over the token-set frame
+    // (docs-count rows; at 100 TB a column-pruned scan + a 1-row agg)
+    val kMax = sets
+      .agg(max(col("sz") - ceilMul("sz", tNum, tDen))).head().getLong(0)
+    if (kMax <= 1L) jaccardJoinDeletionFrom(sets, tNum, tDen)
+    else jaccardJoinPrefixFrom(sets, tNum, tDen)
+  }
+
+  /** Deletion-neighborhood strategy (exact; requires every doc's
+    * k = sz − ceil(t·sz) ≤ 1, enforced): each doc emits a 64-bit hash of
+    * its full sorted token array plus, when k = 1, of every drop-one
+    * subset. A qualifying pair has |a∖b| ≤ k_a and |b∖a| ≤ k_b (from
+    * overlap ≥ ceil(t·sz) per side), so BOTH sides emit the signature of
+    * a∩b — the equi-join on signatures finds every qualifying pair, and
+    * hash collisions only ever ADD candidates (verification is exact).
+    * Candidate volume tracks actual near-dup structure, not token
+    * frequencies — the path a stop-word-dense corpus needs. */
+  private[operators] def jaccardJoinDeletion(docs: DataFrame, idCol: String,
+      textCol: String, tNum: Int, tDen: Int): DataFrame =
+    jaccardJoinDeletionFrom(tokenFrames(docs, idCol, textCol), tNum, tDen)
+
+  private def jaccardJoinDeletionFrom(sets: DataFrame,
+      tNum: Int, tDen: Int): DataFrame = {
+    // p = 0 keeps the full set; p in 1..sz drops position p — EVERY
+    // position, because the side's one surplus token can sit anywhere
+    // in the sorted order (docs with k = 0 emit only p = 0). xxhash64
+    // over the array is order-stable because toks is sorted; signatures
+    // never leave the stage, so a collision costs one extra verified
+    // candidate, never a wrong answer.
+    val k = (col("sz") - ceilMul("sz", tNum, tDen)).cast("int")
+    val sigs = sets
+      .select(col("doc_id"), col("sz"), col("toks"),
+        explode(sequence(lit(0),
+          when(k >= 1, col("sz").cast("int")).otherwise(lit(0)))).as("p"))
+      .select(col("doc_id"), col("sz"),
+        xxhash64(when(col("p") === 0, col("toks"))
+          .otherwise(expr("filter(toks, (x, i) -> i != p - 1)"))).as("sig"))
+    val a = sigs.select(col("doc_id").as("id_a"), col("sz").as("pa_sz"),
+      col("sig").as("sig_a"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("sz").as("pb_sz"),
+      col("sig").as("sig_b"))
+    val cand = a.join(b,
+        col("sig_a") === col("sig_b") && col("id_a") < col("id_b") &&
+          // size filter: J ≥ t forces t·|a| ≤ |b| and t·|b| ≤ |a|
+          col("pb_sz") * tDen >= col("pa_sz") * tNum &&
+          col("pa_sz") * tDen >= col("pb_sz") * tNum)
+      .select("id_a", "id_b").distinct()
+    verifyPairs(cand, sets, tNum, tDen)
+  }
+
+  /** Prefix-filtering strategy (exact at ANY threshold): rare-first
+    * global token order, per-doc prefix of length sz − ceil(t·sz) + 1,
+    * prefix equi-join + size filter, exact verify. The pigeonhole bound
+    * (see object scaladoc) makes the prefix join lossless. */
+  private[operators] def jaccardJoinPrefix(docs: DataFrame, idCol: String,
+      textCol: String, tNum: Int, tDen: Int): DataFrame =
+    jaccardJoinPrefixFrom(tokenFrames(docs, idCol, textCol), tNum, tDen)
+
+  private def jaccardJoinPrefixFrom(sets: DataFrame,
+      tNum: Int, tDen: Int): DataFrame = {
+    val toks = sets.select(col("doc_id"), explode(col("toks")).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     // (df, tok) struct sort = the global rare-first order; transform
     // strips the df after sorting so the arrays stay token-typed
@@ -73,8 +190,7 @@ object SetSimJoin {
     // a double division would round past 2^53 and a rounded-up quotient
     // shortens the prefix, which silently LOSES qualifying pairs
     val prefixLen =
-      (col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) div $tDen") + 1)
-        .cast("int")
+      (col("sz") - ceilMul("sz", tNum, tDen) + 1).cast("int")
     val pref = sorted.select(col("doc_id"), col("sz"),
       explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
     val a = pref.select(col("doc_id").as("id_a"), col("sz").as("pa_sz"),
@@ -87,24 +203,14 @@ object SetSimJoin {
           col("pb_sz") * tDen >= col("pa_sz") * tNum &&
           col("pa_sz") * tDen >= col("pb_sz") * tNum)
       .select("id_a", "id_b").distinct()
-    val ix = size(array_intersect(col("ta"), col("tb"))).cast("long")
-    cand
-      .join(sorted.select(col("doc_id").as("id_a"), col("toks").as("ta"),
-        col("sz").as("sz_a")), Seq("id_a"))
-      .join(sorted.select(col("doc_id").as("id_b"), col("toks").as("tb"),
-        col("sz").as("sz_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), ix.as("ix"), col("sz_a"), col("sz_b"))
-      // exact integer gate — never a float comparison
-      .filter(col("ix") * tDen >= lit(tNum.toLong) *
-        (col("sz_a") + col("sz_b") - col("ix")))
-      .select(col("id_a"), col("id_b"), col("ix"), col("sz_a"), col("sz_b"),
-        round(col("ix").cast("double") /
-          (col("sz_a") + col("sz_b") - col("ix")), 6).as("jaccard"))
+    // verify against the lexicographically-sorted frame (same sets —
+    // array_intersect is order-indifferent)
+    verifyPairs(cand, sets, tNum, tDen)
   }
 
   /** The unfiltered brute-force twin — O(n²) pair verification with the
-    * SAME tokenizer and gate; exists so SetSimJoinSpec can falsify the
-    * prefix filter's no-loss claim on small fixtures (q_join_setsim's
+    * SAME tokenizer and gate; exists so SetSimJoinSpec can falsify both
+    * strategies' no-loss claims on small fixtures (q_join_setsim's
     * DuckDB oracle is this query in SQL form). Not registered. */
   def jaccardJoinBrute(docs: DataFrame, idCol: String, textCol: String,
       tNum: Int, tDen: Int): DataFrame = {

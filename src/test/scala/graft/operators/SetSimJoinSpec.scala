@@ -21,7 +21,10 @@ class SetSimJoinSpec extends SparkTestBase {
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
         r.getDouble(5))).toSeq
 
-  test("prefix-filtered join == brute force on the corpus fixture, several thresholds") {
+  test("dispatched join == brute force on the corpus fixture, several thresholds") {
+    // 19/20 on this corpus has kMax = 1 → the dispatcher takes the
+    // deletion path; 4/5 and 1/2 have kMax ≥ 2 → prefix path. All three
+    // must equal brute force exactly.
     val docs = Tables.load(spark, sf(), "documents")
       .select("doc_id", "text").filter(col("doc_id") < 200)
     for ((tn, td) <- Seq((19, 20), (4, 5), (1, 2))) {
@@ -31,6 +34,43 @@ class SetSimJoinSpec extends SparkTestBase {
       assert(fast == brute,
         s"$tn/$td: lost ${brute.diff(fast).take(3)}, invented ${fast.diff(brute).take(3)}")
     }
+  }
+
+  test("BOTH strategies independently == brute force where both are valid (k <= 1)") {
+    // at 19/20 every doc's k = sz - ceil(t*sz) is <= 1 on this corpus,
+    // so the deletion path's precondition holds AND the prefix path is
+    // always valid — they must agree with brute force and each other
+    val docs = Tables.load(spark, sf(), "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 200)
+    val brute = pairs(SetSimJoin.jaccardJoinBrute(docs, "doc_id", "text", 19, 20))
+    val del = pairs(SetSimJoin.jaccardJoinDeletion(docs, "doc_id", "text", 19, 20))
+    val pre = pairs(SetSimJoin.jaccardJoinPrefix(docs, "doc_id", "text", 19, 20))
+    assert(brute.nonEmpty)
+    assert(del == brute, s"deletion lost ${brute.diff(del).take(3)}, " +
+      s"invented ${del.diff(brute).take(3)}")
+    assert(pre == brute, s"prefix lost ${brute.diff(pre).take(3)}, " +
+      s"invented ${pre.diff(brute).take(3)}")
+  }
+
+  test("deletion path finds the exact-boundary subset pair (J = t with k_b = 0)") {
+    import spark.implicits._
+    // t = 9/10: a has 10 tokens, b has the 9-token SUBSET — J = 9/10
+    // exactly, and b's own deletion budget is ZERO (k_b = 9 - ceil(8.1)
+    // = 0), so the match only exists because a drops its extra token
+    // down to b's full set: the asymmetric case a symmetric-k
+    // implementation would lose
+    val fixture = (Seq(
+      1L -> "t1 t2 t3 t4 t5 t6 t7 t8 t9 extra",
+      2L -> "t1 t2 t3 t4 t5 t6 t7 t8 t9",
+      3L -> "t1 t2 t3 t4 t5 t6 t7 u1 u2"        // J(2,3) = 7/11 < 9/10
+    ) ++ (10L until 30L).map(i => (i, s"f$i g$i h$i k$i m$i n$i o$i p$i q$i")))
+      .toDF("doc_id", "text")
+    val brute = pairs(SetSimJoin.jaccardJoinBrute(fixture, "doc_id", "text", 9, 10))
+    val fast = pairs(SetSimJoin.jaccardJoin(fixture, "doc_id", "text", 9, 10))
+    assert(fast == brute, s"boundary subset pair: $fast vs $brute")
+    assert(fast.exists(p => p._1 == 1L && p._2 == 2L && p._6 == 0.9),
+      s"the J = 9/10 subset pair must qualify exactly: $fast")
+    assert(!fast.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
   test("boundary pairs at exactly J = t survive, even when shared tokens are the most frequent") {
@@ -62,12 +102,15 @@ class SetSimJoinSpec extends SparkTestBase {
       "a below-threshold pair must not qualify")
   }
 
-  test("the filtered plan is never a cartesian product; brute is quarantined to specs") {
+  test("neither strategy's plan is a cartesian product; brute is quarantined to specs") {
     val docs = Tables.load(spark, sf(), "documents")
       .select("doc_id", "text").filter(col("doc_id") < 50)
-    val plan = SetSimJoin.jaccardJoin(docs, "doc_id", "text", 19, 20)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
-      s"prefix filtering must keep the join an equi-join:\n$plan")
+    for (df <- Seq(
+        SetSimJoin.jaccardJoinDeletion(docs, "doc_id", "text", 19, 20),
+        SetSimJoin.jaccardJoinPrefix(docs, "doc_id", "text", 19, 20))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"candidate generation must stay an equi-join:\n$plan")
+    }
   }
 }
