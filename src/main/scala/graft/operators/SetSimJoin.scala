@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   * hash-exact only; this closes the "exact near-dup join" gap between
   * [[Dedup.exactDedup]] and the probabilistic MinHash family.
   *
-  * TWO exact strategies, chosen by a profile-then-decide probe (the
+  * THREE exact strategies, chosen by a profile-then-decide probe (the
   * [[SkewJoin.advise]] discipline applied to candidate generation),
-  * because each degenerates exactly where the other shines:
+  * because each degenerates exactly where another shines:
   *
   *   - [[jaccardJoinDeletion]] (FastSS deletion neighborhoods — the
   *     [[FuzzyJoin]] edit-distance discipline lifted to sets): at high
@@ -31,6 +31,19 @@ import org.apache.spark.sql.functions._
   *     prefix path produced 13.4 M candidates for a ~200 k-pair answer,
   *     49 s — the deletion path generates candidates only where near-dup
   *     structure exists).
+  *   - [[jaccardJoinPartition]] (universe partitioning, Deng et al.
+  *     PVLDB 2016): the mid-threshold regime — k ≥ 2 so deletion
+  *     explodes combinatorially, but Δmax (the largest symmetric
+  *     difference a qualifying pair can have) is still small. The
+  *     VOCABULARY is hashed into D = Δmax+1 groups; a qualifying pair's
+  *     ≤ Δmax differing tokens leave at least one group diff-free, so
+  *     the pair shares that group's exact projection — amplification is
+  *     a fixed D rows/doc, candidates track near-dup structure, and hot
+  *     tokens cannot explode the join (measured: 250 k GenData docs over
+  *     a 401-token vocabulary — prefix ground past 20 min; partition
+  *     finishes in seconds). Gated to D ≤ szMin so per-group projections
+  *     stay occupied (docs smaller than D have guaranteed-empty groups,
+  *     which match universally — the scheme's degenerate stratum).
   *   - [[jaccardJoinPrefix]] (AllPairs/PPJoin prefix filtering, Bayardo
   *     et al. WWW 2007; Xiao et al. WWW 2008): at lower thresholds k
   *     grows and deletion neighborhoods explode combinatorially, while
@@ -41,13 +54,13 @@ import org.apache.spark.sql.functions._
   *     ceil(t·max(|a|,|b|))) sharing NO prefix token could overlap at
   *     most ceil(t·sz) − 1 tokens — contradiction.
   *
-  * Both paths verify candidates EXACTLY (array_intersect of the full
+  * All paths verify candidates EXACTLY (array_intersect of the full
   * token arrays) with the threshold gate in CLEARED-DENOMINATOR integers
   * (ix·tDen ≥ tNum·(|a|+|b|−ix)) — no float rounding can flip a boundary
-  * pair (the q_tpch17 discipline), and all prefix/deletion arithmetic is
-  * integral (ceil via `div` — a double divide rounds past 2^53 and would
-  * silently LOSE pairs). Verified three ways: SetSimJoinSpec falsifies
-  * BOTH strategies against [[jaccardJoinBrute]] (corpus fixture + an
+  * pair (the q_tpch17 discipline), and all prefix/deletion/partition
+  * arithmetic is integral (ceil via `div` — a double divide rounds past
+  * 2^53 and would silently LOSE pairs). Verified: SetSimJoinSpec
+  * falsifies EVERY strategy against [[jaccardJoinBrute]] (corpus + an
   * adversarial exact-boundary fixture whose shared tokens are the most
   * frequent), and the registered q_join_setsim's DuckDB oracle replays
   * brute force at 19/20 — the gate itself certifies no-loss every round.
@@ -107,10 +120,10 @@ object SetSimJoin {
     * the exact similarity. Output: (id_a, id_b, ix, sz_a, sz_b,
     * jaccard = round(ix/(sz_a+sz_b−ix), 6)).
     *
-    * Strategy dispatch: one metadata-sized aggregate computes
-    * kMax = max(sz − ceil(t·sz)) over the corpus; kMax ≤ 1 → deletion
-    * neighborhoods (hot-token immune, candidates ≈ true near-dups),
-    * else prefix filtering (no combinatorial signature blowup). */
+    * Strategy dispatch from ONE metadata-sized aggregate (kMax, szMax,
+    * szMin): kMax ≤ 1 → deletion neighborhoods; else D = Δmax+1 ≤ szMin
+    * → universe partitioning; else prefix filtering. Each choice is the
+    * regime where the other two degenerate (see object doc). */
   def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
       tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
@@ -118,10 +131,68 @@ object SetSimJoin {
     val sets = tokenFrames(docs, idCol, textCol)
     // profile-then-decide: one cheap aggregate over the token-set frame
     // (docs-count rows; at 100 TB a column-pruned scan + a 1-row agg)
-    val kMax = sets
-      .agg(max(col("sz") - ceilMul("sz", tNum, tDen))).head().getLong(0)
+    val prof = sets.agg(
+      max(col("sz") - ceilMul("sz", tNum, tDen)).as("kMax"),
+      max(col("sz")).as("szMax"), min(col("sz")).as("szMin")).head()
+    val (kMax, szMax, szMin) =
+      (prof.getLong(0), prof.getLong(1), prof.getLong(2))
+    // universe-partition group count: a qualifying pair's symmetric
+    // difference is Δ ≤ (1−t)(|a|+|b|)/(1+t) ≤ 2·szMax·(tDen−tNum)/
+    // (tDen+tNum); D = ⌊Δmax⌋+1 groups pigeonhole one group diff-free
+    val d = (2L * szMax * (tDen - tNum) / (tDen + tNum)).toInt + 1
     if (kMax <= 1L) jaccardJoinDeletionFrom(sets, tNum, tDen)
+    // D ≤ szMin keeps expected per-group projections non-empty (docs
+    // smaller than D have guaranteed-empty groups, and empty matches
+    // empty universally — the scheme's degenerate stratum)
+    else if (d <= szMin) jaccardJoinPartitionFrom(sets, tNum, tDen, d)
     else jaccardJoinPrefixFrom(sets, tNum, tDen)
+  }
+
+  /** Universe-partitioning strategy (exact; Deng et al., PVLDB 2016):
+    * the VOCABULARY is hashed into D = Δmax+1 groups; each doc emits,
+    * per group, a 64-bit hash of its sorted projection onto that group.
+    * A qualifying pair has ≤ Δmax differing tokens, which occupy at most
+    * Δmax < D groups — so at least one group holds NO difference and the
+    * two projections there are identical (same tokens, same sorted
+    * order). The equi-join on (group, projection-hash) therefore finds
+    * every qualifying pair; exact verification prunes the rest.
+    *
+    * This is the mid-threshold answer where BOTH other strategies
+    * degenerate: deletion neighborhoods explode combinatorially at
+    * k ≥ 2, and the prefix filter explodes when every token is frequent
+    * (a 250 k-doc corpus over a 401-token vocabulary produced
+    * candidates ≈ 700 M under prefix; projections agree only where
+    * near-dup structure exists, so the partition join's candidates
+    * track the answer). Data amplification is exactly D rows per doc —
+    * fixed, never combinatorial. */
+  private[operators] def jaccardJoinPartition(docs: DataFrame, idCol: String,
+      textCol: String, tNum: Int, tDen: Int, d: Int): DataFrame =
+    jaccardJoinPartitionFrom(tokenFrames(docs, idCol, textCol), tNum, tDen, d)
+
+  private def jaccardJoinPartitionFrom(sets: DataFrame,
+      tNum: Int, tDen: Int, d: Int): DataFrame = {
+    require(d >= 1, s"universe partitioning needs >= 1 group, got $d")
+    // per-group projection keeps the sorted order (filter is stable), so
+    // equal projections hash equal; the group id is hashed in so an
+    // empty projection in group 3 never matches one in group 5
+    val sigs = sets
+      .select(col("doc_id"), col("sz"),
+        explode(sequence(lit(0), lit(d - 1))).as("g"),
+        col("toks"))
+      .select(col("doc_id"), col("sz"),
+        xxhash64(col("g"),
+          expr(s"filter(toks, x -> pmod(xxhash64(x), $d) = g)")).as("sig"))
+    val a = sigs.select(col("doc_id").as("id_a"), col("sz").as("pa_sz"),
+      col("sig").as("sig_a"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("sz").as("pb_sz"),
+      col("sig").as("sig_b"))
+    val cand = a.join(b,
+        col("sig_a") === col("sig_b") && col("id_a") < col("id_b") &&
+          // size filter: J ≥ t forces t·|a| ≤ |b| and t·|b| ≤ |a|
+          col("pb_sz") * tDen >= col("pa_sz") * tNum &&
+          col("pa_sz") * tDen >= col("pb_sz") * tNum)
+      .select("id_a", "id_b").distinct()
+    verifyPairs(cand, sets, tNum, tDen)
   }
 
   /** Deletion-neighborhood strategy (exact; requires every doc's

@@ -27,7 +27,10 @@ class SetSimJoinSpec extends SparkTestBase {
     // must equal brute force exactly.
     val docs = Tables.load(spark, sf(), "documents")
       .select("doc_id", "text").filter(col("doc_id") < 200)
-    for ((tn, td) <- Seq((19, 20), (4, 5), (1, 2))) {
+    // dispatch coverage on this fixture (sz 9..30): 19/20 → deletion
+    // (kMax = 1), 17/20 and 4/5 → universe partitioning (kMax >= 2,
+    // D = 5 resp. 6 <= szMin = 9), 1/2 → prefix (D = 21 > szMin)
+    for ((tn, td) <- Seq((19, 20), (17, 20), (4, 5), (1, 2))) {
       val fast = pairs(SetSimJoin.jaccardJoin(docs, "doc_id", "text", tn, td))
       val brute = pairs(SetSimJoin.jaccardJoinBrute(docs, "doc_id", "text", tn, td))
       assert(brute.nonEmpty, s"fixture must qualify pairs at $tn/$td")
@@ -36,20 +39,27 @@ class SetSimJoinSpec extends SparkTestBase {
     }
   }
 
-  test("BOTH strategies independently == brute force where both are valid (k <= 1)") {
+  test("ALL strategies independently == brute force where each is valid") {
     // at 19/20 every doc's k = sz - ceil(t*sz) is <= 1 on this corpus,
-    // so the deletion path's precondition holds AND the prefix path is
-    // always valid — they must agree with brute force and each other
+    // so the deletion path's precondition holds; the partition path is
+    // valid for any D >= Δmax+1 (larger D only adds groups); the prefix
+    // path is valid at any threshold — all must agree with brute force
     val docs = Tables.load(spark, sf(), "documents")
       .select("doc_id", "text").filter(col("doc_id") < 200)
     val brute = pairs(SetSimJoin.jaccardJoinBrute(docs, "doc_id", "text", 19, 20))
     val del = pairs(SetSimJoin.jaccardJoinDeletion(docs, "doc_id", "text", 19, 20))
     val pre = pairs(SetSimJoin.jaccardJoinPrefix(docs, "doc_id", "text", 19, 20))
+    // Δmax at 19/20 with szMax = 31 is (2*31*1) div 39 = 1 → D = 2; also
+    // try a deliberately larger D (extra groups never lose pairs)
+    val par2 = pairs(SetSimJoin.jaccardJoinPartition(docs, "doc_id", "text", 19, 20, 2))
+    val par5 = pairs(SetSimJoin.jaccardJoinPartition(docs, "doc_id", "text", 19, 20, 5))
     assert(brute.nonEmpty)
     assert(del == brute, s"deletion lost ${brute.diff(del).take(3)}, " +
       s"invented ${del.diff(brute).take(3)}")
     assert(pre == brute, s"prefix lost ${brute.diff(pre).take(3)}, " +
       s"invented ${pre.diff(brute).take(3)}")
+    assert(par2 == brute, s"partition(D=2) lost ${brute.diff(par2).take(3)}")
+    assert(par5 == brute, s"partition(D=5) lost ${brute.diff(par5).take(3)}")
   }
 
   test("deletion path finds the exact-boundary subset pair (J = t with k_b = 0)") {
