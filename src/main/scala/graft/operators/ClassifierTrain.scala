@@ -84,9 +84,11 @@ object ClassifierTrain {
       .agg(sum(col("_c") * coalesce(col("_w"), lit(0L))).as("_m"))
 
   /** The model collected for the join-free margin path, when small
-    * enough ([[CompactMaxBuckets]]); None → frame-join path. The probe
-    * is a limit-bounded collect, so an oversized model costs one bounded
-    * read, never a driver blow-up.
+    * enough ([[CompactMaxBuckets]]); None → frame-join path. The COLLECT
+    * is limit-bounded (an oversized model never blows up the driver);
+    * the normalizing groupBy underneath it is one aggregation of the
+    * weights frame — O(buckets) rows on every internal path, and the
+    * price of semantic parity on arbitrary external frames.
     *
     * Normalized to the FRAME-JOIN semantics first, because public APIs
     * (scoreQuantized / calibration / confusion) accept arbitrary weight

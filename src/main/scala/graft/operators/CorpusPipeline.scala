@@ -256,6 +256,40 @@ object CorpusPipeline {
       .select("corpus_content_hash").distinct().localCheckpoint()
     val nGone = corpus.join(gone, Seq(idCol), "left_semi").count()
 
+    // ORDER: derived artifacts FIRST, corpus swap LAST. Every sidecar/
+    // index scrub derives from the PRE-SWAP corpus (gone ids + content
+    // hashes, all localCheckpointed above), so a crash after any scrub
+    // but before the corpus swap leaves a re-run that recomputes the
+    // SAME scrub sets from the unchanged corpus — each scrub is an
+    // idempotent anti-join, and the corpus swap still completes. The
+    // reverse order had an unrecoverable window: corpus swapped, crash,
+    // re-run finds no gone rows, goneHashes comes back empty, and the
+    // forgotten content's hash would ghost-dedup re-submissions forever.
+    if (hasParquet(hashDir)) {
+      val scrub = goneHashes
+        .join(keptDupHashes, Seq("corpus_content_hash"), "left_anti")
+      val hashes = spark.read.parquet(hashDir)
+      val keep = hashes.join(scrub, Seq("corpus_content_hash"), "left_anti")
+        .localCheckpoint()
+      swapIn(keep, hashDir, keep.count())
+    }
+    sigDirs.foreach { d =>
+      if (hasParquet(d)) {
+        val rows = spark.read.parquet(d)
+        val keep = rows.join(gone.select(col(idCol).as("doc_id")),
+          Seq("doc_id"), "left_anti").localCheckpoint()
+        swapIn(keep, d, keep.count())
+      }
+    }
+    textIndexDir.foreach { idx =>
+      TextAnalysis.deleteFromTextIndex(gone.select(col(idCol).as("doc_id")),
+        "doc_id", idx)
+      TextAnalysis.compactTextIndex(spark, idx)
+    }
+    annIndexes.foreach { case (path, partitionCols) =>
+      Similarity.deleteFromAnnIndex(gone, idCol, path)
+      Similarity.compactAnnIndex(spark, path, idCol, partitionCols)
+    }
     // FILE-PRUNED corpus rewrite: locate the files that actually hold a
     // forgotten row (a column-pruned id scan), rewrite ONLY those files'
     // survivors, and leave every other data file untouched on disk — at
@@ -286,31 +320,6 @@ object CorpusPipeline {
         affected.toSeq.map(uri => new Path(new java.net.URI(uri))))
     }
 
-    if (hasParquet(hashDir)) {
-      val scrub = goneHashes
-        .join(keptDupHashes, Seq("corpus_content_hash"), "left_anti")
-      val hashes = spark.read.parquet(hashDir)
-      val keep = hashes.join(scrub, Seq("corpus_content_hash"), "left_anti")
-        .localCheckpoint()
-      swapIn(keep, hashDir, keep.count())
-    }
-    sigDirs.foreach { d =>
-      if (hasParquet(d)) {
-        val rows = spark.read.parquet(d)
-        val keep = rows.join(gone.select(col(idCol).as("doc_id")),
-          Seq("doc_id"), "left_anti").localCheckpoint()
-        swapIn(keep, d, keep.count())
-      }
-    }
-    textIndexDir.foreach { idx =>
-      TextAnalysis.deleteFromTextIndex(gone.select(col(idCol).as("doc_id")),
-        "doc_id", idx)
-      TextAnalysis.compactTextIndex(spark, idx)
-    }
-    annIndexes.foreach { case (path, partitionCols) =>
-      Similarity.deleteFromAnnIndex(gone, idCol, path)
-      Similarity.compactAnnIndex(spark, path, idCol, partitionCols)
-    }
     nGone
   }
 }

@@ -128,12 +128,19 @@ object SetSimJoin {
       tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0,1]: $tNum/$tDen")
-    val sets = tokenFrames(docs, idCol, textCol)
+    // pin the tokenized frame ONCE: the profile aggregate, the chosen
+    // strategy's signature stage and verifyPairs' two join-backs all
+    // consume it — unpinned, each reference would re-run the full
+    // tokenize scan (4 corpus parses per call)
+    val sets = tokenFrames(docs, idCol, textCol).localCheckpoint()
     // profile-then-decide: one cheap aggregate over the token-set frame
     // (docs-count rows; at 100 TB a column-pruned scan + a 1-row agg)
     val prof = sets.agg(
       max(col("sz") - ceilMul("sz", tNum, tDen)).as("kMax"),
       max(col("sz")).as("szMax"), min(col("sz")).as("szMin")).head()
+    // empty corpus (no docs, or all-whitespace text): null aggregates —
+    // any strategy returns the correct empty frame; pick prefix (lazy)
+    if (prof.isNullAt(0)) return jaccardJoinPrefixFrom(sets, tNum, tDen)
     val (kMax, szMax, szMin) =
       (prof.getLong(0), prof.getLong(1), prof.getLong(2))
     // universe-partition group count: a qualifying pair's symmetric
@@ -174,10 +181,23 @@ object SetSimJoin {
     require(d >= 1, s"universe partitioning needs >= 1 group, got $d")
     // per-group projection keeps the sorted order (filter is stable), so
     // equal projections hash equal; the group id is hashed in so an
-    // empty projection in group 3 never matches one in group 5
+    // empty projection in group 3 never matches one in group 5.
+    // d >= Δmax+1 is ENFORCED per row: a pair's symmetric difference is
+    // bounded by the larger side's 2·sz·(1−t)/(1+t), so if every doc
+    // passes its own bound check, every qualifying pair is pigeonholed —
+    // an undersized d would silently lose pairs otherwise. The guard
+    // rides inside the explode bound (assert_true nulls on pass; a
+    // separate unused column would be pruned away by Catalyst).
+    val rowBound =
+      expr(s"(2 * sz * ${tDen - tNum}) div ${tDen + tNum}").cast("int")
+    val guarded = when(
+      assert_true(rowBound + 1 <= d, lit("jaccardJoinPartition: d is " +
+        "smaller than this corpus's Δmax+1 — qualifying pairs would be " +
+        "lost; use jaccardJoin (auto-dispatch)")).isNull,
+      lit(d - 1))
     val sigs = sets
       .select(col("doc_id"), col("sz"),
-        explode(sequence(lit(0), lit(d - 1))).as("g"),
+        explode(sequence(lit(0), guarded)).as("g"),
         col("toks"))
       .select(col("doc_id"), col("sz"),
         xxhash64(col("g"),
@@ -215,12 +235,23 @@ object SetSimJoin {
     // in the sorted order (docs with k = 0 emit only p = 0). xxhash64
     // over the array is order-stable because toks is sorted; signatures
     // never leave the stage, so a collision costs one extra verified
-    // candidate, never a wrong answer.
+    // candidate, never a wrong answer. The k <= 1 precondition is
+    // ENFORCED per row (assert_true rides the stage for free): emitting
+    // only single-drop subsets for a k >= 2 doc would silently lose
+    // qualifying pairs — the one failure mode an exact operator must
+    // turn into an error.
+    // the guard rides INSIDE the explode bound (assert_true is null on
+    // pass, so the `when` falls through to the real bound) — a separate
+    // unused guard column would be column-pruned away by Catalyst
     val k = (col("sz") - ceilMul("sz", tNum, tDen)).cast("int")
+    val guarded = when(
+      assert_true(k <= 1, lit("jaccardJoinDeletion requires every doc's " +
+        "k = sz - ceil(t*sz) <= 1; use jaccardJoin (auto-dispatch) or " +
+        "jaccardJoinPartition/Prefix for lower thresholds")).isNull,
+      when(k >= 1, col("sz").cast("int")).otherwise(lit(0)))
     val sigs = sets
       .select(col("doc_id"), col("sz"), col("toks"),
-        explode(sequence(lit(0),
-          when(k >= 1, col("sz").cast("int")).otherwise(lit(0)))).as("p"))
+        explode(sequence(lit(0), guarded)).as("p"))
       .select(col("doc_id"), col("sz"),
         xxhash64(when(col("p") === 0, col("toks"))
           .otherwise(expr("filter(toks, (x, i) -> i != p - 1)"))).as("sig"))

@@ -323,6 +323,7 @@ object Similarity {
       path: String): Option[Seq[Array[Float]]] = {
     val p = new org.apache.hadoop.fs.Path(path, IvfMetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDirSwap(fs, path)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -431,11 +432,7 @@ object Similarity {
         buildIvfIndex(all, idCol, vecCol, cents, staging)
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val live = new org.apache.hadoop.fs.Path(path)
-        fs.delete(live, true)
-        if (!fs.rename(new org.apache.hadoop.fs.Path(staging), live))
-          throw new java.io.IOException(
-            s"refreshIvfIndexAuto: staging swap failed under $path")
+        atomicDirSwap(fs, path, staging, "refreshIvfIndexAuto")
       } finally all.unpersist()
     }
     decision
@@ -600,6 +597,7 @@ object Similarity {
       path: String): Option[Map[String, Long]] = {
     val p = new org.apache.hadoop.fs.Path(path, LshMetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDirSwap(fs, path)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -654,7 +652,12 @@ object Similarity {
     * also folds tombstones) and resets the counter — the reset is
     * written BEFORE the compaction so the carried-over sidecar in the
     * swapped-in layout already reads 0. Counter rides a sidecar, not
-    * memory: refreshes from different sessions/jobs still converge. */
+    * memory, so SEQUENTIAL refreshes from different sessions/jobs share
+    * one cadence. SINGLE-WRITER contract (the refresh contract itself):
+    * a refresh racing a triggered compaction could append files the
+    * compaction scan never saw and the swap then discards — serialize
+    * writers per index path; concurrent PROBES are safe (they read the
+    * live dir, and the swap is rename-atomic with crash recovery). */
   private def maybeAutoCompact(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, partitionCols: Seq[String],
       autoCompactEvery: Int): Unit = {
@@ -683,19 +686,67 @@ object Similarity {
       .write.mode("append").parquet(s"$path/$AnnTombstoneDir")
 
   /** Anti-join a layout's tombstones out, if any (shared by the three
-    * indexed probes). */
+    * indexed probes). Recovers a crashed compaction swap first, so a
+    * probe never reads a half-swapped (or missing) layout. */
   private def annVisible(spark: org.apache.spark.sql.SparkSession,
       path: String, rows: DataFrame, idCol: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$path/$AnnTombstoneDir")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDirSwap(fs, path)
     if (!fs.exists(p)) rows
     else rows.join(spark.read.parquet(s"$path/$AnnTombstoneDir"),
       Seq(idCol), "left_anti")
   }
 
+  /** Crash-safe whole-directory replacement: rename live ASIDE, rename
+    * staging IN, delete the aside copy — never a window with NO live
+    * directory on disk (the delete-then-rename order a crash turns into
+    * a permanently missing index). [[recoverDirSwap]] finishes either
+    * interrupted half. Single-writer contract (same as refresh). */
+  private def atomicDirSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, staging: String, op: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val aside = new org.apache.hadoop.fs.Path(s"${path}_preswap")
+    if (fs.exists(aside)) fs.delete(aside, true) // stale, completed swap
+    if (!fs.rename(live, aside))
+      throw new java.io.IOException(s"$op: could not move $path aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), live)) {
+      fs.rename(aside, live) // restore the pre-swap index, then fail
+      throw new java.io.IOException(s"$op: staging swap failed under $path")
+    }
+    fs.delete(aside, true)
+  }
+
+  /** Replay a swap [[atomicDirSwap]] left half-done: live missing +
+    * aside present → the crash hit between the two renames; the staged
+    * copy could not be renamed in (or the next crash window lost it), so
+    * restore the aside copy — the compaction simply re-runs later. Live
+    * present + aside present → the swap completed but cleanup didn't;
+    * drop the aside copy. Idempotent, called from every lifecycle entry
+    * (probes via annVisible, refresh via the meta readers, compaction). */
+  private def recoverDirSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val aside = new org.apache.hadoop.fs.Path(s"${path}_preswap")
+    if (!fs.exists(aside)) return
+    if (fs.exists(live)) fs.delete(aside, true)
+    else {
+      val staging = new org.apache.hadoop.fs.Path(s"${path}_compacting")
+      // prefer the COMPACTED copy when it fully survived (tombstones
+      // already folded); otherwise restore the pre-swap index
+      if (fs.exists(staging) && !fs.rename(staging, live)) ()
+      if (!fs.exists(live) && !fs.rename(aside, live))
+        throw new java.io.IOException(
+          s"recoverDirSwap: cannot restore $path from $aside")
+      if (fs.exists(live)) { fs.delete(aside, true); () }
+    }
+  }
+
   /** Fold tombstones in and rewrite an ANN layout — one scan of the
-    * index (never the raw embedding table), staged and swapped in with
-    * one directory rename, tombstones cleared. `partitionCols` must
+    * index (never the raw embedding table), staged and swapped in via
+    * [[atomicDirSwap]] (rename-aside → rename-in → drop-aside; a crash
+    * anywhere is replayed by [[recoverDirSwap]] at the next lifecycle
+    * entry — never a missing index), tombstones cleared. `partitionCols` must
     * match the layout (`cell_id` for IVF, `table`/`bucket` for LSH,
     * empty for the PQ code table); assignments are per-row, so the
     * compacted index is row-identical to one built over the survivors
@@ -704,6 +755,7 @@ object Similarity {
       path: String, idCol: String, partitionCols: Seq[String]): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDirSwap(fs, path)
     val tombPath = new org.apache.hadoop.fs.Path(s"$path/$AnnTombstoneDir")
     val surviving = annVisible(spark, path, spark.read.parquet(path), idCol)
     val staging = s"${path}_compacting"
@@ -723,10 +775,7 @@ object Similarity {
         new org.apache.hadoop.fs.Path(staging, m.getPath.getName),
         false, spark.sparkContext.hadoopConfiguration)
     }
-    val live = new org.apache.hadoop.fs.Path(path)
-    fs.delete(live, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), live))
-      throw new java.io.IOException(s"compactAnnIndex: staging swap failed under $path")
+    atomicDirSwap(fs, path, staging, "compactAnnIndex")
     fs.delete(tombPath, true)
   }
 
@@ -1184,6 +1233,7 @@ object Similarity {
       indexPath: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(indexPath, PqMetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDirSwap(fs, indexPath)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)

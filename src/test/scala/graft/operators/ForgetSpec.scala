@@ -105,6 +105,65 @@ class ForgetSpec extends SparkTestBase {
     assert(ivfRows.count() == emb.count() - 3)
   }
 
+  /** The OTHER crash window — sidecar scrub completed, corpus swap not
+    * yet run. Under the r10 ordering (derived artifacts first, corpus
+    * last) a re-run recomputes the same scrub sets from the UNCHANGED
+    * corpus, so each scrub replays as an idempotent anti-join and the
+    * corpus swap completes; the reverse order would have found no gone
+    * rows, an empty goneHashes, and left the hash sidecar permanently
+    * ghost-deduping forgotten content. */
+  test("crash between sidecar scrub and corpus swap: re-run completes, guards intact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-forget-order")
+    val corpusDir = s"$root/corpus"
+    val fixture = Tables.load(spark, sf(), "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 40)
+    val doc2Text = fixture.filter(col("doc_id") === 2)
+      .select("text").as[String].collect().head
+    val docs = fixture.union(Seq((900L, doc2Text)).toDF("doc_id", "text"))
+    docs.repartitionByRange(4, col("doc_id")).write.parquet(corpusDir)
+    spark.read.parquet(corpusDir)
+      .select(md5(col("text")).as("corpus_content_hash"))
+      .write.parquet(s"$corpusDir/_hash_index")
+    val gone = Seq(2L, 3L, 7L).toDF("doc_id")
+    val nBefore = spark.read.parquet(corpusDir).count()
+
+    // simulate the crashed first run: hash sidecar scrubbed exactly as
+    // the operator would (gone hashes minus survivor-shared), corpus
+    // UNTOUCHED
+    val hashes = spark.read.parquet(corpusDir)
+      .select(col("doc_id"), md5(col("text")).as("corpus_content_hash"))
+    val goneH = hashes.join(gone, Seq("doc_id"), "left_semi")
+      .select("corpus_content_hash").distinct()
+    val keptDup = hashes.join(gone, Seq("doc_id"), "left_anti")
+      .join(goneH, Seq("corpus_content_hash"), "left_semi")
+      .select("corpus_content_hash").distinct()
+    val scrubbed = spark.read.parquet(s"$corpusDir/_hash_index")
+      .join(goneH.join(keptDup, Seq("corpus_content_hash"), "left_anti"),
+        Seq("corpus_content_hash"), "left_anti")
+      .localCheckpoint()
+    scrubbed.write.mode("overwrite").parquet(s"$corpusDir/_hash_index")
+
+    // the re-run: must swap the corpus AND leave the sidecar consistent
+    val n = CorpusPipeline.forgetDocuments(spark, gone, "doc_id",
+      corpusDir, "text")
+    assert(n == 3)
+    val after = spark.read.parquet(corpusDir)
+    assert(after.count() == nBefore - 3)
+    assert(after.join(gone, Seq("doc_id"), "left_semi").count() == 0)
+    // unique forgotten content re-ingests as NEW (scrub held through the
+    // idempotent replay)…
+    val uniqueForgotten = docs.filter(col("doc_id") === 3)
+      .select("text").as[String].collect().head
+    assert(Dedup.exactAgainstHashes(
+      Seq((1000L, uniqueForgotten)).toDF("doc_id", "text"),
+      spark.read.parquet(s"$corpusDir/_hash_index"), "text").count() == 1)
+    // …while content shared with surviving doc 900 stays deduped
+    assert(Dedup.exactAgainstHashes(
+      Seq((1001L, doc2Text)).toDF("doc_id", "text"),
+      spark.read.parquet(s"$corpusDir/_hash_index"), "text").count() == 0)
+  }
+
   /** Fabricate the exact crash state the manifest exists for — staged
     * survivors written, manifest persisted, renames partially (or fully)
     * done, originals NOT yet deleted — and prove a re-run replays the

@@ -67,6 +67,43 @@ class IndexMaintenanceSpec extends SparkTestBase {
         probe, 10).collect().toSeq)
   }
 
+  test("a crashed compaction swap is recovered at the next lifecycle entry") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val emb = Tables.load(spark, sf(), "embeddings")
+      .select("vec_id", "embedding").filter(col("vec_id") < 60)
+    val root = java.nio.file.Files.createTempDirectory("graft-swap-recover")
+    val idx = s"$root/idx"
+    Similarity.buildLshIndex(emb, "vec_id", "embedding", idx)
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val probe = emb.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val expected = Similarity.lshTopKIndexed(spark, idx, "vec_id",
+      "embedding", probe, 10).collect().toSeq
+
+    // crash state A: the swap's first rename completed (live moved
+    // aside), the staged compacted copy exists, live is MISSING — the
+    // pre-r10 delete-then-rename order left exactly a missing index here
+    val conf = spark.sparkContext.hadoopConfiguration
+    FileUtil.copy(fs, new Path(idx), fs, new Path(s"${idx}_compacting"),
+      false, conf)
+    assert(fs.rename(new Path(idx), new Path(s"${idx}_preswap")))
+    assert(!fs.exists(new Path(idx)))
+    // the next probe must recover (preferring the staged copy) and serve
+    val recovered = Similarity.lshTopKIndexed(spark, idx, "vec_id",
+      "embedding", probe, 10).collect().toSeq
+    assert(recovered == expected, "recovered index must serve identically")
+    assert(fs.exists(new Path(idx)) && !fs.exists(new Path(s"${idx}_preswap")),
+      "recovery must restore live and clear the aside copy")
+
+    // crash state B: swap completed, aside cleanup didn't run
+    FileUtil.copy(fs, new Path(idx), fs, new Path(s"${idx}_preswap"),
+      false, conf)
+    val again = Similarity.lshTopKIndexed(spark, idx, "vec_id",
+      "embedding", probe, 10).collect().toSeq
+    assert(again == expected)
+    assert(!fs.exists(new Path(s"${idx}_preswap")),
+      "a completed swap's stale aside copy must be dropped")
+  }
+
   test("IVF refresh auto-compaction folds tombstones in on the same cadence") {
     val emb = Tables.load(spark, sf(), "embeddings")
       .select("vec_id", "embedding").filter(col("vec_id") < 160)

@@ -112,6 +112,29 @@ class SetSimJoinSpec extends SparkTestBase {
       "a below-threshold pair must not qualify")
   }
 
+  test("strategy preconditions FAIL LOUDLY instead of silently losing pairs; empty corpus is empty") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf(), "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 50)
+    // deletion at 1/2 → k >= 2 for every doc: single-drop signatures
+    // would silently lose pairs, so the per-row guard must raise
+    val eDel = intercept[Exception] {
+      SetSimJoin.jaccardJoinDeletion(docs, "doc_id", "text", 1, 2).count()
+    }
+    assert(eDel.getMessage != null && eDel.getMessage.contains("k = sz - ceil"),
+      s"deletion guard must name its precondition: ${eDel.getMessage}")
+    // partition with an undersized d (Δmax+1 > 1 at 1/2) must raise too
+    val ePar = intercept[Exception] {
+      SetSimJoin.jaccardJoinPartition(docs, "doc_id", "text", 1, 2, d = 1).count()
+    }
+    assert(ePar.getMessage != null && ePar.getMessage.contains("Δmax"),
+      s"partition guard must name its precondition: ${ePar.getMessage}")
+    // empty corpus (all-whitespace text): empty result, no NPE from the
+    // eager strategy profile
+    val blank = Seq((1L, "   "), (2L, "")).toDF("doc_id", "text")
+    assert(SetSimJoin.jaccardJoin(blank, "doc_id", "text", 19, 20).count() == 0)
+  }
+
   test("neither strategy's plan is a cartesian product; brute is quarantined to specs") {
     val docs = Tables.load(spark, sf(), "documents")
       .select("doc_id", "text").filter(col("doc_id") < 50)
