@@ -87,6 +87,8 @@ object ClusterCheck {
     "q_feature_latest",           // struct-max latest-state agg across executor JVMs (r9)
     "q_ml_logreg_train",          // compact-loop: HOF margin fold + dense weight-array literal
                                   // + decimal grad collect, per-iteration, across JVMs (r9)
+    "q_join_setsim",              // eager strategy profile + HOF drop-one lambda + xxhash64
+                                  // over token arrays + assert_true guard across JVMs (r10)
   )
 
   private def runAll(master: String, sfDir: String): Map[String, Seq[String]] = {
