@@ -6161,6 +6161,69 @@ object Queries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  q("q_cdc_incremental_join",
+    // incremental JOIN-view maintenance (IncrementalJoin.applyCdc) — the
+    // join half of the materialized-view family (q_cdc_incremental_agg is
+    // the aggregate half): V = customer ⋈ supplier on nationkey is
+    // maintained from per-side CDC changesets via the Blakeley delta-join
+    // decomposition (retained-pairs anti-joins + delta⋈snapshot terms,
+    // base-table probes semi-join-pruned by the delta's join keys — never
+    // a re-join of the bases). Changes exercise every class at once:
+    // deletes (%13 / %5), fresh-key inserts that MOVE rows between join
+    // groups (%11 / %3 with remapped nationkey — new-A × new-B pairs land
+    // on shared keys, the double-count trap), and payload updates as
+    // delete+insert (%17, +100.0 exact IEEE add). The oracle recomputes
+    // the full join over the post-change snapshots, so passing proves
+    // applyCdc(joinState(A,B), Δ) == joinState(A',B') exactly.
+    """WITH c0 AS (
+      |  SELECT c_custkey, c_nationkey AS nationkey, c_acctbal
+      |  FROM customer WHERE c_custkey % 10 = 0),
+      |s0 AS (
+      |  SELECT s_suppkey, s_nationkey AS nationkey, s_acctbal
+      |  FROM supplier WHERE s_suppkey % 2 = 0),
+      |cnew AS (
+      |  SELECT c_custkey, nationkey, c_acctbal FROM c0
+      |  WHERE c_custkey % 13 <> 0 AND c_custkey % 17 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 900000000, (nationkey + 7) % 25, c_acctbal
+      |  FROM c0 WHERE c_custkey % 11 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, nationkey, c_acctbal + 100.0
+      |  FROM c0 WHERE c_custkey % 17 = 0),
+      |snew AS (
+      |  SELECT s_suppkey, nationkey, s_acctbal FROM s0 WHERE s_suppkey % 5 <> 0
+      |  UNION ALL
+      |  SELECT s_suppkey + 900000000, (nationkey + 3) % 25, s_acctbal
+      |  FROM s0 WHERE s_suppkey % 3 = 0)
+      |SELECT nationkey, c_custkey, c_acctbal, s_suppkey, s_acctbal
+      |FROM cnew JOIN snew USING (nationkey)
+      |ORDER BY nationkey, c_custkey, s_suppkey""".stripMargin) { (s, d) =>
+    import graft.operators.IncrementalJoin
+    val cust = t(s, d, "customer").filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_nationkey").as("nationkey"), col("c_acctbal"))
+    val supp = t(s, d, "supplier").filter(col("s_suppkey") % 2 === 0)
+      .select(col("s_suppkey"), col("s_nationkey").as("nationkey"), col("s_acctbal"))
+    val cDel = cust
+      .filter(col("c_custkey") % 13 === 0 || col("c_custkey") % 17 === 0)
+      .select("c_custkey")
+    val cIns = cust.filter(col("c_custkey") % 11 === 0)
+      .withColumn("c_custkey", col("c_custkey") + lit(900000000L))
+      .withColumn("nationkey", (col("nationkey") + 7) % 25)
+      .unionByName(cust.filter(col("c_custkey") % 17 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0))
+    val sDel = supp.filter(col("s_suppkey") % 5 === 0).select("s_suppkey")
+    val sIns = supp.filter(col("s_suppkey") % 3 === 0)
+      .withColumn("s_suppkey", col("s_suppkey") + lit(900000000L))
+      .withColumn("nationkey", (col("nationkey") + 3) % 25)
+    val cNew = cust.join(cDel, Seq("c_custkey"), "left_anti").unionByName(cIns)
+    val sNew = supp.join(sDel, Seq("s_suppkey"), "left_anti").unionByName(sIns)
+    IncrementalJoin.applyCdc(
+        IncrementalJoin.joinState(cust, supp, Seq("nationkey")),
+        "c_custkey", "s_suppkey", Seq("nationkey"),
+        cIns, cDel, sIns, sDel, cNew, sNew)
+      .orderBy("nationkey", "c_custkey", "s_suppkey")
+  }
+
   q("q_cdc_scd2",
     // SCD-type-2 history build from the events change log: per user, the
     // event_type attribute's runs of equal consecutive values collapse
@@ -7561,6 +7624,50 @@ object Queries {
       |  CAST(round(sum(CAST(CAST(contrib AS VARCHAR) AS DECIMAL(38,18))), 6) AS DOUBLE) AS chi2
       |FROM c""".stripMargin) { (s, d) =>
     graft.operators.Profiling.chiSquare(t(s, d, "documents"), "lang", "source")
+  }
+
+  q("q_stat_trend",
+    // per-group OLS trend fit (Profiling.trendFit): slope/intercept/R² of
+    // order value over days-since-epoch-start, per priority class — the
+    // "which way is this metric drifting" companion to q_stat_ks. Engine
+    // shape: exact DECIMAL co-moment sums (order-independent), ONE double
+    // conversion per sum, then a fixed-order IEEE closed-form chain the
+    // oracle writes identically — bit-equal with NO rounding, which is
+    // the point being proven. regr_slope/regr_covar were deliberately
+    // NOT used: their streaming-update accumulation order differs per
+    // engine in the last ulp.
+    """WITH r AS (
+      |  SELECT o_orderpriority,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS DECIMAL(12,2)) AS x,
+      |    CAST(o_totalprice AS DECIMAL(19,4)) AS y
+      |  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+      |s AS (
+      |  SELECT o_orderpriority, count(*) AS n,
+      |    CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(sum(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+      |    CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(sum(y * y) AS VARCHAR) AS DOUBLE) AS syy
+      |  FROM r GROUP BY o_orderpriority),
+      |m AS (
+      |  SELECT o_orderpriority, n,
+      |    CAST(n AS DOUBLE) * sxy - sx * sy AS cnum,
+      |    CAST(n AS DOUBLE) * sxx - sx * sx AS denx,
+      |    CAST(n AS DOUBLE) * syy - sy * sy AS deny,
+      |    sx, sy
+      |  FROM s)
+      |SELECT o_orderpriority, n,
+      |  CASE WHEN denx = 0 THEN NULL ELSE cnum / denx END AS slope,
+      |  CASE WHEN denx = 0 THEN NULL
+      |       ELSE (sy - (cnum / denx) * sx) / CAST(n AS DOUBLE) END AS intercept,
+      |  CASE WHEN denx = 0 OR deny = 0 THEN NULL
+      |       ELSE (cnum * cnum) / (denx * deny) END AS r2
+      |FROM m ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    graft.operators.Profiling.trendFit(
+        t(s, d, "orders").withColumn("_day",
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))),
+        Seq("o_orderpriority"), "_day", "o_totalprice")
+      .orderBy("o_orderpriority")
   }
 
   q("q_profile_histogram",

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental JOIN-view maintenance (EXTENSION, SURVEY.md §2.K) — the
+  * join half of the materialized-view discipline that [[IncrementalAgg]]
+  * gives aggregates: keep V = A ⋈ B materialized and fold per-side CDC
+  * changesets into it WITHOUT re-joining the base tables. The reference
+  * refreshes derived tables by re-running the whole job
+  * (`/root/reference/etl_manager/etl.py` re-executes the full query); at
+  * 100 TB a fact⋈fact view is exactly the thing you can never afford to
+  * recompute, and the delta-join decomposition (Blakeley, Larson &
+  * Tompa, "Efficiently Updating Materialized Views", SIGMOD 1986) is the
+  * standard answer.
+  *
+  * Maintenance identity (inner equi-join, update = delete(old) +
+  * insert(new), row keys unique per side):
+  *
+  *   V' =   V  ⟬ a_key ∉ touched(A) ⟭ ⟬ b_key ∉ touched(B) ⟭   (retained)
+  *        ∪ ΔA_ins ⋈ B'                                         (new-A pairs)
+  *        ∪ (A' − ΔA_ins) ⋈ ΔB_ins                               (new-B pairs)
+  *
+  * where touched(X) = delete keys ∪ insert keys of side X. The third
+  * term excludes ΔA_ins rows because ΔA_ins ⋈ B' already contains every
+  * (new-A, new-B) pair — the classic double-count trap the spec plants.
+  *
+  * Scale shape (the reason this is not just `A'.join(B')`):
+  *  - the retained term is two LEFT-ANTI joins of the VIEW against
+  *    key-only changeset frames — state-sized builds that broadcast in
+  *    the typical CDC case, and exchange-free when the view is bucketed
+  *    on a row key ([[graft.catalog.Bucketing]]);
+  *  - ΔA_ins ⋈ B' shuffles only the delta plus B-partitions matching the
+  *    delta's join keys (AQE broadcasts the delta side);
+  *  - the A' probe in the third term is SEMI-JOIN PRUNED by ΔB_ins's
+  *    distinct join keys BEFORE the join, so the base-table scan is
+  *    proportional to the keys the delta touches — with A' partitioned
+  *    or bucketed on the join key this is partition pruning, never a
+  *    full scan.
+  * Nothing in the plan is ever O(|A|·|B|) or rescans history: total work
+  * is O(|V| state pass + |Δ| ⋈ matching-partitions). The physical
+  * overwrite strategy for the returned frame is the caller's (staged
+  * swap / tombstones — the [[CorpusPipeline]] manifest discipline);
+  * applyCdc is the recompute-free logical form.
+  *
+  * Exactness contract: pure row routing — no arithmetic, no
+  * approximation. `applyCdc(joinState(A,B), …) == joinState(A',B')`
+  * EXACTLY, row for row, which the spec and the DuckDB oracle
+  * (q_cdc_incremental_join replays the full re-join) both pin.
+  *
+  * Contracts: row keys are unique within each side's snapshot; a row
+  * UPDATE (payload or join-key change) arrives as delete(old key) +
+  * insert(new row); at most one insert row per row key per batch
+  * (compact upstream — [[UrlOps.latestPerUrl]]'s argmax shape). Rows
+  * with NULL join keys never pair (inner-join semantics on both the
+  * incremental and recompute paths). Column namespaces: the two sides
+  * share exactly the join-key columns; everything else must be disjoint.
+  */
+object IncrementalJoin {
+
+  private def requireCols(df: DataFrame, cols: Seq[String], what: String): Unit = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"$what missing columns: ${missing.mkString(", ")}")
+  }
+
+  /** Initial materialization of the view: one inner equi-join. Column
+    * order = joinKeys ++ A-rest ++ B-rest (Spark's `join(_, keys)`
+    * layout) — [[applyCdc]] emits the same layout, so state files round-
+    * trip without reordering. */
+  def joinState(a: DataFrame, b: DataFrame, joinKeys: Seq[String]): DataFrame = {
+    require(joinKeys.nonEmpty, "joinState needs at least one join key")
+    requireCols(a, joinKeys, "joinState A side")
+    requireCols(b, joinKeys, "joinState B side")
+    val clash = (a.columns.toSet intersect b.columns.toSet) -- joinKeys.toSet
+    require(clash.isEmpty,
+      s"joinState: non-join-key columns shared by both sides: ${clash.mkString(", ")}")
+    a.join(b, joinKeys)
+  }
+
+  /** Fold one CDC batch (per-side inserts + deletes) into the view.
+    *
+    * @param view      the current materialized state ([[joinState]] layout)
+    * @param aKey,bKey unique row-key column of each side (MAY coincide
+    *                  with a join key — a dimension keyed by the join
+    *                  column — because uniqueness makes key-value routing
+    *                  and row routing the same thing)
+    * @param aInserts,bInserts full new rows (the side's snapshot schema)
+    * @param aDeletes,bDeletes frames carrying at least the row-key column
+    *                  (full old rows accepted; only the key is read)
+    * @param aSnapshot the POST-change A table — consulted ONLY for pairs
+    *                  involving `bInserts`, so a maintenance job with an
+    *                  insert-free B side (e.g. the streaming CDC-on-A
+    *                  case, [[graft.streaming.JoinMaintenance]]) may pass
+    *                  an empty frame with A's schema
+    * @param bSnapshot the POST-change B table — joined only against
+    *                  `aInserts` (delta-sized probe)
+    */
+  def applyCdc(view: DataFrame, aKey: String, bKey: String, joinKeys: Seq[String],
+      aInserts: DataFrame, aDeletes: DataFrame,
+      bInserts: DataFrame, bDeletes: DataFrame,
+      aSnapshot: DataFrame, bSnapshot: DataFrame): DataFrame = {
+    require(joinKeys.nonEmpty, "applyCdc needs at least one join key")
+    // a row key MAY coincide with a join key (a dimension keyed by the
+    // join column): the antis then route by join-key value, which names
+    // exactly that row's pairs because row keys are unique per side
+    requireCols(view, (joinKeys ++ Seq(aKey, bKey)).distinct, "applyCdc view")
+    requireCols(aInserts, aSnapshot.columns.toSeq, "applyCdc aInserts")
+    requireCols(bInserts, bSnapshot.columns.toSeq, "applyCdc bInserts")
+    requireCols(aDeletes, Seq(aKey), "applyCdc aDeletes")
+    requireCols(bDeletes, Seq(bKey), "applyCdc bDeletes")
+
+    // touched = delete keys ∪ insert keys: an update re-arrives via the
+    // insert term, a pure insert's key matches nothing in the view, so
+    // the wider anti is harmless and defends against a caller replacing
+    // an existing key without the paired delete
+    val aTouched = aDeletes.select(col(aKey))
+      .unionByName(aInserts.select(col(aKey))).distinct()
+    val bTouched = bDeletes.select(col(bKey))
+      .unionByName(bInserts.select(col(bKey))).distinct()
+    val retained = view
+      .join(aTouched, Seq(aKey), "left_anti")
+      .join(bTouched, Seq(bKey), "left_anti")
+
+    // every pair with a new A row (including new-A × new-B: bSnapshot is
+    // POST-change, so it already contains ΔB_ins)
+    val newA = joinState(aInserts, bSnapshot, joinKeys)
+
+    // pairs of SURVIVING old A rows with new B rows: prune A' by the
+    // delta's join keys first (the partition-pruning move), then drop
+    // ΔA_ins rows — those pairs are in `newA` already
+    val bInsKeys = bInserts.select(joinKeys.map(col): _*).distinct()
+    val aSurvivors = aSnapshot
+      .join(bInsKeys, joinKeys, "left_semi")
+      .join(aInserts.select(col(aKey)).distinct(), Seq(aKey), "left_anti")
+    val newB = joinState(aSurvivors, bInserts, joinKeys)
+
+    val order = view.columns.map(col).toSeq
+    retained.select(order: _*)
+      .unionByName(newA.select(order: _*))
+      .unionByName(newB.select(order: _*))
+  }
+}

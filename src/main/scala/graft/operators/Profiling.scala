@@ -516,4 +516,70 @@ object Profiling {
           .as("right_orphan_rows"),
         coalesce(max(col("_lc") * col("_rc")), lit(0L)).as("max_key_fanout"))
   }
+
+  /** Per-group OLS trend fit — slope / intercept / R² of `yCol` against
+    * `xCol` within each group: the drift-TREND counterpart of the
+    * point-in-time drift tests (q_stat_ks detects "these two windows
+    * differ"; a trend fit answers "which way and how fast is this metric
+    * moving"), the standard corpus-health signal over ingestion time.
+    *
+    * Replayability design (why not `regr_slope`): engines disagree in the
+    * last ulp when they accumulate co-moments in floating point with
+    * different orders. Here every co-moment (Σx, Σy, Σxy, Σx², Σy²) is an
+    * EXACT decimal sum — associative and commutative, so partition order
+    * can never change a bit — each sum is converted to double once
+    * (correctly rounded), and the closed-form chain
+    * `slope = (n·Σxy − ΣxΣy) / (n·Σx² − (Σx)²)` runs in IEEE doubles in a
+    * FIXED operation order that any engine replays bit-equally (the
+    * DuckDB oracle writes the identical chain). Groups with zero x-
+    * variance (n = 1, constant x) yield NULL slope/intercept; R² is
+    * additionally NULL when y is constant.
+    *
+    * Exactness premise: the casts to `xType`/`yType` must be lossless for
+    * the data (defaults fit integer day-numbers and 2-decimal money);
+    * widen the scales at the call site for finer-grained inputs. The
+    * default precisions keep every product ≤ 38 digits in BOTH Spark and
+    * DuckDB multiplication rules.
+    *
+    * Scale shape: one scan, one keyed aggregate with map-side partials —
+    * the same plan as any groupBy.agg; nothing iterative, nothing
+    * collected. 100 TB of history fits the same plan because state is one
+    * row of five decimals per group.
+    */
+  def trendFit(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String, xType: String = "decimal(12,2)",
+      yType: String = "decimal(19,4)"): DataFrame = {
+    require(groupCols.nonEmpty, "trendFit needs at least one group column")
+    val x = col(xCol).cast(xType)
+    val y = col(yCol).cast(yType)
+    val sums = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("_sx"),
+        sum(y).cast("double").as("_sy"),
+        sum(x * y).cast("double").as("_sxy"),
+        sum(x * x).cast("double").as("_sxx"),
+        sum(y * y).cast("double").as("_syy"))
+    // the fixed-order IEEE chain — keep textually in sync with the
+    // q_stat_trend oracle SQL
+    val nD = col("n").cast("double")
+    val withMoments = sums
+      .withColumn("_cnum", nD * col("_sxy") - col("_sx") * col("_sy"))
+      .withColumn("_denx", nD * col("_sxx") - col("_sx") * col("_sx"))
+      .withColumn("_deny", nD * col("_syy") - col("_sy") * col("_sy"))
+    withMoments.select(
+      groupCols.map(col) ++ Seq(
+        col("n"),
+        when(col("_denx") === 0.0, lit(null).cast("double"))
+          .otherwise(col("_cnum") / col("_denx")).as("slope"),
+        when(col("_denx") === 0.0, lit(null).cast("double"))
+          .otherwise((col("_sy") - (col("_cnum") / col("_denx")) * col("_sx")) / nD)
+          .as("intercept"),
+        when(col("_denx") === 0.0 || col("_deny") === 0.0,
+            lit(null).cast("double"))
+          .otherwise((col("_cnum") * col("_cnum")) / (col("_denx") * col("_deny")))
+          .as("r2")): _*)
+  }
 }

@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Maintenance identity of [[IncrementalJoin]]:
+  * applyCdc(joinState(A,B), Δ…) == joinState(A',B') EXACTLY, including
+  * the planted traps — new-A × new-B pairs (the double-count), join-key
+  * updates (a row MOVES between groups), fan-out keys (many-to-many),
+  * and boundary deletes. */
+class IncrementalJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  // A side: (a_id unique, jk join key, a_val payload)
+  private def mkA(rows: (Long, Int, String)*): DataFrame =
+    rows.toDF("a_id", "jk", "a_val")
+  // B side: (b_id unique, jk join key, b_val payload)
+  private def mkB(rows: (Long, Int, String)*): DataFrame =
+    rows.toDF("b_id", "jk", "b_val")
+
+  private def maintain(a0: DataFrame, b0: DataFrame,
+      aIns: DataFrame, aDelIds: Seq[Long],
+      bIns: DataFrame, bDelIds: Seq[Long]): (DataFrame, DataFrame) = {
+    val aDel = aDelIds.toDF("a_id")
+    val bDel = bDelIds.toDF("b_id")
+    val aNew = a0.join(aDel, Seq("a_id"), "left_anti")
+      .join(aIns.select("a_id"), Seq("a_id"), "left_anti").unionByName(aIns)
+    val bNew = b0.join(bDel, Seq("b_id"), "left_anti")
+      .join(bIns.select("b_id"), Seq("b_id"), "left_anti").unionByName(bIns)
+    val maintained = IncrementalJoin.applyCdc(
+      IncrementalJoin.joinState(a0, b0, Seq("jk")),
+      "a_id", "b_id", Seq("jk"),
+      aIns, aDel, bIns, bDel, aNew, bNew)
+    (maintained, IncrementalJoin.joinState(aNew, bNew, Seq("jk")))
+  }
+
+  test("new-A x new-B pairs on a shared join key are counted exactly once") {
+    val a0 = mkA((1L, 10, "a1"))
+    val b0 = mkB((1L, 10, "b1"))
+    // both inserts land on the SAME fresh join key 20 — the pair (2,2)
+    // appears in deltaA x B' AND would appear in A' x deltaB without the
+    // exclusion; a double-count produces a duplicate row here
+    val (got, want) = maintain(a0, b0,
+      aIns = mkA((2L, 20, "a2")), aDelIds = Nil,
+      bIns = mkB((2L, 20, "b2")), bDelIds = Nil)
+    assert(canon(got) == canon(want))
+    assert(got.filter($"a_id" === 2L && $"b_id" === 2L).count() == 1L)
+  }
+
+  test("join-key update moves a row's pairs between groups") {
+    val a0 = mkA((1L, 10, "a1"), (2L, 20, "a2"))
+    val b0 = mkB((1L, 10, "b1"), (2L, 20, "b2"), (3L, 20, "b3"))
+    // a_id=1 moves from jk 10 to jk 20: loses the (1,1) pair, gains
+    // (1,2) and (1,3)
+    val (got, want) = maintain(a0, b0,
+      aIns = mkA((1L, 20, "a1-moved")), aDelIds = Seq(1L),
+      bIns = mkB(), bDelIds = Nil)
+    assert(canon(got) == canon(want))
+    assert(got.filter($"a_id" === 1L).count() == 2L)
+    assert(got.filter($"b_id" === 1L).count() == 0L)
+  }
+
+  test("payload update (delete+insert, same key) refreshes every pair it touches") {
+    val a0 = mkA((1L, 10, "old"))
+    val b0 = mkB((1L, 10, "b1"), (2L, 10, "b2"))
+    val (got, want) = maintain(a0, b0,
+      aIns = mkA((1L, 10, "new")), aDelIds = Seq(1L),
+      bIns = mkB(), bDelIds = Nil)
+    assert(canon(got) == canon(want))
+    assert(got.filter($"a_val" === "new").count() == 2L)
+    assert(got.filter($"a_val" === "old").count() == 0L)
+  }
+
+  test("deletes on both sides remove exactly the touched pairs") {
+    val a0 = mkA((1L, 10, "a1"), (2L, 10, "a2"), (3L, 30, "a3"))
+    val b0 = mkB((1L, 10, "b1"), (2L, 30, "b2"))
+    val (got, want) = maintain(a0, b0,
+      aIns = mkA(), aDelIds = Seq(2L),
+      bIns = mkB(), bDelIds = Seq(2L))
+    assert(canon(got) == canon(want))
+    // survivors: (1,10)x(1,10) only — a3's partner b2 is gone
+    assert(canon(got) == canon(IncrementalJoin.joinState(
+      mkA((1L, 10, "a1")), mkB((1L, 10, "b1")), Seq("jk"))))
+  }
+
+  test("fan-out join keys stay exact through mixed per-side changes") {
+    val a0 = mkA((1L, 10, "a1"), (2L, 10, "a2"), (3L, 20, "a3"), (4L, 30, "a4"))
+    val b0 = mkB((1L, 10, "b1"), (2L, 10, "b2"), (3L, 20, "b3"), (4L, 40, "b4"))
+    val (got, want) = maintain(a0, b0,
+      aIns = mkA((5L, 10, "a5"), (3L, 40, "a3-moved")), aDelIds = Seq(3L, 4L),
+      bIns = mkB((5L, 30, "b5"), (1L, 10, "b1-upd")), bDelIds = Seq(1L, 3L))
+    assert(canon(got) == canon(want))
+  }
+
+  test("empty deltas return the view unchanged, row for row") {
+    val a0 = mkA((1L, 10, "a1"), (2L, 20, "a2"))
+    val b0 = mkB((1L, 10, "b1"))
+    val (got, want) = maintain(a0, b0, mkA(), Nil, mkB(), Nil)
+    assert(canon(got) == canon(want))
+    assert(got.columns.toSeq ==
+      IncrementalJoin.joinState(a0, b0, Seq("jk")).columns.toSeq)
+  }
+
+  test("insert-free B side: aSnapshot may be an empty frame (the streaming-CDC shape)") {
+    val a0 = mkA((1L, 10, "a1"))
+    val b0 = mkB((1L, 10, "b1"), (2L, 20, "b2"))
+    val aIns = mkA((2L, 20, "a2"))
+    val maintained = IncrementalJoin.applyCdc(
+      IncrementalJoin.joinState(a0, b0, Seq("jk")),
+      "a_id", "b_id", Seq("jk"),
+      aIns, mkA().select("a_id"), mkB(), mkB().select("b_id"),
+      aSnapshot = mkA(), bSnapshot = b0)
+    val want = IncrementalJoin.joinState(a0.unionByName(aIns), b0, Seq("jk"))
+    assert(canon(maintained) == canon(want))
+  }
+
+  test("real tables: customer x supplier on nationkey, all change classes at once") {
+    val cust = Tables.load(spark, sf(), "customer")
+      .select($"c_custkey", $"c_nationkey".as("nationkey"), $"c_acctbal")
+    val supp = Tables.load(spark, sf(), "supplier")
+      .select($"s_suppkey", $"s_nationkey".as("nationkey"), $"s_acctbal")
+    val cDel = cust.filter($"c_custkey" % 13 === 0).select("c_custkey")
+      .unionByName(cust.filter($"c_custkey" % 17 === 0).select("c_custkey"))
+    val cIns = cust.filter($"c_custkey" % 11 === 0)
+      .withColumn("c_custkey", $"c_custkey" + 9000000L)
+      .withColumn("nationkey", ($"nationkey" + 7) % 25)
+      .unionByName(cust.filter($"c_custkey" % 17 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + 100.0))
+    val sDel = supp.filter($"s_suppkey" % 5 === 0).select("s_suppkey")
+    val sIns = supp.filter($"s_suppkey" % 3 === 0)
+      .withColumn("s_suppkey", $"s_suppkey" + 9000000L)
+      .withColumn("nationkey", ($"nationkey" + 3) % 25)
+    val cNew = cust.join(cDel, Seq("c_custkey"), "left_anti").unionByName(cIns)
+    val sNew = supp.join(sDel, Seq("s_suppkey"), "left_anti").unionByName(sIns)
+    val maintained = IncrementalJoin.applyCdc(
+      IncrementalJoin.joinState(cust, supp, Seq("nationkey")),
+      "c_custkey", "s_suppkey", Seq("nationkey"),
+      cIns, cDel, sIns, sDel, cNew, sNew)
+    val scratch = IncrementalJoin.joinState(cNew, sNew, Seq("nationkey"))
+    assert(maintained.count() == scratch.count())
+    assert(canon(maintained) == canon(scratch))
+  }
+
+  test("joinState rejects clashing non-key columns") {
+    val a = Seq((1L, 10, "x")).toDF("a_id", "jk", "v")
+    val b = Seq((1L, 10, "y")).toDF("b_id", "jk", "v")
+    val e = intercept[IllegalArgumentException](
+      IncrementalJoin.joinState(a, b, Seq("jk")))
+    assert(e.getMessage.contains("v"))
+  }
+}

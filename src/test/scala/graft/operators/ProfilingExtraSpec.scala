@@ -115,4 +115,53 @@ class ProfilingExtraSpec extends SparkTestBase {
     assert(stats._1 < 1e-9, s"standardized mean drifted: ${stats._1}")
     assert(stats._2 < 1e-6, s"standardized sd drifted: ${stats._2}")
   }
+
+  test("trendFit: exact line recovered exactly; noise case matches hand OLS") {
+    // y = 3x + 2 exactly: decimal sums + the closed form give slope 3.0,
+    // intercept 2.0, r2 1.0 with NO floating error (the products and the
+    // closed-form divisions are all exact in these small integers)
+    val line = Seq(("g", 0, 2.0), ("g", 1, 5.0), ("g", 2, 8.0), ("g", 3, 11.0))
+      .toDF("grp", "x", "y")
+    val got = Profiling.trendFit(line, Seq("grp"), "x", "y")
+      .select("n", "slope", "intercept", "r2")
+      .as[(Long, Double, Double, Double)].head()
+    assert(got == ((4L, 3.0, 2.0, 1.0)))
+
+    // hand OLS on a non-collinear triple: x=0,1,2, y=0,1,3
+    // n=3 sx=3 sy=4 sxy=7 sxx=5 syy=10
+    // slope=(21-12)/(15-9)=1.5; intercept=(4-1.5*3)/3=-1/6; r2=81/(6*14)
+    val tri = Seq(("g", 0, 0.0), ("g", 1, 1.0), ("g", 2, 3.0))
+      .toDF("grp", "x", "y")
+    val t2 = Profiling.trendFit(tri, Seq("grp"), "x", "y")
+      .select("slope", "intercept", "r2")
+      .as[(Double, Double, Double)].head()
+    assert(t2._1 == 1.5)
+    assert(t2._2 == (4.0 - 1.5 * 3.0) / 3.0)
+    assert(t2._3 == 81.0 / 84.0)
+  }
+
+  test("trendFit: degenerate groups go NULL, never Inf/NaN; nulls filtered") {
+    val df = Seq(
+      ("single", Some(1), Some(5.0)),   // n=1 → zero x-variance
+      ("constx", Some(2), Some(1.0)), ("constx", Some(2), Some(9.0)),
+      ("consty", Some(1), Some(4.0)), ("consty", Some(3), Some(4.0)),
+      ("nully", Some(1), None), ("nully", Some(2), Some(7.0)),
+      ("nully", Some(3), Some(9.0)), ("nully", None, Some(99.0)))
+      .toDF("grp", "x", "y")
+    val rows = Profiling.trendFit(df, Seq("grp"), "x", "y")
+      .orderBy("grp")
+      .select("grp", "n", "slope", "intercept", "r2")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toList
+    assert(rows.map(_._1) == List("constx", "consty", "nully", "single"))
+    val byG = rows.map(r => r._1 -> r).toMap
+    assert(byG("single")._2 == 1L && byG("single")._3.isEmpty
+      && byG("single")._4.isEmpty && byG("single")._5.isEmpty)
+    assert(byG("constx")._3.isEmpty && byG("constx")._5.isEmpty,
+      "zero x-variance must yield NULL slope and r2")
+    // constant y: slope 0 is well-defined, r2 is 0/0 → NULL
+    assert(byG("consty")._3 == Some(0.0) && byG("consty")._5.isEmpty)
+    // null x or y rows are excluded: n counts only complete pairs
+    assert(byG("nully")._2 == 2L && byG("nully")._3 == Some(2.0))
+  }
 }
