@@ -89,6 +89,10 @@ object ClusterCheck {
                                   // + decimal grad collect, per-iteration, across JVMs (r9)
     "q_join_setsim",              // eager strategy profile + HOF drop-one lambda + xxhash64
                                   // over token arrays + assert_true guard across JVMs (r10)
+    "q_cdc_view_cascade",         // join-delta routing (semi/anti legs) feeding decimal
+                                  // agg-state retraction across executor JVMs (r10)
+    "q_stat_trend",               // exact decimal co-moment partials merged across JVMs,
+                                  // then the fixed-order IEEE closed form (r10)
   )
 
   private def runAll(master: String, sfDir: String): Map[String, Seq[String]] = {

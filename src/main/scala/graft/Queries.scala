@@ -6161,44 +6161,18 @@ object Queries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  q("q_cdc_incremental_join",
-    // incremental JOIN-view maintenance (IncrementalJoin.applyCdc) — the
-    // join half of the materialized-view family (q_cdc_incremental_agg is
-    // the aggregate half): V = customer ⋈ supplier on nationkey is
-    // maintained from per-side CDC changesets via the Blakeley delta-join
-    // decomposition (retained-pairs anti-joins + delta⋈snapshot terms,
-    // base-table probes semi-join-pruned by the delta's join keys — never
-    // a re-join of the bases). Changes exercise every class at once:
-    // deletes (%13 / %5), fresh-key inserts that MOVE rows between join
-    // groups (%11 / %3 with remapped nationkey — new-A × new-B pairs land
-    // on shared keys, the double-count trap), and payload updates as
-    // delete+insert (%17, +100.0 exact IEEE add). The oracle recomputes
-    // the full join over the post-change snapshots, so passing proves
-    // applyCdc(joinState(A,B), Δ) == joinState(A',B') exactly.
-    """WITH c0 AS (
-      |  SELECT c_custkey, c_nationkey AS nationkey, c_acctbal
-      |  FROM customer WHERE c_custkey % 10 = 0),
-      |s0 AS (
-      |  SELECT s_suppkey, s_nationkey AS nationkey, s_acctbal
-      |  FROM supplier WHERE s_suppkey % 2 = 0),
-      |cnew AS (
-      |  SELECT c_custkey, nationkey, c_acctbal FROM c0
-      |  WHERE c_custkey % 13 <> 0 AND c_custkey % 17 <> 0
-      |  UNION ALL
-      |  SELECT c_custkey + 900000000, (nationkey + 7) % 25, c_acctbal
-      |  FROM c0 WHERE c_custkey % 11 = 0
-      |  UNION ALL
-      |  SELECT c_custkey, nationkey, c_acctbal + 100.0
-      |  FROM c0 WHERE c_custkey % 17 = 0),
-      |snew AS (
-      |  SELECT s_suppkey, nationkey, s_acctbal FROM s0 WHERE s_suppkey % 5 <> 0
-      |  UNION ALL
-      |  SELECT s_suppkey + 900000000, (nationkey + 3) % 25, s_acctbal
-      |  FROM s0 WHERE s_suppkey % 3 = 0)
-      |SELECT nationkey, c_custkey, c_acctbal, s_suppkey, s_acctbal
-      |FROM cnew JOIN snew USING (nationkey)
-      |ORDER BY nationkey, c_custkey, s_suppkey""".stripMargin) { (s, d) =>
-    import graft.operators.IncrementalJoin
+  /** Shared CDC-join fixture for q_cdc_incremental_join and
+    * q_cdc_view_cascade: customer ⋈ supplier on nationkey with every
+    * change class firing at once — deletes (%13 / %5), fresh-key inserts
+    * that MOVE rows between join groups (%11 / %3, remapped nationkey —
+    * new-A × new-B pairs land on shared keys), payload updates as
+    * delete+insert (%17, +100.0 exact IEEE add). */
+  private case class CdcJoinFixture(
+      cust: DataFrame, supp: DataFrame,
+      cIns: DataFrame, cDel: DataFrame, sIns: DataFrame, sDel: DataFrame,
+      cNew: DataFrame, sNew: DataFrame)
+
+  private def cdcJoinFixture(s: SparkSession, d: String): CdcJoinFixture = {
     val cust = t(s, d, "customer").filter(col("c_custkey") % 10 === 0)
       .select(col("c_custkey"), col("c_nationkey").as("nationkey"), col("c_acctbal"))
     val supp = t(s, d, "supplier").filter(col("s_suppkey") % 2 === 0)
@@ -6217,11 +6191,102 @@ object Queries {
       .withColumn("nationkey", (col("nationkey") + 3) % 25)
     val cNew = cust.join(cDel, Seq("c_custkey"), "left_anti").unionByName(cIns)
     val sNew = supp.join(sDel, Seq("s_suppkey"), "left_anti").unionByName(sIns)
+    CdcJoinFixture(cust, supp, cIns, cDel, sIns, sDel, cNew, sNew)
+  }
+
+  /** The fixture's post-change snapshots as oracle CTEs (cnew / snew). */
+  private val cdcJoinSql =
+    """c0 AS (
+      |  SELECT c_custkey, c_nationkey AS nationkey, c_acctbal
+      |  FROM customer WHERE c_custkey % 10 = 0),
+      |s0 AS (
+      |  SELECT s_suppkey, s_nationkey AS nationkey, s_acctbal
+      |  FROM supplier WHERE s_suppkey % 2 = 0),
+      |cnew AS (
+      |  SELECT c_custkey, nationkey, c_acctbal FROM c0
+      |  WHERE c_custkey % 13 <> 0 AND c_custkey % 17 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 900000000, (nationkey + 7) % 25, c_acctbal
+      |  FROM c0 WHERE c_custkey % 11 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, nationkey, c_acctbal + 100.0
+      |  FROM c0 WHERE c_custkey % 17 = 0),
+      |snew AS (
+      |  SELECT s_suppkey, nationkey, s_acctbal FROM s0 WHERE s_suppkey % 5 <> 0
+      |  UNION ALL
+      |  SELECT s_suppkey + 900000000, (nationkey + 3) % 25, s_acctbal
+      |  FROM s0 WHERE s_suppkey % 3 = 0)""".stripMargin
+
+  q("q_cdc_incremental_join",
+    // incremental JOIN-view maintenance (IncrementalJoin.applyCdc) — the
+    // join half of the materialized-view family (q_cdc_incremental_agg is
+    // the aggregate half): V = customer ⋈ supplier on nationkey is
+    // maintained from per-side CDC changesets via the Blakeley delta-join
+    // decomposition (retained-pairs anti-joins + delta⋈snapshot terms,
+    // base-table probes semi-join-pruned by the delta's join keys — never
+    // a re-join of the bases). Changes exercise every class at once:
+    // deletes (%13 / %5), fresh-key inserts that MOVE rows between join
+    // groups (%11 / %3 with remapped nationkey — new-A × new-B pairs land
+    // on shared keys, the double-count trap), and payload updates as
+    // delete+insert (%17, +100.0 exact IEEE add). The oracle recomputes
+    // the full join over the post-change snapshots, so passing proves
+    // applyCdc(joinState(A,B), Δ) == joinState(A',B') exactly.
+    s"""WITH $cdcJoinSql
+      |SELECT nationkey, c_custkey, c_acctbal, s_suppkey, s_acctbal
+      |FROM cnew JOIN snew USING (nationkey)
+      |ORDER BY nationkey, c_custkey, s_suppkey""".stripMargin) { (s, d) =>
+    import graft.operators.IncrementalJoin
+    val fx = cdcJoinFixture(s, d)
     IncrementalJoin.applyCdc(
-        IncrementalJoin.joinState(cust, supp, Seq("nationkey")),
+        IncrementalJoin.joinState(fx.cust, fx.supp, Seq("nationkey")),
         "c_custkey", "s_suppkey", Seq("nationkey"),
-        cIns, cDel, sIns, sDel, cNew, sNew)
+        fx.cIns, fx.cDel, fx.sIns, fx.sDel, fx.cNew, fx.sNew)
       .orderBy("nationkey", "c_custkey", "s_suppkey")
+  }
+
+  q("q_cdc_view_cascade",
+    // the materialized-view CASCADE: an aggregate ON a join view, both
+    // maintained incrementally — IncrementalJoin.applyCdcWithDelta emits
+    // the view's own row-level changeset (old pairs retracted, new pairs
+    // inserted), which feeds IncrementalAgg.applyCdc with the maintained
+    // view as its dirty-group snapshot. NOTHING here re-joins or rescans
+    // the base tables: the join delta is changeset-sized, the agg merge
+    // is state-sized, and the view snapshot is consulted only for groups
+    // whose deleted values touch a min/max boundary. The oracle
+    // recomputes the aggregate over the full re-join of the post-change
+    // snapshots — passing proves the ENTIRE two-stage pipeline equals the
+    // from-scratch result exactly.
+    s"""WITH $cdcJoinSql,
+      |v AS (
+      |  SELECT nationkey, c_acctbal, s_acctbal
+      |  FROM cnew JOIN snew USING (nationkey))
+      |SELECT nationkey, count(*) AS n_rows,
+      |  cast(cast(sum(cast(c_acctbal AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_c_acctbal,
+      |  round(cast(cast(sum(cast(c_acctbal AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) / count(c_acctbal), 6) AS avg_c_acctbal,
+      |  cast(min(cast(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS min_c_acctbal,
+      |  cast(max(cast(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS max_c_acctbal,
+      |  cast(cast(sum(cast(s_acctbal AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_s_acctbal,
+      |  round(cast(cast(sum(cast(s_acctbal AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) / count(s_acctbal), 6) AS avg_s_acctbal,
+      |  cast(min(cast(s_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS min_s_acctbal,
+      |  cast(max(cast(s_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS max_s_acctbal
+      |FROM v GROUP BY nationkey
+      |ORDER BY nationkey""".stripMargin) { (s, d) =>
+    import graft.operators.{IncrementalAgg, IncrementalJoin}
+    val fx = cdcJoinFixture(s, d)
+    val keys = Seq("nationkey")
+    val measures = Seq("c_acctbal", "s_acctbal")
+    val v0 = IncrementalJoin.joinState(fx.cust, fx.supp, Seq("nationkey"))
+    val delta = IncrementalJoin.applyCdcWithDelta(v0,
+      "c_custkey", "s_suppkey", Seq("nationkey"),
+      fx.cIns, fx.cDel, fx.sIns, fx.sDel, fx.cNew, fx.sNew)
+    val maintained = IncrementalAgg.applyCdc(
+      IncrementalAgg.state(v0, keys, measures), keys, measures,
+      inserts = delta.inserted, deletes = delta.deleted,
+      // production persists the just-maintained view before the agg pass
+      // (it materializes it anyway); here the lazy plan re-derives it for
+      // the dirty-group semi-scan only
+      snapshot = delta.view)
+    IncrementalAgg.finish(maintained, keys, measures).orderBy("nationkey")
   }
 
   q("q_cdc_scd2",

@@ -58,6 +58,17 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalJoin {
 
+  /** The maintained view plus its row-level delta — `inserted` and
+    * `deleted` are FULL view rows (view layout), exactly the retraction +
+    * insert changesets a downstream consumer needs: feed them to
+    * [[IncrementalAgg.applyCdc]] (with `view` as its snapshot) and an
+    * aggregate-ON-a-join materialized view maintains end to end without
+    * ever re-joining or rescanning the bases — the cascade
+    * (q_cdc_view_cascade) every production MV tree is built from.
+    * All three frames are lazy plans; an applyCdc caller that ignores
+    * the delta pays nothing for it. */
+  final case class ViewDelta(view: DataFrame, inserted: DataFrame, deleted: DataFrame)
+
   private def requireCols(df: DataFrame, cols: Seq[String], what: String): Unit = {
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"$what missing columns: ${missing.mkString(", ")}")
@@ -98,7 +109,21 @@ object IncrementalJoin {
   def applyCdc(view: DataFrame, aKey: String, bKey: String, joinKeys: Seq[String],
       aInserts: DataFrame, aDeletes: DataFrame,
       bInserts: DataFrame, bDeletes: DataFrame,
-      aSnapshot: DataFrame, bSnapshot: DataFrame): DataFrame = {
+      aSnapshot: DataFrame, bSnapshot: DataFrame): DataFrame =
+    applyCdcWithDelta(view, aKey, bKey, joinKeys, aInserts, aDeletes,
+      bInserts, bDeletes, aSnapshot, bSnapshot).view
+
+  /** [[applyCdc]] plus the view's own row-level changeset ([[ViewDelta]]):
+    * `deleted` = every view row whose A row key or B row key was touched
+    * (the complement of the retained term — an update's OLD pairs land
+    * here, its NEW pairs in `inserted`), `inserted` = the two delta-join
+    * terms. `view ∖ deleted ∪ inserted == view'` by construction, so the
+    * delta cascades into any downstream incremental consumer. */
+  def applyCdcWithDelta(view: DataFrame, aKey: String, bKey: String,
+      joinKeys: Seq[String],
+      aInserts: DataFrame, aDeletes: DataFrame,
+      bInserts: DataFrame, bDeletes: DataFrame,
+      aSnapshot: DataFrame, bSnapshot: DataFrame): ViewDelta = {
     require(joinKeys.nonEmpty, "applyCdc needs at least one join key")
     // a row key MAY coincide with a join key (a dimension keyed by the
     // join column): the antis then route by join-key value, which names
@@ -117,9 +142,13 @@ object IncrementalJoin {
       .unionByName(aInserts.select(col(aKey))).distinct()
     val bTouched = bDeletes.select(col(bKey))
       .unionByName(bInserts.select(col(bKey))).distinct()
-    val retained = view
-      .join(aTouched, Seq(aKey), "left_anti")
-      .join(bTouched, Seq(bKey), "left_anti")
+    val notTouchedA = view.join(aTouched, Seq(aKey), "left_anti")
+    val retained = notTouchedA.join(bTouched, Seq(bKey), "left_anti")
+    // deleted = view ∖ retained, built from the SAME semi/anti shapes (no
+    // exceptAll): touched-A rows, plus touched-B rows among the rest —
+    // the two legs are disjoint by construction, so no pair lands twice
+    val deleted = view.join(aTouched, Seq(aKey), "left_semi")
+      .unionByName(notTouchedA.join(bTouched, Seq(bKey), "left_semi"))
 
     // every pair with a new A row (including new-A × new-B: bSnapshot is
     // POST-change, so it already contains ΔB_ins)
@@ -135,8 +164,10 @@ object IncrementalJoin {
     val newB = joinState(aSurvivors, bInserts, joinKeys)
 
     val order = view.columns.map(col).toSeq
-    retained.select(order: _*)
-      .unionByName(newA.select(order: _*))
-      .unionByName(newB.select(order: _*))
+    val inserted = newA.select(order: _*).unionByName(newB.select(order: _*))
+    ViewDelta(
+      view = retained.select(order: _*).unionByName(inserted),
+      inserted = inserted,
+      deleted = deleted.select(order: _*))
   }
 }

@@ -146,6 +146,68 @@ class IncrementalJoinSpec extends SparkTestBase {
     assert(canon(maintained) == canon(scratch))
   }
 
+  test("applyCdcWithDelta: deleted ∪ retained == old view, inserted ∪ retained == new view") {
+    val a0 = mkA((1L, 10, "a1"), (2L, 10, "a2"), (3L, 20, "a3"))
+    val b0 = mkB((1L, 10, "b1"), (2L, 20, "b2"), (3L, 20, "b3"))
+    val aIns = mkA((1L, 20, "a1-moved"), (4L, 10, "a4"))
+    val aDel = Seq(1L).toDF("a_id")
+    val bIns = mkB((4L, 10, "b4"))
+    val bDel = Seq(3L).toDF("b_id")
+    val aNew = a0.join(aDel, Seq("a_id"), "left_anti")
+      .join(aIns.select("a_id"), Seq("a_id"), "left_anti").unionByName(aIns)
+    val bNew = b0.join(bDel, Seq("b_id"), "left_anti")
+      .join(bIns.select("b_id"), Seq("b_id"), "left_anti").unionByName(bIns)
+    val v0 = IncrementalJoin.joinState(a0, b0, Seq("jk"))
+    val d = IncrementalJoin.applyCdcWithDelta(v0, "a_id", "b_id", Seq("jk"),
+      aIns, aDel, bIns, bDel, aNew, bNew)
+    // the delta partitions the old view and rebuilds the new one exactly
+    val retained = d.view.exceptAll(d.inserted)
+    assert(canon(retained.unionByName(d.deleted)) == canon(v0),
+      "retained + deleted must reassemble the OLD view row-multiset")
+    assert(canon(d.view) ==
+      canon(IncrementalJoin.joinState(aNew, bNew, Seq("jk"))))
+    // an update's old pairs are retracted, its new pairs inserted
+    // (a_id=1 moves jk 10 → 20, where only b2 survives — b3 is deleted)
+    assert(d.deleted.filter($"a_id" === 1L).count() == 1L)
+    assert(d.inserted.filter($"a_id" === 1L).count() == 1L)
+    assert(d.inserted.filter($"a_id" === 1L && $"b_id" === 2L).count() == 1L)
+  }
+
+  test("cascade: join delta feeds IncrementalAgg — agg-on-join view == from-scratch") {
+    import graft.operators.IncrementalAgg
+    val cust = Tables.load(spark, sf(), "customer")
+      .select($"c_custkey", $"c_nationkey".as("nationkey"), $"c_acctbal")
+    val supp = Tables.load(spark, sf(), "supplier")
+      .select($"s_suppkey", $"s_nationkey".as("nationkey"), $"s_acctbal")
+    val cDel = cust.filter($"c_custkey" % 13 === 0).select("c_custkey")
+    val cIns = cust.filter($"c_custkey" % 11 === 0)
+      .withColumn("c_custkey", $"c_custkey" + 9000000L)
+      .withColumn("nationkey", ($"nationkey" + 7) % 25)
+    val sDel = supp.filter($"s_suppkey" % 5 === 0).select("s_suppkey")
+    val sIns = supp.filter($"s_suppkey" % 3 === 0)
+      .withColumn("s_suppkey", $"s_suppkey" + 9000000L)
+      .withColumn("nationkey", ($"nationkey" + 3) % 25)
+    val cNew = cust.join(cDel, Seq("c_custkey"), "left_anti").unionByName(cIns)
+    val sNew = supp.join(sDel, Seq("s_suppkey"), "left_anti").unionByName(sIns)
+    val keys = Seq("nationkey")
+    val measures = Seq("c_acctbal", "s_acctbal")
+    val v0 = IncrementalJoin.joinState(cust, supp, Seq("nationkey"))
+    val delta = IncrementalJoin.applyCdcWithDelta(v0,
+      "c_custkey", "s_suppkey", Seq("nationkey"),
+      cIns, cDel, sIns, sDel, cNew, sNew)
+    val maintained = IncrementalAgg.finish(
+      IncrementalAgg.applyCdc(IncrementalAgg.state(v0, keys, measures),
+        keys, measures, delta.inserted, delta.deleted, delta.view),
+      keys, measures)
+    val scratch = IncrementalAgg.finish(
+      IncrementalAgg.state(
+        IncrementalJoin.joinState(cNew, sNew, Seq("nationkey")),
+        keys, measures),
+      keys, measures)
+    assert(canon(maintained) == canon(scratch))
+    assert(maintained.count() > 0)
+  }
+
   test("joinState rejects clashing non-key columns") {
     val a = Seq((1L, 10, "x")).toDF("a_id", "jk", "v")
     val b = Seq((1L, 10, "y")).toDF("b_id", "jk", "v")
