@@ -7712,20 +7712,21 @@ object Queries {
       |    CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
       |    CAST(CAST(sum(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
       |    CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
-      |    CAST(CAST(sum(y * y) AS VARCHAR) AS DOUBLE) AS syy
+      |    CAST(CAST(sum(y * y) AS VARCHAR) AS DOUBLE) AS syy,
+      |    min(x) AS xmn, max(x) AS xmx, min(y) AS ymn, max(y) AS ymx
       |  FROM r GROUP BY o_orderpriority),
       |m AS (
       |  SELECT o_orderpriority, n,
       |    CAST(n AS DOUBLE) * sxy - sx * sy AS cnum,
       |    CAST(n AS DOUBLE) * sxx - sx * sx AS denx,
       |    CAST(n AS DOUBLE) * syy - sy * sy AS deny,
-      |    sx, sy
+      |    sx, sy, xmn, xmx, ymn, ymx
       |  FROM s)
       |SELECT o_orderpriority, n,
-      |  CASE WHEN denx = 0 THEN NULL ELSE cnum / denx END AS slope,
-      |  CASE WHEN denx = 0 THEN NULL
+      |  CASE WHEN xmn = xmx OR denx = 0 THEN NULL ELSE cnum / denx END AS slope,
+      |  CASE WHEN xmn = xmx OR denx = 0 THEN NULL
       |       ELSE (sy - (cnum / denx) * sx) / CAST(n AS DOUBLE) END AS intercept,
-      |  CASE WHEN denx = 0 OR deny = 0 THEN NULL
+      |  CASE WHEN xmn = xmx OR denx = 0 OR ymn = ymx OR deny = 0 THEN NULL
       |       ELSE (cnum * cnum) / (denx * deny) END AS r2
       |FROM m ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
     graft.operators.Profiling.trendFit(

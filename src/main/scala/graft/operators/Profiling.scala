@@ -533,13 +533,21 @@ object Profiling {
     * FIXED operation order that any engine replays bit-equally (the
     * DuckDB oracle writes the identical chain). Groups with zero x-
     * variance (n = 1, constant x) yield NULL slope/intercept; R² is
-    * additionally NULL when y is constant.
+    * additionally NULL when y is constant. Degeneracy is decided on the
+    * EXACT decimals (min == max within the group), never on the double
+    * denominator — a fractional constant x like 0.10 has a double
+    * denominator of ~1e-18, not 0, and a `denx == 0` test alone would
+    * emit confident garbage instead of NULL.
     *
     * Exactness premise: the casts to `xType`/`yType` must be lossless for
     * the data (defaults fit integer day-numbers and 2-decimal money);
-    * widen the scales at the call site for finer-grained inputs. The
-    * default precisions keep every product ≤ 38 digits in BOTH Spark and
-    * DuckDB multiplication rules.
+    * widen the scales at the call site for finer-grained inputs. A value
+    * that OVERFLOWS its decimal type raises per row (the loud-guard
+    * discipline — a silent NULL would drop the row from the sums while n
+    * still counted it); scale truncation (more fractional digits than
+    * the type holds) remains the caller's premise. The default
+    * precisions keep every product ≤ 38 digits in BOTH Spark and DuckDB
+    * multiplication rules.
     *
     * Scale shape: one scan, one keyed aggregate with map-side partials —
     * the same plan as any groupBy.agg; nothing iterative, nothing
@@ -550,8 +558,21 @@ object Profiling {
       yCol: String, xType: String = "decimal(12,2)",
       yType: String = "decimal(19,4)"): DataFrame = {
     require(groupCols.nonEmpty, "trendFit needs at least one group column")
-    val x = col(xCol).cast(xType)
-    val y = col(yCol).cast(yType)
+    // loud overflow guard: a non-null source that casts to NULL overflowed
+    // the declared decimal type — raising beats silently dropping the row
+    // from the sums while count(*) still includes it. Under Spark's
+    // default ANSI mode the cast itself throws first; this guard is the
+    // backstop for ansi.enabled=false deployments, where the cast nulls.
+    def losslessCast(src: String, typ: String): Column = {
+      val c = col(src).cast(typ)
+      when(col(src).isNotNull && c.isNull,
+        raise_error(concat(
+          lit(s"trendFit: $src value "), col(src).cast("string"),
+          lit(s" overflows $typ — widen the type at the call site"))))
+        .otherwise(c)
+    }
+    val x = losslessCast(xCol, xType)
+    val y = losslessCast(yCol, yType)
     val sums = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(groupCols.map(col): _*)
@@ -561,7 +582,10 @@ object Profiling {
         sum(y).cast("double").as("_sy"),
         sum(x * y).cast("double").as("_sxy"),
         sum(x * x).cast("double").as("_sxx"),
-        sum(y * y).cast("double").as("_syy"))
+        sum(y * y).cast("double").as("_syy"),
+        // degeneracy witnesses: EXACT decimal extrema, compared exactly
+        min(x).as("_xmn"), max(x).as("_xmx"),
+        min(y).as("_ymn"), max(y).as("_ymx"))
     // the fixed-order IEEE chain — keep textually in sync with the
     // q_stat_trend oracle SQL
     val nD = col("n").cast("double")
@@ -569,16 +593,20 @@ object Profiling {
       .withColumn("_cnum", nD * col("_sxy") - col("_sx") * col("_sy"))
       .withColumn("_denx", nD * col("_sxx") - col("_sx") * col("_sx"))
       .withColumn("_deny", nD * col("_syy") - col("_sy") * col("_sy"))
+    // exact-decimal degeneracy first; the `=== 0.0` legs are the belt for
+    // catastrophic cancellation landing on exactly 0.0 with distinct
+    // extrema (keep textually in sync with the oracle's CASE conditions)
+    val xDeg = col("_xmn") === col("_xmx") || col("_denx") === 0.0
+    val yDeg = col("_ymn") === col("_ymx") || col("_deny") === 0.0
     withMoments.select(
       groupCols.map(col) ++ Seq(
         col("n"),
-        when(col("_denx") === 0.0, lit(null).cast("double"))
+        when(xDeg, lit(null).cast("double"))
           .otherwise(col("_cnum") / col("_denx")).as("slope"),
-        when(col("_denx") === 0.0, lit(null).cast("double"))
+        when(xDeg, lit(null).cast("double"))
           .otherwise((col("_sy") - (col("_cnum") / col("_denx")) * col("_sx")) / nD)
           .as("intercept"),
-        when(col("_denx") === 0.0 || col("_deny") === 0.0,
-            lit(null).cast("double"))
+        when(xDeg || yDeg, lit(null).cast("double"))
           .otherwise((col("_cnum") * col("_cnum")) / (col("_denx") * col("_deny")))
           .as("r2")): _*)
   }

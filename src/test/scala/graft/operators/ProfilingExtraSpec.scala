@@ -164,4 +164,30 @@ class ProfilingExtraSpec extends SparkTestBase {
     // null x or y rows are excluded: n counts only complete pairs
     assert(byG("nully")._2 == 2L && byG("nully")._3 == Some(2.0))
   }
+
+  test("trendFit: FRACTIONAL constant x still yields NULL (decimal-exact degeneracy, not denx==0)") {
+    // x = 0.1 twice: in doubles denx = 2*0.02 - 0.2*0.2 ≈ -6.9e-18 ≠ 0,
+    // so a double-zero test would emit garbage slope ≈ 32; the exact
+    // decimal min==max test must catch it
+    val df = Seq(("g", 0.1, 1.0), ("g", 0.1, 9.0)).toDF("grp", "x", "y")
+    val r = Profiling.trendFit(df, Seq("grp"), "x", "y")
+      .select("slope", "intercept", "r2").collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2),
+      s"fractional constant x must be NULL-degenerate, got $r")
+  }
+
+  test("trendFit: a value overflowing the declared decimal type raises, never silently drops") {
+    // under Spark's default ANSI mode the CAST itself throws
+    // (NUMERIC_VALUE_OUT_OF_RANGE); with ansi.enabled=false the cast
+    // nulls and trendFit's own raise_error guard fires instead — either
+    // way the overflow is LOUD, never a silently skewed fit
+    val df = Seq(("g", 1, 1.0e16), ("g", 2, 2.0)).toDF("grp", "x", "y")
+    val e = intercept[Exception](
+      Profiling.trendFit(df, Seq("grp"), "x", "y").collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("overflows") || m.contains("cannot be represented")),
+      s"expected a loud overflow error, got: ${e.getMessage}")
+  }
 }

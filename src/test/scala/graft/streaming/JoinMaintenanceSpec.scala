@@ -81,6 +81,58 @@ class JoinMaintenanceSpec extends SparkTestBase {
       == canon(want), "replaying every batch must be a no-op")
   }
 
+  test("invalid or NULL op values raise loudly instead of silently dropping the change") {
+    val root = java.nio.file.Files.createTempDirectory("graft-joinbadop")
+    val orders = Tables.load(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(5)
+    val custDim = Tables.load(spark, sf(), "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    custDim.write.parquet(s"$root/dim")
+    orders.withColumn("op", lit("d")).coalesce(1) // lowercase: not a valid op
+      .write.parquet(s"$root/cdc")
+    val q = JoinMaintenance.maintainJoinView(spark, s"$root/cdc", s"$root/dim",
+      s"$root/view", s"$root/chk", "o_orderkey", "o_custkey", Seq("o_custkey"))
+    val e = intercept[Exception](q.awaitTermination())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("invalid op value")),
+      s"expected the loud op guard, got: ${e.getMessage}")
+  }
+
+  test("a PARTITIONED seed view is detected as existing state, not bootstrapped over") {
+    val root = java.nio.file.Files.createTempDirectory("graft-joinpart")
+    val orders = Tables.load(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val custDim = Tables.load(spark, sf(), "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    custDim.write.parquet(s"$root/dim")
+    val a0 = orders.filter(col("o_orderkey") % 8 === 1)
+    // Hive-style layout: the parquet files live in subdirectories
+    graft.operators.IncrementalJoin.joinState(a0, custDim, Seq("o_custkey"))
+      .write.partitionBy("o_custkey").parquet(s"$root/view")
+    val ins = orders.filter(col("o_orderkey") % 8 === 2).withColumn("op", lit("I"))
+    ins.coalesce(1).write.parquet(s"$root/cdc")
+    val q = JoinMaintenance.maintainJoinView(spark, s"$root/cdc", s"$root/dim",
+      s"$root/view", s"$root/chk", "o_orderkey", "o_custkey", Seq("o_custkey"))
+    q.awaitTermination()
+    val want = graft.operators.IncrementalJoin.joinState(
+      a0.unionByName(ins.drop("op")), custDim, Seq("o_custkey"))
+    val got = spark.read.parquet(s"$root/view")
+    assert(got.count() == want.count(),
+      "the seeded partitioned view must survive the fold — an empty-view " +
+        "bootstrap would have discarded it")
+    assert(canon(got.select(want.columns.map(col): _*)) == canon(want))
+  }
+
+  test("starting ahead of the CDC producer requires an explicit schema, loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-joinahead")
+    val e = intercept[IllegalArgumentException](
+      JoinMaintenance.maintainJoinView(spark, s"$root/cdc_missing", s"$root/dim",
+        s"$root/view", s"$root/chk", "o_orderkey", "o_custkey", Seq("o_custkey")))
+    assert(e.getMessage.contains("pass schema="))
+  }
+
   test("empty view dir bootstraps from the first batch") {
     val root = java.nio.file.Files.createTempDirectory("graft-joinboot")
     val cdcDir = s"$root/cdc"
