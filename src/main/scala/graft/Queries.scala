@@ -6289,6 +6289,32 @@ object Queries {
     IncrementalAgg.finish(maintained, keys, measures).orderBy("nationkey")
   }
 
+  q("q_cdc_incremental_left",
+    // LEFT-join view maintenance — the genuinely-harder outer half
+    // (IncrementalJoin.applyCdcLeft): beyond the inner fold, a B delete
+    // that kills a join key's LAST row must flip that key's untouched A
+    // rows to NULL-EXTENDED, and a first B insert must flip them back
+    // (the zero-crossing transitions). The fixture fires both: supplier
+    // deletes (%5) empty some nations, remapped supplier inserts (%3,
+    // +3 mod 25) give previously-empty nations their first supplier.
+    // The unmatched set needs no extra state — it is the view's own
+    // bKey-IS-NULL slice. Oracle = full LEFT re-join of the post-change
+    // snapshots; NULLS FIRST pinned on the nullable sort key (DuckDB
+    // defaults NULLS LAST, Spark NULLS FIRST).
+    s"""WITH $cdcJoinSql
+      |SELECT nationkey, c_custkey, c_acctbal, s_suppkey, s_acctbal
+      |FROM cnew LEFT JOIN snew USING (nationkey)
+      |ORDER BY nationkey, c_custkey, s_suppkey NULLS FIRST""".stripMargin) { (s, d) =>
+    import graft.operators.IncrementalJoin
+    val fx = cdcJoinFixture(s, d)
+    IncrementalJoin.applyCdcLeft(
+        IncrementalJoin.joinStateLeft(fx.cust, fx.supp, Seq("nationkey")),
+        "c_custkey", "s_suppkey", Seq("nationkey"),
+        fx.cIns, fx.cDel, fx.sIns, fx.sDel, fx.cNew, fx.sNew)
+      .orderBy(col("nationkey"), col("c_custkey"),
+        col("s_suppkey").asc_nulls_first)
+  }
+
   q("q_cdc_scd2",
     // SCD-type-2 history build from the events change log: per user, the
     // event_type attribute's runs of equal consecutive values collapse

@@ -170,4 +170,103 @@ object IncrementalJoin {
       inserted = inserted,
       deleted = deleted.select(order: _*))
   }
+
+  /** Initial materialization of the LEFT-join view: A rows without a B
+    * partner ride along null-extended. Same layout as [[joinState]]. */
+  def joinStateLeft(a: DataFrame, b: DataFrame, joinKeys: Seq[String]): DataFrame = {
+    require(joinKeys.nonEmpty, "joinStateLeft needs at least one join key")
+    requireCols(a, joinKeys, "joinStateLeft A side")
+    requireCols(b, joinKeys, "joinStateLeft B side")
+    val clash = (a.columns.toSet intersect b.columns.toSet) -- joinKeys.toSet
+    require(clash.isEmpty,
+      s"joinStateLeft: non-join-key columns shared by both sides: ${clash.mkString(", ")}")
+    a.join(b, joinKeys, "left")
+  }
+
+  /** Fold one CDC batch into a LEFT-join view — the inner fold plus the
+    * ZERO-CROSSING transitions that make left-join IVM genuinely harder
+    * than inner (Griffin & Libkin, SIGMOD 1995's outer-join caveat):
+    *
+    *  - a B delete that removes a join key's LAST row must flip that
+    *    key's untouched A rows from matched to NULL-EXTENDED (their
+    *    pairs all vanish from the inner part — without the flip the A
+    *    rows would silently disappear from the view);
+    *  - a B insert that gives a previously-B-less key its FIRST row must
+    *    flip that key's null-extended rows to matched (the inner fold's
+    *    (A′−ΔA)⋈ΔB term already emits the new pairs; the stale
+    *    null-extended rows must leave).
+    *
+    * Mechanics — the unmatched set needs NO extra state table, it IS the
+    * view's `bKey IS NULL` slice (B row keys are non-null by contract):
+    * the inner slice folds through [[applyCdcWithDelta]]; the unmatched
+    * slice retains rows whose A key is untouched AND whose join key
+    * gained no B row; inserted A rows probe B′ for a partner (probe
+    * semi-pruned by the delta's join keys); and the dead-key scan — join
+    * keys that lost their last B row — starts from the VIEW's own rows
+    * matching ΔB_del (state-pruned), checks survival against B′ (pruned
+    * by the candidate keys), and null-extends the surviving A′ rows of
+    * genuinely dead keys. Every base-table probe is delta- or
+    * state-pruned; nothing re-joins A′ × B′. A NULL join key never
+    * matches (left-join semantics): such rows live in the unmatched
+    * slice and survive any B churn.
+    *
+    * Exactness: `applyCdcLeft(joinStateLeft(A,B), Δ) ==
+    * joinStateLeft(A′,B′)` row for row (the q_cdc_incremental_left
+    * oracle replays the full LEFT re-join; the spec plants both
+    * zero-crossing directions).
+    */
+  def applyCdcLeft(view: DataFrame, aKey: String, bKey: String,
+      joinKeys: Seq[String],
+      aInserts: DataFrame, aDeletes: DataFrame,
+      bInserts: DataFrame, bDeletes: DataFrame,
+      aSnapshot: DataFrame, bSnapshot: DataFrame): DataFrame = {
+    requireCols(view, (joinKeys ++ Seq(aKey, bKey)).distinct, "applyCdcLeft view")
+    val jk = joinKeys.map(col)
+    val order = view.columns.map(col).toSeq
+
+    // inner slice: the matched pairs fold exactly as an inner view
+    val innerNew = applyCdcWithDelta(view.filter(col(bKey).isNotNull),
+      aKey, bKey, joinKeys, aInserts, aDeletes, bInserts, bDeletes,
+      aSnapshot, bSnapshot).view
+
+    val aTouched = aDeletes.select(col(aKey))
+      .unionByName(aInserts.select(col(aKey))).distinct()
+    val bInsKeys = bInserts.select(jk: _*).distinct()
+
+    // unmatched slice, retained: A key untouched, join key gained no B
+    // row (an anti on a NULL join key keeps the row — nulls never match,
+    // so null-keyed rows stay unmatched through any B churn)
+    val unmatchedOld = view.filter(col(bKey).isNull)
+    val stillUnmatched = unmatchedOld
+      .join(aTouched, Seq(aKey), "left_anti")
+      .join(bInsKeys, joinKeys, "left_anti")
+
+    // inserted A rows without a B′ partner land null-extended; the B′
+    // key probe is semi-pruned by the delta's join keys first
+    val bKeysNearIns = bSnapshot
+      .join(aInserts.select(jk: _*).distinct(), joinKeys, "left_semi")
+      .select(jk: _*).distinct()
+    val insUnmatched = aInserts.join(bKeysNearIns, joinKeys, "left_anti")
+
+    // dead keys: lost ≥1 B row (candidates from the VIEW's own matched
+    // rows — state-pruned) and have NO survivor in B′ (probe pruned by
+    // the candidates); their untouched A′ rows re-enter null-extended
+    val deadCand = view.filter(col(bKey).isNotNull)
+      .join(bDeletes.select(col(bKey)), Seq(bKey), "left_semi")
+      .select(jk: _*).distinct()
+    val stillPresent = bSnapshot.join(deadCand, joinKeys, "left_semi")
+      .select(jk: _*).distinct()
+    val kDead = deadCand.join(stillPresent, joinKeys, "left_anti")
+    val deadA = aSnapshot.join(kDead, joinKeys, "left_semi")
+      .join(aInserts.select(col(aKey)).distinct(), Seq(aKey), "left_anti")
+
+    // null-extend the A-only slices through a left join against an empty
+    // B (statically folds to a null-project — no scan)
+    val nullExtended = joinStateLeft(
+      insUnmatched.unionByName(deadA), bSnapshot.limit(0), joinKeys)
+
+    innerNew.select(order: _*)
+      .unionByName(stillUnmatched.select(order: _*))
+      .unionByName(nullExtended.select(order: _*))
+  }
 }

@@ -208,6 +208,114 @@ class IncrementalJoinSpec extends SparkTestBase {
     assert(maintained.count() > 0)
   }
 
+  private def maintainLeft(a0: DataFrame, b0: DataFrame,
+      aIns: DataFrame, aDelIds: Seq[Long],
+      bIns: DataFrame, bDelIds: Seq[Long]): (DataFrame, DataFrame) = {
+    val aDel = aDelIds.toDF("a_id")
+    val bDel = bDelIds.toDF("b_id")
+    val aNew = a0.join(aDel, Seq("a_id"), "left_anti")
+      .join(aIns.select("a_id"), Seq("a_id"), "left_anti").unionByName(aIns)
+    val bNew = b0.join(bDel, Seq("b_id"), "left_anti")
+      .join(bIns.select("b_id"), Seq("b_id"), "left_anti").unionByName(bIns)
+    val maintained = IncrementalJoin.applyCdcLeft(
+      IncrementalJoin.joinStateLeft(a0, b0, Seq("jk")),
+      "a_id", "b_id", Seq("jk"),
+      aIns, aDel, bIns, bDel, aNew, bNew)
+    (maintained, IncrementalJoin.joinStateLeft(aNew, bNew, Seq("jk")))
+  }
+
+  test("left: deleting a key's LAST B row null-extends its untouched A rows") {
+    val a0 = mkA((1L, 10, "a1"), (2L, 10, "a2"), (3L, 20, "a3"))
+    val b0 = mkB((1L, 10, "b-last"), (2L, 20, "b2"))
+    val (got, want) = maintainLeft(a0, b0,
+      aIns = mkA(), aDelIds = Nil, bIns = mkB(), bDelIds = Seq(1L))
+    assert(canon(got) == canon(want))
+    // the zero-crossing actually fired: a1 and a2 survive null-extended
+    val nulled = got.filter($"b_id".isNull)
+    assert(nulled.count() == 2L, "both jk=10 rows must survive null-extended")
+    assert(got.count() == 3L, "no A row may vanish from a LEFT view")
+  }
+
+  test("left: a key's FIRST B row re-matches its null-extended A rows") {
+    val a0 = mkA((1L, 10, "a1"), (2L, 10, "a2"), (3L, 20, "a3"))
+    val b0 = mkB((1L, 20, "b1"))     // jk=10 starts B-less
+    val (got, want) = maintainLeft(a0, b0,
+      aIns = mkA(), aDelIds = Nil,
+      bIns = mkB((2L, 10, "b-first"), (3L, 10, "b-second")), bDelIds = Nil)
+    assert(canon(got) == canon(want))
+    // stale null-extended rows left; matched pairs arrived (2 A × 2 B)
+    assert(got.filter($"jk" === 10 && $"b_id".isNull).count() == 0L)
+    assert(got.filter($"jk" === 10).count() == 4L)
+  }
+
+  test("left: B update that MOVES a row's join key fires both crossings at once") {
+    val a0 = mkA((1L, 10, "a1"), (2L, 20, "a2"))
+    val b0 = mkB((1L, 10, "b1"))     // jk=20 starts B-less
+    // b1 moves jk 10 → 20: a1 null-extends, a2 matches
+    val (got, want) = maintainLeft(a0, b0,
+      aIns = mkA(), aDelIds = Nil,
+      bIns = mkB((1L, 20, "b1-moved")), bDelIds = Seq(1L))
+    assert(canon(got) == canon(want))
+    assert(got.filter($"a_id" === 1L && $"b_id".isNull).count() == 1L)
+    assert(got.filter($"a_id" === 2L && $"b_val" === "b1-moved").count() == 1L)
+  }
+
+  test("left: inserted A rows with no partner land null-extended; NULL join keys never match") {
+    val a0 = Seq((1L, Some(10), "a1")).toDF("a_id", "jk", "a_val")
+    val b0 = mkB((1L, 10, "b1"), (2L, 30, "b3"))
+    val aIns = Seq((2L, Some(99), "a-orphan"), (3L, Option.empty[Int], "a-nullkey"))
+      .toDF("a_id", "jk", "a_val")
+    val aNew = a0.unionByName(aIns)
+    val maintained = IncrementalJoin.applyCdcLeft(
+      IncrementalJoin.joinStateLeft(a0, b0, Seq("jk")),
+      "a_id", "b_id", Seq("jk"),
+      aIns, Seq.empty[Long].toDF("a_id"), mkB(), Seq.empty[Long].toDF("b_id"),
+      aNew, b0)
+    val want = IncrementalJoin.joinStateLeft(aNew, b0, Seq("jk"))
+    assert(canon(maintained) == canon(want))
+    assert(maintained.filter($"a_id" === 2L && $"b_id".isNull).count() == 1L)
+    assert(maintained.filter($"a_id" === 3L && $"b_id".isNull).count() == 1L)
+
+    // and a later B churn on other keys leaves the null-keyed row alone
+    val bIns2 = mkB((9L, 99, "b-late"))
+    val b2 = b0.unionByName(bIns2)
+    val step2 = IncrementalJoin.applyCdcLeft(maintained,
+      "a_id", "b_id", Seq("jk"),
+      aIns.limit(0), Seq.empty[Long].toDF("a_id"), bIns2, Seq.empty[Long].toDF("b_id"),
+      aNew, b2)
+    assert(canon(step2) == canon(IncrementalJoin.joinStateLeft(aNew, b2, Seq("jk"))))
+    assert(step2.filter($"a_id" === 3L && $"b_id".isNull).count() == 1L)
+    assert(step2.filter($"a_id" === 2L && $"b_val" === "b-late").count() == 1L)
+  }
+
+  test("left: real tables, all change classes at once — maintained == full LEFT re-join") {
+    val cust = Tables.load(spark, sf(), "customer")
+      .select($"c_custkey", $"c_nationkey".as("nationkey"), $"c_acctbal")
+    // only 2 suppliers at sf0.001 after the %2 cut: most nations are
+    // B-less, so the null-extended slice genuinely dominates
+    val supp = Tables.load(spark, sf(), "supplier")
+      .filter($"s_suppkey" % 2 === 0)
+      .select($"s_suppkey", $"s_nationkey".as("nationkey"), $"s_acctbal")
+    val cDel = cust.filter($"c_custkey" % 13 === 0).select("c_custkey")
+    val cIns = cust.filter($"c_custkey" % 11 === 0)
+      .withColumn("c_custkey", $"c_custkey" + 9000000L)
+      .withColumn("nationkey", ($"nationkey" + 7) % 25)
+    val sDel = supp.filter($"s_suppkey" % 4 === 0).select("s_suppkey")
+    val sIns = supp.filter($"s_suppkey" % 3 === 0)
+      .withColumn("s_suppkey", $"s_suppkey" + 9000000L)
+      .withColumn("nationkey", ($"nationkey" + 3) % 25)
+    val cNew = cust.join(cDel, Seq("c_custkey"), "left_anti").unionByName(cIns)
+    val sNew = supp.join(sDel, Seq("s_suppkey"), "left_anti").unionByName(sIns)
+    val maintained = IncrementalJoin.applyCdcLeft(
+      IncrementalJoin.joinStateLeft(cust, supp, Seq("nationkey")),
+      "c_custkey", "s_suppkey", Seq("nationkey"),
+      cIns, cDel, sIns, sDel, cNew, sNew)
+    val scratch = IncrementalJoin.joinStateLeft(cNew, sNew, Seq("nationkey"))
+    assert(canon(maintained) == canon(scratch))
+    assert(maintained.filter($"s_suppkey".isNull).count() > 0,
+      "fixture must exercise the null-extended slice")
+  }
+
   test("joinState rejects clashing non-key columns") {
     val a = Seq((1L, 10, "x")).toDF("a_id", "jk", "v")
     val b = Seq((1L, 10, "y")).toDF("b_id", "jk", "v")
