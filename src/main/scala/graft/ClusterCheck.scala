@@ -93,6 +93,8 @@ object ClusterCheck {
                                   // agg-state retraction across executor JVMs (r10)
     "q_stat_trend",               // exact decimal co-moment partials merged across JVMs,
                                   // then the fixed-order IEEE closed form (r10)
+    "q_cdc_incremental_left",     // null-extended slice unions + dead-key survival
+                                  // probes across executor JVMs (r10)
   )
 
   private def runAll(master: String, sfDir: String): Map[String, Seq[String]] = {

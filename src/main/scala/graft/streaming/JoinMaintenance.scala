@@ -55,12 +55,18 @@ object JoinMaintenance {
     *                  layout); absent/empty = start from an empty view
     * @param schema   the CDC-row schema — REQUIRED when `cdcDir` has no
     *                  files yet (starting the maintenance query ahead of
-    *                  the producer); otherwise inferred from the dir */
+    *                  the producer); otherwise inferred from the dir
+    * @param leftJoin maintain a LEFT-join view: A rows without a B
+    *                  partner ride null-extended ([[IncrementalJoin
+    *                  .applyCdcLeft]]); with B static the zero-crossing
+    *                  transitions never fire from the B side, so the
+    *                  per-trigger fold only routes inserted A rows to
+    *                  the matched or null-extended slice */
   def maintainJoinView(spark: SparkSession, cdcDir: String, bDir: String,
       viewDir: String, checkpointDir: String,
       aKey: String, bKey: String, joinKeys: Seq[String], opCol: String = "op",
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1, leftJoin: Boolean = false): StreamingQuery = {
     require(schema.nonEmpty || hasParquet(spark, cdcDir),
       s"maintainJoinView: $cdcDir has no parquet yet — pass schema= to " +
         "start the maintenance query ahead of the CDC producer")
@@ -88,13 +94,19 @@ object JoinMaintenance {
         val aDel = batch.filter(col(opCol) =!= "I").select(col(aKey))
         val view =
           if (hasParquet(spark, viewDir)) spark.read.parquet(viewDir)
+          else if (leftJoin) IncrementalJoin.joinStateLeft(aIns.limit(0), b, joinKeys)
           else IncrementalJoin.joinState(aIns.limit(0), b, joinKeys)
-        val folded = IncrementalJoin.applyCdc(view, aKey, bKey, joinKeys,
-          aInserts = aIns, aDeletes = aDel,
-          bInserts = b.limit(0), bDeletes = b.select(col(bKey)).limit(0),
-          // A is never materialized; aSnapshot is only consulted for
-          // B-side inserts, which this maintenance shape never has
-          aSnapshot = aIns.limit(0), bSnapshot = b)
+        def fold(f: (DataFrame, String, String, Seq[String], DataFrame,
+            DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) => DataFrame) =
+          f(view, aKey, bKey, joinKeys,
+            aIns, aDel,
+            b.limit(0), b.select(col(bKey)).limit(0),
+            // A is never materialized; aSnapshot is only consulted for
+            // B-side inserts, which this maintenance shape never has
+            aIns.limit(0), b)
+        val folded =
+          if (leftJoin) fold(IncrementalJoin.applyCdcLeft)
+          else fold(IncrementalJoin.applyCdc)
         // pin before the overwrite: folded's lineage reads viewDir
         folded.localCheckpoint().write.mode("overwrite").parquet(viewDir)
         ()

@@ -133,6 +133,36 @@ class JoinMaintenanceSpec extends SparkTestBase {
     assert(e.getMessage.contains("pass schema="))
   }
 
+  test("leftJoin mode: dimension-less A rows ride null-extended through the fold") {
+    val root = java.nio.file.Files.createTempDirectory("graft-joinleft")
+    val orders = Tables.load(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // only even custkeys exist in the dim — odd-custkey orders must
+    // survive null-extended, and a blind inner fold would LOSE them
+    val custDim = Tables.load(spark, sf(), "customer")
+      .filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    custDim.write.parquet(s"$root/dim")
+    val a0 = orders.filter(col("o_orderkey") % 4 === 1)
+    graft.operators.IncrementalJoin.joinStateLeft(a0, custDim, Seq("o_custkey"))
+      .write.parquet(s"$root/view")
+    val ins = orders.filter(col("o_orderkey") % 4 === 2).withColumn("op", lit("I"))
+    val del = a0.filter(col("o_orderkey") % 3 === 0).withColumn("op", lit("D"))
+    Seq(ins, del).foreach(_.coalesce(1).write.mode("append").parquet(s"$root/cdc"))
+    val q = JoinMaintenance.maintainJoinView(spark, s"$root/cdc", s"$root/dim",
+      s"$root/view", s"$root/chk", "o_orderkey", "o_custkey", Seq("o_custkey"),
+      leftJoin = true)
+    q.awaitTermination()
+    val aFinal = a0.filter(col("o_orderkey") % 3 =!= 0).unionByName(ins.drop("op"))
+    val want = graft.operators.IncrementalJoin.joinStateLeft(
+      aFinal, custDim, Seq("o_custkey"))
+    val got = spark.read.parquet(s"$root/view")
+    assert(canon(got.select(want.columns.map(col): _*)) == canon(want))
+    assert(got.filter(col("c_mktsegment").isNull).count() > 0,
+      "fixture must exercise the null-extended slice")
+    assert(got.count() == aFinal.count(), "a LEFT view keeps every A row")
+  }
+
   test("empty view dir bootstraps from the first batch") {
     val root = java.nio.file.Files.createTempDirectory("graft-joinboot")
     val cdcDir = s"$root/cdc"
