@@ -30,25 +30,35 @@ object IvmProbe {
     val sfDir = args(0)
     val deltaPct = if (args.length > 1) args(1).toInt else 1
     val reps = if (args.length > 2) args(2).toInt else 3
-    require(deltaPct >= 1 && deltaPct <= 50, "deltaPct in [1,50]")
+    // non-divisors would silently shift the ACTUAL updated fraction
+    // (mod = 100/deltaPct truncates) while the JSON reported the request
+    require(deltaPct >= 1 && deltaPct <= 50 && 100 % deltaPct == 0,
+      s"deltaPct must divide 100 (got $deltaPct) so the reported " +
+        "fraction is the applied one")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // no spark.driver.memory here: the JVM is already running (sbt fork
+    // options own the heap) and a builder config would be a silent no-op
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-ivmprobe")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.IncrementalJoin
 
     val joinKeys = Seq("o_orderkey")
-    def lineitem: DataFrame = sources.Tables.load(spark, sfDir, "lineitem")
-      .select(
-        (col("l_orderkey") * 8 + col("l_linenumber")).as("l_rowid"),
-        col("l_orderkey").as("o_orderkey"),
+    // the A-side row key must honor applyCdc's uniqueness contract —
+    // GenData's (l_orderkey, l_linenumber) pairs COLLIDE (independent
+    // hashes of the row id; ~24% of sf0.01 rows share a composite), so
+    // the key is minted fresh at staging time and all consumers read the
+    // STAGED table, never re-derive it
+    def lineitemRaw: DataFrame = sources.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"),
         col("l_quantity"), col("l_extendedprice"))
+      .withColumn("l_rowid", monotonically_increasing_id())
+      .select("l_rowid", "o_orderkey", "l_quantity", "l_extendedprice")
     def orders: DataFrame = sources.Tables.load(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
 
@@ -59,7 +69,15 @@ object IvmProbe {
     // pays in production. The timed section below reads everything from
     // disk on both paths.
     val root = java.nio.file.Files.createTempDirectory("graft-ivmprobe").toString
+    def rd(name: String): DataFrame = spark.read.parquet(s"$root/$name")
     val mod = 100 / deltaPct
+    // stage the keyed A base FIRST and derive everything from the staged
+    // copy — monotonically_increasing_id is only stable within one write
+    lineitemRaw.write.parquet(s"$root/a_base")
+    def lineitem: DataFrame = rd("a_base")
+    val (nA, nAk) = (lineitem.count(),
+      lineitem.select("l_rowid").distinct().count())
+    require(nA == nAk, s"staged row key not unique: $nA rows, $nAk keys")
     val stage = Map(
       "view" -> IncrementalJoin.joinState(lineitem, orders, joinKeys),
       "a_del" -> lineitem.filter(col("l_rowid") % mod === 0).select("l_rowid"),
@@ -76,7 +94,6 @@ object IvmProbe {
         orders.filter(col("o_orderkey") % (mod * 4) === 0)
           .withColumn("o_totalprice", col("o_totalprice") + 10.0)))
     stage.foreach { case (name, df) => df.write.parquet(s"$root/$name") }
-    def rd(name: String): DataFrame = spark.read.parquet(s"$root/$name")
 
     // wall-clock alone misleads here: on one box the shuffle is a local
     // file copy, so the fold's extra view-scan bytes mask the claim that
@@ -134,6 +151,10 @@ object IvmProbe {
     }
     out.append("}")
     println(out.result())
+    // the staged copies are multi-GB at sf10 — drop them with the run
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(rootPath, true)
     spark.stop()
   }
 }

@@ -78,15 +78,8 @@ object IncrementalJoin {
     * order = joinKeys ++ A-rest ++ B-rest (Spark's `join(_, keys)`
     * layout) — [[applyCdc]] emits the same layout, so state files round-
     * trip without reordering. */
-  def joinState(a: DataFrame, b: DataFrame, joinKeys: Seq[String]): DataFrame = {
-    require(joinKeys.nonEmpty, "joinState needs at least one join key")
-    requireCols(a, joinKeys, "joinState A side")
-    requireCols(b, joinKeys, "joinState B side")
-    val clash = (a.columns.toSet intersect b.columns.toSet) -- joinKeys.toSet
-    require(clash.isEmpty,
-      s"joinState: non-join-key columns shared by both sides: ${clash.mkString(", ")}")
-    a.join(b, joinKeys)
-  }
+  def joinState(a: DataFrame, b: DataFrame, joinKeys: Seq[String]): DataFrame =
+    joinStateImpl(a, b, joinKeys, "inner", "joinState")
 
   /** Fold one CDC batch (per-side inserts + deletes) into the view.
     *
@@ -173,14 +166,18 @@ object IncrementalJoin {
 
   /** Initial materialization of the LEFT-join view: A rows without a B
     * partner ride along null-extended. Same layout as [[joinState]]. */
-  def joinStateLeft(a: DataFrame, b: DataFrame, joinKeys: Seq[String]): DataFrame = {
-    require(joinKeys.nonEmpty, "joinStateLeft needs at least one join key")
-    requireCols(a, joinKeys, "joinStateLeft A side")
-    requireCols(b, joinKeys, "joinStateLeft B side")
+  def joinStateLeft(a: DataFrame, b: DataFrame, joinKeys: Seq[String]): DataFrame =
+    joinStateImpl(a, b, joinKeys, "left", "joinStateLeft")
+
+  private def joinStateImpl(a: DataFrame, b: DataFrame, joinKeys: Seq[String],
+      joinType: String, what: String): DataFrame = {
+    require(joinKeys.nonEmpty, s"$what needs at least one join key")
+    requireCols(a, joinKeys, s"$what A side")
+    requireCols(b, joinKeys, s"$what B side")
     val clash = (a.columns.toSet intersect b.columns.toSet) -- joinKeys.toSet
     require(clash.isEmpty,
-      s"joinStateLeft: non-join-key columns shared by both sides: ${clash.mkString(", ")}")
-    a.join(b, joinKeys, "left")
+      s"$what: non-join-key columns shared by both sides: ${clash.mkString(", ")}")
+    a.join(b, joinKeys, joinType)
   }
 
   /** Fold one CDC batch into a LEFT-join view — the inner fold plus the

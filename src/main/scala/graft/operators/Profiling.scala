@@ -585,12 +585,29 @@ object Profiling {
         sum(y * y).cast("double").as("_syy"),
         // degeneracy witnesses: EXACT decimal extrema, compared exactly
         min(x).as("_xmn"), max(x).as("_xmx"),
-        min(y).as("_ymn"), max(y).as("_ymx"))
+        min(y).as("_ymn"), max(y).as("_ymx"),
+        // PRODUCT-overflow witnesses (non-ANSI only — ANSI throws in the
+        // multiply itself): x,y are non-null post filter, so a product
+        // count below n means a precision-capped product nulled out and
+        // sum() would silently skip rows that count(*) still counts
+        count(x * y).as("_cxy"), count(x * x).as("_cxx"),
+        count(y * y).as("_cyy"))
     // the fixed-order IEEE chain — keep textually in sync with the
     // q_stat_trend oracle SQL
     val nD = col("n").cast("double")
+    val productOverflow =
+      col("_cxy") =!= col("n") || col("_cxx") =!= col("n") ||
+        col("_cyy") =!= col("n")
     val withMoments = sums
-      .withColumn("_cnum", nD * col("_sxy") - col("_sx") * col("_sy"))
+      // the loud-overflow discipline extended to the PRODUCTS: under
+      // ansi.enabled=false an overflowing x*y nulls and sum() skips it
+      // while n still counts the row — a silently skewed fit
+      .withColumn("_guard", when(productOverflow,
+        raise_error(lit("trendFit: a decimal product overflowed its " +
+          "precision-capped type — widen xType/yType headroom"))))
+      .withColumn("_cnum",
+        when(col("_guard").isNull,
+          nD * col("_sxy") - col("_sx") * col("_sy")))
       .withColumn("_denx", nD * col("_sxx") - col("_sx") * col("_sx"))
       .withColumn("_deny", nD * col("_syy") - col("_sy") * col("_sy"))
     // exact-decimal degeneracy first; the `=== 0.0` legs are the belt for

@@ -43,7 +43,7 @@ object AggMaintenance {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val delta = IncrementalAgg.state(batch, keys, measures)
         val merged =
-          if (hasParquet(spark, stateDir))
+          if (StateDirs.hasParquetData(spark, stateDir))
             IncrementalAgg.merge(keys, measures,
               spark.read.parquet(stateDir), delta)
           else delta
@@ -54,10 +54,4 @@ object AggMaintenance {
       .start()
   }
 
-  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(s =>
-      s.isFile && s.getPath.getName.endsWith(".parquet"))
-  }
 }

@@ -66,12 +66,12 @@ object CorpusIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (hashIndex && !hashBackfillDone) {
-          if (hasParquet(spark, corpusDir)) {
+          if (StateDirs.hasParquetData(spark, corpusDir)) {
             val corpusHashes = spark.read.parquet(corpusDir)
               .select(md5(org.apache.spark.sql.functions.col(textCol))
                 .as("corpus_content_hash"))
             val missing =
-              if (hasParquet(spark, hashDir))
+              if (StateDirs.hasParquetData(spark, hashDir))
                 corpusHashes.join(spark.read.parquet(hashDir),
                   Seq("corpus_content_hash"), "left_anti")
               else corpusHashes
@@ -83,12 +83,12 @@ object CorpusIngest {
         }
         val fresh = Dedup.exactDedup(batch, idCol, textCol)
         val survivors =
-          if (!hasParquet(spark, corpusDir)) fresh
+          if (!StateDirs.hasParquetData(spark, corpusDir)) fresh
           else nearDupThreshold match {
             case Some(t) =>
               Dedup.dedupAgainstCorpus(fresh, spark.read.parquet(corpusDir),
                 idCol, textCol, threshold = t)
-            case None if hashIndex && hasParquet(spark, hashDir) =>
+            case None if hashIndex && StateDirs.hasParquetData(spark, hashDir) =>
               Dedup.exactAgainstHashes(fresh, spark.read.parquet(hashDir), textCol)
             case None =>
               Dedup.exactAgainstCorpus(fresh, spark.read.parquet(corpusDir), textCol)
@@ -147,7 +147,7 @@ object CorpusIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val fresh = Dedup.exactDedup(batch, idCol, textCol)
         val survivors =
-          if (!hasParquet(spark, corpusDir)) fresh
+          if (!StateDirs.hasParquetData(spark, corpusDir)) fresh
           else Dedup.exactAgainstCorpus(fresh, spark.read.parquet(corpusDir), textCol)
         // localCheckpoint — NOT persist: the corpus append below calls
         // refreshByPath(corpusDir), which UNCACHES any cached plan whose
@@ -232,7 +232,7 @@ object CorpusIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val fresh = batch.dropDuplicates(idCol)
         val survivors =
-          if (!hasParquet(spark, corpusDir)) fresh
+          if (!StateDirs.hasParquetData(spark, corpusDir)) fresh
           else fresh.join(
             spark.read.parquet(corpusDir)
               .select(org.apache.spark.sql.functions.col(idCol)),
@@ -323,7 +323,7 @@ object CorpusIngest {
             Seq("doc_id"), "left")
           .localCheckpoint()
         val survivorIds =
-          if (!hasParquet(spark, sigsDir)) sigsNew.select("doc_id")
+          if (!StateDirs.hasParquetData(spark, sigsDir)) sigsNew.select("doc_id")
           else {
             val sigIdx = spark.read.parquet(sigsDir)
             val exactIds = sigsNew.join(
@@ -331,7 +331,7 @@ object CorpusIngest {
               .select("doc_id")
             // a corpus of only too-short-to-shingle docs has sigs but no
             // bands yet — nothing to band-probe against
-            if (!hasParquet(spark, bandsDir)) exactIds
+            if (!StateDirs.hasParquetData(spark, bandsDir)) exactIds
             else {
             val bandsNew = Dedup.minHashBands(
               sigsNew.join(exactIds, Seq("doc_id"))
@@ -380,10 +380,4 @@ object CorpusIngest {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(s =>
-      s.isFile && s.getPath.getName.endsWith(".parquet"))
-  }
 }

@@ -39,7 +39,7 @@ object DriftMonitor {
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
     val srcSchema = schema.getOrElse(spark.read.parquet(sourceDir).schema)
     val refDir = s"$outDir/_reference_hist"
-    if (!hasParquet(spark, refDir))
+    if (!StateDirs.hasParquetData(spark, refDir))
       Profiling.valueHistogram(reference, valueCol)
         .write.mode("overwrite").parquet(refDir)
     spark.readStream
@@ -81,10 +81,4 @@ object DriftMonitor {
       .select(col("batch_id").cast("long"), col("n_batch"),
         col("d_stat"), col("d_at"))
 
-  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(s =>
-      s.isFile && s.getPath.getName.endsWith(".parquet"))
-  }
 }

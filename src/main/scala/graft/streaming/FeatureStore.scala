@@ -67,7 +67,7 @@ object FeatureStore {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val delta = latestState(batch, keys, tsCol, valueCols)
         val merged =
-          if (hasParquet(spark, stateDir))
+          if (StateDirs.hasParquetData(spark, stateDir))
             latestState(
               spark.read.parquet(stateDir).unionByName(delta),
               keys, tsCol, valueCols)
@@ -143,10 +143,4 @@ object FeatureStore {
   def readTrainingRows(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir).drop("batch_id")
 
-  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(s =>
-      s.isFile && s.getPath.getName.endsWith(".parquet"))
-  }
 }

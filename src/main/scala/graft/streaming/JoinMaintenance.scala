@@ -67,7 +67,7 @@ object JoinMaintenance {
       aKey: String, bKey: String, joinKeys: Seq[String], opCol: String = "op",
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       maxFilesPerTrigger: Int = 1, leftJoin: Boolean = false): StreamingQuery = {
-    require(schema.nonEmpty || hasParquet(spark, cdcDir),
+    require(schema.nonEmpty || StateDirs.hasParquetData(spark, cdcDir),
       s"maintainJoinView: $cdcDir has no parquet yet — pass schema= to " +
         "start the maintenance query ahead of the CDC producer")
     val srcSchema = schema.getOrElse(spark.read.parquet(cdcDir).schema)
@@ -93,7 +93,7 @@ object JoinMaintenance {
         // both deltas, exactly the ChangeCapture decomposition
         val aDel = batch.filter(col(opCol) =!= "I").select(col(aKey))
         val view =
-          if (hasParquet(spark, viewDir)) spark.read.parquet(viewDir)
+          if (StateDirs.hasParquetData(spark, viewDir)) spark.read.parquet(viewDir)
           else if (leftJoin) IncrementalJoin.joinStateLeft(aIns.limit(0), b, joinKeys)
           else IncrementalJoin.joinState(aIns.limit(0), b, joinKeys)
         def fold(f: (DataFrame, String, String, Seq[String], DataFrame,
@@ -114,18 +114,4 @@ object JoinMaintenance {
       .start()
   }
 
-  /** RECURSIVE parquet presence check — a view seeded with a
-    * partitionBy() layout keeps its data in subdirectories; a top-level-
-    * only check would read such a dir as "absent" and the next fold
-    * would bootstrap an EMPTY view over the existing state. */
-  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return false
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      if (it.next().getPath.getName.endsWith(".parquet")) return true
-    }
-    false
-  }
 }
