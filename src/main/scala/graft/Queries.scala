@@ -6275,6 +6275,11 @@ object Queries {
     val fx = cdcJoinFixture(s, d)
     val keys = Seq("nationkey")
     val measures = Seq("c_acctbal", "s_acctbal")
+    // deliberately NOT pinned: a localCheckpoint of v0 was measured at
+    // parity (4.2 s steady either way at sf0.1, BASELINE.md r10) — the
+    // cost is the fold's many small stages, not re-deriving the base
+    // join, and the plain declarative form keeps Catalyst free to reuse
+    // exchanges (and avoids a block-storage residue per invocation)
     val v0 = IncrementalJoin.joinState(fx.cust, fx.supp, Seq("nationkey"))
     val delta = IncrementalJoin.applyCdcWithDelta(v0,
       "c_custkey", "s_suppkey", Seq("nationkey"),
