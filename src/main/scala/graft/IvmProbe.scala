@@ -22,7 +22,15 @@ import org.apache.spark.sql.functions._
   * reported individually — rep0 carries JIT/readahead warmup (the
   * BASELINE.md measurement discipline).
   *
-  * Usage: `runMain graft.IvmProbe <sfDir> [deltaPct] [reps]`
+  * The LEFT mode measures [[IncrementalJoin.applyCdcLeft]] against the
+  * from-scratch left re-join on a fixture where every extra probe is
+  * LIVE: the base B is given a key gap (so the initial view carries
+  * null-extended rows), half the deleted B keys are never re-inserted
+  * (dead-key zero-crossings — orders is unique per o_orderkey, so a
+  * delete IS the key's last row), and some A updates land in the gap
+  * (insert-unmatched probe).
+  *
+  * Usage: `runMain graft.IvmProbe <sfDir> [deltaPct] [reps] [inner|left|both]`
   */
 object IvmProbe {
 
@@ -30,6 +38,9 @@ object IvmProbe {
     val sfDir = args(0)
     val deltaPct = if (args.length > 1) args(1).toInt else 1
     val reps = if (args.length > 2) args(2).toInt else 3
+    val mode = if (args.length > 3) args(3) else "inner"
+    require(Set("inner", "left", "both")(mode),
+      s"mode must be inner|left|both (got $mode)")
     // non-divisors would silently shift the ACTUAL updated fraction
     // (mod = 100/deltaPct truncates) while the JSON reported the request
     require(deltaPct >= 1 && deltaPct <= 50 && 100 % deltaPct == 0,
@@ -69,6 +80,11 @@ object IvmProbe {
     // pays in production. The timed section below reads everything from
     // disk on both paths.
     val root = java.nio.file.Files.createTempDirectory("graft-ivmprobe").toString
+    // staging leaves multi-GB behind at sf10 — anything that throws from
+    // here on (the staging requires, a rep row-count mismatch, any Spark
+    // failure) must still drop the dir, hence the try/finally around the
+    // whole staged lifetime
+    try {
     def rd(name: String): DataFrame = spark.read.parquet(s"$root/$name")
     val mod = 100 / deltaPct
     // stage the keyed A base FIRST and derive everything from the staged
@@ -94,6 +110,32 @@ object IvmProbe {
         orders.filter(col("o_orderkey") % (mod * 4) === 0)
           .withColumn("o_totalprice", col("o_totalprice") + 10.0)))
     stage.foreach { case (name, df) => df.write.parquet(s"$root/$name") }
+
+    if (mode != "inner") {
+      // left-mode fixture: B loses every 50th key up front (the initial
+      // view carries that gap null-extended, and A updates landing in it
+      // exercise the insert-unmatched probe); of the churned B keys only
+      // HALF come back, so the other half are dead-key zero-crossings —
+      // orders is unique per o_orderkey, making each such delete the
+      // key's last row. The B row key must be a B-SIDE column distinct
+      // from the join key (the unmatched slice is the view's
+      // bKey-IS-NULL slice, and the join key survives from A), hence
+      // o_rowid — a copy of o_orderkey living only on B.
+      def bLeft: DataFrame = orders.filter(col("o_orderkey") % 50 =!= 1)
+        .withColumn("o_rowid", col("o_orderkey"))
+      val stageLeft = Map(
+        "view_left" -> IncrementalJoin.joinStateLeft(lineitem, bLeft, joinKeys),
+        "b_del_left" -> bLeft.filter(col("o_orderkey") % (mod * 4) === 0)
+          .select("o_rowid"),
+        "b_ins_left" -> bLeft.filter(col("o_orderkey") % (mod * 8) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 10.0),
+        "b_new_left" -> bLeft.filter(col("o_orderkey") % (mod * 4) =!= 0)
+          .unionByName(bLeft.filter(col("o_orderkey") % (mod * 8) === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 10.0)))
+      stageLeft.foreach { case (name, df) => df.write.parquet(s"$root/$name") }
+      val nullExt = rd("view_left").filter(col("o_rowid").isNull).count()
+      require(nullExt > 0, "left fixture must carry live null-extended rows")
+    }
 
     // wall-clock alone misleads here: on one box the shuffle is a local
     // file copy, so the fold's extra view-scan bytes mask the claim that
@@ -134,27 +176,52 @@ object IvmProbe {
     }
 
     val out = new StringBuilder
-    out.append(s"""{"probe":"ivm","sf_dir":"$sfDir","delta_pct":$deltaPct""")
+    out.append(s"""{"probe":"ivm","sf_dir":"$sfDir","delta_pct":$deltaPct,"mode":"$mode"""")
     (0 until reps).foreach { r =>
-      val (tScratch, nScratch, mbScratch, rcScratch) = time(
-        IncrementalJoin.joinState(rd("a_new"), rd("b_new"), joinKeys).count())
-      val (tMaint, nMaint, mbMaint, rcMaint) = time(
-        IncrementalJoin.applyCdc(rd("view"),
-          "l_rowid", "o_orderkey", joinKeys,
-          rd("a_ins"), rd("a_del"), rd("b_ins"), rd("b_del"),
-          rd("a_new"), rd("b_new")).count())
-      require(nScratch == nMaint,
-        s"row mismatch: scratch=$nScratch maintained=$nMaint")
-      out.append(
-        f""","rep$r":{"scratch_sec":$tScratch%.2f,"scratch_shuffle_mb":$mbScratch%.1f,"scratch_shuffle_rows":$rcScratch,""" +
-        f""""maintained_sec":$tMaint%.2f,"maintained_shuffle_mb":$mbMaint%.1f,"maintained_shuffle_rows":$rcMaint,"rows":$nMaint}""")
+      if (mode == "inner" || mode == "both") {
+        val (tScratch, nScratch, mbScratch, rcScratch) = time(
+          IncrementalJoin.joinState(rd("a_new"), rd("b_new"), joinKeys).count())
+        val (tMaint, nMaint, mbMaint, rcMaint) = time(
+          IncrementalJoin.applyCdc(rd("view"),
+            "l_rowid", "o_orderkey", joinKeys,
+            rd("a_ins"), rd("a_del"), rd("b_ins"), rd("b_del"),
+            rd("a_new"), rd("b_new")).count())
+        require(nScratch == nMaint,
+          s"row mismatch: scratch=$nScratch maintained=$nMaint")
+        out.append(
+          f""","rep$r":{"scratch_sec":$tScratch%.2f,"scratch_shuffle_mb":$mbScratch%.1f,"scratch_shuffle_rows":$rcScratch,""" +
+          f""""maintained_sec":$tMaint%.2f,"maintained_shuffle_mb":$mbMaint%.1f,"maintained_shuffle_rows":$rcMaint,"rows":$nMaint}""")
+      }
+      if (mode == "left" || mode == "both") {
+        // same count()-terminal discipline as the inner reps; the
+        // null-extended slice is counted separately so the report
+        // certifies the zero-crossing paths actually carried rows
+        val (tScratch, nScratch, mbScratch, rcScratch) = time(
+          IncrementalJoin.joinStateLeft(
+            rd("a_new"), rd("b_new_left"), joinKeys).count())
+        val maintained = IncrementalJoin.applyCdcLeft(rd("view_left"),
+          "l_rowid", "o_rowid", joinKeys,
+          rd("a_ins"), rd("a_del"), rd("b_ins_left"), rd("b_del_left"),
+          rd("a_new"), rd("b_new_left"))
+        val (tMaint, nMaint, mbMaint, rcMaint) = time(maintained.count())
+        require(nScratch == nMaint,
+          s"left row mismatch: scratch=$nScratch maintained=$nMaint")
+        val nNull = maintained.filter(col("o_rowid").isNull).count()
+        require(nNull > 0, "left view lost its null-extended slice")
+        out.append(
+          f""","left_rep$r":{"scratch_sec":$tScratch%.2f,"scratch_shuffle_mb":$mbScratch%.1f,"scratch_shuffle_rows":$rcScratch,""" +
+          f""""maintained_sec":$tMaint%.2f,"maintained_shuffle_mb":$mbMaint%.1f,"maintained_shuffle_rows":$rcMaint,"rows":$nMaint,"null_extended":$nNull}""")
+      }
     }
     out.append("}")
     println(out.result())
-    // the staged copies are multi-GB at sf10 — drop them with the run
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(rootPath, true)
-    spark.stop()
+    } finally {
+      // the staged copies are multi-GB at sf10 — drop them however the
+      // run ends (ADVICE r10: the requires above used to leak the dir)
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      spark.stop()
+    }
   }
 }

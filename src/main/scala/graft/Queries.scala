@@ -2621,6 +2621,70 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  q("q_join_setsim_partition",
+    // the same exact join at 17/20 — the regime where jaccardJoin's
+    // profile dispatches to UNIVERSE PARTITIONING (kMax = 4 > 1 rules
+    // out deletion; D = 2·szMax·3/37+1 = 6 ≤ szMin keeps it): the
+    // vocabulary is hashed into D groups and a qualifying pair's ≤ Δmax
+    // differing tokens leave one group projection-identical. Registered
+    // separately from q_join_setsim (which dispatches to deletion at
+    // 19/20) so the driver gate certifies THIS strategy's no-loss
+    // property against the same brute-force replay; SetSimJoinSpec pins
+    // the dispatch so fixture drift cannot silently swap the certified
+    // path. Oracle = brute force, boundary pairs gated in integers.
+    """WITH sets AS (
+      |  SELECT doc_id, list_distinct(
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS toks
+      |  FROM documents),
+      |ne AS (
+      |  SELECT doc_id, toks, len(toks)::BIGINT AS sz FROM sets WHERE len(toks) > 0),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.toks, b.toks))::BIGINT AS ix,
+      |    a.sz AS sz_a, b.sz AS sz_b
+      |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, ix, sz_a, sz_b,
+      |  CAST(round(CAST(CAST((ix * 1.0 / (sz_a + sz_b - ix)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS jaccard
+      |FROM pairs
+      |WHERE ix * 20 >= 17 * (sz_a + sz_b - ix)
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.SetSimJoin.jaccardJoin(
+        t(s, d, "documents"), "doc_id", "text", tNum = 17, tDen = 20)
+      .orderBy("id_a", "id_b")
+  }
+
+  q("q_join_setsim_prefix",
+    // the same exact join at 3/5 over the doc_id ≡ 0 (mod 10) stratum —
+    // the low-threshold regime where jaccardJoin dispatches to PPJOIN
+    // PREFIX FILTERING (kMax ≈ 12 rules out deletion; D = 16 > szMin
+    // rules out partitioning): rare-first token order, prefix length
+    // sz − ceil(t·sz) + 1, pigeonhole makes the prefix equi-join
+    // lossless. The stratum keeps the low-threshold answer (and the
+    // all-pairs oracle) bench-sized while leaving the dispatch profile
+    // in the prefix regime at every fixture SF (spec-pinned). Oracle =
+    // brute force over the same stratum.
+    """WITH sets AS (
+      |  SELECT doc_id, list_distinct(
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS toks
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |ne AS (
+      |  SELECT doc_id, toks, len(toks)::BIGINT AS sz FROM sets WHERE len(toks) > 0),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.toks, b.toks))::BIGINT AS ix,
+      |    a.sz AS sz_a, b.sz AS sz_b
+      |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, ix, sz_a, sz_b,
+      |  CAST(round(CAST(CAST((ix * 1.0 / (sz_a + sz_b - ix)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS jaccard
+      |FROM pairs
+      |WHERE ix * 5 >= 3 * (sz_a + sz_b - ix)
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.SetSimJoin.jaccardJoin(
+        t(s, d, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", tNum = 3, tDen = 5)
+      .orderBy("id_a", "id_b")
+  }
+
   q("q_dedup_clusters",
     // connected components over the near-dup pairs; the oracle computes
     // min-reachable-id per node via a recursive transitive closure

@@ -598,13 +598,25 @@ object Profiling {
     val productOverflow =
       col("_cxy") =!= col("n") || col("_cxx") =!= col("n") ||
         col("_cyy") =!= col("n")
+    // the AGGREGATED sums can overflow too: decimal precision is capped
+    // at 38, and under ansi.enabled=false an overflowed sum() returns
+    // NULL — which downstream would be indistinguishable from a
+    // degenerate group. Every group here has n ≥ 1 non-null x,y (the
+    // filter above), so a NULL sum can ONLY mean sum overflow.
+    val sumOverflow =
+      col("_sx").isNull || col("_sy").isNull || col("_sxy").isNull ||
+        col("_sxx").isNull || col("_syy").isNull
     val withMoments = sums
       // the loud-overflow discipline extended to the PRODUCTS: under
       // ansi.enabled=false an overflowing x*y nulls and sum() skips it
       // while n still counts the row — a silently skewed fit
       .withColumn("_guard", when(productOverflow,
         raise_error(lit("trendFit: a decimal product overflowed its " +
-          "precision-capped type — widen xType/yType headroom"))))
+          "precision-capped type — widen xType/yType headroom")))
+        .when(sumOverflow,
+          raise_error(lit("trendFit: an aggregated co-moment sum " +
+            "overflowed decimal(38) — widen xType/yType headroom or " +
+            "pre-scale the inputs"))))
       .withColumn("_cnum",
         when(col("_guard").isNull,
           nD * col("_sxy") - col("_sx") * col("_sy")))

@@ -133,6 +133,32 @@ object SetSimJoin {
     // consume it — unpinned, each reference would re-run the full
     // tokenize scan (4 corpus parses per call)
     val sets = tokenFrames(docs, idCol, textCol).localCheckpoint()
+    val p = profileFrom(sets, tNum, tDen)
+    p.strategy match {
+      case "deletion" => jaccardJoinDeletionFrom(sets, tNum, tDen)
+      case "partition" => jaccardJoinPartitionFrom(sets, tNum, tDen, p.d)
+      case _ => jaccardJoinPrefixFrom(sets, tNum, tDen)
+    }
+  }
+
+  /** The profile [[jaccardJoin]] dispatches on, plus the chosen strategy
+    * name ("deletion" | "partition" | "prefix"). The dispatch is
+    * data-dependent, so a registered query certifying one strategy can
+    * silently start certifying another if the fixture drifts —
+    * [[dispatchProfile]] exposes the decision so specs PIN which
+    * strategy each registered gate actually runs (SetSimJoinSpec). */
+  final case class DispatchProfile(kMax: Long, szMax: Long, szMin: Long,
+      d: Int, strategy: String)
+
+  /** Compute the dispatch decision for a corpus + threshold WITHOUT
+    * running the join — same tokenizer, same aggregate, same rules as
+    * [[jaccardJoin]] (both call [[profileFrom]]). */
+  def dispatchProfile(docs: DataFrame, idCol: String, textCol: String,
+      tNum: Int, tDen: Int): DispatchProfile =
+    profileFrom(tokenFrames(docs, idCol, textCol), tNum, tDen)
+
+  private def profileFrom(sets: DataFrame,
+      tNum: Int, tDen: Int): DispatchProfile = {
     // profile-then-decide: one cheap aggregate over the token-set frame
     // (docs-count rows; at 100 TB a column-pruned scan + a 1-row agg)
     val prof = sets.agg(
@@ -140,19 +166,21 @@ object SetSimJoin {
       max(col("sz")).as("szMax"), min(col("sz")).as("szMin")).head()
     // empty corpus (no docs, or all-whitespace text): null aggregates —
     // any strategy returns the correct empty frame; pick prefix (lazy)
-    if (prof.isNullAt(0)) return jaccardJoinPrefixFrom(sets, tNum, tDen)
+    if (prof.isNullAt(0)) return DispatchProfile(0L, 0L, 0L, 1, "prefix")
     val (kMax, szMax, szMin) =
       (prof.getLong(0), prof.getLong(1), prof.getLong(2))
     // universe-partition group count: a qualifying pair's symmetric
     // difference is Δ ≤ (1−t)(|a|+|b|)/(1+t) ≤ 2·szMax·(tDen−tNum)/
     // (tDen+tNum); D = ⌊Δmax⌋+1 groups pigeonhole one group diff-free
     val d = (2L * szMax * (tDen - tNum) / (tDen + tNum)).toInt + 1
-    if (kMax <= 1L) jaccardJoinDeletionFrom(sets, tNum, tDen)
-    // D ≤ szMin keeps expected per-group projections non-empty (docs
-    // smaller than D have guaranteed-empty groups, and empty matches
-    // empty universally — the scheme's degenerate stratum)
-    else if (d <= szMin) jaccardJoinPartitionFrom(sets, tNum, tDen, d)
-    else jaccardJoinPrefixFrom(sets, tNum, tDen)
+    val strategy =
+      if (kMax <= 1L) "deletion"
+      // D ≤ szMin keeps expected per-group projections non-empty (docs
+      // smaller than D have guaranteed-empty groups, and empty matches
+      // empty universally — the scheme's degenerate stratum)
+      else if (d <= szMin) "partition"
+      else "prefix"
+    DispatchProfile(kMax, szMax, szMin, d, strategy)
   }
 
   /** Universe-partitioning strategy (exact; Deng et al., PVLDB 2016):

@@ -114,4 +114,137 @@ object JoinMaintenance {
       .start()
   }
 
+  /** Two-sided streaming JOIN-view maintenance: ONE op-tagged-union CDC
+    * log carries changes for BOTH sides (`sideCol` ∈ {'A','B'} routes,
+    * `opCol` ∈ {'I','U','D'} as above), lifting [[maintainJoinView]]'s
+    * B-static restriction. The job owns TWO state tables: the view and
+    * the B dimension state (`bStateDir`, bootstrapped from `bInitDir`);
+    * per trigger the batch's B ops fold into B′ first, then the view
+    * folds through the batch [[IncrementalJoin]] API against B′.
+    *
+    * A-side state: NEVER materialized. For a LEFT view every A row is
+    * present (matched or null-extended), so A′ is reconstructed exactly
+    * as the view's A-slice with the batch's A ops applied — which is
+    * why B-side INSERTS (the probe that needs the post-change A) are
+    * supported only under `leftJoin = true`. An INNER view drops
+    * match-less A rows, so A′ is unrecoverable from it: a B insert
+    * would silently miss pairs with those rows — the fold RAISES on
+    * inner + B-side I/U instead (B-side deletes are self-contained and
+    * allowed; use the left view, or the batch API with a real A
+    * snapshot, for inner B churn).
+    *
+    * Left-join zero-crossings fire from the STREAM in both directions:
+    * a B delete that kills a join key's last row null-extends its
+    * untouched A rows; a first B insert flips them back (spec-pinned
+    * streaming == batch with both directions live).
+    *
+    * Schema contract: the log's columns = A's columns ∪ B's columns ∪
+    * {side, op}, join keys shared; a row populates its own side's
+    * columns (the other side's are ignored). B-only columns are derived
+    * from `bInitDir`'s schema. Compaction contract per side and replay
+    * idempotence follow [[maintainJoinView]]: both state folds remove
+    * the batch's touched keys before re-adding, so a torn trigger
+    * replays to the same state regardless of which write survived.
+    * Per-trigger cost: batch scan + view-sized retained pass + B-sized
+    * state rewrite + delta-pruned probes (the overwrite storage
+    * strategy; tombstones/delete-vectors swap in unchanged). */
+  def maintainJoinViewTwoSided(spark: SparkSession, cdcDir: String,
+      bInitDir: String, viewDir: String, bStateDir: String,
+      checkpointDir: String, aKey: String, bKey: String,
+      joinKeys: Seq[String], sideCol: String = "side", opCol: String = "op",
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      maxFilesPerTrigger: Int = 1, leftJoin: Boolean = false): StreamingQuery = {
+    require(schema.nonEmpty || StateDirs.hasParquetData(spark, cdcDir),
+      s"maintainJoinViewTwoSided: $cdcDir has no parquet yet — pass " +
+        "schema= to start the maintenance query ahead of the CDC producer")
+    val srcSchema = schema.getOrElse(spark.read.parquet(cdcDir).schema)
+    val bCols = spark.read.parquet(bInitDir).columns.toSeq
+    val bOnly = bCols.filterNot(joinKeys.contains)
+    val aCols = srcSchema.fieldNames.toSeq
+      .filterNot(c => c == sideCol || c == opCol || bOnly.contains(c))
+    require(aCols.contains(aKey) && bCols.contains(bKey),
+      s"maintainJoinViewTwoSided: log/bInit schemas must carry $aKey/$bKey")
+    // a LEFT view's unmatched slice is its bKey-IS-NULL slice; a bKey
+    // that doubles as a join key is never null on a null-extended row
+    // (the join key survives from A), so B-side zero-crossings would be
+    // undetectable — reject the shape up front
+    require(!leftJoin || !joinKeys.contains(bKey),
+      s"maintainJoinViewTwoSided: leftJoin needs a B row key distinct " +
+        s"from the join keys (got $bKey ∈ ${joinKeys.mkString(",")}) — " +
+        "add a B-side copy of the key column")
+    spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(cdcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        // loud guards: unknown side or op would silently drop a change
+        val batch = rawBatch
+          .withColumn(sideCol,
+            when(col(sideCol).isin("A", "B"), col(sideCol))
+              .otherwise(raise_error(concat(
+                lit("maintainJoinViewTwoSided: invalid side '"),
+                coalesce(col(sideCol), lit("NULL")), lit("' — expected A or B")))))
+          .withColumn(opCol,
+            when(col(opCol).isin("I", "U", "D"), col(opCol))
+              .otherwise(raise_error(concat(
+                lit("maintainJoinViewTwoSided: invalid op '"),
+                coalesce(col(opCol), lit("NULL")), lit("' — expected I, U or D")))))
+          // the side guard only evaluates on rows something consumes;
+          // pinning forces both guard columns once over the whole batch
+          .localCheckpoint()
+        val aSide = batch.filter(col(sideCol) === "A")
+        val bSide = batch.filter(col(sideCol) === "B")
+        val aIns = aSide.filter(col(opCol) =!= "D").select(aCols.map(col): _*)
+        val aDel = aSide.filter(col(opCol) =!= "I").select(col(aKey))
+        val bIns = bSide.filter(col(opCol) =!= "D").select(bCols.map(col): _*)
+        val bDel = bSide.filter(col(opCol) =!= "I").select(col(bKey))
+        if (!leftJoin && bSide.filter(col(opCol) =!= "D").limit(1).count() > 0)
+          throw new IllegalArgumentException(
+            "maintainJoinViewTwoSided: B-side inserts/updates need the " +
+              "post-change A table, which an INNER view cannot " +
+              "reconstruct (match-less A rows are absent) — maintain a " +
+              "LEFT view, or fold B churn through IncrementalJoin" +
+              ".applyCdc with a real A snapshot")
+        // B′ first: remove the batch's touched B keys, add the inserts —
+        // touched-before-add makes a torn-trigger replay idempotent
+        val bPrev =
+          if (StateDirs.hasParquetData(spark, bStateDir))
+            spark.read.parquet(bStateDir)
+          else spark.read.parquet(bInitDir)
+        val bTouched = bDel.unionByName(bIns.select(col(bKey))).distinct()
+        val bNew = bPrev.join(bTouched, Seq(bKey), "left_anti")
+          .unionByName(bIns).localCheckpoint()
+        val view =
+          if (StateDirs.hasParquetData(spark, viewDir)) spark.read.parquet(viewDir)
+          else if (leftJoin) IncrementalJoin.joinStateLeft(aIns.limit(0), bPrev, joinKeys)
+          else IncrementalJoin.joinState(aIns.limit(0), bPrev, joinKeys)
+        // A′ from the left view's own A-slice + the batch's A ops (on a
+        // torn-trigger replay the view is already post-fold: the
+        // touched-key anti strips the replayed inserts before re-adding
+        // them, so A′ is identical either way). Inner mode never
+        // consults it (B inserts are rejected above).
+        val aTouched = aDel.unionByName(aIns.select(col(aKey))).distinct()
+        val aSnap =
+          if (leftJoin)
+            view.select(aCols.map(col): _*).dropDuplicates(aKey)
+              .join(aTouched, Seq(aKey), "left_anti")
+              .unionByName(aIns)
+          else aIns.limit(0)
+        val folded =
+          if (leftJoin) IncrementalJoin.applyCdcLeft(view, aKey, bKey,
+            joinKeys, aIns, aDel, bIns, bDel, aSnap, bNew)
+          else IncrementalJoin.applyCdc(view, aKey, bKey, joinKeys,
+            aIns, aDel, bIns, bDel, aSnap, bNew)
+        // pin before the overwrites (lineages read the state dirs); the
+        // write ORDER is free — both folds are replay-idempotent
+        folded.localCheckpoint().write.mode("overwrite").parquet(viewDir)
+        bNew.write.mode("overwrite").parquet(bStateDir)
+        ()
+      }
+      .start()
+  }
+
 }

@@ -19,9 +19,26 @@ private[streaming] object StateDirs {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return false
+    // skip Hadoop-hidden path components ('_'/'.' prefix) the whole way
+    // up to the state root: a crashed write can leave uncommitted
+    // _temporary/**/part-*.parquet behind, and counting those as "state
+    // exists" makes every later trigger spark.read.parquet a dir with no
+    // committed files — a permanent schema-inference failure where a
+    // clean bootstrap was the right answer.
+    val root = fs.makeQualified(p).toUri.getPath
+    def committed(f: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = f
+      while (cur != null && cur.toUri.getPath != root) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return false
+        cur = cur.getParent
+      }
+      true
+    }
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
-      if (it.next().getPath.getName.endsWith(".parquet")) return true
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet") && committed(f)) return true
     }
     false
   }

@@ -33,31 +33,40 @@ class IndexMaintenanceSpec extends SparkTestBase {
     val batches = (0 until 6).map(i =>
       emb.filter(col("vec_id") >= 40 + i * 40 && col("vec_id") < 80 + i * 40))
 
-    var unboundedCounts = Vector.empty[Int]
-    var boundedCounts = Vector.empty[Int]
+    var unboundedDelta = Vector.empty[Int]
+    var boundedDelta = Vector.empty[Int]
+    var unboundedMain = Vector.empty[Int]
     batches.foreach { b =>
       Similarity.refreshLshIndex(b, "vec_id", "embedding", unbounded,
         autoCompactEvery = 0)
       Similarity.refreshLshIndex(b, "vec_id", "embedding", bounded,
         autoCompactEvery = 3)
-      unboundedCounts :+= parquetFiles(unbounded)
-      boundedCounts :+= parquetFiles(bounded)
+      unboundedDelta :+= parquetFiles(s"$unbounded/_delta")
+      boundedDelta :+= parquetFiles(s"$bounded/_delta")
+      unboundedMain :+= parquetFiles(unbounded) - parquetFiles(s"$unbounded/_delta")
     }
-    // without compaction the count climbs monotonically — the failure
-    // mode being fixed; with the cadence it must end strictly below
-    assert(unboundedCounts.last > unboundedCounts.head,
-      s"disabled-compaction run should accumulate: $unboundedCounts")
-    assert(boundedCounts.last < unboundedCounts.last,
-      s"auto-compaction must bound growth: $boundedCounts vs $unboundedCounts")
-    // the bound is structural: after the last fold (refresh 6 of 6 at
-    // cadence 3), at most (cadence-1) refreshes of accumulation remain
-    // on top of one compacted layout (cadence 3, refreshes 3 and 6 fold)
-    assert(boundedCounts.min < boundedCounts.max,
-      s"a fold must actually have fired: $boundedCounts")
+    // refreshes land in the _delta segment (a handful of files per
+    // batch, NOT one per touched partition dir — the r10 committer-cost
+    // lesson): the main layout must not grow at all between folds...
+    assert(unboundedMain.distinct.size == 1,
+      s"refreshes must not touch the main layout: $unboundedMain")
+    // ...and with compaction disabled the delta accumulates monotonically
+    // — the failure mode the fold cadence exists to bound
+    assert(unboundedDelta.last >= 6 && unboundedDelta.last > unboundedDelta.head,
+      s"disabled-compaction delta should accumulate: $unboundedDelta")
+    // cadence 3 over 6 refreshes folds at refreshes 3 and 6: the delta
+    // must be EMPTY at the end and never exceed (cadence-1) refreshes of
+    // accumulation plus the triggering batch
+    assert(boundedDelta.last == 0,
+      s"the fold must clear the delta segment: $boundedDelta")
+    assert(boundedDelta.max < unboundedDelta.last,
+      s"auto-compaction must bound delta growth: $boundedDelta vs $unboundedDelta")
 
     // compaction is invisible to correctness: same visible rows, same
-    // probe results as the never-compacted twin
-    def rows(p: String) = spark.read.parquet(p)
+    // probe results as the never-compacted twin (readAnnIndex is the
+    // visibility lens — the uncompacted twin keeps its refreshes in the
+    // _delta segment, which a plain parquet read would miss)
+    def rows(p: String) = Similarity.readAnnIndex(spark, p, "vec_id")
       .select("vec_id", "table", "bucket").collect().map(_.toSeq).toSet
     assert(rows(bounded) == rows(unbounded))
     val probe = emb.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray

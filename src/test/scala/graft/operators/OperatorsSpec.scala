@@ -1094,8 +1094,10 @@ class OperatorsSpec extends SparkTestBase {
     val oldE = emb.filter(col("vec_id") % 3 =!= 0)
     val newE = emb.filter(col("vec_id") % 3 === 0)
     val root = java.nio.file.Files.createTempDirectory("ann_refresh")
+    // readAnnIndex = visible rows (main ∪ unfolded _delta, minus
+    // tombstones) — a plain parquet read misses unfolded refreshes
     def rows(p: String, cols: String*): Set[Seq[Any]] =
-      spark.read.parquet(p).select(cols.map(col): _*)
+      Similarity.readAnnIndex(spark, p, "vec_id").select(cols.map(col): _*)
         .collect().map(_.toSeq).toSet
     try {
       // ---- LSH
@@ -1204,7 +1206,8 @@ class OperatorsSpec extends SparkTestBase {
       s"stable batch must keep the stored centroids: $dKeep")
     assert(Similarity.readIvfCentroids(spark, keepIdx).get.map(_.toSeq)
       == cents0.map(_.toSeq), "keep branch must not touch the sidecar")
-    assert(spark.read.parquet(keepIdx).count() == 600)
+    // visible rows span main + the unfolded _delta refresh segment
+    assert(Similarity.readAnnIndex(spark, keepIdx, "vec_id").count() == 600)
 
     // ---- refit branch: planted offset → decision fires, index rebuilt
     val staleIdx = root.resolve("stale").toString
@@ -1249,8 +1252,10 @@ class OperatorsSpec extends SparkTestBase {
     val dropIds = drop.select("vec_id").collect().map(_.getLong(0)).toSet
     val probe = emb.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
     val root = java.nio.file.Files.createTempDirectory("ann_del")
+    // readAnnIndex = visible rows (main ∪ unfolded _delta, minus
+    // tombstones) — a plain parquet read misses unfolded refreshes
     def rows(p: String, cols: String*): Set[Seq[Any]] =
-      spark.read.parquet(p).select(cols.map(col): _*)
+      Similarity.readAnnIndex(spark, p, "vec_id").select(cols.map(col): _*)
         .collect().map(_.toSeq).toSet
     try {
       // ---- LSH

@@ -135,6 +135,28 @@ class SetSimJoinSpec extends SparkTestBase {
     assert(SetSimJoin.jaccardJoin(blank, "doc_id", "text", 19, 20).count() == 0)
   }
 
+  test("registered driver gates pin their dispatch strategy at every fixture SF") {
+    // the three q_join_setsim* gates certify one strategy EACH, but the
+    // dispatch is data-dependent — a regenerated fixture could silently
+    // swap which path the CORRECTNESS row certifies. This pins the
+    // decision for the exact (corpus, threshold) each registered query
+    // uses, at the spec SF and the driver-gate SF (sf0.01); the bench
+    // SF (sf0.1) shares the generator so its shape follows sf0.01.
+    for (dir <- Seq(sf(), sf("sf0.01"))) {
+      val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      val pDel = SetSimJoin.dispatchProfile(docs, "doc_id", "text", 19, 20)
+      assert(pDel.strategy == "deletion",
+        s"q_join_setsim ($dir) must certify the deletion path: $pDel")
+      val pPar = SetSimJoin.dispatchProfile(docs, "doc_id", "text", 17, 20)
+      assert(pPar.strategy == "partition",
+        s"q_join_setsim_partition ($dir) must certify universe partitioning: $pPar")
+      val slice = docs.filter(col("doc_id") % 10 === 0)
+      val pPre = SetSimJoin.dispatchProfile(slice, "doc_id", "text", 3, 5)
+      assert(pPre.strategy == "prefix",
+        s"q_join_setsim_prefix ($dir) must certify prefix filtering: $pPre")
+    }
+  }
+
   test("neither strategy's plan is a cartesian product; brute is quarantined to specs") {
     val docs = Tables.load(spark, sf(), "documents")
       .select("doc_id", "text").filter(col("doc_id") < 50)

@@ -298,7 +298,10 @@ class EventStreamsSpec extends SparkTestBase {
     val rebuilt = root.resolve("rebuilt").toString
     graft.operators.Similarity.buildIvfIndex(got, "vec_id", "embedding",
       cents, rebuilt)
-    def rows(p: String) = spark.read.parquet(p)
+    // readAnnIndex: the live index keeps its newest micro-batches in
+    // the _delta refresh segment until a fold
+    def rows(p: String) = graft.operators.Similarity
+      .readAnnIndex(spark, p, "vec_id")
       .select("vec_id", "cell_id").orderBy("vec_id").collect().toSeq
     assert(rows(idx) == rows(rebuilt) && rows(idx).size == 60,
       "live IVF index diverged from rebuild")
@@ -335,7 +338,8 @@ class EventStreamsSpec extends SparkTestBase {
     val rebuilt = root.resolve("rebuilt").toString
     graft.operators.Similarity.buildLshIndex(got, "vec_id", "embedding",
       rebuilt, nBits = 4, nTables = 3, seed = 11L)
-    def rows(p: String) = spark.read.parquet(p)
+    def rows(p: String) = graft.operators.Similarity
+      .readAnnIndex(spark, p, "vec_id")
       .select("vec_id", "table", "bucket").orderBy("vec_id", "table")
       .collect().toSeq
     assert(rows(idx) == rows(rebuilt) && rows(idx).size == 150,

@@ -163,6 +163,130 @@ class JoinMaintenanceSpec extends SparkTestBase {
     assert(got.count() == aFinal.count(), "a LEFT view keeps every A row")
   }
 
+  test("two-sided CDC: B churn folds through the stream; both left zero-crossings fire; replay is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-join2side")
+    val cdcDir = s"$root/cdc"
+    val orders = Tables.load(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // B row key (c_rowkey) is DISTINCT from the join key on purpose: the
+    // left fold's unmatched slice is the view's bKey-IS-NULL slice, and
+    // a join-key-valued bKey is never null on a null-extended row
+    val dimAll = Tables.load(spark, sf(), "customer")
+      .select(col("c_custkey").as("o_custkey"),
+        col("c_custkey").as("c_rowkey"), col("c_mktsegment"))
+    val b0 = dimAll.filter(col("o_custkey") % 2 === 0)
+    b0.write.parquet(s"$root/dim_init")
+    val a0 = orders.filter(col("o_orderkey") % 4 === 1)
+    IncrementalJoin.joinStateLeft(a0, b0, Seq("o_custkey"))
+      .write.parquet(s"$root/view")
+
+    // op-tagged-union log rows: A rows null the B-only columns and vice
+    // versa (the join key is shared)
+    def aRow(df: DataFrame, op: String) = df
+      .withColumn("c_rowkey", lit(null).cast("long"))
+      .withColumn("c_mktsegment", lit(null).cast("string"))
+      .withColumn("side", lit("A")).withColumn("op", lit(op))
+    def bRow(df: DataFrame, op: String) = df
+      .withColumn("o_orderkey", lit(null).cast("long"))
+      .withColumn("o_totalprice", lit(null).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("c_rowkey"), col("c_mktsegment"),
+        lit("B").as("side"), lit(op).as("op"))
+
+    val aIns = orders.filter(col("o_orderkey") % 4 === 2)
+    val aDel = a0.filter(col("o_orderkey") % 3 === 0)
+    val aUpd = a0.filter(col("o_orderkey") % 3 === 1)
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+    val bDead = b0.filter(col("o_custkey") % 8 === 0)      // last-row deletes
+    val bFirst = dimAll.filter(col("o_custkey") % 2 === 1) // first inserts
+      .filter(col("o_custkey") % 3 === 0)
+    val bUpd = b0.filter(col("o_custkey") % 8 === 4)
+      .withColumn("c_mktsegment", lit("UPDATED"))
+    Seq(
+      aRow(aIns, "I"),
+      bRow(bDead, "D"),
+      bRow(bFirst, "I"),
+      bRow(bUpd, "U"),
+      aRow(aDel, "D").unionByName(aRow(aUpd, "U"))
+    ).foreach(_.coalesce(1).write.mode("append").parquet(cdcDir))
+
+    val q = JoinMaintenance.maintainJoinViewTwoSided(spark, cdcDir,
+      s"$root/dim_init", s"$root/view", s"$root/bstate", s"$root/chk",
+      aKey = "o_orderkey", bKey = "c_rowkey", joinKeys = Seq("o_custkey"),
+      maxFilesPerTrigger = 1, leftJoin = true)
+    q.awaitTermination()
+
+    val aFinal = a0.filter(col("o_orderkey") % 3 =!= 0)
+      .filter(col("o_orderkey") % 3 =!= 1)
+      .unionByName(aUpd).unionByName(aIns)
+    val bFinal = b0.filter(col("o_custkey") % 8 =!= 0)
+      .filter(col("o_custkey") % 8 =!= 4)
+      .unionByName(bUpd).unionByName(bFirst)
+    val want = IncrementalJoin.joinStateLeft(aFinal, bFinal, Seq("o_custkey"))
+    val got = spark.read.parquet(s"$root/view")
+    assert(canon(got.select(want.columns.map(col): _*)) == canon(want),
+      "drained two-sided view must equal joinStateLeft(final A, final B)")
+    // B′ state table tracks the dimension exactly
+    assert(canon(spark.read.parquet(s"$root/bstate")
+      .select(bFinal.columns.map(col): _*)) == canon(bFinal))
+    // zero-crossing 1 (dead key): the deleted dims' untouched orders
+    // must survive null-extended, not vanish
+    val deadRows = got.filter(col("o_custkey") % 8 === 0)
+    assert(deadRows.count() > 0 && deadRows.filter(col("c_rowkey").isNotNull).count() == 0,
+      "B deletes must null-extend their keys' surviving A rows")
+    // zero-crossing 2 (first insert): previously-dimless odd keys now match
+    assert(got.filter(col("o_custkey") % 2 === 1 && col("o_custkey") % 3 === 0
+        && col("c_rowkey").isNotNull).count() > 0,
+      "a first B insert must flip its key's rows to matched")
+    // B payload updates reached existing pairs
+    assert(got.filter(col("c_mktsegment") === "UPDATED").count() > 0)
+    // the null-extended slice is live beyond the dead keys
+    assert(got.filter(col("c_rowkey").isNull).count() > 0)
+
+    // REPLAY falsifier: a fresh checkpoint refolds every slice into the
+    // maintained state pair — both touched-keys-first folds must make
+    // that a no-op for the view AND the B state
+    val q2 = JoinMaintenance.maintainJoinViewTwoSided(spark, cdcDir,
+      s"$root/dim_init", s"$root/view", s"$root/bstate", s"$root/chk_replay",
+      "o_orderkey", "c_rowkey", Seq("o_custkey"),
+      maxFilesPerTrigger = 1, leftJoin = true)
+    q2.awaitTermination()
+    assert(canon(spark.read.parquet(s"$root/view")
+      .select(want.columns.map(col): _*)) == canon(want),
+      "replaying every batch must leave the view unchanged")
+    assert(canon(spark.read.parquet(s"$root/bstate")
+      .select(bFinal.columns.map(col): _*)) == canon(bFinal),
+      "replaying every batch must leave the B state unchanged")
+  }
+
+  test("two-sided INNER mode rejects B-side inserts loudly (A′ unrecoverable from an inner view)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-join2inner")
+    val orders = Tables.load(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(20)
+    val dim = Tables.load(spark, sf(), "customer")
+      .select(col("c_custkey").as("o_custkey"),
+        col("c_custkey").as("c_rowkey"), col("c_mktsegment"))
+    dim.write.parquet(s"$root/dim_init")
+    IncrementalJoin.joinState(orders, dim, Seq("o_custkey"))
+      .write.parquet(s"$root/view")
+    dim.limit(3)
+      .withColumn("o_orderkey", lit(null).cast("long"))
+      .withColumn("o_totalprice", lit(null).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("c_rowkey"), col("c_mktsegment"),
+        lit("B").as("side"), lit("I").as("op"))
+      .coalesce(1).write.parquet(s"$root/cdc")
+    val q = JoinMaintenance.maintainJoinViewTwoSided(spark, s"$root/cdc",
+      s"$root/dim_init", s"$root/view", s"$root/bstate", s"$root/chk",
+      "o_orderkey", "c_rowkey", Seq("o_custkey"))
+    val e = intercept[Exception](q.awaitTermination())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("INNER view cannot")),
+      s"expected the loud inner/B-insert guard, got: ${e.getMessage}")
+  }
+
   test("empty view dir bootstraps from the first batch") {
     val root = java.nio.file.Files.createTempDirectory("graft-joinboot")
     val cdcDir = s"$root/cdc"
