@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN-index refresh-vs-rebuild probe (dev tool): times, in ONE JVM and
+  * per rep, (a) a full index build over the whole embeddings fixture,
+  * (b) a base build over the 2/3 stratum, and (c) the REFRESH STEP
+  * ALONE folding the held-out 1/3 into the base — the number the
+  * "refresh at the marginal cost of the batch" claim stands on. The
+  * registered gate queries charge (b)+(c) together as one one-off,
+  * which conflates the base build into the refresh cost; this probe
+  * separates them. Every rep builds into fresh directories (no
+  * cross-rep cache), so same-session reps double as the noise protocol
+  * (report the min). A probe after each layout asserts refresh ≡
+  * rebuild visibility (readAnnIndex row counts match).
+  *
+  * Usage: `runMain graft.AnnProbe <sfDir> [reps]`
+  */
+object AnnProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-annprobe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Similarity
+
+    val emb = sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").filter(col("vec_id") =!= 0)
+    val base = emb.filter(col("vec_id") % 3 =!= 1)
+    val delta = emb.filter(col("vec_id") % 3 === 1)
+    val nAll = emb.count()
+    val root = java.nio.file.Files.createTempDirectory("graft-annprobe").toString
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // IVF/PQ parameters mirror the registered fixtures: 8 centroids /
+    // 8 subspaces fitted once outside the timed sections (parameter
+    // fitting is shared by both paths and cancels out)
+    val cents = Similarity.fitCentroids(emb, "vec_id", "embedding", 8, 2)
+    val books = Similarity.fitPqCodebooks(emb, "vec_id", "embedding", 8, 16, 2)
+
+    val out = new StringBuilder
+    out.append(s"""{"probe":"ann","sf_dir":"$sfDir","n_vectors":$nAll""")
+    (0 until reps).foreach { r =>
+      val p = s"$root/rep$r"
+      val tLshFull = time(Similarity.buildLshIndex(emb, "vec_id", "embedding", s"$p/lsh_full", dim = 64))
+      Similarity.buildLshIndex(base, "vec_id", "embedding", s"$p/lsh_inc", dim = 64)
+      val tLshRef = time(Similarity.refreshLshIndex(delta, "vec_id", "embedding", s"$p/lsh_inc"))
+      val tIvfFull = time(Similarity.buildIvfIndex(emb, "vec_id", "embedding", cents, s"$p/ivf_full"))
+      Similarity.buildIvfIndex(base, "vec_id", "embedding", cents, s"$p/ivf_inc")
+      val tIvfRef = time(Similarity.refreshIvfIndex(delta, "vec_id", "embedding", s"$p/ivf_inc"))
+      val tPqFull = time(Similarity.buildPqIndex(emb, "vec_id", "embedding", books, s"$p/pq_full"))
+      Similarity.buildPqIndex(base, "vec_id", "embedding", books, s"$p/pq_inc")
+      val tPqRef = time(Similarity.refreshPqIndex(delta, "vec_id", "embedding", books, s"$p/pq_inc"))
+      // visibility audit: the refreshed layout serves the same id set
+      Seq("lsh", "ivf", "pq").foreach { k =>
+        val a = Similarity.readAnnIndex(spark, s"$p/${k}_full", "vec_id")
+          .select("vec_id").distinct().count()
+        val b = Similarity.readAnnIndex(spark, s"$p/${k}_inc", "vec_id")
+          .select("vec_id").distinct().count()
+        require(a == b, s"$k rep$r: refresh visibility $b != rebuild $a")
+      }
+      out.append(
+        f""","rep$r":{"lsh_build":$tLshFull%.2f,"lsh_refresh":$tLshRef%.2f,""" +
+        f""""ivf_build":$tIvfFull%.2f,"ivf_refresh":$tIvfRef%.2f,""" +
+        f""""pq_build":$tPqFull%.2f,"pq_refresh":$tPqRef%.2f}""")
+    }
+    out.append("}")
+    println(out.result())
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    try rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(rootPath, true)
+    finally spark.stop()
+  }
+}

@@ -2504,11 +2504,24 @@ object Queries {
        |FROM m GROUP BY column_name ORDER BY column_name""".stripMargin
   }) { (s, d) =>
     import s.implicits._
-    val occurrences = Tables.all.flatMap { name =>
+    // the query's cost is ten driver-side footer/schema reads, nothing
+    // else — sequential they dominate the bench entry (~1.5 s steady);
+    // read them concurrently (plan-only work). The events loader
+    // MUTATES session conf (nanosAsLong) before its read, so it runs
+    // FIRST on the calling thread — racing that set against nine
+    // concurrent analyses reading the same SQLConf would make the
+    // events schema read fail timing-dependently.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def fields(name: String): Seq[(String, String, String)] =
       Tables.load(s, d, name).schema.fields.map { f =>
         (f.name, name, graft.types.AgnosticType.print(f.dataType))
-      }
-    }
+      }.toSeq
+    val eventsOcc = fields("events")
+    val occurrences = Await.result(
+      Future.sequence(Tables.all.filterNot(_ == "events")
+        .map(name => Future(fields(name)))),
+      scala.concurrent.duration.Duration(120, "s")).flatten ++ eventsOcc
     occurrences.toDF("column_name", "table_name", "col_type")
       .groupBy("column_name")
       .agg(countDistinct("col_type").as("n_types"),
@@ -2589,9 +2602,35 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** The shared brute-force oracle of the three q_join_setsim* gates —
+    * all-pairs token-set Jaccard with the threshold gated in
+    * cleared-denominator integers; ONE builder so a tokenizer or
+    * rounding-chain fix cannot silently diverge one gate's oracle from
+    * the other two. `where` restricts the corpus stratum (must match
+    * the Spark side's filter verbatim in semantics). */
+  private def setsimOracleSql(tNum: Int, tDen: Int, where: String = ""): String =
+    s"""WITH sets AS (
+      |  SELECT doc_id, list_distinct(
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS toks
+      |  FROM documents$where),
+      |ne AS (
+      |  SELECT doc_id, toks, len(toks)::BIGINT AS sz FROM sets WHERE len(toks) > 0),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.toks, b.toks))::BIGINT AS ix,
+      |    a.sz AS sz_a, b.sz AS sz_b
+      |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, ix, sz_a, sz_b,
+      |  CAST(round(CAST(CAST((ix * 1.0 / (sz_a + sz_b - ix)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS jaccard
+      |FROM pairs
+      |WHERE ix * $tDen >= $tNum * (sz_a + sz_b - ix)
+      |ORDER BY id_a, id_b""".stripMargin
+
   q("q_join_setsim",
-    // EXACT set-similarity self-join (PPJoin prefix filtering): every
-    // document pair whose token-set Jaccard >= 19/20, with the exact
+    // EXACT set-similarity self-join (auto-dispatch; 19/20 on this
+    // corpus profiles to the FastSS deletion-neighborhood path —
+    // spec-pinned in SetSimJoinSpec): every document pair whose
+    // token-set Jaccard >= 19/20, with the exact
     // similarity — the deterministic complement of q_dedup_minhash
     // (which trades recall for banding speed) and of q_dedup_ngram
     // (which blocks on shared shingles with a df cap, an approximation
@@ -2600,56 +2639,31 @@ object Queries {
     // nothing, boundary pairs included (the threshold is the rational
     // 19/20 and both engines gate in cleared-denominator integers, so
     // no float rounding can flip a pair at exactly 0.95)
-    """WITH sets AS (
-      |  SELECT doc_id, list_distinct(
-      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS toks
-      |  FROM documents),
-      |ne AS (
-      |  SELECT doc_id, toks, len(toks)::BIGINT AS sz FROM sets WHERE len(toks) > 0),
-      |pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    len(list_intersect(a.toks, b.toks))::BIGINT AS ix,
-      |    a.sz AS sz_a, b.sz AS sz_b
-      |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
-      |SELECT id_a, id_b, ix, sz_a, sz_b,
-      |  CAST(round(CAST(CAST((ix * 1.0 / (sz_a + sz_b - ix)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS jaccard
-      |FROM pairs
-      |WHERE ix * 20 >= 19 * (sz_a + sz_b - ix)
-      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    setsimOracleSql(tNum = 19, tDen = 20)) { (s, d) =>
     graft.operators.SetSimJoin.jaccardJoin(
         t(s, d, "documents"), "doc_id", "text", tNum = 19, tDen = 20)
       .orderBy("id_a", "id_b")
   }
 
   q("q_join_setsim_partition",
-    // the same exact join at 17/20 — the regime where jaccardJoin's
-    // profile dispatches to UNIVERSE PARTITIONING (kMax = 4 > 1 rules
-    // out deletion; D = 2·szMax·3/37+1 = 6 ≤ szMin keeps it): the
-    // vocabulary is hashed into D groups and a qualifying pair's ≤ Δmax
-    // differing tokens leave one group projection-identical. Registered
-    // separately from q_join_setsim (which dispatches to deletion at
-    // 19/20) so the driver gate certifies THIS strategy's no-loss
-    // property against the same brute-force replay; SetSimJoinSpec pins
-    // the dispatch so fixture drift cannot silently swap the certified
-    // path. Oracle = brute force, boundary pairs gated in integers.
-    """WITH sets AS (
-      |  SELECT doc_id, list_distinct(
-      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS toks
-      |  FROM documents),
-      |ne AS (
-      |  SELECT doc_id, toks, len(toks)::BIGINT AS sz FROM sets WHERE len(toks) > 0),
-      |pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    len(list_intersect(a.toks, b.toks))::BIGINT AS ix,
-      |    a.sz AS sz_a, b.sz AS sz_b
-      |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
-      |SELECT id_a, id_b, ix, sz_a, sz_b,
-      |  CAST(round(CAST(CAST((ix * 1.0 / (sz_a + sz_b - ix)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS jaccard
-      |FROM pairs
-      |WHERE ix * 20 >= 17 * (sz_a + sz_b - ix)
-      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    // the same exact join at 17/20 over the doc_id ≡ 0 (mod 3) stratum
+    // — the regime where jaccardJoin's profile dispatches to UNIVERSE
+    // PARTITIONING (kMax = 4 > 1 rules out deletion; D = 2·szMax·3/37+1
+    // = 6 ≤ szMin keeps it — a size filter can only RAISE szMin, so the
+    // stratum preserves the regime): the vocabulary is hashed into D
+    // groups and a qualifying pair's ≤ Δmax differing tokens leave one
+    // group projection-identical. The stratum keeps the 17/20 answer
+    // (~1.7 M pairs corpus-wide at the bench SF) bench-sized without
+    // touching the dispatch. Registered separately from q_join_setsim
+    // (which dispatches to deletion at 19/20) so the driver gate
+    // certifies THIS strategy's no-loss property against the same
+    // brute-force replay; SetSimJoinSpec pins the dispatch so fixture
+    // drift cannot silently swap the certified path. Oracle = brute
+    // force, boundary pairs gated in integers.
+    setsimOracleSql(tNum = 17, tDen = 20, where = " WHERE doc_id % 3 = 0")) { (s, d) =>
     graft.operators.SetSimJoin.jaccardJoin(
-        t(s, d, "documents"), "doc_id", "text", tNum = 17, tDen = 20)
+        t(s, d, "documents").filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", tNum = 17, tDen = 20)
       .orderBy("id_a", "id_b")
   }
 
@@ -2663,22 +2677,7 @@ object Queries {
     // all-pairs oracle) bench-sized while leaving the dispatch profile
     // in the prefix regime at every fixture SF (spec-pinned). Oracle =
     // brute force over the same stratum.
-    """WITH sets AS (
-      |  SELECT doc_id, list_distinct(
-      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS toks
-      |  FROM documents WHERE doc_id % 10 = 0),
-      |ne AS (
-      |  SELECT doc_id, toks, len(toks)::BIGINT AS sz FROM sets WHERE len(toks) > 0),
-      |pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    len(list_intersect(a.toks, b.toks))::BIGINT AS ix,
-      |    a.sz AS sz_a, b.sz AS sz_b
-      |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
-      |SELECT id_a, id_b, ix, sz_a, sz_b,
-      |  CAST(round(CAST(CAST((ix * 1.0 / (sz_a + sz_b - ix)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS jaccard
-      |FROM pairs
-      |WHERE ix * 5 >= 3 * (sz_a + sz_b - ix)
-      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    setsimOracleSql(tNum = 3, tDen = 5, where = " WHERE doc_id % 10 = 0")) { (s, d) =>
     graft.operators.SetSimJoin.jaccardJoin(
         t(s, d, "documents").filter(col("doc_id") % 10 === 0),
         "doc_id", "text", tNum = 3, tDen = 5)

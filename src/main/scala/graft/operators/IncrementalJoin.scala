@@ -74,6 +74,30 @@ object IncrementalJoin {
     require(missing.isEmpty, s"$what missing columns: ${missing.mkString(", ")}")
   }
 
+  /** Broadcast-hint cap for delta-bounded key frames, in ROWS (a key
+    * row is a handful of scalars; 10 M keys ≈ tens of MB broadcast —
+    * comfortably inside executor memory, far past the planner's 10 MB
+    * default). Past the cap the hint is withheld and the planner's
+    * shuffle plan stands; at that delta size the 100 TB answer is a
+    * view/base BUCKETED on the key ([[graft.catalog.Bucketing]]), which
+    * makes the anti/semi probes exchange-free without any broadcast. */
+  private final val BroadcastKeyCap = 10L * 1000 * 1000
+
+  /** Pin a delta-bounded frame and, when its measured size is under
+    * [[BroadcastKeyCap]], attach an explicit broadcast hint. The fold's
+    * probe frames are all DERIVED (distinct-of-projection, semi-join
+    * results), so the planner sees no stats and silently falls back to
+    * sort-merge once a file-scanned delta crosses the 10 MB threshold —
+    * measured at sf10 (2 % delta): the fold shuffled 636 MB where the
+    * from-scratch re-join shuffled 411, inverting the IVM advantage.
+    * One count() on a delta-sized frame is the profile-then-decide
+    * price ([[SkewJoin.decide]] discipline); localCheckpoint pins it so
+    * the count and every downstream consumer share one computation. */
+  private def deltaHint(frame: DataFrame): DataFrame = {
+    val pinned = frame.localCheckpoint()
+    if (pinned.count() <= BroadcastKeyCap) broadcast(pinned) else pinned
+  }
+
   /** Initial materialization of the view: one inner equi-join. Column
     * order = joinKeys ++ A-rest ++ B-rest (Spark's `join(_, keys)`
     * layout) — [[applyCdc]] emits the same layout, so state files round-
@@ -131,10 +155,10 @@ object IncrementalJoin {
     // insert term, a pure insert's key matches nothing in the view, so
     // the wider anti is harmless and defends against a caller replacing
     // an existing key without the paired delete
-    val aTouched = aDeletes.select(col(aKey))
-      .unionByName(aInserts.select(col(aKey))).distinct()
-    val bTouched = bDeletes.select(col(bKey))
-      .unionByName(bInserts.select(col(bKey))).distinct()
+    val aTouched = deltaHint(aDeletes.select(col(aKey))
+      .unionByName(aInserts.select(col(aKey))).distinct())
+    val bTouched = deltaHint(bDeletes.select(col(bKey))
+      .unionByName(bInserts.select(col(bKey))).distinct())
     val notTouchedA = view.join(aTouched, Seq(aKey), "left_anti")
     val retained = notTouchedA.join(bTouched, Seq(bKey), "left_anti")
     // deleted = view ∖ retained, built from the SAME semi/anti shapes (no
@@ -144,16 +168,21 @@ object IncrementalJoin {
       .unionByName(notTouchedA.join(bTouched, Seq(bKey), "left_semi"))
 
     // every pair with a new A row (including new-A × new-B: bSnapshot is
-    // POST-change, so it already contains ΔB_ins)
-    val newA = joinState(aInserts, bSnapshot, joinKeys)
+    // POST-change, so it already contains ΔB_ins). B′ is semi-pruned by
+    // the delta's distinct join keys FIRST — the broadcast semi is
+    // map-side, so the corpus-sized B′ is scanned but never shuffled;
+    // the join that follows is delta ⋈ delta-matched
+    val aInsJoinKeys = deltaHint(aInserts.select(joinKeys.map(col): _*).distinct())
+    val newA = joinState(aInserts,
+      bSnapshot.join(aInsJoinKeys, joinKeys, "left_semi"), joinKeys)
 
     // pairs of SURVIVING old A rows with new B rows: prune A' by the
     // delta's join keys first (the partition-pruning move), then drop
     // ΔA_ins rows — those pairs are in `newA` already
-    val bInsKeys = bInserts.select(joinKeys.map(col): _*).distinct()
+    val bInsKeys = deltaHint(bInserts.select(joinKeys.map(col): _*).distinct())
     val aSurvivors = aSnapshot
       .join(bInsKeys, joinKeys, "left_semi")
-      .join(aInserts.select(col(aKey)).distinct(), Seq(aKey), "left_anti")
+      .join(deltaHint(aInserts.select(col(aKey)).distinct()), Seq(aKey), "left_anti")
     val newB = joinState(aSurvivors, bInserts, joinKeys)
 
     val order = view.columns.map(col).toSeq
@@ -226,9 +255,17 @@ object IncrementalJoin {
       aKey, bKey, joinKeys, aInserts, aDeletes, bInserts, bDeletes,
       aSnapshot, bSnapshot).view
 
-    val aTouched = aDeletes.select(col(aKey))
-      .unionByName(aInserts.select(col(aKey))).distinct()
-    val bInsKeys = bInserts.select(jk: _*).distinct()
+    // Every probe below joins a state- or corpus-sized frame against a
+    // build side that is DELTA-BOUNDED by construction (key sets of the
+    // changesets, or frames semi-pruned by them). Those build sides are
+    // derived (distinct-of-projection, join results), so the planner
+    // has no stats for them and falls back to sort-merge — shuffling
+    // the 30 M-row snapshot/view by join key (measured at sf5: the left
+    // fold shuffled 350 MB, MORE than the from-scratch re-join's 198).
+    // deltaHint measures each bound and states it to the planner.
+    val aTouched = deltaHint(aDeletes.select(col(aKey))
+      .unionByName(aInserts.select(col(aKey))).distinct())
+    val bInsKeys = deltaHint(bInserts.select(jk: _*).distinct())
 
     // unmatched slice, retained: A key untouched, join key gained no B
     // row (an anti on a NULL join key keeps the row — nulls never match,
@@ -240,22 +277,22 @@ object IncrementalJoin {
 
     // inserted A rows without a B′ partner land null-extended; the B′
     // key probe is semi-pruned by the delta's join keys first
-    val bKeysNearIns = bSnapshot
-      .join(aInserts.select(jk: _*).distinct(), joinKeys, "left_semi")
-      .select(jk: _*).distinct()
+    val bKeysNearIns = deltaHint(bSnapshot
+      .join(deltaHint(aInserts.select(jk: _*).distinct()), joinKeys, "left_semi")
+      .select(jk: _*).distinct())
     val insUnmatched = aInserts.join(bKeysNearIns, joinKeys, "left_anti")
 
     // dead keys: lost ≥1 B row (candidates from the VIEW's own matched
     // rows — state-pruned) and have NO survivor in B′ (probe pruned by
     // the candidates); their untouched A′ rows re-enter null-extended
-    val deadCand = view.filter(col(bKey).isNotNull)
-      .join(bDeletes.select(col(bKey)), Seq(bKey), "left_semi")
-      .select(jk: _*).distinct()
-    val stillPresent = bSnapshot.join(deadCand, joinKeys, "left_semi")
-      .select(jk: _*).distinct()
-    val kDead = deadCand.join(stillPresent, joinKeys, "left_anti")
+    val deadCand = deltaHint(view.filter(col(bKey).isNotNull)
+      .join(deltaHint(bDeletes.select(col(bKey))), Seq(bKey), "left_semi")
+      .select(jk: _*).distinct())
+    val stillPresent = deltaHint(bSnapshot.join(deadCand, joinKeys, "left_semi")
+      .select(jk: _*).distinct())
+    val kDead = deltaHint(deadCand.join(stillPresent, joinKeys, "left_anti"))
     val deadA = aSnapshot.join(kDead, joinKeys, "left_semi")
-      .join(aInserts.select(col(aKey)).distinct(), Seq(aKey), "left_anti")
+      .join(deltaHint(aInserts.select(col(aKey)).distinct()), Seq(aKey), "left_anti")
 
     // null-extend the A-only slices through a left join against an empty
     // B (statically folds to a null-project — no scan)

@@ -12,9 +12,17 @@ import org.apache.spark.sql.functions._
   * hash-exact only; this closes the "exact near-dup join" gap between
   * [[Dedup.exactDedup]] and the probabilistic MinHash family.
   *
-  * THREE exact strategies, chosen by a profile-then-decide probe (the
+  * THREE exact strategies — plus a SIZE-STRATIFIED hybrid of the first
+  * two (r11) — chosen by a profile-then-decide probe (the
   * [[SkewJoin.advise]] discipline applied to candidate generation),
-  * because each degenerates exactly where another shines:
+  * because each degenerates exactly where another shines. The hybrid
+  * exists because one tiny doc used to veto partitioning (D ≤ szMin)
+  * and push a hot-token corpus onto the degenerate prefix path: the
+  * size-ratio bound (J ≥ t ⟹ |small| ≥ ceil(t·|large|)) confines every
+  * pair touching the sub-D stratum to a narrow band, so partitioning
+  * over sz ≥ D plus deletion over the band (worst-case budget ≤ 1 by
+  * construction, or the hybrid is not chosen) with the overlap deduped
+  * by size is the complete exact answer:
   *
   *   - [[jaccardJoinDeletion]] (FastSS deletion neighborhoods — the
   *     [[FuzzyJoin]] edit-distance discipline lifted to sets): at high
@@ -137,18 +145,31 @@ object SetSimJoin {
     p.strategy match {
       case "deletion" => jaccardJoinDeletionFrom(sets, tNum, tDen)
       case "partition" => jaccardJoinPartitionFrom(sets, tNum, tDen, p.d)
+      case "stratified" =>
+        // size-stratified hybrid (see profileFrom): partitioning over
+        // the main stratum (sz ≥ D), deletion over the small band, and
+        // pairs with BOTH sides ≥ D dropped from the band term (the
+        // overlap both joins find — kept from the partition term)
+        jaccardJoinPartitionFrom(sets.filter(col("sz") >= p.d), tNum, tDen, p.d)
+          .unionByName(
+            jaccardJoinDeletionFrom(
+                sets.filter(col("sz") <= p.bandBound), tNum, tDen)
+              .filter(col("sz_a") < p.d || col("sz_b") < p.d))
       case _ => jaccardJoinPrefixFrom(sets, tNum, tDen)
     }
   }
 
   /** The profile [[jaccardJoin]] dispatches on, plus the chosen strategy
-    * name ("deletion" | "partition" | "prefix"). The dispatch is
-    * data-dependent, so a registered query certifying one strategy can
-    * silently start certifying another if the fixture drifts —
-    * [[dispatchProfile]] exposes the decision so specs PIN which
-    * strategy each registered gate actually runs (SetSimJoinSpec). */
+    * name ("deletion" | "partition" | "stratified" | "prefix"). The
+    * dispatch is data-dependent, so a registered query certifying one
+    * strategy can silently start certifying another if the fixture
+    * drifts — [[dispatchProfile]] exposes the decision so specs PIN
+    * which strategy each registered gate actually runs
+    * (SetSimJoinSpec). `bandBound` = ⌊(d−1)·tDen/tNum⌋, the largest
+    * size a doc can have and still pair with a sub-D doc (size-ratio
+    * bound: J ≥ t forces |small| ≥ ceil(t·|large|)). */
   final case class DispatchProfile(kMax: Long, szMax: Long, szMin: Long,
-      d: Int, strategy: String)
+      d: Int, bandBound: Long, strategy: String)
 
   /** Compute the dispatch decision for a corpus + threshold WITHOUT
     * running the join — same tokenizer, same aggregate, same rules as
@@ -166,21 +187,36 @@ object SetSimJoin {
       max(col("sz")).as("szMax"), min(col("sz")).as("szMin")).head()
     // empty corpus (no docs, or all-whitespace text): null aggregates —
     // any strategy returns the correct empty frame; pick prefix (lazy)
-    if (prof.isNullAt(0)) return DispatchProfile(0L, 0L, 0L, 1, "prefix")
+    if (prof.isNullAt(0)) return DispatchProfile(0L, 0L, 0L, 1, 0L, "prefix")
     val (kMax, szMax, szMin) =
       (prof.getLong(0), prof.getLong(1), prof.getLong(2))
     // universe-partition group count: a qualifying pair's symmetric
     // difference is Δ ≤ (1−t)(|a|+|b|)/(1+t) ≤ 2·szMax·(tDen−tNum)/
     // (tDen+tNum); D = ⌊Δmax⌋+1 groups pigeonhole one group diff-free
     val d = (2L * szMax * (tDen - tNum) / (tDen + tNum)).toInt + 1
+    // band bound: a doc with sz < D can only qualify against docs of
+    // size ≤ ⌊(D−1)·tDen/tNum⌋ (Jaccard ≥ t forces the size ratio ≥ t),
+    // so ALL pairs touching the sub-D stratum live inside this band
+    val bandBound = (d - 1).toLong * tDen / tNum
+    // analytic worst-case deletion budget inside the band (k monotone
+    // in sz): if ≤ 1, deletion covers the whole band exactly
+    val kBand = bandBound - (bandBound * tNum + tDen - 1) / tDen
     val strategy =
       if (kMax <= 1L) "deletion"
       // D ≤ szMin keeps expected per-group projections non-empty (docs
       // smaller than D have guaranteed-empty groups, and empty matches
       // empty universally — the scheme's degenerate stratum)
       else if (d <= szMin) "partition"
+      // SIZE-STRATIFIED hybrid: one tiny doc must not force the whole
+      // corpus onto the prefix path (on a hot-token corpus the prefix
+      // join degenerates — the 20-minute GenData grind). Partitioning
+      // stays exact over the sz ≥ D stratum; every pair touching the
+      // sub-D stratum lives in the band, and when the band's worst-case
+      // deletion budget is ≤ 1 the deletion join covers it exactly —
+      // the union (overlap deduped by size) is the full answer.
+      else if (kBand <= 1L) "stratified"
       else "prefix"
-    DispatchProfile(kMax, szMax, szMin, d, strategy)
+    DispatchProfile(kMax, szMax, szMin, d, bandBound, strategy)
   }
 
   /** Universe-partitioning strategy (exact; Deng et al., PVLDB 2016):
@@ -207,6 +243,23 @@ object SetSimJoin {
   private def jaccardJoinPartitionFrom(sets: DataFrame,
       tNum: Int, tDen: Int, d: Int): DataFrame = {
     require(d >= 1, s"universe partitioning needs >= 1 group, got $d")
+    // SIZE-BANDED join key (r11): with a small vocabulary, equal
+    // per-group projections are common across docs of very different
+    // sizes, and candidates per (group, sig) key grow ~n²/keys — the
+    // measured 4.8×-at-2×-data bend at 1 M docs. The size constraint
+    // (J ≥ t ⟹ sides within ratio t ⟹ gap ≤ (1−t)·szMax < W) moves
+    // from a post-join filter INTO the equi-key: bands of width
+    // W = ⌊szMax·(tDen−tNum)/tDen⌋+1; each doc emits its band and
+    // band+1, so the (≤ W−1)-apart sides of any qualifying pair share
+    // at least one emitted band — exactness preserved (falsified vs
+    // brute in SetSimJoinSpec), key space multiplied by the number of
+    // occupied bands. 2× row amplification, quadratic term divided by
+    // size diversity.
+    val szMaxRow = sets.agg(max(col("sz"))).head()
+    if (szMaxRow.isNullAt(0)) return verifyPairs(
+      sets.limit(0).select(col("doc_id").as("id_a"), col("doc_id").as("id_b")),
+      sets, tNum, tDen)
+    val w = szMaxRow.getLong(0) * (tDen - tNum) / tDen + 1L
     // per-group projection keeps the sorted order (filter is stable), so
     // equal projections hash equal; the group id is hashed in so an
     // empty projection in group 3 never matches one in group 5.
@@ -227,21 +280,72 @@ object SetSimJoin {
       .select(col("doc_id"), col("sz"),
         explode(sequence(lit(0), guarded)).as("g"),
         col("toks"))
-      .select(col("doc_id"), col("sz"),
+      .select(col("doc_id"), col("sz"), col("g"), col("toks"),
         xxhash64(col("g"),
           expr(s"filter(toks, x -> pmod(xxhash64(x), $d) = g)")).as("sig"))
-    val a = sigs.select(col("doc_id").as("id_a"), col("sz").as("pa_sz"),
-      col("sig").as("sig_a"))
-    val b = sigs.select(col("doc_id").as("id_b"), col("sz").as("pb_sz"),
-      col("sig").as("sig_b"))
-    val cand = a.join(b,
-        col("sig_a") === col("sig_b") && col("id_a") < col("id_b") &&
-          // size filter: J ≥ t forces t·|a| ≤ |b| and t·|b| ≤ |a|
-          col("pb_sz") * tDen >= col("pa_sz") * tNum &&
-          col("pa_sz") * tDen >= col("pb_sz") * tNum)
-      .select("id_a", "id_b").distinct()
+      .select(col("doc_id"), col("sz"), col("g"), col("toks"), col("sig"),
+        // integer division on purpose ("/" on two longs is double in
+        // Spark SQL — float bands would mis-bucket near boundaries)
+        explode(array(expr(s"sz div $w"), expr(s"sz div $w + 1"))).as("band"))
+    // HOT-CLUSTER REFINEMENT (r11, exact): on a small vocabulary most
+    // candidates come from huge equal-projection clusters — above all
+    // the EMPTY projection, which every doc missing group g shares
+    // (measured at 1 M GenData docs: 266 M candidate pairs, 92 % from
+    // empty projections; enumeration is ~n² in the cluster size). A
+    // cluster of size ≤ HotCluster enumerates pairs directly; a hotter
+    // cluster re-keys its members by a SECOND-level partition of the
+    // complement tokens (x outside group g under the level-1 hash,
+    // partitioned by an independent hash into the same d groups).
+    // Exactness: every qualifying pair has ≥ 1 group with GENUINELY
+    // equal projections (pigeonhole; hash collisions only ever ADD
+    // candidates elsewhere); in that group's cluster the pair's ≤ Δmax
+    // differences all lie in the complement, so ≥ 1 of the d level-2
+    // groups is diff-free and the pair shares (g2, sig2). Falsified vs
+    // brute (hot-cluster fixture) in SetSimJoinSpec.
+    val withCount = sigs.withColumn("kc",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("g", "band", "sig")))
+    def pairJoin(side: DataFrame, key: Seq[String]): DataFrame = {
+      val a = side.select(
+        col("doc_id").as("id_a") +: col("sz").as("pa_sz") +:
+          key.map(k => col(k).as(s"${k}_a")): _*)
+      val b = side.select(
+        col("doc_id").as("id_b") +: col("sz").as("pb_sz") +:
+          key.map(k => col(k).as(s"${k}_b")): _*)
+      a.join(b,
+          key.map(k => col(s"${k}_a") === col(s"${k}_b")).reduce(_ && _) &&
+            col("id_a") < col("id_b") &&
+            // exact size filter: J ≥ t forces t·|a| ≤ |b| and t·|b| ≤ |a|
+            // (the band key is the coarse version; this stays the gate)
+            col("pb_sz") * tDen >= col("pa_sz") * tNum &&
+            col("pa_sz") * tDen >= col("pb_sz") * tNum)
+        .select("id_a", "id_b")
+    }
+    val cold = pairJoin(
+      withCount.filter(col("kc") <= HotCluster).drop("toks", "kc"),
+      Seq("g", "band", "sig"))
+    val hot = pairJoin(
+      withCount.filter(col("kc") > HotCluster)
+        .select(col("doc_id"), col("sz"), col("g"), col("band"), col("sig"),
+          explode(sequence(lit(0), guarded)).as("g2"), col("toks"))
+        .select(col("doc_id"), col("sz"), col("g"), col("band"), col("sig"),
+          col("g2"),
+          xxhash64(col("g2"), expr(s"filter(toks, x -> " +
+            s"pmod(xxhash64(x), $d) != g AND " +
+            s"pmod(xxhash64(x, 7L), $d) = g2)")).as("sig2")),
+      Seq("g", "band", "sig", "g2", "sig2"))
+    val cand = cold.unionByName(hot).distinct()
     verifyPairs(cand, sets, tNum, tDen)
   }
+
+  /** Equal-projection cluster size past which the partition join stops
+    * enumerating a cluster's pairs directly and re-keys the cluster by
+    * a second-level complement partition (see the refinement comment in
+    * [[jaccardJoinPartitionFrom]]): direct enumeration of a cluster of
+    * c members costs c·(c−1)/2 candidate rows, so the cap bounds the
+    * per-key quadratic term at ~32 k rows while refined keys split the
+    * true monsters (empty projections) by actual content. */
+  private final val HotCluster = 256L
 
   /** Deletion-neighborhood strategy (exact; requires every doc's
     * k = sz − ceil(t·sz) ≤ 1, enforced): each doc emits a 64-bit hash of

@@ -135,19 +135,80 @@ class SetSimJoinSpec extends SparkTestBase {
     assert(SetSimJoin.jaccardJoin(blank, "doc_id", "text", 19, 20).count() == 0)
   }
 
+  test("size-stratified hybrid == brute force; one tiny doc no longer forces the prefix path") {
+    import spark.implicits._
+    // t = 4/5 over sizes {3, 7, 30}: kMax = 6 rules out deletion, the
+    // 3-token docs push szMin under D = 7 ruling out plain partitioning
+    // — pre-r11 this fell to the prefix path (degenerate on hot-token
+    // corpora); the band bound ⌊6·5/4⌋ = 7 has deletion budget
+    // 7 − ceil(28/5) = 1, so the stratified hybrid applies. The fixture
+    // plants a qualifying pair in EACH region: the 30-token boundary
+    // pair (large stratum, J = 27/33), an identical 3-token pair (band),
+    // and an identical 7-token pair sitting exactly in the OVERLAP
+    // (found by both joins — the size dedup must emit it once).
+    val base = (0 until 30).map(i => s"w$i")
+    val fixture = (Seq(
+      1L -> base.take(27).concat(Seq("a1", "a2", "a3")).mkString(" "),
+      2L -> base.take(27).concat(Seq("b1", "b2", "b3")).mkString(" "),
+      100L -> "o1 o2 o3 o4 o5 o6 o7",
+      101L -> "o1 o2 o3 o4 o5 o6 o7",
+      200L -> "t1 t2 t3",
+      201L -> "t1 t2 t3"
+    ) ++ (300L until 340L).map(i =>
+      (i, (0 until (3 + (i % 28)).toInt).map(j => s"f${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val p = SetSimJoin.dispatchProfile(fixture, "doc_id", "text", 4, 5)
+    assert(p.strategy == "stratified",
+      s"fixture must land in the stratified regime: $p")
+    val fast = pairs(SetSimJoin.jaccardJoin(fixture, "doc_id", "text", 4, 5))
+    val brute = pairs(SetSimJoin.jaccardJoinBrute(fixture, "doc_id", "text", 4, 5))
+    assert(fast == brute,
+      s"stratified lost ${brute.diff(fast).take(3)}, invented ${fast.diff(brute).take(3)}")
+    for (pair <- Seq((1L, 2L), (100L, 101L), (200L, 201L)))
+      assert(brute.exists(x => (x._1, x._2) == pair),
+        s"fixture must qualify the planted pair $pair")
+    // the overlap pair must appear exactly once (the dedup filter)
+    assert(fast.count(x => (x._1, x._2) == ((100L, 101L))) == 1)
+  }
+
+  test("hot-cluster refinement: clusters past the cap re-key exactly (== brute force)") {
+    import spark.implicits._
+    // two monster clusters, both past the 256 cap: (a) 280 IDENTICAL
+    // 10-token docs — every group's projection cluster has 280 members
+    // and C(280,2) = 39 060 genuinely-qualifying pairs that must ALL
+    // survive the level-2 re-key; (b) 400 single-token docs with
+    // pairwise-distinct tokens — each group's EMPTY projection cluster
+    // holds ~5/6 of them (the measured 92 %-of-candidates monster at
+    // 1 M docs) and contributes ZERO qualifying pairs, which the
+    // refinement must discover without enumerating the ~80 k-pair
+    // cluster. d = 4 is valid: per-row Δ bound (2·10·1/9 = 2) + 1 ≤ 4.
+    val fixture = (
+      (0L until 280L).map(i => (i, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")) ++
+      (1000L until 1400L).map(i => (i, s"u$i"))
+    ).toDF("doc_id", "text")
+    val fast = pairs(SetSimJoin.jaccardJoinPartition(
+      fixture, "doc_id", "text", 4, 5, d = 4))
+    val brute = pairs(SetSimJoin.jaccardJoinBrute(fixture, "doc_id", "text", 4, 5))
+    assert(brute.size == 280 * 279 / 2, s"expected the full clique, got ${brute.size}")
+    assert(fast == brute,
+      s"hot refinement lost ${brute.diff(fast).take(3)}, invented ${fast.diff(brute).take(3)}")
+  }
+
   test("registered driver gates pin their dispatch strategy at every fixture SF") {
     // the three q_join_setsim* gates certify one strategy EACH, but the
     // dispatch is data-dependent — a regenerated fixture could silently
     // swap which path the CORRECTNESS row certifies. This pins the
     // decision for the exact (corpus, threshold) each registered query
-    // uses, at the spec SF and the driver-gate SF (sf0.01); the bench
-    // SF (sf0.1) shares the generator so its shape follows sf0.01.
-    for (dir <- Seq(sf(), sf("sf0.01"))) {
+    // uses, at the spec SF, the driver-gate SF (sf0.01) AND the bench
+    // SF (sf0.1) — the profile is a tokenize + 1-row aggregate, cheap
+    // even at the bench SF.
+    for (dir <- Seq(sf(), sf("sf0.01"), sf("sf0.1"))) {
       val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
       val pDel = SetSimJoin.dispatchProfile(docs, "doc_id", "text", 19, 20)
       assert(pDel.strategy == "deletion",
         s"q_join_setsim ($dir) must certify the deletion path: $pDel")
-      val pPar = SetSimJoin.dispatchProfile(docs, "doc_id", "text", 17, 20)
+      val pPar = SetSimJoin.dispatchProfile(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", 17, 20)
       assert(pPar.strategy == "partition",
         s"q_join_setsim_partition ($dir) must certify universe partitioning: $pPar")
       val slice = docs.filter(col("doc_id") % 10 === 0)
