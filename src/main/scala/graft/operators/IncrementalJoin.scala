@@ -65,8 +65,12 @@ object IncrementalJoin {
     * aggregate-ON-a-join materialized view maintains end to end without
     * ever re-joining or rescanning the bases — the cascade
     * (q_cdc_view_cascade) every production MV tree is built from.
-    * All three frames are lazy plans; an applyCdc caller that ignores
-    * the delta pays nothing for it. */
+    * The three frames are lazy plans, but constructing a fold EAGERLY
+    * pins and counts its delta key frames (r11 deltaHint — the
+    * profile-then-decide price of keeping the state-side probes
+    * broadcast, see [[deltaHint]]); a caller that only wants the plan
+    * shape still pays those delta-sized jobs, never a corpus-sized
+    * one. */
   final case class ViewDelta(view: DataFrame, inserted: DataFrame, deleted: DataFrame)
 
   private def requireCols(df: DataFrame, cols: Seq[String], what: String): Unit = {
@@ -74,29 +78,54 @@ object IncrementalJoin {
     require(missing.isEmpty, s"$what missing columns: ${missing.mkString(", ")}")
   }
 
-  /** Broadcast-hint cap for delta-bounded key frames, in ROWS (a key
-    * row is a handful of scalars; 10 M keys ≈ tens of MB broadcast —
-    * comfortably inside executor memory, far past the planner's 10 MB
-    * default). Past the cap the hint is withheld and the planner's
-    * shuffle plan stands; at that delta size the 100 TB answer is a
-    * view/base BUCKETED on the key ([[graft.catalog.Bucketing]]), which
-    * makes the anti/semi probes exchange-free without any broadcast. */
-  private final val BroadcastKeyCap = 10L * 1000 * 1000
+  /** Broadcast-hint cap for delta-bounded key frames, in ESTIMATED
+    * BYTES (measured row count × schema default row width + per-row
+    * overhead — a schema-aware estimate, not a row count: 10 M long
+    * keys are a safe broadcast, 10 M wide string keys are a driver
+    * OOM). 64 MB is far past the planner's 10 MB default yet small
+    * against executor memory and the driver's 1 GB maxResultSize. Past
+    * the cap the hint is withheld and the planner's shuffle plan
+    * stands; at that delta size the 100 TB answer is a view/base
+    * BUCKETED on the key ([[graft.catalog.Bucketing]]), which makes the
+    * anti/semi probes exchange-free without any broadcast. */
+  private final val BroadcastBytesCap = 64L * 1024 * 1024
 
-  /** Pin a delta-bounded frame and, when its measured size is under
-    * [[BroadcastKeyCap]], attach an explicit broadcast hint. The fold's
-    * probe frames are all DERIVED (distinct-of-projection, semi-join
-    * results), so the planner sees no stats and silently falls back to
-    * sort-merge once a file-scanned delta crosses the 10 MB threshold —
-    * measured at sf10 (2 % delta): the fold shuffled 636 MB where the
-    * from-scratch re-join shuffled 411, inverting the IVM advantage.
-    * One count() on a delta-sized frame is the profile-then-decide
-    * price ([[SkewJoin.decide]] discipline); localCheckpoint pins it so
-    * the count and every downstream consumer share one computation. */
+  /** Pin a delta-bounded frame and, when its measured size estimate is
+    * under [[BroadcastBytesCap]], attach an explicit broadcast hint.
+    * The fold's probe frames are all DERIVED (distinct-of-projection,
+    * semi-join results), so the planner sees no stats and silently
+    * falls back to sort-merge once a file-scanned delta crosses the
+    * 10 MB threshold — measured at sf10 (2 % delta): the fold shuffled
+    * 636 MB where the from-scratch re-join shuffled 411, inverting the
+    * IVM advantage. One count() on a delta-sized frame is the
+    * profile-then-decide price ([[SkewJoin.decide]] discipline);
+    * localCheckpoint pins it so the count and every downstream consumer
+    * share one computation. */
   private def deltaHint(frame: DataFrame): DataFrame = {
     val pinned = frame.localCheckpoint()
-    if (pinned.count() <= BroadcastKeyCap) broadcast(pinned) else pinned
+    val rowBytes = pinned.schema.map(_.dataType.defaultSize).sum + 16L
+    if (pinned.count() * rowBytes <= BroadcastBytesCap) broadcast(pinned)
+    else pinned
   }
+
+  /** The hinted delta-key frames one fold needs — computed ONCE and
+    * shared between [[applyCdcLeft]] and the inner fold it delegates to
+    * (each deltaHint is an eager pin + count; duplicating them would
+    * double the fixed per-trigger cost of a streaming maintenance
+    * job). */
+  private final case class DeltaKeys(aTouched: DataFrame, bTouched: DataFrame,
+      aInsJoinKeys: DataFrame, bInsKeys: DataFrame, aInsRowKeys: DataFrame)
+
+  private def deltaKeysOf(aKey: String, bKey: String, joinKeys: Seq[String],
+      aInserts: DataFrame, aDeletes: DataFrame,
+      bInserts: DataFrame, bDeletes: DataFrame): DeltaKeys = DeltaKeys(
+    aTouched = deltaHint(aDeletes.select(col(aKey))
+      .unionByName(aInserts.select(col(aKey))).distinct()),
+    bTouched = deltaHint(bDeletes.select(col(bKey))
+      .unionByName(bInserts.select(col(bKey))).distinct()),
+    aInsJoinKeys = deltaHint(aInserts.select(joinKeys.map(col): _*).distinct()),
+    bInsKeys = deltaHint(bInserts.select(joinKeys.map(col): _*).distinct()),
+    aInsRowKeys = deltaHint(aInserts.select(col(aKey)).distinct()))
 
   /** Initial materialization of the view: one inner equi-join. Column
     * order = joinKeys ++ A-rest ++ B-rest (Spark's `join(_, keys)`
@@ -140,7 +169,16 @@ object IncrementalJoin {
       joinKeys: Seq[String],
       aInserts: DataFrame, aDeletes: DataFrame,
       bInserts: DataFrame, bDeletes: DataFrame,
-      aSnapshot: DataFrame, bSnapshot: DataFrame): ViewDelta = {
+      aSnapshot: DataFrame, bSnapshot: DataFrame): ViewDelta =
+    applyCdcWithDeltaKeys(view, aKey, bKey, joinKeys, aInserts, aDeletes,
+      bInserts, bDeletes, aSnapshot, bSnapshot,
+      deltaKeysOf(aKey, bKey, joinKeys, aInserts, aDeletes, bInserts, bDeletes))
+
+  private def applyCdcWithDeltaKeys(view: DataFrame, aKey: String, bKey: String,
+      joinKeys: Seq[String],
+      aInserts: DataFrame, aDeletes: DataFrame,
+      bInserts: DataFrame, bDeletes: DataFrame,
+      aSnapshot: DataFrame, bSnapshot: DataFrame, dk: DeltaKeys): ViewDelta = {
     require(joinKeys.nonEmpty, "applyCdc needs at least one join key")
     // a row key MAY coincide with a join key (a dimension keyed by the
     // join column): the antis then route by join-key value, which names
@@ -155,10 +193,8 @@ object IncrementalJoin {
     // insert term, a pure insert's key matches nothing in the view, so
     // the wider anti is harmless and defends against a caller replacing
     // an existing key without the paired delete
-    val aTouched = deltaHint(aDeletes.select(col(aKey))
-      .unionByName(aInserts.select(col(aKey))).distinct())
-    val bTouched = deltaHint(bDeletes.select(col(bKey))
-      .unionByName(bInserts.select(col(bKey))).distinct())
+    val aTouched = dk.aTouched
+    val bTouched = dk.bTouched
     val notTouchedA = view.join(aTouched, Seq(aKey), "left_anti")
     val retained = notTouchedA.join(bTouched, Seq(bKey), "left_anti")
     // deleted = view ∖ retained, built from the SAME semi/anti shapes (no
@@ -172,17 +208,15 @@ object IncrementalJoin {
     // the delta's distinct join keys FIRST — the broadcast semi is
     // map-side, so the corpus-sized B′ is scanned but never shuffled;
     // the join that follows is delta ⋈ delta-matched
-    val aInsJoinKeys = deltaHint(aInserts.select(joinKeys.map(col): _*).distinct())
     val newA = joinState(aInserts,
-      bSnapshot.join(aInsJoinKeys, joinKeys, "left_semi"), joinKeys)
+      bSnapshot.join(dk.aInsJoinKeys, joinKeys, "left_semi"), joinKeys)
 
     // pairs of SURVIVING old A rows with new B rows: prune A' by the
     // delta's join keys first (the partition-pruning move), then drop
     // ΔA_ins rows — those pairs are in `newA` already
-    val bInsKeys = deltaHint(bInserts.select(joinKeys.map(col): _*).distinct())
     val aSurvivors = aSnapshot
-      .join(bInsKeys, joinKeys, "left_semi")
-      .join(deltaHint(aInserts.select(col(aKey)).distinct()), Seq(aKey), "left_anti")
+      .join(dk.bInsKeys, joinKeys, "left_semi")
+      .join(dk.aInsRowKeys, Seq(aKey), "left_anti")
     val newB = joinState(aSurvivors, bInserts, joinKeys)
 
     val order = view.columns.map(col).toSeq
@@ -250,10 +284,17 @@ object IncrementalJoin {
     val jk = joinKeys.map(col)
     val order = view.columns.map(col).toSeq
 
+    // one hinted key-frame set for the WHOLE fold — the inner slice and
+    // every left-only probe below share it (each hint is an eager
+    // pin + count; computing them twice would double the fixed
+    // per-trigger cost of a streaming maintenance job)
+    val dk = deltaKeysOf(aKey, bKey, joinKeys,
+      aInserts, aDeletes, bInserts, bDeletes)
+
     // inner slice: the matched pairs fold exactly as an inner view
-    val innerNew = applyCdcWithDelta(view.filter(col(bKey).isNotNull),
+    val innerNew = applyCdcWithDeltaKeys(view.filter(col(bKey).isNotNull),
       aKey, bKey, joinKeys, aInserts, aDeletes, bInserts, bDeletes,
-      aSnapshot, bSnapshot).view
+      aSnapshot, bSnapshot, dk).view
 
     // Every probe below joins a state- or corpus-sized frame against a
     // build side that is DELTA-BOUNDED by construction (key sets of the
@@ -263,9 +304,8 @@ object IncrementalJoin {
     // the 30 M-row snapshot/view by join key (measured at sf5: the left
     // fold shuffled 350 MB, MORE than the from-scratch re-join's 198).
     // deltaHint measures each bound and states it to the planner.
-    val aTouched = deltaHint(aDeletes.select(col(aKey))
-      .unionByName(aInserts.select(col(aKey))).distinct())
-    val bInsKeys = deltaHint(bInserts.select(jk: _*).distinct())
+    val aTouched = dk.aTouched
+    val bInsKeys = dk.bInsKeys
 
     // unmatched slice, retained: A key untouched, join key gained no B
     // row (an anti on a NULL join key keeps the row — nulls never match,
@@ -278,7 +318,7 @@ object IncrementalJoin {
     // inserted A rows without a B′ partner land null-extended; the B′
     // key probe is semi-pruned by the delta's join keys first
     val bKeysNearIns = deltaHint(bSnapshot
-      .join(deltaHint(aInserts.select(jk: _*).distinct()), joinKeys, "left_semi")
+      .join(dk.aInsJoinKeys, joinKeys, "left_semi")
       .select(jk: _*).distinct())
     val insUnmatched = aInserts.join(bKeysNearIns, joinKeys, "left_anti")
 
@@ -292,7 +332,7 @@ object IncrementalJoin {
       .select(jk: _*).distinct())
     val kDead = deltaHint(deadCand.join(stillPresent, joinKeys, "left_anti"))
     val deadA = aSnapshot.join(kDead, joinKeys, "left_semi")
-      .join(deltaHint(aInserts.select(col(aKey)).distinct()), Seq(aKey), "left_anti")
+      .join(dk.aInsRowKeys, Seq(aKey), "left_anti")
 
     // null-extend the A-only slices through a left join against an empty
     // B (statically folds to a null-project — no scan)

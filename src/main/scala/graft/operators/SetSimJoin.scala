@@ -144,13 +144,15 @@ object SetSimJoin {
     val p = profileFrom(sets, tNum, tDen)
     p.strategy match {
       case "deletion" => jaccardJoinDeletionFrom(sets, tNum, tDen)
-      case "partition" => jaccardJoinPartitionFrom(sets, tNum, tDen, p.d)
+      case "partition" =>
+        jaccardJoinPartitionFrom(sets, tNum, tDen, p.d, p.szMax)
       case "stratified" =>
         // size-stratified hybrid (see profileFrom): partitioning over
         // the main stratum (sz ≥ D), deletion over the small band, and
         // pairs with BOTH sides ≥ D dropped from the band term (the
         // overlap both joins find — kept from the partition term)
-        jaccardJoinPartitionFrom(sets.filter(col("sz") >= p.d), tNum, tDen, p.d)
+        jaccardJoinPartitionFrom(
+            sets.filter(col("sz") >= p.d), tNum, tDen, p.d, p.szMax)
           .unionByName(
             jaccardJoinDeletionFrom(
                 sets.filter(col("sz") <= p.bandBound), tNum, tDen)
@@ -241,7 +243,7 @@ object SetSimJoin {
     jaccardJoinPartitionFrom(tokenFrames(docs, idCol, textCol), tNum, tDen, d)
 
   private def jaccardJoinPartitionFrom(sets: DataFrame,
-      tNum: Int, tDen: Int, d: Int): DataFrame = {
+      tNum: Int, tDen: Int, d: Int, szMaxHint: Long = -1L): DataFrame = {
     require(d >= 1, s"universe partitioning needs >= 1 group, got $d")
     // SIZE-BANDED join key (r11): with a small vocabulary, equal
     // per-group projections are common across docs of very different
@@ -255,11 +257,18 @@ object SetSimJoin {
     // brute in SetSimJoinSpec), key space multiplied by the number of
     // occupied bands. 2× row amplification, quadratic term divided by
     // size diversity.
-    val szMaxRow = sets.agg(max(col("sz"))).head()
-    if (szMaxRow.isNullAt(0)) return verifyPairs(
-      sets.limit(0).select(col("doc_id").as("id_a"), col("doc_id").as("id_b")),
-      sets, tNum, tDen)
-    val w = szMaxRow.getLong(0) * (tDen - tNum) / tDen + 1L
+    // the dispatch already profiled szMax — reuse it (szMaxHint) rather
+    // than re-running the aggregate; direct strategy calls pay it once
+    val szMax =
+      if (szMaxHint > 0) szMaxHint
+      else {
+        val szMaxRow = sets.agg(max(col("sz"))).head()
+        if (szMaxRow.isNullAt(0)) return verifyPairs(
+          sets.limit(0).select(col("doc_id").as("id_a"), col("doc_id").as("id_b")),
+          sets, tNum, tDen)
+        szMaxRow.getLong(0)
+      }
+    val w = szMax * (tDen - tNum) / tDen + 1L
     // per-group projection keeps the sorted order (filter is stable), so
     // equal projections hash equal; the group id is hashed in so an
     // empty projection in group 3 never matches one in group 5.
@@ -276,6 +285,11 @@ object SetSimJoin {
         "smaller than this corpus's Δmax+1 — qualifying pairs would be " +
         "lost; use jaccardJoin (auto-dispatch)")).isNull,
       lit(d - 1))
+    // toks ride THROUGH the window on purpose (measured, r11): a
+    // drop-toks-then-rejoin variant (slim window sort, hot branch
+    // re-fetching toks from `sets` by doc_id) lost ~25 % at 1 M docs
+    // (40.7 → 49.9 s) — the extra doc_id shuffle costs more than the
+    // wider sort saves on short-document corpora.
     val sigs = sets
       .select(col("doc_id"), col("sz"),
         explode(sequence(lit(0), guarded)).as("g"),
