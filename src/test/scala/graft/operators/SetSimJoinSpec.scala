@@ -218,12 +218,18 @@ class SetSimJoinSpec extends SparkTestBase {
     }
   }
 
-  test("neither strategy's plan is a cartesian product; brute is quarantined to specs") {
+  test("no strategy's plan is a cartesian product; brute is quarantined to specs") {
+    import spark.implicits._
     val docs = Tables.load(spark, sf(), "documents")
       .select("doc_id", "text").filter(col("doc_id") < 50)
+    // a stratified-dispatch fixture (tiny docs force the hybrid at 4/5)
+    val strat = docs.unionByName(
+      Seq((9001L, "z1 z2 z3"), (9002L, "z1 z2 z3")).toDF("doc_id", "text"))
     for (df <- Seq(
         SetSimJoin.jaccardJoinDeletion(docs, "doc_id", "text", 19, 20),
-        SetSimJoin.jaccardJoinPrefix(docs, "doc_id", "text", 19, 20))) {
+        SetSimJoin.jaccardJoinPrefix(docs, "doc_id", "text", 19, 20),
+        SetSimJoin.jaccardJoinPartition(docs, "doc_id", "text", 17, 20, d = 6),
+        SetSimJoin.jaccardJoin(strat, "doc_id", "text", 4, 5))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
         s"candidate generation must stay an equi-join:\n$plan")
