@@ -301,24 +301,27 @@ object SetSimJoin {
         // integer division on purpose ("/" on two longs is double in
         // Spark SQL — float bands would mis-bucket near boundaries)
         explode(array(expr(s"sz div $w"), expr(s"sz div $w + 1"))).as("band"))
-    // HOT-CLUSTER REFINEMENT (r11, exact): on a small vocabulary most
-    // candidates come from huge equal-projection clusters — above all
-    // the EMPTY projection, which every doc missing group g shares
-    // (measured at 1 M GenData docs: 266 M candidate pairs, 92 % from
-    // empty projections; enumeration is ~n² in the cluster size). A
-    // cluster of size ≤ HotCluster enumerates pairs directly; a hotter
-    // cluster re-keys its members by a SECOND-level partition of the
-    // complement tokens (x outside group g under the level-1 hash,
-    // partitioned by an independent hash into the same d groups).
-    // Exactness: every qualifying pair has ≥ 1 group with GENUINELY
-    // equal projections (pigeonhole; hash collisions only ever ADD
-    // candidates elsewhere); in that group's cluster the pair's ≤ Δmax
-    // differences all lie in the complement, so ≥ 1 of the d level-2
-    // groups is diff-free and the pair shares (g2, sig2). Falsified vs
-    // brute (hot-cluster fixture) in SetSimJoinSpec.
-    val withCount = sigs.withColumn("kc",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("g", "band", "sig")))
+    // HOT-CLUSTER REFINEMENT (r11, exact, RECURSIVE to a fixed depth):
+    // on a small vocabulary most candidates come from huge
+    // equal-projection clusters — above all the EMPTY projection, which
+    // every doc missing group g shares (measured at 1 M GenData docs:
+    // 266 M candidate pairs, 92 % from empty projections; enumeration
+    // is ~n² in the cluster size). A cluster of size ≤ HotCluster
+    // enumerates pairs directly; a hotter cluster re-keys its members
+    // by a NEXT-level partition of the still-unkeyed tokens (those
+    // outside every previous level's chosen group, partitioned by a
+    // fresh independent hash into the same d groups). Exactness, by
+    // induction on levels: every qualifying pair has ≥ 1 level-1 group
+    // with GENUINELY equal projections (pigeonhole; hash collisions
+    // only ever ADD candidates elsewhere); within a cluster of genuine
+    // agreement on levels 1..k, the pair's ≤ Δmax differences all lie
+    // outside the keyed tokens, so ≥ 1 of the d level-(k+1) groups is
+    // diff-free and the pair shares (g_{k+1}, sig_{k+1}). The LAST
+    // level enumerates its whole input (enumeration is always exact).
+    // Depth 3 measured: level-2 still carried 54 M candidate pairs at
+    // 1 M docs (93 % in still-hot clusters — empty-on-empty chains);
+    // each level divides the quadratic term ~5×. Falsified vs brute
+    // (hot-cluster clique + singleton fixtures) in SetSimJoinSpec.
     def pairJoin(side: DataFrame, key: Seq[String]): DataFrame = {
       val a = side.select(
         col("doc_id").as("id_a") +: col("sz").as("pa_sz") +:
@@ -335,31 +338,56 @@ object SetSimJoin {
             col("pa_sz") * tDen >= col("pb_sz") * tNum)
         .select("id_a", "id_b")
     }
-    val cold = pairJoin(
-      withCount.filter(col("kc") <= HotCluster).drop("toks", "kc"),
-      Seq("g", "band", "sig"))
-    val hot = pairJoin(
-      withCount.filter(col("kc") > HotCluster)
-        .select(col("doc_id"), col("sz"), col("g"), col("band"), col("sig"),
-          explode(sequence(lit(0), guarded)).as("g2"), col("toks"))
-        .select(col("doc_id"), col("sz"), col("g"), col("band"), col("sig"),
-          col("g2"),
-          xxhash64(col("g2"), expr(s"filter(toks, x -> " +
-            s"pmod(xxhash64(x), $d) != g AND " +
-            s"pmod(xxhash64(x, 7L), $d) = g2)")).as("sig2")),
-      Seq("g", "band", "sig", "g2", "sig2"))
-    val cand = cold.unionByName(hot).distinct()
+    var cur = sigs
+    var keyCols = Seq("g", "band", "sig")
+    var candTerms = Seq.empty[DataFrame]
+    (1 to HotLevels).foreach { level =>
+      val counted = cur.withColumn("kc",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)))
+      val last = level == HotLevels
+      val enumerate =
+        if (last) counted.drop("kc")
+        else counted.filter(col("kc") <= HotCluster).drop("kc")
+      candTerms :+= pairJoin(enumerate.drop("toks"), keyCols)
+      if (!last) {
+        val gNext = s"g${level + 1}"
+        val sigNext = s"sig${level + 1}"
+        // still-unkeyed tokens: outside EVERY previous level's chosen
+        // group (independent hash per level — seeds 0, 7, 14, ...)
+        val excl = (1 to level).map { k =>
+          val seed = if (k == 1) "xxhash64(x)" else s"xxhash64(x, ${(k - 1) * 7}L)"
+          val gCol = if (k == 1) "g" else s"g$k"
+          s"pmod($seed, $d) != $gCol"
+        }.mkString(" AND ")
+        val nextHash = s"xxhash64(x, ${level * 7}L)"
+        cur = counted.filter(col("kc") > HotCluster).drop("kc")
+          .withColumn(gNext, explode(sequence(lit(0), guarded)))
+          .withColumn(sigNext, xxhash64(col(gNext),
+            expr(s"filter(toks, x -> $excl AND pmod($nextHash, $d) = $gNext)")))
+        keyCols = keyCols ++ Seq(gNext, sigNext)
+      }
+    }
+    val cand = candTerms.reduce(_.unionByName(_)).distinct()
     verifyPairs(cand, sets, tNum, tDen)
   }
 
   /** Equal-projection cluster size past which the partition join stops
     * enumerating a cluster's pairs directly and re-keys the cluster by
-    * a second-level complement partition (see the refinement comment in
+    * a next-level complement partition (see the refinement comment in
     * [[jaccardJoinPartitionFrom]]): direct enumeration of a cluster of
     * c members costs c·(c−1)/2 candidate rows, so the cap bounds the
     * per-key quadratic term at ~32 k rows while refined keys split the
     * true monsters (empty projections) by actual content. */
   private final val HotCluster = 256L
+
+  /** Refinement depth: the final level enumerates whatever remains hot
+    * (always exact). Each level costs one window count over the
+    * shrinking hot subset plus a ×d explode of it, and was measured to
+    * divide the residual candidate volume ~5× on the 1 M-doc corpus —
+    * three levels put the still-hot tail near the enumeration cap's
+    * own output size. */
+  private final val HotLevels = 3
 
   /** Deletion-neighborhood strategy (exact; requires every doc's
     * k = sz − ceil(t·sz) ≤ 1, enforced): each doc emits a 64-bit hash of
