@@ -239,11 +239,14 @@ object SetSimJoin {
     * track the answer). Data amplification is exactly D rows per doc —
     * fixed, never combinatorial. */
   private[operators] def jaccardJoinPartition(docs: DataFrame, idCol: String,
-      textCol: String, tNum: Int, tDen: Int, d: Int): DataFrame =
-    jaccardJoinPartitionFrom(tokenFrames(docs, idCol, textCol), tNum, tDen, d)
+      textCol: String, tNum: Int, tDen: Int, d: Int,
+      hotCluster: Long = HotCluster): DataFrame =
+    jaccardJoinPartitionFrom(tokenFrames(docs, idCol, textCol), tNum, tDen, d,
+      hotCluster = hotCluster)
 
   private def jaccardJoinPartitionFrom(sets: DataFrame,
-      tNum: Int, tDen: Int, d: Int, szMaxHint: Long = -1L): DataFrame = {
+      tNum: Int, tDen: Int, d: Int, szMaxHint: Long = -1L,
+      hotCluster: Long = HotCluster): DataFrame = {
     require(d >= 1, s"universe partitioning needs >= 1 group, got $d")
     // SIZE-BANDED join key (r11): with a small vocabulary, equal
     // per-group projections are common across docs of very different
@@ -301,27 +304,54 @@ object SetSimJoin {
         // integer division on purpose ("/" on two longs is double in
         // Spark SQL — float bands would mis-bucket near boundaries)
         explode(array(expr(s"sz div $w"), expr(s"sz div $w + 1"))).as("band"))
-    // HOT-CLUSTER REFINEMENT (r11, exact, RECURSIVE to a fixed depth):
-    // on a small vocabulary most candidates come from huge
-    // equal-projection clusters — above all the EMPTY projection, which
-    // every doc missing group g shares (measured at 1 M GenData docs:
-    // 266 M candidate pairs, 92 % from empty projections; enumeration
-    // is ~n² in the cluster size). A cluster of size ≤ HotCluster
-    // enumerates pairs directly; a hotter cluster re-keys its members
-    // by a NEXT-level partition of the still-unkeyed tokens (those
-    // outside every previous level's chosen group, partitioned by a
-    // fresh independent hash into the same d groups). Exactness, by
-    // induction on levels: every qualifying pair has ≥ 1 level-1 group
-    // with GENUINELY equal projections (pigeonhole; hash collisions
-    // only ever ADD candidates elsewhere); within a cluster of genuine
+    // HOT-CLUSTER REFINEMENT (r11; DYNAMIC DEPTH since r12): on a small
+    // vocabulary most candidates come from huge equal-projection
+    // clusters — above all the EMPTY projection, which every doc
+    // missing group g shares (measured at 1 M GenData docs: 266 M
+    // candidate pairs, 92 % from empty projections; enumeration is ~n²
+    // in the cluster size). A cluster of size ≤ hotCluster enumerates
+    // pairs directly; a hotter cluster re-keys its members by a
+    // NEXT-level partition of the still-unkeyed tokens (those outside
+    // every previous level's chosen group, partitioned by a fresh
+    // independent hash into the same d groups). Exactness, by induction
+    // on levels: every qualifying pair has ≥ 1 level-1 group with
+    // GENUINELY equal projections (pigeonhole; hash collisions only
+    // ever ADD candidates elsewhere); within a cluster of genuine
     // agreement on levels 1..k, the pair's ≤ Δmax differences all lie
     // outside the keyed tokens, so ≥ 1 of the d level-(k+1) groups is
-    // diff-free and the pair shares (g_{k+1}, sig_{k+1}). The LAST
-    // level enumerates its whole input (enumeration is always exact).
-    // Depth 3 measured: level-2 still carried 54 M candidate pairs at
-    // 1 M docs (93 % in still-hot clusters — empty-on-empty chains);
-    // each level divides the quadratic term ~5×. Falsified vs brute
-    // (hot-cluster clique + singleton fixtures) in SetSimJoinSpec.
+    // diff-free and the pair shares (g_{k+1}, sig_{k+1}).
+    //
+    // The depth is DYNAMIC (r12 — the r11 fixed HotLevels = 3 left a
+    // residual the 1 M-doc census showed re-quadrupling per corpus
+    // doubling). Per level, two shapes leave the recursion:
+    //
+    //  - EXHAUSTED rows (no unkeyed token left on this chain) enumerate
+    //    against their WHOLE cluster now. Under genuine agreement an
+    //    exhausted row's full token set equals the cluster's shared
+    //    keyed projection, so it is a SUBSET of every clustermate's set
+    //    — a size-gated candidate (t·|b| ≤ |a|) therefore has
+    //    J = |a|/|b| ≥ t: every candidate is an output pair, so this
+    //    enumeration is OUTPUT-BOUND (collision clusters can only add
+    //    exactly-verified extras).
+    //  - The remaining (continuing) rows recurse only while each level
+    //    at least HALVES the residual enumeration cost
+    //    Σ_clusters c·(c−1)/2 — the quantity the refinement exists to
+    //    reduce. When a level fails to halve it, the PREVIOUS level's
+    //    continuing clusters are enumerated whole (exact; their pairs
+    //    are a superset of anything deeper levels could route).
+    //
+    // Why a progress guard and not the tempting "recurse until
+    // exclusions exhaust the token set": exhaustion-only termination is
+    // UNSOUND — a chain may choose a group no unkeyed token hashes to,
+    // keying nothing (the empty-on-empty chain), so a cluster of more
+    // than hotCluster IDENTICAL docs would recurse forever while its
+    // rows multiply ×d per level. The halving guard bounds depth at
+    // log₂(initial residual), stops exactly where refinement provably
+    // stopped paying (the enumerated residual is within 2× of the best
+    // any deeper level achieved), and the measured ~5× division per
+    // level on real corpora clears it with room. Falsified vs brute
+    // (identical-doc clique, empty-projection singletons, deep-chain
+    // fixtures at a lowered cap) in SetSimJoinSpec.
     def pairJoin(side: DataFrame, key: Seq[String]): DataFrame = {
       val a = side.select(
         col("doc_id").as("id_a") +: col("sz").as("pa_sz") +:
@@ -338,34 +368,88 @@ object SetSimJoin {
             col("pa_sz") * tDen >= col("pb_sz") * tNum)
         .select("id_a", "id_b")
     }
+    // exhausted rows × their whole cluster (both orders collapse to
+    // id_a < id_b): the output-bound leg of the recursion's exit
+    def pairJoinMixed(exh: DataFrame, all: DataFrame,
+        key: Seq[String]): DataFrame = {
+      val a = exh.select(
+        col("doc_id").as("id_a") +: col("sz").as("pa_sz") +:
+          key.map(k => col(k).as(s"${k}_a")): _*)
+      val b = all.select(
+        col("doc_id").as("id_b") +: col("sz").as("pb_sz") +:
+          key.map(k => col(k).as(s"${k}_b")): _*)
+      a.join(b,
+          key.map(k => col(s"${k}_a") === col(s"${k}_b")).reduce(_ && _) &&
+            col("id_a") =!= col("id_b") &&
+            col("pb_sz") * tDen >= col("pa_sz") * tNum &&
+            col("pa_sz") * tDen >= col("pb_sz") * tNum)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+    }
+    // tokens outside every chosen group of levels 1..level (independent
+    // hash per level — seeds 0, 7, 14, ...)
+    def exclPred(level: Int): String = (1 to level).map { k =>
+      val seed = if (k == 1) "xxhash64(x)" else s"xxhash64(x, ${(k - 1) * 7}L)"
+      val gCol = if (k == 1) "g" else s"g$k"
+      s"pmod($seed, $d) != $gCol"
+    }.mkString(" AND ")
     var cur = sigs
     var keyCols = Seq("g", "band", "sig")
+    var level = 1
     var candTerms = Seq.empty[DataFrame]
-    (1 to HotLevels).foreach { level =>
+    // the previous level's continuing clusters + their enumeration cost
+    // — kept so the guard can enumerate THEM (cost prevResid, the chain
+    // minimum) instead of the level that failed to halve
+    var prevResid = Long.MaxValue
+    var prevContinuing: DataFrame = null
+    var prevKeyCols: Seq[String] = null
+    var done = false
+    while (!done) {
+      // pin per level: the cold term, the exhausted term, the residual
+      // census and the next level's re-key all consume this frame —
+      // unpinned, each would replay the whole window chain
       val counted = cur.withColumn("kc",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*)))
-      val last = level == HotLevels
-      val enumerate =
-        if (last) counted.drop("kc")
-        else counted.filter(col("kc") <= HotCluster).drop("kc")
-      candTerms :+= pairJoin(enumerate.drop("toks"), keyCols)
-      if (!last) {
-        val gNext = s"g${level + 1}"
-        val sigNext = s"sig${level + 1}"
-        // still-unkeyed tokens: outside EVERY previous level's chosen
-        // group (independent hash per level — seeds 0, 7, 14, ...)
-        val excl = (1 to level).map { k =>
-          val seed = if (k == 1) "xxhash64(x)" else s"xxhash64(x, ${(k - 1) * 7}L)"
-          val gCol = if (k == 1) "g" else s"g$k"
-          s"pmod($seed, $d) != $gCol"
-        }.mkString(" AND ")
-        val nextHash = s"xxhash64(x, ${level * 7}L)"
-        cur = counted.filter(col("kc") > HotCluster).drop("kc")
-          .withColumn(gNext, explode(sequence(lit(0), guarded)))
-          .withColumn(sigNext, xxhash64(col(gNext),
-            expr(s"filter(toks, x -> $excl AND pmod($nextHash, $d) = $gNext)")))
-        keyCols = keyCols ++ Seq(gNext, sigNext)
+        .localCheckpoint()
+      val hot = counted.filter(col("kc") > hotCluster).drop("kc")
+        .withColumn("unk",
+          expr(s"size(filter(toks, x -> ${exclPred(level)}))"))
+      val continuing = hot.filter(col("unk") > 0)
+      // residual enumeration cost if the recursion stopped here (one
+      // metadata-sized agg over the pinned, shrinking hot subset)
+      val residRow = continuing.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) div 2"))).head()
+      val resid = if (residRow.isNullAt(0)) 0L else residRow.getLong(0)
+      if (level > 1 && resid * 2 > prevResid) {
+        // refinement stopped paying: enumerate the previous level's
+        // continuing clusters whole — exact (a superset of every pair
+        // deeper levels could find) and the cheapest point on the chain
+        candTerms :+= pairJoin(prevContinuing.drop("toks", "unk"), prevKeyCols)
+        done = true
+      } else {
+        candTerms :+= pairJoin(
+          counted.filter(col("kc") <= hotCluster).drop("kc", "toks"), keyCols)
+        candTerms :+= pairJoinMixed(
+          hot.filter(col("unk") === 0).drop("toks", "unk"),
+          hot.drop("toks", "unk"), keyCols)
+        if (resid == 0L) done = true
+        else {
+          prevResid = resid
+          prevContinuing = continuing
+          prevKeyCols = keyCols
+          val gNext = s"g${level + 1}"
+          val sigNext = s"sig${level + 1}"
+          val nextHash = s"xxhash64(x, ${level * 7}L)"
+          cur = continuing.drop("unk")
+            .withColumn(gNext, explode(sequence(lit(0), guarded)))
+            .withColumn(sigNext, xxhash64(col(gNext),
+              expr(s"filter(toks, x -> ${exclPred(level)} AND " +
+                s"pmod($nextHash, $d) = $gNext)")))
+          keyCols = keyCols ++ Seq(gNext, sigNext)
+          level += 1
+        }
       }
     }
     val cand = candTerms.reduce(_.unionByName(_)).distinct()
@@ -380,14 +464,6 @@ object SetSimJoin {
     * per-key quadratic term at ~32 k rows while refined keys split the
     * true monsters (empty projections) by actual content. */
   private final val HotCluster = 256L
-
-  /** Refinement depth: the final level enumerates whatever remains hot
-    * (always exact). Each level costs one window count over the
-    * shrinking hot subset plus a ×d explode of it, and was measured to
-    * divide the residual candidate volume ~5× on the 1 M-doc corpus —
-    * three levels put the still-hot tail near the enumeration cap's
-    * own output size. */
-  private final val HotLevels = 3
 
   /** Deletion-neighborhood strategy (exact; requires every doc's
     * k = sz − ceil(t·sz) ≤ 1, enforced): each doc emits a 64-bit hash of

@@ -194,6 +194,55 @@ class SetSimJoinSpec extends SparkTestBase {
       s"hot refinement lost ${brute.diff(fast).take(3)}, invented ${fast.diff(brute).take(3)}")
   }
 
+  test("dynamic refinement: deep chains at a lowered cap descend multiple levels and stay exact") {
+    import spark.implicits._
+    // hotCluster = 8 makes modest clusters hot, so a 12-token vocabulary
+    // over 6-token docs drives the recursion through SEVERAL levels
+    // (each level keys ~1/d of the remaining vocab; identical-projection
+    // clusters stay hot until content genuinely splits them — the
+    // deep-chain shape the fixed depth-3 could only terminate by
+    // brute-enumerating). Planted near-dup pairs must survive every
+    // level's re-key; the fixture's random-ish docs must not invent any.
+    val vocab = (0 until 12).map(i => s"v$i")
+    val fixture = ((0L until 120L).map { i =>
+      val toks = (0 until 6).map(j => vocab(((i * 7 + j * 5 + j * j) % 12).toInt))
+      (i, toks.distinct.mkString(" "))
+    } ++ Seq(
+      1000L -> "v0 v1 v2 v3 v4 v5",
+      1001L -> "v0 v1 v2 v3 v4 v5",     // identical pair (J = 1)
+      2000L -> "v6 v7 v8 v9 v10 v0",
+      2001L -> "v6 v7 v8 v9 v10 v1"     // J = 5/7 < 4/5: must NOT appear
+    )).toDF("doc_id", "text")
+    val fast = pairs(SetSimJoin.jaccardJoinPartition(
+      fixture, "doc_id", "text", 4, 5, d = 3, hotCluster = 8L))
+    val brute = pairs(SetSimJoin.jaccardJoinBrute(fixture, "doc_id", "text", 4, 5))
+    assert(brute.exists(p => (p._1, p._2) == ((1000L, 1001L))))
+    assert(fast == brute,
+      s"deep-chain lost ${brute.diff(fast).take(3)}, invented ${fast.diff(brute).take(3)}")
+  }
+
+  test("progress guard terminates the shared-core monster (residual grows per level) exactly") {
+    import spark.implicits._
+    // 120 docs sharing a 25-token core plus one unique token each: every
+    // pair qualifies at 9/10 (J = 25/27), and the refinement CANNOT
+    // split the cluster faster than the unique token's hash spreads —
+    // the residual grows ~d·((d−1)/d)² ≈ 1.33× per level, so pure
+    // exhaustion-termination would recurse unboundedly while rows
+    // multiply ×d. The halving guard must fire, enumerate the previous
+    // level's clusters whole, and still equal brute force (the clique
+    // makes that enumeration output-bound).
+    val core = (0 until 25).map(i => s"c$i")
+    val fixture = (0L until 120L).map { i =>
+      (i, (core :+ s"uniq$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = pairs(SetSimJoin.jaccardJoinPartition(
+      fixture, "doc_id", "text", 9, 10, d = 3, hotCluster = 8L))
+    val brute = pairs(SetSimJoin.jaccardJoinBrute(fixture, "doc_id", "text", 9, 10))
+    assert(brute.size == 120 * 119 / 2, s"expected the full clique, got ${brute.size}")
+    assert(fast == brute,
+      s"guard path lost ${brute.diff(fast).take(3)}, invented ${fast.diff(brute).take(3)}")
+  }
+
   test("registered driver gates pin their dispatch strategy at every fixture SF") {
     // the three q_join_setsim* gates certify one strategy EACH, but the
     // dispatch is data-dependent — a regenerated fixture could silently
@@ -215,6 +264,12 @@ class SetSimJoinSpec extends SparkTestBase {
       val pPre = SetSimJoin.dispatchProfile(slice, "doc_id", "text", 3, 5)
       assert(pPre.strategy == "prefix",
         s"q_join_setsim_prefix ($dir) must certify prefix filtering: $pPre")
+      import spark.implicits._
+      val stratCorpus = docs.filter(col("doc_id") % 3 === 1)
+        .unionByName(Seq((-1L, "aardvark zyzzyva")).toDF("doc_id", "text"))
+      val pStrat = SetSimJoin.dispatchProfile(stratCorpus, "doc_id", "text", 9, 10)
+      assert(pStrat.strategy == "stratified",
+        s"q_join_setsim_stratified ($dir) must certify the hybrid: $pStrat")
     }
   }
 
