@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Incremental JOIN-view maintenance (EXTENSION, SURVEY.md §2.K) — the
@@ -78,54 +78,114 @@ object IncrementalJoin {
     require(missing.isEmpty, s"$what missing columns: ${missing.mkString(", ")}")
   }
 
-  /** Broadcast-hint cap for delta-bounded key frames, in ESTIMATED
-    * BYTES (measured row count × schema default row width + per-row
-    * overhead — a schema-aware estimate, not a row count: 10 M long
-    * keys are a safe broadcast, 10 M wide string keys are a driver
-    * OOM). 64 MB is far past the planner's 10 MB default yet small
-    * against executor memory and the driver's 1 GB maxResultSize. Past
-    * the cap the hint is withheld and the planner's shuffle plan
-    * stands; at that delta size the 100 TB answer is a view/base
-    * BUCKETED on the key ([[graft.catalog.Bucketing]]), which makes the
-    * anti/semi probes exchange-free without any broadcast. */
+  /** Broadcast-hint cap for delta-bounded key frames, in MEASURED BYTES
+    * (summed per-row widths of the pinned frame's actual values — not a
+    * schema estimate: 10 M long keys are a safe broadcast, 10 M 2 KB
+    * URL keys are a driver OOM that a `defaultSize`-based estimate
+    * waves through at "20 bytes per string"). 64 MB is far past the
+    * planner's 10 MB default yet small against executor memory and the
+    * driver's 1 GB maxResultSize. Past the cap the hint is withheld and
+    * the planner's shuffle plan stands; at that delta size the 100 TB
+    * answer is a view/base BUCKETED on the key
+    * ([[graft.catalog.Bucketing]]), which makes the anti/semi probes
+    * exchange-free without any broadcast. */
   private final val BroadcastBytesCap = 64L * 1024 * 1024
 
-  /** Pin a delta-bounded frame and, when its measured size estimate is
-    * under [[BroadcastBytesCap]], attach an explicit broadcast hint.
-    * The fold's probe frames are all DERIVED (distinct-of-projection,
+  /** Per-row byte width measured from the DATA: fixed-width fields at
+    * their storage width, strings/binary at their actual octet length,
+    * nested types via their JSON rendering (an overestimate — safe:
+    * it can only withhold a hint, never hint an oversized frame), plus
+    * UnsafeRow-ish per-field and per-row overheads. */
+  private def measuredRowBytes(df: DataFrame): Column = {
+    import org.apache.spark.sql.types._
+    val perField: Seq[Column] = df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case StringType | BinaryType =>
+          coalesce(octet_length(col(f.name)).cast("long"), lit(0L)) + lit(20L)
+        case _: ArrayType | _: MapType | _: StructType =>
+          coalesce(octet_length(to_json(struct(col(f.name)))).cast("long"),
+            lit(0L)) + lit(20L)
+        case dt => lit(dt.defaultSize.toLong + 8L)
+      }
+    }
+    perField.reduce(_ + _) + lit(16L)
+  }
+
+  /** Pin a delta-bounded frame and, when its MEASURED size is under
+    * [[BroadcastBytesCap]], attach an explicit broadcast hint. The
+    * fold's probe frames are all DERIVED (distinct-of-projection,
     * semi-join results), so the planner sees no stats and silently
     * falls back to sort-merge once a file-scanned delta crosses the
     * 10 MB threshold — measured at sf10 (2 % delta): the fold shuffled
     * 636 MB where the from-scratch re-join shuffled 411, inverting the
-    * IVM advantage. One count() on a delta-sized frame is the
+    * IVM advantage. One aggregate over a delta-sized frame is the
     * profile-then-decide price ([[SkewJoin.decide]] discipline);
-    * localCheckpoint pins it so the count and every downstream consumer
-    * share one computation. */
-  private def deltaHint(frame: DataFrame): DataFrame = {
-    val pinned = frame.localCheckpoint()
-    val rowBytes = pinned.schema.map(_.dataType.defaultSize).sum + 16L
-    if (pinned.count() * rowBytes <= BroadcastBytesCap) broadcast(pinned)
-    else pinned
+    * localCheckpoint pins it so the measurement and every downstream
+    * consumer share one computation. */
+  private[operators] def deltaHint(frame: DataFrame): DataFrame = {
+    // LAZY pin: the byte census is the action that materializes it, so
+    // one job (not pin + census) per hint — the fixed per-trigger cost
+    // a streaming fold pays on every micro-batch
+    val pinned = frame.localCheckpoint(eager = false)
+    val bytes = pinned.agg(coalesce(sum(measuredRowBytes(pinned)), lit(0L)))
+      .head().getLong(0)
+    if (bytes <= BroadcastBytesCap) broadcast(pinned) else pinned
   }
 
   /** The hinted delta-key frames one fold needs — computed ONCE and
-    * shared between [[applyCdcLeft]] and the inner fold it delegates to
-    * (each deltaHint is an eager pin + count; duplicating them would
-    * double the fixed per-trigger cost of a streaming maintenance
-    * job). */
+    * shared between [[applyCdcLeft]] and the inner fold it delegates to,
+    * and materialized as ONE tagged union: a single localCheckpoint plus
+    * a single grouped byte-census replaces five eager pin+measure jobs
+    * (the r11 shape — ten driver-visible jobs per fold was the one
+    * common-query family that moved the wrong way that round; the
+    * cascade paid them twice). Each tag's slice is hinted independently
+    * under the measured-bytes cap. */
   private final case class DeltaKeys(aTouched: DataFrame, bTouched: DataFrame,
       aInsJoinKeys: DataFrame, bInsKeys: DataFrame, aInsRowKeys: DataFrame)
 
   private def deltaKeysOf(aKey: String, bKey: String, joinKeys: Seq[String],
       aInserts: DataFrame, aDeletes: DataFrame,
-      bInserts: DataFrame, bDeletes: DataFrame): DeltaKeys = DeltaKeys(
-    aTouched = deltaHint(aDeletes.select(col(aKey))
-      .unionByName(aInserts.select(col(aKey))).distinct()),
-    bTouched = deltaHint(bDeletes.select(col(bKey))
-      .unionByName(bInserts.select(col(bKey))).distinct()),
-    aInsJoinKeys = deltaHint(aInserts.select(joinKeys.map(col): _*).distinct()),
-    bInsKeys = deltaHint(bInserts.select(joinKeys.map(col): _*).distinct()),
-    aInsRowKeys = deltaHint(aInserts.select(col(aKey)).distinct()))
+      bInserts: DataFrame, bDeletes: DataFrame): DeltaKeys = {
+    val frames: Seq[(String, DataFrame)] = Seq(
+      "aTouched" -> aDeletes.select(col(aKey))
+        .unionByName(aInserts.select(col(aKey))).distinct(),
+      "bTouched" -> bDeletes.select(col(bKey))
+        .unionByName(bInserts.select(col(bKey))).distinct(),
+      "aInsJoinKeys" -> aInserts.select(joinKeys.map(col): _*).distinct(),
+      "bInsKeys" -> bInserts.select(joinKeys.map(col): _*).distinct(),
+      "aInsRowKeys" -> aInserts.select(col(aKey)).distinct())
+    // superset schema (a row key may coincide with a join key — dedup):
+    // each frame pads the columns it lacks with typed nulls; the byte
+    // census is computed on the frame's OWN columns before padding
+    val allCols = scala.collection.mutable.LinkedHashMap.empty[
+      String, org.apache.spark.sql.types.DataType]
+    frames.foreach { case (_, f) =>
+      f.schema.fields.foreach(fd =>
+        if (!allCols.contains(fd.name)) allCols += fd.name -> fd.dataType)
+    }
+    val tagged = frames.map { case (tag, f) =>
+      val padded = allCols.toSeq.map { case (c, dt) =>
+        if (f.columns.contains(c)) col(c) else lit(null).cast(dt).as(c)
+      }
+      f.withColumn("__bytes", measuredRowBytes(f))
+        .select(padded :+ col("__bytes") :+ lit(tag).as("__tag"): _*)
+    }
+    val pin = tagged.reduce(_ unionByName _).localCheckpoint(eager = false)
+    val bytesByTag = pin.groupBy("__tag")
+      .agg(sum(col("__bytes")).as("b")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def slice(tag: String, cols: Seq[String]): DataFrame = {
+      val s = pin.filter(col("__tag") === tag).select(cols.map(col): _*)
+      if (bytesByTag.getOrElse(tag, 0L) <= BroadcastBytesCap) broadcast(s)
+      else s
+    }
+    DeltaKeys(
+      aTouched = slice("aTouched", Seq(aKey)),
+      bTouched = slice("bTouched", Seq(bKey)),
+      aInsJoinKeys = slice("aInsJoinKeys", joinKeys),
+      bInsKeys = slice("bInsKeys", joinKeys),
+      aInsRowKeys = slice("aInsRowKeys", Seq(aKey)))
+  }
 
   /** Initial materialization of the view: one inner equi-join. Column
     * order = joinKeys ++ A-rest ++ B-rest (Spark's `join(_, keys)`

@@ -316,6 +316,41 @@ class IncrementalJoinSpec extends SparkTestBase {
       "fixture must exercise the null-extended slice")
   }
 
+  test("deltaHint: a wide-string-key delta past 64 MB REAL bytes is never hinted") {
+    // 40 k rows × ~2 KB string keys ≈ 80 MB of real payload — the
+    // retired defaultSize estimate scored this at 40 k × 36 B ≈ 1.4 MB
+    // and hinted it straight into a driver-OOM-class broadcast (URLs /
+    // composite natural keys are standard CDC join-key shapes). The
+    // measured-bytes census must withhold the hint; with no stats on
+    // the pinned derived frame the planner then keeps sort-merge.
+    // the hint decision is asserted on the ANALYZED plan (ResolvedHint):
+    // in this synthetic shape the planner's own propagated pre-pin stats
+    // can still broadcast a hintless frame, but the fold's real probe
+    // frames are stats-less derived plans where the hint IS the decision
+    val wide = spark.range(40000).select(
+      concat(col("id").cast("string"), lit("_"), lit("x" * 2048)).as("k"))
+    val probe = spark.range(100000).select(
+      concat(col("id").cast("string"), lit("_"), lit("x" * 16)).as("k"),
+      col("id").as("v"))
+    def hintCount(df: DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    assert(hintCount(probe.join(IncrementalJoin.deltaHint(wide),
+        Seq("k"), "left_semi")) == 0,
+      "an ~80 MB-real delta must not be broadcast-hinted")
+    // control — same row count, narrow keys (~1 MB real): hinted, and
+    // the hint carries through to a broadcast join in the physical plan
+    val narrow = spark.range(40000).select(col("id").cast("string").as("k"))
+    val narrowJoin = probe.join(IncrementalJoin.deltaHint(narrow),
+      Seq("k"), "left_semi")
+    assert(hintCount(narrowJoin) == 1,
+      "a 1 MB-real delta must keep its broadcast hint")
+    assert(narrowJoin.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+      "the hinted narrow delta must plan as a broadcast join")
+  }
+
   test("joinState rejects clashing non-key columns") {
     val a = Seq((1L, 10, "x")).toDF("a_id", "jk", "v")
     val b = Seq((1L, 10, "y")).toDF("b_id", "jk", "v")
