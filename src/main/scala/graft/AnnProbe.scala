@@ -50,6 +50,10 @@ object AnnProbe {
 
     val out = new StringBuilder
     out.append(s"""{"probe":"ann","sf_dir":"$sfDir","n_vectors":$nAll""")
+    // the WHOLE rep loop rides inside try/finally: a visibility require
+    // or Spark failure mid-loop must not leak the multi-index temp dir
+    // (the IvmProbe staging lesson)
+    try {
     (0 until reps).foreach { r =>
       val p = s"$root/rep$r"
       val tLshFull = time(Similarity.buildLshIndex(emb, "vec_id", "embedding", s"$p/lsh_full", dim = 64))
@@ -76,9 +80,11 @@ object AnnProbe {
     }
     out.append("}")
     println(out.result())
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    try rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(rootPath, true)
-    finally spark.stop()
+    } finally {
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      try rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      finally spark.stop()
+    }
   }
 }

@@ -2513,10 +2513,17 @@ object Queries {
     // events schema read fail timing-dependently.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    def fields(name: String): Seq[(String, String, String)] =
+    def fields(name: String): Seq[(String, String, String)] = {
+      // pool threads have no active session; pin it so any
+      // session-thread-local dependency a future loader grows (conf
+      // reads, analysis helpers) resolves to THIS session instead of
+      // failing timing-dependently. events stays the only loader that
+      // MUTATES conf, and it runs first on the calling thread.
+      org.apache.spark.sql.SparkSession.setActiveSession(s)
       Tables.load(s, d, name).schema.fields.map { f =>
         (f.name, name, graft.types.AgnosticType.print(f.dataType))
       }.toSeq
+    }
     val eventsOcc = fields("events")
     val occurrences = Await.result(
       Future.sequence(Tables.all.filterNot(_ == "events")

@@ -116,12 +116,17 @@ object IncrementalAgg {
       .withColumn("n_rows__new", nRows)
       .filter(col("n_rows__new") > 0)
     val candCols = measures.foldLeft(withCand) { (d, m) =>
-      d.withColumn(s"sum_${m}__new",
-          (coalesce(col(s"sum_$m"), zeroDec) + coalesce(col(s"sum_${m}_i"), zeroDec)
-            - coalesce(col(s"sum_${m}_d"), zeroDec)).cast("decimal(28,4)"))
-        .withColumn(s"cnt_${m}__new",
+      d.withColumn(s"cnt_${m}__new",
           coalesce(col(s"cnt_$m"), lit(0L)) + coalesce(col(s"cnt_${m}_i"), lit(0L))
             - coalesce(col(s"cnt_${m}_d"), lit(0L)))
+        // sum over ZERO values is NULL, not 0 (SQL semantics — and the
+        // exactness contract: state(S') has a NULL sum for a group whose
+        // measure is all-null, the live case in a LEFT-join view's
+        // null-extended groups)
+        .withColumn(s"sum_${m}__new",
+          when(col(s"cnt_${m}__new") > 0,
+            (coalesce(col(s"sum_$m"), zeroDec) + coalesce(col(s"sum_${m}_i"), zeroDec)
+              - coalesce(col(s"sum_${m}_d"), zeroDec)).cast("decimal(28,4)")))
         .withColumn(s"min_${m}__cand", nsLeast(col(s"min_$m"), col(s"min_${m}_i")))
         .withColumn(s"max_${m}__cand", nsGreatest(col(s"max_$m"), col(s"max_${m}_i")))
         // dirty: a deleted value sits at or beyond the candidate boundary
@@ -157,7 +162,12 @@ object IncrementalAgg {
     val cols = keys.map(col) ++ Seq(col("n_rows")) ++ measures.flatMap { m =>
       Seq(
         col(s"sum_$m").cast("double").as(s"sum_$m"),
-        round(col(s"sum_$m").cast("double") / col(s"cnt_$m"), 6).as(s"avg_$m"),
+        // avg of zero values is NULL, not a division error: a LEFT-join
+        // view's null-extended groups legitimately carry cnt = 0 for the
+        // B-side measures (ANSI mode raises on 0-divide otherwise)
+        when(col(s"cnt_$m") > 0,
+          round(col(s"sum_$m").cast("double") / col(s"cnt_$m"), 6))
+          .as(s"avg_$m"),
         col(s"min_$m").cast("double").as(s"min_$m"),
         col(s"max_$m").cast("double").as(s"max_$m"))
     }

@@ -339,22 +339,41 @@ object IncrementalJoin {
       joinKeys: Seq[String],
       aInserts: DataFrame, aDeletes: DataFrame,
       bInserts: DataFrame, bDeletes: DataFrame,
-      aSnapshot: DataFrame, bSnapshot: DataFrame): DataFrame = {
+      aSnapshot: DataFrame, bSnapshot: DataFrame): DataFrame =
+    applyCdcLeftWithDelta(view, aKey, bKey, joinKeys, aInserts, aDeletes,
+      bInserts, bDeletes, aSnapshot, bSnapshot).view
+
+  /** [[applyCdcLeft]] plus the view's own row-level changeset — the LEFT
+    * twin of [[applyCdcWithDelta]], completing the cascade surface for
+    * outer views: `deleted` covers both the matched slice's touched
+    * pairs AND the unmatched (null-extended) rows that leave it (A key
+    * touched, or the join key gained its first B row); `inserted` covers
+    * the inner delta terms AND the rows entering null-extended (inserted
+    * A rows without a partner, survivors of dead keys). As with the
+    * inner form, `view ∖ deleted ∪ inserted == view'` by construction,
+    * so a downstream [[IncrementalAgg]] folds a LEFT-join MV tree per
+    * micro-batch without re-joining the bases. */
+  def applyCdcLeftWithDelta(view: DataFrame, aKey: String, bKey: String,
+      joinKeys: Seq[String],
+      aInserts: DataFrame, aDeletes: DataFrame,
+      bInserts: DataFrame, bDeletes: DataFrame,
+      aSnapshot: DataFrame, bSnapshot: DataFrame): ViewDelta = {
     requireCols(view, (joinKeys ++ Seq(aKey, bKey)).distinct, "applyCdcLeft view")
     val jk = joinKeys.map(col)
     val order = view.columns.map(col).toSeq
 
     // one hinted key-frame set for the WHOLE fold — the inner slice and
     // every left-only probe below share it (each hint is an eager
-    // pin + count; computing them twice would double the fixed
+    // pin + census; computing them twice would double the fixed
     // per-trigger cost of a streaming maintenance job)
     val dk = deltaKeysOf(aKey, bKey, joinKeys,
       aInserts, aDeletes, bInserts, bDeletes)
 
     // inner slice: the matched pairs fold exactly as an inner view
-    val innerNew = applyCdcWithDeltaKeys(view.filter(col(bKey).isNotNull),
+    val innerDelta = applyCdcWithDeltaKeys(view.filter(col(bKey).isNotNull),
       aKey, bKey, joinKeys, aInserts, aDeletes, bInserts, bDeletes,
-      aSnapshot, bSnapshot, dk).view
+      aSnapshot, bSnapshot, dk)
+    val innerNew = innerDelta.view
 
     // Every probe below joins a state- or corpus-sized frame against a
     // build side that is DELTA-BOUNDED by construction (key sets of the
@@ -399,8 +418,21 @@ object IncrementalJoin {
     val nullExtended = joinStateLeft(
       insUnmatched.unionByName(deadA), bSnapshot.limit(0), joinKeys)
 
-    innerNew.select(order: _*)
-      .unionByName(stillUnmatched.select(order: _*))
+    // unmatched slice's deleted rows = unmatchedOld ∖ stillUnmatched,
+    // built from the same disjoint semi/anti legs (A key touched; else
+    // join key gained its first B row) — no exceptAll
+    val unmatchedDeleted = unmatchedOld.join(aTouched, Seq(aKey), "left_semi")
+      .unionByName(unmatchedOld.join(aTouched, Seq(aKey), "left_anti")
+        .join(bInsKeys, joinKeys, "left_semi"))
+
+    val inserted = innerDelta.inserted.select(order: _*)
       .unionByName(nullExtended.select(order: _*))
+    ViewDelta(
+      view = innerNew.select(order: _*)
+        .unionByName(stillUnmatched.select(order: _*))
+        .unionByName(nullExtended.select(order: _*)),
+      inserted = inserted,
+      deleted = innerDelta.deleted.select(order: _*)
+        .unionByName(unmatchedDeleted.select(order: _*)))
   }
 }

@@ -367,16 +367,18 @@ object Similarity {
     // delta write costs a handful of files regardless of K; the
     // auto-compaction cadence folds it into the pruned main layout.
     assignCells(newEmbeddings.select(col(idCol), col(vecCol)), vecCol, centroids)
-      .coalesce(AnnDeltaFiles)
+      .repartition(AnnDeltaFiles)
       .write.mode("append").parquet(s"$path/$AnnDeltaDir")
     maybeAutoCompact(newEmbeddings.sparkSession, path, idCol,
       Seq("cell_id"), autoCompactEvery)
   }
 
   /** Files per refresh landing in `_delta`: small enough that a probe's
-    * extra listing/open cost between folds stays negligible, large
-    * enough that the encode of a big refresh batch keeps some
-    * parallelism (coalesce caps the write stage's tasks). At
+    * extra listing/open cost between folds stays negligible. The writes
+    * use repartition, not coalesce — coalesce propagates the 4-task cap
+    * UPSTREAM through the whole encode (scan + cell/signature
+    * assignment serialized into 4 tasks), while repartition pays one
+    * delta-sized shuffle and keeps the encode at full parallelism. At
     * fleet scale a refresh batch is delta-sized by definition; a caller
     * ingesting truly huge batches should rebuild or lower the
     * compaction cadence instead. */
@@ -878,7 +880,7 @@ object Similarity {
         explode(array(assignments: _*)).as("tb"))
       .select(col(idCol), col(vecCol),
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-      .coalesce(AnnDeltaFiles)
+      .repartition(AnnDeltaFiles)
       .write.mode("append").parquet(s"$path/$AnnDeltaDir")
     maybeAutoCompact(spark, path, idCol, Seq("table", "bucket"),
       autoCompactEvery)
@@ -1333,7 +1335,7 @@ object Similarity {
     // the new batch, and PQ previously had NO fold at all — the one
     // layout where small files accumulated without bound
     pqPackedCodes(newEmbeddings, idCol, vecCol, codebooks)
-      .coalesce(AnnDeltaFiles)
+      .repartition(AnnDeltaFiles)
       .write.mode("append").parquet(s"$path/$AnnDeltaDir")
     maybeAutoCompact(newEmbeddings.sparkSession, path, idCol,
       Seq.empty, autoCompactEvery)

@@ -47,6 +47,94 @@ import graft.operators.IncrementalJoin
   */
 object JoinMaintenance {
 
+  /** Fold the view's per-trigger changeset ([[IncrementalJoin.ViewDelta]])
+    * into a downstream [[graft.operators.IncrementalAgg]] state table —
+    * the streaming form of the oracled batch cascade
+    * (q_cdc_view_cascade): join view + dependent aggregate maintained
+    * end to end per micro-batch, bases never re-joined.
+    *
+    * Torn-trigger contract (the agg fold is ADDITIVE, not
+    * anti-then-add, so replay idempotence needs a guard): every agg
+    * state row carries the folding batch id in `_batch_id` — atomic
+    * with the data, unlike a sidecar meta file — and a replayed batch
+    * whose id is already recorded SKIPS the agg fold. The write order
+    * is agg state FIRST, then view (then B state): a crash between them
+    * replays against the PRE-fold view, so the recomputed delta is the
+    * original one and the guard's skip is exact; a crash before the agg
+    * write replays everything from scratch. The guard assumes the
+    * checkpoint's stable batch numbering (or a same-order replay of the
+    * same log), which is the standard foreachBatch idempotence
+    * contract. Bootstrap: an absent agg state initializes from the
+    * PRE-fold view, so the cascade can attach to an existing view
+    * mid-life. */
+  private def cascadeAggFold(spark: SparkSession,
+      delta: IncrementalJoin.ViewDelta, preFoldView: DataFrame,
+      aggStateDir: String, aggKeys: Seq[String], aggMeasures: Seq[String],
+      batchId: Long): Unit = {
+    import graft.operators.IncrementalAgg
+    val exists = StateDirs.hasParquetData(spark, aggStateDir)
+    val prevRaw = if (exists) spark.read.parquet(aggStateDir) else null
+    val alreadyApplied = exists && {
+      val r = prevRaw.agg(max(col("_batch_id"))).head()
+      !r.isNullAt(0) && r.getLong(0) >= batchId
+    }
+    if (!alreadyApplied) {
+      val prev =
+        if (exists) prevRaw.drop("_batch_id")
+        else IncrementalAgg.state(preFoldView, aggKeys, aggMeasures)
+      val next = IncrementalAgg.applyCdc(prev, aggKeys, aggMeasures,
+        inserts = delta.inserted, deletes = delta.deleted,
+        snapshot = delta.view)
+      // pin before the overwrite: next's lineage reads aggStateDir
+      next.withColumn("_batch_id", lit(batchId))
+        .localCheckpoint().write.mode("overwrite").parquet(aggStateDir)
+    }
+  }
+
+  /** One [[maintainJoinView]] micro-batch — package-private so the spec
+    * can drive exact torn-trigger points (fold, restore one state table,
+    * refold) that the streaming glue cannot reproduce on demand. */
+  private[streaming] def foldJoinViewBatch(spark: SparkSession,
+      rawBatch: DataFrame, batchId: Long, bDir: String, viewDir: String,
+      aKey: String, bKey: String, joinKeys: Seq[String], opCol: String,
+      leftJoin: Boolean, aggStateDir: Option[String],
+      aggKeys: Seq[String], aggMeasures: Seq[String]): Unit = {
+    val b = spark.read.parquet(bDir)
+    // loud op guard: a NULL or unknown op would silently drop (or
+    // misroute) a change and diverge the view from the log
+    val batch = rawBatch.withColumn(opCol,
+      when(col(opCol).isin("I", "U", "D"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit("maintainJoinView: invalid op value '"),
+          coalesce(col(opCol), lit("NULL")),
+          lit("' — expected I, U or D")))))
+    val aIns = batch.filter(col(opCol) =!= "D").drop(opCol)
+    // 'U' = delete(old key) + insert(new row): route the key through
+    // both deltas, exactly the ChangeCapture decomposition
+    val aDel = batch.filter(col(opCol) =!= "I").select(col(aKey))
+    val view =
+      if (StateDirs.hasParquetData(spark, viewDir)) spark.read.parquet(viewDir)
+      else if (leftJoin) IncrementalJoin.joinStateLeft(aIns.limit(0), b, joinKeys)
+      else IncrementalJoin.joinState(aIns.limit(0), b, joinKeys)
+    def fold(f: (DataFrame, String, String, Seq[String], DataFrame,
+        DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)
+        => IncrementalJoin.ViewDelta) =
+      f(view, aKey, bKey, joinKeys,
+        aIns, aDel,
+        b.limit(0), b.select(col(bKey)).limit(0),
+        // A is never materialized; aSnapshot is only consulted for
+        // B-side inserts, which this maintenance shape never has
+        aIns.limit(0), b)
+    val vd =
+      if (leftJoin) fold(IncrementalJoin.applyCdcLeftWithDelta)
+      else fold(IncrementalJoin.applyCdcWithDelta)
+    // agg state first (see cascadeAggFold's torn-trigger contract)
+    aggStateDir.foreach(dir =>
+      cascadeAggFold(spark, vd, view, dir, aggKeys, aggMeasures, batchId))
+    // pin before the overwrite: the folded view's lineage reads viewDir
+    vd.view.localCheckpoint().write.mode("overwrite").parquet(viewDir)
+  }
+
   /** @param cdcDir   streamed parquet dir of op-tagged A-side change rows:
     *                  A's full columns + `opCol` ∈ {'I','U','D'} ('D' rows
     *                  need only the key populated; any other op raises)
@@ -61,15 +149,26 @@ object JoinMaintenance {
     *                  .applyCdcLeft]]); with B static the zero-crossing
     *                  transitions never fire from the B side, so the
     *                  per-trigger fold only routes inserted A rows to
-    *                  the matched or null-extended slice */
+    *                  the matched or null-extended slice
+    * @param aggStateDir when set, ALSO maintain a downstream aggregate
+    *                  state table over the view (keys = `aggKeys`,
+    *                  measures = `aggMeasures`) from the view's own
+    *                  per-trigger changeset — the streaming cascade; see
+    *                  [[cascadeAggFold]] for the torn-trigger contract.
+    *                  Read it with [[graft.operators.IncrementalAgg
+    *                  .finish]] after dropping `_batch_id`. */
   def maintainJoinView(spark: SparkSession, cdcDir: String, bDir: String,
       viewDir: String, checkpointDir: String,
       aKey: String, bKey: String, joinKeys: Seq[String], opCol: String = "op",
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      maxFilesPerTrigger: Int = 1, leftJoin: Boolean = false): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1, leftJoin: Boolean = false,
+      aggStateDir: Option[String] = None, aggKeys: Seq[String] = Nil,
+      aggMeasures: Seq[String] = Nil): StreamingQuery = {
     require(schema.nonEmpty || StateDirs.hasParquetData(spark, cdcDir),
       s"maintainJoinView: $cdcDir has no parquet yet — pass schema= to " +
         "start the maintenance query ahead of the CDC producer")
+    require(aggStateDir.isEmpty || (aggKeys.nonEmpty && aggMeasures.nonEmpty),
+      "maintainJoinView: aggStateDir needs aggKeys and aggMeasures")
     val srcSchema = schema.getOrElse(spark.read.parquet(cdcDir).schema)
     spark.readStream
       .schema(srcSchema)
@@ -78,38 +177,10 @@ object JoinMaintenance {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
-        val b = spark.read.parquet(bDir)
-        // loud op guard: a NULL or unknown op would silently drop (or
-        // misroute) a change and diverge the view from the log
-        val batch = rawBatch.withColumn(opCol,
-          when(col(opCol).isin("I", "U", "D"), col(opCol))
-            .otherwise(raise_error(concat(
-              lit("maintainJoinView: invalid op value '"),
-              coalesce(col(opCol), lit("NULL")),
-              lit("' — expected I, U or D")))))
-        val aIns = batch.filter(col(opCol) =!= "D").drop(opCol)
-        // 'U' = delete(old key) + insert(new row): route the key through
-        // both deltas, exactly the ChangeCapture decomposition
-        val aDel = batch.filter(col(opCol) =!= "I").select(col(aKey))
-        val view =
-          if (StateDirs.hasParquetData(spark, viewDir)) spark.read.parquet(viewDir)
-          else if (leftJoin) IncrementalJoin.joinStateLeft(aIns.limit(0), b, joinKeys)
-          else IncrementalJoin.joinState(aIns.limit(0), b, joinKeys)
-        def fold(f: (DataFrame, String, String, Seq[String], DataFrame,
-            DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) => DataFrame) =
-          f(view, aKey, bKey, joinKeys,
-            aIns, aDel,
-            b.limit(0), b.select(col(bKey)).limit(0),
-            // A is never materialized; aSnapshot is only consulted for
-            // B-side inserts, which this maintenance shape never has
-            aIns.limit(0), b)
-        val folded =
-          if (leftJoin) fold(IncrementalJoin.applyCdcLeft)
-          else fold(IncrementalJoin.applyCdc)
-        // pin before the overwrite: folded's lineage reads viewDir
-        folded.localCheckpoint().write.mode("overwrite").parquet(viewDir)
-        ()
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        foldJoinViewBatch(spark, rawBatch, batchId, bDir, viewDir,
+          aKey, bKey, joinKeys, opCol, leftJoin,
+          aggStateDir, aggKeys, aggMeasures)
       }
       .start()
   }
@@ -148,15 +219,99 @@ object JoinMaintenance {
     * Per-trigger cost: batch scan + view-sized retained pass + B-sized
     * state rewrite + delta-pruned probes (the overwrite storage
     * strategy; tombstones/delete-vectors swap in unchanged). */
+  /** One [[maintainJoinViewTwoSided]] micro-batch (package-private for
+    * the spec's torn-trigger drills, like [[foldJoinViewBatch]]). */
+  private[streaming] def foldTwoSidedBatch(spark: SparkSession,
+      rawBatch: DataFrame, batchId: Long, bInitDir: String, viewDir: String,
+      bStateDir: String, aKey: String, bKey: String, joinKeys: Seq[String],
+      aCols: Seq[String], bCols: Seq[String], sideCol: String, opCol: String,
+      leftJoin: Boolean, aggStateDir: Option[String],
+      aggKeys: Seq[String], aggMeasures: Seq[String]): Unit = {
+    // loud guards: unknown side or op would silently drop a change
+    val batch = rawBatch
+      .withColumn(sideCol,
+        when(col(sideCol).isin("A", "B"), col(sideCol))
+          .otherwise(raise_error(concat(
+            lit("maintainJoinViewTwoSided: invalid side '"),
+            coalesce(col(sideCol), lit("NULL")), lit("' — expected A or B")))))
+      .withColumn(opCol,
+        when(col(opCol).isin("I", "U", "D"), col(opCol))
+          .otherwise(raise_error(concat(
+            lit("maintainJoinViewTwoSided: invalid op '"),
+            coalesce(col(opCol), lit("NULL")), lit("' — expected I, U or D")))))
+      // the side guard only evaluates on rows something consumes;
+      // pinning forces both guard columns once over the whole batch
+      .localCheckpoint()
+    val aSide = batch.filter(col(sideCol) === "A")
+    val bSide = batch.filter(col(sideCol) === "B")
+    val aIns = aSide.filter(col(opCol) =!= "D").select(aCols.map(col): _*)
+    val aDel = aSide.filter(col(opCol) =!= "I").select(col(aKey))
+    val bIns = bSide.filter(col(opCol) =!= "D").select(bCols.map(col): _*)
+    val bDel = bSide.filter(col(opCol) =!= "I").select(col(bKey))
+    if (!leftJoin && bSide.filter(col(opCol) =!= "D").limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        "maintainJoinViewTwoSided: B-side inserts/updates need the " +
+          "post-change A table, which an INNER view cannot " +
+          "reconstruct (match-less A rows are absent) — maintain a " +
+          "LEFT view, or fold B churn through IncrementalJoin" +
+          ".applyCdc with a real A snapshot")
+    // B′ first: remove the batch's touched B keys, add the inserts —
+    // touched-before-add makes a torn-trigger replay idempotent
+    val bPrev =
+      if (StateDirs.hasParquetData(spark, bStateDir))
+        spark.read.parquet(bStateDir)
+      else spark.read.parquet(bInitDir)
+    val bTouched = bDel.unionByName(bIns.select(col(bKey))).distinct()
+    val bNew = bPrev.join(bTouched, Seq(bKey), "left_anti")
+      .unionByName(bIns).localCheckpoint()
+    val view =
+      if (StateDirs.hasParquetData(spark, viewDir)) spark.read.parquet(viewDir)
+      else if (leftJoin) IncrementalJoin.joinStateLeft(aIns.limit(0), bPrev, joinKeys)
+      else IncrementalJoin.joinState(aIns.limit(0), bPrev, joinKeys)
+    // A′ from the left view's own A-slice + the batch's A ops (on a
+    // torn-trigger replay the view is already post-fold: the
+    // touched-key anti strips the replayed inserts before re-adding
+    // them, so A′ is identical either way). Inner mode never
+    // consults it (B inserts are rejected above).
+    val aTouched = aDel.unionByName(aIns.select(col(aKey))).distinct()
+    val aSnap =
+      if (leftJoin)
+        view.select(aCols.map(col): _*).dropDuplicates(aKey)
+          .join(aTouched, Seq(aKey), "left_anti")
+          .unionByName(aIns)
+      else aIns.limit(0)
+    val vd =
+      if (leftJoin) IncrementalJoin.applyCdcLeftWithDelta(view, aKey, bKey,
+        joinKeys, aIns, aDel, bIns, bDel, aSnap, bNew)
+      else IncrementalJoin.applyCdcWithDelta(view, aKey, bKey, joinKeys,
+        aIns, aDel, bIns, bDel, aSnap, bNew)
+    // agg state first (the one additive fold — see cascadeAggFold's
+    // torn-trigger contract); the view and B folds that follow are
+    // replay-idempotent in any order
+    aggStateDir.foreach(dir =>
+      cascadeAggFold(spark, vd, view, dir, aggKeys, aggMeasures, batchId))
+    // pin before the overwrites (lineages read the state dirs)
+    vd.view.localCheckpoint().write.mode("overwrite").parquet(viewDir)
+    bNew.write.mode("overwrite").parquet(bStateDir)
+  }
+
+  /** @param aggStateDir as in [[maintainJoinView]]: when set, the view's
+    *                    per-trigger changeset also folds into a
+    *                    downstream aggregate state table (the streaming
+    *                    cascade, batch-id-guarded for torn triggers). */
   def maintainJoinViewTwoSided(spark: SparkSession, cdcDir: String,
       bInitDir: String, viewDir: String, bStateDir: String,
       checkpointDir: String, aKey: String, bKey: String,
       joinKeys: Seq[String], sideCol: String = "side", opCol: String = "op",
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      maxFilesPerTrigger: Int = 1, leftJoin: Boolean = false): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1, leftJoin: Boolean = false,
+      aggStateDir: Option[String] = None, aggKeys: Seq[String] = Nil,
+      aggMeasures: Seq[String] = Nil): StreamingQuery = {
     require(schema.nonEmpty || StateDirs.hasParquetData(spark, cdcDir),
       s"maintainJoinViewTwoSided: $cdcDir has no parquet yet — pass " +
         "schema= to start the maintenance query ahead of the CDC producer")
+    require(aggStateDir.isEmpty || (aggKeys.nonEmpty && aggMeasures.nonEmpty),
+      "maintainJoinViewTwoSided: aggStateDir needs aggKeys and aggMeasures")
     val srcSchema = schema.getOrElse(spark.read.parquet(cdcDir).schema)
     val bCols = spark.read.parquet(bInitDir).columns.toSeq
     val bOnly = bCols.filterNot(joinKeys.contains)
@@ -179,70 +334,10 @@ object JoinMaintenance {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
-        // loud guards: unknown side or op would silently drop a change
-        val batch = rawBatch
-          .withColumn(sideCol,
-            when(col(sideCol).isin("A", "B"), col(sideCol))
-              .otherwise(raise_error(concat(
-                lit("maintainJoinViewTwoSided: invalid side '"),
-                coalesce(col(sideCol), lit("NULL")), lit("' — expected A or B")))))
-          .withColumn(opCol,
-            when(col(opCol).isin("I", "U", "D"), col(opCol))
-              .otherwise(raise_error(concat(
-                lit("maintainJoinViewTwoSided: invalid op '"),
-                coalesce(col(opCol), lit("NULL")), lit("' — expected I, U or D")))))
-          // the side guard only evaluates on rows something consumes;
-          // pinning forces both guard columns once over the whole batch
-          .localCheckpoint()
-        val aSide = batch.filter(col(sideCol) === "A")
-        val bSide = batch.filter(col(sideCol) === "B")
-        val aIns = aSide.filter(col(opCol) =!= "D").select(aCols.map(col): _*)
-        val aDel = aSide.filter(col(opCol) =!= "I").select(col(aKey))
-        val bIns = bSide.filter(col(opCol) =!= "D").select(bCols.map(col): _*)
-        val bDel = bSide.filter(col(opCol) =!= "I").select(col(bKey))
-        if (!leftJoin && bSide.filter(col(opCol) =!= "D").limit(1).count() > 0)
-          throw new IllegalArgumentException(
-            "maintainJoinViewTwoSided: B-side inserts/updates need the " +
-              "post-change A table, which an INNER view cannot " +
-              "reconstruct (match-less A rows are absent) — maintain a " +
-              "LEFT view, or fold B churn through IncrementalJoin" +
-              ".applyCdc with a real A snapshot")
-        // B′ first: remove the batch's touched B keys, add the inserts —
-        // touched-before-add makes a torn-trigger replay idempotent
-        val bPrev =
-          if (StateDirs.hasParquetData(spark, bStateDir))
-            spark.read.parquet(bStateDir)
-          else spark.read.parquet(bInitDir)
-        val bTouched = bDel.unionByName(bIns.select(col(bKey))).distinct()
-        val bNew = bPrev.join(bTouched, Seq(bKey), "left_anti")
-          .unionByName(bIns).localCheckpoint()
-        val view =
-          if (StateDirs.hasParquetData(spark, viewDir)) spark.read.parquet(viewDir)
-          else if (leftJoin) IncrementalJoin.joinStateLeft(aIns.limit(0), bPrev, joinKeys)
-          else IncrementalJoin.joinState(aIns.limit(0), bPrev, joinKeys)
-        // A′ from the left view's own A-slice + the batch's A ops (on a
-        // torn-trigger replay the view is already post-fold: the
-        // touched-key anti strips the replayed inserts before re-adding
-        // them, so A′ is identical either way). Inner mode never
-        // consults it (B inserts are rejected above).
-        val aTouched = aDel.unionByName(aIns.select(col(aKey))).distinct()
-        val aSnap =
-          if (leftJoin)
-            view.select(aCols.map(col): _*).dropDuplicates(aKey)
-              .join(aTouched, Seq(aKey), "left_anti")
-              .unionByName(aIns)
-          else aIns.limit(0)
-        val folded =
-          if (leftJoin) IncrementalJoin.applyCdcLeft(view, aKey, bKey,
-            joinKeys, aIns, aDel, bIns, bDel, aSnap, bNew)
-          else IncrementalJoin.applyCdc(view, aKey, bKey, joinKeys,
-            aIns, aDel, bIns, bDel, aSnap, bNew)
-        // pin before the overwrites (lineages read the state dirs); the
-        // write ORDER is free — both folds are replay-idempotent
-        folded.localCheckpoint().write.mode("overwrite").parquet(viewDir)
-        bNew.write.mode("overwrite").parquet(bStateDir)
-        ()
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        foldTwoSidedBatch(spark, rawBatch, batchId, bInitDir, viewDir,
+          bStateDir, aKey, bKey, joinKeys, aCols, bCols, sideCol, opCol,
+          leftJoin, aggStateDir, aggKeys, aggMeasures)
       }
       .start()
   }

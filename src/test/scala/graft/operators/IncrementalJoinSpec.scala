@@ -208,6 +208,73 @@ class IncrementalJoinSpec extends SparkTestBase {
     assert(maintained.count() > 0)
   }
 
+  test("applyCdcLeftWithDelta: delta partitions the old view, zero-crossings included") {
+    val a0 = mkA((1L, 10, "a1"), (2L, 10, "a2"), (3L, 20, "a3"), (4L, 30, "a4"))
+    val b0 = mkB((1L, 10, "b-last"), (2L, 20, "b2"))
+    // bDel kills key 10's LAST row (a1,a2 flip to null-extended);
+    // bIns gives key 30 its FIRST row (a4 flips to matched);
+    // aIns lands matched on 20; aDel removes a matched row
+    val aIns = mkA((5L, 20, "a5"))
+    val aDel = Seq(3L).toDF("a_id")
+    val bIns = mkB((3L, 30, "b3"))
+    val bDel = Seq(1L).toDF("b_id")
+    val aNew = a0.join(aDel, Seq("a_id"), "left_anti").unionByName(aIns)
+    val bNew = b0.join(bDel, Seq("b_id"), "left_anti").unionByName(bIns)
+    val v0 = IncrementalJoin.joinStateLeft(a0, b0, Seq("jk"))
+    val d = IncrementalJoin.applyCdcLeftWithDelta(v0, "a_id", "b_id", Seq("jk"),
+      aIns, aDel, bIns, bDel, aNew, bNew)
+    val retained = d.view.exceptAll(d.inserted)
+    assert(canon(retained.unionByName(d.deleted)) == canon(v0),
+      "retained + deleted must reassemble the OLD left view row-multiset")
+    assert(canon(d.view) ==
+      canon(IncrementalJoin.joinStateLeft(aNew, bNew, Seq("jk"))))
+    // dead-key crossing: a1/a2's matched rows retract, null-extended insert
+    assert(d.deleted.filter($"a_id".isin(1L, 2L) && $"b_id".isNotNull).count() == 2)
+    assert(d.inserted.filter($"a_id".isin(1L, 2L) && $"b_id".isNull).count() == 2)
+    // first-insert crossing: a4's null-extended row retracts, matched inserts
+    assert(d.deleted.filter($"a_id" === 4L && $"b_id".isNull).count() == 1)
+    assert(d.inserted.filter($"a_id" === 4L && $"b_id" === 3L).count() == 1)
+  }
+
+  test("left cascade: left-join delta feeds IncrementalAgg (null measures retract exactly)") {
+    import graft.operators.IncrementalAgg
+    val cust = Tables.load(spark, sf(), "customer")
+      .select($"c_custkey", $"c_nationkey".as("nationkey"), $"c_acctbal")
+    // only a third of the nations have suppliers — the null-extended
+    // slice is live, and supplier churn fires both zero-crossings
+    val supp = Tables.load(spark, sf(), "supplier")
+      .filter($"s_nationkey" % 3 === 0)
+      .select($"s_suppkey", $"s_nationkey".as("nationkey"), $"s_acctbal")
+    val cDel = cust.filter($"c_custkey" % 13 === 0).select("c_custkey")
+    val cIns = cust.filter($"c_custkey" % 11 === 0)
+      .withColumn("c_custkey", $"c_custkey" + 9000000L)
+      .withColumn("nationkey", ($"nationkey" + 7) % 25)
+    val sDel = supp.filter($"s_suppkey" % 2 === 0).select("s_suppkey")
+    val sIns = supp.filter($"s_suppkey" % 5 === 0)
+      .withColumn("s_suppkey", $"s_suppkey" + 9000000L)
+      .withColumn("nationkey", ($"nationkey" + 1) % 25)   // first rows for +1 keys
+    val cNew = cust.join(cDel, Seq("c_custkey"), "left_anti").unionByName(cIns)
+    val sNew = supp.join(sDel, Seq("s_suppkey"), "left_anti").unionByName(sIns)
+    val keys = Seq("nationkey")
+    val measures = Seq("c_acctbal", "s_acctbal")
+    val v0 = IncrementalJoin.joinStateLeft(cust, supp, Seq("nationkey"))
+    val delta = IncrementalJoin.applyCdcLeftWithDelta(v0,
+      "c_custkey", "s_suppkey", Seq("nationkey"),
+      cIns, cDel, sIns, sDel, cNew, sNew)
+    val maintained = IncrementalAgg.finish(
+      IncrementalAgg.applyCdc(IncrementalAgg.state(v0, keys, measures),
+        keys, measures, delta.inserted, delta.deleted, delta.view),
+      keys, measures)
+    val scratch = IncrementalAgg.finish(
+      IncrementalAgg.state(
+        IncrementalJoin.joinStateLeft(cNew, sNew, Seq("nationkey")),
+        keys, measures),
+      keys, measures)
+    assert(canon(maintained) == canon(scratch))
+    assert(delta.view.filter($"s_suppkey".isNull).count() > 0,
+      "fixture must exercise null-measure rows through the agg fold")
+  }
+
   private def maintainLeft(a0: DataFrame, b0: DataFrame,
       aIns: DataFrame, aDelIds: Seq[Long],
       bIns: DataFrame, bDelIds: Seq[Long]): (DataFrame, DataFrame) = {

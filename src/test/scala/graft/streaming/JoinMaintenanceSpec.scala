@@ -259,6 +259,150 @@ class JoinMaintenanceSpec extends SparkTestBase {
       "replaying every batch must leave the B state unchanged")
   }
 
+  test("cascade: join view + downstream aggregate drain per micro-batch == from-scratch; fresh-checkpoint replay is a no-op on BOTH state tables") {
+    import graft.operators.IncrementalAgg
+    val root = java.nio.file.Files.createTempDirectory("graft-joincascade")
+    val orders = Tables.load(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val custDim = Tables.load(spark, sf(), "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"),
+        col("c_acctbal"))
+    custDim.write.parquet(s"$root/dim")
+    val a0 = orders.filter(col("o_orderkey") % 4 === 1)
+    IncrementalJoin.joinState(a0, custDim, Seq("o_custkey"))
+      .write.parquet(s"$root/view")
+    val ins = orders.filter(col("o_orderkey") % 4 === 2).withColumn("op", lit("I"))
+    val del = a0.filter(col("o_orderkey") % 3 === 0).withColumn("op", lit("D"))
+    val upd = a0.filter(col("o_orderkey") % 3 === 1)
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      .withColumn("op", lit("U"))
+    Seq(ins, del, upd).foreach(
+      _.coalesce(1).write.mode("append").parquet(s"$root/cdc"))
+    val keys = Seq("c_mktsegment")
+    val measures = Seq("o_totalprice")
+    val q = JoinMaintenance.maintainJoinView(spark, s"$root/cdc", s"$root/dim",
+      s"$root/view", s"$root/chk", "o_orderkey", "o_custkey",
+      Seq("o_custkey"), maxFilesPerTrigger = 1,
+      aggStateDir = Some(s"$root/agg"), aggKeys = keys, aggMeasures = measures)
+    q.awaitTermination()
+    val aFinal = a0.filter(col("o_orderkey") % 3 =!= 0)
+      .filter(col("o_orderkey") % 3 =!= 1)
+      .unionByName(upd.drop("op")).unionByName(ins.drop("op"))
+    val wantView = IncrementalJoin.joinState(aFinal, custDim, Seq("o_custkey"))
+    val wantAgg = IncrementalAgg.state(wantView, keys, measures)
+    def gotAgg() = spark.read.parquet(s"$root/agg").drop("_batch_id")
+    assert(canon(gotAgg().select(wantAgg.columns.map(col): _*)) == canon(wantAgg),
+      "streamed cascade agg state must equal from-scratch state over the final view")
+    assert(canon(spark.read.parquet(s"$root/view")
+      .select(wantView.columns.map(col): _*)) == canon(wantView))
+    // fresh-checkpoint full replay: view folds are anti-then-add
+    // idempotent; the agg fold must SKIP every already-recorded batch id
+    val q2 = JoinMaintenance.maintainJoinView(spark, s"$root/cdc", s"$root/dim",
+      s"$root/view", s"$root/chk_replay", "o_orderkey", "o_custkey",
+      Seq("o_custkey"), maxFilesPerTrigger = 1,
+      aggStateDir = Some(s"$root/agg"), aggKeys = keys, aggMeasures = measures)
+    q2.awaitTermination()
+    assert(canon(gotAgg().select(wantAgg.columns.map(col): _*)) == canon(wantAgg),
+      "replaying every batch must leave the agg state unchanged")
+    assert(canon(spark.read.parquet(s"$root/view")
+      .select(wantView.columns.map(col): _*)) == canon(wantView))
+  }
+
+  test("cascade torn trigger: crash between the agg write and the view write replays exactly") {
+    import graft.operators.IncrementalAgg
+    val root = java.nio.file.Files.createTempDirectory("graft-joinTorn")
+    val orders = Tables.load(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val custDim = Tables.load(spark, sf(), "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    custDim.write.parquet(s"$root/dim")
+    val a0 = orders.filter(col("o_orderkey") % 4 === 1)
+    IncrementalJoin.joinState(a0, custDim, Seq("o_custkey"))
+      .write.parquet(s"$root/view")
+    val keys = Seq("c_mktsegment")
+    val measures = Seq("o_totalprice")
+    val slice0 = orders.filter(col("o_orderkey") % 4 === 2).withColumn("op", lit("I"))
+    val slice1 = a0.filter(col("o_orderkey") % 3 === 1)
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      .withColumn("op", lit("U"))
+    def fold(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      JoinMaintenance.foldJoinViewBatch(spark, b, id, s"$root/dim",
+        s"$root/view", "o_orderkey", "o_custkey", Seq("o_custkey"), "op",
+        leftJoin = false, Some(s"$root/agg"), keys, measures)
+    fold(slice0, 0L)
+    // simulate the torn point: batch 1's agg write lands, the view write
+    // is lost — fold fully, then restore the view to its pre-batch-1
+    // state (that on-disk pair IS the crash-after-agg-write state)
+    val preView = spark.read.parquet(s"$root/view").localCheckpoint()
+    fold(slice1, 1L)
+    preView.write.mode("overwrite").parquet(s"$root/view")
+    // the checkpoint replays batch 1: the guard must skip the agg fold
+    // (its delta would be the ORIGINAL one — folding it twice double
+    // counts) and the view fold must land idempotently
+    fold(slice1, 1L)
+    val aFinal = a0.filter(col("o_orderkey") % 3 =!= 1)
+      .unionByName(slice1.drop("op")).unionByName(slice0.drop("op"))
+    val wantView = IncrementalJoin.joinState(aFinal, custDim, Seq("o_custkey"))
+    val wantAgg = IncrementalAgg.state(wantView, keys, measures)
+    assert(canon(spark.read.parquet(s"$root/view")
+      .select(wantView.columns.map(col): _*)) == canon(wantView),
+      "the replayed view fold must complete the torn trigger")
+    assert(canon(spark.read.parquet(s"$root/agg").drop("_batch_id")
+      .select(wantAgg.columns.map(col): _*)) == canon(wantAgg),
+      "the replayed agg fold must be skipped, not double-counted")
+  }
+
+  test("two-sided LEFT cascade: B churn + zero-crossings flow through the view delta into the aggregate") {
+    import graft.operators.IncrementalAgg
+    val root = java.nio.file.Files.createTempDirectory("graft-join2cascade")
+    val orders = Tables.load(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val dimAll = Tables.load(spark, sf(), "customer")
+      .select(col("c_custkey").as("o_custkey"),
+        col("c_custkey").as("c_rowkey"), col("c_acctbal"))
+    val b0 = dimAll.filter(col("o_custkey") % 2 === 0)
+    b0.write.parquet(s"$root/dim_init")
+    val a0 = orders.filter(col("o_orderkey") % 4 === 1)
+    IncrementalJoin.joinStateLeft(a0, b0, Seq("o_custkey"))
+      .write.parquet(s"$root/view")
+    def aRow(df: DataFrame, op: String) = df
+      .withColumn("c_rowkey", lit(null).cast("long"))
+      .withColumn("c_acctbal", lit(null).cast("double"))
+      .withColumn("side", lit("A")).withColumn("op", lit(op))
+    def bRow(df: DataFrame, op: String) = df
+      .withColumn("o_orderkey", lit(null).cast("long"))
+      .withColumn("o_totalprice", lit(null).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("c_rowkey"), col("c_acctbal"),
+        lit("B").as("side"), lit(op).as("op"))
+    val aIns = orders.filter(col("o_orderkey") % 4 === 2)
+    val bDead = b0.filter(col("o_custkey") % 8 === 0)
+    val bFirst = dimAll.filter(col("o_custkey") % 2 === 1)
+      .filter(col("o_custkey") % 3 === 0)
+    Seq(aRow(aIns, "I"), bRow(bDead, "D"), bRow(bFirst, "I"))
+      .foreach(_.coalesce(1).write.mode("append").parquet(s"$root/cdc"))
+    val keys = Seq("o_custkey")
+    val measures = Seq("o_totalprice", "c_acctbal")
+    val q = JoinMaintenance.maintainJoinViewTwoSided(spark, s"$root/cdc",
+      s"$root/dim_init", s"$root/view", s"$root/bstate", s"$root/chk",
+      aKey = "o_orderkey", bKey = "c_rowkey", joinKeys = Seq("o_custkey"),
+      maxFilesPerTrigger = 1, leftJoin = true,
+      aggStateDir = Some(s"$root/agg"), aggKeys = keys, aggMeasures = measures)
+    q.awaitTermination()
+    val aFinal = a0.unionByName(aIns)
+    val bFinal = b0.filter(col("o_custkey") % 8 =!= 0).unionByName(bFirst)
+    val wantView = IncrementalJoin.joinStateLeft(aFinal, bFinal, Seq("o_custkey"))
+    val wantAgg = IncrementalAgg.state(wantView, keys, measures)
+    val gotAgg = spark.read.parquet(s"$root/agg").drop("_batch_id")
+    assert(canon(gotAgg.select(wantAgg.columns.map(col): _*)) == canon(wantAgg),
+      "two-sided left cascade agg must equal from-scratch over the final left view")
+    // the zero-crossing groups really moved through the agg: dead keys'
+    // groups lost their B measure entirely (NULL sum, not 0)
+    val deadAgg = gotAgg.filter(col("o_custkey") % 8 === 0 && col("n_rows") > 0)
+    assert(deadAgg.count() > 0 && deadAgg.filter(col("sum_c_acctbal").isNotNull)
+      .count() == 0, "dead keys must carry NULL B-side sums after the crossing")
+  }
+
   test("two-sided INNER mode rejects B-side inserts loudly (A′ unrecoverable from an inner view)") {
     val root = java.nio.file.Files.createTempDirectory("graft-join2inner")
     val orders = Tables.load(spark, sf(), "orders")
