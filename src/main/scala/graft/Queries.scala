@@ -6419,6 +6419,71 @@ object Queries {
         col("s_suppkey").asc_nulls_first)
   }
 
+  q("q_cdc_snowflake",
+    // SNOWFLAKE IVM: (A ⋈ B) ⋈ C maintained end to end with the bases
+    // NEVER re-joined — the join-of-join cell of the maintenance matrix.
+    // Level 1 is the q_cdc_incremental_join fixture (customer ⋈ supplier
+    // on nationkey, every change class firing); its applyCdcWithDelta
+    // changeset becomes the A-SIDE CDC of a SECOND fold against a
+    // churning nation dimension (deletes %5, payload updates %7 as
+    // delete+insert, fresh-key inserts %4 remapped to (n+1)%25 — landing
+    // on nationkeys that already have a row, so the second level sees
+    // fan-out AND the new-V1 × new-C double-count trap at once). The
+    // level-1 view's row key is the composite (c_custkey, s_suppkey),
+    // carried as a struct column. Blakeley's decomposition composes:
+    // level 2's retained/delta terms consume only the level-1 DELTA plus
+    // the maintained V1′ (for C-insert pairs, semi-pruned by the delta's
+    // join keys). Oracle = the full three-way re-join of the post-change
+    // snapshots, so a pass proves the whole two-level pipeline exact.
+    s"""WITH $cdcJoinSql,
+      |nnew AS (
+      |  SELECT n_nationkey AS c_id, n_nationkey AS nationkey, n_name
+      |  FROM nation WHERE n_nationkey % 5 <> 0 AND n_nationkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT n_nationkey + 900000000, (n_nationkey + 1) % 25, n_name
+      |  FROM nation WHERE n_nationkey % 4 = 0
+      |  UNION ALL
+      |  SELECT n_nationkey, n_nationkey, n_name || '_v2'
+      |  FROM nation WHERE n_nationkey % 7 = 0)
+      |SELECT nationkey, c_custkey, c_acctbal, s_suppkey, s_acctbal, c_id, n_name
+      |FROM cnew JOIN snew USING (nationkey) JOIN nnew USING (nationkey)
+      |ORDER BY nationkey, c_custkey, s_suppkey, c_id""".stripMargin) { (s, d) =>
+    import graft.operators.IncrementalJoin
+    val fx = cdcJoinFixture(s, d)
+    val abKey = struct(col("c_custkey"), col("s_suppkey")).as("ab_key")
+    // C = nation as (row key c_id, join key nationkey, payload), churned
+    val nat = t(s, d, "nation").select(
+      col("n_nationkey").as("c_id"), col("n_nationkey").as("nationkey"),
+      col("n_name"))
+    val nDel = nat.filter(col("c_id") % 5 === 0 || col("c_id") % 7 === 0)
+      .select("c_id")
+    val nIns = nat.filter(col("c_id") % 4 === 0)
+      .withColumn("c_id", col("c_id") + lit(900000000L))
+      .withColumn("nationkey", (col("nationkey") + 1) % 25)
+      .unionByName(nat.filter(col("c_id") % 7 === 0)
+        .withColumn("n_name", concat(col("n_name"), lit("_v2"))))
+    val nNew = nat.join(nDel, Seq("c_id"), "left_anti").unionByName(nIns)
+    // level 1: maintain V1 = customer ⋈ supplier and surface its delta
+    val vd1 = IncrementalJoin.applyCdcWithDelta(
+      IncrementalJoin.joinState(fx.cust, fx.supp, Seq("nationkey")),
+      "c_custkey", "s_suppkey", Seq("nationkey"),
+      fx.cIns, fx.cDel, fx.sIns, fx.sDel, fx.cNew, fx.sNew)
+    // level 2: V1's inserted/deleted ARE the A-side CDC; the A snapshot
+    // is the MAINTAINED V1′ (vd1.view) — no base table is re-joined
+    val v2 = IncrementalJoin.applyCdc(
+      IncrementalJoin.joinState(
+        IncrementalJoin.joinState(fx.cust, fx.supp, Seq("nationkey"))
+          .select(abKey, col("*")), nat, Seq("nationkey")),
+      "ab_key", "c_id", Seq("nationkey"),
+      vd1.inserted.select(abKey, col("*")),
+      vd1.deleted.select(abKey),
+      nIns, nDel,
+      vd1.view.select(abKey, col("*")), nNew)
+    v2.select("nationkey", "c_custkey", "c_acctbal", "s_suppkey",
+        "s_acctbal", "c_id", "n_name")
+      .orderBy("nationkey", "c_custkey", "s_suppkey", "c_id")
+  }
+
   q("q_cdc_scd2",
     // SCD-type-2 history build from the events change log: per user, the
     // event_type attribute's runs of equal consecutive values collapse

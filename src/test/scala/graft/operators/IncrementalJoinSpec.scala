@@ -208,6 +208,48 @@ class IncrementalJoinSpec extends SparkTestBase {
     assert(maintained.count() > 0)
   }
 
+  test("snowflake: the first fold's delta drives a second fold — key-move and double-count at level 2") {
+    // (A ⋈ B) ⋈ C with the level-1 delta as level-2's A-side CDC and the
+    // MAINTAINED V1′ as its A snapshot (bases never re-joined). Traps:
+    //  - level-2 key-move: a_id=1 moves jk 10 → 20, so its V2 rows must
+    //    leave C group 10 and re-enter group 20 (which also gains a
+    //    SECOND C row — fan-out on the moved-to group);
+    //  - level-2 double-count: fresh V1 pairs on jk 30 AND a fresh C row
+    //    on 30 — the (new-V1 × new-C) rows must appear exactly once;
+    //  - C delete empties group 10 entirely.
+    val a0 = mkA((1L, 10, "a1"), (2L, 20, "a2"))
+    val b0 = mkB((1L, 10, "b1"), (2L, 20, "b2"))
+    val c0 = Seq((1L, 10, "c1"), (2L, 20, "c2")).toDF("c_id", "jk", "c_val")
+    val aIns = mkA((1L, 20, "a1-moved"), (3L, 30, "a3"))
+    val aDel = Seq(1L).toDF("a_id")
+    val bIns = mkB((3L, 30, "b3"))
+    val bDel = Seq.empty[Long].toDF("b_id")
+    val cIns = Seq((3L, 30, "c3"), (4L, 20, "c4")).toDF("c_id", "jk", "c_val")
+    val cDel = Seq(1L).toDF("c_id")
+    val aNew = a0.join(aDel, Seq("a_id"), "left_anti").unionByName(aIns)
+    val bNew = b0.unionByName(bIns)
+    val cNew = c0.join(cDel, Seq("c_id"), "left_anti").unionByName(cIns)
+    val abKey = struct($"a_id", $"b_id").as("ab_key")
+    val v1 = IncrementalJoin.joinState(a0, b0, Seq("jk"))
+    val vd1 = IncrementalJoin.applyCdcWithDelta(v1, "a_id", "b_id", Seq("jk"),
+      aIns, aDel, bIns, bDel, aNew, bNew)
+    val v2 = IncrementalJoin.applyCdc(
+      IncrementalJoin.joinState(v1.select(abKey, col("*")), c0, Seq("jk")),
+      "ab_key", "c_id", Seq("jk"),
+      vd1.inserted.select(abKey, col("*")), vd1.deleted.select(abKey),
+      cIns, cDel,
+      vd1.view.select(abKey, col("*")), cNew)
+    val want = IncrementalJoin.joinState(
+      IncrementalJoin.joinState(aNew, bNew, Seq("jk")).select(abKey, col("*")),
+      cNew, Seq("jk"))
+    assert(canon(v2.select(want.columns.map(col): _*)) == canon(want))
+    // the traps genuinely fired: group 10 is empty, the moved row pairs
+    // with BOTH C rows of group 20, the jk-30 clique appears once
+    assert(v2.filter($"jk" === 10).count() == 0)
+    assert(v2.filter($"a_id" === 1L).count() == 2)
+    assert(v2.filter($"jk" === 30).count() == 1)
+  }
+
   test("applyCdcLeftWithDelta: delta partitions the old view, zero-crossings included") {
     val a0 = mkA((1L, 10, "a1"), (2L, 10, "a2"), (3L, 20, "a3"), (4L, 30, "a4"))
     val b0 = mkB((1L, 10, "b-last"), (2L, 20, "b2"))
