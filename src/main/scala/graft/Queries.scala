@@ -6464,16 +6464,17 @@ object Queries {
         .withColumn("n_name", concat(col("n_name"), lit("_v2"))))
     val nNew = nat.join(nDel, Seq("c_id"), "left_anti").unionByName(nIns)
     // level 1: maintain V1 = customer ⋈ supplier and surface its delta
-    val vd1 = IncrementalJoin.applyCdcWithDelta(
-      IncrementalJoin.joinState(fx.cust, fx.supp, Seq("nationkey")),
+    // (ONE binding — the delta fold and the level-2 initial view share
+    // it; two identical joinState plans would scan both bases twice)
+    val v1 = IncrementalJoin.joinState(fx.cust, fx.supp, Seq("nationkey"))
+    val vd1 = IncrementalJoin.applyCdcWithDelta(v1,
       "c_custkey", "s_suppkey", Seq("nationkey"),
       fx.cIns, fx.cDel, fx.sIns, fx.sDel, fx.cNew, fx.sNew)
     // level 2: V1's inserted/deleted ARE the A-side CDC; the A snapshot
     // is the MAINTAINED V1′ (vd1.view) — no base table is re-joined
     val v2 = IncrementalJoin.applyCdc(
-      IncrementalJoin.joinState(
-        IncrementalJoin.joinState(fx.cust, fx.supp, Seq("nationkey"))
-          .select(abKey, col("*")), nat, Seq("nationkey")),
+      IncrementalJoin.joinState(v1.select(abKey, col("*")), nat,
+        Seq("nationkey")),
       "ab_key", "c_id", Seq("nationkey"),
       vd1.inserted.select(abKey, col("*")),
       vd1.deleted.select(abKey),

@@ -99,13 +99,28 @@ object IncrementalAgg {
       inserts: DataFrame, deletes: DataFrame, snapshot: DataFrame): DataFrame = {
     val insState = this.state(inserts, keys, measures)
     val delState = this.state(deletes, keys, measures)
-    def sfx(df: DataFrame, suffix: String) =
-      df.columns.foldLeft(df) { (d, c) =>
-        if (keys.contains(c)) d else d.withColumnRenamed(c, c + suffix)
-      }
-    val joined = sfx(state, "")
-      .join(sfx(insState, "_i"), keys, "full_outer")
-      .join(sfx(delState, "_d"), keys, "full_outer")
+    // a NULL group key is a legitimate group (groupBy keeps it — the
+    // live case: a LEFT-join view's null-extended rows under a B-side
+    // agg key), so every state-frame join below is NULL-SAFE (<=>): the
+    // name-list join's plain equality would split the NULL group across
+    // the three frames into duplicate partial rows, and the dirty
+    // semi-scan would never reach it. Suffix EVERY column (keys
+    // included) so the <=> conditions are unambiguous, then coalesce
+    // the surviving key forward after each full-outer.
+    def sfxAll(df: DataFrame, suffix: String) =
+      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffix))
+    val stateCols = "n_rows" +: measures.flatMap(m =>
+      Seq(s"sum_$m", s"cnt_$m", s"min_$m", s"max_$m"))
+    def nsOn(suffix: String) =
+      keys.map(k => col(k) <=> col(s"$k$suffix")).reduce(_ && _)
+    val joined = state
+      .join(sfxAll(insState, "_i"), nsOn("_i"), "full_outer")
+      .select(keys.map(k => coalesce(col(k), col(s"${k}_i")).as(k)) ++
+        stateCols.map(col) ++ stateCols.map(c => col(s"${c}_i")): _*)
+      .join(sfxAll(delState, "_d"), nsOn("_d"), "full_outer")
+      .select(keys.map(k => coalesce(col(k), col(s"${k}_d")).as(k)) ++
+        stateCols.map(col) ++ stateCols.map(c => col(s"${c}_i")) ++
+        stateCols.map(c => col(s"${c}_d")): _*)
     val zeroDec = lit(java.math.BigDecimal.ZERO).cast("decimal(28,4)")
     val nRows = coalesce(col("n_rows"), lit(0L)) +
       coalesce(col("n_rows_i"), lit(0L)) - coalesce(col("n_rows_d"), lit(0L))
@@ -140,9 +155,11 @@ object IncrementalAgg {
     val dirty = candCols
       .filter(measures.map(m => col(s"__dirty_$m")).reduce(_ || _))
       .select(keys.map(col): _*)
-    // recompute min/max ONLY for dirty groups, from the new snapshot
-    val recomputed = sfx(
-      this.state(snapshot.join(dirty, keys, "left_semi"), keys, measures), "_r")
+    // recompute min/max ONLY for dirty groups, from the new snapshot —
+    // null-safe semi so a dirty NULL-key group's rows are reachable
+    val snapDirty = snapshot.as("s").join(dirty.as("g"),
+      keys.map(k => col(s"s.$k") <=> col(s"g.$k")).reduce(_ && _), "left_semi")
+    val recomputed = sfxAll(this.state(snapDirty, keys, measures), "_r")
     val finalCols = keys.map(col) ++ Seq(col("n_rows__new").as("n_rows")) ++
       measures.flatMap { m =>
         Seq(
@@ -153,7 +170,7 @@ object IncrementalAgg {
           when(col(s"__dirty_$m"), col(s"max_${m}_r"))
             .otherwise(col(s"max_${m}__cand")).as(s"max_$m"))
       }
-    candCols.join(recomputed, keys, "left").select(finalCols: _*)
+    candCols.join(recomputed, nsOn("_r"), "left").select(finalCols: _*)
   }
 
   /** Read-time projection: exact decimal accumulators to stable DOUBLEs

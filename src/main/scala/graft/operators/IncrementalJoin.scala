@@ -146,6 +146,13 @@ object IncrementalJoin {
   private def deltaKeysOf(aKey: String, bKey: String, joinKeys: Seq[String],
       aInserts: DataFrame, aDeletes: DataFrame,
       bInserts: DataFrame, bDeletes: DataFrame): DeltaKeys = {
+    // __tag/__bytes are the union's bookkeeping columns — a key named
+    // either would collide ambiguously at the slice filter; reject loudly
+    val reserved = Set("__tag", "__bytes")
+    val clash = (Seq(aKey, bKey) ++ joinKeys).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"applyCdc: column names ${clash.mkString(", ")} are reserved by " +
+        "the delta-key bookkeeping — rename the key column")
     val frames: Seq[(String, DataFrame)] = Seq(
       "aTouched" -> aDeletes.select(col(aKey))
         .unionByName(aInserts.select(col(aKey))).distinct(),

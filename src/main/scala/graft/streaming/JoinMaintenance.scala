@@ -66,30 +66,59 @@ object JoinMaintenance {
     * same log), which is the standard foreachBatch idempotence
     * contract. Bootstrap: an absent agg state initializes from the
     * PRE-fold view, so the cascade can attach to an existing view
-    * mid-life. */
+    * mid-life.
+    *
+    * The stable-numbering assumption is additionally GUARDED at the one
+    * point it can be checked: each fold records the batch's content
+    * signature (`_batch_sig`, order-independent xor of row hashes)
+    * alongside its id, and a replay of the RECORDED id whose content
+    * differs raises loudly — the genuine torn-trigger replay skips, a
+    * re-sliced/rewritten log under the same checkpoint fails instead of
+    * silently desynchronizing the aggregate. Ids below the recorded max
+    * (a same-order fresh-checkpoint replay) skip per the contract. */
   private def cascadeAggFold(spark: SparkSession,
       delta: IncrementalJoin.ViewDelta, preFoldView: DataFrame,
       aggStateDir: String, aggKeys: Seq[String], aggMeasures: Seq[String],
-      batchId: Long): Unit = {
+      batchId: Long, batchSig: Long): Unit = {
     import graft.operators.IncrementalAgg
     val exists = StateDirs.hasParquetData(spark, aggStateDir)
     val prevRaw = if (exists) spark.read.parquet(aggStateDir) else null
-    val alreadyApplied = exists && {
-      val r = prevRaw.agg(max(col("_batch_id"))).head()
-      !r.isNullAt(0) && r.getLong(0) >= batchId
-    }
-    if (!alreadyApplied) {
-      val prev =
-        if (exists) prevRaw.drop("_batch_id")
-        else IncrementalAgg.state(preFoldView, aggKeys, aggMeasures)
-      val next = IncrementalAgg.applyCdc(prev, aggKeys, aggMeasures,
-        inserts = delta.inserted, deletes = delta.deleted,
-        snapshot = delta.view)
-      // pin before the overwrite: next's lineage reads aggStateDir
-      next.withColumn("_batch_id", lit(batchId))
-        .localCheckpoint().write.mode("overwrite").parquet(aggStateDir)
+    val recorded =
+      if (!exists) None
+      else {
+        val r = prevRaw.agg(max(col("_batch_id")), max(col("_batch_sig"))).head()
+        if (r.isNullAt(0)) None
+        else Some((r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      }
+    recorded match {
+      case Some((lastId, lastSig)) if lastId == batchId =>
+        require(lastSig == batchSig,
+          s"cascadeAggFold: replayed batch $batchId carries different " +
+            "content than the fold recorded — the CDC log was re-sliced " +
+            "or rewritten under the checkpoint; rebuild the aggregate " +
+            s"state (delete $aggStateDir) instead of silently skipping")
+      case Some((lastId, _)) if lastId > batchId => ()
+      case _ =>
+        val prev =
+          if (exists) prevRaw.drop("_batch_id", "_batch_sig")
+          else IncrementalAgg.state(preFoldView, aggKeys, aggMeasures)
+        val next = IncrementalAgg.applyCdc(prev, aggKeys, aggMeasures,
+          inserts = delta.inserted, deletes = delta.deleted,
+          snapshot = delta.view)
+        // pin before the overwrite: next's lineage reads aggStateDir
+        next.withColumn("_batch_id", lit(batchId))
+          .withColumn("_batch_sig", lit(batchSig))
+          .localCheckpoint().write.mode("overwrite").parquet(aggStateDir)
     }
   }
+
+  /** Order-independent content signature of a micro-batch (xor of row
+    * hashes — duplicate rows cancel, but the compaction contract already
+    * forbids them): what [[cascadeAggFold]] validates a torn-trigger
+    * replay against. */
+  private def batchSignature(batch: DataFrame): Long =
+    batch.select(xxhash64(struct(batch.columns.map(col): _*)).as("h"))
+      .agg(expr("coalesce(bit_xor(h), 0L)")).head().getLong(0)
 
   /** One [[maintainJoinView]] micro-batch — package-private so the spec
     * can drive exact torn-trigger points (fold, restore one state table,
@@ -128,11 +157,15 @@ object JoinMaintenance {
     val vd =
       if (leftJoin) fold(IncrementalJoin.applyCdcLeftWithDelta)
       else fold(IncrementalJoin.applyCdcWithDelta)
+    // pin the fold ONCE, before the agg pass consumes it as snapshot —
+    // otherwise the view-sized retained pass runs twice per cascaded
+    // trigger (once inside the agg fold's lineage, once for the write)
+    val pinnedView = vd.view.localCheckpoint()
     // agg state first (see cascadeAggFold's torn-trigger contract)
     aggStateDir.foreach(dir =>
-      cascadeAggFold(spark, vd, view, dir, aggKeys, aggMeasures, batchId))
-    // pin before the overwrite: the folded view's lineage reads viewDir
-    vd.view.localCheckpoint().write.mode("overwrite").parquet(viewDir)
+      cascadeAggFold(spark, vd.copy(view = pinnedView), view, dir,
+        aggKeys, aggMeasures, batchId, batchSignature(rawBatch)))
+    pinnedView.write.mode("overwrite").parquet(viewDir)
   }
 
   /** @param cdcDir   streamed parquet dir of op-tagged A-side change rows:
@@ -156,7 +189,7 @@ object JoinMaintenance {
     *                  per-trigger changeset — the streaming cascade; see
     *                  [[cascadeAggFold]] for the torn-trigger contract.
     *                  Read it with [[graft.operators.IncrementalAgg
-    *                  .finish]] after dropping `_batch_id`. */
+    *                  .finish]] after dropping `_batch_id`/`_batch_sig`. */
   def maintainJoinView(spark: SparkSession, cdcDir: String, bDir: String,
       viewDir: String, checkpointDir: String,
       aKey: String, bKey: String, joinKeys: Seq[String], opCol: String = "op",
@@ -285,13 +318,15 @@ object JoinMaintenance {
         joinKeys, aIns, aDel, bIns, bDel, aSnap, bNew)
       else IncrementalJoin.applyCdcWithDelta(view, aKey, bKey, joinKeys,
         aIns, aDel, bIns, bDel, aSnap, bNew)
+    // pin the fold ONCE (shared by the agg pass and the view write)
+    val pinnedView = vd.view.localCheckpoint()
     // agg state first (the one additive fold — see cascadeAggFold's
     // torn-trigger contract); the view and B folds that follow are
     // replay-idempotent in any order
     aggStateDir.foreach(dir =>
-      cascadeAggFold(spark, vd, view, dir, aggKeys, aggMeasures, batchId))
-    // pin before the overwrites (lineages read the state dirs)
-    vd.view.localCheckpoint().write.mode("overwrite").parquet(viewDir)
+      cascadeAggFold(spark, vd.copy(view = pinnedView), view, dir,
+        aggKeys, aggMeasures, batchId, batchSignature(batch)))
+    pinnedView.write.mode("overwrite").parquet(viewDir)
     bNew.write.mode("overwrite").parquet(bStateDir)
   }
 

@@ -109,6 +109,32 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(groups == Set("A", "C"))
   }
 
+  test("applyCdc: a NULL group key is ONE group — null-safe state joins, dirty recompute reachable") {
+    import spark.implicits._
+    // NULL keys are legitimate groups (a LEFT-join view's null-extended
+    // rows under a B-side agg key): the three state frames must merge
+    // the NULL group null-safely (plain equality would split it into
+    // duplicate partial rows), and a boundary delete in the NULL group
+    // must reach the snapshot's NULL rows through the dirty semi-scan.
+    val s0 = Seq((Some("g1"), 10.0), (None, 5.0), (None, 1.0), (None, 9.0))
+      .toDF("k", "v")
+    val ins = Seq((Option.empty[String], 4.0), (Some("g2"), 7.0)).toDF("k", "v")
+    // delete the NULL group's MIN row (1.0): min is not retractable, so
+    // a recompute that cannot see NULL-key snapshot rows returns a
+    // wrong boundary or a split group
+    val del = Seq((Option.empty[String], 1.0)).toDF("k", "v")
+    val snap = Seq((Some("g1"), 10.0), (None, 5.0), (None, 9.0), (None, 4.0),
+      (Some("g2"), 7.0)).toDF("k", "v")
+    val got = IncrementalAgg.applyCdc(
+      IncrementalAgg.state(s0, Seq("k"), Seq("v")),
+      Seq("k"), Seq("v"), ins, del, snap)
+    val want = IncrementalAgg.state(snap, Seq("k"), Seq("v"))
+    assert(canon(got.select(want.columns.map(col): _*)) == canon(want),
+      "NULL-key group must fold exactly (one row, recomputed min 4.0)")
+    assert(got.filter(col("k").isNull).count() == 1,
+      "the NULL group must not split into duplicate partial rows")
+  }
+
   test("groups present in only one delta survive the merge intact") {
     import spark.implicits._
     val a = Seq(("A", "x", 1.0, 10.0), ("B", "y", 2.0, 20.0))

@@ -290,7 +290,7 @@ class JoinMaintenanceSpec extends SparkTestBase {
       .unionByName(upd.drop("op")).unionByName(ins.drop("op"))
     val wantView = IncrementalJoin.joinState(aFinal, custDim, Seq("o_custkey"))
     val wantAgg = IncrementalAgg.state(wantView, keys, measures)
-    def gotAgg() = spark.read.parquet(s"$root/agg").drop("_batch_id")
+    def gotAgg() = spark.read.parquet(s"$root/agg").drop("_batch_id", "_batch_sig")
     assert(canon(gotAgg().select(wantAgg.columns.map(col): _*)) == canon(wantAgg),
       "streamed cascade agg state must equal from-scratch state over the final view")
     assert(canon(spark.read.parquet(s"$root/view")
@@ -347,7 +347,7 @@ class JoinMaintenanceSpec extends SparkTestBase {
     assert(canon(spark.read.parquet(s"$root/view")
       .select(wantView.columns.map(col): _*)) == canon(wantView),
       "the replayed view fold must complete the torn trigger")
-    assert(canon(spark.read.parquet(s"$root/agg").drop("_batch_id")
+    assert(canon(spark.read.parquet(s"$root/agg").drop("_batch_id", "_batch_sig")
       .select(wantAgg.columns.map(col): _*)) == canon(wantAgg),
       "the replayed agg fold must be skipped, not double-counted")
   }
@@ -381,7 +381,10 @@ class JoinMaintenanceSpec extends SparkTestBase {
       .filter(col("o_custkey") % 3 === 0)
     Seq(aRow(aIns, "I"), bRow(bDead, "D"), bRow(bFirst, "I"))
       .foreach(_.coalesce(1).write.mode("append").parquet(s"$root/cdc"))
-    val keys = Seq("o_custkey")
+    // B-SIDE agg key on purpose: null-extended rows put a NULL group
+    // through every agg fold (the null-safe state-join case — a plain
+    // key join would split it into duplicate partial rows per batch)
+    val keys = Seq("c_rowkey")
     val measures = Seq("o_totalprice", "c_acctbal")
     val q = JoinMaintenance.maintainJoinViewTwoSided(spark, s"$root/cdc",
       s"$root/dim_init", s"$root/view", s"$root/bstate", s"$root/chk",
@@ -393,14 +396,19 @@ class JoinMaintenanceSpec extends SparkTestBase {
     val bFinal = b0.filter(col("o_custkey") % 8 =!= 0).unionByName(bFirst)
     val wantView = IncrementalJoin.joinStateLeft(aFinal, bFinal, Seq("o_custkey"))
     val wantAgg = IncrementalAgg.state(wantView, keys, measures)
-    val gotAgg = spark.read.parquet(s"$root/agg").drop("_batch_id")
+    val gotAgg = spark.read.parquet(s"$root/agg").drop("_batch_id", "_batch_sig")
     assert(canon(gotAgg.select(wantAgg.columns.map(col): _*)) == canon(wantAgg),
       "two-sided left cascade agg must equal from-scratch over the final left view")
-    // the zero-crossing groups really moved through the agg: dead keys'
-    // groups lost their B measure entirely (NULL sum, not 0)
-    val deadAgg = gotAgg.filter(col("o_custkey") % 8 === 0 && col("n_rows") > 0)
-    assert(deadAgg.count() > 0 && deadAgg.filter(col("sum_c_acctbal").isNotNull)
-      .count() == 0, "dead keys must carry NULL B-side sums after the crossing")
+    // the zero-crossings really moved through the agg: every
+    // null-extended row (dead keys included) lands in the ONE NULL
+    // c_rowkey group, whose B-side sum is NULL (no measure values) —
+    // a key-splitting fold would leave several partial NULL rows
+    val nullGroup = gotAgg.filter(col("c_rowkey").isNull)
+    assert(nullGroup.count() == 1, "exactly one NULL-key group")
+    val ng = nullGroup.head()
+    assert(ng.getLong(ng.fieldIndex("n_rows")) > 0 &&
+      ng.isNullAt(ng.fieldIndex("sum_c_acctbal")),
+      "the NULL group must carry rows and a NULL B-side sum")
   }
 
   test("two-sided INNER mode rejects B-side inserts loudly (A′ unrecoverable from an inner view)") {
