@@ -186,8 +186,12 @@ object GenData {
       col("id").as("vec_id"), vec.as("embedding"), label.as("label"))
   }
 
-  /** Write every table for scale factor `sf` (sf=1 → 6M lineitem). */
-  def writeAll(spark: SparkSession, outDir: String, sf: Double): Unit = {
+  /** Write every table for scale factor `sf` (sf=1 → 6M lineitem).
+    * `only` restricts to a table subset (scale probes over one table —
+    * e.g. a 2 M-doc documents corpus — need not pay a 240 M-row
+    * lineitem write). */
+  def writeAll(spark: SparkSession, outDir: String, sf: Double,
+      only: Set[String] = Set.empty): Unit = {
     def rows(base: Long): Long = math.max(1L, (base * sf).toLong)
     val custN = rows(150000)
     val suppN = rows(10000)
@@ -205,12 +209,17 @@ object GenData {
       "documents" -> documents(spark, rows(50000)),
       "embeddings" -> embeddings(spark, rows(20000)))
     tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      if (only.isEmpty || only.contains(name))
+        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(outDir, sfStr) = args
+    val outDir = args(0)
+    val sfStr = args(1)
+    val only =
+      if (args.length > 2) args(2).split(',').map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty[String]
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -219,7 +228,7 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    writeAll(spark, outDir, sfStr.toDouble)
+    writeAll(spark, outDir, sfStr.toDouble, only)
     spark.stop()
   }
 }

@@ -405,16 +405,21 @@ object SetSimJoin {
     var prevKeyCols: Seq[String] = null
     var done = false
     while (!done) {
-      // pin per level: the cold term, the exhausted term, the residual
-      // census and the next level's re-key all consume this frame —
-      // unpinned, each would replay the whole window chain
       val counted = cur.withColumn("kc",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*)))
-        .localCheckpoint()
+      // pin ONLY the hot subset (clusters past the cap — the recursion's
+      // whole input): the exhausted term, the residual census and the
+      // next level's re-key all consume it, and it shrinks per level.
+      // The cold majority stays a lazy plan consumed once in the final
+      // candidate union — pinning it too was measured at 195 s for the
+      // 2 M-doc corpus (a ~12 GB toks-carrying materialization per
+      // level) vs re-running the level-1 window once more. The pin is
+      // lazy; the residual census below is the action that fills it.
       val hot = counted.filter(col("kc") > hotCluster).drop("kc")
         .withColumn("unk",
           expr(s"size(filter(toks, x -> ${exclPred(level)}))"))
+        .localCheckpoint(eager = false)
       val continuing = hot.filter(col("unk") > 0)
       // residual enumeration cost if the recursion stopped here (one
       // metadata-sized agg over the pinned, shrinking hot subset)
@@ -422,6 +427,11 @@ object SetSimJoin {
         .agg(count(lit(1)).as("c"))
         .agg(sum(expr("c * (c - 1) div 2"))).head()
       val resid = if (residRow.isNullAt(0)) 0L else residRow.getLong(0)
+      // census telemetry for scale probes (-Dgraft.setsim.census): the
+      // per-level residual IS the number the refinement exists to shrink
+      if (sys.props.contains("graft.setsim.census"))
+        println(s"setsim-census level=$level residual_pairs=$resid" +
+          (if (level > 1 && resid * 2 > prevResid) " (guard fires: enumerate previous level)" else ""))
       if (level > 1 && resid * 2 > prevResid) {
         // refinement stopped paying: enumerate the previous level's
         // continuing clusters whole — exact (a superset of every pair
