@@ -95,6 +95,12 @@ object ClusterCheck {
                                   // then the fixed-order IEEE closed form (r10)
     "q_cdc_incremental_left",     // null-extended slice unions + dead-key survival
                                   // probes across executor JVMs (r10)
+    "q_join_setsim_stratified",   // dynamic hot-cluster recursion: per-level lazy
+                                  // localCheckpoint RDDs + driver census loop over
+                                  // executor-held pins (r12)
+    "q_cdc_snowflake",            // struct composite row keys through hinted
+                                  // broadcast anti/semi probes, two stacked delta
+                                  // folds across executor JVMs (r12)
   )
 
   private def runAll(master: String, sfDir: String): Map[String, Seq[String]] = {

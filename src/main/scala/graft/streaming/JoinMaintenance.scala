@@ -330,6 +330,85 @@ object JoinMaintenance {
     bNew.write.mode("overwrite").parquet(bStateDir)
   }
 
+  /** One [[maintainSnowflakeView]] micro-batch (package-private for the
+    * spec's torn-trigger drills). */
+  private[streaming] def foldSnowflakeBatch(spark: SparkSession,
+      rawBatch: DataFrame, bDir: String, cDir: String,
+      v1Dir: String, v2Dir: String, aKey: String, bKey: String, cKey: String,
+      joinKeysAB: Seq[String], joinKeysC: Seq[String], opCol: String): Unit = {
+    val b = spark.read.parquet(bDir)
+    val c = spark.read.parquet(cDir)
+    val batch = rawBatch.withColumn(opCol,
+      when(col(opCol).isin("I", "U", "D"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit("maintainSnowflakeView: invalid op value '"),
+          coalesce(col(opCol), lit("NULL")),
+          lit("' — expected I, U or D")))))
+    val aIns = batch.filter(col(opCol) =!= "D").drop(opCol)
+    val aDel = batch.filter(col(opCol) =!= "I").select(col(aKey))
+    val v1 =
+      if (StateDirs.hasParquetData(spark, v1Dir)) spark.read.parquet(v1Dir)
+      else IncrementalJoin.joinState(aIns.limit(0), b, joinKeysAB)
+    // level 1: fold the batch and surface V1's own changeset
+    val vd1 = IncrementalJoin.applyCdcWithDelta(v1, aKey, bKey, joinKeysAB,
+      aIns, aDel, b.limit(0), b.select(col(bKey)).limit(0), aIns.limit(0), b)
+    val pinned1 = vd1.view.localCheckpoint()
+    // level 2: V1's delta IS the A-side CDC; the composite (aKey, bKey)
+    // row key rides as a struct column, the A snapshot is the pinned V1′
+    val abKey = struct(col(aKey), col(bKey)).as("__ab_key")
+    val v2 =
+      if (StateDirs.hasParquetData(spark, v2Dir)) spark.read.parquet(v2Dir)
+      else IncrementalJoin.joinState(v1.select(abKey, col("*")), c, joinKeysC)
+    val v2New = IncrementalJoin.applyCdc(v2, "__ab_key", cKey, joinKeysC,
+      vd1.inserted.select(abKey, col("*")), vd1.deleted.select(abKey),
+      c.limit(0), c.select(col(cKey)).limit(0),
+      pinned1.select(abKey, col("*")), c)
+    // V2 FIRST, then V1 — the snowflake twin of the agg-before-view
+    // order: a crash between the writes replays against the PRE-fold V1,
+    // whose recomputed delta is the ORIGINAL level-2 CDC, and the V2
+    // fold is anti-then-add idempotent. The reverse order is WRONG: with
+    // V1 already folded, the replayed delta retracts only the NEW pairs'
+    // keys, so a pre-fold V2 would keep the touched keys' stale old
+    // pairs forever.
+    v2New.localCheckpoint().write.mode("overwrite").parquet(v2Dir)
+    pinned1.write.mode("overwrite").parquet(v1Dir)
+  }
+
+  /** Streaming SNOWFLAKE maintenance — (A ⋈ B) ⋈ C per micro-batch from
+    * ONE op-tagged A-side CDC log: both views fold in one foreachBatch,
+    * the level-1 delta ([[IncrementalJoin.applyCdcWithDelta]]) driving
+    * the level-2 fold exactly as the batch q_cdc_snowflake does, bases
+    * never re-joined and A never materialized. B and C are static
+    * dimensions for the lifetime of the query (their churn composes via
+    * the batch API or [[maintainJoinViewTwoSided]]'s discipline).
+    * Column contract: V1's columns (A ∪ B) and C's columns are disjoint
+    * apart from `joinKeysC`. Torn-trigger: both view folds are
+    * anti-then-add idempotent; the V2-before-V1 write order (see
+    * [[foldSnowflakeBatch]]) makes every crash point replay exactly. */
+  def maintainSnowflakeView(spark: SparkSession, cdcDir: String,
+      bDir: String, cDir: String, v1Dir: String, v2Dir: String,
+      checkpointDir: String, aKey: String, bKey: String, cKey: String,
+      joinKeysAB: Seq[String], joinKeysC: Seq[String], opCol: String = "op",
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    require(schema.nonEmpty || StateDirs.hasParquetData(spark, cdcDir),
+      s"maintainSnowflakeView: $cdcDir has no parquet yet — pass schema= " +
+        "to start the maintenance query ahead of the CDC producer")
+    val srcSchema = schema.getOrElse(spark.read.parquet(cdcDir).schema)
+    spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(cdcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        foldSnowflakeBatch(spark, rawBatch, bDir, cDir, v1Dir, v2Dir,
+          aKey, bKey, cKey, joinKeysAB, joinKeysC, opCol)
+      }
+      .start()
+  }
+
   /** @param aggStateDir as in [[maintainJoinView]]: when set, the view's
     *                    per-trigger changeset also folds into a
     *                    downstream aggregate state table (the streaming

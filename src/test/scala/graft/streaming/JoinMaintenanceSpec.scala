@@ -411,6 +411,82 @@ class JoinMaintenanceSpec extends SparkTestBase {
       "the NULL group must carry rows and a NULL B-side sum")
   }
 
+  test("snowflake stream: V1 and V2 drain to the from-scratch three-way join; replay AND the torn point (V2 written, V1 not) converge") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snowstream")
+    val orders = Tables.load(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val custDim = Tables.load(spark, sf(), "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    custDim.write.parquet(s"$root/dimB")
+    // C joins V1 on the B-side segment column — the snowflake arm
+    val segs = custDim.select(col("c_mktsegment")).distinct()
+      .select(col("c_mktsegment"), xxhash64(col("c_mktsegment")).as("seg_id"),
+        concat(lit("seg_"), col("c_mktsegment")).as("seg_name"))
+    segs.write.parquet(s"$root/dimC")
+    val a0 = orders.filter(col("o_orderkey") % 4 === 1)
+    val abKey = struct(col("o_orderkey"), col("o_custkey")).as("__ab_key")
+    IncrementalJoin.joinState(a0, custDim, Seq("o_custkey"))
+      .write.parquet(s"$root/v1")
+    IncrementalJoin.joinState(
+        IncrementalJoin.joinState(a0, custDim, Seq("o_custkey"))
+          .select(abKey, col("*")), segs, Seq("c_mktsegment"))
+      .write.parquet(s"$root/v2")
+    val ins = orders.filter(col("o_orderkey") % 4 === 2).withColumn("op", lit("I"))
+    val del = a0.filter(col("o_orderkey") % 3 === 0).withColumn("op", lit("D"))
+    val upd = a0.filter(col("o_orderkey") % 3 === 1)
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      .withColumn("op", lit("U"))
+    Seq(ins, del, upd).foreach(
+      _.coalesce(1).write.mode("append").parquet(s"$root/cdc"))
+    val q = JoinMaintenance.maintainSnowflakeView(spark, s"$root/cdc",
+      s"$root/dimB", s"$root/dimC", s"$root/v1", s"$root/v2", s"$root/chk",
+      aKey = "o_orderkey", bKey = "o_custkey", cKey = "seg_id",
+      joinKeysAB = Seq("o_custkey"), joinKeysC = Seq("c_mktsegment"),
+      maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val aFinal = a0.filter(col("o_orderkey") % 3 =!= 0)
+      .filter(col("o_orderkey") % 3 =!= 1)
+      .unionByName(upd.drop("op")).unionByName(ins.drop("op"))
+    val wantV1 = IncrementalJoin.joinState(aFinal, custDim, Seq("o_custkey"))
+    val wantV2 = IncrementalJoin.joinState(wantV1.select(abKey, col("*")),
+      segs, Seq("c_mktsegment")).drop("__ab_key")
+    def gotV1() = spark.read.parquet(s"$root/v1")
+    def gotV2() = spark.read.parquet(s"$root/v2").drop("__ab_key")
+    assert(canon(gotV1().select(wantV1.columns.map(col): _*)) == canon(wantV1))
+    assert(canon(gotV2().select(wantV2.columns.map(col): _*)) == canon(wantV2),
+      "V2 must equal the from-scratch (A ⋈ B) ⋈ C over the final snapshots")
+    // fresh-checkpoint full replay: both folds anti-then-add idempotent
+    val q2 = JoinMaintenance.maintainSnowflakeView(spark, s"$root/cdc",
+      s"$root/dimB", s"$root/dimC", s"$root/v1", s"$root/v2",
+      s"$root/chk_replay", "o_orderkey", "o_custkey", "seg_id",
+      Seq("o_custkey"), Seq("c_mktsegment"), maxFilesPerTrigger = 1)
+    q2.awaitTermination()
+    assert(canon(gotV1().select(wantV1.columns.map(col): _*)) == canon(wantV1))
+    assert(canon(gotV2().select(wantV2.columns.map(col): _*)) == canon(wantV2),
+      "full replay must leave both views unchanged")
+    // torn point: V2's write landed, V1's was lost (the one crash window
+    // the V2-before-V1 order leaves) — restore V1 to pre-batch, refold
+    val torn = a0.filter(col("o_orderkey") % 3 === 2)
+      .filter(col("o_orderkey") % 5 === 0).withColumn("op", lit("D"))
+    assert(torn.count() > 0)
+    val preV1 = gotV1().localCheckpoint()
+    JoinMaintenance.foldSnowflakeBatch(spark, torn, s"$root/dimB",
+      s"$root/dimC", s"$root/v1", s"$root/v2", "o_orderkey", "o_custkey",
+      "seg_id", Seq("o_custkey"), Seq("c_mktsegment"), "op")
+    preV1.write.mode("overwrite").parquet(s"$root/v1")
+    JoinMaintenance.foldSnowflakeBatch(spark, torn, s"$root/dimB",
+      s"$root/dimC", s"$root/v1", s"$root/v2", "o_orderkey", "o_custkey",
+      "seg_id", Seq("o_custkey"), Seq("c_mktsegment"), "op")
+    val aTorn = aFinal.join(torn.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+    val wantV1T = IncrementalJoin.joinState(aTorn, custDim, Seq("o_custkey"))
+    val wantV2T = IncrementalJoin.joinState(wantV1T.select(abKey, col("*")),
+      segs, Seq("c_mktsegment")).drop("__ab_key")
+    assert(canon(gotV1().select(wantV1T.columns.map(col): _*)) == canon(wantV1T),
+      "the replayed V1 fold must complete the torn trigger")
+    assert(canon(gotV2().select(wantV2T.columns.map(col): _*)) == canon(wantV2T),
+      "the replayed V2 fold must be a no-op, not a double retraction")
+  }
+
   test("two-sided INNER mode rejects B-side inserts loudly (A′ unrecoverable from an inner view)") {
     val root = java.nio.file.Files.createTempDirectory("graft-join2inner")
     val orders = Tables.load(spark, sf(), "orders")
