@@ -6485,6 +6485,78 @@ object Queries {
       .orderBy("nationkey", "c_custkey", "s_suppkey", "c_id")
   }
 
+  q("q_cdc_snowflake_agg",
+    // the THREE-level MV tree: an aggregate ON the snowflake — V1 =
+    // customer ⋈ supplier, V2 = V1 ⋈ nation, and a per-nationkey summary
+    // of V2, ALL maintained incrementally from the same changesets as
+    // q_cdc_snowflake. Level 2 switches to applyCdcWithDelta so V2's own
+    // row-level changeset (which folds BOTH the level-1 delta's fan-out
+    // through C and the C churn's fan-out through V1′) feeds
+    // IncrementalAgg.applyCdc, exactly as q_cdc_view_cascade does one
+    // level down. No base table is re-joined at any level: the level-2
+    // delta is changeset-sized, the agg merge is state-sized, and V2' is
+    // consulted only for min/max-dirty groups. Oracle = the aggregate
+    // over the full three-way re-join of the post-change snapshots, so a
+    // pass proves the whole join→join→agg pipeline exact.
+    s"""WITH $cdcJoinSql,
+      |nnew AS (
+      |  SELECT n_nationkey AS c_id, n_nationkey AS nationkey, n_name
+      |  FROM nation WHERE n_nationkey % 5 <> 0 AND n_nationkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT n_nationkey + 900000000, (n_nationkey + 1) % 25, n_name
+      |  FROM nation WHERE n_nationkey % 4 = 0
+      |  UNION ALL
+      |  SELECT n_nationkey, n_nationkey, n_name || '_v2'
+      |  FROM nation WHERE n_nationkey % 7 = 0),
+      |v AS (
+      |  SELECT nationkey, c_acctbal, s_acctbal
+      |  FROM cnew JOIN snew USING (nationkey) JOIN nnew USING (nationkey))
+      |SELECT nationkey, count(*) AS n_rows,
+      |  cast(cast(sum(cast(c_acctbal AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_c_acctbal,
+      |  round(cast(cast(sum(cast(c_acctbal AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) / count(c_acctbal), 6) AS avg_c_acctbal,
+      |  cast(min(cast(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS min_c_acctbal,
+      |  cast(max(cast(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS max_c_acctbal,
+      |  cast(cast(sum(cast(s_acctbal AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) AS sum_s_acctbal,
+      |  round(cast(cast(sum(cast(s_acctbal AS DECIMAL(28,4))) AS VARCHAR) AS DOUBLE) / count(s_acctbal), 6) AS avg_s_acctbal,
+      |  cast(min(cast(s_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS min_s_acctbal,
+      |  cast(max(cast(s_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS max_s_acctbal
+      |FROM v GROUP BY nationkey
+      |ORDER BY nationkey""".stripMargin) { (s, d) =>
+    import graft.operators.{IncrementalAgg, IncrementalJoin}
+    val fx = cdcJoinFixture(s, d)
+    val abKey = struct(col("c_custkey"), col("s_suppkey")).as("ab_key")
+    val nat = t(s, d, "nation").select(
+      col("n_nationkey").as("c_id"), col("n_nationkey").as("nationkey"),
+      col("n_name"))
+    val nDel = nat.filter(col("c_id") % 5 === 0 || col("c_id") % 7 === 0)
+      .select("c_id")
+    val nIns = nat.filter(col("c_id") % 4 === 0)
+      .withColumn("c_id", col("c_id") + lit(900000000L))
+      .withColumn("nationkey", (col("nationkey") + 1) % 25)
+      .unionByName(nat.filter(col("c_id") % 7 === 0)
+        .withColumn("n_name", concat(col("n_name"), lit("_v2"))))
+    val nNew = nat.join(nDel, Seq("c_id"), "left_anti").unionByName(nIns)
+    val keys = Seq("nationkey")
+    val measures = Seq("c_acctbal", "s_acctbal")
+    val v1 = IncrementalJoin.joinState(fx.cust, fx.supp, Seq("nationkey"))
+    val vd1 = IncrementalJoin.applyCdcWithDelta(v1,
+      "c_custkey", "s_suppkey", Seq("nationkey"),
+      fx.cIns, fx.cDel, fx.sIns, fx.sDel, fx.cNew, fx.sNew)
+    val v20 = IncrementalJoin.joinState(v1.select(abKey, col("*")), nat,
+      Seq("nationkey"))
+    val vd2 = IncrementalJoin.applyCdcWithDelta(v20,
+      "ab_key", "c_id", Seq("nationkey"),
+      vd1.inserted.select(abKey, col("*")),
+      vd1.deleted.select(abKey),
+      nIns, nDel,
+      vd1.view.select(abKey, col("*")), nNew)
+    val maintained = IncrementalAgg.applyCdc(
+      IncrementalAgg.state(v20, keys, measures), keys, measures,
+      inserts = vd2.inserted, deletes = vd2.deleted,
+      snapshot = vd2.view)
+    IncrementalAgg.finish(maintained, keys, measures).orderBy("nationkey")
+  }
+
   q("q_cdc_scd2",
     // SCD-type-2 history build from the events change log: per user, the
     // event_type attribute's runs of equal consecutive values collapse

@@ -333,9 +333,11 @@ object JoinMaintenance {
   /** One [[maintainSnowflakeView]] micro-batch (package-private for the
     * spec's torn-trigger drills). */
   private[streaming] def foldSnowflakeBatch(spark: SparkSession,
-      rawBatch: DataFrame, bDir: String, cDir: String,
+      rawBatch: DataFrame, batchId: Long, bDir: String, cDir: String,
       v1Dir: String, v2Dir: String, aKey: String, bKey: String, cKey: String,
-      joinKeysAB: Seq[String], joinKeysC: Seq[String], opCol: String): Unit = {
+      joinKeysAB: Seq[String], joinKeysC: Seq[String], opCol: String,
+      aggStateDir: Option[String] = None, aggKeys: Seq[String] = Nil,
+      aggMeasures: Seq[String] = Nil): Unit = {
     val b = spark.read.parquet(bDir)
     val c = spark.read.parquet(cDir)
     val batch = rawBatch.withColumn(opCol,
@@ -359,18 +361,29 @@ object JoinMaintenance {
     val v2 =
       if (StateDirs.hasParquetData(spark, v2Dir)) spark.read.parquet(v2Dir)
       else IncrementalJoin.joinState(v1.select(abKey, col("*")), c, joinKeysC)
-    val v2New = IncrementalJoin.applyCdc(v2, "__ab_key", cKey, joinKeysC,
+    val vd2 = IncrementalJoin.applyCdcWithDelta(v2, "__ab_key", cKey,
+      joinKeysC,
       vd1.inserted.select(abKey, col("*")), vd1.deleted.select(abKey),
       c.limit(0), c.select(col(cKey)).limit(0),
       pinned1.select(abKey, col("*")), c)
-    // V2 FIRST, then V1 — the snowflake twin of the agg-before-view
-    // order: a crash between the writes replays against the PRE-fold V1,
-    // whose recomputed delta is the ORIGINAL level-2 CDC, and the V2
-    // fold is anti-then-add idempotent. The reverse order is WRONG: with
-    // V1 already folded, the replayed delta retracts only the NEW pairs'
-    // keys, so a pre-fold V2 would keep the touched keys' stale old
-    // pairs forever.
-    v2New.localCheckpoint().write.mode("overwrite").parquet(v2Dir)
+    val pinned2 = vd2.view.localCheckpoint()
+    // agg state FIRST (batch-id-guarded — see cascadeAggFold): a crash
+    // before the V2 write replays against the pre-fold V1 AND V2, whose
+    // recomputed level-2 delta is the original one, so the guard's skip
+    // is exact. Writing V2 before the agg would be WRONG: a replayed
+    // vd2 against the post-fold V2 retracts nothing and inserts nothing,
+    // and the agg would fold an empty delta for a batch it never saw.
+    aggStateDir.foreach(dir =>
+      cascadeAggFold(spark, vd2.copy(view = pinned2), v2, dir,
+        aggKeys, aggMeasures, batchId, batchSignature(batch)))
+    // then V2, then V1 — the snowflake twin of the agg-before-view
+    // order: a crash between the view writes replays against the
+    // PRE-fold V1, whose recomputed delta is the ORIGINAL level-2 CDC,
+    // and the V2 fold is anti-then-add idempotent. The reverse order is
+    // WRONG: with V1 already folded, the replayed delta retracts only
+    // the NEW pairs' keys, so a pre-fold V2 would keep the touched keys'
+    // stale old pairs forever.
+    pinned2.write.mode("overwrite").parquet(v2Dir)
     pinned1.write.mode("overwrite").parquet(v1Dir)
   }
 
@@ -383,17 +396,28 @@ object JoinMaintenance {
     * the batch API or [[maintainJoinViewTwoSided]]'s discipline).
     * Column contract: V1's columns (A ∪ B) and C's columns are disjoint
     * apart from `joinKeysC`. Torn-trigger: both view folds are
-    * anti-then-add idempotent; the V2-before-V1 write order (see
-    * [[foldSnowflakeBatch]]) makes every crash point replay exactly. */
+    * anti-then-add idempotent; the agg-then-V2-then-V1 write order (see
+    * [[foldSnowflakeBatch]]) makes every crash point replay exactly.
+    *
+    * @param aggStateDir when set, V2's per-trigger changeset (level 2
+    *                    runs applyCdcWithDelta) also folds into a
+    *                    downstream aggregate state table — the full
+    *                    THREE-level MV tree (join → join → agg, the
+    *                    streaming twin of q_cdc_snowflake_agg),
+    *                    batch-id-guarded for torn triggers. */
   def maintainSnowflakeView(spark: SparkSession, cdcDir: String,
       bDir: String, cDir: String, v1Dir: String, v2Dir: String,
       checkpointDir: String, aKey: String, bKey: String, cKey: String,
       joinKeysAB: Seq[String], joinKeysC: Seq[String], opCol: String = "op",
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1, aggStateDir: Option[String] = None,
+      aggKeys: Seq[String] = Nil,
+      aggMeasures: Seq[String] = Nil): StreamingQuery = {
     require(schema.nonEmpty || StateDirs.hasParquetData(spark, cdcDir),
       s"maintainSnowflakeView: $cdcDir has no parquet yet — pass schema= " +
         "to start the maintenance query ahead of the CDC producer")
+    require(aggStateDir.isEmpty || (aggKeys.nonEmpty && aggMeasures.nonEmpty),
+      "maintainSnowflakeView: aggStateDir needs aggKeys and aggMeasures")
     val srcSchema = schema.getOrElse(spark.read.parquet(cdcDir).schema)
     spark.readStream
       .schema(srcSchema)
@@ -402,9 +426,10 @@ object JoinMaintenance {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
-        foldSnowflakeBatch(spark, rawBatch, bDir, cDir, v1Dir, v2Dir,
-          aKey, bKey, cKey, joinKeysAB, joinKeysC, opCol)
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        foldSnowflakeBatch(spark, rawBatch, batchId, bDir, cDir, v1Dir,
+          v2Dir, aKey, bKey, cKey, joinKeysAB, joinKeysC, opCol,
+          aggStateDir, aggKeys, aggMeasures)
       }
       .start()
   }

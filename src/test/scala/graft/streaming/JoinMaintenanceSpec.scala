@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkTestBase
-import graft.operators.IncrementalJoin
+import graft.operators.{IncrementalAgg, IncrementalJoin}
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -260,7 +260,7 @@ class JoinMaintenanceSpec extends SparkTestBase {
   }
 
   test("cascade: join view + downstream aggregate drain per micro-batch == from-scratch; fresh-checkpoint replay is a no-op on BOTH state tables") {
-    import graft.operators.IncrementalAgg
+
     val root = java.nio.file.Files.createTempDirectory("graft-joincascade")
     val orders = Tables.load(spark, sf(), "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -309,7 +309,7 @@ class JoinMaintenanceSpec extends SparkTestBase {
   }
 
   test("cascade torn trigger: crash between the agg write and the view write replays exactly") {
-    import graft.operators.IncrementalAgg
+
     val root = java.nio.file.Files.createTempDirectory("graft-joinTorn")
     val orders = Tables.load(spark, sf(), "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -353,7 +353,7 @@ class JoinMaintenanceSpec extends SparkTestBase {
   }
 
   test("two-sided LEFT cascade: B churn + zero-crossings flow through the view delta into the aggregate") {
-    import graft.operators.IncrementalAgg
+
     val root = java.nio.file.Files.createTempDirectory("graft-join2cascade")
     val orders = Tables.load(spark, sf(), "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -438,11 +438,15 @@ class JoinMaintenanceSpec extends SparkTestBase {
       .withColumn("op", lit("U"))
     Seq(ins, del, upd).foreach(
       _.coalesce(1).write.mode("append").parquet(s"$root/cdc"))
+    // aggStateDir makes it the full THREE-level tree: join → join → agg
+    val aggKeys = Seq("c_mktsegment")
+    val aggMeasures = Seq("o_totalprice")
     val q = JoinMaintenance.maintainSnowflakeView(spark, s"$root/cdc",
       s"$root/dimB", s"$root/dimC", s"$root/v1", s"$root/v2", s"$root/chk",
       aKey = "o_orderkey", bKey = "o_custkey", cKey = "seg_id",
       joinKeysAB = Seq("o_custkey"), joinKeysC = Seq("c_mktsegment"),
-      maxFilesPerTrigger = 1)
+      maxFilesPerTrigger = 1, aggStateDir = Some(s"$root/agg"),
+      aggKeys = aggKeys, aggMeasures = aggMeasures)
     q.awaitTermination()
     val aFinal = a0.filter(col("o_orderkey") % 3 =!= 0)
       .filter(col("o_orderkey") % 3 =!= 1)
@@ -452,31 +456,43 @@ class JoinMaintenanceSpec extends SparkTestBase {
       segs, Seq("c_mktsegment")).drop("__ab_key")
     def gotV1() = spark.read.parquet(s"$root/v1")
     def gotV2() = spark.read.parquet(s"$root/v2").drop("__ab_key")
+    def gotAgg() = spark.read.parquet(s"$root/agg").drop("_batch_id", "_batch_sig")
+    def wantAggOf(v2: DataFrame) = IncrementalAgg.state(v2, aggKeys, aggMeasures)
     assert(canon(gotV1().select(wantV1.columns.map(col): _*)) == canon(wantV1))
     assert(canon(gotV2().select(wantV2.columns.map(col): _*)) == canon(wantV2),
       "V2 must equal the from-scratch (A ⋈ B) ⋈ C over the final snapshots")
-    // fresh-checkpoint full replay: both folds anti-then-add idempotent
+    val wantAgg = wantAggOf(wantV2)
+    assert(canon(gotAgg().select(wantAgg.columns.map(col): _*)) == canon(wantAgg),
+      "the level-3 aggregate must equal from-scratch over the final V2")
+    // fresh-checkpoint full replay: both view folds anti-then-add
+    // idempotent, the agg fold guarded (same-order replay ids skip)
     val q2 = JoinMaintenance.maintainSnowflakeView(spark, s"$root/cdc",
       s"$root/dimB", s"$root/dimC", s"$root/v1", s"$root/v2",
       s"$root/chk_replay", "o_orderkey", "o_custkey", "seg_id",
-      Seq("o_custkey"), Seq("c_mktsegment"), maxFilesPerTrigger = 1)
+      Seq("o_custkey"), Seq("c_mktsegment"), maxFilesPerTrigger = 1,
+      aggStateDir = Some(s"$root/agg"), aggKeys = aggKeys,
+      aggMeasures = aggMeasures)
     q2.awaitTermination()
     assert(canon(gotV1().select(wantV1.columns.map(col): _*)) == canon(wantV1))
     assert(canon(gotV2().select(wantV2.columns.map(col): _*)) == canon(wantV2),
       "full replay must leave both views unchanged")
+    assert(canon(gotAgg().select(wantAgg.columns.map(col): _*)) == canon(wantAgg),
+      "full replay must leave the aggregate unchanged")
     // torn point: V2's write landed, V1's was lost (the one crash window
     // the V2-before-V1 order leaves) — restore V1 to pre-batch, refold
     val torn = a0.filter(col("o_orderkey") % 3 === 2)
       .filter(col("o_orderkey") % 5 === 0).withColumn("op", lit("D"))
     assert(torn.count() > 0)
     val preV1 = gotV1().localCheckpoint()
-    JoinMaintenance.foldSnowflakeBatch(spark, torn, s"$root/dimB",
+    JoinMaintenance.foldSnowflakeBatch(spark, torn, 99L, s"$root/dimB",
       s"$root/dimC", s"$root/v1", s"$root/v2", "o_orderkey", "o_custkey",
-      "seg_id", Seq("o_custkey"), Seq("c_mktsegment"), "op")
+      "seg_id", Seq("o_custkey"), Seq("c_mktsegment"), "op",
+      Some(s"$root/agg"), aggKeys, aggMeasures)
     preV1.write.mode("overwrite").parquet(s"$root/v1")
-    JoinMaintenance.foldSnowflakeBatch(spark, torn, s"$root/dimB",
+    JoinMaintenance.foldSnowflakeBatch(spark, torn, 99L, s"$root/dimB",
       s"$root/dimC", s"$root/v1", s"$root/v2", "o_orderkey", "o_custkey",
-      "seg_id", Seq("o_custkey"), Seq("c_mktsegment"), "op")
+      "seg_id", Seq("o_custkey"), Seq("c_mktsegment"), "op",
+      Some(s"$root/agg"), aggKeys, aggMeasures)
     val aTorn = aFinal.join(torn.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
     val wantV1T = IncrementalJoin.joinState(aTorn, custDim, Seq("o_custkey"))
     val wantV2T = IncrementalJoin.joinState(wantV1T.select(abKey, col("*")),
@@ -485,6 +501,11 @@ class JoinMaintenanceSpec extends SparkTestBase {
       "the replayed V1 fold must complete the torn trigger")
     assert(canon(gotV2().select(wantV2T.columns.map(col): _*)) == canon(wantV2T),
       "the replayed V2 fold must be a no-op, not a double retraction")
+    // the torn batch reached the agg exactly once: the refold's guard
+    // skipped the recorded id, so the state equals from-scratch over V2′
+    val wantAggT = wantAggOf(wantV2T)
+    assert(canon(gotAgg().select(wantAggT.columns.map(col): _*)) == canon(wantAggT),
+      "the torn-trigger refold must not double-fold the aggregate")
   }
 
   test("two-sided INNER mode rejects B-side inserts loudly (A′ unrecoverable from an inner view)") {
