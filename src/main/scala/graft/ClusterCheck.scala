@@ -101,6 +101,9 @@ object ClusterCheck {
     "q_cdc_snowflake",            // struct composite row keys through hinted
                                   // broadcast anti/semi probes, two stacked delta
                                   // folds across executor JVMs (r12)
+    "q_cdc_snowflake_agg",        // the three-level tree: level-2 ViewDelta rows
+                                  // (struct key + measures) feeding the decimal
+                                  // agg-state merge across executor JVMs (r12)
   )
 
   private def runAll(master: String, sfDir: String): Map[String, Seq[String]] = {
