@@ -6538,18 +6538,29 @@ object Queries {
     val nNew = nat.join(nDel, Seq("c_id"), "left_anti").unionByName(nIns)
     val keys = Seq("nationkey")
     val measures = Seq("c_acctbal", "s_acctbal")
+    // UNLIKE q_cdc_view_cascade (one level, pinning measured at parity),
+    // the three-level tree re-derives each lazy frame in every consuming
+    // term of the NEXT level — v1 under vd1's fold and v20, vd1 under
+    // vd2's five terms, v20/vd2 under the agg fold — so the shared
+    // frames are pinned once each (production materializes the views
+    // anyway; the pins mirror that)
     val v1 = IncrementalJoin.joinState(fx.cust, fx.supp, Seq("nationkey"))
-    val vd1 = IncrementalJoin.applyCdcWithDelta(v1,
+      .localCheckpoint()
+    val vd1r = IncrementalJoin.applyCdcWithDelta(v1,
       "c_custkey", "s_suppkey", Seq("nationkey"),
       fx.cIns, fx.cDel, fx.sIns, fx.sDel, fx.cNew, fx.sNew)
+    val vd1 = IncrementalJoin.ViewDelta(vd1r.view.localCheckpoint(),
+      vd1r.inserted.localCheckpoint(), vd1r.deleted.localCheckpoint())
     val v20 = IncrementalJoin.joinState(v1.select(abKey, col("*")), nat,
-      Seq("nationkey"))
-    val vd2 = IncrementalJoin.applyCdcWithDelta(v20,
+      Seq("nationkey")).localCheckpoint()
+    val vd2r = IncrementalJoin.applyCdcWithDelta(v20,
       "ab_key", "c_id", Seq("nationkey"),
       vd1.inserted.select(abKey, col("*")),
       vd1.deleted.select(abKey),
       nIns, nDel,
       vd1.view.select(abKey, col("*")), nNew)
+    val vd2 = IncrementalJoin.ViewDelta(vd2r.view.localCheckpoint(),
+      vd2r.inserted.localCheckpoint(), vd2r.deleted.localCheckpoint())
     val maintained = IncrementalAgg.applyCdc(
       IncrementalAgg.state(v20, keys, measures), keys, measures,
       inserts = vd2.inserted, deletes = vd2.deleted,
