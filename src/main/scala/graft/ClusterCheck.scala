@@ -104,6 +104,9 @@ object ClusterCheck {
     "q_cdc_snowflake_agg",        // the three-level tree: level-2 ViewDelta rows
                                   // (struct key + measures) feeding the decimal
                                   // agg-state merge across executor JVMs (r12)
+    "q_cdc_snowflake_left",       // NULL-field struct keys through the level-2
+                                  // anti/semi probes (field-wise null-safe struct
+                                  // equality under executor serialization) (r12)
   )
 
   private def runAll(master: String, sfDir: String): Map[String, Seq[String]] = {

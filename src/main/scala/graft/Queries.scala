@@ -6568,6 +6568,65 @@ object Queries {
     IncrementalAgg.finish(maintained, keys, measures).orderBy("nationkey")
   }
 
+  q("q_cdc_snowflake_left",
+    // the OUTER snowflake: (A LEFT B) ⋈ C maintained end to end — the
+    // left-join cell of the matrix at DEPTH. Level 1 is the
+    // q_cdc_incremental_left fixture (zero-crossings fire both ways:
+    // supplier deletes empty nations, remapped inserts give empty
+    // nations their first supplier); its applyCdcLeftWithDelta changeset
+    // — which carries the null-extended transitions as key
+    // deletes+inserts, (ck, sk) pairs swapping with (ck, NULL) rows —
+    // cascades through a SECOND fold against the churning nation
+    // dimension. The composite struct row key is null-SAFE by Spark's
+    // struct-equality semantics (field-wise, null == null), so the
+    // level-2 anti/semi probes retract and re-add null-extended rows
+    // exactly like matched ones. Oracle = the full LEFT-then-inner
+    // re-join of the post-change snapshots.
+    s"""WITH $cdcJoinSql,
+      |nnew AS (
+      |  SELECT n_nationkey AS c_id, n_nationkey AS nationkey, n_name
+      |  FROM nation WHERE n_nationkey % 5 <> 0 AND n_nationkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT n_nationkey + 900000000, (n_nationkey + 1) % 25, n_name
+      |  FROM nation WHERE n_nationkey % 4 = 0
+      |  UNION ALL
+      |  SELECT n_nationkey, n_nationkey, n_name || '_v2'
+      |  FROM nation WHERE n_nationkey % 7 = 0)
+      |SELECT nationkey, c_custkey, c_acctbal, s_suppkey, s_acctbal, c_id, n_name
+      |FROM cnew LEFT JOIN snew USING (nationkey) JOIN nnew USING (nationkey)
+      |ORDER BY nationkey, c_custkey, s_suppkey NULLS FIRST, c_id""".stripMargin) { (s, d) =>
+    import graft.operators.IncrementalJoin
+    val fx = cdcJoinFixture(s, d)
+    val abKey = struct(col("c_custkey"), col("s_suppkey")).as("ab_key")
+    val nat = t(s, d, "nation").select(
+      col("n_nationkey").as("c_id"), col("n_nationkey").as("nationkey"),
+      col("n_name"))
+    val nDel = nat.filter(col("c_id") % 5 === 0 || col("c_id") % 7 === 0)
+      .select("c_id")
+    val nIns = nat.filter(col("c_id") % 4 === 0)
+      .withColumn("c_id", col("c_id") + lit(900000000L))
+      .withColumn("nationkey", (col("nationkey") + 1) % 25)
+      .unionByName(nat.filter(col("c_id") % 7 === 0)
+        .withColumn("n_name", concat(col("n_name"), lit("_v2"))))
+    val nNew = nat.join(nDel, Seq("c_id"), "left_anti").unionByName(nIns)
+    val v1 = IncrementalJoin.joinStateLeft(fx.cust, fx.supp, Seq("nationkey"))
+    val vd1 = IncrementalJoin.applyCdcLeftWithDelta(v1,
+      "c_custkey", "s_suppkey", Seq("nationkey"),
+      fx.cIns, fx.cDel, fx.sIns, fx.sDel, fx.cNew, fx.sNew)
+    val v2 = IncrementalJoin.applyCdc(
+      IncrementalJoin.joinState(v1.select(abKey, col("*")), nat,
+        Seq("nationkey")),
+      "ab_key", "c_id", Seq("nationkey"),
+      vd1.inserted.select(abKey, col("*")),
+      vd1.deleted.select(abKey),
+      nIns, nDel,
+      vd1.view.select(abKey, col("*")), nNew)
+    v2.select("nationkey", "c_custkey", "c_acctbal", "s_suppkey",
+        "s_acctbal", "c_id", "n_name")
+      .orderBy(col("nationkey"), col("c_custkey"),
+        col("s_suppkey").asc_nulls_first, col("c_id"))
+  }
+
   q("q_cdc_scd2",
     // SCD-type-2 history build from the events change log: per user, the
     // event_type attribute's runs of equal consecutive values collapse

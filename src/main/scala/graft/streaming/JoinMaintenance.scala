@@ -337,7 +337,7 @@ object JoinMaintenance {
       v1Dir: String, v2Dir: String, aKey: String, bKey: String, cKey: String,
       joinKeysAB: Seq[String], joinKeysC: Seq[String], opCol: String,
       aggStateDir: Option[String] = None, aggKeys: Seq[String] = Nil,
-      aggMeasures: Seq[String] = Nil): Unit = {
+      aggMeasures: Seq[String] = Nil, leftJoin: Boolean = false): Unit = {
     val b = spark.read.parquet(bDir)
     val c = spark.read.parquet(cDir)
     val batch = rawBatch.withColumn(opCol,
@@ -350,10 +350,18 @@ object JoinMaintenance {
     val aDel = batch.filter(col(opCol) =!= "I").select(col(aKey))
     val v1 =
       if (StateDirs.hasParquetData(spark, v1Dir)) spark.read.parquet(v1Dir)
+      else if (leftJoin) IncrementalJoin.joinStateLeft(aIns.limit(0), b, joinKeysAB)
       else IncrementalJoin.joinState(aIns.limit(0), b, joinKeysAB)
-    // level 1: fold the batch and surface V1's own changeset
-    val vd1 = IncrementalJoin.applyCdcWithDelta(v1, aKey, bKey, joinKeysAB,
-      aIns, aDel, b.limit(0), b.select(col(bKey)).limit(0), aIns.limit(0), b)
+    // level 1: fold the batch and surface V1's own changeset. LEFT mode:
+    // partnerless A inserts ride null-extended into V1 — their composite
+    // key carries a NULL bKey field, which the level-2 probes handle
+    // because Spark's struct equality is field-wise null-safe
+    val vd1 =
+      if (leftJoin) IncrementalJoin.applyCdcLeftWithDelta(v1, aKey, bKey,
+        joinKeysAB, aIns, aDel, b.limit(0), b.select(col(bKey)).limit(0),
+        aIns.limit(0), b)
+      else IncrementalJoin.applyCdcWithDelta(v1, aKey, bKey, joinKeysAB,
+        aIns, aDel, b.limit(0), b.select(col(bKey)).limit(0), aIns.limit(0), b)
     val pinned1 = vd1.view.localCheckpoint()
     // level 2: V1's delta IS the A-side CDC; the composite (aKey, bKey)
     // row key rides as a struct column, the A snapshot is the pinned V1′
@@ -411,8 +419,8 @@ object JoinMaintenance {
       joinKeysAB: Seq[String], joinKeysC: Seq[String], opCol: String = "op",
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       maxFilesPerTrigger: Int = 1, aggStateDir: Option[String] = None,
-      aggKeys: Seq[String] = Nil,
-      aggMeasures: Seq[String] = Nil): StreamingQuery = {
+      aggKeys: Seq[String] = Nil, aggMeasures: Seq[String] = Nil,
+      leftJoin: Boolean = false): StreamingQuery = {
     require(schema.nonEmpty || StateDirs.hasParquetData(spark, cdcDir),
       s"maintainSnowflakeView: $cdcDir has no parquet yet — pass schema= " +
         "to start the maintenance query ahead of the CDC producer")
@@ -429,7 +437,7 @@ object JoinMaintenance {
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
         foldSnowflakeBatch(spark, rawBatch, batchId, bDir, cDir, v1Dir,
           v2Dir, aKey, bKey, cKey, joinKeysAB, joinKeysC, opCol,
-          aggStateDir, aggKeys, aggMeasures)
+          aggStateDir, aggKeys, aggMeasures, leftJoin)
       }
       .start()
   }

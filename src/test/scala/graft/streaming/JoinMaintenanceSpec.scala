@@ -508,6 +508,61 @@ class JoinMaintenanceSpec extends SparkTestBase {
       "the torn-trigger refold must not double-fold the aggregate")
   }
 
+  test("snowflake stream LEFT mode: partnerless A rows ride null-extended through V1, and their NULL-field composite keys move through the level-2 fold") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snowleft")
+    val orders = Tables.load(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // only EVEN custkeys exist in the dim: odd-custkey orders are
+    // null-extended in V1 — an inner level-1 fold would LOSE them, and
+    // their (o_orderkey, NULL) composite keys must still traverse the
+    // level-2 anti/semi probes (field-wise null-safe struct equality)
+    val custDim = Tables.load(spark, sf(), "customer")
+      .filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    custDim.write.parquet(s"$root/dimB")
+    val segs = custDim.select(col("c_mktsegment")).distinct()
+      .select(col("c_mktsegment"), xxhash64(col("c_mktsegment")).as("seg_id"),
+        concat(lit("seg_"), col("c_mktsegment")).as("seg_name"))
+    segs.write.parquet(s"$root/dimC")
+    val a0 = orders.filter(col("o_orderkey") % 4 === 1)
+    val abKey = struct(col("o_orderkey"), col("o_custkey")).as("__ab_key")
+    def v1Of(a: DataFrame) = IncrementalJoin.joinStateLeft(a, custDim, Seq("o_custkey"))
+    def v2KeyedOf(v1: DataFrame) = IncrementalJoin.joinState(
+      v1.select(abKey, col("*")), segs, Seq("c_mktsegment"))
+    def v2Of(v1: DataFrame) = v2KeyedOf(v1).drop("__ab_key")
+    v1Of(a0).write.parquet(s"$root/v1")
+    v2KeyedOf(v1Of(a0)).write.parquet(s"$root/v2")
+    val ins = orders.filter(col("o_orderkey") % 4 === 2).withColumn("op", lit("I"))
+    val del = a0.filter(col("o_orderkey") % 3 === 0).withColumn("op", lit("D"))
+    val upd = a0.filter(col("o_orderkey") % 3 === 1)
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      .withColumn("op", lit("U"))
+    Seq(ins, del, upd).foreach(
+      _.coalesce(1).write.mode("append").parquet(s"$root/cdc"))
+    val q = JoinMaintenance.maintainSnowflakeView(spark, s"$root/cdc",
+      s"$root/dimB", s"$root/dimC", s"$root/v1", s"$root/v2", s"$root/chk",
+      aKey = "o_orderkey", bKey = "o_custkey", cKey = "seg_id",
+      joinKeysAB = Seq("o_custkey"), joinKeysC = Seq("c_mktsegment"),
+      maxFilesPerTrigger = 1, leftJoin = true)
+    q.awaitTermination()
+    val aFinal = a0.filter(col("o_orderkey") % 3 === 2)
+      .unionByName(upd.drop("op")).unionByName(ins.drop("op"))
+    val wantV1 = v1Of(aFinal)
+    val wantV2 = v2Of(wantV1)
+    val gotV1 = spark.read.parquet(s"$root/v1")
+    val gotV2 = spark.read.parquet(s"$root/v2").drop("__ab_key")
+    assert(canon(gotV1.select(wantV1.columns.map(col): _*)) == canon(wantV1),
+      "V1 must equal the from-scratch LEFT join over the final snapshot")
+    assert(canon(gotV2.select(wantV2.columns.map(col): _*)) == canon(wantV2),
+      "V2 must equal from-scratch (A LEFT B) inner C over the final snapshot")
+    // the mode difference genuinely fired: partnerless rows present in
+    // V1 (an inner fold would have dropped every odd-custkey insert),
+    // absent from V2 (their NULL segment joins no C row)
+    assert(gotV1.filter(col("c_mktsegment").isNull).count() > 0,
+      "null-extended rows must survive the level-1 fold")
+    assert(wantV1.filter(col("c_mktsegment").isNull).count() > 0)
+  }
+
   test("two-sided INNER mode rejects B-side inserts loudly (A′ unrecoverable from an inner view)") {
     val root = java.nio.file.Files.createTempDirectory("graft-join2inner")
     val orders = Tables.load(spark, sf(), "orders")
