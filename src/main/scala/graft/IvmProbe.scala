@@ -30,7 +30,16 @@ import org.apache.spark.sql.functions._
   * delete IS the key's last row), and some A updates land in the gap
   * (insert-unmatched probe).
   *
-  * Usage: `runMain graft.IvmProbe <sfDir> [deltaPct] [reps] [inner|left|both]`
+  * The SNOWFLAKE mode measures the two-level cascade — level 1's
+  * `applyCdcWithDelta` driving level 2's `applyCdc` (the
+  * q_cdc_snowflake shape: lineitem ⋈ orders, then ⋈ customer on
+  * o_custkey, C static) — against the from-scratch rebuild of BOTH
+  * views, counting both on each path (production materializes both).
+  * V1's row key stays l_rowid (orders is unique per o_orderkey, so the
+  * level-1 join preserves uniqueness — no composite needed for the
+  * measurement).
+  *
+  * Usage: `runMain graft.IvmProbe <sfDir> [deltaPct] [reps] [inner|left|both|snowflake]`
   */
 object IvmProbe {
 
@@ -39,8 +48,8 @@ object IvmProbe {
     val deltaPct = if (args.length > 1) args(1).toInt else 1
     val reps = if (args.length > 2) args(2).toInt else 3
     val mode = if (args.length > 3) args(3) else "inner"
-    require(Set("inner", "left", "both")(mode),
-      s"mode must be inner|left|both (got $mode)")
+    require(Set("inner", "left", "both", "snowflake")(mode),
+      s"mode must be inner|left|both|snowflake (got $mode)")
     // non-divisors would silently shift the ACTUAL updated fraction
     // (mod = 100/deltaPct truncates) while the JSON reported the request
     require(deltaPct >= 1 && deltaPct <= 50 && 100 % deltaPct == 0,
@@ -111,7 +120,25 @@ object IvmProbe {
           .withColumn("o_totalprice", col("o_totalprice") + 10.0)))
     stage.foreach { case (name, df) => df.write.parquet(s"$root/$name") }
 
-    if (mode != "inner") {
+    if (mode == "snowflake") {
+      // snowflake staging: orders re-staged WITH the C join key (kept
+      // out of the inner/left fixtures so their measured bytes stay
+      // comparable with the recorded ledger numbers), customer as the
+      // static C dimension keyed by a B-side row-key copy
+      def bSnow: DataFrame = sources.Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def cBase: DataFrame = sources.Tables.load(spark, sfDir, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_custkey").as("c_rowid"), col("c_acctbal"))
+      bSnow.write.parquet(s"$root/b_snow")
+      cBase.write.parquet(s"$root/c_base")
+      val v1 = IncrementalJoin.joinState(lineitem, rd("b_snow"), joinKeys)
+      v1.write.parquet(s"$root/view1_snow")
+      IncrementalJoin.joinState(rd("view1_snow"), rd("c_base"),
+        Seq("o_custkey")).write.parquet(s"$root/view2_snow")
+    }
+
+    if (mode != "inner" && mode != "snowflake") {
       // left-mode fixture: B loses every 50th key up front (the initial
       // view carries that gap null-extended, and A updates landing in it
       // exercise the insert-unmatched probe); of the churned B keys only
@@ -190,6 +217,37 @@ object IvmProbe {
           s"row mismatch: scratch=$nScratch maintained=$nMaint")
         out.append(
           f""","rep$r":{"scratch_sec":$tScratch%.2f,"scratch_shuffle_mb":$mbScratch%.1f,"scratch_shuffle_rows":$rcScratch,""" +
+          f""""maintained_sec":$tMaint%.2f,"maintained_shuffle_mb":$mbMaint%.1f,"maintained_shuffle_rows":$rcMaint,"rows":$nMaint}""")
+      }
+      if (mode == "snowflake") {
+        // scratch = rebuild BOTH views from the post-change snapshots;
+        // fold = level-1 applyCdcWithDelta driving level-2 applyCdc,
+        // both maintained views counted (production writes both)
+        val (tScratch, nScratch, mbScratch, rcScratch) = time {
+          val v1s = IncrementalJoin.joinState(rd("a_new"), rd("b_snow"),
+            joinKeys)
+          val v2s = IncrementalJoin.joinState(v1s, rd("c_base"),
+            Seq("o_custkey"))
+          v1s.count() + v2s.count()
+        }
+        val (tMaint, nMaint, mbMaint, rcMaint) = time {
+          val c = rd("c_base")
+          val vd1 = IncrementalJoin.applyCdcWithDelta(rd("view1_snow"),
+            "l_rowid", "o_orderkey", joinKeys,
+            rd("a_ins"), rd("a_del"),
+            rd("b_snow").limit(0), rd("b_snow").select("o_orderkey").limit(0),
+            rd("a_new"), rd("b_snow"))
+          val v2m = IncrementalJoin.applyCdc(rd("view2_snow"),
+            "l_rowid", "c_rowid", Seq("o_custkey"),
+            vd1.inserted, vd1.deleted.select("l_rowid"),
+            c.limit(0), c.select("c_rowid").limit(0),
+            vd1.view, c)
+          vd1.view.count() + v2m.count()
+        }
+        require(nScratch == nMaint,
+          s"snowflake row mismatch: scratch=$nScratch maintained=$nMaint")
+        out.append(
+          f""","snow_rep$r":{"scratch_sec":$tScratch%.2f,"scratch_shuffle_mb":$mbScratch%.1f,"scratch_shuffle_rows":$rcScratch,""" +
           f""""maintained_sec":$tMaint%.2f,"maintained_shuffle_mb":$mbMaint%.1f,"maintained_shuffle_rows":$rcMaint,"rows":$nMaint}""")
       }
       if (mode == "left" || mode == "both") {
