@@ -39,7 +39,15 @@ import org.apache.spark.sql.functions._
   * level-1 join preserves uniqueness — no composite needed for the
   * measurement).
   *
-  * Usage: `runMain graft.IvmProbe <sfDir> [deltaPct] [reps] [inner|left|both|snowflake]`
+  * The SNOWLEFT mode is the OUTER twin — (A LEFT B) ⋈ C, the
+  * q_cdc_snowflake_left shape: level 1 is the left fixture (B key gap,
+  * dead-key zero-crossings, insert-unmatched probes all live) folded by
+  * `applyCdcLeftWithDelta`, whose changeset — zero-crossing transitions
+  * riding as same-key delete+insert pairs — drives the level-2 inner
+  * fold against static C. Partnerless V1 rows carry NULL o_custkey and
+  * drop out of level 2 on both paths.
+  *
+  * Usage: `runMain graft.IvmProbe <sfDir> [deltaPct] [reps] [inner|left|both|snowflake|snowleft]`
   */
 object IvmProbe {
 
@@ -48,8 +56,8 @@ object IvmProbe {
     val deltaPct = if (args.length > 1) args(1).toInt else 1
     val reps = if (args.length > 2) args(2).toInt else 3
     val mode = if (args.length > 3) args(3) else "inner"
-    require(Set("inner", "left", "both", "snowflake")(mode),
-      s"mode must be inner|left|both|snowflake (got $mode)")
+    require(Set("inner", "left", "both", "snowflake", "snowleft")(mode),
+      s"mode must be inner|left|both|snowflake|snowleft (got $mode)")
     // non-divisors would silently shift the ACTUAL updated fraction
     // (mod = 100/deltaPct truncates) while the JSON reported the request
     require(deltaPct >= 1 && deltaPct <= 50 && 100 % deltaPct == 0,
@@ -138,7 +146,43 @@ object IvmProbe {
         Seq("o_custkey")).write.parquet(s"$root/view2_snow")
     }
 
-    if (mode != "inner" && mode != "snowflake") {
+    if (mode == "snowleft") {
+      // outer-snowflake staging: the left fixture's B key gap (every
+      // 50th key missing → live null-extended V1 rows) PLUS the C join
+      // key; B churn where only half the deleted keys return (dead-key
+      // zero-crossings). C is the static level-2 dimension keyed on
+      // o_custkey — partnerless V1 rows carry it as NULL and sit only
+      // in V1. V1's row key stays l_rowid: a left join against a
+      // per-key-unique B emits exactly one row per A row, matched or
+      // null-extended, so the level-2 A-side uniqueness contract holds.
+      def bSL: DataFrame = sources.Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .filter(col("o_orderkey") % 50 =!= 1)
+        .withColumn("o_rowid", col("o_orderkey"))
+      def cBase: DataFrame = sources.Tables.load(spark, sfDir, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_custkey").as("c_rowid"), col("c_acctbal"))
+      bSL.write.parquet(s"$root/b_sl")
+      cBase.write.parquet(s"$root/c_base_sl")
+      def bSLr: DataFrame = rd("b_sl")
+      Map(
+        "b_del_sl" -> bSLr.filter(col("o_orderkey") % (mod * 4) === 0)
+          .select("o_rowid"),
+        "b_ins_sl" -> bSLr.filter(col("o_orderkey") % (mod * 8) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 10.0),
+        "b_new_sl" -> bSLr.filter(col("o_orderkey") % (mod * 4) =!= 0)
+          .unionByName(bSLr.filter(col("o_orderkey") % (mod * 8) === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 10.0))
+      ).foreach { case (name, df) => df.write.parquet(s"$root/$name") }
+      IncrementalJoin.joinStateLeft(lineitem, rd("b_sl"), joinKeys)
+        .write.parquet(s"$root/view1_sl")
+      IncrementalJoin.joinState(rd("view1_sl"), rd("c_base_sl"),
+        Seq("o_custkey")).write.parquet(s"$root/view2_sl")
+      val nullExt = rd("view1_sl").filter(col("o_rowid").isNull).count()
+      require(nullExt > 0, "snowleft fixture must carry live null-extended rows")
+    }
+
+    if (mode != "inner" && mode != "snowflake" && mode != "snowleft") {
       // left-mode fixture: B loses every 50th key up front (the initial
       // view carries that gap null-extended, and A updates landing in it
       // exercise the insert-unmatched probe); of the churned B keys only
@@ -249,6 +293,43 @@ object IvmProbe {
         out.append(
           f""","snow_rep$r":{"scratch_sec":$tScratch%.2f,"scratch_shuffle_mb":$mbScratch%.1f,"scratch_shuffle_rows":$rcScratch,""" +
           f""""maintained_sec":$tMaint%.2f,"maintained_shuffle_mb":$mbMaint%.1f,"maintained_shuffle_rows":$rcMaint,"rows":$nMaint}""")
+      }
+      if (mode == "snowleft") {
+        // outer twin of the snowflake rep: scratch rebuilds BOTH views
+        // (left then inner) from the post-change snapshots; the fold is
+        // applyCdcLeftWithDelta's changeset — zero-crossings riding as
+        // same-key delete+insert pairs — driving the level-2 inner fold.
+        // The null-extended-survival probe certifies the left slice
+        // stayed live through the fold, same as the plain left reps.
+        val (tScratch, nScratch, mbScratch, rcScratch) = time {
+          val v1s = IncrementalJoin.joinStateLeft(rd("a_new"),
+            rd("b_new_sl"), joinKeys)
+          val v2s = IncrementalJoin.joinState(v1s, rd("c_base_sl"),
+            Seq("o_custkey"))
+          v1s.count() + v2s.count()
+        }
+        var maintainedV1: DataFrame = null
+        val (tMaint, nMaint, mbMaint, rcMaint) = time {
+          val c = rd("c_base_sl")
+          val vd1 = IncrementalJoin.applyCdcLeftWithDelta(rd("view1_sl"),
+            "l_rowid", "o_rowid", joinKeys,
+            rd("a_ins"), rd("a_del"), rd("b_ins_sl"), rd("b_del_sl"),
+            rd("a_new"), rd("b_new_sl"))
+          val v2m = IncrementalJoin.applyCdc(rd("view2_sl"),
+            "l_rowid", "c_rowid", Seq("o_custkey"),
+            vd1.inserted, vd1.deleted.select("l_rowid"),
+            c.limit(0), c.select("c_rowid").limit(0),
+            vd1.view, c)
+          maintainedV1 = vd1.view
+          vd1.view.count() + v2m.count()
+        }
+        require(nScratch == nMaint,
+          s"snowleft row mismatch: scratch=$nScratch maintained=$nMaint")
+        val nNull = maintainedV1.filter(col("o_rowid").isNull).count()
+        require(nNull > 0, "snowleft view lost its null-extended slice")
+        out.append(
+          f""","snowleft_rep$r":{"scratch_sec":$tScratch%.2f,"scratch_shuffle_mb":$mbScratch%.1f,"scratch_shuffle_rows":$rcScratch,""" +
+          f""""maintained_sec":$tMaint%.2f,"maintained_shuffle_mb":$mbMaint%.1f,"maintained_shuffle_rows":$rcMaint,"rows":$nMaint,"null_extended":$nNull}""")
       }
       if (mode == "left" || mode == "both") {
         // same count()-terminal discipline as the inner reps; the

@@ -489,4 +489,172 @@ object JoinMaintenance {
       .start()
   }
 
+  /** One [[maintainSnowflakeViewTwoSided]] micro-batch (package-private
+    * for the spec's torn-trigger drills). */
+  private[streaming] def foldSnowflakeTwoSidedBatch(spark: SparkSession,
+      rawBatch: DataFrame, batchId: Long, bInitDir: String, cDir: String,
+      v1Dir: String, v2Dir: String, bStateDir: String, aKey: String,
+      bKey: String, cKey: String, joinKeysAB: Seq[String],
+      joinKeysC: Seq[String], aCols: Seq[String], bCols: Seq[String],
+      sideCol: String, opCol: String, leftJoin: Boolean,
+      aggStateDir: Option[String], aggKeys: Seq[String],
+      aggMeasures: Seq[String]): Unit = {
+    val c = spark.read.parquet(cDir)
+    // loud guards: unknown side or op would silently drop a change; the
+    // pin forces both guard columns once over the whole batch
+    val batch = rawBatch
+      .withColumn(sideCol,
+        when(col(sideCol).isin("A", "B"), col(sideCol))
+          .otherwise(raise_error(concat(
+            lit("maintainSnowflakeViewTwoSided: invalid side '"),
+            coalesce(col(sideCol), lit("NULL")), lit("' — expected A or B")))))
+      .withColumn(opCol,
+        when(col(opCol).isin("I", "U", "D"), col(opCol))
+          .otherwise(raise_error(concat(
+            lit("maintainSnowflakeViewTwoSided: invalid op '"),
+            coalesce(col(opCol), lit("NULL")), lit("' — expected I, U or D")))))
+      .localCheckpoint()
+    val aSide = batch.filter(col(sideCol) === "A")
+    val bSide = batch.filter(col(sideCol) === "B")
+    val aIns = aSide.filter(col(opCol) =!= "D").select(aCols.map(col): _*)
+    val aDel = aSide.filter(col(opCol) =!= "I").select(col(aKey))
+    val bIns = bSide.filter(col(opCol) =!= "D").select(bCols.map(col): _*)
+    val bDel = bSide.filter(col(opCol) =!= "I").select(col(bKey))
+    if (!leftJoin && bSide.filter(col(opCol) =!= "D").limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        "maintainSnowflakeViewTwoSided: B-side inserts/updates need the " +
+          "post-change A table, which an INNER view cannot " +
+          "reconstruct (match-less A rows are absent) — maintain a " +
+          "LEFT view, or fold B churn through IncrementalJoin" +
+          ".applyCdc with a real A snapshot")
+    // B′ from the batch (touched-before-add, replay-idempotent); the
+    // fold consumes it, the write lands LAST — see the order note below
+    val bPrev =
+      if (StateDirs.hasParquetData(spark, bStateDir))
+        spark.read.parquet(bStateDir)
+      else spark.read.parquet(bInitDir)
+    val bTouched = bDel.unionByName(bIns.select(col(bKey))).distinct()
+    val bNew = bPrev.join(bTouched, Seq(bKey), "left_anti")
+      .unionByName(bIns).localCheckpoint()
+    val v1 =
+      if (StateDirs.hasParquetData(spark, v1Dir)) spark.read.parquet(v1Dir)
+      else if (leftJoin) IncrementalJoin.joinStateLeft(aIns.limit(0), bPrev, joinKeysAB)
+      else IncrementalJoin.joinState(aIns.limit(0), bPrev, joinKeysAB)
+    // A′ from the left view's own A-slice + the batch's A ops (identical
+    // on a torn-trigger replay — the touched-key anti strips replayed
+    // inserts before re-adding them); inner mode never consults it
+    val aTouched = aDel.unionByName(aIns.select(col(aKey))).distinct()
+    val aSnap =
+      if (leftJoin)
+        v1.select(aCols.map(col): _*).dropDuplicates(aKey)
+          .join(aTouched, Seq(aKey), "left_anti")
+          .unionByName(aIns)
+      else aIns.limit(0)
+    // level 1: BOTH sides fold in one pass and the changeset surfaces —
+    // B churn's fan-out (payload updates, dead-key and first-insert
+    // zero-crossings in left mode) rides vd1 exactly like A churn's
+    val vd1 =
+      if (leftJoin) IncrementalJoin.applyCdcLeftWithDelta(v1, aKey, bKey,
+        joinKeysAB, aIns, aDel, bIns, bDel, aSnap, bNew)
+      else IncrementalJoin.applyCdcWithDelta(v1, aKey, bKey, joinKeysAB,
+        aIns, aDel, bIns, bDel, aSnap, bNew)
+    val pinned1 = vd1.view.localCheckpoint()
+    // level 2: V1's delta IS the A-side CDC, keyed by the composite
+    // (aKey, bKey) struct (null-safe field-wise — left mode's
+    // null-extended rows carry a NULL bKey field); C is static here
+    // (its churn composes via the batch applyCdc with a real snapshot)
+    val abKey = struct(col(aKey), col(bKey)).as("__ab_key")
+    val v2 =
+      if (StateDirs.hasParquetData(spark, v2Dir)) spark.read.parquet(v2Dir)
+      else IncrementalJoin.joinState(v1.select(abKey, col("*")), c, joinKeysC)
+    val vd2 = IncrementalJoin.applyCdcWithDelta(v2, "__ab_key", cKey,
+      joinKeysC,
+      vd1.inserted.select(abKey, col("*")), vd1.deleted.select(abKey),
+      c.limit(0), c.select(col(cKey)).limit(0),
+      pinned1.select(abKey, col("*")), c)
+    val pinned2 = vd2.view.localCheckpoint()
+    // write order: agg → V2 → V1 → B′. vd1 is a function of (V1 state,
+    // B′ state, batch), so every state vd1 READS must land after every
+    // CONSUMER of vd1 has committed: a crash before the V1 write replays
+    // against the pre-fold V1/B′ and recomputes the ORIGINAL delta (the
+    // agg guard skips, the V2 fold is anti-then-add idempotent); a crash
+    // between the V1 and B′ writes replays against the post-fold V1,
+    // whose recomputed delta retracts-and-rederives exactly the touched
+    // keys' CURRENT rows (the fold's touched-key contract), so the
+    // replayed V2 fold re-adds what V2 already holds — a no-op. Writing
+    // B′ before V1 would be WRONG: the replayed level-1 fold against
+    // pre-fold V1 + post-fold B′ sees no B churn (bNew ≡ bPrev for the
+    // touched keys), so dead-key zero-crossings would never re-fire and
+    // V1 would keep the stale matched pairs.
+    aggStateDir.foreach(dir =>
+      cascadeAggFold(spark, vd2.copy(view = pinned2), v2, dir,
+        aggKeys, aggMeasures, batchId, batchSignature(batch)))
+    pinned2.write.mode("overwrite").parquet(v2Dir)
+    pinned1.write.mode("overwrite").parquet(v1Dir)
+    bNew.write.mode("overwrite").parquet(bStateDir)
+  }
+
+  /** Streaming two-sided SNOWFLAKE maintenance — (A ⋈ B) ⋈ C per
+    * micro-batch where ONE op+side-tagged CDC log churns BOTH A and B:
+    * the level-1 fold ([[IncrementalJoin.applyCdcLeftWithDelta]] /
+    * `applyCdcWithDelta`) absorbs both sides' changes and its surfaced
+    * changeset drives the level-2 fold against the static C dimension,
+    * optionally cascading into a downstream aggregate state table — the
+    * deepest maintenance shape in the matrix (two-sided join → join →
+    * agg), bases never re-joined and A never materialized. Inner mode
+    * rejects B-side inserts/updates loudly (A′ is unrecoverable from an
+    * inner view); left mode reconstructs A′ from the view's own A-slice
+    * as [[maintainJoinViewTwoSided]] does, and B-side zero-crossings
+    * cascade through level 2 as composite-key deletes+inserts whose NULL
+    * bKey fields ride Spark's field-wise null-safe struct equality.
+    * Column contract: the log is the op-tagged UNION shape (A rows null
+    * the B-only columns and vice versa; join keys shared), and V1's
+    * columns (A ∪ B) and C's are disjoint apart from `joinKeysC`.
+    * Torn-trigger: the agg → V2 → V1 → B′ write order (see
+    * [[foldSnowflakeTwoSidedBatch]]) makes every crash point replay
+    * exactly. */
+  def maintainSnowflakeViewTwoSided(spark: SparkSession, cdcDir: String,
+      bInitDir: String, cDir: String, v1Dir: String, v2Dir: String,
+      bStateDir: String, checkpointDir: String, aKey: String, bKey: String,
+      cKey: String, joinKeysAB: Seq[String], joinKeysC: Seq[String],
+      sideCol: String = "side", opCol: String = "op",
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      maxFilesPerTrigger: Int = 1, leftJoin: Boolean = false,
+      aggStateDir: Option[String] = None, aggKeys: Seq[String] = Nil,
+      aggMeasures: Seq[String] = Nil): StreamingQuery = {
+    require(schema.nonEmpty || StateDirs.hasParquetData(spark, cdcDir),
+      s"maintainSnowflakeViewTwoSided: $cdcDir has no parquet yet — pass " +
+        "schema= to start the maintenance query ahead of the CDC producer")
+    require(aggStateDir.isEmpty || (aggKeys.nonEmpty && aggMeasures.nonEmpty),
+      "maintainSnowflakeViewTwoSided: aggStateDir needs aggKeys and aggMeasures")
+    val srcSchema = schema.getOrElse(spark.read.parquet(cdcDir).schema)
+    val bCols = spark.read.parquet(bInitDir).columns.toSeq
+    val bOnly = bCols.filterNot(joinKeysAB.contains)
+    val aCols = srcSchema.fieldNames.toSeq
+      .filterNot(c => c == sideCol || c == opCol || bOnly.contains(c))
+    require(aCols.contains(aKey) && bCols.contains(bKey),
+      s"maintainSnowflakeViewTwoSided: log/bInit schemas must carry $aKey/$bKey")
+    // same shape rejection as maintainJoinViewTwoSided: a join-key-valued
+    // bKey is never null on a null-extended row, so B-side
+    // zero-crossings would be undetectable
+    require(!leftJoin || !joinKeysAB.contains(bKey),
+      s"maintainSnowflakeViewTwoSided: leftJoin needs a B row key distinct " +
+        s"from the join keys (got $bKey ∈ ${joinKeysAB.mkString(",")}) — " +
+        "add a B-side copy of the key column")
+    spark.readStream
+      .schema(srcSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(cdcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        foldSnowflakeTwoSidedBatch(spark, rawBatch, batchId, bInitDir,
+          cDir, v1Dir, v2Dir, bStateDir, aKey, bKey, cKey, joinKeysAB,
+          joinKeysC, aCols, bCols, sideCol, opCol, leftJoin, aggStateDir,
+          aggKeys, aggMeasures)
+      }
+      .start()
+  }
+
 }

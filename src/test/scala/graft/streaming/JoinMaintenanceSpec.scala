@@ -563,6 +563,153 @@ class JoinMaintenanceSpec extends SparkTestBase {
     assert(wantV1.filter(col("c_mktsegment").isNull).count() > 0)
   }
 
+  test("two-sided SNOWFLAKE stream: A and B churn one log; V1, V2, B′ and the aggregate drain to from-scratch; replay and both torn points converge") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snow2side")
+    val orders = Tables.load(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val dimAll = Tables.load(spark, sf(), "customer")
+      .select(col("c_custkey").as("o_custkey"),
+        col("c_custkey").as("c_rowkey"), col("c_mktsegment"))
+    // C joins V1 on the B-side segment column; built from ALL segments so
+    // first-insert B rows find their C partner
+    val segs = dimAll.select(col("c_mktsegment")).distinct()
+      .select(col("c_mktsegment"), xxhash64(col("c_mktsegment")).as("seg_id"),
+        concat(lit("seg_"), col("c_mktsegment")).as("seg_name"))
+    segs.write.parquet(s"$root/dimC")
+    val b0 = dimAll.filter(col("o_custkey") % 2 === 0)
+    b0.write.parquet(s"$root/dim_init")
+    val a0 = orders.filter(col("o_orderkey") % 4 === 1)
+    val abKey = struct(col("o_orderkey"), col("c_rowkey")).as("__ab_key")
+    def v1Of(a: DataFrame, b: DataFrame) =
+      IncrementalJoin.joinStateLeft(a, b, Seq("o_custkey"))
+    def v2Of(v1: DataFrame) = IncrementalJoin.joinState(
+      v1.select(abKey, col("*")), segs, Seq("c_mktsegment")).drop("__ab_key")
+    v1Of(a0, b0).write.parquet(s"$root/v1")
+    IncrementalJoin.joinState(v1Of(a0, b0).select(abKey, col("*")), segs,
+      Seq("c_mktsegment")).write.parquet(s"$root/v2")
+
+    def aRow(df: DataFrame, op: String) = df
+      .withColumn("c_rowkey", lit(null).cast("long"))
+      .withColumn("c_mktsegment", lit(null).cast("string"))
+      .withColumn("side", lit("A")).withColumn("op", lit(op))
+    def bRow(df: DataFrame, op: String) = df
+      .withColumn("o_orderkey", lit(null).cast("long"))
+      .withColumn("o_totalprice", lit(null).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("c_rowkey"), col("c_mktsegment"),
+        lit("B").as("side"), lit(op).as("op"))
+    val aIns = orders.filter(col("o_orderkey") % 4 === 2)
+    val aDel = a0.filter(col("o_orderkey") % 3 === 0)
+    val aUpd = a0.filter(col("o_orderkey") % 3 === 1)
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+    val bDead = b0.filter(col("o_custkey") % 8 === 0)      // last-row deletes
+    val bFirst = dimAll.filter(col("o_custkey") % 2 === 1) // first inserts
+      .filter(col("o_custkey") % 3 === 0)
+    // a B update that MOVES the level-2 join key: its V1 rows must leave
+    // V2 entirely ("UPDATED" is not a segment C knows)
+    val bUpd = b0.filter(col("o_custkey") % 8 === 4)
+      .withColumn("c_mktsegment", lit("UPDATED"))
+    Seq(
+      aRow(aIns, "I"),
+      bRow(bDead, "D"),
+      bRow(bFirst, "I"),
+      bRow(bUpd, "U"),
+      aRow(aDel, "D").unionByName(aRow(aUpd, "U"))
+    ).foreach(_.coalesce(1).write.mode("append").parquet(s"$root/cdc"))
+
+    val aggKeys = Seq("c_mktsegment")
+    val aggMeasures = Seq("o_totalprice")
+    val q = JoinMaintenance.maintainSnowflakeViewTwoSided(spark,
+      s"$root/cdc", s"$root/dim_init", s"$root/dimC", s"$root/v1",
+      s"$root/v2", s"$root/bstate", s"$root/chk",
+      aKey = "o_orderkey", bKey = "c_rowkey", cKey = "seg_id",
+      joinKeysAB = Seq("o_custkey"), joinKeysC = Seq("c_mktsegment"),
+      maxFilesPerTrigger = 1, leftJoin = true,
+      aggStateDir = Some(s"$root/agg"), aggKeys = aggKeys,
+      aggMeasures = aggMeasures)
+    q.awaitTermination()
+
+    val aFinal = a0.filter(col("o_orderkey") % 3 =!= 0)
+      .filter(col("o_orderkey") % 3 =!= 1)
+      .unionByName(aUpd).unionByName(aIns)
+    val bFinal = b0.filter(col("o_custkey") % 8 =!= 0)
+      .filter(col("o_custkey") % 8 =!= 4)
+      .unionByName(bUpd).unionByName(bFirst)
+    def gotV1() = spark.read.parquet(s"$root/v1")
+    def gotV2() = spark.read.parquet(s"$root/v2").drop("__ab_key")
+    def gotB() = spark.read.parquet(s"$root/bstate")
+    def gotAgg() = spark.read.parquet(s"$root/agg").drop("_batch_id", "_batch_sig")
+    def checkAll(a: DataFrame, b: DataFrame, clue: String): Unit = {
+      val wantV1 = v1Of(a, b)
+      val wantV2 = v2Of(wantV1)
+      val wantAgg = IncrementalAgg.state(wantV2, aggKeys, aggMeasures)
+      assert(canon(gotV1().select(wantV1.columns.map(col): _*)) == canon(wantV1),
+        s"$clue: V1 must equal the from-scratch LEFT join")
+      assert(canon(gotV2().select(wantV2.columns.map(col): _*)) == canon(wantV2),
+        s"$clue: V2 must equal from-scratch (A LEFT B) inner C")
+      assert(canon(gotB().select(b.columns.map(col): _*)) == canon(b),
+        s"$clue: B state must track the dimension exactly")
+      assert(canon(gotAgg().select(wantAgg.columns.map(col): _*)) == canon(wantAgg),
+        s"$clue: the level-3 aggregate must equal from-scratch over V2")
+    }
+    checkAll(aFinal, bFinal, "drained")
+    // the B-churn paths genuinely fired through BOTH levels
+    val dead = gotV1().filter(col("o_custkey") % 8 === 0)
+    assert(dead.count() > 0 && dead.filter(col("c_rowkey").isNotNull).count() == 0,
+      "B deletes must null-extend their keys' surviving A rows in V1")
+    assert(gotV2().filter(col("o_custkey") % 8 === 0).count() == 0,
+      "dead keys' NULL segments must leave V2")
+    assert(gotV1().filter(col("c_mktsegment") === "UPDATED").count() > 0
+      && gotV2().filter(col("c_mktsegment") === "UPDATED").count() == 0,
+      "a B update moving the C join key must pull its rows out of V2")
+    assert(gotV2().filter(col("o_custkey") % 2 === 1).count() > 0,
+      "first B inserts must cascade their keys' rows into V2")
+
+    // fresh-checkpoint full replay: no-op on all four state tables
+    val q2 = JoinMaintenance.maintainSnowflakeViewTwoSided(spark,
+      s"$root/cdc", s"$root/dim_init", s"$root/dimC", s"$root/v1",
+      s"$root/v2", s"$root/bstate", s"$root/chk_replay",
+      "o_orderkey", "c_rowkey", "seg_id",
+      Seq("o_custkey"), Seq("c_mktsegment"), maxFilesPerTrigger = 1,
+      leftJoin = true, aggStateDir = Some(s"$root/agg"),
+      aggKeys = aggKeys, aggMeasures = aggMeasures)
+    q2.awaitTermination()
+    checkAll(aFinal, bFinal, "full replay")
+
+    // torn-trigger drills on a batch that churns BOTH sides: the write
+    // order is agg → V2 → V1 → B′, leaving two interesting crash windows
+    val tornA = aFinal.filter(col("o_orderkey") % 3 === 2)
+      .filter(col("o_orderkey") % 5 === 0)
+    val tornB = bFinal.filter(col("o_custkey") % 8 === 2)
+    assert(tornA.count() > 0 && tornB.count() > 0)
+    val torn = aRow(tornA, "D").unionByName(bRow(tornB, "D"))
+      .localCheckpoint()
+    val aTorn = aFinal.join(tornA.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+    val bTorn = bFinal.join(tornB.select("c_rowkey"), Seq("c_rowkey"), "left_anti")
+    val aCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val bCols = Seq("o_custkey", "c_rowkey", "c_mktsegment")
+    def fold(): Unit = JoinMaintenance.foldSnowflakeTwoSidedBatch(spark,
+      torn, 99L, s"$root/dim_init", s"$root/dimC", s"$root/v1", s"$root/v2",
+      s"$root/bstate", "o_orderkey", "c_rowkey", "seg_id",
+      Seq("o_custkey"), Seq("c_mktsegment"), aCols, bCols, "side", "op",
+      leftJoin = true, Some(s"$root/agg"), aggKeys, aggMeasures)
+    val preV1 = gotV1().localCheckpoint()
+    val preB = gotB().localCheckpoint()
+    fold()
+    // window 1: agg + V2 landed, V1 and B′ lost — the replayed level-1
+    // fold sees the PRE-fold states and recomputes the original delta
+    preV1.write.mode("overwrite").parquet(s"$root/v1")
+    preB.write.mode("overwrite").parquet(s"$root/bstate")
+    fold()
+    checkAll(aTorn, bTorn, "torn window 1 (V1+B′ lost)")
+    // window 2: only B′ lost — the replayed fold sees the POST-fold V1,
+    // whose recomputed delta retracts-and-rederives the touched keys'
+    // current rows, so the V2 refold is a no-op and B′ completes
+    preB.write.mode("overwrite").parquet(s"$root/bstate")
+    fold()
+    checkAll(aTorn, bTorn, "torn window 2 (B′ lost)")
+  }
+
   test("two-sided INNER mode rejects B-side inserts loudly (A′ unrecoverable from an inner view)") {
     val root = java.nio.file.Files.createTempDirectory("graft-join2inner")
     val orders = Tables.load(spark, sf(), "orders")
