@@ -738,6 +738,42 @@ class JoinMaintenanceSpec extends SparkTestBase {
       s"expected the loud inner/B-insert guard, got: ${e.getMessage}")
   }
 
+  test("two-sided snowflake INNER mode rejects B-side inserts loudly, same as the one-level fold") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snow2inner")
+    val orders = Tables.load(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(20)
+    val dim = Tables.load(spark, sf(), "customer")
+      .select(col("c_custkey").as("o_custkey"),
+        col("c_custkey").as("c_rowkey"), col("c_mktsegment"))
+    dim.write.parquet(s"$root/dim_init")
+    val segs = dim.select(col("c_mktsegment")).distinct()
+      .select(col("c_mktsegment"), xxhash64(col("c_mktsegment")).as("seg_id"))
+    segs.write.parquet(s"$root/dimC")
+    val abKey = struct(col("o_orderkey"), col("c_rowkey")).as("__ab_key")
+    val v1 = IncrementalJoin.joinState(orders, dim, Seq("o_custkey"))
+    v1.write.parquet(s"$root/v1")
+    IncrementalJoin.joinState(v1.select(abKey, col("*")), segs,
+      Seq("c_mktsegment")).write.parquet(s"$root/v2")
+    dim.limit(3)
+      .withColumn("o_orderkey", lit(null).cast("long"))
+      .withColumn("o_totalprice", lit(null).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("c_rowkey"), col("c_mktsegment"),
+        lit("B").as("side"), lit("I").as("op"))
+      .coalesce(1).write.parquet(s"$root/cdc")
+    val q = JoinMaintenance.maintainSnowflakeViewTwoSided(spark,
+      s"$root/cdc", s"$root/dim_init", s"$root/dimC", s"$root/v1",
+      s"$root/v2", s"$root/bstate", s"$root/chk",
+      "o_orderkey", "c_rowkey", "seg_id",
+      Seq("o_custkey"), Seq("c_mktsegment"))
+    val e = intercept[Exception](q.awaitTermination())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("INNER view cannot")),
+      s"expected the loud inner/B-insert guard, got: ${e.getMessage}")
+  }
+
   test("empty view dir bootstraps from the first batch") {
     val root = java.nio.file.Files.createTempDirectory("graft-joinboot")
     val cdcDir = s"$root/cdc"
