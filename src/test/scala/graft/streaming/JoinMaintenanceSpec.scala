@@ -681,11 +681,22 @@ class JoinMaintenanceSpec extends SparkTestBase {
     val tornA = aFinal.filter(col("o_orderkey") % 3 === 2)
       .filter(col("o_orderkey") % 5 === 0)
     val tornB = bFinal.filter(col("o_custkey") % 8 === 2)
-    assert(tornA.count() > 0 && tornB.count() > 0)
+    // a B UPDATE that moves rows across EXISTING C groups rides along:
+    // the window-2 replay of a pure DELETE recomputes an EMPTY delta
+    // (its view rows are already null-extended), so updates are the case
+    // that actually exercises retract-and-rederive against a post-fold V1
+    val segVals = segs.select("c_mktsegment").collect().map(_.getString(0)).sorted
+    val tornBUpd = bFinal.filter(col("o_custkey") % 8 === 6)
+      .withColumn("c_mktsegment",
+        when(col("c_mktsegment") === segVals.head, lit(segVals.last))
+          .otherwise(lit(segVals.head)))
+    assert(tornA.count() > 0 && tornB.count() > 0 && tornBUpd.count() > 0)
     val torn = aRow(tornA, "D").unionByName(bRow(tornB, "D"))
-      .localCheckpoint()
+      .unionByName(bRow(tornBUpd, "U")).localCheckpoint()
     val aTorn = aFinal.join(tornA.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
     val bTorn = bFinal.join(tornB.select("c_rowkey"), Seq("c_rowkey"), "left_anti")
+      .join(tornBUpd.select("c_rowkey"), Seq("c_rowkey"), "left_anti")
+      .unionByName(tornBUpd)
     val aCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
     val bCols = Seq("o_custkey", "c_rowkey", "c_mktsegment")
     def fold(): Unit = JoinMaintenance.foldSnowflakeTwoSidedBatch(spark,
