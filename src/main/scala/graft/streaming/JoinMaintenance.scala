@@ -498,16 +498,18 @@ object JoinMaintenance {
       joinKeysC: Seq[String], aCols: Seq[String], bCols: Seq[String],
       sideCol: String, opCol: String, leftJoin: Boolean,
       aggStateDir: Option[String], aggKeys: Seq[String],
-      aggMeasures: Seq[String]): Unit = {
-    val c = spark.read.parquet(cDir)
+      aggMeasures: Seq[String], cStateDir: Option[String] = None,
+      cCols: Seq[String] = Nil): Unit = {
+    val sides = if (cStateDir.nonEmpty) Seq("A", "B", "C") else Seq("A", "B")
     // loud guards: unknown side or op would silently drop a change; the
     // pin forces both guard columns once over the whole batch
     val batch = rawBatch
       .withColumn(sideCol,
-        when(col(sideCol).isin("A", "B"), col(sideCol))
+        when(col(sideCol).isin(sides: _*), col(sideCol))
           .otherwise(raise_error(concat(
             lit("maintainSnowflakeViewTwoSided: invalid side '"),
-            coalesce(col(sideCol), lit("NULL")), lit("' — expected A or B")))))
+            coalesce(col(sideCol), lit("NULL")),
+            lit(s"' — expected ${sides.mkString(" or ")}")))))
       .withColumn(opCol,
         when(col(opCol).isin("I", "U", "D"), col(opCol))
           .otherwise(raise_error(concat(
@@ -527,6 +529,23 @@ object JoinMaintenance {
           "reconstruct (match-less A rows are absent) — maintain a " +
           "LEFT view, or fold B churn through IncrementalJoin" +
           ".applyCdc with a real A snapshot")
+    // C′ (only when C churns): same touched-before-add discipline as B′.
+    // Level 2 can absorb C INSERTS even though level 1's inner mode
+    // rejects B inserts — the level-2 fold's "A snapshot" is the
+    // MATERIALIZED V1′, so the reconstruction problem does not exist here
+    val cPrev =
+      if (cStateDir.exists(d => StateDirs.hasParquetData(spark, d)))
+        spark.read.parquet(cStateDir.get)
+      else spark.read.parquet(cDir)
+    val (cIns, cDel, cNew) =
+      if (cStateDir.nonEmpty) {
+        val cSide = batch.filter(col(sideCol) === "C")
+        val ins = cSide.filter(col(opCol) =!= "D").select(cCols.map(col): _*)
+        val del = cSide.filter(col(opCol) =!= "I").select(col(cKey))
+        val touched = del.unionByName(ins.select(col(cKey))).distinct()
+        (ins, del, cPrev.join(touched, Seq(cKey), "left_anti")
+          .unionByName(ins).localCheckpoint())
+      } else (cPrev.limit(0), cPrev.select(col(cKey)).limit(0), cPrev)
     // B′ from the batch (touched-before-add, replay-idempotent); the
     // fold consumes it, the write lands LAST — see the order note below
     val bPrev =
@@ -566,42 +585,52 @@ object JoinMaintenance {
     val abKey = struct(col(aKey), col(bKey)).as("__ab_key")
     val v2 =
       if (StateDirs.hasParquetData(spark, v2Dir)) spark.read.parquet(v2Dir)
-      else IncrementalJoin.joinState(v1.select(abKey, col("*")), c, joinKeysC)
+      else IncrementalJoin.joinState(v1.select(abKey, col("*")), cPrev, joinKeysC)
     val vd2 = IncrementalJoin.applyCdcWithDelta(v2, "__ab_key", cKey,
       joinKeysC,
       vd1.inserted.select(abKey, col("*")), vd1.deleted.select(abKey),
-      c.limit(0), c.select(col(cKey)).limit(0),
-      pinned1.select(abKey, col("*")), c)
+      cIns, cDel,
+      pinned1.select(abKey, col("*")), cNew)
     val pinned2 = vd2.view.localCheckpoint()
-    // write order: agg → V2 → V1 → B′. vd1 is a function of (V1 state,
-    // B′ state, batch), so every state vd1 READS must land after every
-    // CONSUMER of vd1 has committed: a crash before the V1 write replays
-    // against the pre-fold V1/B′ and recomputes the ORIGINAL delta (the
-    // agg guard skips, the V2 fold is anti-then-add idempotent); a crash
-    // between the V1 and B′ writes replays against the post-fold V1,
-    // whose recomputed delta retracts-and-rederives exactly the touched
-    // keys' CURRENT rows (the fold's touched-key contract), so the
-    // replayed V2 fold re-adds what V2 already holds — a no-op. Writing
-    // B′ before V1 would be WRONG: the replayed level-1 fold against
-    // pre-fold V1 + post-fold B′ sees no B churn (bNew ≡ bPrev for the
-    // touched keys), so dead-key zero-crossings would never re-fire and
-    // V1 would keep the stale matched pairs.
+    // write order: agg → V2 → V1 → B′ → C′. vd1 is a function of (V1
+    // state, B′ state, batch) and vd2 additionally of (V2 state, C′
+    // state), so every state a delta READS must land after every
+    // CONSUMER of that delta has committed: a crash before the V1 write
+    // replays against the pre-fold V1/B′ and recomputes the ORIGINAL
+    // delta (the agg guard skips, the V2 fold is anti-then-add
+    // idempotent); a crash between the V1 and B′ writes replays against
+    // the post-fold V1, whose recomputed delta retracts-and-rederives
+    // exactly the touched keys' CURRENT rows (the fold's touched-key
+    // contract), so the replayed V2 fold re-adds what V2 already holds —
+    // a no-op. The same argument covers a crash before the C′ write: the
+    // replayed C churn retracts-and-rederives its touched join keys from
+    // V1′ ⋈ C′-recomputed, which is what V2 already holds. Writing B′
+    // (or C′) before V1 (or V2) would be WRONG: a replay against
+    // pre-fold view + post-fold dimension sees no churn for the touched
+    // keys, so dead-key zero-crossings (level 1) or C-delete retractions
+    // (level 2) would never re-fire and the views would keep stale rows.
     aggStateDir.foreach(dir =>
       cascadeAggFold(spark, vd2.copy(view = pinned2), v2, dir,
         aggKeys, aggMeasures, batchId, batchSignature(batch)))
     pinned2.write.mode("overwrite").parquet(v2Dir)
     pinned1.write.mode("overwrite").parquet(v1Dir)
     bNew.write.mode("overwrite").parquet(bStateDir)
+    cStateDir.foreach(d => cNew.write.mode("overwrite").parquet(d))
   }
 
   /** Streaming two-sided SNOWFLAKE maintenance — (A ⋈ B) ⋈ C per
     * micro-batch where ONE op+side-tagged CDC log churns BOTH A and B:
     * the level-1 fold ([[IncrementalJoin.applyCdcLeftWithDelta]] /
     * `applyCdcWithDelta`) absorbs both sides' changes and its surfaced
-    * changeset drives the level-2 fold against the static C dimension,
+    * changeset drives the level-2 fold against the C dimension,
     * optionally cascading into a downstream aggregate state table — the
     * deepest maintenance shape in the matrix (two-sided join → join →
-    * agg), bases never re-joined and A never materialized. Inner mode
+    * agg), bases never re-joined and A never materialized. C is static
+    * by default; pass `cStateDir` to let the SAME log churn C too
+    * (side = "C"), maintained as its own state table like B′ — C
+    * INSERTS are fine even though level 1's inner mode rejects B
+    * inserts, because the level-2 fold's "A snapshot" is the
+    * materialized V1′. Inner mode
     * rejects B-side inserts/updates loudly (A′ is unrecoverable from an
     * inner view); left mode reconstructs A′ from the view's own A-slice
     * as [[maintainJoinViewTwoSided]] does, and B-side zero-crossings
@@ -621,7 +650,8 @@ object JoinMaintenance {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       maxFilesPerTrigger: Int = 1, leftJoin: Boolean = false,
       aggStateDir: Option[String] = None, aggKeys: Seq[String] = Nil,
-      aggMeasures: Seq[String] = Nil): StreamingQuery = {
+      aggMeasures: Seq[String] = Nil,
+      cStateDir: Option[String] = None): StreamingQuery = {
     require(schema.nonEmpty || StateDirs.hasParquetData(spark, cdcDir),
       s"maintainSnowflakeViewTwoSided: $cdcDir has no parquet yet — pass " +
         "schema= to start the maintenance query ahead of the CDC producer")
@@ -630,8 +660,15 @@ object JoinMaintenance {
     val srcSchema = schema.getOrElse(spark.read.parquet(cdcDir).schema)
     val bCols = spark.read.parquet(bInitDir).columns.toSeq
     val bOnly = bCols.filterNot(joinKeysAB.contains)
+    // when C churns, its columns ride the log too — C-only columns (the
+    // C join keys live on V1's B side already) must not leak into aCols
+    val cCols =
+      if (cStateDir.nonEmpty) spark.read.parquet(cDir).columns.toSeq
+      else Nil
+    val cOnly = cCols.filterNot(joinKeysC.contains)
     val aCols = srcSchema.fieldNames.toSeq
-      .filterNot(c => c == sideCol || c == opCol || bOnly.contains(c))
+      .filterNot(c => c == sideCol || c == opCol || bOnly.contains(c)
+        || cOnly.contains(c))
     require(aCols.contains(aKey) && bCols.contains(bKey),
       s"maintainSnowflakeViewTwoSided: log/bInit schemas must carry $aKey/$bKey")
     // same shape rejection as maintainJoinViewTwoSided: a join-key-valued
@@ -652,7 +689,7 @@ object JoinMaintenance {
         foldSnowflakeTwoSidedBatch(spark, rawBatch, batchId, bInitDir,
           cDir, v1Dir, v2Dir, bStateDir, aKey, bKey, cKey, joinKeysAB,
           joinKeysC, aCols, bCols, sideCol, opCol, leftJoin, aggStateDir,
-          aggKeys, aggMeasures)
+          aggKeys, aggMeasures, cStateDir, cCols)
       }
       .start()
   }

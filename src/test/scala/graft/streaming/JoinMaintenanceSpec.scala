@@ -749,6 +749,176 @@ class JoinMaintenanceSpec extends SparkTestBase {
       s"expected the loud inner/B-insert guard, got: ${e.getMessage}")
   }
 
+  test("three-sided snowflake: the same log churns C too — deletes, renames and inserts cascade into V2; replay and the C′-lost window converge") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snow3side")
+    val orders = Tables.load(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val dimAll = Tables.load(spark, sf(), "customer")
+      .select(col("c_custkey").as("o_custkey"),
+        col("c_custkey").as("c_rowkey"), col("c_mktsegment"))
+    val segs = dimAll.select(col("c_mktsegment")).distinct()
+      .select(col("c_mktsegment"), xxhash64(col("c_mktsegment")).as("seg_id"),
+        concat(lit("seg_"), col("c_mktsegment")).as("seg_name"))
+    segs.write.parquet(s"$root/dimC")
+    val b0 = dimAll.filter(col("o_custkey") % 2 === 0)
+    b0.write.parquet(s"$root/dim_init")
+    val a0 = orders.filter(col("o_orderkey") % 4 === 1)
+    val abKey = struct(col("o_orderkey"), col("c_rowkey")).as("__ab_key")
+    def v1Of(a: DataFrame, b: DataFrame) =
+      IncrementalJoin.joinStateLeft(a, b, Seq("o_custkey"))
+    def v2Of(v1: DataFrame, c: DataFrame) = IncrementalJoin.joinState(
+      v1.select(abKey, col("*")), c, Seq("c_mktsegment")).drop("__ab_key")
+    v1Of(a0, b0).write.parquet(s"$root/v1")
+    IncrementalJoin.joinState(v1Of(a0, b0).select(abKey, col("*")), segs,
+      Seq("c_mktsegment")).write.parquet(s"$root/v2")
+
+    // canonical log column order shared by all three side shapes
+    val logCols = Seq("o_orderkey", "o_custkey", "o_totalprice",
+      "c_rowkey", "c_mktsegment", "seg_id", "seg_name", "side", "op")
+    def aRow(df: DataFrame, op: String) = df
+      .withColumn("c_rowkey", lit(null).cast("long"))
+      .withColumn("c_mktsegment", lit(null).cast("string"))
+      .withColumn("seg_id", lit(null).cast("long"))
+      .withColumn("seg_name", lit(null).cast("string"))
+      .withColumn("side", lit("A")).withColumn("op", lit(op))
+      .select(logCols.map(col): _*)
+    def bRow(df: DataFrame, op: String) = df
+      .withColumn("o_orderkey", lit(null).cast("long"))
+      .withColumn("o_totalprice", lit(null).cast("double"))
+      .withColumn("seg_id", lit(null).cast("long"))
+      .withColumn("seg_name", lit(null).cast("string"))
+      .withColumn("side", lit("B")).withColumn("op", lit(op))
+      .select(logCols.map(col): _*)
+    def cRow(df: DataFrame, op: String) = df
+      .withColumn("o_orderkey", lit(null).cast("long"))
+      .withColumn("o_custkey", lit(null).cast("long"))
+      .withColumn("o_totalprice", lit(null).cast("double"))
+      .withColumn("c_rowkey", lit(null).cast("long"))
+      .withColumn("side", lit("C")).withColumn("op", lit(op))
+      .select(logCols.map(col): _*)
+
+    val segVals = segs.select("c_mktsegment").collect().map(_.getString(0)).sorted
+    assert(segVals.length >= 4, "fixture needs several segments")
+    def newSeg(name: String) = segs.limit(1)
+      .select(lit(name).as("c_mktsegment"), xxhash64(lit(name)).as("seg_id"),
+        concat(lit("seg_"), lit(name)).as("seg_name"))
+    val aIns = orders.filter(col("o_orderkey") % 4 === 2)
+    val aDel = a0.filter(col("o_orderkey") % 3 === 0)
+    val bUpd = b0.filter(col("o_custkey") % 8 === 4)
+      .withColumn("c_mktsegment", lit("UPDATED"))
+    val bUpd2 = b0.filter(col("o_custkey") % 8 === 2)
+      .withColumn("c_mktsegment", lit("FRESH2"))
+    val cDelRows = segs.filter(col("c_mktsegment") === segVals.head)
+    val cRen = segs.filter(col("c_mktsegment") === segVals.last)
+      .withColumn("seg_name", lit("renamed"))
+    Seq(
+      aRow(aIns, "I"),
+      bRow(bUpd, "U"),
+      // C slice: a whole segment deleted, one renamed, and the segment
+      // the earlier B update moved rows TO inserted — those V1 rows must
+      // flip INTO V2 from the C side
+      cRow(cDelRows, "D").unionByName(cRow(cRen, "U"))
+        .unionByName(cRow(newSeg("UPDATED"), "I")),
+      // mixed slice: A delete + B move to a segment inserted IN THE SAME
+      // TRIGGER (new-V1-rows × new-C-row in one fold)
+      aRow(aDel, "D").unionByName(bRow(bUpd2, "U"))
+        .unionByName(cRow(newSeg("FRESH2"), "I"))
+    ).foreach(_.coalesce(1).write.mode("append").parquet(s"$root/cdc"))
+
+    val aggKeys = Seq("c_mktsegment")
+    val aggMeasures = Seq("o_totalprice")
+    val q = JoinMaintenance.maintainSnowflakeViewTwoSided(spark,
+      s"$root/cdc", s"$root/dim_init", s"$root/dimC", s"$root/v1",
+      s"$root/v2", s"$root/bstate", s"$root/chk",
+      aKey = "o_orderkey", bKey = "c_rowkey", cKey = "seg_id",
+      joinKeysAB = Seq("o_custkey"), joinKeysC = Seq("c_mktsegment"),
+      maxFilesPerTrigger = 1, leftJoin = true,
+      aggStateDir = Some(s"$root/agg"), aggKeys = aggKeys,
+      aggMeasures = aggMeasures, cStateDir = Some(s"$root/cstate"))
+    q.awaitTermination()
+
+    val aFinal = a0.filter(col("o_orderkey") % 3 =!= 0).unionByName(aIns)
+    val bFinal = b0.filter(col("o_custkey") % 8 =!= 4)
+      .filter(col("o_custkey") % 8 =!= 2)
+      .unionByName(bUpd).unionByName(bUpd2)
+    val cFinal = segs.filter(col("c_mktsegment") =!= segVals.head)
+      .filter(col("c_mktsegment") =!= segVals.last)
+      .unionByName(cRen)
+      .unionByName(newSeg("UPDATED")).unionByName(newSeg("FRESH2"))
+    def gotV1() = spark.read.parquet(s"$root/v1")
+    def gotV2() = spark.read.parquet(s"$root/v2").drop("__ab_key")
+    def gotB() = spark.read.parquet(s"$root/bstate")
+    def gotC() = spark.read.parquet(s"$root/cstate")
+    def gotAgg() = spark.read.parquet(s"$root/agg").drop("_batch_id", "_batch_sig")
+    def checkAll(a: DataFrame, b: DataFrame, c: DataFrame, clue: String): Unit = {
+      val wantV1 = v1Of(a, b)
+      val wantV2 = v2Of(wantV1, c)
+      val wantAgg = IncrementalAgg.state(wantV2, aggKeys, aggMeasures)
+      assert(canon(gotV1().select(wantV1.columns.map(col): _*)) == canon(wantV1),
+        s"$clue: V1 must equal the from-scratch LEFT join")
+      assert(canon(gotV2().select(wantV2.columns.map(col): _*)) == canon(wantV2),
+        s"$clue: V2 must equal from-scratch (A LEFT B) inner C")
+      assert(canon(gotB().select(b.columns.map(col): _*)) == canon(b),
+        s"$clue: B state must track the dimension exactly")
+      assert(canon(gotC().select(c.columns.map(col): _*)) == canon(c),
+        s"$clue: C state must track the dimension exactly")
+      assert(canon(gotAgg().select(wantAgg.columns.map(col): _*)) == canon(wantAgg),
+        s"$clue: the level-3 aggregate must equal from-scratch over V2")
+    }
+    checkAll(aFinal, bFinal, cFinal, "drained")
+    // each C-churn class genuinely fired through the level-2 fold
+    assert(gotV1().filter(col("c_mktsegment") === segVals.head).count() > 0
+      && gotV2().filter(col("c_mktsegment") === segVals.head).count() == 0,
+      "a deleted C segment must leave V2 while its V1 rows stay")
+    assert(gotV2().filter(col("c_mktsegment") === "UPDATED").count() > 0,
+      "a C insert must flip the waiting V1 rows INTO V2")
+    assert(gotV2().filter(col("c_mktsegment") === "FRESH2").count() > 0,
+      "same-trigger B move + C insert must land in V2 exactly once")
+    assert(gotV2().filter(col("seg_name") === "renamed").count() > 0,
+      "a C payload rename must reach V2's rows")
+
+    // fresh-checkpoint full replay: no-op on all FIVE state tables
+    val q2 = JoinMaintenance.maintainSnowflakeViewTwoSided(spark,
+      s"$root/cdc", s"$root/dim_init", s"$root/dimC", s"$root/v1",
+      s"$root/v2", s"$root/bstate", s"$root/chk_replay",
+      "o_orderkey", "c_rowkey", "seg_id",
+      Seq("o_custkey"), Seq("c_mktsegment"), maxFilesPerTrigger = 1,
+      leftJoin = true, aggStateDir = Some(s"$root/agg"), aggKeys = aggKeys,
+      aggMeasures = aggMeasures, cStateDir = Some(s"$root/cstate"))
+    q2.awaitTermination()
+    checkAll(aFinal, bFinal, cFinal, "full replay")
+
+    // torn drill at the NEW crash window: everything landed except C′ —
+    // the refold sees the post-fold V2 and must retract-and-rederive the
+    // touched C join keys to the rows V2 already holds (the rename is
+    // the dangerous case; the delete replays as an empty retraction)
+    val tornA = aFinal.filter(col("o_orderkey") % 3 === 2)
+      .filter(col("o_orderkey") % 7 === 0)
+    val cTornDel = cFinal.filter(col("c_mktsegment") === segVals(1))
+    val cTornRen = cFinal.filter(col("c_mktsegment") === segVals(2))
+      .withColumn("seg_name", lit("renamed_again"))
+    assert(tornA.count() > 0 && cTornDel.count() > 0 && cTornRen.count() > 0)
+    val torn = aRow(tornA, "D").unionByName(cRow(cTornDel, "D"))
+      .unionByName(cRow(cTornRen, "U")).localCheckpoint()
+    val aTorn = aFinal.join(tornA.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+    val cTorn = cFinal.filter(col("c_mktsegment") =!= segVals(1))
+      .filter(col("c_mktsegment") =!= segVals(2)).unionByName(cTornRen)
+    val aCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val bCols = Seq("o_custkey", "c_rowkey", "c_mktsegment")
+    val cCols = Seq("c_mktsegment", "seg_id", "seg_name")
+    def fold(): Unit = JoinMaintenance.foldSnowflakeTwoSidedBatch(spark,
+      torn, 99L, s"$root/dim_init", s"$root/dimC", s"$root/v1", s"$root/v2",
+      s"$root/bstate", "o_orderkey", "c_rowkey", "seg_id",
+      Seq("o_custkey"), Seq("c_mktsegment"), aCols, bCols, "side", "op",
+      leftJoin = true, Some(s"$root/agg"), aggKeys, aggMeasures,
+      Some(s"$root/cstate"), cCols)
+    val preC = gotC().localCheckpoint()
+    fold()
+    preC.write.mode("overwrite").parquet(s"$root/cstate")
+    fold()
+    checkAll(aTorn, bFinal, cTorn, "torn window (C′ lost)")
+  }
+
   test("two-sided snowflake INNER mode rejects B-side inserts loudly, same as the one-level fold") {
     val root = java.nio.file.Files.createTempDirectory("graft-snow2inner")
     val orders = Tables.load(spark, sf(), "orders")
