@@ -580,8 +580,8 @@ object JoinMaintenance {
     val pinned1 = vd1.view.localCheckpoint()
     // level 2: V1's delta IS the A-side CDC, keyed by the composite
     // (aKey, bKey) struct (null-safe field-wise — left mode's
-    // null-extended rows carry a NULL bKey field); C is static here
-    // (its churn composes via the batch applyCdc with a real snapshot)
+    // null-extended rows carry a NULL bKey field); the C-side CDC is
+    // empty unless cStateDir opted C into the log
     val abKey = struct(col(aKey), col(bKey)).as("__ab_key")
     val v2 =
       if (StateDirs.hasParquetData(spark, v2Dir)) spark.read.parquet(v2Dir)
