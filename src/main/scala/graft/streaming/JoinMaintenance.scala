@@ -400,8 +400,9 @@ object JoinMaintenance {
     * the level-1 delta ([[IncrementalJoin.applyCdcWithDelta]]) driving
     * the level-2 fold exactly as the batch q_cdc_snowflake does, bases
     * never re-joined and A never materialized. B and C are static
-    * dimensions for the lifetime of the query (their churn composes via
-    * the batch API or [[maintainJoinViewTwoSided]]'s discipline).
+    * dimensions for the lifetime of the query — when they churn too, use
+    * [[maintainSnowflakeViewTwoSided]] (B via the side-tagged log,
+    * C via its `cStateDir`).
     * Column contract: V1's columns (A ∪ B) and C's columns are disjoint
     * apart from `joinKeysC`. Torn-trigger: both view folds are
     * anti-then-add idempotent; the agg-then-V2-then-V1 write order (see
