@@ -919,6 +919,70 @@ class JoinMaintenanceSpec extends SparkTestBase {
     checkAll(aTorn, bFinal, cTorn, "torn window (C′ lost)")
   }
 
+  test("two-sided snowflake INNER mode: B deletes (the legal B churn) cascade through both levels") {
+    val root = java.nio.file.Files.createTempDirectory("graft-snow2innerdel")
+    val orders = Tables.load(spark, sf(), "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val dimAll = Tables.load(spark, sf(), "customer")
+      .select(col("c_custkey").as("o_custkey"),
+        col("c_custkey").as("c_rowkey"), col("c_mktsegment"))
+    val segs = dimAll.select(col("c_mktsegment")).distinct()
+      .select(col("c_mktsegment"), xxhash64(col("c_mktsegment")).as("seg_id"),
+        concat(lit("seg_"), col("c_mktsegment")).as("seg_name"))
+    segs.write.parquet(s"$root/dimC")
+    dimAll.write.parquet(s"$root/dim_init")
+    val a0 = orders.filter(col("o_orderkey") % 4 === 1)
+    val abKey = struct(col("o_orderkey"), col("c_rowkey")).as("__ab_key")
+    def v1Of(a: DataFrame, b: DataFrame) =
+      IncrementalJoin.joinState(a, b, Seq("o_custkey"))
+    v1Of(a0, dimAll).write.parquet(s"$root/v1")
+    IncrementalJoin.joinState(v1Of(a0, dimAll).select(abKey, col("*")), segs,
+      Seq("c_mktsegment")).write.parquet(s"$root/v2")
+    def aRow(df: DataFrame, op: String) = df
+      .withColumn("c_rowkey", lit(null).cast("long"))
+      .withColumn("c_mktsegment", lit(null).cast("string"))
+      .withColumn("side", lit("A")).withColumn("op", lit(op))
+    def bRow(df: DataFrame, op: String) = df
+      .withColumn("o_orderkey", lit(null).cast("long"))
+      .withColumn("o_totalprice", lit(null).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("c_rowkey"), col("c_mktsegment"),
+        lit("B").as("side"), lit(op).as("op"))
+    val aIns = orders.filter(col("o_orderkey") % 4 === 2)
+    val aDel = a0.filter(col("o_orderkey") % 3 === 0)
+    val bDel = dimAll.filter(col("o_custkey") % 8 === 0)
+    Seq(aRow(aIns, "I"), bRow(bDel, "D"), aRow(aDel, "D"))
+      .foreach(_.coalesce(1).write.mode("append").parquet(s"$root/cdc"))
+    val q = JoinMaintenance.maintainSnowflakeViewTwoSided(spark,
+      s"$root/cdc", s"$root/dim_init", s"$root/dimC", s"$root/v1",
+      s"$root/v2", s"$root/bstate", s"$root/chk",
+      "o_orderkey", "c_rowkey", "seg_id",
+      Seq("o_custkey"), Seq("c_mktsegment"), maxFilesPerTrigger = 1,
+      aggStateDir = Some(s"$root/agg"), aggKeys = Seq("c_mktsegment"),
+      aggMeasures = Seq("o_totalprice"))
+    q.awaitTermination()
+    val aFinal = a0.filter(col("o_orderkey") % 3 =!= 0).unionByName(aIns)
+    val bFinal = dimAll.filter(col("o_custkey") % 8 =!= 0)
+    val wantV1 = v1Of(aFinal, bFinal)
+    val wantV2 = IncrementalJoin.joinState(wantV1.select(abKey, col("*")),
+      segs, Seq("c_mktsegment")).drop("__ab_key")
+    val wantAgg = IncrementalAgg.state(wantV2,
+      Seq("c_mktsegment"), Seq("o_totalprice"))
+    val gotV1 = spark.read.parquet(s"$root/v1")
+    val gotV2 = spark.read.parquet(s"$root/v2").drop("__ab_key")
+    val gotAgg = spark.read.parquet(s"$root/agg").drop("_batch_id", "_batch_sig")
+    assert(canon(gotV1.select(wantV1.columns.map(col): _*)) == canon(wantV1),
+      "inner V1 must drop the deleted dims' pairs entirely")
+    assert(canon(gotV2.select(wantV2.columns.map(col): _*)) == canon(wantV2),
+      "the B deletes must cascade out of V2 too")
+    assert(canon(gotAgg.select(wantAgg.columns.map(col): _*)) == canon(wantAgg))
+    assert(canon(spark.read.parquet(s"$root/bstate")
+      .select(bFinal.columns.map(col): _*)) == canon(bFinal))
+    assert(bDel.count() > 0
+      && gotV1.filter(col("o_custkey") % 8 === 0).count() == 0,
+      "an inner view null-extends nothing — deleted keys vanish")
+  }
+
   test("two-sided snowflake INNER mode rejects B-side inserts loudly, same as the one-level fold") {
     val root = java.nio.file.Files.createTempDirectory("graft-snow2inner")
     val orders = Tables.load(spark, sf(), "orders")
