@@ -110,7 +110,19 @@ object SetSimJoin {
   private def verifyPairs(cand: DataFrame, sets: DataFrame,
       tNum: Int, tDen: Int): DataFrame = {
     val ix = size(array_intersect(col("ta"), col("tb"))).cast("long")
-    cand
+    // pin the verify stage's parallelism (guide §2.5 "synthetic keys" /
+    // §1.2 per-task work): the candidate frame is BYTES-tiny (two ids a
+    // row) but each row pays two array_intersect evaluations, so AQE's
+    // byte-based coalescing squeezes the verify into a handful of tasks
+    // (measured at sf0.1: 2-6 tasks on 32 cores, the stage 3-5 s).
+    // A REPARTITION_BY_NUM exchange on id_a (the next join's key) costs
+    // a candidate-count-sized shuffle of id pairs and holds the session's
+    // configured reducer count — scale-adaptive: the cluster sets
+    // spark.sql.shuffle.partitions; at real sizes AQE would not have
+    // coalesced anyway, and both join-backs below broadcast `sets`, so
+    // no downstream exchange is added.
+    val n = cand.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    cand.repartition(n, col("id_a"))
       .join(sets.select(col("doc_id").as("id_a"), col("toks").as("ta"),
         col("sz").as("sz_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("toks").as("tb"),
@@ -515,11 +527,18 @@ object SetSimJoin {
       .select(col("doc_id"), col("sz"),
         xxhash64(when(col("p") === 0, col("toks"))
           .otherwise(expr("filter(toks, (x, i) -> i != p - 1)"))).as("sig"))
+    // the candidate self-join explodes ~sz× from bytes-tiny signature
+    // rows: pin both sides' parallelism (REPARTITION_BY_NUM is exempt
+    // from AQE coalescing) and keep the join shuffled (SHUFFLE_HASH) —
+    // AQE's broadcast conversion would collapse the explosion back onto
+    // the probe side's few coalesced map partitions (measured at sf0.1:
+    // 2 tasks × ~2.5 s each on 32 cores)
+    val n = sets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val a = sigs.select(col("doc_id").as("id_a"), col("sz").as("pa_sz"),
-      col("sig").as("sig_a"))
+      col("sig").as("sig_a")).repartition(n, col("sig_a"))
     val b = sigs.select(col("doc_id").as("id_b"), col("sz").as("pb_sz"),
-      col("sig").as("sig_b"))
-    val cand = a.join(b,
+      col("sig").as("sig_b")).repartition(n, col("sig_b"))
+    val cand = a.hint("SHUFFLE_HASH").join(b,
         col("sig_a") === col("sig_b") && col("id_a") < col("id_b") &&
           // size filter: J ≥ t forces t·|a| ≤ |b| and t·|b| ≤ |a|
           col("pb_sz") * tDen >= col("pa_sz") * tNum &&
