@@ -66,7 +66,13 @@ object Dedup {
     val sh = shingled.select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf && col("df") >= 2)
-    val shRare = sh.join(rare.select("sh"), Seq("sh"))
+    // pin the pair join's parallelism (r12, guide §2.5/§1.2): shingle-id
+    // rows are bytes-tiny but the self-join emits df² rows per shingle,
+    // so AQE's byte-based coalescing starves the stage at bench scale;
+    // REPARTITION_BY_NUM on the join key (reused by both sides) holds
+    // the session's shuffle-partition count.
+    val n = shingled.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val shRare = sh.join(rare.select("sh"), Seq("sh")).repartition(n, col("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
 
     val a = shRare.select(col("sh"), col("doc_id").as("id_a"))
@@ -107,7 +113,9 @@ object Dedup {
     val sh = shingled.select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf && col("df") >= 2)
-    val shRare = sh.join(rare.select("sh"), Seq("sh"))
+    // same parallelism pin as ngramJaccardPairsFrom (see the note there)
+    val n = shingled.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val shRare = sh.join(rare.select("sh"), Seq("sh")).repartition(n, col("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
 
     val a = shRare.select(col("sh"), col("doc_id").as("id_a"))

@@ -120,11 +120,22 @@ object LinkGraph {
     // wedge join). Simpler shape kept with the numbers recorded
     // (BASELINE.md r8 batch 2) — and no caller-side unpersist contract
     // (the r7 ADVICE cache-leak class) is created either
+    // pin the wedge join's parallelism (r12, guide §2.5/§1.2): wedge rows
+    // are bytes-tiny (two ids) but the self-join on the shared neighbor
+    // emits up to cap² rows per key from a few-MB input, so AQE's
+    // byte-based coalescing starved the stage (measured at sf0.1: 5
+    // tasks on 32 cores, 5.4 MB in → 28.5 MB of wedges). One
+    // REPARTITION_BY_NUM exchange on the join key (exempt from AQE
+    // coalescing, reused by BOTH wedge sides) holds the session's
+    // shuffle-partition count — the cluster's own value at scale, where
+    // these shuffles exceed coalescing targets anyway.
+    val n = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val kept = e.join(
         e.groupBy("nbr").agg(count(lit(1)).as("ndeg"))
           .filter(col("ndeg") <= maxNeighborDegree)
           .select("nbr"),
         Seq("nbr"))
+      .repartition(n, col("nbr"))
     val deg = kept.groupBy("n").agg(count(lit(1)).as("deg"))
     val common = kept.select(col("nbr"), col("n").as("node_a"))
       .join(kept.select(col("nbr"), col("n").as("node_b")), Seq("nbr"))
@@ -215,8 +226,12 @@ object LinkGraph {
       when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
         col("v")).otherwise(col("u")).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val wedges = oriented.select(col("s"), col("t").as("t1"))
-      .join(oriented.select(col("s"), col("t").as("t2")), Seq("s"))
+    // wedge enumeration is the same bytes-tiny/CPU-explosive shape as
+    // jaccardNeighbors' join — pin its parallelism (see the note there)
+    val n = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val orientedN = oriented.repartition(n, col("s"))
+    val wedges = orientedN.select(col("s"), col("t").as("t1"))
+      .join(orientedN.select(col("s"), col("t").as("t2")), Seq("s"))
       .filter(col("t1") < col("t2"))
     val tri = wedges.join(pairs,
       pairs("u") === least(col("t1"), col("t2")) &&

@@ -33,8 +33,15 @@ object MarketBasket {
       .distinct()
     val nBaskets = items.agg(countDistinct(col("b")).as("n_baskets"))
     val itemCounts = items.groupBy("i").agg(count(lit(1)).as("ci"))
-    val pairs = items.select(col("b"), col("i").as("item_a"))
-      .join(items.select(col("b"), col("i").as("item_b")), Seq("b"))
+    // pin the basket self-join's parallelism (r12, guide §2.5/§1.2): the
+    // (basket, item) rows are bytes-tiny but the join emits C(|basket|,2)
+    // rows per basket, so AQE's byte-based coalescing starves the stage
+    // at bench scale; REPARTITION_BY_NUM on the join key (reused by both
+    // sides) holds the session's shuffle-partition count.
+    val n = baskets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val itemsN = items.repartition(n, col("b"))
+    val pairs = itemsN.select(col("b"), col("i").as("item_a"))
+      .join(itemsN.select(col("b"), col("i").as("item_b")), Seq("b"))
       .filter(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_both"))
