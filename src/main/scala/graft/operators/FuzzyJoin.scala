@@ -105,10 +105,18 @@ object FuzzyJoin {
       .select(col(lId), explode(col("_pre")).as("_p"))
       .select(col(lId), col("_p._g").as("_g"))
 
-    val candidates = lPrefix.join(rGrams, Seq("_g"))
+    // pin the candidate join's and the levenshtein verify's parallelism
+    // (r12, guide §2.5/§1.2): gram/candidate rows are bytes-tiny but the
+    // join fans out per shared gram and the verify pays a levenshtein
+    // per pair, so AQE's byte-based coalescing starves both stages at
+    // bench scale (measured: whole query on 1 task). REPARTITION_BY_NUM
+    // holds the session's shuffle-partition count.
+    val nPar = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val candidates = lPrefix.repartition(nPar, col("_g"))
+      .join(rGrams.repartition(nPar, col("_g")), Seq("_g"))
       .select(col(lId), col(rId)).distinct()
 
-    val gramPairs = candidates
+    val gramPairs = candidates.repartition(nPar, col(lId))
       .join(left.select(col(lId), col(lStr)), Seq(lId))
       .join(right.select(col(rId), col(rStr)), Seq(rId))
       .withColumn("dist", levenshtein(col(lStr), col(rStr)).cast("long"))
@@ -167,9 +175,12 @@ object FuzzyJoin {
       explode(graft.functions.DeletionVariants.variantsCol(
         col(rStr), maxDist, maxLen)).as("_v"))
       .select(col(rId), xxhash64(col("_v")).as("_vh"))
-    val candidates = lv.join(rv, Seq("_vh"))
+    // same parallelism pins as the q-gram path (see the note there)
+    val nPar = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val candidates = lv.repartition(nPar, col("_vh"))
+      .join(rv.repartition(nPar, col("_vh")), Seq("_vh"))
       .select(col(lId), col(rId)).distinct()
-    candidates
+    candidates.repartition(nPar, col(lId))
       .join(left.select(col(lId), col(lStr)), Seq(lId))
       .join(right.select(col(rId), col(rStr)), Seq(rId))
       .withColumn("dist", levenshtein(col(lStr), col(rStr)).cast("long"))
@@ -281,7 +292,11 @@ object FuzzyJoin {
         col("_id").as("id_a"), col("_s").as("_sa"))
     val b = ranked.select(col("_rank").as("_t"),
       col("_id").as("id_b"), col("_s").as("_sb"))
-    a.join(b, Seq("_t"))
+    // window-candidate join: same bytes-tiny/CPU-heavy shape (callers
+    // score each pair) — pin its parallelism (see deletionFuzzyJoin)
+    val nPar = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    a.repartition(nPar, col("_t"))
+      .join(b.repartition(nPar, col("_t")), Seq("_t"))
       .select(col("id_a"), col("id_b"), col("_sa"), col("_sb"))
   }
 
