@@ -51,7 +51,9 @@ object ClassifierTrain {
       label: Column, buckets: Int): DataFrame = {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two, got $buckets")
-    docs
+    // widen the parse (r12): per-token hashing dwarfs the scan bytes,
+    // and a single-row-group corpus file pins the stage to one task
+    Parallelism.widen(docs, col(idCol))
       .select(col(idCol), label.cast("boolean").as("_y"), col(textCol))
       .select(col(idCol), col("_y"), explode(words(col(textCol))).as("_w"))
       .select(col(idCol), col("_y"),

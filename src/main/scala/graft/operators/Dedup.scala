@@ -40,8 +40,12 @@ object Dedup {
     * (the inventory layer in [[graft.SparkEntry]] does exactly that). */
   def shingleExplode(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), n)).as("sh_str"))
+    // widen the shingle parse (r12, [[Parallelism.widen]]): per-row
+    // n-gram assembly dwarfs the scan bytes, and a single-row-group
+    // corpus file pins the stage to one task
+    Parallelism.widen(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("sh_str"))
 
   /** Exact n-gram Jaccard near-dup pairs: explode (shingle, id), self-join
     * per shingle bucket, |∩| via count, |∪| via sizes. `maxShingleDf` drops

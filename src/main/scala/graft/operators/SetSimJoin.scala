@@ -97,7 +97,11 @@ object SetSimJoin {
     * enough everywhere except the prefix path, which re-sorts by df. */
   private def tokenFrames(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), tokenSet(col(textCol)).as("toks"))
+    // widen the tokenize (r12, [[Parallelism.widen]]): the sort+distinct
+    // per row dwarfs the scan bytes, and a single-row-group corpus file
+    // pins the stage to one task (measured 2.3 s single-task at sf0.1)
+    Parallelism.widen(docs, col(idCol))
+      .select(col(idCol).as("doc_id"), tokenSet(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), array_sort(col("toks")).as("toks"),
         size(col("toks")).cast("long").as("sz"))

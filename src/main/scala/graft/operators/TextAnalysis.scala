@@ -463,7 +463,10 @@ object TextAnalysis {
   private def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol)
     val toks = tokens(lower(col(textCol)))
-    docs.select(id, toks.as("_w"))
+    // widen the bigram parse (r12, [[Parallelism.widen]]) — same
+    // single-row-group-scan starvation as ClassifierTrain's bag stage
+    Parallelism.widen(docs, id)
+      .select(id, toks.as("_w"))
       .filter(size(col("_w")) >= 2)
       .select(id, explode(transform(sequence(lit(1), size(col("_w")) - 1),
         i => struct(element_at(col("_w"), i).as("w1"),
