@@ -134,8 +134,9 @@ object TextAnalysis {
     val w = split(lower(col(textCol)), "\\s+")
     val wstats = docs.select(col(idCol).as("doc_id"),
       size(w).as("n_words"), size(array_distinct(w)).as("n_distinct"))
-    val bg = docs.select(col(idCol).as("doc_id"),
-      explode(graft.functions.ShingleUtil.shingleAllCol(col(textCol), 2)).as("b"))
+    val bg = Parallelism.widen(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.ShingleUtil.shingleAllCol(col(textCol), 2)).as("b"))
     val bgc = bg.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
     val bstats = bgc.groupBy("doc_id").agg(
       sum("c").as("n_bg"), max("c").as("top_c"),
@@ -182,8 +183,12 @@ object TextAnalysis {
   def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(lower(col(textCol)))).as("term"))
+    // widen (r12, [[Parallelism.widen]], also on the other tokenize
+    // sites below): per-token explode+hash dwarfs the scan bytes, and a
+    // single-row-group corpus file pins the parse to one task
+    val toks = Parallelism.widen(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val len = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -216,8 +221,9 @@ object TextAnalysis {
     * decimal bridge. */
   def tfIdfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxTermDf: Long = 1000L): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(lower(col(textCol)))).as("term"))
+    val toks = Parallelism.widen(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val len = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -280,7 +286,7 @@ object TextAnalysis {
     * @return one row: (n_terms, slope, intercept) — unrounded */
   def zipfFit(docs: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
     require(topN >= 2, s"zipfFit needs topN >= 2, got $topN")
-    val counts = docs
+    val counts = Parallelism.widen(docs, col(textCol))
       .select(explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term"))
@@ -306,7 +312,7 @@ object TextAnalysis {
   def vocabDrift(oldDocs: DataFrame, newDocs: DataFrame, textCol: String,
       topK: Int = 50): DataFrame = {
     require(topK >= 1, s"topK must be positive, got $topK")
-    def counts(df: DataFrame, cCol: String) = df
+    def counts(df: DataFrame, cCol: String) = Parallelism.widen(df, col(textCol))
       .select(explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy("term").agg(count(lit(1)).as(cCol))
     val o = counts(oldDocs, "c_old")
@@ -551,8 +557,9 @@ object TextAnalysis {
   def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
       nTerms: Int = 3, minTermLen: Int = 6, k1: Double = 1.2,
       b: Double = 0.75, topK: Int = 10): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(lower(col(textCol)))).as("term"))
+    val toks = Parallelism.widen(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -606,8 +613,9 @@ object TextAnalysis {
   def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(lower(col(textCol)))).as("term"))
+    val toks = Parallelism.widen(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val bucket = pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
