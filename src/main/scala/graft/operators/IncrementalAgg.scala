@@ -97,30 +97,45 @@ object IncrementalAgg {
     *        dirty groups via a semi-join */
   def applyCdc(state: DataFrame, keys: Seq[String], measures: Seq[String],
       inserts: DataFrame, deletes: DataFrame, snapshot: DataFrame): DataFrame = {
-    val insState = this.state(inserts, keys, measures)
-    val delState = this.state(deletes, keys, measures)
     // a NULL group key is a legitimate group (groupBy keeps it — the
     // live case: a LEFT-join view's null-extended rows under a B-side
-    // agg key), so every state-frame join below is NULL-SAFE (<=>): the
-    // name-list join's plain equality would split the NULL group across
-    // the three frames into duplicate partial rows, and the dirty
-    // semi-scan would never reach it. Suffix EVERY column (keys
-    // included) so the <=> conditions are unambiguous, then coalesce
-    // the surviving key forward after each full-outer.
+    // agg key), so every state-frame join below must be NULL-SAFE. The
+    // r11 form joined on per-key <=> conditions; Spark plans those as
+    // equi-joins on coalesce(k, default)/isnull(k) key pairs, which no
+    // child partitioning satisfies — every join side paid its own
+    // exchange (+ sort), state-sized shuffles on every maintenance
+    // trigger (measured: 4 extra Exchanges per fold in the
+    // q_cdc_incremental_agg plan). Instead, key EVERYTHING on ONE
+    // struct-of-keys column: struct equality is field-wise null-safe
+    // (the q_cdc_snowflake row-key discipline), it is a plain equi-join
+    // key, and aggregating the delta states BY the struct makes their
+    // output partitioning satisfy the merge joins directly — the two
+    // full-outers and the recompute left join add no exchange beyond
+    // the three aggregates' own.
+    val reserved = Set("__gk")
+    require(!(keys ++ measures).exists(reserved.contains),
+      "applyCdc: column name __gk is reserved by the merge bookkeeping")
+    val gk = struct(keys.map(col): _*).as("__gk")
+    def stateByGk(df: DataFrame): DataFrame = {
+      val aggs = count(lit(1)).as("n_rows") +: measures.flatMap { m =>
+        Seq(
+          sum(dec(m)).cast("decimal(28,4)").as(s"sum_$m"),
+          count(col(m)).as(s"cnt_$m"),
+          min(dec(m)).as(s"min_$m"),
+          max(dec(m)).as(s"max_$m"))
+      }
+      df.groupBy(gk).agg(aggs.head, aggs.tail: _*)
+    }
+    val insState = stateByGk(inserts)
+    val delState = stateByGk(deletes)
     def sfxAll(df: DataFrame, suffix: String) =
-      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffix))
+      df.columns.foldLeft(df)((d, c) =>
+        if (c == "__gk") d else d.withColumnRenamed(c, c + suffix))
     val stateCols = "n_rows" +: measures.flatMap(m =>
       Seq(s"sum_$m", s"cnt_$m", s"min_$m", s"max_$m"))
-    def nsOn(suffix: String) =
-      keys.map(k => col(k) <=> col(s"$k$suffix")).reduce(_ && _)
-    val joined = state
-      .join(sfxAll(insState, "_i"), nsOn("_i"), "full_outer")
-      .select(keys.map(k => coalesce(col(k), col(s"${k}_i")).as(k)) ++
-        stateCols.map(col) ++ stateCols.map(c => col(s"${c}_i")): _*)
-      .join(sfxAll(delState, "_d"), nsOn("_d"), "full_outer")
-      .select(keys.map(k => coalesce(col(k), col(s"${k}_d")).as(k)) ++
-        stateCols.map(col) ++ stateCols.map(c => col(s"${c}_i")) ++
-        stateCols.map(c => col(s"${c}_d")): _*)
+    val joined = state.select(gk +: stateCols.map(col): _*)
+      .join(sfxAll(insState, "_i"), Seq("__gk"), "full_outer")
+      .join(sfxAll(delState, "_d"), Seq("__gk"), "full_outer")
     val zeroDec = lit(java.math.BigDecimal.ZERO).cast("decimal(28,4)")
     val nRows = coalesce(col("n_rows"), lit(0L)) +
       coalesce(col("n_rows_i"), lit(0L)) - coalesce(col("n_rows_d"), lit(0L))
@@ -154,13 +169,15 @@ object IncrementalAgg {
     }
     val dirty = candCols
       .filter(measures.map(m => col(s"__dirty_$m")).reduce(_ || _))
-      .select(keys.map(col): _*)
+      .select(col("__gk"))
     // recompute min/max ONLY for dirty groups, from the new snapshot —
-    // null-safe semi so a dirty NULL-key group's rows are reachable
-    val snapDirty = snapshot.as("s").join(dirty.as("g"),
-      keys.map(k => col(s"s.$k") <=> col(s"g.$k")).reduce(_ && _), "left_semi")
-    val recomputed = sfxAll(this.state(snapDirty, keys, measures), "_r")
-    val finalCols = keys.map(col) ++ Seq(col("n_rows__new").as("n_rows")) ++
+    // the struct semi key is field-wise null-safe, so a dirty NULL-key
+    // group's rows are reachable
+    val snapDirty = snapshot.withColumn("__gk", struct(keys.map(col): _*))
+      .join(dirty, Seq("__gk"), "left_semi")
+    val recomputed = sfxAll(stateByGk(snapDirty.drop("__gk")), "_r")
+    val finalCols = keys.map(k => col("__gk").getField(k).as(k)) ++
+      Seq(col("n_rows__new").as("n_rows")) ++
       measures.flatMap { m =>
         Seq(
           col(s"sum_${m}__new").as(s"sum_$m"),
@@ -170,7 +187,7 @@ object IncrementalAgg {
           when(col(s"__dirty_$m"), col(s"max_${m}_r"))
             .otherwise(col(s"max_${m}__cand")).as(s"max_$m"))
       }
-    candCols.join(recomputed, nsOn("_r"), "left").select(finalCols: _*)
+    candCols.join(recomputed, Seq("__gk"), "left").select(finalCols: _*)
   }
 
   /** Read-time projection: exact decimal accumulators to stable DOUBLEs
