@@ -42,7 +42,11 @@ object DataSelection {
     * (id, isTarget, bucket, count) — the one corpus-sized scan. */
   private def docBuckets(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, nBuckets: Int): DataFrame =
-    docs.select(col(idCol), isTarget.as("_tgt"),
+    // widen the parse (r12, [[Parallelism.widen]]): per-token hashing
+    // dwarfs the scan bytes, and a single-row-group corpus file pins
+    // the stage to one task (A/B at sf0.1: 1.42 -> 1.03 s)
+    Parallelism.widen(docs, col(idCol))
+      .select(col(idCol), isTarget.as("_tgt"),
         explode(words(col(textCol))).as("_w"))
       .select(col(idCol), col("_tgt"),
         (shiftrightunsigned(NeutralHash.lower64Col(col("_w")), 32) %

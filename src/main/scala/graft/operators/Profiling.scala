@@ -72,7 +72,12 @@ object Profiling {
             Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
     }
 
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // widen the aggregate's input (r12, [[Parallelism.widen]]): the
+    // one-row agg fuses exact countDistinct Expands per column into the
+    // scan stage, which a single-row-group file pins to one task
+    // (A/B at sf0.1: 2.05 -> 1.76 s)
+    val one = Parallelism.widen(df.select(cols.map(col): _*), col(cols.head))
+      .agg(aggs.head, aggs.tail: _*)
     val rows: Seq[Column] = kinds.map { case (c, numeric) =>
       struct(
         lit(c).as("column_name"),
