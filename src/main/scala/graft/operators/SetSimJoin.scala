@@ -264,6 +264,7 @@ object SetSimJoin {
       tNum: Int, tDen: Int, d: Int, szMaxHint: Long = -1L,
       hotCluster: Long = HotCluster): DataFrame = {
     require(d >= 1, s"universe partitioning needs >= 1 group, got $d")
+    val n = sets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // SIZE-BANDED join key (r11): with a small vocabulary, equal
     // per-group projections are common across docs of very different
     // sizes, and candidates per (group, sig) key grow ~n²/keys — the
@@ -421,9 +422,19 @@ object SetSimJoin {
     var prevKeyCols: Seq[String] = null
     var done = false
     while (!done) {
-      val counted = cur.withColumn("kc",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(keyCols.map(col): _*)))
+      // pin the window stage's parallelism (r12): the signature frame's
+      // rows carry toks, and the cluster-count window over them is the
+      // level's CPU-heavy stage — repartitioning by the window's own
+      // partition keys at the session's shuffle-partition count
+      // satisfies the window's required distribution exactly (ONE
+      // pinned exchange, none added) while keeping AQE's byte-based
+      // coalescing from starving it (measured at sf0.1: 5 tasks on 32
+      // cores). Same posture as the candidate joins below.
+      val counted = cur
+        .repartition(n, keyCols.map(col): _*)
+        .withColumn("kc",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCols.map(col): _*)))
       // pin ONLY the hot subset (clusters past the cap — the recursion's
       // whole input): the exhausted term, the residual census and the
       // next level's re-key all consume it, and it shrinks per level.
