@@ -628,7 +628,10 @@ object Dedup {
   def spanExplode(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"span size must be positive, got $k")
-    docs.select(col(idCol).as("doc_id"),
+    // widen the span parse (r12, [[Parallelism.widen]]) — same
+    // single-row-group-scan starvation as shingleExplode above
+    Parallelism.widen(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
         posexplode(graft.functions.ShingleUtil.shingleAllCol(col(textCol), k)))
       .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("sh"))
   }
