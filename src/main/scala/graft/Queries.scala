@@ -6463,13 +6463,23 @@ object Queries {
       .unionByName(nat.filter(col("c_id") % 7 === 0)
         .withColumn("n_name", concat(col("n_name"), lit("_v2"))))
     val nNew = nat.join(nDel, Seq("c_id"), "left_anti").unionByName(nIns)
-    // level 1: maintain V1 = customer ⋈ supplier and surface its delta
-    // (ONE binding — the delta fold and the level-2 initial view share
-    // it; two identical joinState plans would scan both bases twice)
+    // level 1: maintain V1 = customer ⋈ supplier and surface its delta.
+    // v1 and the three delta frames are LAZY-pinned: level 2 consumes
+    // each of them in several terms (the delta-key census, newA, the
+    // A' probe), and unpinned every consumer re-derives the level-1
+    // fold — measured at sf0.1 as a 59-stage plan whose wall is pure
+    // stage-scheduling tax. Lazy (not eager) so materialization folds
+    // into the first consuming job instead of serial driver jobs —
+    // production persists the maintained view anyway.
     val v1 = IncrementalJoin.joinState(fx.cust, fx.supp, Seq("nationkey"))
-    val vd1 = IncrementalJoin.applyCdcWithDelta(v1,
+      .localCheckpoint(eager = false)
+    val vd1r = IncrementalJoin.applyCdcWithDelta(v1,
       "c_custkey", "s_suppkey", Seq("nationkey"),
       fx.cIns, fx.cDel, fx.sIns, fx.sDel, fx.cNew, fx.sNew)
+    val vd1 = IncrementalJoin.ViewDelta(
+      vd1r.view.localCheckpoint(eager = false),
+      vd1r.inserted.localCheckpoint(eager = false),
+      vd1r.deleted.localCheckpoint(eager = false))
     // level 2: V1's inserted/deleted ARE the A-side CDC; the A snapshot
     // is the MAINTAINED V1′ (vd1.view) — no base table is re-joined
     val v2 = IncrementalJoin.applyCdc(
@@ -6543,24 +6553,31 @@ object Queries {
     // term of the NEXT level — v1 under vd1's fold and v20, vd1 under
     // vd2's five terms, v20/vd2 under the agg fold — so the shared
     // frames are pinned once each (production materializes the views
-    // anyway; the pins mirror that)
+    // anyway; the pins mirror that). LAZY pins: eager ones ran eight
+    // serial driver-blocking jobs before the fold started; lazy folds
+    // each materialization into its first consuming job (same block
+    // reuse; A/B at sf0.1, min of 5 steady reps: 6.14 → 5.40 s).
     val v1 = IncrementalJoin.joinState(fx.cust, fx.supp, Seq("nationkey"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val vd1r = IncrementalJoin.applyCdcWithDelta(v1,
       "c_custkey", "s_suppkey", Seq("nationkey"),
       fx.cIns, fx.cDel, fx.sIns, fx.sDel, fx.cNew, fx.sNew)
-    val vd1 = IncrementalJoin.ViewDelta(vd1r.view.localCheckpoint(),
-      vd1r.inserted.localCheckpoint(), vd1r.deleted.localCheckpoint())
+    val vd1 = IncrementalJoin.ViewDelta(
+      vd1r.view.localCheckpoint(eager = false),
+      vd1r.inserted.localCheckpoint(eager = false),
+      vd1r.deleted.localCheckpoint(eager = false))
     val v20 = IncrementalJoin.joinState(v1.select(abKey, col("*")), nat,
-      Seq("nationkey")).localCheckpoint()
+      Seq("nationkey")).localCheckpoint(eager = false)
     val vd2r = IncrementalJoin.applyCdcWithDelta(v20,
       "ab_key", "c_id", Seq("nationkey"),
       vd1.inserted.select(abKey, col("*")),
       vd1.deleted.select(abKey),
       nIns, nDel,
       vd1.view.select(abKey, col("*")), nNew)
-    val vd2 = IncrementalJoin.ViewDelta(vd2r.view.localCheckpoint(),
-      vd2r.inserted.localCheckpoint(), vd2r.deleted.localCheckpoint())
+    val vd2 = IncrementalJoin.ViewDelta(
+      vd2r.view.localCheckpoint(eager = false),
+      vd2r.inserted.localCheckpoint(eager = false),
+      vd2r.deleted.localCheckpoint(eager = false))
     val maintained = IncrementalAgg.applyCdc(
       IncrementalAgg.state(v20, keys, measures), keys, measures,
       inserts = vd2.inserted, deletes = vd2.deleted,
@@ -6609,10 +6626,18 @@ object Queries {
       .unionByName(nat.filter(col("c_id") % 7 === 0)
         .withColumn("n_name", concat(col("n_name"), lit("_v2"))))
     val nNew = nat.join(nDel, Seq("c_id"), "left_anti").unionByName(nIns)
+    // same lazy pin discipline as q_cdc_snowflake: the outer level-1
+    // fold is wider (83 stages unpinned at sf0.1), and level 2 re-derives
+    // it per consuming term without the pins
     val v1 = IncrementalJoin.joinStateLeft(fx.cust, fx.supp, Seq("nationkey"))
-    val vd1 = IncrementalJoin.applyCdcLeftWithDelta(v1,
+      .localCheckpoint(eager = false)
+    val vd1r = IncrementalJoin.applyCdcLeftWithDelta(v1,
       "c_custkey", "s_suppkey", Seq("nationkey"),
       fx.cIns, fx.cDel, fx.sIns, fx.sDel, fx.cNew, fx.sNew)
+    val vd1 = IncrementalJoin.ViewDelta(
+      vd1r.view.localCheckpoint(eager = false),
+      vd1r.inserted.localCheckpoint(eager = false),
+      vd1r.deleted.localCheckpoint(eager = false))
     val v2 = IncrementalJoin.applyCdc(
       IncrementalJoin.joinState(v1.select(abKey, col("*")), nat,
         Seq("nationkey")),
