@@ -141,11 +141,17 @@ object IncrementalJoin {
     * cascade paid them twice). Each tag's slice is hinted independently
     * under the measured-bytes cap. */
   private final case class DeltaKeys(aTouched: DataFrame, bTouched: DataFrame,
-      aInsJoinKeys: DataFrame, bInsKeys: DataFrame, aInsRowKeys: DataFrame)
+      aInsJoinKeys: DataFrame, bInsKeys: DataFrame, aInsRowKeys: DataFrame,
+      bDelKeys: Option[DataFrame])
 
+  /** @param withBDelKeys the LEFT fold's dead-key scan seeds from the
+    *   B-delete row keys alone; folding that sixth frame into the same
+    *   tagged union keeps it one pin + one census (inner folds skip it —
+    *   no unused distinct rides their census) */
   private def deltaKeysOf(aKey: String, bKey: String, joinKeys: Seq[String],
       aInserts: DataFrame, aDeletes: DataFrame,
-      bInserts: DataFrame, bDeletes: DataFrame): DeltaKeys = {
+      bInserts: DataFrame, bDeletes: DataFrame,
+      withBDelKeys: Boolean = false): DeltaKeys = {
     // __tag/__bytes are the union's bookkeeping columns — a key named
     // either would collide ambiguously at the slice filter; reject loudly
     val reserved = Set("__tag", "__bytes")
@@ -160,7 +166,10 @@ object IncrementalJoin {
         .unionByName(bInserts.select(col(bKey))).distinct(),
       "aInsJoinKeys" -> aInserts.select(joinKeys.map(col): _*).distinct(),
       "bInsKeys" -> bInserts.select(joinKeys.map(col): _*).distinct(),
-      "aInsRowKeys" -> aInserts.select(col(aKey)).distinct())
+      "aInsRowKeys" -> aInserts.select(col(aKey)).distinct()) ++
+      (if (withBDelKeys)
+        Seq("bDelKeys" -> bDeletes.select(col(bKey)).distinct())
+      else Nil)
     // superset schema (a row key may coincide with a join key — dedup):
     // each frame pads the columns it lacks with typed nulls; the byte
     // census is computed on the frame's OWN columns before padding
@@ -191,7 +200,8 @@ object IncrementalJoin {
       bTouched = slice("bTouched", Seq(bKey)),
       aInsJoinKeys = slice("aInsJoinKeys", joinKeys),
       bInsKeys = slice("bInsKeys", joinKeys),
-      aInsRowKeys = slice("aInsRowKeys", Seq(aKey)))
+      aInsRowKeys = slice("aInsRowKeys", Seq(aKey)),
+      bDelKeys = if (withBDelKeys) Some(slice("bDelKeys", Seq(bKey))) else None)
   }
 
   /** Initial materialization of the view: one inner equi-join. Column
@@ -372,9 +382,10 @@ object IncrementalJoin {
     // one hinted key-frame set for the WHOLE fold — the inner slice and
     // every left-only probe below share it (each hint is an eager
     // pin + census; computing them twice would double the fixed
-    // per-trigger cost of a streaming maintenance job)
+    // per-trigger cost of a streaming maintenance job). withBDelKeys
+    // folds the dead-key scan's seed into the same single census.
     val dk = deltaKeysOf(aKey, bKey, joinKeys,
-      aInserts, aDeletes, bInserts, bDeletes)
+      aInserts, aDeletes, bInserts, bDeletes, withBDelKeys = true)
 
     // inner slice: the matched pairs fold exactly as an inner view
     val innerDelta = applyCdcWithDeltaKeys(view.filter(col(bKey).isNotNull),
@@ -402,20 +413,30 @@ object IncrementalJoin {
       .join(bInsKeys, joinKeys, "left_anti")
 
     // inserted A rows without a B′ partner land null-extended; the B′
-    // key probe is semi-pruned by the delta's join keys first
-    val bKeysNearIns = deltaHint(bSnapshot
+    // key probe is semi-pruned by the delta's join keys first (hinted
+    // via dk, so B′ is scanned map-side, never shuffled). The result is
+    // delta-BOUNDED and its one consumer joins it against the delta-sized
+    // aInserts — a delta ⋈ delta join needs no broadcast census: the
+    // hint's eager pin+measure job would cost more than the shuffle it
+    // avoids, at bench scale and at 100 TB alike.
+    val bKeysNearIns = bSnapshot
       .join(dk.aInsJoinKeys, joinKeys, "left_semi")
-      .select(jk: _*).distinct())
+      .select(jk: _*).distinct()
     val insUnmatched = aInserts.join(bKeysNearIns, joinKeys, "left_anti")
 
     // dead keys: lost ≥1 B row (candidates from the VIEW's own matched
-    // rows — state-pruned) and have NO survivor in B′ (probe pruned by
-    // the candidates); their untouched A′ rows re-enter null-extended
+    // rows — state-pruned, seeded by dk's bDelKeys slice) and have NO
+    // survivor in B′ (probe pruned by the candidates); their untouched
+    // A′ rows re-enter null-extended. deadCand and kDead keep their
+    // hints — each is the BUILD side of a state/corpus-sized probe
+    // (B′ semi, A′ semi) that must never shuffle the big side;
+    // stillPresent's one consumer is the delta ⋈ delta anti below, so
+    // like bKeysNearIns it carries no census of its own.
     val deadCand = deltaHint(view.filter(col(bKey).isNotNull)
-      .join(deltaHint(bDeletes.select(col(bKey))), Seq(bKey), "left_semi")
+      .join(dk.bDelKeys.get, Seq(bKey), "left_semi")
       .select(jk: _*).distinct())
-    val stillPresent = deltaHint(bSnapshot.join(deadCand, joinKeys, "left_semi")
-      .select(jk: _*).distinct())
+    val stillPresent = bSnapshot.join(deadCand, joinKeys, "left_semi")
+      .select(jk: _*).distinct()
     val kDead = deltaHint(deadCand.join(stillPresent, joinKeys, "left_anti"))
     val deadA = aSnapshot.join(kDead, joinKeys, "left_semi")
       .join(dk.aInsRowKeys, Seq(aKey), "left_anti")
