@@ -40,7 +40,11 @@ object MarketBasket {
     // sides) holds the session's shuffle-partition count.
     val n = baskets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val itemsN = items.repartition(n, col("b"))
+    // shuffled-hash, not sort-merge: both sides already share the pinned
+    // exchange, so SMJ's only extra is two per-task sorts of the full
+    // (basket, item) set — the hash build side is the same tiny rows
     val pairs = itemsN.select(col("b"), col("i").as("item_a"))
+      .hint("shuffle_hash")
       .join(itemsN.select(col("b"), col("i").as("item_b")), Seq("b"))
       .filter(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b")
