@@ -81,7 +81,9 @@ object Dedup {
 
     val a = shRare.select(col("sh"), col("doc_id").as("id_a"))
     val b = shRare.select(col("sh"), col("doc_id").as("id_b"))
-    val common = a.join(b, Seq("sh"))
+    // shuffled-hash, not sort-merge: the sides share the pinned exchange,
+    // so SMJ's only addition is two per-task sorts of the shingle set
+    val common = a.hint("shuffle_hash").join(b, Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_common"))
@@ -124,7 +126,9 @@ object Dedup {
 
     val a = shRare.select(col("sh"), col("doc_id").as("id_a"))
     val b = shRare.select(col("sh"), col("doc_id").as("id_b"))
-    val common = a.join(b, Seq("sh"))
+    // shuffled-hash, not sort-merge: the sides share the pinned exchange,
+    // so SMJ's only addition is two per-task sorts of the shingle set
+    val common = a.hint("shuffle_hash").join(b, Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_common"))

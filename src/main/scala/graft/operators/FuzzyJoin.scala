@@ -112,7 +112,10 @@ object FuzzyJoin {
     // bench scale (measured: whole query on 1 task). REPARTITION_BY_NUM
     // holds the session's shuffle-partition count.
     val nPar = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // shuffled-hash, not sort-merge: both sides are pinned exchanges,
+    // so SMJ's only addition is two per-task sorts of the gram sets
     val candidates = lPrefix.repartition(nPar, col("_g"))
+      .hint("shuffle_hash")
       .join(rGrams.repartition(nPar, col("_g")), Seq("_g"))
       .select(col(lId), col(rId)).distinct()
 
@@ -178,6 +181,7 @@ object FuzzyJoin {
     // same parallelism pins as the q-gram path (see the note there)
     val nPar = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val candidates = lv.repartition(nPar, col("_vh"))
+      .hint("shuffle_hash")
       .join(rv.repartition(nPar, col("_vh")), Seq("_vh"))
       .select(col(lId), col(rId)).distinct()
     candidates.repartition(nPar, col(lId))
@@ -296,7 +300,7 @@ object FuzzyJoin {
     // score each pair) — pin its parallelism (see deletionFuzzyJoin)
     val nPar = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     a.repartition(nPar, col("_t"))
-      .join(b.repartition(nPar, col("_t")), Seq("_t"))
+      .join(b.repartition(nPar, col("_t")).hint("shuffle_hash"), Seq("_t"))
       .select(col("id_a"), col("id_b"), col("_sa"), col("_sb"))
   }
 

@@ -137,7 +137,11 @@ object LinkGraph {
         Seq("nbr"))
       .repartition(n, col("nbr"))
     val deg = kept.groupBy("n").agg(count(lit(1)).as("deg"))
+    // shuffled-hash, not sort-merge: both wedge sides share the pinned
+    // exchange, so SMJ's only addition is two per-task sorts of the
+    // kept-edge set
     val common = kept.select(col("nbr"), col("n").as("node_a"))
+      .hint("shuffle_hash")
       .join(kept.select(col("nbr"), col("n").as("node_b")), Seq("nbr"))
       .filter(col("node_a") < col("node_b"))
       .groupBy("node_a", "node_b")
@@ -231,6 +235,7 @@ object LinkGraph {
     val n = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val orientedN = oriented.repartition(n, col("s"))
     val wedges = orientedN.select(col("s"), col("t").as("t1"))
+      .hint("shuffle_hash")
       .join(orientedN.select(col("s"), col("t").as("t2")), Seq("s"))
       .filter(col("t1") < col("t2"))
     val tri = wedges.join(pairs,
