@@ -58,6 +58,20 @@ object Profiling {
       case _ => col(c).cast("double")
     }
 
+    // string min/max live in a SEPARATE keyless aggregate on the exact
+    // path: a string-typed min/max buffer is immutable, which forces the
+    // WHOLE aggregate to SortAggregate — and the exact multi-distinct
+    // rewrite keys its partial on (values..., gid), so that choice
+    // inserts a full sort of the ×|cols|-expanded row set (measured at
+    // sf0.1: 24.6 s of task time sorting 750 k expanded rows). With the
+    // string min/max moved out, every buffer in the Expand pipeline is a
+    // mutable primitive and it plans as HashAggregate; the side
+    // aggregate has NO grouping keys, so its SortAggregate inserts no
+    // sort, and its one row broadcast-joins back. Price: one extra
+    // column-pruned scan of the string columns — on the 100 TB path
+    // (approxDistinct, no Expand) nothing splits and the table is still
+    // read once.
+    val splitStrMinMax = !approxDistinct && kinds.exists(!_._2)
     val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++ kinds.flatMap {
       case (c, numeric) =>
         val distinctAgg =
@@ -68,16 +82,24 @@ object Profiling {
           distinctAgg) ++ (
           if (numeric)
             Seq(min(numView(c)).as(s"__mn_$c"), max(numView(c)).as(s"__mx_$c"))
-          else
-            Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+          else if (splitStrMinMax) Nil
+          else Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
     }
 
     // widen the aggregate's input (r12, [[Parallelism.widen]]): the
     // one-row agg fuses exact countDistinct Expands per column into the
     // scan stage, which a single-row-group file pins to one task
     // (A/B at sf0.1: 2.05 -> 1.76 s)
-    val one = Parallelism.widen(df.select(cols.map(col): _*), col(cols.head))
+    val main = Parallelism.widen(df.select(cols.map(col): _*), col(cols.head))
       .agg(aggs.head, aggs.tail: _*)
+    val one =
+      if (!splitStrMinMax) main
+      else {
+        val strAggs = kinds.filterNot(_._2).flatMap { case (c, _) =>
+          Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")) }
+        main.crossJoin(broadcast(
+          df.agg(strAggs.head, strAggs.tail: _*)))
+      }
     val rows: Seq[Column] = kinds.map { case (c, numeric) =>
       struct(
         lit(c).as("column_name"),
