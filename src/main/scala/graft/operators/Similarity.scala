@@ -661,6 +661,38 @@ object Similarity {
       main.schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*))
   }
 
+  /** [[annSegments]] restricted to KNOWN partition directories — the
+    * probe-side listing fix (guide §6): `spark.read.parquet(root)` of a
+    * wide layout eagerly lists EVERY partition dir before the partition
+    * filter prunes the scan (LSH: nTables×2^nBits = 768 dirs → a
+    * distributed listing job plus a footer-inference job per probe,
+    * measured at sf0.1 as most of q_sim_lsh_indexed's wall). A probe
+    * that already knows its (partition → value) pairs reads exactly
+    * those dirs (driver-side existence checks, no listing job); `pred`
+    * still applies — it re-states the dir choice for the main rows and
+    * prunes the natively-stored delta segment. Falls back to the full
+    * [[annSegments]] when no probed dir exists (the all-empty-buckets
+    * edge keeps its schema from the main layout). */
+  private def annSegmentsPruned(spark: org.apache.spark.sql.SparkSession,
+      path: String, partDirs: Seq[String],
+      pred: Column): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDirSwap(fs, path)
+    val existing = partDirs.filter(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, d)))
+    if (existing.isEmpty) return annSegments(spark, path).filter(pred)
+    val main = spark.read.option("basePath", path)
+      .parquet(existing.map(d => s"$path/$d"): _*)
+      .filter(pred)
+    val dp = new org.apache.hadoop.fs.Path(path, AnnDeltaDir)
+    if (!fs.exists(dp)) main
+    else main.unionByName(spark.read.parquet(dp.toString).select(
+        main.schema.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+      .filter(pred))
+  }
+
   /** The visible rows of an ANN layout: main ∪ `_delta` refresh segment,
     * tombstones anti-joined out — what every probe and compaction sees.
     * Public so audits/tests read the layout through the same lens
@@ -907,12 +939,15 @@ object Similarity {
           s"probed with $asked) — regenerated planes would not match the " +
           "stored signatures")
     }
-    val pred = (0 until nTables).map { t =>
-      val sig = probeSignature(signPlanes(probe.length, nBits, seed + t), probe)
+    val sigs = (0 until nTables).map { t =>
+      t -> probeSignature(signPlanes(probe.length, nBits, seed + t), probe)
+    }
+    val pred = sigs.map { case (t, sig) =>
       col("table") === t && col("bucket") === sig
     }.reduce(_ || _)
     annVisible(spark, indexPath,
-        annSegments(spark, indexPath).filter(pred), idCol)
+        annSegmentsPruned(spark, indexPath,
+          sigs.map { case (t, sig) => s"table=$t/bucket=$sig" }, pred), idCol)
       .dropDuplicates(idCol)
       .select(col(idCol), round(cosine(col(vecCol), typedLit(probe.toSeq)), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
