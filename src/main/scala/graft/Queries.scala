@@ -6374,21 +6374,26 @@ object Queries {
     val fx = cdcJoinFixture(s, d)
     val keys = Seq("nationkey")
     val measures = Seq("c_acctbal", "s_acctbal")
-    // deliberately NOT pinned: a localCheckpoint of v0 was measured at
-    // parity (4.2 s steady either way at sf0.1, BASELINE.md r10) — the
-    // cost is the fold's many small stages, not re-deriving the base
-    // join, and the plain declarative form keeps Catalyst free to reuse
-    // exchanges (and avoids a block-storage residue per invocation)
+    // r10 measured an EAGER localCheckpoint of v0 at parity (4.2 s
+    // steady either way at sf0.1) and left the frames lazy; the r12
+    // snowflake A/B overturned that for LAZY pins — the agg fold
+    // consumes inserted/deleted/view in separate terms, each re-deriving
+    // the join fold, and lazy pins fold the one materialization into the
+    // first consuming job (production persists the maintained view
+    // anyway). Same-session A/B at sf0.1, min of 5 steady reps:
+    // 4.29 -> 3.33 s (medians ~4.6 -> ~3.8).
     val v0 = IncrementalJoin.joinState(fx.cust, fx.supp, Seq("nationkey"))
-    val delta = IncrementalJoin.applyCdcWithDelta(v0,
+      .localCheckpoint(eager = false)
+    val deltaR = IncrementalJoin.applyCdcWithDelta(v0,
       "c_custkey", "s_suppkey", Seq("nationkey"),
       fx.cIns, fx.cDel, fx.sIns, fx.sDel, fx.cNew, fx.sNew)
+    val delta = IncrementalJoin.ViewDelta(
+      deltaR.view.localCheckpoint(eager = false),
+      deltaR.inserted.localCheckpoint(eager = false),
+      deltaR.deleted.localCheckpoint(eager = false))
     val maintained = IncrementalAgg.applyCdc(
       IncrementalAgg.state(v0, keys, measures), keys, measures,
       inserts = delta.inserted, deletes = delta.deleted,
-      // production persists the just-maintained view before the agg pass
-      // (it materializes it anyway); here the lazy plan re-derives it for
-      // the dirty-group semi-scan only
       snapshot = delta.view)
     IncrementalAgg.finish(maintained, keys, measures).orderBy("nationkey")
   }
