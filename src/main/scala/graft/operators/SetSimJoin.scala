@@ -589,11 +589,18 @@ object SetSimJoin {
       (col("sz") - ceilMul("sz", tNum, tDen) + 1).cast("int")
     val pref = sorted.select(col("doc_id"), col("sz"),
       explode(slice(col("toks"), lit(1), prefixLen)).as("tok"))
+    // same pin + shuffled-hash discipline as the deletion path's
+    // signature join (see jaccardJoinDeletionFrom): prefix-token rows are
+    // bytes-tiny and the join fans out per shared token, so AQE's
+    // byte-based coalescing starved the stage (measured at sf0.1: the
+    // candidate join and its distinct ran 1 task each, 1.5 + 1.7 s of
+    // the query's 4.5 s wall)
+    val n = sets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val a = pref.select(col("doc_id").as("id_a"), col("sz").as("pa_sz"),
-      col("tok").as("tok_a"))
+      col("tok").as("tok_a")).repartition(n, col("tok_a"))
     val b = pref.select(col("doc_id").as("id_b"), col("sz").as("pb_sz"),
-      col("tok").as("tok_b"))
-    val cand = a.join(b,
+      col("tok").as("tok_b")).repartition(n, col("tok_b"))
+    val cand = a.hint("SHUFFLE_HASH").join(b,
         col("tok_a") === col("tok_b") && col("id_a") < col("id_b") &&
           // size filter: J ≥ t forces t·|a| ≤ |b| and t·|b| ≤ |a|
           col("pb_sz") * tDen >= col("pa_sz") * tNum &&

@@ -519,12 +519,23 @@ class PlanQualitySpec extends SparkTestBase {
       s"sessionize must not join at all:\n$p")
   }
 
-  test("q_profile_columns is one scan + one aggregate — no join, no window") {
+  test("q_profile_columns: hash-aggregated Expand + keyless string side agg") {
     val p = plan("q_profile_columns")
-    assert(!p.contains("Join") && !p.contains("Window"),
-      s"profiling must be a single-pass aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"profiling must not window:\n$p")
     assert(p.contains("Expand"),
       s"exact multi-column distincts should plan as one Expand aggregate:\n$p")
+    // the string min/max ride a KEYLESS side aggregate whose one row
+    // broadcast-cross-joins back (r12): with them out of the Expand
+    // pipeline every buffer there is a mutable primitive, so every KEYED
+    // aggregate must be HashAggregate — a keyed SortAggregate means the
+    // immutable-buffer regression is back, sorting the x|cols|-expanded
+    // rows (measured 24.6 s of task time at sf0.1)
+    assert(!"""SortAggregate\(key=\[[^\]]""".r.findFirstIn(p).isDefined,
+      s"a KEYED SortAggregate sorts the Expand — keep string min/max in the side agg:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the only join allowed is the 1-row broadcast cross of the side agg:\n$p")
   }
 
   test("q_join_interval is an equi-join on the bin id — never a nested loop") {
