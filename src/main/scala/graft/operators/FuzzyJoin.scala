@@ -112,10 +112,13 @@ object FuzzyJoin {
     // bench scale (measured: whole query on 1 task). REPARTITION_BY_NUM
     // holds the session's shuffle-partition count.
     val nPar = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // shuffled-hash, not sort-merge: both sides are pinned exchanges,
-    // so SMJ's only addition is two per-task sorts of the gram sets
+    // sort-merge, NOT shuffled-hash (measured): grams are corpus-hot by
+    // nature (the low-entropy-key caveat below), and SHJ probes a
+    // long-chained hash map per hot gram where SMJ iterates the sorted
+    // run — the r12 A/B read 1.80 s SMJ vs 2.63 s SHJ steady at sf0.1
+    // (task time 6-12 s vs 12-24 s), so the hint that paid off on the
+    // deletion-variant and SNM joins is deliberately absent here
     val candidates = lPrefix.repartition(nPar, col("_g"))
-      .hint("shuffle_hash")
       .join(rGrams.repartition(nPar, col("_g")), Seq("_g"))
       .select(col(lId), col(rId)).distinct()
 
