@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print machine-parsed JSON lines on stdout. sbt's
+// default LoggedOutput decorates every forked-process line with "[info] ",
+// which breaks a line-wise JSON parser reading our stdout (12 rounds of
+// BENCH_r*.json carry parsed:null; in r10-r12 the complete JSON line sat in
+// the captured tail and still failed — the prefix is the only non-JSON
+// artifact). StdoutOutput inherits the parent's raw stdout/stderr instead:
+// program lines arrive undecorated, and Spark's stderr logging stays off
+// the stdout channel.
+run / outputStrategy := Some(StdoutOutput)
 // local-cluster[...] masters launch executor JVMs through the standalone
 // worker's command builder, which needs both of these to locate the Spark
 // runtime (see GraftSession.withMaster).

@@ -162,6 +162,16 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(detail),
       (renderJson(results, sfDir, builds) + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Two stdout lines (r12 VERDICT item 1): FIRST the full un-budgeted
+    // line with the complete 282-entry per-query map (a full-stdout
+    // line-wise JSON reader gets every query), LAST the budget-bounded
+    // summary (so a reader that only keeps a ~2 KB stdout tail still finds
+    // one complete parseable line — the ~50 slowest queries + totals).
+    // Either line alone satisfies the metric/value/unit/errors/queries/sf
+    // schema. Same timings, same methodology; only stdout rendering
+    // changed (plus build.sbt's StdoutOutput, which drops the "[info] "
+    // prefix sbt's logger put in front of every line for 12 rounds).
+    println(renderJson(results, sfDir, builds))
     println(renderCompactJson(results, sfDir, builds, detail))
     spark.stop()
   }
