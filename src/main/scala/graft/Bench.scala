@@ -147,6 +147,18 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence the "No Partition Defined for Window operation!" wall in the
+    // BENCH tail only (r12 VERDICT item 5): every global window in the
+    // inventory is bounded-input by construction and individually audited
+    // (Retrieval ranks top-k outputs, Sampling windows a merged histogram,
+    // Layout windows a metadata inventory) — hundreds of repeats of the
+    // same benign line drown any REAL unpartitioned-window regression.
+    // Scoped to the bench session alone: Verify, JobProbe, tests and
+    // production sessions keep the warning, so a new offender still
+    // surfaces where plans are inspected.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // JIT/codegen/IO-path warmup so the alphabetically-first query doesn't
     // absorb session startup: exercise codegen, a shuffle, and the parquet
     // reader (via the 5-row region table — no meaningful data cached)

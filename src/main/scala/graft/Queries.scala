@@ -6382,6 +6382,20 @@ object Queries {
     // first consuming job (production persists the maintained view
     // anyway). Same-session A/B at sf0.1, min of 5 steady reps:
     // 4.29 -> 3.33 s (medians ~4.6 -> ~3.8).
+    //
+    // FAILURE/LIFETIME CONTRACT for every lazy pin in the CDC-fold
+    // queries (this is the first pin site; the snowflake/cascade pins
+    // below share it): localCheckpoint truncates lineage to
+    // NON-REPLICATED executor blocks, so losing an executor mid-query
+    // FAILS the query instead of recomputing — acceptable here because
+    // (a) local-mode has one executor whose loss kills the session
+    // anyway, and (b) a production deployment persists the maintained
+    // view/delta to reliable storage between triggers (these pins model
+    // exactly that materialization point; use reliable checkpoint() or
+    // write+read-back on a cluster). The blocks live until the session
+    // (or explicit unpersist) releases them — per-query bench/oracle
+    // runs end their session; a long-lived caller folding MANY triggers
+    // should unpersist each trigger's pinned frames after its action.
     val v0 = IncrementalJoin.joinState(fx.cust, fx.supp, Seq("nationkey"))
       .localCheckpoint(eager = false)
     val deltaR = IncrementalJoin.applyCdcWithDelta(v0,

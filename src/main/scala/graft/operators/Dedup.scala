@@ -75,14 +75,17 @@ object Dedup {
     // so AQE's byte-based coalescing starves the stage at bench scale;
     // REPARTITION_BY_NUM on the join key (reused by both sides) holds
     // the session's shuffle-partition count.
-    val n = shingled.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = Parallelism.sessionShufflePartitions(shingled.sparkSession)
     val shRare = sh.join(rare.select("sh"), Seq("sh")).repartition(n, col("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
 
     val a = shRare.select(col("sh"), col("doc_id").as("id_a"))
     val b = shRare.select(col("sh"), col("doc_id").as("id_b"))
     // shuffled-hash, not sort-merge: the sides share the pinned exchange,
-    // so SMJ's only addition is two per-task sorts of the shingle set
+    // so SMJ's only addition is two per-task sorts of the shingle set.
+    // SHJ build-side contract (no spill): rows are (long, long) and every
+    // key's group is <= maxShingleDf by the `rare` filter above, so no
+    // single key can blow the per-task map.
     val common = a.hint("shuffle_hash").join(b, Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
@@ -120,7 +123,7 @@ object Dedup {
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf && col("df") >= 2)
     // same parallelism pin as ngramJaccardPairsFrom (see the note there)
-    val n = shingled.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = Parallelism.sessionShufflePartitions(shingled.sparkSession)
     val shRare = sh.join(rare.select("sh"), Seq("sh")).repartition(n, col("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
 
@@ -128,6 +131,7 @@ object Dedup {
     val b = shRare.select(col("sh"), col("doc_id").as("id_b"))
     // shuffled-hash, not sort-merge: the sides share the pinned exchange,
     // so SMJ's only addition is two per-task sorts of the shingle set
+    // (same df-capped build-side contract as ngramJaccardPairsFrom)
     val common = a.hint("shuffle_hash").join(b, Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")

@@ -111,7 +111,7 @@ object FuzzyJoin {
     // per pair, so AQE's byte-based coalescing starves both stages at
     // bench scale (measured: whole query on 1 task). REPARTITION_BY_NUM
     // holds the session's shuffle-partition count.
-    val nPar = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val nPar = Parallelism.sessionShufflePartitions(left.sparkSession)
     // sort-merge, NOT shuffled-hash (measured): grams are corpus-hot by
     // nature (the low-entropy-key caveat below), and SHJ probes a
     // long-chained hash map per hot gram where SMJ iterates the sorted
@@ -181,8 +181,12 @@ object FuzzyJoin {
       explode(graft.functions.DeletionVariants.variantsCol(
         col(rStr), maxDist, maxLen)).as("_v"))
       .select(col(rId), xxhash64(col("_v")).as("_vh"))
-    // same parallelism pins as the q-gram path (see the note there)
-    val nPar = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // same parallelism pins as the q-gram path (see the note there).
+    // SHJ is safe HERE, unlike the q-gram join: a deletion variant is
+    // shared only by strings within maxDist edits of each other, so a
+    // key's group tracks actual near-dup structure (never corpus-hot
+    // the way grams are), and build rows are (long, long).
+    val nPar = Parallelism.sessionShufflePartitions(left.sparkSession)
     val candidates = lv.repartition(nPar, col("_vh"))
       .hint("shuffle_hash")
       .join(rv.repartition(nPar, col("_vh")), Seq("_vh"))
@@ -300,8 +304,11 @@ object FuzzyJoin {
     val b = ranked.select(col("_rank").as("_t"),
       col("_id").as("id_b"), col("_s").as("_sb"))
     // window-candidate join: same bytes-tiny/CPU-heavy shape (callers
-    // score each pair) — pin its parallelism (see deletionFuzzyJoin)
-    val nPar = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // score each pair) — pin its parallelism (see deletionFuzzyJoin).
+    // SHJ build side = the 1-row-per-rank b side: every key holds
+    // EXACTLY one build row by construction (rank is unique), the
+    // hardest bound in the family.
+    val nPar = Parallelism.sessionShufflePartitions(df.sparkSession)
     a.repartition(nPar, col("_t"))
       .join(b.repartition(nPar, col("_t")).hint("shuffle_hash"), Seq("_t"))
       .select(col("id_a"), col("id_b"), col("_sa"), col("_sb"))

@@ -112,9 +112,20 @@ object IncrementalAgg {
     // output partitioning satisfy the merge joins directly — the two
     // full-outers and the recompute left join add no exchange beyond
     // the three aggregates' own.
+    // reject __gk in EVERY input frame, not just keys++measures: the
+    // snapshot's withColumn("__gk", ...) below would silently overwrite a
+    // caller's pre-existing __gk column (and the delta aggregates would
+    // shadow one), masking a caller bug instead of rejecting it loudly —
+    // the IncrementalJoin __tag/__bytes guard discipline (r12 ADVICE)
     val reserved = Set("__gk")
     require(!(keys ++ measures).exists(reserved.contains),
       "applyCdc: column name __gk is reserved by the merge bookkeeping")
+    Seq("state" -> state, "inserts" -> inserts, "deletes" -> deletes,
+        "snapshot" -> snapshot).foreach { case (which, df) =>
+      require(!df.columns.exists(reserved.contains),
+        s"applyCdc: the $which frame carries a column named __gk, which " +
+          "is reserved by the merge bookkeeping and would be shadowed")
+    }
     val gk = struct(keys.map(col): _*).as("__gk")
     def stateByGk(df: DataFrame): DataFrame = {
       val aggs = count(lit(1)).as("n_rows") +: measures.flatMap { m =>

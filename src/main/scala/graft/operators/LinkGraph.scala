@@ -129,7 +129,7 @@ object LinkGraph {
     // coalescing, reused by BOTH wedge sides) holds the session's
     // shuffle-partition count — the cluster's own value at scale, where
     // these shuffles exceed coalescing targets anyway.
-    val n = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = Parallelism.sessionShufflePartitions(edges.sparkSession)
     val kept = e.join(
         e.groupBy("nbr").agg(count(lit(1)).as("ndeg"))
           .filter(col("ndeg") <= maxNeighborDegree)
@@ -139,7 +139,11 @@ object LinkGraph {
     val deg = kept.groupBy("n").agg(count(lit(1)).as("deg"))
     // shuffled-hash, not sort-merge: both wedge sides share the pinned
     // exchange, so SMJ's only addition is two per-task sorts of the
-    // kept-edge set
+    // kept-edge set. Build-side memory contract (SHJ builds cannot
+    // spill): the build is this partition's slice of the kept-edge set —
+    // two-long rows, per-key bounded by maxNeighborDegree (hot hubs are
+    // filtered out ABOVE this join), so per-task memory is
+    // (edges/partition)·~24 B with no single key exceeding the cap.
     val common = kept.select(col("nbr"), col("n").as("node_a"))
       .hint("shuffle_hash")
       .join(kept.select(col("nbr"), col("n").as("node_b")), Seq("nbr"))
@@ -231,8 +235,12 @@ object LinkGraph {
         col("v")).otherwise(col("u")).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // wedge enumeration is the same bytes-tiny/CPU-explosive shape as
-    // jaccardNeighbors' join — pin its parallelism (see the note there)
-    val n = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // jaccardNeighbors' join — pin its parallelism (see the note there).
+    // SHJ build-side contract: oriented edges point low→high
+    // (degree, id) rank, so a node's out-degree is ≤ √(2·|E|) (it only
+    // points at nodes of ≥ its own degree) — the degree-orientation
+    // bound that keeps any one build key sub-quadratic.
+    val n = Parallelism.sessionShufflePartitions(edges.sparkSession)
     val orientedN = oriented.repartition(n, col("s"))
     val wedges = orientedN.select(col("s"), col("t").as("t1"))
       .hint("shuffle_hash")

@@ -38,11 +38,14 @@ object MarketBasket {
     // rows per basket, so AQE's byte-based coalescing starves the stage
     // at bench scale; REPARTITION_BY_NUM on the join key (reused by both
     // sides) holds the session's shuffle-partition count.
-    val n = baskets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = Parallelism.sessionShufflePartitions(baskets.sparkSession)
     val itemsN = items.repartition(n, col("b"))
     // shuffled-hash, not sort-merge: both sides already share the pinned
     // exchange, so SMJ's only extra is two per-task sorts of the full
-    // (basket, item) set — the hash build side is the same tiny rows
+    // (basket, item) set — the hash build side is the same tiny rows.
+    // SHJ build-side contract (no spill): per-key rows = one basket's
+    // distinct items (real baskets are bounded); per-task memory is the
+    // partition's (basket, item) slice at ~24 B/row.
     val pairs = itemsN.select(col("b"), col("i").as("item_a"))
       .hint("shuffle_hash")
       .join(itemsN.select(col("b"), col("i").as("item_b")), Seq("b"))

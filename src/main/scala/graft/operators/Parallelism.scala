@@ -1,6 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
 
 /** Parallelism posture for parse-heavy stages (r12, optimization guide
   * §1.2/§2.5): tokenize/shingle/feature stages pay per-row CPU that is
@@ -22,13 +25,44 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Parallelism {
 
+  /** The session's configured shuffle-partition count, falling back to
+    * `sparkContext.defaultParallelism` when the conf value is not an
+    * integer (e.g. "auto" under advisory-partitioning setups) — a tuning
+    * knob must degrade, not crash every pinned operator (r12 ADVICE).
+    * Every REPARTITION_BY_NUM pin in the operators reads THIS, never a
+    * constant, so cluster confs keep owning the number at scale. */
+  def sessionShufflePartitions(spark: SparkSession): Int =
+    spark.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+
   /** `df` hash-repartitioned on `key` to the session's configured
-    * shuffle-partition count iff its planned partition count is less
-    * than half of it; `df` unchanged otherwise. */
+    * shuffle-partition count iff it is a scan-shaped (exchange-free)
+    * frame whose planned partition count is less than half of it; `df`
+    * unchanged otherwise.
+    *
+    * The exchange guard (r12 ADVICE) is what makes the planned-count
+    * probe safe: under AQE, `df.rdd` on a plan that CONTAINS exchanges
+    * materializes its shuffle stages — real jobs whose output is then
+    * discarded, since the returned repartitioned frame re-executes from
+    * scratch. An exchange-free plan has no query stages to materialize,
+    * so `.rdd.getNumPartitions` is pure metadata (the scan's split
+    * count). Frames WITH exchanges need no widening anyway: their
+    * parallelism is already governed by the shuffle-partition conf. */
   def widen(df: DataFrame, key: Column): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // planned (pre-AQE) partition count — metadata only, no job runs
-    val parts = df.rdd.getNumPartitions
-    if (parts * 2 <= n) df.repartition(n, key) else df
+    val n = sessionShufflePartitions(df.sparkSession)
+    val plan = df.queryExecution.executedPlan
+    val inner: SparkPlan = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan // pre-final, no jobs
+      case p => p
+    }
+    val hasExchange = inner.exists(_.isInstanceOf[Exchange])
+    if (hasExchange) df
+    else {
+      // planned (pre-AQE) partition count — metadata only, no job runs
+      val parts = df.rdd.getNumPartitions
+      if (parts * 2 <= n) df.repartition(n, key) else df
+    }
   }
 }

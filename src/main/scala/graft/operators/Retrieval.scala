@@ -51,9 +51,22 @@ object Retrieval {
   def hybridRrf(docs: DataFrame, idCol: String, textCol: String,
       embeddings: DataFrame, vidCol: String, vecCol: String,
       probeId: Long, minTermLen: Int = 6, k1: Double = 1.2, b: Double = 0.75,
-      poolK: Int = 20, rrfK: Int = 60, topK: Int = 10): DataFrame = {
-    val lex = TextAnalysis.bm25TopDocs(
-        docs.filter(col(idCol) =!= probeId), idCol, textCol,
+      poolK: Int = 20, rrfK: Int = 60, topK: Int = 10): DataFrame =
+    hybridRrfFromTf(
+      TextAnalysis.docTermFreq(docs.filter(col(idCol) =!= probeId),
+        idCol, textCol),
+      embeddings, vidCol, vecCol, probeId, minTermLen, k1, b,
+      poolK, rrfK, topK)
+
+  /** [[hybridRrf]] from a pre-built (doc_id, term, tf) frame (probe doc
+    * already excluded) — the tf seam (r13): composite audits that also
+    * run a standalone lexical ranker pass ONE tf frame to both, so the
+    * corpus tokenizes once instead of once per ranker. Identical output. */
+  private[operators] def hybridRrfFromTf(tf: DataFrame,
+      embeddings: DataFrame, vidCol: String, vecCol: String,
+      probeId: Long, minTermLen: Int, k1: Double, b: Double,
+      poolK: Int, rrfK: Int, topK: Int): DataFrame = {
+    val lex = TextAnalysis.bm25TopDocsFromTf(tf,
         nTerms = 1, minTermLen = minTermLen, k1 = k1, b = b, topK = poolK)
       .select(col("doc_id"), col("rk").as("lex_rk"))
     fuse(lex, denseRanks(embeddings, vidCol, vecCol, probeId, poolK),
@@ -145,8 +158,14 @@ object Retrieval {
     val ideal = Similarity.bruteForceTopK(corpus, vidCol, vecCol, probe, k)
       .select(col(vidCol).cast("long").as("doc_id"))
     val kRows = Window.orderBy(col("cos").desc, col("doc_id"))
-    val lex = TextAnalysis.bm25TopDocs(
-        docs.filter(col(idCol) =!= probeId), idCol, textCol,
+    // ONE corpus tokenization (r13, r12 VERDICT item 5): the standalone
+    // lex ranker and the fusion's internal BM25 share this tf frame —
+    // identical subtrees, so the tokenize+tf shuffle plans (and its
+    // exchange reuses) once instead of twice. Output unchanged
+    // (bm25TopDocsFromTf is the same math; oracle-gated).
+    val tf = TextAnalysis.docTermFreq(
+      docs.filter(col(idCol) =!= probeId), idCol, textCol)
+    val lex = TextAnalysis.bm25TopDocsFromTf(tf,
         nTerms = 1, minTermLen = minTermLen, k1 = k1, b = b, topK = k)
       .select(col("doc_id"), col("rk").cast("long").as("rk"))
     val ivf = Similarity.ivfTopK(corpus, vidCol, vecCol, centroids,
@@ -154,7 +173,7 @@ object Retrieval {
       .select(col(vidCol).cast("long").as("doc_id"), col("cos"))
       .withColumn("rk", row_number().over(kRows).cast("long"))
       .select("doc_id", "rk")
-    val fused = hybridRrf(docs, idCol, textCol, embeddings, vidCol, vecCol,
+    val fused = hybridRrfFromTf(tf, embeddings, vidCol, vecCol,
         probeId, minTermLen, k1, b, poolK, rrfK, topK = k)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))

@@ -125,7 +125,7 @@ object SetSimJoin {
     // spark.sql.shuffle.partitions; at real sizes AQE would not have
     // coalesced anyway, and both join-backs below broadcast `sets`, so
     // no downstream exchange is added.
-    val n = cand.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = Parallelism.sessionShufflePartitions(cand.sparkSession)
     cand.repartition(n, col("id_a"))
       .join(sets.select(col("doc_id").as("id_a"), col("toks").as("ta"),
         col("sz").as("sz_a")), Seq("id_a"))
@@ -264,7 +264,7 @@ object SetSimJoin {
       tNum: Int, tDen: Int, d: Int, szMaxHint: Long = -1L,
       hotCluster: Long = HotCluster): DataFrame = {
     require(d >= 1, s"universe partitioning needs >= 1 group, got $d")
-    val n = sets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = Parallelism.sessionShufflePartitions(sets.sparkSession)
     // SIZE-BANDED join key (r11): with a small vocabulary, equal
     // per-group projections are common across docs of very different
     // sizes, and candidates per (group, sig) key grow ~n²/keys — the
@@ -422,19 +422,27 @@ object SetSimJoin {
     var prevKeyCols: Seq[String] = null
     var done = false
     while (!done) {
-      // pin the window stage's parallelism (r12): the signature frame's
-      // rows carry toks, and the cluster-count window over them is the
-      // level's CPU-heavy stage — repartitioning by the window's own
-      // partition keys at the session's shuffle-partition count
-      // satisfies the window's required distribution exactly (ONE
-      // pinned exchange, none added) while keeping AQE's byte-based
-      // coalescing from starving it (measured at sf0.1: 5 tasks on 32
-      // cores). Same posture as the candidate joins below.
-      val counted = cur
-        .repartition(n, keyCols.map(col): _*)
-        .withColumn("kc",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(keyCols.map(col): _*)))
+      // cluster-size census per level, r13 (guide §2: aggregate instead
+      // of window when no ordering is used): the r12 shape was
+      // `count(1) over (partitionBy keyCols)` on the pinned frame, and a
+      // partitionBy-only window still SORTS every partition by the keys
+      // — with rows carrying `toks`, that sorted the level's whole
+      // toks-carrying signature frame. A keyed count + equi-join-back
+      // needs no sort anywhere: the pin is ONE exchange both consumers
+      // reuse (the aggregate's grouping keys equal the partitioning
+      // keys, so it runs exchange-free; the join's children are both
+      // already distributed on keyCols), and the SHUFFLE_HASH hint keeps
+      // the sort-free side. Build-side memory contract: the hinted side
+      // is the per-key count frame — bytes-tiny (key cols + one long)
+      // and at most one row per DISTINCT key in the partition, so its
+      // per-task hash map is bounded by the partition's key cardinality,
+      // never by toks payloads. The pin itself still reads the session's
+      // shuffle-partition conf (REPARTITION_BY_NUM exempts the
+      // CPU-explosive stage from AQE byte-based coalescing, r12).
+      val pinned = cur.repartition(n, keyCols.map(col): _*)
+      val kcounts = pinned.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("kc"))
+      val counted = pinned.join(kcounts.hint("SHUFFLE_HASH"), keyCols)
       // pin ONLY the hot subset (clusters past the cap — the recursion's
       // whole input): the exhausted term, the residual census and the
       // next level's re-key all consume it, and it shrinks per level.
@@ -547,8 +555,11 @@ object SetSimJoin {
     // from AQE coalescing) and keep the join shuffled (SHUFFLE_HASH) —
     // AQE's broadcast conversion would collapse the explosion back onto
     // the probe side's few coalesced map partitions (measured at sf0.1:
-    // 2 tasks × ~2.5 s each on 32 cores)
-    val n = sets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // 2 tasks × ~2.5 s each on 32 cores). SHJ build-side contract: a
+    // signature is shared only by docs within one deletion of the same
+    // token set, so key groups track actual near-dup structure (the
+    // operator's own precondition k <= 1), never token frequency.
+    val n = Parallelism.sessionShufflePartitions(sets.sparkSession)
     val a = sigs.select(col("doc_id").as("id_a"), col("sz").as("pa_sz"),
       col("sig").as("sig_a")).repartition(n, col("sig_a"))
     val b = sigs.select(col("doc_id").as("id_b"), col("sz").as("pb_sz"),
@@ -594,8 +605,27 @@ object SetSimJoin {
     // bytes-tiny and the join fans out per shared token, so AQE's
     // byte-based coalescing starved the stage (measured at sf0.1: the
     // candidate join and its distinct ran 1 task each, 1.5 + 1.7 s of
-    // the query's 4.5 s wall)
-    val n = sets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // the query's 4.5 s wall).
+    //
+    // SKEW BOUND (r13, r12 VERDICT item 4). Unlike the deletion path,
+    // prefix tokens are frequency-skewed by construction, and the
+    // REPARTITION_BY_NUM pin opts this exchange out of AQE skew-split
+    // (which only rewrites ENSURE_REQUIREMENTS-origin shuffles — and
+    // could not help anyway: one hot KEY is unsplittable, and its c²/2
+    // candidate output is what ANY exact algorithm must enumerate, so
+    // salting cannot reduce it either). The working bound is PPJoin's:
+    // the prefix keeps each doc's sz−⌈t·sz⌉+1 GLOBALLY RAREST tokens
+    // (rare-first order above), so a token of df D enters a doc's
+    // prefix only when that doc has almost nothing rarer — prefix
+    // frequency tracks near-dup structure, not corpus frequency. The
+    // residual hot case (a clique of near-identical docs sharing one
+    // rare token, falsified in SetSimJoinSpec's hot-prefix spec) yields
+    // a per-task SHJ build of df_prefix(tok)·~24 B rows and a c²/2
+    // enumeration on one task — when a corpus is known to carry such
+    // cliques, the documented fallback is jaccardJoinPartition (the
+    // auto-dispatch route), whose hot-cluster refinement SPLITS hot keys
+    // by content instead of enumerating them on one task.
+    val n = Parallelism.sessionShufflePartitions(sets.sparkSession)
     val a = pref.select(col("doc_id").as("id_a"), col("sz").as("pa_sz"),
       col("tok").as("tok_a")).repartition(n, col("tok_a"))
     val b = pref.select(col("doc_id").as("id_b"), col("sz").as("pb_sz"),

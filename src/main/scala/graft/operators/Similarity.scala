@@ -450,19 +450,30 @@ object Similarity {
     decision
   }
 
-  /** Top-k over a [[buildIvfIndex]] table. The `cell_id IN (...)` predicate
-    * is a partition filter (cell_id is a directory column), so the plan's
-    * scan carries `PartitionFilters` and touches nprobe/K of the files. */
+  /** Top-k over a [[buildIvfIndex]] table. The probe knows its `nprobe`
+    * cell ids up front, so it reads exactly those `cell_id=` directories
+    * ([[annSegmentsPruned]], the r12 LSH listing fix generalized here,
+    * guide §6): no eager listing of all K cell dirs before the partition
+    * filter prunes — the wrong shape once K grows past the demo's 8
+    * cells. The `cell_id IN (...)` predicate still applies (it re-states
+    * the dir choice for main rows and prunes the natively-stored `_delta`
+    * segment). The PQ probe deliberately does NOT get this treatment:
+    * [[buildPqIndex]] writes no partition dirs at all — ADC scans the
+    * whole code table by design (compression, not pruning, is PQ's
+    * lever), so there is nothing to prune. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       idCol: String, vecCol: String, centroids: Seq[Array[Float]],
-      probe: Array[Float], k: Int, nprobe: Int = 2): DataFrame =
+      probe: Array[Float], k: Int, nprobe: Int = 2): DataFrame = {
+    val cells = nearestCells(centroids, probe, nprobe)
     annVisible(spark, indexPath,
-        annSegments(spark, indexPath)
-          .filter(col("cell_id").isin(nearestCells(centroids, probe, nprobe): _*)),
+        annSegmentsPruned(spark, indexPath,
+          cells.map(c => s"cell_id=$c"),
+          col("cell_id").isin(cells: _*)),
         idCol)
       .select(col(idCol), round(cosine(col(vecCol), typedLit(probe.toSeq)), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
 
   // ------------------------------------------------- random-hyperplane LSH
 

@@ -556,11 +556,29 @@ object TextAnalysis {
     */
   def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
       nTerms: Int = 3, minTermLen: Int = 6, k1: Double = 1.2,
-      b: Double = 0.75, topK: Int = 10): DataFrame = {
-    val toks = Parallelism.widen(docs, col(idCol))
+      b: Double = 0.75, topK: Int = 10): DataFrame =
+    bm25TopDocsFromTf(docTermFreq(docs, idCol, textCol),
+      nTerms, minTermLen, k1, b, topK)
+
+  /** The (doc_id, term, tf) frame every lexical ranker starts from — the
+    * ONE corpus-sized tokenize + shuffle. Exposed as a seam (r13, r12
+    * VERDICT item 5) so composite pipelines (searchEval's lex ranker +
+    * its fusion's internal BM25) tokenize the corpus ONCE and share the
+    * frame instead of re-deriving it per ranker. */
+  private[operators] def docTermFreq(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    Parallelism.widen(docs, col(idCol))
       .select(col(idCol).as("doc_id"),
         explode(tokens(lower(col(textCol)))).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** [[bm25TopDocs]] from a pre-built [[docTermFreq]] frame — identical
+    * math and output; callers that run several rankers over one corpus
+    * pass the same tf frame so its tokenize subtree plans (and reuses)
+    * once. */
+  private[operators] def bm25TopDocsFromTf(tf: DataFrame,
+      nTerms: Int, minTermLen: Int, k1: Double,
+      b: Double, topK: Int): DataFrame = {
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // corpus constants from the docs that HAVE tokens (empty docs can't

@@ -273,6 +273,49 @@ class SetSimJoinSpec extends SparkTestBase {
     }
   }
 
+  test("hot-prefix skew falsifier: a clique sharing one prefix-hot token stays exact; partition fallback splits it") {
+    import spark.implicits._
+    // r12 VERDICT item 4: the prefix path's pinned SHUFFLE_HASH join is
+    // outside AQE skew-split, and prefix tokens are frequency-skewed by
+    // construction — so plant the worst case deliberately. Every clique
+    // doc is "hot1 hot2 u_i v_i": sz = 4 at t = 1/2 keeps a 3-token
+    // prefix, the two unique tokens (df = 1) sort first in the
+    // rare-first order, and hot1 (df = clique size) takes the third
+    // slot — ONE join key owning a c·(c−1)/2 candidate enumeration
+    // (1770 pairs from 60 docs), none of which qualify (J = 2/6 < 1/2).
+    // Planted qualifying pairs: (100, 101) rides ordinary rare keys, and
+    // (200, 201) — "hot1 hot2 xx1" vs "hot1 hot2 yy1", J = 2/4 exactly
+    // at threshold — shares NO prefix token except hot1 (sz = 3 keeps a
+    // 2-token prefix: [unique, hot1]), so a skew-mishandled hot key
+    // loses real output, not just time.
+    val clique = (0L until 60L).map(i => (i, s"hot1 hot2 u$i v$i"))
+    val nearDups = Seq(
+      100L -> "hot1 hot2 w1 w2",
+      101L -> "hot1 hot2 w1 w2 w3", // J = 4/5 >= 1/2
+      200L -> "hot1 hot2 xx1",
+      201L -> "hot1 hot2 yy1")      // J = 2/4, found ONLY via hot1
+    val docs = (clique ++ nearDups).toDF("doc_id", "text")
+    // the planted skew is real: hot1's corpus df is the whole fixture
+    val dfHot = docs.select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") === "hot1").count()
+    assert(dfHot == 64L, s"fixture must make hot1 corpus-hot, df = $dfHot")
+    val brute = pairs(SetSimJoin.jaccardJoinBrute(docs, "doc_id", "text", 1, 2))
+    assert(brute.map(p => (p._1, p._2)) == Seq((100L, 101L), (200L, 201L)),
+      s"exactly the planted near-dup pairs must qualify: $brute")
+    // exactness under the hot key (candidate volume is output-bound for
+    // any exact algorithm; the prefix path must enumerate and survive it)
+    val pre = pairs(SetSimJoin.jaccardJoinPrefix(docs, "doc_id", "text", 1, 2))
+    assert(pre == brute, s"hot prefix key lost pairs: $pre vs $brute")
+    // the documented fallback for known-hot corpora: the partition path's
+    // hot-cluster refinement splits hot keys by content instead of
+    // enumerating them on one task — same exact answer (cap lowered so
+    // the 60-doc clique actually crosses the refinement threshold)
+    // d >= Δmax+1 = (2·5·1 div 3)+1 = 4 for the sz = 5 doc at t = 1/2
+    val par = pairs(SetSimJoin.jaccardJoinPartition(
+      docs, "doc_id", "text", 1, 2, d = 5, hotCluster = 8L))
+    assert(par == brute, s"partition fallback lost pairs: $par vs $brute")
+  }
+
   test("no strategy's plan is a cartesian product; brute is quarantined to specs") {
     import spark.implicits._
     val docs = Tables.load(spark, sf(), "documents")
