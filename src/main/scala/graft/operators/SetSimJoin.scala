@@ -422,27 +422,31 @@ object SetSimJoin {
     var prevKeyCols: Seq[String] = null
     var done = false
     while (!done) {
-      // cluster-size census per level, r13 (guide §2: aggregate instead
-      // of window when no ordering is used): the r12 shape was
-      // `count(1) over (partitionBy keyCols)` on the pinned frame, and a
-      // partitionBy-only window still SORTS every partition by the keys
-      // — with rows carrying `toks`, that sorted the level's whole
-      // toks-carrying signature frame. A keyed count + equi-join-back
-      // needs no sort anywhere: the pin is ONE exchange both consumers
-      // reuse (the aggregate's grouping keys equal the partitioning
-      // keys, so it runs exchange-free; the join's children are both
-      // already distributed on keyCols), and the SHUFFLE_HASH hint keeps
-      // the sort-free side. Build-side memory contract: the hinted side
-      // is the per-key count frame — bytes-tiny (key cols + one long)
-      // and at most one row per DISTINCT key in the partition, so its
-      // per-task hash map is bounded by the partition's key cardinality,
-      // never by toks payloads. The pin itself still reads the session's
-      // shuffle-partition conf (REPARTITION_BY_NUM exempts the
-      // CPU-explosive stage from AQE byte-based coalescing, r12).
-      val pinned = cur.repartition(n, keyCols.map(col): _*)
-      val kcounts = pinned.groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("kc"))
-      val counted = pinned.join(kcounts.hint("SHUFFLE_HASH"), keyCols)
+      // pin the window stage's parallelism (r12): the signature frame's
+      // rows carry toks, and the cluster-count window over them is the
+      // level's CPU-heavy stage — repartitioning by the window's own
+      // partition keys at the session's shuffle-partition count
+      // satisfies the window's required distribution exactly (ONE
+      // pinned exchange, none added) while keeping AQE's byte-based
+      // coalescing from starving it (measured at sf0.1: 5 tasks on 32
+      // cores). Same posture as the candidate joins below.
+      //
+      // MEASURED REJECTION (r13, r12 VERDICT item 3): replacing this
+      // window with groupBy(keyCols).count + a SHUFFLE_HASH join-back on
+      // the same pinned exchange removes the window's per-partition sort
+      // but reads the toks-carrying shuffle TWICE (once to build counts,
+      // once to probe) — deserializing the token arrays again costs more
+      // than the sort saves. Back-to-back JobProbe A/B at sf0.1, 5 reps:
+      // steady wall 4.5-4.7 s (window) vs 5.1-5.6 s (agg+join), task
+      // time 63-67 s vs 81-85 s; q_join_setsim_stratified likewise
+      // 3.4-4.1 s vs 4.4-5.4 s. The window's sort is pointer-swaps over
+      // already-shuffled rows; the second shuffle read is not. Kept the
+      // window.
+      val counted = cur
+        .repartition(n, keyCols.map(col): _*)
+        .withColumn("kc",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCols.map(col): _*)))
       // pin ONLY the hot subset (clusters past the cap — the recursion's
       // whole input): the exhausted term, the residual census and the
       // next level's re-key all consume it, and it shrinks per level.
