@@ -26,9 +26,16 @@ object JobProbe {
         val si = sc.stageInfo
         val wall = (for {a <- si.completionTime; b <- si.submissionTime} yield (a-b)/1e3).getOrElse(0.0)
         val m = si.taskMetrics
+        // label each stage by the OPERATOR scopes of its RDD chain (the
+        // callsite-based stage name is useless under AQE: every stage
+        // reports the thread-pool callsite) — rddInfos run leaf-to-root,
+        // so this reads as the stage's pipeline
+        val ops = si.rddInfos.flatMap(r => r.scope.map(_.name))
+          .filterNot(_.startsWith("WholeStageCodegen")).distinct.take(8)
         stages.synchronized {
-          stages += St(si.stageId, si.name.split('\n').head.take(90), wall,
-            m.executorRunTime/1e3, m.shuffleReadMetrics.totalBytesRead,
+          stages += St(si.stageId,
+            if (ops.nonEmpty) ops.mkString(">") else si.name.split('\n').head.take(60),
+            wall, m.executorRunTime/1e3, m.shuffleReadMetrics.totalBytesRead,
             m.shuffleWriteMetrics.bytesWritten, m.inputMetrics.bytesRead, si.numTasks)
         }
       }
