@@ -32,9 +32,16 @@ object JobProbe {
         // so this reads as the stage's pipeline
         val ops = si.rddInfos.flatMap(r => r.scope.map(_.name))
           .filterNot(_.startsWith("WholeStageCodegen")).distinct.take(8)
+        // attempt + RDD-id range disambiguate a retried stage from two
+        // distinct stages over the same shuffle
+        val tag = s"a${si.attemptNumber}/r${si.rddInfos.map(_.id).min}-${si.rddInfos.map(_.id).max}"
+        // JOBPROBE_RDDS=1: full per-RDD chain for stages > 5 s task time
+        if (sys.env.contains("JOBPROBE_RDDS") && m.executorRunTime/1e3 > 5.0)
+          println(s"  RDDS st ${si.stageId}: " + si.rddInfos.sortBy(_.id).map(r =>
+            s"${r.id}:${r.scope.map(_.name).getOrElse("-")}:${r.name}").mkString(" | "))
         stages.synchronized {
           stages += St(si.stageId,
-            if (ops.nonEmpty) ops.mkString(">") else si.name.split('\n').head.take(60),
+            (if (ops.nonEmpty) ops.mkString(">") else si.name.split('\n').head.take(60)) + s" [$tag]",
             wall, m.executorRunTime/1e3, m.shuffleReadMetrics.totalBytesRead,
             m.shuffleWriteMetrics.bytesWritten, m.inputMetrics.bytesRead, si.numTasks)
         }
